@@ -20,7 +20,21 @@ final case class TableRef(layer: String, domain: String, table: String) {
 object Tables {
   /** Load a driver testdata table: `dir/name.parquet`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+    * exactly what DuckDB's TIMESTAMP (µs) cast does, so oracle values agree.
+    * Integer `DIV` is required: epoch-nanos (~1.7e18) exceeds a double's 2^53
+    * exact-integer range, so a float division would corrupt the timestamp.
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
 
   val starSchema: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
