@@ -1,0 +1,76 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks, mirroring the reference's QC semantics
+  * (reference `checks.py:9-35`): a check yields a result, never throws —
+  * a missing column is a *failed check*, not an error
+  * (reference `checks.py:23-24`); the null-rate bound is inclusive (`<=`,
+  * reference `checks.py:26`), as is the row-count bound (`>=`,
+  * reference `checks.py:18`).
+  *
+  * Unlike the reference's one-pass-per-check loop (`checks.py:31-35`), all
+  * checks against one DataFrame are fused into a single `agg` — one job, one
+  * scan, regardless of how many checks run. At 100 TB that is the difference
+  * between N table scans and one.
+  */
+final case class QCResult(name: String, passed: Boolean, details: String)
+
+sealed trait Check {
+  def name: String
+  /** Aggregate expressions this check needs (empty if decided from schema alone). */
+  def aggs(df: DataFrame): Seq[Column]
+  /** Evaluate from the fused aggregate row; `offset` is where this check's
+    * aggs start in the row. */
+  def eval(df: DataFrame, row: Row, offset: Int): QCResult
+}
+
+/** Row-count gate (reference `checks.py:16-19`). */
+final case class MinRows(min: Long, name: String = "min_rows") extends Check {
+  def aggs(df: DataFrame): Seq[Column] = Seq(count(lit(1)))
+  def eval(df: DataFrame, row: Row, offset: Int): QCResult = {
+    val n = row.getLong(offset)
+    QCResult(name, n >= min, s"rows=$n min=$min")
+  }
+}
+
+/** Null-rate gate on one column (reference `checks.py:22-28`). */
+final case class MaxNullRate(column: String, maxRate: Double,
+    namePrefix: String = "max_null_rate") extends Check {
+  def name: String = s"${namePrefix}_$column"
+  def aggs(df: DataFrame): Seq[Column] =
+    if (df.columns.contains(column))
+      Seq(avg(col(column).isNull.cast("double")))
+    else Seq.empty
+  def eval(df: DataFrame, row: Row, offset: Int): QCResult =
+    if (!df.columns.contains(column))
+      QCResult(name, passed = false, s"column $column missing")
+    else {
+      // avg over zero rows is null: an empty table has no null-rate violation.
+      val rate = if (row.isNullAt(offset)) 0.0 else row.getDouble(offset)
+      QCResult(name, rate <= maxRate, f"null_rate=$rate%.6f max=$maxRate")
+    }
+}
+
+object Checks {
+
+  /** Run all checks in ONE aggregation pass (vs reference `checks.py:31-35`,
+    * one pass per check). */
+  def runAll(df: DataFrame, checks: Seq[Check]): Seq[QCResult] = {
+    val offsets = checks.scanLeft(0)((acc, c) => acc + c.aggs(df).size)
+    val allAggs = checks.flatMap(_.aggs(df))
+    val row: Row =
+      if (allAggs.isEmpty) Row.empty
+      else df.agg(allAggs.head, allAggs.tail: _*).head()
+    checks.zip(offsets).map { case (c, off) => c.eval(df, row, off) }
+  }
+
+  /** Alert line formatting (reference `alerts.py:17-22`) — driver-side. */
+  def formatAlert(table: String, results: Seq[QCResult]): String = {
+    val failed = results.filterNot(_.passed)
+    if (failed.isEmpty) s"[qc] $table: all ${results.size} checks passed"
+    else s"[qc] $table: ${failed.size}/${results.size} FAILED — " +
+      failed.map(r => s"${r.name} (${r.details})").mkString("; ")
+  }
+}
