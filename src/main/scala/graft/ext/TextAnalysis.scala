@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (north-star
+  * extension, SURVEY.md §2.11 [N]): tokenization, quality scoring,
+  * language-ID heuristics, shingling, and document fingerprinting.
+  *
+  * All of these are pure column expressions — no UDFs, no shuffles — so they
+  * run inside whole-stage codegen and scale linearly with the scan: at 100 TB
+  * each executor computes its partition's stats with zero data movement.
+  *
+  * Determinism/parity: every function here avoids libm-dependent transcendental
+  * math (no log/exp) so results are bit-identical to an ANSI-SQL oracle
+  * computing the same rational arithmetic.
+  */
+object TextAnalysis {
+
+  /** Stopword list used by [[stopRatio]] / quality scoring. Deliberately small
+    * and declared once so the DuckDB oracle can inline the identical list. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Whitespace tokenization: `split` on single spaces (the documents table is
+    * single-space separated; for general text use the regex variant). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization for general text: word-ish runs (BPE-ish pre-split). */
+  def tokensRegex(text: Column): Column =
+    filter(split(text, "[^A-Za-z0-9']+"), t => length(t) > 0)
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  def nUniqueTokens(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Fraction of tokens that are stopwords — exact rational in double. */
+  def stopRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Type–token ratio (lexical diversity): unique/total. */
+  def typeTokenRatio(text: Column): Column =
+    nUniqueTokens(text).cast("double") / nTokens(text).cast("double")
+
+  /** Quality score in [0,1]: rewards length (capped) and lexical diversity,
+    * penalizes stopword stuffing. Pure +,*,/ arithmetic so an oracle engine
+    * reproduces it bit-for-bit (no ln/exp whose libm rounding could differ).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(nTokens(text).cast("double"), lit(100.0)) / lit(100.0)
+    (lit(1.0) - stopRatio(text)) * lit(0.5) +
+      lenTerm * lit(0.25) + typeTokenRatio(text) * lit(0.25)
+  }
+
+  /** N-gram-frequency language-ID heuristic: English text has a high rate of
+    * the bigram "th" and of the token "the"; score those and bucket. (A real
+    * system uses per-language character-n-gram profiles — this is the same
+    * mechanism with a single profile, kept oracle-expressible.) */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    val theRatio = size(filter(toks, t => t === "the")).cast("double") /
+      size(toks).cast("double")
+    // occurrences of "th" = (len - len(remove "th")) / 2
+    val thRatio =
+      (length(text) - length(regexp_replace(text, "th", ""))).cast("double") /
+        lit(2.0) / length(text).cast("double")
+    when(theRatio >= 0.04, "en")
+      .when(theRatio >= 0.015 || thRatio >= 0.02, "en_like")
+      .otherwise("other")
+  }
+
+  /** Distinct character n-gram shingles of `text` (dedup primitive). Uses
+    * `Column.substr(pos, len)` inside a higher-order `transform`, so shingling
+    * stays a codegen'd expression — no explode needed until a join wants rows. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** MD5 whole-document fingerprint over whitespace-normalized, lowercased
+    * text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Winnowing-style robust fingerprint: minimum shingle hash (MinHash with
+    * one permutation). Survives small edits anywhere except at the minimal
+    * shingle itself; used as a cheap near-dup blocking key. */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

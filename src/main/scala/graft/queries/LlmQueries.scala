@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.model.Tables
+import graft.streaming.Streaming
+
+/** LLM-training-data pipeline operators (north-star extensions) as driver
+  * queries: text analysis, dedup family, similarity search, multimodal
+  * plumbing, time windows / sessionization / as-of joins over events.
+  *
+  * Oracle parity notes:
+  *  - ratios/scores use only +,−,×,÷ on doubles (no libm) and identical
+  *    left-to-right association in the SQL, so results are bit-equal;
+  *  - cosine similarities are rounded to 6 decimals on BOTH sides before
+  *    thresholding/ranking (group-sum order differs across engines in the
+  *    last ulp);
+  *  - MinHash / SimHash / LSH / HLL queries have no SQL oracle (engine-
+  *    specific hashes) → driver records the weaker rows-only check; their
+  *    exactness is covered by ScalaTest specs instead.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Text analysis ---------------------------------------------------
+    "q21_text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.nTokens(txt).as("n_tokens"),
+        TextAnalysis.nUniqueTokens(txt).as("n_uniq"),
+        round(TextAnalysis.stopRatio(txt), 6).as("stop_ratio"),
+        round(TextAnalysis.qualityScore(txt), 6).as("quality"))
+    }),
+
+    "q22_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langIdHeuristic(col("text")).as("pred_lang"))
+    }),
+
+    "q23_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+          TextAnalysis.nTokens(col("text")) >= 20)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    }),
+
+    "q24_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))
+    }),
+
+    // --- Dedup -----------------------------------------------------------
+    "q25_exact_dedup" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+        .select(col("fp"), col("keep_id"), col("n_copies"))
+    }),
+
+    // Exact 5-gram Jaccard near-dup pairs on a bounded id range (constant
+    // work across scale factors); the unbounded scale path is q27.
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 150),
+        "doc_id", "text", n = 5, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // MinHash+LSH over ALL documents — candidates via banded signatures,
+    // verified with exact Jaccard. No SQL oracle (engine hash functions).
+    "q27_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, k = 32, bands = 8, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // SimHash sketches for every doc (shuffle-free) + banded near-dup pairs.
+    "q28_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+    }),
+
+    // --- Similarity search ----------------------------------------------
+    "q29_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        corpus = emb.filter(col("vec_id") >= 5),
+        k = 10)
+    }),
+
+    "q30_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(
+        probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        corpus = emb.filter(col("vec_id") >= 5),
+        k = 10, nPlanes = 4)
+    }),
+
+    "q31_embedding_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        threshold = 0.4)
+    }),
+
+    // --- Multimodal plumbing --------------------------------------------
+    "q32_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(
+        Multimodal.documentsAsMedia(s, t(s, dir, "documents"))).toDF()
+    }),
+
+    // --- Event-time windows / sessions / as-of ---------------------------
+    "q33_tumbling_window" -> ((s, dir) => {
+      Streaming.tumblingAgg(t(s, dir, "events"), "1 hour")
+        .select(
+          unix_timestamp(col("window_start")).cast("long").as("window_start_epoch"),
+          col("event_type"), col("n"), col("total"))
+    }),
+
+    "q34_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("ns",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("ns")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    "q35_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      AsofJoin.asOf(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderkey"), col("asof_o_totalprice"))
+    }),
+
+    // --- Sketch aggregates (HLL) — engine-specific, rows-only check ------
+    "q36_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+    })
+  )
+
+  private val stopList = "['the','a','of','and','to','in']"
+  private val toks = "string_split(text, ' ')"
+  private val nTok = s"len($toks)"
+  private val stopRatio =
+    s"len(list_filter($toks, t -> list_contains($stopList, t)))::DOUBLE / $nTok::DOUBLE"
+  private val ttr = s"len(list_distinct($toks))::DOUBLE / $nTok::DOUBLE"
+  private val quality =
+    s"(1.0 - $stopRatio) * 0.5 + least(CAST($nTok AS DOUBLE), 100.0) / 100.0 * 0.25 + $ttr * 0.25"
+
+  val oracle: Map[String, String] = Map(
+    "q21_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST($nTok AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_uniq,
+         |  round($stopRatio, 6) AS stop_ratio,
+         |  round($quality, 6) AS quality
+         |FROM documents""".stripMargin,
+    "q22_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.04 THEN 'en'
+         |    WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.015
+         |      OR (length(text) - length(replace(text, 'th', '')))::DOUBLE / 2.0 / length(text)::DOUBLE >= 0.02 THEN 'en_like'
+         |    ELSE 'other' END AS pred_lang
+         |FROM documents""".stripMargin,
+    "q23_quality_filter" ->
+      s"""SELECT doc_id, round($quality, 6) AS quality
+         |FROM documents
+         |WHERE ($quality) >= 0.5 AND $nTok >= 20""".stripMargin,
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  list_min(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+        |    i -> md5(substr(text, CAST(i AS INT), 5)))) AS min_shingle_fp
+        |FROM documents""".stripMargin,
+    "q25_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    "q26_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+        |       FROM d, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(c::DOUBLE / (x.n + y.n - c)::DOUBLE, 6) AS jaccard
+        |FROM inter
+        |JOIN sz x ON doc_a = x.doc_id
+        |JOIN sz y ON doc_b = y.doc_id
+        |WHERE c::DOUBLE / (x.n + y.n - c)::DOUBLE >= 0.3""".stripMargin,
+    "q29_cosine_topk" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+        |FROM s WHERE rank <= 10""".stripMargin,
+    "q31_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             unnest(embedding)::DOUBLE AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot / (x.nrm * y.nrm), 6) AS cos_sim
+        |FROM d JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
+        |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
+    "q32_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(encode(text)) % 16) * 64 + 64 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) % 9) * 64 + 64 AS BIGINT) AS height,
+        |  CASE octet_length(encode(text)) % 3
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |  CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+    "q33_tumbling_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_epoch,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q34_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL
+        |    OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
+    "q35_asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id,
+        |  o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+        |FROM j WHERE rn = 1""".stripMargin
+  )
+}

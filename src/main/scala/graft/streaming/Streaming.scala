@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY.md §2.10 [N]).
+  *
+  * The reference is batch-daily with a 7-day `updated_since` re-pull window
+  * (reference `rest_api.py:70-72`, `endpoints.yml:26-29`) — i.e. a coarse
+  * event-time watermark with late-data upsert. This module expresses the same
+  * semantics natively: every transform is `DataFrame => DataFrame`, so the
+  * identical code runs in batch (oracle-verifiable) and as a stream
+  * (`readStream` → transform → `writeStream`).
+  *
+  * Scale: windowed aggregations are keyed by (window, group) — state is
+  * bounded by the watermark, partitions by group key across executors, and
+  * late rows past the watermark are dropped instead of growing state forever.
+  */
+object Streaming {
+
+  /** Tumbling-window counts/sums per event type. Batch and streaming share
+    * this plan; in streaming the watermark bounds state. */
+  def tumblingAgg(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding-window variant. */
+  def slidingAgg(events: DataFrame, windowLen: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows (gap-based) per user — native `session_window`. */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Open a streaming read over the events table (parquet file source —
+    * the streaming analogue of the reference's daily bronze drops: new files
+    * arriving in the directory are the stream). */
+  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Watermarked tumbling aggregation over a stream: the streaming form of
+    * [[tumblingAgg]], with allowed lateness. */
+  def streamingTumblingAgg(stream: DataFrame, windowLen: String,
+                           lateness: String): DataFrame =
+    tumblingAgg(stream.withWatermark("ts", lateness), windowLen)
+
+  /** Stateful streaming dedup on a key within the watermark horizon — the
+    * streaming form of the reference's re-pull-then-upsert late-data handling
+    * (`dropDuplicatesWithinWatermark` keeps state only as long as the
+    * watermark requires). */
+  def streamingDedup(stream: DataFrame, keys: Seq[String],
+                     lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+
+  /** Write a streaming result to parquet with checkpointing; Trigger once
+    * processes everything available then stops (batch-like replay used by
+    * tests and the reference's daily cadence). */
+  def writeOnce(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+}

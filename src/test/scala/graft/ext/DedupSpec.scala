@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words appear here now indeed")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id per fingerprint and counts copies") {
+    val g = Dedup.exactGroups(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
+      .orderBy("keep_id").collect()
+    assert(g.length == 3)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccardPairs computes exact n-gram jaccard") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical text => jaccard 1
+    assert(pairs((1L, 3L)) > 0.8 && pairs((1L, 3L)) < 1.0)
+    assert(pairs((1L, 4L)) < 0.2)
+  }
+
+  test("minHashDedupPairs surfaces exact and near dups, not distinct docs") {
+    val pairs = Dedup.minHashDedupPairs(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs have hamming 0; sketches are 64-bit stable") {
+    val sk = Dedup.simHashSketches(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(2L))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("minhash LSH candidate generation never cross-joins: bands bound work") {
+    // 2 docs with zero shared shingles land in disjoint buckets
+    val d = Seq((1L, "aaaa bbbb cccc"), (2L, "xxxx yyyy zzzz")).toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(d, "doc_id", "text", n = 4, k = 16, bands = 4)
+    assert(cands.count() == 0)
+  }
+}

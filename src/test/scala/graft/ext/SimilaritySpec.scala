@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0)
+    ).toDF("a", "b", "expect")
+    val rows = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("expect"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0f, 1f)), (13L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((1L, Array(1f, 0f))).toDF("probe_id", "embedding")
+    val top = Similarity.bruteForceTopK(probes, corpus, k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
+    assert(top.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("annTopK results are a subset of brute-force with identical scores") {
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = Seq((0L, Array.tabulate(8)(j => math.sin(j).toFloat)))
+      .toDF("probe_id", "embedding")
+    val brute = Similarity.bruteForceTopK(probes, corpus, k = 50)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ann = Similarity.annTopK(probes, corpus, k = 5, nPlanes = 2).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      assert(brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cos_sim"))
+    }
+  }
+
+  test("lshBucket is deterministic and within [0, 2^planes)") {
+    val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(-1f, -2f, -3f)))
+      .toDF("vec_id", "embedding")
+    val b1 = df.select(Similarity.lshBucket(col("embedding"), 4).as("b")).collect()
+    val b2 = df.select(Similarity.lshBucket(col("embedding"), 4).as("b")).collect()
+    assert(b1.map(_.getInt(0)).toSeq == b2.map(_.getInt(0)).toSeq)
+    b1.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 16))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDf = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, "{}"),
+    (2L, ts("2024-01-01 10:45:00"), 1L, "view", 2.0, "{}"),
+    (3L, ts("2024-01-01 11:05:00"), 2L, "click", 3.0, "{}"),
+    (4L, ts("2024-01-01 11:55:00"), 2L, "view", 4.0, "{}")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("tumblingAgg buckets by hour") {
+    val out = Streaming.tumblingAgg(eventsDf, "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(out(0).getAs[Double]("total") == 3.0)
+  }
+
+  test("streaming tumbling agg over a file stream matches the batch plan") {
+    val dir = tmpDir("stream-in")
+    val out = tmpDir("stream-out")
+    val ckpt = tmpDir("stream-ckpt")
+    eventsDf.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val stream = Streaming.readEventsStream(spark, s"$dir/events.parquet")
+    // complete mode result needs an aggregation sink; use AvailableNow + append
+    // with watermark so finalized windows are emitted.
+    val agg = Streaming.streamingTumblingAgg(stream, "1 hour", "1 minute")
+    val q = Streaming.writeOnce(agg, out, ckpt).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(out)
+      .orderBy("window_start", "event_type").collect()
+    val batch = Streaming.tumblingAgg(eventsDf, "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    // append mode with watermark emits only windows sealed by the final
+    // watermark: all but the last window (no events arrive after 11:55).
+    assert(streamed.nonEmpty)
+    val batchMap = batch.map(r =>
+      (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type")) -> r).toMap
+    streamed.foreach { s =>
+      val b = batchMap(
+        (s.getAs[Timestamp]("window_start"), s.getAs[String]("event_type")))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(s.getAs[Double]("total") == b.getAs[Double]("total"))
+    }
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    val dir = tmpDir("dedup-in")
+    val out = tmpDir("dedup-out")
+    val ckpt = tmpDir("dedup-ckpt")
+    // two rows share event_id=1 -> one survives
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:00:30"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val stream = Streaming.readEventsStream(spark, s"$dir/events.parquet")
+    val deduped = Streaming.streamingDedup(stream, Seq("event_id"), "10 minutes")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    q.awaitTermination(60000)
+
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("sessionAgg groups by gap-based session windows") {
+    val out = Streaming.sessionAgg(eventsDf, "30 minutes")
+      .orderBy("session_start").collect()
+    // user 1: 10:05 & 10:45 with 30m gap -> 40m apart -> 2 sessions
+    // user 2: 11:05 & 11:55 -> 2 sessions
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("n_events") == 1L))
+  }
+}
