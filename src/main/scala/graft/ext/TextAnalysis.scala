@@ -91,4 +91,20 @@ object TextAnalysis {
     * shingle itself; used as a cheap near-dup blocking key. */
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Scalable form of [[minShingleFingerprint]]: (id, min_shingle_fp) via
+    * explode + min aggregate. Scalar `substr`/`md5` stay in whole-stage
+    * codegen and map-side partial `min` shuffles one row per document —
+    * preferred over the interpreted array-`transform` column form when
+    * fingerprinting a whole corpus. */
+  def minShingleFingerprints(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), col(textCol).as("t"),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col(idCol), md5(col("t").substr(col("i"), lit(n))).as("m"))
+      .groupBy(col(idCol))
+      .agg(min(col("m")).as("min_shingle_fp"))
 }

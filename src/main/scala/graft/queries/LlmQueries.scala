@@ -54,10 +54,10 @@ object LlmQueries {
     }),
 
     "q24_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.minShingleFingerprint(col("text"), 5).as("min_shingle_fp"))
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(TextAnalysis.minShingleFingerprints(docs, "doc_id", "text", 5),
+          "doc_id")
     }),
 
     // --- Dedup -----------------------------------------------------------
