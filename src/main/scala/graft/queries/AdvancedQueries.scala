@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Advanced relational shapes beyond the core surface: scalar-subquery
+  * aggregation, outer-join histograms, pivot, exact percentiles, range
+  * joins, and ranking-window breadth. Each has a DuckDB oracle.
+  *
+  * Scale notes: the scalar subquery is expressed as an aggregate + re-join
+  * (what Catalyst rewrites correlated subqueries to anyway); the range join
+  * is keyed on user_id so the time-range comparison only runs within a
+  * key's partition, never as a global cross product.
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q17 shape: rows below half their group's average.
+    // l_quantity is integral, so group sums are exact in double and the
+    // strict `<` compares identically across engines.
+    "q37_scalar_subquery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val halfAvg = li.groupBy(col("l_partkey").as("ap"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      li.join(halfAvg, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q13 shape: orders-per-customer histogram including zero-order
+    // customers (left outer join + two-level aggregation).
+    "q38_outer_histogram" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Pivot: order totals by priority × status (fixed value list so the
+    // output schema is static — required for both oracle and sinks).
+    "q39_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(col("o_orderpriority"), col("O").as("status_o"),
+          col("F").as("status_f"), col("P").as("status_p"))
+    }),
+
+    // Exact percentiles (not approx): median and p90 account balance per
+    // market segment. Spark `percentile` and DuckDB `quantile_cont` both
+    // use linear interpolation.
+    "q40_percentile" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Range join: per purchase event, how many same-user events follow
+    // within 5 minutes. Keyed on user_id — the range predicate evaluates
+    // only within a user's partition.
+    "q41_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      e.as("a").filter(col("a.event_type") === "purchase")
+        .join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts") > col("a.ts") &&
+            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("a.event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_next_5m"))
+    }),
+
+    // Ranking-window breadth: ntile / percent_rank / first & last value
+    // frames, deterministic under the (value, key) tiebreak ordering.
+    "q42_ranking_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          first(col("c_custkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("richest_custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q37_scalar_subquery" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q38_outer_histogram" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c GROUP BY 1""".stripMargin,
+    "q39_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS status_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS status_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS status_p
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+    "q40_percentile" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM customer
+        |GROUP BY 1""".stripMargin,
+    "q41_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type FROM events)
+        |SELECT a.event_id AS event_id, count(*) AS n_next_5m
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |WHERE a.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "q42_ranking_windows" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  first_value(c_custkey) OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_custkey
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin
+  )
+}
