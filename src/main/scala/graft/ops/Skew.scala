@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys — the manual fallback when AQE's skew-join
+  * splitting isn't available (e.g. a non-shuffle-join stage, or an
+  * aggregation with one dominant group).
+  *
+  * Salting trades one shuffle's skew for `factor`× replication of the small
+  * side: the probe side gets a deterministic salt in [0, factor), the build
+  * side is exploded across every salt value, and the join key becomes
+  * (key, salt) — splitting each hot key's row group across `factor`
+  * partitions. Aggregations do the same with a two-phase partial/final plan.
+  */
+object Skew {
+
+  /** Deterministic row salt: hash of the given columns mod factor. Using a
+    * hash of payload columns (not rand()) keeps the plan re-executable —
+    * important for retries and for deterministic tests. */
+  def salt(factor: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(factor.toLong)).cast("int")
+
+  /** Equi-join `left` (large, possibly skewed) with `right` (small) on
+    * `keys`, spreading each hot key over `factor` shuffle partitions.
+    * `saltBy` columns pick the salt for a left row (default: all left
+    * columns). The right side is replicated `factor`× — keep it broadcast-
+    * small or keep `factor` modest. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 factor: Int, joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt",
+      salt(factor, left.columns.map(col).toIndexedSeq: _*))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial aggregate on
+    * (key, salt), final aggregate on key. `partial` computes the salted
+    * partials; `fin` merges them. Example:
+    * {{{
+    * saltedAgg(df, Seq("k"), 16,
+    *   partial = Seq(sum(col("v")).as("s"), count(lit(1)).as("c")),
+    *   fin     = Seq(sum(col("s")).as("total"), sum(col("c")).as("n")))
+    * }}} */
+  def saltedAgg(df: DataFrame, keys: Seq[String], factor: Int,
+                partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      salt(factor, df.columns.map(col).toIndexedSeq: _*))
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(fin.head, fin.tail: _*)
+  }
+}

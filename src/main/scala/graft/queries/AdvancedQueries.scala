@@ -83,6 +83,21 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_next_5m"))
     }),
 
+    // Statistical aggregates: correlation, sample stddev/variance,
+    // covariance, and argmin/argmax (min_by/max_by on a UNIQUE ordering
+    // expression — ties would be nondeterministic in both engines).
+    "q43_stats_aggs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+          min_by(col("l_suppkey"), col("l_orderkey") * 100 + col("l_linenumber")).as("first_supp"),
+          max_by(col("l_suppkey"), col("l_orderkey") * 100 + col("l_linenumber")).as("last_supp"))
+    }),
+
     // Ranking-window breadth: ntile / percent_rank / first & last value
     // frames, deterministic under the (value, key) tiebreak ordering.
     "q42_ranking_windows" -> ((s, dir) => {
@@ -137,6 +152,16 @@ object AdvancedQueries {
         | AND b.ts > a.ts
         | AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |WHERE a.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "q43_stats_aggs" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+        |  min_by(l_suppkey, l_orderkey * 100 + l_linenumber) AS first_supp,
+        |  max_by(l_suppkey, l_orderkey * 100 + l_linenumber) AS last_supp
+        |FROM lineitem
         |GROUP BY 1""".stripMargin,
     "q42_ranking_windows" ->
       """SELECT c_custkey, c_mktsegment,

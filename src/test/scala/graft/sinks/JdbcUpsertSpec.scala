@@ -1,0 +1,42 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class JdbcUpsertSpec extends AnyFunSuite {
+
+  test("mergeSql: ON all keys, update all non-keys, insert all columns") {
+    val sql = JdbcUpsert.mergeSql("dim_customers", Seq("id"),
+      Seq("id", "email", "updated_at"))
+    assert(sql.contains("MERGE INTO [dim_customers] AS t"))
+    assert(sql.contains("USING [tmp_dim_customers] AS s"))
+    assert(sql.contains("ON t.[id] = s.[id]"))
+    assert(sql.contains(
+      "WHEN MATCHED THEN UPDATE SET t.[email] = s.[email], t.[updated_at] = s.[updated_at]"))
+    assert(sql.contains(
+      "WHEN NOT MATCHED THEN INSERT ([id], [email], [updated_at]) VALUES (s.[id], s.[email], s.[updated_at]);"))
+  }
+
+  test("mergeSql: multi-key joins on AND of all keys; keys never updated") {
+    val sql = JdbcUpsert.mergeSql("f", Seq("k1", "k2"), Seq("k1", "k2", "v"))
+    assert(sql.contains("ON t.[k1] = s.[k1] AND t.[k2] = s.[k2]"))
+    assert(sql.contains("UPDATE SET t.[v] = s.[v]"))
+    assert(!sql.contains("t.[k1] = s.[k1],"))
+  }
+
+  test("mergeSql: all-key table omits the MATCHED clause") {
+    val sql = JdbcUpsert.mergeSql("bridge", Seq("a", "b"), Seq("a", "b"))
+    assert(!sql.contains("WHEN MATCHED"))
+    assert(sql.contains("WHEN NOT MATCHED THEN INSERT ([a], [b])"))
+  }
+
+  test("mergeSql: identifiers are bracket-quoted and escaped") {
+    val sql = JdbcUpsert.mergeSql("we]ird", Seq("k"), Seq("k", "v"))
+    assert(sql.contains("[we]]ird]"))
+  }
+
+  test("mergeSql rejects keys outside the column set") {
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.mergeSql("t", Seq("nope"), Seq("a", "b"))
+    }
+  }
+}
