@@ -76,4 +76,24 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .option("path", outDir)
+
+  /** Streaming upsert: apply each micro-batch to a keyed target via the
+    * lake-native MERGE ([[graft.ops.Upsert]]). This is the streaming form of
+    * the reference's late-data story — re-pulled rows within the lateness
+    * window arrive as updates and are idempotently merged on the key
+    * (reference `rest_api.py:70-72` + `run_load.py:57-96`) — expressed as
+    * `foreachBatch`, so any batch sink (parquet lake dir, JDBC warehouse)
+    * becomes a streaming sink. */
+  def upsertStream(stream: DataFrame, keys: Seq[String], checkpoint: String)(
+      readTarget: SparkSession => DataFrame,
+      writeTarget: DataFrame => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val merged = graft.ops.Upsert.upsert(readTarget(spark), batch, keys)
+        writeTarget(merged)
+      }
 }
