@@ -69,12 +69,6 @@ object Dedup {
           .as("i"))
       .select(col("doc"), xxhash64(col("t").substr(col("i"), lit(n))).as("h"))
 
-  /** Distinct (doc, shingle-hash) pairs — set semantics for Jaccard; the
-    * dedup shuffle is mostly eliminated map-side by partial aggregation. */
-  private def shingleHashSets(docs: DataFrame, idCol: String, textCol: String,
-                              n: Int): DataFrame =
-    shingleHashes(docs, idCol, textCol, n).distinct()
-
   /** (doc, sig) frame: k-permutation MinHash signature (array<long>) over
     * character n-gram shingles. Permutation i re-hashes the base shingle hash
     * with the slot index (`xxhash64(h, i)`) — k independent hash families
@@ -88,8 +82,12 @@ object Dedup {
     * shuffle carries only k longs per document (measured ~6× faster at
     * sf0.1, and the same plan shape scales to billions of documents). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val mins = shingleHashes(docs, idCol, textCol, n)
+                        n: Int, k: Int): DataFrame =
+    signaturesFromHashes(shingleHashes(docs, idCol, textCol, n), k)
+
+  /** k min-aggregates over a (doc, h) shingle-hash frame → (doc, sig). */
+  private def signaturesFromHashes(hashes: DataFrame, k: Int): DataFrame = {
+    val mins = hashes
       .groupBy(col("doc"))
       .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
         (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
@@ -103,10 +101,15 @@ object Dedup {
     * S-curve. The join is on the band bucket, so work is proportional to
     * bucket collisions, not |docs|². */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, bands: Int): DataFrame = {
+                        n: Int, k: Int, bands: Int): DataFrame =
+    bandedCandidates(minHashSignatures(docs, idCol, textCol, n, k), k, bands)
+
+  /** Candidate pairs from a precomputed (doc, sig) frame — split out so
+    * callers can materialize the signature frame once and fan multiple
+    * consumers off it. */
+  def bandedCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
-    val sig = minHashSignatures(docs, idCol, textCol, n, k)
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rows + 1, rows))
     }: _*)
@@ -120,16 +123,49 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash LSH near-dup pairs, verified: candidates from banded LSH, then
-    * exact n-gram Jaccard on just those pairs via the candidate-restricted
-    * inverted index (codegen'd joins/aggregates over the shared exploded
-    * shingle-hash frame; Catalyst's ReuseExchange dedupes its shuffle across
-    * the signature and verification subplans). */
+  /** Word n-gram shingle hashes — the standard unit for document-level
+    * MinHash (char n-grams suit short strings): far fewer shingles per
+    * document and better discrimination between documents drawn from a
+    * shared vocabulary. Codegen throughout (split once, `slice`+`concat_ws`
+    * per offset). */
+  private def wordShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("w"))
+      .select(col("doc"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col("doc"),
+        xxhash64(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
+
+  /** MinHash LSH near-dup pairs, verified: banded candidates → cheap
+    * signature-estimate pre-filter (fraction of agreeing slots ≥ half the
+    * threshold; for a true-jaccard-θ pair the estimate is Binomial(k, θ)/k,
+    * so the half-threshold margin loses < 1% recall at k=32) → exact
+    * Jaccard via the candidate-restricted inverted index on the surviving
+    * few. The shingle-hash multiset is materialized once — signatures,
+    * band joins, and verification all derive from it, and Catalyst would
+    * re-execute the unshared subtree for every consumer otherwise. At scale
+    * this is also the right pipeline shape: the hash frame is one long per
+    * shingle, far smaller than the corpus text, and dedup pipelines stage it. */
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, k: Int = 32, bands: Int = 8,
-                        threshold: Double = 0.5): DataFrame = {
-    val cands = minHashCandidates(docs, idCol, textCol, n, k, bands)
-    val sh = shingleHashSets(docs, idCol, textCol, n)
+                        n: Int = 3, k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5,
+                        wordShingles: Boolean = true): DataFrame = {
+    val base =
+      if (wordShingles) wordShingleHashes(docs, idCol, textCol, n)
+      else shingleHashes(docs, idCol, textCol, n)
+    val full = base.localCheckpoint()
+    val sig = signaturesFromHashes(full, k).localCheckpoint()
+    val cands = bandedCandidates(sig, k, bands)
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+          b => b)).cast("double") / k).as("est"))
+      .filter(col("est") >= threshold / 2)
+      .select(col("doc_a"), col("doc_b"))
+    val sh = full.distinct()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("x"), col("doc_a") === col("x.doc"))
@@ -174,7 +210,8 @@ object Dedup {
     * join on (chunk index, chunk value), verify `bit_count(xor) <= maxHamming`. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sk = simHashSketches(docs, idCol, textCol)
+    // one sketch pass feeds both self-join sides (see minHashDedupPairs)
+    val sk = simHashSketches(docs, idCol, textCol).localCheckpoint()
     val chunks = array((0 until 4).map { b =>
       shiftright(col("sk"), b * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)

@@ -76,11 +76,11 @@ object LlmQueries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // MinHash+LSH over ALL documents — candidates via banded signatures,
-    // verified with exact Jaccard. No SQL oracle (engine hash functions).
+    // MinHash+LSH over ALL documents — candidates via banded word-shingle
+    // signatures, verified with exact Jaccard. No SQL oracle (engine hashes).
     "q27_minhash_pairs" -> ((s, dir) => {
       Dedup.minHashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 5, k = 32, bands = 8, threshold = 0.5)
+        n = 3, k = 32, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
