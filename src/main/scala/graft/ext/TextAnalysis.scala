@@ -92,19 +92,22 @@ object TextAnalysis {
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
-  /** Scalable form of [[minShingleFingerprint]]: (id, min_shingle_fp) via
-    * explode + min aggregate. Scalar `substr`/`md5` stay in whole-stage
-    * codegen and map-side partial `min` shuffles one row per document —
-    * preferred over the interpreted array-`transform` column form when
-    * fingerprinting a whole corpus. */
+  /** Scalable form of [[minShingleFingerprint]] over WORD n-grams:
+    * (id, min_shingle_fp) via explode + min aggregate. Scalar
+    * `slice`/`concat_ws`/`md5` stay in whole-stage codegen and map-side
+    * partial `min` shuffles one row per document — preferred over the
+    * interpreted array-`transform` column form when fingerprinting a whole
+    * corpus (and word units cut shingle volume ~6× vs char n-grams). */
   def minShingleFingerprints(docs: org.apache.spark.sql.DataFrame,
                              idCol: String, textCol: String,
                              n: Int): org.apache.spark.sql.DataFrame =
     docs
-      .select(col(idCol), col(textCol).as("t"),
-        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))))
           .as("i"))
-      .select(col(idCol), md5(col("t").substr(col("i"), lit(n))).as("m"))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("m"))
       .groupBy(col(idCol))
       .agg(min(col("m")).as("min_shingle_fp"))
 }

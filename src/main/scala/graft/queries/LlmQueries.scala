@@ -56,7 +56,7 @@ object LlmQueries {
     "q24_fingerprint" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .join(TextAnalysis.minShingleFingerprints(docs, "doc_id", "text", 5),
+        .join(TextAnalysis.minShingleFingerprints(docs, "doc_id", "text", 3),
           "doc_id")
     }),
 
@@ -194,11 +194,12 @@ object LlmQueries {
          |FROM documents
          |WHERE ($quality) >= 0.5 AND $nTok >= 20""".stripMargin,
     "q24_fingerprint" ->
-      """SELECT doc_id,
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
-        |  list_min(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-        |    i -> md5(substr(text, CAST(i AS INT), 5)))) AS min_shingle_fp
-        |FROM documents""".stripMargin,
+        |  list_min(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> md5(concat(ws[CAST(i AS INT)], ' ', ws[CAST(i AS INT) + 1], ' ', ws[CAST(i AS INT) + 2])))) AS min_shingle_fp
+        |FROM w""".stripMargin,
     "q25_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
