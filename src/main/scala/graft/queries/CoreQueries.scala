@@ -186,7 +186,9 @@ object CoreQueries {
           length(col("c_name")).cast("long").as("name_len"),
           concat(col("c_name"), lit("#"), col("c_mktsegment")).as("tagged"),
           regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
-          trim(lit("  pad  ")).as("trimmed"))
+          trim(lit("  pad  ")).as("trimmed"),
+          base64(col("c_mktsegment").cast("binary")).as("seg_b64"),
+          format_string("cust_%d", col("c_custkey")).as("cust_tag"))
     }),
 
     // --- Scalar functions: dates ----------------------------------------
@@ -338,7 +340,9 @@ object CoreQueries {
         |  CAST(length(c_name) AS BIGINT) AS name_len,
         |  concat(c_name, '#', c_mktsegment) AS tagged,
         |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
-        |  trim('  pad  ') AS trimmed
+        |  trim('  pad  ') AS trimmed,
+        |  base64(encode(c_mktsegment)) AS seg_b64,
+        |  printf('cust_%d', c_custkey) AS cust_tag
         |FROM customer
         |WHERE c_name LIKE '%19%'""".stripMargin,
     "q17_date_funcs" ->
