@@ -129,6 +129,17 @@ object LlmQueries {
           col("event_type"), col("n"), col("total"))
     }),
 
+    // Sliding windows: each event lands in two 1h/30m windows; the batch
+    // form of Streaming.slidingAgg with an oracle (DuckDB expresses the
+    // window assignment by exploding the two candidate buckets).
+    "q44_sliding_window" -> ((s, dir) => {
+      Streaming.slidingAgg(t(s, dir, "events"), "1 hour", "30 minutes")
+        .groupBy(col("window_start"))
+        .agg(sum(col("n")).as("n"))
+        .select(unix_timestamp(col("window_start")).cast("long")
+          .as("window_start_epoch"), col("n"))
+    }),
+
     "q34_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
@@ -261,6 +272,16 @@ object LlmQueries {
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "q44_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT ts, unnest([
+        |        time_bucket(INTERVAL 30 MINUTE, ts),
+        |        time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+        |      FROM e)
+        |SELECT CAST(epoch(ws) AS BIGINT) AS window_start_epoch, count(*) AS n
+        |FROM w
+        |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY 1""".stripMargin,
     "q34_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts,
