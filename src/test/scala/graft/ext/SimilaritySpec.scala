@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
       .toDF("probe_id", "embedding")
     val brute = Similarity.bruteForceTopK(probes, corpus, k = 50)
       .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim")).toMap
-    val ann = Similarity.annTopK(probes, corpus, k = 5, nPlanes = 2).collect()
+    val ann = Similarity.annTopK(probes, corpus, k = 5, nPlanes = 2, dims = 8).collect()
     assert(ann.nonEmpty)
     ann.foreach { r =>
       assert(brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cos_sim"))
@@ -47,8 +47,8 @@ class SimilaritySpec extends SparkSpec {
   test("lshBucket is deterministic and within [0, 2^planes)") {
     val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(-1f, -2f, -3f)))
       .toDF("vec_id", "embedding")
-    val b1 = df.select(Similarity.lshBucket(col("embedding"), 4).as("b")).collect()
-    val b2 = df.select(Similarity.lshBucket(col("embedding"), 4).as("b")).collect()
+    val b1 = df.select(Similarity.lshBucket(col("embedding"), 4, dims = 3).as("b")).collect()
+    val b2 = df.select(Similarity.lshBucket(col("embedding"), 4, dims = 3).as("b")).collect()
     assert(b1.map(_.getInt(0)).toSeq == b2.map(_.getInt(0)).toSeq)
     b1.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 16))
   }
