@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the centroid-bucketed
+  * alternative to random-hyperplane LSH ([[Similarity.annTopK]]).
+  *
+  * Index build = a small declarative Lloyd's k-means (no MLlib): centroids
+  * live in a C-row DataFrame (broadcast everywhere), assignment is a
+  * broadcast join + per-vector argmax, and the update step is an
+  * explode-by-dimension mean — all shuffles are keyed on (centroid, dim),
+  * so the build scales with the corpus, not C×corpus. Search probes only
+  * the `nProbe` nearest cells' inverted lists — the recall/throughput dial.
+  * All cosines go through the native codegen'd [[Similarity.cosine]].
+  */
+object Ivf {
+
+  /** (centroid_id, centroid: array<double>) — farthest-point seeding
+    * (k-means++ without the probability weighting: each next seed is the
+    * vector least similar to its nearest existing seed; deterministic with
+    * id tiebreak) followed by `iters` Lloyd rounds. Every step is a scan +
+    * broadcast of the C-row centroid table + TakeOrdered — nothing global
+    * beyond C-sized frames, so the build scales with the corpus. Cells that
+    * lose all members keep their previous centroid. */
+  def trainCentroids(corpus: DataFrame, c: Int, iters: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val asDouble = transform(col(vecCol), v => v.cast("double"))
+    var seeds = corpus.orderBy(col(idCol).asc).limit(1)
+      .select(lit(0).as("centroid_id"), asDouble.as("centroid"))
+      .localCheckpoint()
+    (1 until c).foreach { i =>
+      val next = corpus.crossJoin(broadcast(seeds))
+        .select(col(idCol), col(vecCol),
+          Similarity.cosine(col(vecCol), col("centroid").cast("array<float>")).as("cos"))
+        .groupBy(col(idCol)).agg(max(col("cos")).as("near"), first(col(vecCol)).as("v"))
+        .orderBy(col("near").asc, col(idCol).asc).limit(1)
+        .select(lit(i).as("centroid_id"),
+          transform(col("v"), x => x.cast("double")).as("centroid"))
+      seeds = seeds.unionByName(next).localCheckpoint()
+    }
+    var centroids = seeds
+    (0 until iters).foreach { _ =>
+      val assigned = assign(corpus, centroids, idCol, vecCol)
+      val byDim = corpus.join(assigned, idCol)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      val updated = byDim
+        .groupBy(col("centroid_id"), col("i"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("dims"))
+        .select(col("centroid_id"),
+          transform(col("dims"), d => d.getField("m")).as("new_centroid"))
+      centroids = centroids
+        .join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** (vec_id, centroid_id): nearest centroid per vector — broadcast the
+    * C-row centroid table, rank by cosine with id tiebreak. */
+  def assign(corpus: DataFrame, centroids: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid_id"),
+        Similarity.cosine(col(vecCol),
+          col("centroid").cast("array<float>")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF search: each probe visits its `nProbe` closest cells and ranks
+    * that union exactly. */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int = 2,
+              probeId: String = "probe_id", corpusId: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val lists = corpus.join(assign(corpus, centroids, corpusId, vecCol), corpusId)
+    val probeCells = {
+      val w = Window.partitionBy(col(probeId))
+        .orderBy(col("cos").desc, col("centroid_id").asc)
+      probes.crossJoin(broadcast(centroids))
+        .select(col(probeId), col(vecCol), col("centroid_id"),
+          Similarity.cosine(col(vecCol),
+            col("centroid").cast("array<float>")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nProbe)
+        .select(col(probeId), col(vecCol), col("centroid_id"))
+    }
+    val scored = probeCells.as("p")
+      .join(lists.as("c"), col("p.centroid_id") === col("c.centroid_id"))
+      .select(col(s"p.$probeId").as("probe_id"),
+        col(s"c.$corpusId").as("neighbor_id"),
+        round(Similarity.cosine(col(s"p.$vecCol"), col(s"c.$vecCol")), 6).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
 import graft.streaming.Streaming
 
@@ -107,6 +107,18 @@ object LlmQueries {
           .select(col("vec_id").as("probe_id"), col("embedding")),
         corpus = emb.filter(col("vec_id") >= 5),
         k = 10, nPlanes = 4)
+    }),
+
+    // IVF ANN: k-means coarse quantizer (declarative Lloyd's, no MLlib) +
+    // inverted lists; probes visit nProbe cells. Rows-only check.
+    "q45_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val centroids = Ivf.trainCentroids(corpus, c = 10, iters = 2)
+      Ivf.ivfTopK(
+        probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        corpus = corpus, centroids = centroids, k = 10, nProbe = 3)
     }),
 
     "q31_embedding_neardup" -> ((s, dir) => {

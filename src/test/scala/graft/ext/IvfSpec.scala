@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters in 4d
+  private def corpus = (
+    (0 until 20).map(i => (i.toLong, Array(1f + i * 0.01f, 0f, 0f, 0f))) ++
+      (20 until 40).map(i => (i.toLong, Array(0f, 1f + i * 0.01f, 0f, 0f)))
+    ).toDF("vec_id", "embedding")
+
+  test("trainCentroids converges to one centroid per cluster") {
+    val cents = Ivf.trainCentroids(corpus, c = 2, iters = 2).collect()
+    assert(cents.length == 2)
+    val arrays = cents.map(_.getSeq[Double](1))
+    // one centroid dominated by dim0, the other by dim1
+    assert(arrays.exists(a => a.head > 0.9 && a(1) < 0.1))
+    assert(arrays.exists(a => a.head < 0.1 && a(1) > 0.9))
+  }
+
+  test("assign puts each vector in its own cluster's cell") {
+    val cents = Ivf.trainCentroids(corpus, c = 2, iters = 2)
+    val byCell = Ivf.assign(corpus, cents)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n")).collect()
+    assert(byCell.length == 2)
+    assert(byCell.forall(_.getAs[Long]("n") == 20L))
+  }
+
+  test("ivfTopK with nProbe=1 returns in-cluster exact top-k") {
+    val cents = Ivf.trainCentroids(corpus, c = 2, iters = 2)
+    val probes = Seq((100L, Array(1f, 0.01f, 0f, 0f))).toDF("probe_id", "embedding")
+    val hits = Ivf.ivfTopK(probes, corpus, cents, k = 5, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(hits.length == 5)
+    // all neighbors come from cluster 0 (vec_id < 20)
+    assert(hits.forall(_.getAs[Long]("neighbor_id") < 20L))
+    // scores match the brute-force values
+    val brute = Similarity.bruteForceTopK(probes, corpus, k = 5)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim")).toMap
+    hits.foreach { h =>
+      assert(brute(h.getAs[Long]("neighbor_id")) == h.getAs[Double]("cos_sim"))
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression guards: the properties that make these queries
+  * viable at 100 TB (pushdown reaching the scan, broadcast of small dims,
+  * top-k as TakeOrderedAndProject, no cartesian products anywhere). Plans
+  * are asserted at sf0.001 — the shapes, not the sizes, are under test. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: filters and column pruning reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)") ||
+      p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    // pruned read schema: none of the unused columns appear in the scan
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("q3: small dimension joins are broadcast") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q5: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q5_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q35: as-of join costs exactly one shuffle exchange") {
+    val p = plan("q35_asof_join")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$p")
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q contains a cartesian product")
+    }
+  }
+}
