@@ -27,21 +27,40 @@ object Ivf {
   def trainCentroids(corpus: DataFrame, c: Int, iters: Int = 2,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val asDouble = transform(col(vecCol), v => v.cast("double"))
-    var seeds = corpus.orderBy(col(idCol).asc).limit(1)
-      .select(lit(0).as("centroid_id"), asDouble.as("centroid"))
-      .localCheckpoint()
-    (1 until c).foreach { i =>
-      val next = corpus.crossJoin(broadcast(seeds))
-        .select(col(idCol), col(vecCol),
-          Similarity.cosine(col(vecCol), col("centroid").cast("array<float>")).as("cos"))
-        .groupBy(col(idCol)).agg(max(col("cos")).as("near"), first(col(vecCol)).as("v"))
-        .orderBy(col("near").asc, col(idCol).asc).limit(1)
-        .select(lit(i).as("centroid_id"),
-          transform(col("v"), x => x.cast("double")).as("centroid"))
-      seeds = seeds.unionByName(next).localCheckpoint()
+    // Seeding: collect a deterministic hash-sample of ~100×c vectors
+    // (BOUNDED by construction — a few hundred KB no matter the corpus
+    // size; this is a sample collect, not corpus materialization) and run
+    // farthest-point selection driver-side in one pass. One Spark job for
+    // the sample versus c jobs of cluster-wide argmax rounds.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val total = corpus.count()
+    val sampleMod = math.max(total / (100L * c), 1L)
+    val pool: Array[(Long, Array[Float])] = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    var centroids = seeds
+    val seedVecs = scala.collection.mutable.ArrayBuffer(pool.head._2)
+    while (seedVecs.length < math.min(c, pool.length)) {
+      // farthest = minimal similarity to its nearest existing seed; id asc tiebreak
+      val next = pool.minBy { case (id, v) =>
+        (seedVecs.map(s => cosArr(v, s)).max, id)
+      }
+      seedVecs += next._2
+    }
+    var centroids = seedVecs.zipWithIndex.map { case (v, i) =>
+      (i, v.map(_.toDouble))
+    }.toSeq.toDF("centroid_id", "centroid").localCheckpoint()
     (0 until iters).foreach { _ =>
       val assigned = assign(corpus, centroids, idCol, vecCol)
       val byDim = corpus.join(assigned, idCol)
@@ -63,19 +82,18 @@ object Ivf {
   }
 
   /** (vec_id, centroid_id): nearest centroid per vector — broadcast the
-    * C-row centroid table, rank by cosine with id tiebreak. */
+    * C-row centroid table, argmax by cosine via `max_by` on a
+    * (cos, −centroid_id) struct (deterministic tiebreak to the lowest id).
+    * A hash aggregate with map-side partials — no sort window. */
   def assign(corpus: DataFrame, centroids: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .select(col(idCol), col("centroid_id"),
         Similarity.cosine(col(vecCol),
           col("centroid").cast("array<float>")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"))
-  }
+      .groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cos"), -col("centroid_id"))).as("centroid_id"))
 
   /** IVF search: each probe visits its `nProbe` closest cells and ranks
     * that union exactly. */

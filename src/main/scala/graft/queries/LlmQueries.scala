@@ -114,7 +114,7 @@ object LlmQueries {
     "q45_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 5)
-      val centroids = Ivf.trainCentroids(corpus, c = 10, iters = 2)
+      val centroids = Ivf.trainCentroids(corpus, c = 10, iters = 1)
       Ivf.ivfTopK(
         probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding")),
