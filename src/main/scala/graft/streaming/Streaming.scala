@@ -77,6 +77,19 @@ object Streaming {
       .format("parquet")
       .option("path", outDir)
 
+  /** Watermarked stream-stream interval join: for each left event, right
+    * events of the same key within `[left.ts, left.ts + interval]`. Both
+    * sides carry watermarks and the join condition bounds event-time, so
+    * Spark can expire join state — without the time bound a stream-stream
+    * join's state grows forever. Batch form of the same shape: q41. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+                         interval: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).as("l")
+    val r = right.withWatermark("ts", lateness).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $interval"))
+  }
+
   /** Streaming upsert: apply each micro-batch to a keyed target via the
     * lake-native MERGE ([[graft.ops.Upsert]]). This is the streaming form of
     * the reference's late-data story — re-pulled rows within the lateness
