@@ -17,7 +17,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
     else Seq("q2_filter_project", "q3_join_agg", "q4_join_topk", "q5_topk",
-      "q27_minhash_pairs", "q29_cosine_topk", "q35_asof_join", "q41_range_join")
+      "q27_minhash_pairs", "q29_cosine_topk", "q35_asof_join", "q41_range_join",
+      "q44_sliding_window", "q45_ann_ivf")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

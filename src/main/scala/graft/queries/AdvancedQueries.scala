@@ -83,6 +83,23 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_next_5m"))
     }),
 
+    // TPC-H Q19 shape: disjunction of conjunctive predicates with IN lists —
+    // Catalyst must push the common l_partkey join key through the OR and
+    // keep the residual as a join filter.
+    "q46_disjunctive_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Statistical aggregates: correlation, sample stddev/variance,
     // covariance, and argmin/argmax (min_by/max_by on a UNIQUE ordering
     // expression — ties would be nondeterministic in both engines).
@@ -153,6 +170,14 @@ object AdvancedQueries {
         | AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |WHERE a.event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    "q46_disjunctive_join" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "q43_stats_aggs" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
