@@ -51,6 +51,62 @@ object Upsert {
       }: _*)
   }
 
+  /** SCD Type-2 upsert: where [[upsert]] overwrites (SCD1, the reference's
+    * MERGE semantics), this keeps dimension HISTORY — a changed row closes
+    * the current version (`valid_to` = batch date, `is_current` = false)
+    * and appends the new version. Unchanged rows (same non-key values) are
+    * left untouched, so re-running a batch is idempotent.
+    *
+    * Plan shape: one join of current rows vs updates on the key + a union —
+    * shuffles only on the key columns, history rows pass through untouched
+    * (filtered map-side), nothing driver-side.
+    */
+  def scd2(target: DataFrame, updates: DataFrame, keys: Seq[String],
+           batchDate: String): DataFrame = {
+    require(keys.nonEmpty, "scd2 requires at least one key column")
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    val valueCols = target.columns.filterNot(c => keys.contains(c) || meta.contains(c)).toSeq
+    if (updates.isEmpty) return target
+
+    val history = target.filter(!col("is_current"))
+    val current = target.filter(col("is_current"))
+    val aligned = updates
+      .select((keys ++ valueCols).map(col): _*)
+      .dropDuplicates(keys)
+
+    val u = aligned.select(
+      (keys.map(c => col(c).as(s"${c}__u")) ++
+        valueCols.map(c => col(c).as(s"${c}__u"))): _*)
+    val joinCond = keys.map(k => col(k) === col(s"${k}__u")).reduce(_ && _)
+    val joined = current.join(u, joinCond, "full_outer")
+    val changed = valueCols
+      .map(c => !(col(c) <=> col(s"${c}__u")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    val inUpdate = col(s"${keys.head}__u").isNotNull
+    val inTarget = col(keys.head).isNotNull
+
+    // current rows to close: matched AND changed
+    val closed = joined.filter(inTarget && inUpdate && changed)
+      .select((keys ++ valueCols).map(col) :+
+        col("valid_from") :+ lit(batchDate).as("valid_to") :+
+        lit(false).as("is_current"): _*)
+    // current rows kept open: unmatched, or matched with no change
+    val kept = joined.filter(inTarget && (!inUpdate || !changed))
+      .select((keys ++ valueCols).map(col) :+
+        col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
+    // new versions: updates that are new keys or changed values
+    val opened = joined.filter(inUpdate && (!inTarget || changed))
+      .select((keys.map(k => col(s"${k}__u").as(k)) ++
+        valueCols.map(c => col(s"${c}__u").as(c))) :+
+        lit(batchDate).as("valid_from") :+
+        lit(null).cast("string").as("valid_to") :+
+        lit(true).as("is_current"): _*)
+
+    history.select(closed.columns.map(col): _*)
+      .unionByName(closed).unionByName(kept).unionByName(opened)
+  }
+
   /** Declarative load plan (reference `run_load.py:113-128`): a list of
     * upserts driven per run. */
   final case class LoadSpec(table: String, keys: Seq[String])

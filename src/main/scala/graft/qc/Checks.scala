@@ -53,6 +53,30 @@ final case class MaxNullRate(column: String, maxRate: Double,
     }
 }
 
+/** Key-uniqueness gate (north-star extension): duplicate rate over the key
+  * columns must not exceed `maxDupRate` (0.0 = strictly unique). Fused into
+  * the single-pass agg like the reference-mirrored checks: duplicates are
+  * counted as count(*) − count(distinct keys). */
+final case class MaxDupRate(keys: Seq[String], maxDupRate: Double = 0.0,
+    namePrefix: String = "max_dup_rate") extends Check {
+  def name: String = s"${namePrefix}_${keys.mkString("_")}"
+  private def present(df: DataFrame): Boolean = keys.forall(df.columns.contains)
+  def aggs(df: DataFrame): Seq[Column] =
+    if (present(df))
+      Seq(count(lit(1)), countDistinct(struct(keys.map(col): _*)))
+    else Seq.empty
+  def eval(df: DataFrame, row: Row, offset: Int): QCResult =
+    if (!present(df))
+      QCResult(name, passed = false,
+        s"column(s) ${keys.filterNot(df.columns.contains).mkString(",")} missing")
+    else {
+      val n = row.getLong(offset)
+      val distinct = row.getLong(offset + 1)
+      val rate = if (n == 0) 0.0 else (n - distinct).toDouble / n
+      QCResult(name, rate <= maxDupRate, f"dup_rate=$rate%.6f max=$maxDupRate")
+    }
+}
+
 object Checks {
 
   /** Run all checks in ONE aggregation pass (vs reference `checks.py:31-35`,
@@ -64,6 +88,30 @@ object Checks {
       if (allAggs.isEmpty) Row.empty
       else df.agg(allAggs.head, allAggs.tail: _*).head()
     checks.zip(offsets).map { case (c, off) => c.eval(df, row, off) }
+  }
+
+  /** Referential-integrity gate: every non-null `childKey` must exist in
+    * `parent(parentKey)`. Needs two tables, so it can't join the fused agg —
+    * it is one anti-join + limit-bounded count (stops scanning after
+    * `sampleLimit` orphans; pass 0 for an exact count). */
+  def referentialIntegrity(child: DataFrame, childKey: String,
+                           parent: DataFrame, parentKey: String,
+                           sampleLimit: Int = 100): QCResult = {
+    val name = s"ref_integrity_${childKey}_to_$parentKey"
+    if (!child.columns.contains(childKey))
+      QCResult(name, passed = false, s"column $childKey missing")
+    else if (!parent.columns.contains(parentKey))
+      QCResult(name, passed = false, s"column $parentKey missing")
+    else {
+      val orphans = child.filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti")
+      val n =
+        if (sampleLimit > 0) orphans.limit(sampleLimit).count()
+        else orphans.count()
+      val bound = if (sampleLimit > 0 && n >= sampleLimit) s">=$n" else s"$n"
+      QCResult(name, n == 0, s"orphans=$bound")
+    }
   }
 
   /** Alert line formatting (reference `alerts.py:17-22`) — driver-side. */
