@@ -100,6 +100,20 @@ object AdvancedQueries {
           count(lit(1)).as("n"))
     }),
 
+    // SQL entry path: the same engine drives plain SQL over registered
+    // views — arbitrary GROUPING SETS (beyond rollup/cube) with grouping()
+    // null-vs-group disambiguation.
+    "q47_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
     // Statistical aggregates: correlation, sample stddev/variance,
     // covariance, and argmin/argmax (min_by/max_by on a UNIQUE ordering
     // expression — ties would be nondeterministic in both engines).
@@ -178,6 +192,13 @@ object AdvancedQueries {
         |       AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
         |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    "q47_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q43_stats_aggs" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
