@@ -69,28 +69,17 @@ object Similarity {
     * use [[lshBucket]] candidates + exact verification, mirroring
     * [[Dedup.minHashDedupPairs]].
     *
-    * Implementation: explode to (id, dim, value) and compute pairwise dots as
-    * a join-on-dimension + sum aggregate instead of a cross join of
-    * `zip_with` folds — the former is whole-stage-codegen'd with map-side
-    * partial sums, the latter runs the array lambdas interpreted per pair. */
+    * Pair join (a.id < b.id) with the native codegen'd cosine per pair —
+    * one fused loop per pair beats both the interpreted `zip_with` fold and
+    * the explode/join-on-dimension aggregation it replaced. */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    val u = vecs
-      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
-      .select(col("id"), col("i"), col("v").cast("double").as("v"))
-    val nrm = u.groupBy(col("id")).agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-    val dots = u.as("a")
-      .join(u.as("b"), col("a.i") === col("b.i") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(sum(col("a.v") * col("b.v")).as("dot"))
-    dots
-      .join(nrm.as("x"), col("id_a") === col("x.id"))
-      .join(nrm.as("y"), col("id_b") === col("y.id"))
-      .select(col("id_a"), col("id_b"),
-        round(col("dot") / (col("x.nrm") * col("y.nrm")), 6).as("cos_sim"))
+                         vecCol: String = "embedding"): DataFrame =
+    vecs.as("a")
+      .join(vecs.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-  }
 
   /** Random-hyperplane LSH bucket id (int in [0, 2^nPlanes)). Plane
     * coefficients come from a fixed-seed PRNG materialized as LITERAL arrays
