@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Tables
 
+/** Typed row for the Dataset[T] query path (q48). */
+final case class LineitemSlim(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
 /** Advanced relational shapes beyond the core surface: scalar-subquery
   * aggregation, outer-join histograms, pivot, exact percentiles, range
   * joins, and ranking-window breadth. Each has a DuckDB oracle.
@@ -100,6 +103,23 @@ object AdvancedQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Typed Dataset[T] path: case-class Encoder, typed groupByKey with
+    // TypedColumn aggregates (still codegen'd, map-side partial). The typed
+    // filter lambda is opaque to Catalyst (no pushdown) — the column-API
+    // queries are the scale path; this covers the type-safe surface.
+    "q48_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .as[LineitemSlim]
+        .filter((l: LineitemSlim) => l.l_quantity < 25.0)
+        .groupByKey(_.l_returnflag)
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty").as[Double],
+          count(lit(1)).as("n").as[Long])
+        .toDF("l_returnflag", "sum_qty", "n")
+    }),
+
     // SQL entry path: the same engine drives plain SQL over registered
     // views — arbitrary GROUPING SETS (beyond rollup/cube) with grouping()
     // null-vs-group disambiguation.
@@ -192,6 +212,12 @@ object AdvancedQueries {
         |       AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
         |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    "q48_typed_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity < 25.0
+        |GROUP BY 1""".stripMargin,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
