@@ -60,6 +60,18 @@ object LlmQueries {
           "doc_id")
     }),
 
+    // Token frequencies (wordcount): explode tokens -> hash-agg counts ->
+    // top-k. Map-side partial counts make the shuffle carry one row per
+    // distinct token per partition; top-k is TakeOrderedAndProject.
+    "q49_token_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // --- Dedup -----------------------------------------------------------
     "q25_exact_dedup" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
@@ -223,6 +235,12 @@ object LlmQueries {
         |  list_min(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
         |    i -> md5(concat(ws[CAST(i AS INT)], ' ', ws[CAST(i AS INT) + 1], ' ', ws[CAST(i AS INT) + 2])))) AS min_shingle_fp
         |FROM w""".stripMargin,
+    "q49_token_freq" ->
+      """SELECT t.token AS token, count(*) AS n
+        |FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        |GROUP BY 1
+        |ORDER BY n DESC, token ASC
+        |LIMIT 20""".stripMargin,
     "q25_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
