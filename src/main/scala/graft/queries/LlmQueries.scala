@@ -139,6 +139,19 @@ object LlmQueries {
         threshold = 0.4)
     }),
 
+    // Int8 embedding quantization: per-vector max-abs scale, round-trip
+    // error stats (scalar outputs — the driver's compare can't hash array
+    // cells). 4x storage reduction path for embedding columns.
+    "q50_quantize" -> ((s, dir) => {
+      val qv = Similarity.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(Similarity.maxAbs(col("embedding")), 6).as("maxabs"),
+        array_min(qv).as("qmin"),
+        array_max(qv).as("qmax"),
+        round(Similarity.quantizationRmse(col("embedding")), 6).as("rmse"))
+    }),
+
     // --- Multimodal plumbing --------------------------------------------
     "q32_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(
@@ -287,6 +300,24 @@ object LlmQueries {
         |SELECT id_a, id_b, round(dot / (x.nrm * y.nrm), 6) AS cos_sim
         |FROM d JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
         |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
+    "q50_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, ve,
+        |  list_max(list_transform(ve, v -> abs(v))) AS maxabs FROM e),
+        |q AS (SELECT vec_id, ve, maxabs,
+        |  list_transform(ve, v -> CAST(round(v * (127.0 / maxabs)) AS INTEGER)) AS qv
+        |  FROM m)
+        |SELECT vec_id,
+        |  round(maxabs, 6) AS maxabs,
+        |  list_min(qv) AS qmin,
+        |  list_max(qv) AS qmax,
+        |  round(sqrt(list_sum(list_transform(range(1, len(ve) + 1),
+        |    i -> (ve[CAST(i AS INT)] - qv[CAST(i AS INT)] / (127.0 / maxabs)) *
+        |         (ve[CAST(i AS INT)] - qv[CAST(i AS INT)] / (127.0 / maxabs))))
+        |    / len(ve)), 6) AS rmse
+        |FROM q""".stripMargin,
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
