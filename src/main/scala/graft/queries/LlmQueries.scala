@@ -203,6 +203,14 @@ object LlmQueries {
           col("asof_o_orderkey"), col("asof_o_totalprice"))
     }),
 
+    // Structured JSON parsing: from_json into a typed struct (vs q19's
+    // string-path extraction) — the schema-on-read path for props payloads.
+    "q51_from_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("p", from_json(col("props"), lit("k INT")))
+        .select(col("event_id"), col("p.k").cast("long").as("k"))
+    }),
+
     // --- Sketch aggregates (HLL) — engine-specific, rows-only check ------
     "q36_hll_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
@@ -328,6 +336,10 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    "q51_from_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
     "q33_tumbling_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_epoch,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
