@@ -32,9 +32,17 @@ object Ivf {
     // size; this is a sample collect, not corpus materialization) and run
     // farthest-point selection driver-side in one pass. One Spark job for
     // the sample versus c jobs of cluster-wide argmax rounds.
+    // Driver-side seeding is O(c² × sample) — fine for the coarse-quantizer
+    // regime (c ≲ ~1000 cells); for larger c use a distributed k-means‖
+    // seeding instead. The sample collect stays ~100×c rows regardless of
+    // corpus size.
+    require(c > 0, s"trainCentroids: c must be positive, got $c")
+    require(c <= 1024,
+      s"trainCentroids: driver-side farthest-point seeding is bounded to c <= 1024, got $c")
     val spark = corpus.sparkSession
     import spark.implicits._
     val total = corpus.count()
+    require(total > 0, "trainCentroids: empty corpus")
     val sampleMod = math.max(total / (100L * c), 1L)
     val pool: Array[(Long, Array[Float])] = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
@@ -42,6 +50,7 @@ object Ivf {
       .as[(Long, Array[Float])]
       .collect()
       .sortBy(_._1)
+    require(pool.nonEmpty, "trainCentroids: hash sample came back empty")
     def cosArr(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -95,13 +104,27 @@ object Ivf {
       .agg(max_by(col("centroid_id"),
         struct(col("cos"), -col("centroid_id"))).as("centroid_id"))
 
+  /** Build the full IVF index in one call: trained centroids plus the final
+    * corpus→cell assignment, checkpointed so every search over the index
+    * reuses one materialization instead of re-running the assignment scan. */
+  def buildIndex(corpus: DataFrame, c: Int, iters: Int = 2,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val centroids = trainCentroids(corpus, c, iters, idCol, vecCol)
+    val assignment = assign(corpus, centroids, idCol, vecCol).localCheckpoint()
+    (centroids, assignment)
+  }
+
   /** IVF search: each probe visits its `nProbe` closest cells and ranks
-    * that union exactly. */
+    * that union exactly. Pass the assignment from [[buildIndex]] to reuse
+    * the already-materialized inverted lists; otherwise it is recomputed. */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nProbe: Int = 2,
               probeId: String = "probe_id", corpusId: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val lists = corpus.join(assign(corpus, centroids, corpusId, vecCol), corpusId)
+              vecCol: String = "embedding",
+              assignment: Option[DataFrame] = None): DataFrame = {
+    val assigned = assignment.getOrElse(assign(corpus, centroids, corpusId, vecCol))
+    val lists = corpus.join(assigned, corpusId)
     val probeCells = {
       val w = Window.partitionBy(col(probeId))
         .orderBy(col("cos").desc, col("centroid_id").asc)

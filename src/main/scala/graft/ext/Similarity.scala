@@ -64,10 +64,12 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Exact near-duplicate pairs by cosine threshold over a bounded id range.
-    * The unbounded all-pairs version is intentionally not provided — at scale
-    * use [[lshBucket]] candidates + exact verification, mirroring
-    * [[Dedup.minHashDedupPairs]].
+  /** Exact near-duplicate pairs by cosine threshold — the VERIFY PRIMITIVE:
+    * a non-equi pair join (BroadcastNestedLoop), O(n²) comparisons, for
+    * bounded inputs only (probe batches, recall oracles, in-bucket
+    * verification). The shipped scale shape is
+    * [[cosineNearDupPairsBanded]] — banded LSH candidates with this exact
+    * cosine as the in-bucket check.
     *
     * Pair join (a.id < b.id) with the native codegen'd cosine per pair —
     * one fused loop per pair beats both the interpreted `zip_with` fold and
@@ -81,14 +83,23 @@ object Similarity {
         round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
 
-  /** Per-vector max-abs int8 quantization of an embedding column — the
-    * storage scale path (4× smaller than float32; at 100 TB of embeddings
-    * that is the difference between one copy and four). Returns the
-    * quantized array; [[dequantize]] reverses it with the vector's scale. */
+  /** Int8 quantization stats — `struct(maxabs, qmin, qmax, rmse)` from the
+    * native one-loop codegen expression [[graft.functions.QuantizeStats]];
+    * the storage scale path (4× smaller than float32; at 100 TB of
+    * embeddings that is the difference between one copy and four). */
+  def quantizeStats(vec: Column): Column =
+    graft.functions.GraftFunctions.quantizeStats(vec)
+
+  /** Per-vector max-abs int8 quantization — interpreted HOF reference form
+    * the native [[quantizeStats]] is parity-tested against. All-zero vectors
+    * quantize to all zeros (the unguarded scale would be +Inf and `0 × Inf =
+    * NaN`, which ANSI mode turns into a job-killing cast error). */
   def quantizeInt8(vec: Column): Column = {
     val ve = transform(vec, v => v.cast("double"))
-    val scale = lit(127.0) / array_max(transform(ve, v => abs(v)))
-    transform(ve, v => round(v * scale).cast("int"))
+    val maxabs = array_max(transform(ve, v => abs(v)))
+    val scale = lit(127.0) / maxabs
+    when(maxabs === 0, transform(ve, _ => lit(0)))
+      .otherwise(transform(ve, v => round(v * scale).cast("int")))
   }
 
   def maxAbs(vec: Column): Column =
@@ -97,27 +108,35 @@ object Similarity {
   def dequantize(qv: Column, maxAbsVal: Column): Column =
     transform(qv, q => q.cast("double") * maxAbsVal / lit(127.0))
 
-  /** RMSE between the original vector and its int8 round-trip. */
+  /** RMSE between the original vector and its int8 round-trip — interpreted
+    * HOF reference form (zero-vector guard mirrors [[quantizeInt8]]). */
   def quantizationRmse(vec: Column): Column = {
     val ve = transform(vec, v => v.cast("double"))
-    val scale = lit(127.0) / array_max(transform(ve, v => abs(v)))
+    val maxabs = array_max(transform(ve, v => abs(v)))
+    val scale = lit(127.0) / maxabs
     val errSq = zip_with(ve, quantizeInt8(vec), (v, q) => {
       val e = v - q.cast("double") / scale
       e * e
     })
-    sqrt(aggregate(errSq, lit(0.0), (acc, v) => acc + v) / size(ve))
+    when(maxabs === 0, lit(0.0))
+      .otherwise(sqrt(aggregate(errSq, lit(0.0), (acc, v) => acc + v) / size(ve)))
   }
 
-  /** Random-hyperplane LSH bucket id (int in [0, 2^nPlanes)). Plane
-    * coefficients come from a fixed-seed PRNG materialized as LITERAL arrays
-    * at plan time — zero per-row coefficient work, identical on every
-    * executor with zero driver state to broadcast. sign(v·r_p) gives bit p;
-    * bits fold MSB-first into the bucket. `dims` must match the embedding
-    * width (the testdata embeddings are 64-wide). */
-  def lshBucket(vec: Column, nPlanes: Int, dims: Int = 64): Column = {
+  /** Random-hyperplane LSH bucket id (int in [0, 2^nPlanes)) — the native
+    * codegen expression [[graft.functions.LshBucket]]: all plane projections
+    * in one fused loop, plane matrix a plan-time constant. Same fixed-seed
+    * plane family and bit order as [[lshBucketHof]], so bucket ids are
+    * identical. `dims` must match the embedding width (the testdata
+    * embeddings are 64-wide). */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int = 64): Column =
+    graft.functions.GraftFunctions.lshBucket(vec, nPlanes, dims)
+
+  /** Interpreted HOF form of [[lshBucket]] — kept as the parity reference.
+    * sign(v·r_p) gives bit p; bits fold MSB-first into the bucket. */
+  def lshBucketHof(vec: Column, nPlanes: Int, dims: Int = 64): Column = {
+    val planes = graft.functions.LshBucket.planeMatrix(nPlanes, dims)
     val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      val rng = new scala.util.Random(0x5EED0000L + p)
-      val plane = array((0 until dims).map(_ => lit(rng.nextDouble() * 2 - 1)): _*)
+      val plane = array(planes(p).map(lit): _*)
       val proj = aggregate(
         zip_with(vec, plane, (x, r) => x.cast("double") * r),
         lit(0.0), (acc, v) => acc + v)
@@ -126,18 +145,60 @@ object Similarity {
     bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
   }
 
-  /** Approximate nearest neighbors: probes only compare against corpus
-    * vectors in the same LSH bucket, then exact cosine ranks the candidates.
-    * The bucket join replaces the cross join — the classic IVF/LSH trade:
-    * recall for a |corpus|/2^nPlanes-fold cut in comparisons. With few
-    * planes (here 4 ⇒ 16 buckets) recall is high and every bucket is
-    * populated; raise nPlanes as the corpus grows to hold bucket size
-    * constant. */
+  /** Banded-LSH near-duplicate pairs — the SHIPPED scale shape for embedding
+    * near-dup (mirrors [[Dedup.simHashPairs]]): `bands` independent
+    * hyperplane bucketings of `rowsPerBand` planes each, a pair is a
+    * candidate if ANY band collides, and every candidate is verified with
+    * the exact native cosine before thresholding. Precision is therefore 1.0
+    * by construction (output ⊆ the exact all-pairs answer); recall for a
+    * pair at angle θ is 1 − (1 − (1 − θ/π)^rowsPerBand)^bands — at the
+    * default 8×2 a cosine-0.4 pair is caught with p ≈ 0.98, and recall
+    * rises with similarity. Work scales with band-bucket collisions, never
+    * |vecs|² — the candidate join is an equi-join on (band, bucket). */
+  def cosineNearDupPairsBanded(vecs: DataFrame, threshold: Double,
+                               bands: Int = 8, rowsPerBand: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               dims: Int = 64): DataFrame = {
+    val allPlanes = graft.functions.LshBucket.planeMatrix(bands * rowsPerBand, dims)
+    val bandBuckets = array((0 until bands).map { b =>
+      graft.functions.GraftFunctions.lshBucketWithPlanes(
+        col(vecCol), allPlanes.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+    }: _*)
+    val banded = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(bandBuckets).as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .distinct() // a pair colliding in several bands appears once
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Approximate nearest neighbors with MULTI-PROBE hyperplane LSH: each
+    * probe visits its own bucket plus every bucket within `multiProbe` bit
+    * flips (a neighbor separated by a near-orthogonal plane lands one bit
+    * away — classic multi-probe), and exact cosine ranks the visited
+    * candidates. The bucket equi-join replaces the cross join; the corpus
+    * side stays ONE row per vector (the expansion is probe-side only, ×
+    * Σ C(nPlanes, i), i ≤ multiProbe), so the comparison count is
+    * |corpus| × (visited buckets / 2^nPlanes) — the recall/throughput dial
+    * alongside nPlanes. Raise nPlanes as the corpus grows to hold bucket
+    * size constant. */
   def annTopK(probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 4,
               probeId: String = "probe_id", corpusId: String = "vec_id",
-              vecCol: String = "embedding", dims: Int = 64): DataFrame = {
+              vecCol: String = "embedding", dims: Int = 64,
+              multiProbe: Int = 1): DataFrame = {
     val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dims))
-    val pb = probes.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dims))
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => Integer.bitCount(m) <= multiProbe)
+    val pb = probes
+      .withColumn("bucket0", lshBucket(col(vecCol), nPlanes, dims))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket0")
     val scored = cb.as("c")
       .join(broadcast(pb.as("p")), col("c.bucket") === col("p.bucket"))
       .select(

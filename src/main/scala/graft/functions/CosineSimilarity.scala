@@ -96,10 +96,29 @@ object GraftFunctions {
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** `struct(maxabs, qmin, qmax, rmse)` int8-quantization stats of an
+    * `array<float>` column, one fused codegen loop (see [[QuantizeStats]]). */
+  def quantizeStats(vec: Column): Column =
+    GraftSqlBridge.column(QuantizeStats(GraftSqlBridge.expression(vec)))
+
+  /** Random-hyperplane LSH bucket id with the fixed-seed plane family
+    * (see [[LshBucket]]); bucket ∈ [0, 2^nPlanes). */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int = 64): Column =
+    GraftSqlBridge.column(
+      LshBucket(GraftSqlBridge.expression(vec), LshBucket.planeMatrix(nPlanes, dims)))
+
+  /** [[lshBucket]] with an explicit plane matrix — for banded schemes that
+    * slice one shared plane family into independent bands. */
+  def lshBucketWithPlanes(vec: Column, planes: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(LshBucket(GraftSqlBridge.expression(vec), planes))
+
   private val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("quantize_stats"),
+      new ExpressionInfo(classOf[QuantizeStats].getName, "quantize_stats"),
+      (children: Seq[Expression]) => QuantizeStats(children(0))))
 
   /** Register SQL names on an existing session (idempotent) so
     * `spark.sql("SELECT cosine_sim(a, b) ...")` works. */
@@ -115,9 +134,14 @@ object GraftFunctions {
   * including executors' SQL contexts on a real cluster — gets graft's native
   * functions without code changes. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (new FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("quantize_stats"),
+        new ExpressionInfo(classOf[QuantizeStats].getName, "quantize_stats"),
+        (children: Seq[Expression]) => QuantizeStats(children(0))))
+  }
 }

@@ -122,34 +122,51 @@ object LlmQueries {
     }),
 
     // IVF ANN: k-means coarse quantizer (declarative Lloyd's, no MLlib) +
-    // inverted lists; probes visit nProbe cells. Rows-only check.
+    // inverted lists; probes visit nProbe cells. The final assignment is
+    // built once with the index and reused by the search. Rows-only check.
     "q45_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 5)
-      val centroids = Ivf.trainCentroids(corpus, c = 10, iters = 1)
+      val (centroids, assignment) = Ivf.buildIndex(corpus, c = 10, iters = 1)
       Ivf.ivfTopK(
         probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding")),
-        corpus = corpus, centroids = centroids, k = 10, nProbe = 3)
+        corpus = corpus, centroids = centroids, k = 10, nProbe = 3,
+        assignment = Some(assignment))
     }),
 
+    // Exact near-dup pairs on a bounded range — the VERIFY primitive and
+    // the recall oracle for q56's banded-LSH scale path.
     "q31_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings").filter(col("vec_id") < 500),
         threshold = 0.4)
     }),
 
+    // Banded-LSH embedding near-dup — the scale-shaped form of q31: equi-join
+    // candidates on (band, bucket), exact-cosine verify, so the output is a
+    // subset of q31 (precision 1.0); recall ≥ 0.95 asserted in SimilaritySpec.
+    // No SQL oracle (engine plane hashes) → rows-only check.
+    "q56_neardup_lsh" -> ((s, dir) => {
+      Similarity.cosineNearDupPairsBanded(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        threshold = 0.4)
+    }),
+
     // Int8 embedding quantization: per-vector max-abs scale, round-trip
     // error stats (scalar outputs — the driver's compare can't hash array
-    // cells). 4x storage reduction path for embedding columns.
+    // cells). 4x storage reduction path for embedding columns. One fused
+    // native codegen loop per row (QuantizeStats); subexpression elimination
+    // shares it across the four projected stats.
     "q50_quantize" -> ((s, dir) => {
-      val qv = Similarity.quantizeInt8(col("embedding"))
-      t(s, dir, "embeddings").select(
-        col("vec_id"),
-        round(Similarity.maxAbs(col("embedding")), 6).as("maxabs"),
-        array_min(qv).as("qmin"),
-        array_max(qv).as("qmax"),
-        round(Similarity.quantizationRmse(col("embedding")), 6).as("rmse"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeStats(col("embedding")).as("qs"))
+        .select(
+          col("vec_id"),
+          round(col("qs.maxabs"), 6).as("maxabs"),
+          col("qs.qmin").as("qmin"),
+          col("qs.qmax").as("qmax"),
+          round(col("qs.rmse"), 6).as("rmse"))
     }),
 
     // --- Multimodal plumbing --------------------------------------------
@@ -315,16 +332,19 @@ object LlmQueries {
         |m AS (SELECT vec_id, ve,
         |  list_max(list_transform(ve, v -> abs(v))) AS maxabs FROM e),
         |q AS (SELECT vec_id, ve, maxabs,
-        |  list_transform(ve, v -> CAST(round(v * (127.0 / maxabs)) AS INTEGER)) AS qv
+        |  CASE WHEN maxabs = 0 THEN list_transform(ve, v -> 0)
+        |       ELSE list_transform(ve, v -> CAST(round(v * (127.0 / maxabs)) AS INTEGER))
+        |  END AS qv
         |  FROM m)
         |SELECT vec_id,
         |  round(maxabs, 6) AS maxabs,
         |  list_min(qv) AS qmin,
         |  list_max(qv) AS qmax,
+        |  CASE WHEN maxabs = 0 THEN 0.0 ELSE
         |  round(sqrt(list_sum(list_transform(range(1, len(ve) + 1),
         |    i -> (ve[CAST(i AS INT)] - qv[CAST(i AS INT)] / (127.0 / maxabs)) *
         |         (ve[CAST(i AS INT)] - qv[CAST(i AS INT)] / (127.0 / maxabs))))
-        |    / len(ve)), 6) AS rmse
+        |    / len(ve)), 6) END AS rmse
         |FROM q""".stripMargin,
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id,
