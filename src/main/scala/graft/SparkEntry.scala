@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, CoreQueries, LlmQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, LlmQueries, OpsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
     * pipeline extensions: dedup, similarity, text analysis, multimodal,
     * event-time windows). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ LlmQueries.queries ++ AdvancedQueries.queries
+    CoreQueries.queries ++ LlmQueries.queries ++ AdvancedQueries.queries ++
+      OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ LlmQueries.oracle ++ AdvancedQueries.oracle
+    CoreQueries.oracle ++ LlmQueries.oracle ++ AdvancedQueries.oracle ++
+      OpsQueries.oracle
 }

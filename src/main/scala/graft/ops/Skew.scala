@@ -28,6 +28,14 @@ object Skew {
     * small or keep `factor` modest. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {
+    // Right-preserving joins are NOT salt-safe: the right side is exploded
+    // factor×, so every unmatched right row would surface factor times.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+      allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-preserving join types only, got $joinType " +
+        "(right/full outer would duplicate unmatched right rows factor times)")
     val l = left.withColumn("__salt",
       salt(factor, left.columns.map(col).toIndexedSeq: _*))
     val r = right.withColumn("__salt",

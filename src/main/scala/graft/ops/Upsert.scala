@@ -74,22 +74,35 @@ object Upsert {
       .select((keys ++ valueCols).map(col): _*)
       .dropDuplicates(keys)
 
+    // valid_from/valid_to follow the TARGET's declared types (string, date,
+    // or timestamp) — a hardcoded string would fail or silently coerce the
+    // unionByName against a DATE-typed dimension.
+    val vfType = target.schema("valid_from").dataType
+    val vtType = target.schema("valid_to").dataType
+
+    // Presence markers rather than key-null checks: a null-key row is still
+    // a row (the === join never matches nulls, so null-key current rows pass
+    // through `kept` and null-key update rows insert via `opened`).
+    val tMark = "__graft_scd2_t"
+    val uMark = "__graft_scd2_u"
+    val cur = current.withColumn(tMark, lit(true))
     val u = aligned.select(
       (keys.map(c => col(c).as(s"${c}__u")) ++
         valueCols.map(c => col(c).as(s"${c}__u"))): _*)
+      .withColumn(uMark, lit(true))
     val joinCond = keys.map(k => col(k) === col(s"${k}__u")).reduce(_ && _)
-    val joined = current.join(u, joinCond, "full_outer")
+    val joined = cur.join(u, joinCond, "full_outer")
     val changed = valueCols
       .map(c => !(col(c) <=> col(s"${c}__u")))
       .reduceOption(_ || _).getOrElse(lit(false))
 
-    val inUpdate = col(s"${keys.head}__u").isNotNull
-    val inTarget = col(keys.head).isNotNull
+    val inUpdate = col(uMark).isNotNull
+    val inTarget = col(tMark).isNotNull
 
     // current rows to close: matched AND changed
     val closed = joined.filter(inTarget && inUpdate && changed)
       .select((keys ++ valueCols).map(col) :+
-        col("valid_from") :+ lit(batchDate).as("valid_to") :+
+        col("valid_from") :+ lit(batchDate).cast(vtType).as("valid_to") :+
         lit(false).as("is_current"): _*)
     // current rows kept open: unmatched, or matched with no change
     val kept = joined.filter(inTarget && (!inUpdate || !changed))
@@ -99,8 +112,8 @@ object Upsert {
     val opened = joined.filter(inUpdate && (!inTarget || changed))
       .select((keys.map(k => col(s"${k}__u").as(k)) ++
         valueCols.map(c => col(s"${c}__u").as(c))) :+
-        lit(batchDate).as("valid_from") :+
-        lit(null).cast("string").as("valid_to") :+
+        lit(batchDate).cast(vfType).as("valid_from") :+
+        lit(null).cast(vtType).as("valid_to") :+
         lit(true).as("is_current"): _*)
 
     history.select(closed.columns.map(col): _*)

@@ -121,4 +121,40 @@ object Checks {
     else s"[qc] $table: ${failed.size}/${results.size} FAILED — " +
       failed.map(r => s"${r.name} (${r.details})").mkString("; ")
   }
+
+  /** Alert delivery seam (reference `alerts.py:12-22`): formats and hands
+    * the line to an injectable transport — the webhook POST in the
+    * reference, a log/queue/collector here. Delivery only fires when at
+    * least one check failed (the reference posts only on failure,
+    * `run_transform.py`-side guard); returns whether it fired. */
+  def postAlert(table: String, results: Seq[QCResult])
+               (send: String => Unit): Boolean = {
+    val anyFailed = results.exists(!_.passed)
+    if (anyFailed) send(formatAlert(table, results))
+    anyFailed
+  }
+
+  /** The fused QC pass as a QUERYABLE one-row DataFrame (the driver-query
+    * form of [[runAll]]'s single-scan fusion): row count, null rate of one
+    * column, duplicate rate over a key, plus the pass/fail verdicts — all
+    * from ONE aggregation (one scan, one job at any scale). Rates guard the
+    * empty-table case (0.0, matching [[MaxNullRate]]'s null-avg rule). */
+  def summaryFrame(df: DataFrame, minRows: Long,
+                   nullCol: String, maxNullRate: Double,
+                   dupKeys: Seq[String], maxDupRate: Double): DataFrame = {
+    val dupRate = when(col("n_rows") === 0, 0.0)
+      .otherwise((col("n_rows") - col("nd")).cast("double") / col("n_rows"))
+    val nullRate = coalesce(col("nr"), lit(0.0))
+    df.agg(
+        count(lit(1)).as("n_rows"),
+        avg(col(nullCol).isNull.cast("double")).as("nr"),
+        countDistinct(struct(dupKeys.map(col): _*)).as("nd"))
+      .select(
+        col("n_rows"),
+        round(nullRate, 6).as("null_rate"),
+        round(dupRate, 6).as("dup_rate"),
+        (col("n_rows") >= minRows).as("min_rows_ok"),
+        (nullRate <= maxNullRate).as("null_rate_ok"),
+        (dupRate <= maxDupRate).as("dup_rate_ok"))
+  }
 }

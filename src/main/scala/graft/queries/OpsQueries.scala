@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Upsert
+import graft.qc.Checks
+import graft.sources.Json
+
+/** Driver queries that put the previously spec-only operators under the
+  * DuckDB oracle: MERGE upsert (K4), SCD2, variant-shape JSON extraction
+  * (S7), and the fused QC aggregate (A2–A4). Each builds a deterministic
+  * update/payload set from the sf-dir tables so the oracle can reproduce
+  * the exact semantics in ANSI SQL.
+  */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K4 lake-native MERGE (reference run_load.py:75-90 semantics): updates
+    // overwrite every non-key column on match, insert on no-match, unmatched
+    // target rows pass through. Updates = modified existing keys + new keys.
+    "q52_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val mods = cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+        .withColumn("c_mktsegment", lit("UPSERTED"))
+      val inserts = cust.filter(col("c_custkey") % 97 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      Upsert.upsert(cust, mods.unionByName(inserts), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // SCD2 dimension history (the history-keeping sibling of K4): changed
+    // rows close the current version and append a new one; unchanged update
+    // rows are no-ops (idempotent re-runs); new keys open fresh versions;
+    // pre-existing history passes through untouched.
+    "q55_scd2" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val current = cust
+        .withColumn("valid_from", lit("2026-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .withColumn("is_current", lit(true))
+      val history = cust.filter(col("c_custkey") % 11 === 0)
+        .withColumn("c_mktsegment", lit("OLD"))
+        .withColumn("valid_from", lit("2025-01-01"))
+        .withColumn("valid_to", lit("2026-01-01"))
+        .withColumn("is_current", lit(false))
+      val target = current.unionByName(history)
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_mktsegment", lit("MOVED"))
+        .unionByName( // unchanged rows: must be kept untouched
+          cust.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0))
+        .unionByName( // brand-new keys: opened
+          cust.filter(col("c_custkey") % 97 === 0)
+            .withColumn("c_custkey", col("c_custkey") + lit(2000000L)))
+      Upsert.scd2(target, updates, Seq("c_custkey"), batchDate = "2026-06-01")
+    }),
+
+    // S7 variant-shape extraction (reference rest_api.py:42-55): each nation
+    // row becomes a real JSON payload in the wrapper shape
+    // {"items":[{...}]}; parse, probe the wrapper field, explode the record
+    // array. Oracle = identity on nation (wrap ∘ extract = id).
+    "q53_variant_shape" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      val payload = nat.select(to_json(struct(
+        array(struct(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+          .as("items"))).as("payload"))
+      val parsed = payload.select(from_json(col("payload"),
+        lit("items ARRAY<STRUCT<n_nationkey: INT, n_name: STRING, n_regionkey: INT>>"))
+        .as("p")).select(col("p.*"))
+      Json.extractItems(parsed)
+    }),
+
+    // A2-A4 fused QC aggregate as one-row SELECT (reference checks.py:16-28,
+    // fused into a single scan instead of the reference's pass-per-check):
+    // row count, null rate of a derived JSON field, duplicate rate of
+    // user_id, with inclusive-bound verdicts. Bounds chosen so the data
+    // exercises both pass and fail verdicts.
+    "q54_qc_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k"))
+      Checks.summaryFrame(ev, minRows = 1000,
+        nullCol = "k", maxNullRate = 0.6,
+        dupKeys = Seq("user_id"), maxDupRate = 0.9)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q52_upsert" ->
+      """WITH mods AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    round(c_acctbal + 100, 2) AS c_acctbal, 'UPSERTED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |u AS (SELECT * FROM mods UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |  round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |FROM customer t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey""".stripMargin,
+    "q55_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |cur AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  '2026-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |  TRUE AS is_current FROM cust),
+        |hist AS (SELECT c_custkey, c_name, 'OLD' AS c_mktsegment,
+        |  '2025-01-01' AS valid_from, '2026-01-01' AS valid_to,
+        |  FALSE AS is_current FROM cust WHERE c_custkey % 11 = 0),
+        |upd AS (
+        |  SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment
+        |  FROM cust WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment
+        |  FROM cust WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000 AS c_custkey, c_name, c_mktsegment
+        |  FROM cust WHERE c_custkey % 97 = 0),
+        |j AS (SELECT cur.c_custkey AS tk, cur.c_name AS tn, cur.c_mktsegment AS tm,
+        |             cur.valid_from AS vf, cur.valid_to AS vt, cur.is_current AS ic,
+        |             upd.c_custkey AS uk, upd.c_name AS un, upd.c_mktsegment AS um,
+        |             (cur.c_custkey IS NOT NULL) AS in_t, (upd.c_custkey IS NOT NULL) AS in_u
+        |      FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey),
+        |chg AS (SELECT *,
+        |  ((tn IS DISTINCT FROM un) OR (tm IS DISTINCT FROM um)) AS changed FROM j)
+        |SELECT c_custkey, c_name, c_mktsegment, valid_from, valid_to, is_current FROM hist
+        |UNION ALL
+        |SELECT tk, tn, tm, vf, '2026-06-01', FALSE FROM chg
+        |WHERE in_t AND in_u AND changed
+        |UNION ALL
+        |SELECT tk, tn, tm, vf, vt, ic FROM chg
+        |WHERE in_t AND (NOT in_u OR NOT changed)
+        |UNION ALL
+        |SELECT uk, un, um, '2026-06-01', CAST(NULL AS VARCHAR), TRUE FROM chg
+        |WHERE in_u AND (NOT in_t OR changed)""".stripMargin,
+    "q53_variant_shape" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q54_qc_agg" ->
+      """WITH x AS (SELECT json_extract_string(props, '$.k') AS k, user_id FROM events),
+        |a AS (SELECT count(*) AS n_rows,
+        |  avg(CASE WHEN k IS NULL THEN 1.0 ELSE 0.0 END) AS nr,
+        |  count(DISTINCT user_id) AS nd FROM x)
+        |SELECT n_rows,
+        |  round(coalesce(nr, 0.0), 6) AS null_rate,
+        |  round(CASE WHEN n_rows = 0 THEN 0.0 ELSE (n_rows - nd)::DOUBLE / n_rows END, 6) AS dup_rate,
+        |  n_rows >= 1000 AS min_rows_ok,
+        |  coalesce(nr, 0.0) <= 0.6 AS null_rate_ok,
+        |  (CASE WHEN n_rows = 0 THEN 0.0 ELSE (n_rows - nd)::DOUBLE / n_rows END) <= 0.9 AS dup_rate_ok
+        |FROM a""".stripMargin
+  )
+}

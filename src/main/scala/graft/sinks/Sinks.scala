@@ -40,6 +40,30 @@ object Sinks {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** K3 — single-JSON-document sink (reference `run_extract.py:69-71` lands
+    * each QuickBooks extract as one JSON blob): renders the frame as ONE
+    * JSON array document in one file. A single task streams the rows
+    * through (coalesce(1) + iterator, no driver materialization — the
+    * reference builds the whole payload in a driver string, its raw-landing
+    * bound); by construction this sink is for bronze fixtures, not big
+    * tables. The document round-trips through [[graft.sources.Json.readItems]]
+    * (bare-array shape). */
+  def writeJsonDocument(df: DataFrame, path: String): Unit = {
+    import df.sparkSession.implicits._
+    val doc = df.toJSON.coalesce(1).mapPartitions { it =>
+      val buf = it.buffered
+      val body: Iterator[String] = new Iterator[String] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): String = {
+          val s = buf.next()
+          "  " + s + (if (buf.hasNext) "," else "")
+        }
+      }
+      Iterator("[") ++ body ++ Iterator("]")
+    }
+    doc.write.mode(SaveMode.Overwrite).text(path)
+  }
+
   /** Serialize rows to JSON lines as a column — the engine form of the
     * reference's per-record `json.dumps` (reference `rest_api.py:99`). */
   def toJsonLines(df: DataFrame): DataFrame =

@@ -63,8 +63,17 @@ object Json {
   }
 
   private def firstByte(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A sink directory (part-files + _SUCCESS): probe the first data file —
+    // all parts of one document share the shape.
+    val p =
+      if (fs.getFileStatus(p0).isDirectory)
+        fs.listStatus(p0).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no data files under $path"))
+      else p0
     val in = fs.open(p)
     try Iterator.continually(in.read())
       .dropWhile(b => b != -1 && Character.isWhitespace(b)).next()

@@ -54,4 +54,31 @@ class Scd2Spec extends SparkSpec {
       .groupBy("id").count().filter(col("count") > 1)
     assert(dupCurrent.isEmpty)
   }
+
+  test("DATE-typed valid_from/valid_to dimension works (no string coercion)") {
+    val tgt = target.select(col("id"), col("email"),
+      col("valid_from").cast("date").as("valid_from"),
+      col("valid_to").cast("date").as("valid_to"), col("is_current"))
+    val updates = Seq((1L, "changed@x"), (9L, "nine@x")).toDF("id", "email")
+    val out = Upsert.scd2(tgt, updates, Seq("id"), "2024-06-01")
+    import org.apache.spark.sql.types.DateType
+    assert(out.schema("valid_from").dataType == DateType)
+    assert(out.schema("valid_to").dataType == DateType)
+    val closed = out.filter(col("id") === 1L && !col("is_current")).collect().head
+    assert(closed.getAs[java.sql.Date]("valid_to").toString == "2024-06-01")
+    val opened = out.filter(col("id") === 9L).collect().head
+    assert(opened.getAs[java.sql.Date]("valid_from").toString == "2024-06-01")
+  }
+
+  test("null-key current rows pass through kept instead of vanishing") {
+    val tgt = Seq(
+      (Option(1L), "a@x", "2024-01-01", Option.empty[String], true),
+      (Option.empty[Long], "nokey@x", "2024-01-01", Option.empty[String], true)
+    ).toDF("id", "email", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, "changed@x")).toDF("id", "email")
+    val out = Upsert.scd2(tgt, updates, Seq("id"), "2024-06-01")
+    val nullKey = out.filter(col("id").isNull).collect()
+    assert(nullKey.length == 1 && nullKey.head.getAs[String]("email") == "nokey@x")
+    assert(nullKey.head.getAs[Boolean]("is_current"))
+  }
 }

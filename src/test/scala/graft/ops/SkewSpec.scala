@@ -26,6 +26,20 @@ class SkewSpec extends SparkSpec {
     assert(out(1).isNullAt(2))
   }
 
+  test("saltedJoin rejects right-preserving join types") {
+    val left = Seq((1L, "a")).toDF("k", "payload")
+    val right = Seq((1L, 10.0)).toDF("k", "w")
+    Seq("right", "full_outer", "full").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(left, right, Seq("k"), 4, jt)
+      }
+      assert(e.getMessage.contains("left-preserving"))
+    }
+    // left-family types still accepted
+    assert(Skew.saltedJoin(left, right, Seq("k"), 4, "left_semi").count() == 1)
+    assert(Skew.saltedJoin(left, right, Seq("k"), 4, "left_anti").count() == 0)
+  }
+
   test("saltedAgg equals single-phase aggregation") {
     val df = (1 to 1000).map(i => (i % 3L, i.toDouble)).toDF("k", "v")
     val plain = df.groupBy("k")

@@ -48,4 +48,37 @@ class ChecksSpec extends SparkSpec {
       Seq(QCResult("min_rows", passed = false, "rows=0 min=1")))
     assert(line.contains("customers") && line.contains("FAILED") && line.contains("min_rows"))
   }
+
+  test("postAlert delivers through the injected transport only on failure") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ok = Seq(QCResult("min_rows", passed = true, "rows=5 min=1"))
+    assert(!Checks.postAlert("customers", ok)(sent += _))
+    assert(sent.isEmpty)
+    val bad = ok :+ QCResult("max_null_rate_v", passed = false, "null_rate=0.4 max=0.2")
+    assert(Checks.postAlert("customers", bad)(sent += _))
+    assert(sent.size == 1 && sent.head.contains("FAILED") &&
+      sent.head.contains("max_null_rate_v"))
+  }
+
+  test("summaryFrame fuses count/null-rate/dup-rate into one row with verdicts") {
+    val d = Seq((1L, Option("a")), (1L, Option("b")), (2L, Option.empty[String]))
+      .toDF("id", "v")
+    val r = Checks.summaryFrame(d, minRows = 3, nullCol = "v", maxNullRate = 0.5,
+      dupKeys = Seq("id"), maxDupRate = 0.0).collect().head
+    assert(r.getAs[Long]("n_rows") == 3)
+    assert(math.abs(r.getAs[Double]("null_rate") - 1.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("dup_rate") - 1.0 / 3) < 1e-6)
+    assert(r.getAs[Boolean]("min_rows_ok"))
+    assert(r.getAs[Boolean]("null_rate_ok"))
+    assert(!r.getAs[Boolean]("dup_rate_ok"))
+  }
+
+  test("summaryFrame on an empty table: zero rates, no divide-by-zero") {
+    val d = Seq((1L, Option("a"))).toDF("id", "v").filter($"id" < 0)
+    val r = Checks.summaryFrame(d, 1, "v", 0.0, Seq("id"), 0.0).collect().head
+    assert(r.getAs[Long]("n_rows") == 0)
+    assert(r.getAs[Double]("null_rate") == 0.0 && r.getAs[Double]("dup_rate") == 0.0)
+    assert(!r.getAs[Boolean]("min_rows_ok"))
+    assert(r.getAs[Boolean]("null_rate_ok") && r.getAs[Boolean]("dup_rate_ok"))
+  }
 }
