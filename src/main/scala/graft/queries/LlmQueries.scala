@@ -234,6 +234,19 @@ object LlmQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
+    }),
+
+    // GK-sketch quantiles per group — the streaming/low-memory percentile
+    // path (exact percentile shuffles every value; the sketch carries
+    // O(1/ε log εN) per group). Engine-specific sketch → rows-only check;
+    // SketchSpec pins the error against exact percentile_cont.
+    "q57_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+          count(lit(1)).as("n"))
     })
   )
 

@@ -37,6 +37,35 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle, plan:\n$p")
   }
 
+  test("q50: quantize stats is a pure scan+project — zero exchanges") {
+    val p = plan("q50_quantize")
+    assert(p.contains("quantize_stats"))
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+  }
+
+  test("q56: banded near-dup candidates come from an equi-join, never a nested loop") {
+    val p = plan("q56_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"expected equi-join plan:\n$p")
+    assert(p.contains("lsh_bucket"))
+  }
+
+  test("q30: multi-probe ANN broadcasts the probe side, corpus unexploded") {
+    val p = plan("q30_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("lsh_bucket"))
+  }
+
+  test("q54: fused QC reads the events table exactly once") {
+    val p = plan("q54_qc_agg")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one fused scan, got $scans:\n$p")
+  }
+
+  test("q52: upsert is a single full-outer sort-merge join, no driver path") {
+    val p = plan("q52_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"))
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

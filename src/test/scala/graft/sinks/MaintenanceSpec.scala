@@ -1,0 +1,67 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.TableRef
+
+class MaintenanceSpec extends SparkSpec {
+
+  private val ref = TableRef("silver", "sales", "lineitem")
+
+  test("compact bin-packs a fragmented partition and leaves healthy ones alone") {
+    val root = tmpDir("compact")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // fragmented partition: 20 tiny files; healthy partition: 1 file
+    li.repartition(20).write.parquet(s"${ref.path(root)}/run_date=2026-01-01")
+    li.limit(100).coalesce(1).write.parquet(s"${ref.path(root)}/run_date=2026-01-02")
+
+    val before = Maintenance.partitionStats(spark, root, ref)
+    assert(before.map(_.files) == Seq(20, 1))
+
+    val rewritten = Maintenance.compact(spark, root, ref,
+      targetBytes = 1024L * 1024 * 1024)
+    assert(rewritten == Seq("run_date=2026-01-01"))
+
+    val after = Maintenance.partitionStats(spark, root, ref)
+    assert(after.map(_.files) == Seq(1, 1))
+    // data identical after the rewrite
+    val back = spark.read.parquet(s"${ref.path(root)}/run_date=2026-01-01")
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ==
+      li.agg(sum("l_quantity")).head.getDouble(0))
+  }
+
+  test("needsCompaction tolerates one file of slack") {
+    import Maintenance.PartitionStats
+    assert(!PartitionStats("p", 1, 100).needsCompaction(1000))
+    assert(!PartitionStats("p", 2, 100).needsCompaction(1000)) // slack
+    assert(PartitionStats("p", 3, 100).needsCompaction(1000))
+    // big partition genuinely needing 8 files is left alone at 9
+    assert(!PartitionStats("p", 9, 8000).needsCompaction(1000))
+    assert(PartitionStats("p", 20, 8000).needsCompaction(1000))
+  }
+
+  test("writeSorted produces disjoint per-file key ranges (data skipping)") {
+    val dir = tmpDir("sorted")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Maintenance.writeSorted(li, dir, nFiles = 4, col("l_shipdate"))
+
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath).sorted
+    assert(parts.length == 4)
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_shipdate").cast("string"), max("l_shipdate").cast("string")).head
+      (r.getString(0), r.getString(1)) // ISO strings: lexicographic = temporal
+    }
+    // ranges must not interleave: sort by min, each max <= next min
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+    // and the rewrite is lossless
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
+}
