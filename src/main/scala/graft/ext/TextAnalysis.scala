@@ -110,4 +110,23 @@ object TextAnalysis {
         md5(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("m"))
       .groupBy(col(idCol))
       .agg(min(col("m")).as("min_shingle_fp"))
+
+  /** (id, fp, min_shingle_fp) in ONE pass: the whole-document fingerprint is
+    * computed before the shingle explode and carried as a grouping key
+    * (functionally dependent on the id, so groups are unchanged) — one scan
+    * and one hash-agg shuffle instead of [[fingerprint]]-select JOIN
+    * [[minShingleFingerprints]] (two scans + a join shuffle). */
+  def fingerprintFrame(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"),
+        split(col(textCol), " ").as("w"))
+      .select(col(idCol), col("fp"), col("w"),
+        explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col(idCol), col("fp"),
+        md5(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("m"))
+      .groupBy(col(idCol), col("fp"))
+      .agg(min(col("m")).as("min_shingle_fp"))
 }

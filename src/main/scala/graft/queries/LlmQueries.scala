@@ -53,11 +53,10 @@ object LlmQueries {
           round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
     }),
 
+    // Whole-doc + min-shingle fingerprints in one scan and one hash-agg
+    // shuffle (the fp rides the explode as a grouping key — no self-join).
     "q24_fingerprint" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .join(TextAnalysis.minShingleFingerprints(docs, "doc_id", "text", 3),
-          "doc_id")
+      TextAnalysis.fingerprintFrame(t(s, dir, "documents"), "doc_id", "text", 3)
     }),
 
     // Token frequencies (wordcount): explode tokens -> hash-agg counts ->
