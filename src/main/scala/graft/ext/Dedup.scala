@@ -205,6 +205,69 @@ object Dedup {
     counts.select(col("doc"), sk.as("sk"))
   }
 
+  /** Connected components of a near-dup pair graph — the step that turns
+    * PAIRS into DEDUP DECISIONS: transitively-linked documents form one
+    * cluster, labeled by the cluster's minimum id (deterministic canonical
+    * representative).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors — one equi-join + one
+    * hash-agg per round, converging in O(graph diameter) rounds. Near-dup
+    * graphs are dense blobs of mutual duplicates (diameter ≲ 3), so this
+    * converges in a handful of shuffles; for adversarially long chains use
+    * star-contraction (large-star/small-star) instead — `maxIters` guards
+    * against silently wrong labels by failing loudly. Each round is
+    * checkpointed: the lineage would otherwise grow one join per round.
+    *
+    * Returns (node, cluster_id); nodes not present in `pairs` are absent
+    * (singletons — callers coalesce to self, see [[dedupByPairs]]). */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+               maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("y"), col("label").as("nl")), "y")
+        .groupBy(col("x").as("node"))
+        .agg(min(col("nl")).as("cand"))
+      // prev label rides along so the convergence probe is a filter over
+      // the checkpointed frame, not another join
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint()
+      val changed = updated.filter(col("label") =!= col("prev"))
+        .limit(1).count() // existence probe, not a full count
+      converged = changed == 0
+      labels = updated.select(col("node"), col("label"))
+      i += 1
+    }
+    require(converged,
+      s"clusters: no convergence in $maxIters rounds — graph diameter too " +
+        "large for min-propagation; raise maxIters or use star-contraction")
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster-aware dedup verdict per document: every doc gets its cluster id
+    * (itself when unpaired) and whether it is the cluster's canonical keeper
+    * (the minimum id — same keep-first rule as [[exactGroups]]). */
+  def dedupByPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val cl = clusters(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit sketch into four 16-bit chunks
     * (a pair within Hamming distance 3 shares ≥1 exact chunk — pigeonhole),
     * join on (chunk index, chunk value), verify `bit_count(xor) <= maxHamming`. */

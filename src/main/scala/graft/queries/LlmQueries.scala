@@ -101,6 +101,17 @@ object LlmQueries {
         maxHamming = 3)
     }),
 
+    // Near-dup CLUSTERS: exact Jaccard pairs → connected components → every
+    // doc labeled with its cluster's canonical (minimum) id. The full
+    // pairs-to-dedup-decision path; oracle = DuckDB recursive-CTE
+    // reachability over the same edge set.
+    "q59_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.2)
+      Dedup.dedupByPairs(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    }),
+
     // --- Similarity search ----------------------------------------------
     "q29_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -310,6 +321,26 @@ object LlmQueries {
         |JOIN sz x ON doc_a = x.doc_id
         |JOIN sz y ON doc_b = y.doc_id
         |WHERE c::DOUBLE / (x.n + y.n - c)::DOUBLE >= 0.3""".stripMargin,
+    "q59_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+        |       FROM d, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS pa, y.doc_id AS pb, count(*) AS c
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT pa, pb FROM inter i
+        |          JOIN sz sx ON i.pa = sx.doc_id JOIN sz sy ON i.pb = sy.doc_id
+        |          WHERE c::DOUBLE / (sx.n + sy.n - c)::DOUBLE >= 0.2),
+        |edges AS (SELECT pa AS x, pb AS y FROM pairs
+        |          UNION ALL SELECT pb, pa FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.node)
+        |SELECT node AS doc_id, min(label) AS cluster_id,
+        |  node = min(label) AS is_canonical
+        |FROM reach GROUP BY node""".stripMargin,
     "q29_cosine_topk" ->
       """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |                  unnest(embedding)::DOUBLE AS v FROM embeddings),

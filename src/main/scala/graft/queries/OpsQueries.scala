@@ -77,6 +77,27 @@ object OpsQueries {
       Json.extractItems(parsed)
     }),
 
+    // Full SQL-text entry path over a star join (the reference's users live
+    // in SQL — databricks-sql): TPC-H Q3-shaped revenue top-k through
+    // spark.sql over registered views. Catalyst still broadcasts the pruned
+    // customer dim and plans the top-k as TakeOrderedAndProject.
+    "q58_sql_star" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v58")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v58")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v58")
+      s.sql(
+        """SELECT o.o_orderkey,
+          |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+          |  count(*) AS n_lines
+          |FROM customer_v58 c
+          |JOIN orders_v58 o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem_v58 l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+          |GROUP BY o.o_orderkey
+          |ORDER BY revenue DESC, o_orderkey ASC
+          |LIMIT 10""".stripMargin)
+    }),
+
     // A2-A4 fused QC aggregate as one-row SELECT (reference checks.py:16-28,
     // fused into a single scan instead of the reference's pass-per-check):
     // row count, null rate of a derived JSON field, duplicate rate of
@@ -144,6 +165,17 @@ object OpsQueries {
         |WHERE in_u AND (NOT in_t OR changed)""".stripMargin,
     "q53_variant_shape" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q58_sql_star" ->
+      """SELECT o.o_orderkey,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+        |GROUP BY o.o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q54_qc_agg" ->
       """WITH x AS (SELECT json_extract_string(props, '$.k') AS k, user_id FROM events),
         |a AS (SELECT count(*) AS n_rows,

@@ -53,4 +53,40 @@ class DedupSpec extends SparkSpec {
     val cands = Dedup.minHashCandidates(d, "doc_id", "text", n = 4, k = 16, bands = 4)
     assert(cands.count() == 0)
   }
+
+  test("clusters: chains, cycles, and separate components get min-id labels") {
+    // chain 1-2-3-4, cycle 7-8-9-7, pair 5-6; transitivity must cross hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val cl = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cl(_) == 1L))
+    assert(Seq(5L, 6L).forall(cl(_) == 5L))
+    assert(Seq(7L, 8L, 9L).forall(cl(_) == 7L))
+  }
+
+  test("dedupByPairs: singletons keep themselves; exactly one canonical per cluster") {
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupByPairs(docs, pairs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.length == 8)
+    // cluster {2,5,7} → 2 canonical; everyone else is their own cluster
+    assert(out.filter(t => Set(2L, 5L, 7L)(t._1)).forall(_._2 == 2L))
+    assert(out.count(_._3) == 6) // 5 singletons + doc 2
+    assert(out.find(_._1 == 5L).get._3 == false)
+  }
+
+  test("clusters fails loudly past maxIters instead of returning wrong labels") {
+    // a 6-node chain has diameter 5: 2 rounds cannot converge
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(chain, maxIters = 2)
+    }
+    assert(e.getMessage.contains("convergence"))
+    // and with enough rounds the same chain resolves
+    val ok = Dedup.clusters(chain, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(ok(_) == 1L))
+  }
 }
