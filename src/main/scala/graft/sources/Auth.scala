@@ -16,17 +16,24 @@ final class UnauthorizedException(msg: String) extends RuntimeException(msg)
   * `@transient`: it never ships in a task closure — each executor performs
   * its own exchange on first use, exactly as connections are opened
   * executor-side in [[graft.sources.v2.PageFetcher]].
+  *
+  * The cache is a raw nullable String, NOT an `Option`: Java serialization
+  * resets transient fields to their JVM default (null) without re-running
+  * the initializer, so a deserialized copy must treat null as "no token",
+  * which a raw field does for free (an `Option`-typed field would NPE on
+  * first executor-side use).
   */
 final class AuthRetryPolicy(refreshToken: () => String) extends Serializable {
-  @transient private var cached: Option[String] = None
+  @transient private var cached: String = _
 
   /** Current bearer token, exchanging once and caching (reference
     * `quickbooks.py:43-50`: reuse until invalid). */
   def token(): String = synchronized {
-    cached.getOrElse { val t = refreshToken(); cached = Some(t); t }
+    if (cached == null) cached = refreshToken()
+    cached
   }
 
-  def invalidate(): Unit = synchronized { cached = None }
+  def invalidate(): Unit = synchronized { cached = null }
 
   /** Run `call` with a token; on [[UnauthorizedException]] refresh ONCE and
     * retry; a second 401 (or any other failure) propagates — byte-for-byte

@@ -31,6 +31,59 @@ class MaintenanceSpec extends SparkSpec {
       li.agg(sum("l_quantity")).head.getDouble(0))
   }
 
+  test("crash between swap renames never loses the partition: recover restores it") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("crash")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = s"${ref.path(root)}/run_date=2026-02-01"
+    li.repartition(20).write.parquet(dir)
+    val expected = li.count()
+
+    // Simulate the compaction rewrite + a crash right after the rename-aside:
+    // the live dir is momentarily gone, but the data survives in the backup.
+    val tmp = s"${ref.path(root)}/.compact_tmp_run_date=2026-02-01"
+    spark.read.parquet(dir).coalesce(1).write.parquet(tmp)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[IllegalStateException] {
+      Maintenance.swapDirs(fs, new Path(dir), new Path(tmp),
+        crashPoint = at => if (at == "after-backup")
+          throw new IllegalStateException("injected crash"))
+    }
+    assert(!fs.exists(new Path(dir)), "crash window: live dir absent")
+    assert(fs.exists(new Path(s"${ref.path(root)}/.compact_old_run_date=2026-02-01")),
+      "…but the backup holds the data")
+
+    // The next compact() run self-heals first, then re-compacts.
+    val rewritten = Maintenance.compact(spark, root, ref,
+      targetBytes = 1024L * 1024 * 1024)
+    assert(rewritten == Seq("run_date=2026-02-01"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == expected, "no rows lost across the injected crash")
+    assert(Maintenance.partitionStats(spark, root, ref).map(_.files) == Seq(1))
+  }
+
+  test("crash after swap-in but before backup delete: recover drops the stale backup") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("crash2")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(200)
+    val dir = s"${ref.path(root)}/run_date=2026-03-01"
+    li.repartition(5).write.parquet(dir)
+    val tmp = s"${ref.path(root)}/.compact_tmp_run_date=2026-03-01"
+    spark.read.parquet(dir).coalesce(1).write.parquet(tmp)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[IllegalStateException] {
+      Maintenance.swapDirs(fs, new Path(dir), new Path(tmp),
+        crashPoint = at => if (at == "after-swap")
+          throw new IllegalStateException("injected crash"))
+    }
+    assert(fs.exists(new Path(dir)), "swap completed: live dir present")
+    val restored = Maintenance.recover(spark, root, ref)
+    assert(restored.isEmpty, "nothing to restore — swap had completed")
+    assert(!fs.exists(new Path(s"${ref.path(root)}/.compact_old_run_date=2026-03-01")),
+      "stale backup cleaned up")
+    assert(spark.read.parquet(dir).count() == 200)
+  }
+
   test("needsCompaction tolerates one file of slack") {
     import Maintenance.PartitionStats
     assert(!PartitionStats("p", 1, 100).needsCompaction(1000))

@@ -50,6 +50,29 @@ class AuthSpec extends AnyFunSuite {
     assert(exchanges == 1, "no refresh on non-401 failures")
   }
 
+  test("java-serialization round-trip: deserialized copy exchanges on first use (no NPE)") {
+    // The executor path the Scaladoc promises: the policy ships in a task
+    // closure, the @transient cache resets to null, and the copy must do its
+    // own exchange instead of NPE-ing. Counter lives in a static object so the
+    // deserialized closure increments the same count in this JVM.
+    AuthSpec.exchanges.set(0)
+    val policy = new AuthRetryPolicy(AuthSpec.countingRefresh)
+    assert(policy.token() == "tok1")
+    assert(policy.token() == "tok1", "driver-side cache reused")
+
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bytes)
+    out.writeObject(policy)
+    out.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+    val copy = in.readObject().asInstanceOf[AuthRetryPolicy]
+
+    assert(copy.token() == "tok2", "deserialized copy performs its own exchange")
+    assert(copy.token() == "tok2", "…exactly once: the copy then caches")
+    assert(AuthSpec.exchanges.get() == 2, "one exchange per JVM-side copy")
+  }
+
   test("policy composes with RestSource's page loop") {
     val policy = new AuthRetryPolicy(() => "fresh")
     var sawStale = false
@@ -61,5 +84,14 @@ class AuthSpec extends AnyFunSuite {
     val src = new RestSource(EndpointSpec("fixture"), f)
     assert(src.fetchAll().toSeq == Seq("""{"p":1}""", """{"p":2}"""))
     assert(!sawStale)
+  }
+}
+
+object AuthSpec {
+  val exchanges = new java.util.concurrent.atomic.AtomicInteger(0)
+  // A SAM instance rather than a lambda capturing the suite, so the policy's
+  // closure serializes cleanly (mirrors how a production exchange would ship).
+  val countingRefresh: () => String = new (() => String) with Serializable {
+    override def apply(): String = s"tok${exchanges.incrementAndGet()}"
   }
 }
