@@ -9,48 +9,51 @@ import org.apache.spark.sql.functions._
   *
   * Index build = a small declarative Lloyd's k-means (no MLlib): centroids
   * live in a C-row DataFrame (broadcast everywhere), assignment is a
-  * broadcast join + per-vector argmax, and the update step is an
-  * explode-by-dimension mean — all shuffles are keyed on (centroid, dim),
-  * so the build scales with the corpus, not C×corpus. Search probes only
-  * the `nProbe` nearest cells' inverted lists — the recall/throughput dial.
-  * All cosines go through the native codegen'd [[Similarity.cosine]].
+  * broadcast join + per-vector argmax. Each round scans the corpus exactly
+  * ONCE: the argmax aggregation carries the vector through, the round's
+  * assignment is checkpointed, and the new centroids are the per-cell means
+  * of that checkpointed frame (a tiny follow-up job over C×dims rows — no
+  * second corpus scan). The final round's carried assignment doubles as the
+  * index's inverted-list store, so search never has to join back to the
+  * corpus. Search probes only the `nProbe` nearest cells' inverted lists —
+  * the recall/throughput dial. All cosines go through the native codegen'd
+  * [[Similarity.cosine]].
+  *
+  * The returned centroids are by construction the MEANS of the returned
+  * inverted lists — each list is summarized by exactly the vector average
+  * of its members, which is the property probe-ranking relies on.
   */
 object Ivf {
 
-  /** (centroid_id, centroid: array<double>) — farthest-point seeding
-    * (k-means++ without the probability weighting: each next seed is the
-    * vector least similar to its nearest existing seed; deterministic with
-    * id tiebreak) followed by `iters` Lloyd rounds. Every step is a scan +
-    * broadcast of the C-row centroid table + TakeOrdered — nothing global
-    * beyond C-sized frames, so the build scales with the corpus. Cells that
-    * lose all members keep their previous centroid. */
-  def trainCentroids(corpus: DataFrame, c: Int, iters: Int = 2,
-                     idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    // Seeding: collect a deterministic hash-sample of ~100×c vectors
-    // (BOUNDED by construction — a few hundred KB no matter the corpus
-    // size; this is a sample collect, not corpus materialization) and run
-    // farthest-point selection driver-side in one pass. One Spark job for
-    // the sample versus c jobs of cluster-wide argmax rounds.
-    // Driver-side seeding is O(c² × sample) — fine for the coarse-quantizer
-    // regime (c ≲ ~1000 cells); for larger c use a distributed k-means‖
-    // seeding instead. The sample collect stays ~100×c rows regardless of
-    // corpus size.
-    require(c > 0, s"trainCentroids: c must be positive, got $c")
+  /** Driver-side farthest-point seeding (k-means++ without the probability
+    * weighting: each next seed is the vector least similar to its nearest
+    * existing seed; deterministic with id tiebreak) over a bounded,
+    * deterministic hash-ordered sample of ~100×c vectors. ONE Spark job
+    * (TakeOrdered: map-side top-k per partition, single merge) — no
+    * corpus count, no full scan collect; the pool stays ~100×c rows no
+    * matter the corpus size.
+    *
+    * Driver-side selection is O(c² × sample) — fine for the coarse-
+    * quantizer regime (c ≲ ~1000 cells); [[trainCentroidsLarge]] covers
+    * bigger c with distributed k-means‖ seeding.
+    */
+  private[ext] def seedCentroids(corpus: DataFrame, c: Int,
+                                 idCol: String, vecCol: String): DataFrame = {
+    require(c > 0, s"seedCentroids: c must be positive, got $c")
     require(c <= 1024,
-      s"trainCentroids: driver-side farthest-point seeding is bounded to c <= 1024, got $c")
+      s"seedCentroids: driver-side farthest-point seeding is bounded to c <= 1024, got $c")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val total = corpus.count()
-    require(total > 0, "trainCentroids: empty corpus")
-    val sampleMod = math.max(total / (100L * c), 1L)
     val pool: Array[(Long, Array[Float])] = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
-      .select(col(idCol).cast("long"), col(vecCol))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"), col("id"))
+      .limit(100 * c)
+      .select(col("id"), col("v"))
       .as[(Long, Array[Float])]
       .collect()
       .sortBy(_._1)
-    require(pool.nonEmpty, "trainCentroids: hash sample came back empty")
+    require(pool.nonEmpty, "seedCentroids: empty corpus")
     def cosArr(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -67,28 +70,67 @@ object Ivf {
       }
       seedVecs += next._2
     }
-    var centroids = seedVecs.zipWithIndex.map { case (v, i) =>
-      (i, v.map(_.toDouble))
-    }.toSeq.toDF("centroid_id", "centroid").localCheckpoint()
-    (0 until iters).foreach { _ =>
-      val assigned = assign(corpus, centroids, idCol, vecCol)
-      val byDim = corpus.join(assigned, idCol)
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("i", "v")))
-      val updated = byDim
-        .groupBy(col("centroid_id"), col("i"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("dims"))
-        .select(col("centroid_id"),
-          transform(col("dims"), d => d.getField("m")).as("new_centroid"))
+    // A plain local relation — broadcast directly, nothing to checkpoint.
+    seedVecs.zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }
+      .toSeq.toDF("centroid_id", "centroid")
+  }
+
+  /** (vec_id, centroid_id, vec): nearest centroid per vector with the vector
+    * carried through the argmax aggregation — one corpus scan, one shuffle,
+    * and the output doubles as the inverted-list store (no join back to the
+    * corpus needed downstream). */
+  private def assignCarry(corpus: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        Similarity.cosine(col(vecCol),
+          col("centroid").cast("array<float>")).as("cos"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cos"), -col("centroid_id"))).as("centroid_id"),
+        first(col(vecCol)).as(vecCol))
+
+  /** Per-cell vector means of a carried assignment: posexplode by dimension
+    * then two hash aggregations — codegen'd with map-side partials, keyed on
+    * (centroid, dim) so the work scales with the corpus, not C×corpus. */
+  private def cellMeans(carried: DataFrame, vecCol: String): DataFrame =
+    carried
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("centroid_id"), col("i"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("dims"))
+      .select(col("centroid_id"),
+        transform(col("dims"), d => d.getField("m")).as("new_centroid"))
+
+  /** Build the full IVF index: seed, run `iters` Lloyd rounds (each = one
+    * corpus scan), return (centroids, assignment) where the centroids are
+    * exactly the per-cell means of the returned assignment and the
+    * assignment carries the vectors (the inverted lists, checkpointed —
+    * every search reuses one materialization). Cells that lose all members
+    * keep their previous centroid. */
+  def buildIndex(corpus: DataFrame, c: Int, iters: Int = 2,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    var centroids = seedCentroids(corpus, c, idCol, vecCol)
+    var carried: DataFrame = null
+    (0 until math.max(iters, 1)).foreach { _ =>
+      carried = assignCarry(corpus, centroids, idCol, vecCol).localCheckpoint()
       centroids = centroids
-        .join(updated, Seq("centroid_id"), "left")
+        .join(cellMeans(carried, vecCol), Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("new_centroid"), col("centroid")).as("centroid"))
         .localCheckpoint()
     }
-    centroids
+    (centroids, carried)
   }
+
+  /** (centroid_id, centroid: array<double>) — seeding plus `iters` Lloyd
+    * rounds; the centroids-only view of [[buildIndex]]. */
+  def trainCentroids(corpus: DataFrame, c: Int, iters: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    buildIndex(corpus, c, iters, idCol, vecCol)._1
 
   /** (vec_id, centroid_id): nearest centroid per vector — broadcast the
     * C-row centroid table, argmax by cosine via `max_by` on a
@@ -104,27 +146,21 @@ object Ivf {
       .agg(max_by(col("centroid_id"),
         struct(col("cos"), -col("centroid_id"))).as("centroid_id"))
 
-  /** Build the full IVF index in one call: trained centroids plus the final
-    * corpus→cell assignment, checkpointed so every search over the index
-    * reuses one materialization instead of re-running the assignment scan. */
-  def buildIndex(corpus: DataFrame, c: Int, iters: Int = 2,
-                 idCol: String = "vec_id",
-                 vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val centroids = trainCentroids(corpus, c, iters, idCol, vecCol)
-    val assignment = assign(corpus, centroids, idCol, vecCol).localCheckpoint()
-    (centroids, assignment)
-  }
-
   /** IVF search: each probe visits its `nProbe` closest cells and ranks
     * that union exactly. Pass the assignment from [[buildIndex]] to reuse
-    * the already-materialized inverted lists; otherwise it is recomputed. */
+    * the already-materialized inverted lists (when it carries the vector
+    * column, as buildIndex's does, the corpus is never touched); otherwise
+    * the assignment is recomputed from the corpus. */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nProbe: Int = 2,
               probeId: String = "probe_id", corpusId: String = "vec_id",
               vecCol: String = "embedding",
               assignment: Option[DataFrame] = None): DataFrame = {
-    val assigned = assignment.getOrElse(assign(corpus, centroids, corpusId, vecCol))
-    val lists = corpus.join(assigned, corpusId)
+    val lists = assignment match {
+      case Some(a) if a.columns.contains(vecCol) => a // carried: already the lists
+      case Some(a) => corpus.join(a, corpusId)
+      case None => corpus.join(assign(corpus, centroids, corpusId, vecCol), corpusId)
+    }
     val probeCells = {
       val w = Window.partitionBy(col(probeId))
         .orderBy(col("cos").desc, col("centroid_id").asc)
