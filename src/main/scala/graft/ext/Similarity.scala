@@ -153,8 +153,14 @@ object Similarity {
     * by construction (output ⊆ the exact all-pairs answer); recall for a
     * pair at angle θ is 1 − (1 − (1 − θ/π)^rowsPerBand)^bands — at the
     * default 8×2 a cosine-0.4 pair is caught with p ≈ 0.98, and recall
-    * rises with similarity. Work scales with band-bucket collisions, never
-    * |vecs|² — the candidate join is an equi-join on (band, bucket). */
+    * rises with similarity. The candidate join is an equi-join on
+    * (band, bucket) — no nested loop — but candidate VOLUME is
+    * Θ(n² · bands / 2^rowsPerBand) for uncorrelated vectors (a random pair
+    * collides in a band with p = 2^−rowsPerBand), so `rowsPerBand` must
+    * grow with corpus size (e.g. 16–24 planes per band at web scale) for
+    * the banding to beat brute force; the 8×2 defaults are tuned for the
+    * sf0.1 recall floor, not for scale. The knob trades recall for
+    * candidate volume at fixed `bands × rowsPerBand` plane budget. */
   def cosineNearDupPairsBanded(vecs: DataFrame, threshold: Double,
                                bands: Int = 8, rowsPerBand: Int = 2,
                                idCol: String = "vec_id",

@@ -56,14 +56,21 @@ final case class MaxNullRate(column: String, maxRate: Double,
 /** Key-uniqueness gate (north-star extension): duplicate rate over the key
   * columns must not exceed `maxDupRate` (0.0 = strictly unique). Fused into
   * the single-pass agg like the reference-mirrored checks: duplicates are
-  * counted as count(*) − count(distinct keys). */
+  * counted as count(*) − count(distinct keys).
+  *
+  * Null-key semantics follow SQL `COUNT(DISTINCT key)`: a row with ANY null
+  * key column contributes to the row count but never to the distinct count —
+  * null keys are treated as duplicates (a null key can't witness
+  * uniqueness). Without the null-gate, `countDistinct(struct(keys))` would
+  * count null keys (the struct wrapper is non-null), silently diverging
+  * from the SQL semantics. */
 final case class MaxDupRate(keys: Seq[String], maxDupRate: Double = 0.0,
     namePrefix: String = "max_dup_rate") extends Check {
   def name: String = s"${namePrefix}_${keys.mkString("_")}"
   private def present(df: DataFrame): Boolean = keys.forall(df.columns.contains)
   def aggs(df: DataFrame): Seq[Column] =
     if (present(df))
-      Seq(count(lit(1)), countDistinct(struct(keys.map(col): _*)))
+      Seq(count(lit(1)), countDistinct(Checks.nonNullKey(keys)))
     else Seq.empty
   def eval(df: DataFrame, row: Row, offset: Int): QCResult =
     if (!present(df))
@@ -78,6 +85,13 @@ final case class MaxDupRate(keys: Seq[String], maxDupRate: Double = 0.0,
 }
 
 object Checks {
+
+  /** The key struct, nulled out when ANY key column is null, so
+    * `countDistinct` over it matches SQL `COUNT(DISTINCT key)` (nulls
+    * excluded from the distinct count). */
+  private[qc] def nonNullKey(keys: Seq[String]): Column =
+    when(keys.map(col(_).isNotNull).reduce(_ && _),
+      struct(keys.map(col): _*))
 
   /** Run all checks in ONE aggregation pass (vs reference `checks.py:31-35`,
     * one pass per check). */
@@ -138,7 +152,9 @@ object Checks {
     * form of [[runAll]]'s single-scan fusion): row count, null rate of one
     * column, duplicate rate over a key, plus the pass/fail verdicts — all
     * from ONE aggregation (one scan, one job at any scale). Rates guard the
-    * empty-table case (0.0, matching [[MaxNullRate]]'s null-avg rule). */
+    * empty-table case (0.0, matching [[MaxNullRate]]'s null-avg rule).
+    * Null keys follow [[MaxDupRate]]'s SQL `COUNT(DISTINCT)` rule: they
+    * count as rows, never as distinct keys. */
   def summaryFrame(df: DataFrame, minRows: Long,
                    nullCol: String, maxNullRate: Double,
                    dupKeys: Seq[String], maxDupRate: Double): DataFrame = {
@@ -148,7 +164,7 @@ object Checks {
     df.agg(
         count(lit(1)).as("n_rows"),
         avg(col(nullCol).isNull.cast("double")).as("nr"),
-        countDistinct(struct(dupKeys.map(col): _*)).as("nd"))
+        countDistinct(nonNullKey(dupKeys)).as("nd"))
       .select(
         col("n_rows"),
         round(nullRate, 6).as("null_rate"),

@@ -50,7 +50,17 @@ object Sinks {
     * (bare-array shape). */
   def writeJsonDocument(df: DataFrame, path: String): Unit = {
     import df.sparkSession.implicits._
-    val doc = df.toJSON.coalesce(1).mapPartitions { it =>
+    val json = df.toJSON
+    // A zero-partition input (empty LocalRelation, spark.emptyDataFrame)
+    // would give mapPartitions nothing to run on — no task, no "[]"
+    // document, and readItems would choke on the empty directory. Emit the
+    // empty document explicitly.
+    if (json.rdd.getNumPartitions == 0) {
+      df.sparkSession.createDataset(Seq("[]"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      return
+    }
+    val doc = json.coalesce(1).mapPartitions { it =>
       val buf = it.buffered
       val body: Iterator[String] = new Iterator[String] {
         def hasNext: Boolean = buf.hasNext

@@ -1,6 +1,7 @@
 package graft.qc
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class ChecksSpec extends SparkSpec {
   import spark.implicits._
@@ -71,6 +72,19 @@ class ChecksSpec extends SparkSpec {
     assert(r.getAs[Boolean]("min_rows_ok"))
     assert(r.getAs[Boolean]("null_rate_ok"))
     assert(!r.getAs[Boolean]("dup_rate_ok"))
+  }
+
+  test("null keys follow SQL COUNT(DISTINCT): counted as rows, never as distinct keys") {
+    // 4 rows: keys 1, 1, 2, null → SQL count(DISTINCT key) = 2, so
+    // dup_rate = (4 − 2) / 4 = 0.5 — exactly what DuckDB computes. The
+    // unguarded countDistinct(struct(key)) would give 3 and 0.25.
+    val d = Seq(Option(1L), Option(1L), Option(2L), Option.empty[Long])
+      .toDF("id").withColumn("v", lit("x"))
+    val r = Checks.summaryFrame(d, 1, "v", 1.0, Seq("id"), 0.5).collect().head
+    assert(math.abs(r.getAs[Double]("dup_rate") - 0.5) < 1e-6)
+    assert(r.getAs[Boolean]("dup_rate_ok")) // inclusive at the boundary
+    val Seq(check) = Checks.runAll(d, Seq(MaxDupRate(Seq("id"), 0.49)))
+    assert(!check.passed && check.details.contains("dup_rate=0.5"))
   }
 
   test("summaryFrame on an empty table: zero rates, no divide-by-zero") {

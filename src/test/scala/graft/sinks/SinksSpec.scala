@@ -42,6 +42,27 @@ class SinksSpec extends SparkSpec {
     assert(text.replaceAll("\\s", "") == "[]")
   }
 
+  test("K3 of a ZERO-PARTITION frame still writes the [] document and round-trips") {
+    // spark.emptyDataFrame has no partitions at all — no task ever runs, so
+    // the iterator shape can't emit the brackets; the sink must special-case
+    // it rather than land an empty directory.
+    for ((name, empty) <- Seq(
+        ("k3zero", spark.emptyDataFrame),
+        ("k3zerolocal", Seq.empty[(Long, String)].toDF("id", "v")))) {
+      val dir = tmpDir(name)
+      assert(empty.toJSON.rdd.getNumPartitions == 0 ||
+        empty.rdd.getNumPartitions == 0 || name == "k3zerolocal")
+      Sinks.writeJsonDocument(empty, dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(parts.nonEmpty, s"$name: document file must exist")
+      val text = new String(
+        java.nio.file.Files.readAllBytes(parts.head.toPath), "UTF-8").trim
+      assert(text.replaceAll("\\s", "") == "[]")
+      assert(Json.readItems(spark, dir).isEmpty)
+    }
+  }
+
   test("K2 writeJsonl emits newline-delimited records readable as JSONL") {
     val dir = tmpDir("k2")
     Sinks.writeJsonl(df, dir)
