@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.Upsert
+import graft.ops.{Skew, Upsert}
 import graft.qc.Checks
 import graft.sources.Json
 
@@ -109,6 +109,35 @@ object OpsQueries {
       Checks.summaryFrame(ev, minRows = 1000,
         nullCol = "k", maxNullRate = 0.6,
         dupKeys = Seq("user_id"), maxDupRate = 0.9)
+    }),
+
+    // Skew-salted equi-join (ops/Skew): the hot-key mitigation must be
+    // ANSWER-PRESERVING — the oracle is the PLAIN left join. Left join over
+    // a filtered right side exercises the trickiest allowed path (unmatched
+    // left rows must survive exactly once despite the right side being
+    // exploded factor×).
+    "q60_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, ord, Seq("l_orderkey"), factor = 8, joinType = "left")
+        .groupBy(coalesce(col("o_orderpriority"), lit("UNMATCHED"))
+          .as("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Skew-salted two-phase aggregation (ops/Skew.saltedAgg): partial agg on
+    // (key, salt), final merge on key — the one-dominant-group fallback when
+    // AQE can't split (aggregations, not joins). Oracle is the plain GROUP BY.
+    "q61_salted_agg" -> ((s, dir) => {
+      Skew.saltedAgg(t(s, dir, "events"), Seq("event_type"), factor = 16,
+        partial = Seq(sum(col("value")).as("s"), count(lit(1)).as("c")),
+        fin = Seq(round(sum(col("s")), 2).as("total_value"),
+          sum(col("c")).as("n_events")))
     })
   )
 
@@ -187,6 +216,20 @@ object OpsQueries {
         |  n_rows >= 1000 AS min_rows_ok,
         |  coalesce(nr, 0.0) <= 0.6 AS null_rate_ok,
         |  (CASE WHEN n_rows = 0 THEN 0.0 ELSE (n_rows - nd)::DOUBLE / n_rows END) <= 0.9 AS dup_rate_ok
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "q60_salted_join" ->
+      """SELECT coalesce(o.o_orderpriority, 'UNMATCHED') AS o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+        |  ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q61_salted_agg" ->
+      """SELECT event_type,
+        |  round(sum(value), 2) AS total_value,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY 1""".stripMargin
   )
 }

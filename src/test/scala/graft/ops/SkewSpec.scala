@@ -52,6 +52,15 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("saltedJoin joins on (key, salt) — the hot-key split is in the plan") {
+    val left = (1 to 200).map(i => (1L, s"p$i")).toDF("k", "payload")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "w")
+    val p = Skew.saltedJoin(left, right, Seq("k"), 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"),
+      s"expected __salt among the join keys, got:\n$p")
+  }
+
   test("salt is deterministic and within [0, factor)") {
     val df = Seq(("x", 1), ("y", 2)).toDF("a", "b")
     val s1 = df.select(Skew.salt(8, col("a"), col("b"))).collect().map(_.getInt(0))
