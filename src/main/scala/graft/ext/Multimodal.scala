@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * image/audio/video blob read from object storage. */
 final case class MediaRecord(media_id: Long, payload: Array[Byte])
 
-/** Typed metadata produced by the decode stage. */
+/** Typed metadata produced by the decode stage. For audio (wav) width and
+  * height are 0 and `n_frames` is the PCM frame count; for still images
+  * `n_frames` is 1; unrecognized payloads decode as format "unknown". */
 final case class MediaMeta(
     media_id: Long,
     n_bytes: Long,
@@ -21,33 +23,96 @@ final case class MediaMeta(
   * as opaque `binary` columns with typed metadata, decoded batch-wise on the
   * executors.
   *
-  * The decode itself is a STUB — no image/audio codecs exist in this
-  * container — but it is a *deterministic* function of the bytes, so the
-  * Spark-side plumbing that matters at 100 TB is real and testable:
-  * binary column in parquet → `mapPartitions` batch decode on executors
-  * (the Scala analogue of `mapInPandas`: one iterator per partition, no
-  * per-row task overhead, no driver materialization) → typed `Dataset`
-  * with an explicit schema.
+  * The decoder is REAL header parsing — no codec libraries needed for
+  * uncompressed container formats:
+  *   - PPM/PGM (netpbm P5/P6): ASCII magic + whitespace/comment-tolerant
+  *     dimension tokens,
+  *   - BMP (BITMAPINFOHEADER): "BM" magic, little-endian dims at 18/22,
+  *   - WAV (RIFF/WAVE): chunk walk to `fmt ` (block align) and `data`
+  *     (byte size) → PCM frame count.
+  * Anything else decodes to format "unknown" rather than erroring — a 100 TB
+  * media crawl always contains garbage rows, and a poison payload must not
+  * kill the stage.
+  *
+  * The Spark-side shape is what matters at scale: binary column in parquet →
+  * `mapPartitions` batch decode on executors (the Scala analogue of
+  * `mapInPandas`: one iterator per partition, decoder state initialized once
+  * per partition, no per-row task overhead, no driver materialization) →
+  * typed `Dataset` with an explicit schema.
   */
 object Multimodal {
 
-  /** STUB decoder standing in for a real codec (e.g. JPEG dimensions from the
-    * SOF marker, video frame count from the container index). Deterministic
-    * arithmetic on the payload so tests and oracles can reproduce it. */
-  def decodeStub(r: MediaRecord): MediaMeta = {
-    val n = r.payload.length.toLong
-    MediaMeta(
-      media_id = r.media_id,
-      n_bytes = n,
-      width = (n % 16) * 64 + 64,
-      height = (n % 9) * 64 + 64,
-      format = (n % 3) match {
-        case 0 => "jpeg"
-        case 1 => "png"
-        case _ => "webp"
-      },
-      n_frames = n / 100 + 1,
-      sha256 = sha256Hex(r.payload))
+  /** Real header decode of one payload. Total function: malformed or
+    * unrecognized bytes yield format "unknown" (width/height/frames 0). */
+  def decodeHeader(r: MediaRecord): MediaMeta = {
+    val p = r.payload
+    val base = MediaMeta(r.media_id, p.length.toLong, 0L, 0L, "unknown", 0L,
+      sha256Hex(p))
+    decodeNetpbm(p).orElse(decodeBmp(p)).orElse(decodeWav(p))
+      .map { case (w, h, fmt, frames) =>
+        base.copy(width = w, height = h, format = fmt, n_frames = frames)
+      }
+      .getOrElse(base)
+  }
+
+  /** netpbm P5 (PGM) / P6 (PPM): "P5"/"P6", then width, height, maxval as
+    * ASCII tokens separated by whitespace, with '#'-to-EOL comments legal
+    * anywhere between tokens. */
+  private def decodeNetpbm(p: Array[Byte]): Option[(Long, Long, String, Long)] = {
+    if (p.length < 2 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
+    var i = 2
+    def nextInt(): Option[Long] = {
+      // skip whitespace and comments
+      while (i < p.length &&
+             (p(i).toChar.isWhitespace || p(i) == '#')) {
+        if (p(i) == '#') while (i < p.length && p(i) != '\n') i += 1
+        else i += 1
+      }
+      val start = i
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') i += 1
+      if (i == start) None
+      else Some(new String(p, start, i - start, "US-ASCII").toLong)
+    }
+    for (w <- nextInt(); h <- nextInt(); _ <- nextInt() if w > 0 && h > 0)
+      yield (w, h, if (p(1) == '6') "ppm" else "pgm", 1L)
+  }
+
+  private def leU16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+  private def leU32(p: Array[Byte], off: Int): Long =
+    (leU16(p, off).toLong) | (leU16(p, off + 2).toLong << 16)
+
+  /** BMP with the 40-byte BITMAPINFOHEADER: "BM" magic; signed little-endian
+    * width/height at byte 18/22 (negative height = top-down rows). */
+  private def decodeBmp(p: Array[Byte]): Option[(Long, Long, String, Long)] = {
+    if (p.length < 26 || p(0) != 'B' || p(1) != 'M') return None
+    val w = leU32(p, 18).toInt // i32: BMP dims are signed
+    val h = math.abs(leU32(p, 22).toInt)
+    if (w <= 0 || h == 0) None else Some((w.toLong, h.toLong, "bmp", 1L))
+  }
+
+  /** RIFF/WAVE: walk the chunk list for `fmt ` (block align = bytes per PCM
+    * frame) and `data` (payload byte count); frames = dataSize / blockAlign.
+    * Chunks are word-aligned (odd sizes padded by one byte). */
+  private def decodeWav(p: Array[Byte]): Option[(Long, Long, String, Long)] = {
+    if (p.length < 12) return None
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var blockAlign = 0L
+    var dataSize = -1L
+    while (i + 8 <= p.length && (blockAlign == 0 || dataSize < 0)) {
+      val id = tag(i)
+      val size = leU32(p, i + 4)
+      if (id == "fmt " && i + 8 + 14 <= p.length)
+        blockAlign = leU16(p, i + 8 + 12).toLong
+      if (id == "data") dataSize = size
+      // a corrupt size field must terminate the walk, not loop or go back
+      if (size > p.length) i = p.length
+      else i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (blockAlign <= 0 || dataSize < 0) None
+    else Some((0L, 0L, "wav", dataSize / blockAlign))
   }
 
   def sha256Hex(bytes: Array[Byte]): String = {
@@ -63,7 +128,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here (codec handles, buffers)
-      it.map(decodeStub)
+      it.map(decodeHeader)
     }
   }
 
@@ -88,5 +153,63 @@ object Multimodal {
     docs.select(col("doc_id").as("media_id"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
+  }
+
+  // --- Deterministic synthetic media (test/oracle fixtures) ---------------
+
+  /** A complete, VALID media file whose kind and dimensions derive from
+    * (`n`, `mediaId`) — so a SQL oracle can predict the decoded metadata
+    * analytically while the decoder genuinely parses the bytes:
+    * n%3==0 → P6 PPM (w=n%16+1, h=n%9+1), ==1 → 24-bit BMP (same dims),
+    * ==2 → mono 16-bit PCM WAV with n%50+1 frames. Pixel/sample bytes are
+    * a deterministic function of `mediaId`. */
+  def syntheticPayload(mediaId: Long, n: Int): Array[Byte] = {
+    val w = n % 16 + 1
+    val h = n % 9 + 1
+    val f = n % 50 + 1
+    def fill(len: Int): Array[Byte] =
+      Array.tabulate(len)(i => ((mediaId + i) % 256).toByte)
+    (n % 3: @unchecked) match {
+      case 0 =>
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        header ++ fill(w * h * 3)
+      case 1 =>
+        val rowSize = (w * 3 + 3) / 4 * 4
+        val imageSize = rowSize * h
+        val b = java.nio.ByteBuffer.allocate(54 + imageSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte)
+          .putInt(54 + imageSize).putInt(0).putInt(54) // file size, rsvd, offset
+          .putInt(40).putInt(w).putInt(h)              // info header, dims
+          .putShort(1).putShort(24).putInt(0)          // planes, bpp, no compression
+          .putInt(imageSize).putInt(0).putInt(0).putInt(0).putInt(0)
+        b.put(fill(imageSize))
+        b.array()
+      case 2 =>
+        val dataSize = 2 * f // mono 16-bit
+        val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(8000).putInt(16000) // PCM, mono, rate
+          .putShort(2).putShort(16)                           // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        b.put(fill(dataSize))
+        b.array()
+    }
+  }
+
+  /** The documents table as a corpus of real (synthetic) media files: each
+    * doc becomes a valid PPM/BMP/WAV whose shape is determined by its text
+    * length. Payload synthesis runs executor-side in the same typed map
+    * that a storage fetch would. */
+  def documentsAsSyntheticMedia(spark: SparkSession,
+                                docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) => MediaRecord(id, syntheticPayload(id, n)) }
   }
 }

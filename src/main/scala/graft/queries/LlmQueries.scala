@@ -180,9 +180,16 @@ object LlmQueries {
     }),
 
     // --- Multimodal plumbing --------------------------------------------
+    // Each document becomes a VALID synthetic PPM/BMP/WAV file (kind and
+    // dims derived from its text length), and decodeMeta parses the actual
+    // headers back out — the oracle predicts the metadata analytically.
+    // sha256 is decoded too but not selected (not SQL-reproducible).
     "q32_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(
-        Multimodal.documentsAsMedia(s, t(s, dir, "documents"))).toDF()
+        Multimodal.documentsAsSyntheticMedia(s, t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          col("format"), col("n_frames"))
     }),
 
     // --- Event-time windows / sessions / as-of ---------------------------
@@ -390,15 +397,19 @@ object LlmQueries {
         |    / len(ve)), 6) END AS rmse
         |FROM q""".stripMargin,
     "q32_multimodal_meta" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST((octet_length(encode(text)) % 16) * 64 + 64 AS BIGINT) AS width,
-        |  CAST((octet_length(encode(text)) % 9) * 64 + 64 AS BIGINT) AS height,
-        |  CASE octet_length(encode(text)) % 3
-        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        |  CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames,
-        |  sha256(text) AS sha256
-        |FROM documents""".stripMargin,
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |p AS (SELECT doc_id, n % 3 AS m, n % 16 + 1 AS w, n % 9 + 1 AS h,
+        |             n % 50 + 1 AS f FROM d)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE m
+        |    WHEN 0 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3
+        |    WHEN 1 THEN 54 + ((w*3 + 3) // 4) * 4 * h
+        |    ELSE 44 + 2*f END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN m = 2 THEN 0 ELSE w END AS BIGINT) AS width,
+        |  CAST(CASE WHEN m = 2 THEN 0 ELSE h END AS BIGINT) AS height,
+        |  CASE m WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN m = 2 THEN f ELSE 1 END AS BIGINT) AS n_frames
+        |FROM p""".stripMargin,
     "q51_from_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -5,22 +5,63 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decodeMeta: deterministic stub metadata via mapPartitions batch decode") {
+  test("decodeHeader parses real PPM/BMP/WAV headers and hashes the payload") {
+    // hand-built PPM with a comment line in the header
+    val ppm = "P6\n# a comment\n3 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](3 * 2 * 3)(1)
+    val mPpm = Multimodal.decodeHeader(MediaRecord(1L, ppm))
+    assert(mPpm.format == "ppm" && mPpm.width == 3 && mPpm.height == 2 &&
+      mPpm.n_frames == 1 && mPpm.n_bytes == ppm.length)
+
+    val mPgm = Multimodal.decodeHeader(
+      MediaRecord(2L, "P5\n4 5\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](20)(0)))
+    assert(mPgm.format == "pgm" && mPgm.width == 4 && mPgm.height == 5)
+
+    val bmp = Multimodal.syntheticPayload(3L, 1)  // n%3==1 -> BMP, w=2, h=2
+    val mBmp = Multimodal.decodeHeader(MediaRecord(3L, bmp))
+    assert(mBmp.format == "bmp" && mBmp.width == 2 && mBmp.height == 2 &&
+      mBmp.n_frames == 1)
+
+    val wav = Multimodal.syntheticPayload(4L, 5)  // n%3==2 -> WAV, f=6 frames
+    val mWav = Multimodal.decodeHeader(MediaRecord(4L, wav))
+    assert(mWav.format == "wav" && mWav.width == 0 && mWav.height == 0 &&
+      mWav.n_frames == 6)
+
+    // garbage decodes as unknown, never throws (poison rows at 100 TB)
+    val mBad = Multimodal.decodeHeader(MediaRecord(5L, "hello".getBytes("UTF-8")))
+    assert(mBad.format == "unknown" && mBad.width == 0 && mBad.n_frames == 0)
+    // openssl-verified sha256("hello")
+    assert(mBad.sha256 ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+
+    // truncated magic-only payloads must not throw either
+    for (junk <- Seq("P6", "BM", "RIFF", "P6\n#", "RIFFxxxxWAVE"))
+      assert(Multimodal.decodeHeader(
+        MediaRecord(9L, junk.getBytes("US-ASCII"))).format == "unknown")
+  }
+
+  test("decodeMeta runs the real decode distributed via mapPartitions") {
     val media = Seq(
-      MediaRecord(1L, "hello".getBytes("UTF-8")),
-      MediaRecord(2L, Array.fill[Byte](300)(7))
+      MediaRecord(1L, Multimodal.syntheticPayload(1L, 3)),  // ppm w=4 h=4
+      MediaRecord(2L, Multimodal.syntheticPayload(2L, 7)),  // bmp w=8 h=8
+      MediaRecord(3L, Multimodal.syntheticPayload(3L, 2))   // wav f=3
     ).toDS()
     val meta = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
-    val m1 = meta(1L)
-    assert(m1.n_bytes == 5L)
-    assert(m1.width == (5 % 16) * 64 + 64)
-    assert(m1.height == (5 % 9) * 64 + 64)
-    assert(m1.format == "webp") // 5 % 3 == 2
-    assert(m1.n_frames == 1L)
-    // openssl-verified sha256("hello")
-    assert(m1.sha256 ==
-      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
-    assert(meta(2L).n_frames == 4L)
+    assert(meta(1L).format == "ppm" && meta(1L).width == 4 && meta(1L).height == 4)
+    assert(meta(2L).format == "bmp" && meta(2L).width == 8 && meta(2L).height == 8)
+    assert(meta(3L).format == "wav" && meta(3L).n_frames == 3)
+  }
+
+  test("syntheticPayload round-trips: decode recovers exactly the synthesized shape") {
+    for (n <- 0 to 120; id <- Seq(0L, 17L)) {
+      val m = Multimodal.decodeHeader(MediaRecord(id, Multimodal.syntheticPayload(id, n)))
+      val (w, h, f) = (n % 16 + 1, n % 9 + 1, n % 50 + 1)
+      n % 3 match {
+        case 0 => assert(m.format == "ppm" && m.width == w && m.height == h && m.n_frames == 1)
+        case 1 => assert(m.format == "bmp" && m.width == w && m.height == h && m.n_frames == 1)
+        case _ => assert(m.format == "wav" && m.width == 0 && m.n_frames == f)
+      }
+    }
   }
 
   test("sampleFrames emits stride-sampled frame rows") {
@@ -34,5 +75,13 @@ class MultimodalSpec extends SparkSpec {
     val ds = Multimodal.documentsAsMedia(spark, docs)
     assert(ds.schema("payload").dataType.typeName == "binary")
     assert(ds.collect().head.payload.toSeq == "abc".getBytes("UTF-8").toSeq)
+  }
+
+  test("documentsAsSyntheticMedia synthesizes executor-side from text length") {
+    val docs = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text") // n=3 ppm, n=4 bmp
+    val metas = Multimodal.decodeMeta(
+      Multimodal.documentsAsSyntheticMedia(spark, docs))
+      .collect().map(m => m.media_id -> m.format).toMap
+    assert(metas == Map(1L -> "ppm", 2L -> "bmp"))
   }
 }
