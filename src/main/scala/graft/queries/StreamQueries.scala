@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Tables
+import graft.streaming.{Stateful, Streaming}
+
+/** Streaming semantics under the driver's DuckDB gate (SURVEY §2.10): each
+  * query REPLAYS a real Structured Streaming run to completion — file-source
+  * micro-batches (maxFilesPerTrigger=1 forces several), state store,
+  * watermark advancement, append-mode emission — and returns the final
+  * output as a batch DataFrame whose rows the oracle predicts in ANSI SQL.
+  *
+  * Determinism contract: file-stream batch ORDER is not deterministic, so
+  * each replay is configured so its final output is order-independent —
+  * the dedup uses a lateness wider than the data's event-time span (no row
+  * can be late-dropped; cross-batch dedup still runs through the state
+  * store), and the stateful counter is reduced by per-user MAX (the running
+  * total's last value equals the group size no matter how rows were
+  * batched). The order-DEPENDENT behaviors (late-data drops, timeout
+  * eviction) stay in the streaming ScalaTest suites where batch boundaries
+  * are pinned.
+  */
+object StreamQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic dup-injected subset of events: 30% of rows, with an
+    * exact duplicate of every even-keyed row. */
+  private def dupInjected(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 10 < 3)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    ev.unionAll(ev.filter(col("event_id") % 2 === 0))
+  }
+
+  /** Land `df` as a multi-file parquet stream source and replay `transform`
+    * over it one file per micro-batch; returns the appended output read
+    * back as a batch frame. */
+  private def replay(s: SparkSession, df: DataFrame, name: String,
+                     nFiles: Int)(transform: DataFrame => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    df.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = transform(stream).writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    q.awaitTermination(300000) // throws if the stream failed
+    s.read.parquet(s"$tmp/out")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dropDuplicatesWithinWatermark replayed across micro-batches: the
+    // second copy of a key arriving in a LATER batch must be suppressed by
+    // the state store, not batch-local dedup. Lateness exceeds the data's
+    // span, so nothing is late-dropped and the output is exactly DISTINCT.
+    "q62_stream_dedup" -> ((s, dir) => {
+      replay(s, dupInjected(s, dir), "q62", nFiles = 4) { stream =>
+        Streaming.streamingDedup(stream, Seq("event_id"), "3650 days")
+      }.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // flatMapGroupsWithState replayed across micro-batches: per-user running
+    // totals must ACCUMULATE through the state store (a lost or reset state
+    // yields totals below the group size). Append emits one row per
+    // (user, batch); the final running total — per-user MAX — must equal
+    // the plain GROUP BY count.
+    "q63_stream_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") % 10 < 3)
+        .select(col("user_id"), col("event_type"))
+      replay(s, ev, "q63", nFiles = 4) { stream =>
+        Stateful.runningUserStats(
+          stream.select(col("user_id"), col("event_type")).as[Stateful.UserEvent]
+        ).toDF()
+      }.groupBy(col("user_id"))
+        .agg(max(col("total_events")).as("n_events"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q62_stream_dedup" ->
+      """SELECT DISTINCT event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  user_id, event_type, value
+        |FROM events WHERE event_id % 10 < 3""".stripMargin,
+    "q63_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events WHERE event_id % 10 < 3
+        |GROUP BY user_id""".stripMargin
+  )
+}
