@@ -8,11 +8,18 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune every projection and undercount the real work. One
   * warm-up query runs first (uncounted) so JVM/codegen warm-up isn't charged
   * to whichever query happens to run first.
+  *
+  * This VM's wall times swing ±40% run-to-run, so single runs are noise:
+  * every query runs `SPARK_GRAFT_BENCH_REPS` times (default 3, rep-major
+  * order so reps are separated in time) and the reported per-query figure
+  * is the MEDIAN; `value` is the sum of medians. The raw per-rep times ship
+  * in `queries_all` so a reader can judge the spread.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,25 +31,37 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     try run("q1_agg") catch { case _: Throwable => () } // warm-up
+    val names = SparkEntry.queries.keys.toSeq.sorted
     // A failing query must be VISIBLE, not a near-zero wall time that
     // silently improves the total: each failure is reported per query and
     // in a "failed" list.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (rep <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      val err = try { run(name); None } catch {
+      try run(name) catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(e)
+          System.err.println(s"[bench] $name rep$rep FAILED: ${e.getMessage}")
+          failed += name
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = names.map(n => n -> median(times(n)))
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val all = names.map { n =>
+      "\"" + n + "\":" + times(n).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"queries_all":$all,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -34,8 +34,9 @@ object Ivf {
     * matter the corpus size.
     *
     * Driver-side selection is O(c² × sample) — fine for the coarse-
-    * quantizer regime (c ≲ ~1000 cells); [[trainCentroidsLarge]] covers
-    * bigger c with distributed k-means‖ seeding.
+    * quantizer regime (c ≲ ~1000 cells); [[seedCentroidsLarge]] covers
+    * bigger c with distributed k-means‖ seeding ([[trainCentroids]] and
+    * [[buildIndex]] dispatch on c automatically).
     */
   private[ext] def seedCentroids(corpus: DataFrame, c: Int,
                                  idCol: String, vecCol: String): DataFrame = {
@@ -75,6 +76,121 @@ object Ivf {
       .toSeq.toDF("centroid_id", "centroid")
   }
 
+  /** Distributed k-means‖ seeding (Bahmani et al., VLDB 2012) for the
+    * c > 1024 regime where driver-side farthest-point selection would be
+    * quadratic in c. Fully deterministic — the paper's independent coin
+    * flips become hash-threshold acceptance (`xxhash64(id, round)`), so
+    * re-runs and retried stages sample identically.
+    *
+    *  1. Start from the lowest-id vector.
+    *  2. `rounds` times: score every point's cost (1 − max cos to the
+    *     current candidate set; one broadcast + hash-agg job), then accept
+    *     each point with probability min(1, l·cost/φ) where
+    *     l = oversample·c and φ = the total cost (one scalar agg per
+    *     round — the only driver values in the loop).
+    *  3. Weight each candidate by the number of points it is nearest to,
+    *     collect the O(rounds·l) weighted candidates (NOT the corpus, and
+    *     never anything c²-sized), and reduce to exactly c driver-side
+    *     with deterministic weighted farthest-point selection
+    *     (incremental best-similarity updates: O(c·m) work, m = #candidates).
+    *
+    * Each round's cost scan is O(n·|C|) cosines through the codegen'd
+    * [[Similarity.cosine]] — the same asymptotics as the published
+    * algorithm, all shuffle-free except the per-candidate weight count. */
+  private[ext] def seedCentroidsLarge(corpus: DataFrame, c: Int,
+                                      rounds: Int = 3, oversample: Double = 2.0,
+                                      idCol: String = "vec_id",
+                                      vecCol: String = "embedding"): DataFrame = {
+    require(c > 0, s"seedCentroidsLarge: c must be positive, got $c")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val l = math.max((oversample * c).toLong, 1L)
+    val pts = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .localCheckpoint()
+    var candidates = pts.orderBy(col("id")).limit(1).localCheckpoint()
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val scored = pts.as("p")
+        .crossJoin(broadcast(candidates.select(col("v").as("cv"))))
+        .select(col("p.id"), col("p.v"),
+          Similarity.cosine(col("p.v"), col("cv")).as("cos"))
+        .groupBy(col("id"))
+        .agg(first(col("v")).as("v"),
+          greatest(lit(0.0), lit(1.0) - max(col("cos"))).as("cost"))
+        .localCheckpoint()
+      val phi = scored.agg(sum(col("cost"))).head().getDouble(0)
+      if (phi <= 1e-12) exhausted = true // every point already covered
+      else {
+        val accepted = scored
+          .filter(pmod(xxhash64(col("id"), lit(round)), lit(1000000L))
+            .cast("double") / 1e6 < least(lit(1.0), lit(l.toDouble) * col("cost") / phi))
+          .select(col("id"), col("v"))
+        candidates = candidates.unionAll(accepted).localCheckpoint()
+      }
+      round += 1
+    }
+    // weight = how many points each candidate is nearest to (argmax by cos,
+    // lowest candidate id on ties); candidates nobody claims weigh 0
+    val nearest = pts.as("p")
+      .crossJoin(broadcast(candidates.select(col("id").as("cid"), col("v").as("cv"))))
+      .select(col("p.id"),
+        Similarity.cosine(col("p.v"), col("cv")).as("cos"), col("cid"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("w"))
+    val weighted: Array[(Long, Array[Float], Long)] = candidates
+      .join(nearest, candidates("id") === nearest("cid"), "left")
+      .select(candidates("id"), col("v"), coalesce(col("w"), lit(0L)).as("w"))
+      .as[(Long, Array[Float], Long)]
+      .collect()
+      .sortBy(_._1)
+    require(weighted.length >= c,
+      s"seedCentroidsLarge: only ${weighted.length} distinct candidates for c=$c — " +
+        "corpus too small for this cell count (raise oversample/rounds or lower c)")
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // deterministic weighted k-means++-style reduction: seed with the
+    // heaviest candidate, then repeatedly take argmax of w·(1 − best cos to
+    // the selected set), maintaining best-cos incrementally (O(c·m)).
+    val m = weighted.length
+    val selected = new Array[Int](c)
+    val best = new Array[Double](m)
+    var first0 = 0
+    for (j <- 1 until m)
+      if (weighted(j)._3 > weighted(first0)._3) first0 = j
+    selected(0) = first0
+    for (j <- 0 until m) best(j) = cosArr(weighted(j)._2, weighted(first0)._2)
+    val taken = new Array[Boolean](m)
+    taken(first0) = true
+    for (k <- 1 until c) {
+      var arg = -1; var bestScore = -1.0
+      for (j <- 0 until m) if (!taken(j)) {
+        val score = weighted(j)._3.toDouble * math.max(0.0, 1.0 - best(j))
+        if (score > bestScore) { bestScore = score; arg = j }
+      }
+      // all remaining scores zero (duplicate vectors / zero weights): fall
+      // back to the first untaken candidate to still return exactly c rows
+      if (arg < 0) arg = (0 until m).find(!taken(_)).get
+      selected(k) = arg; taken(arg) = true
+      for (j <- 0 until m) if (!taken(j)) {
+        val cs = cosArr(weighted(j)._2, weighted(arg)._2)
+        if (cs > best(j)) best(j) = cs
+      }
+    }
+    selected.zipWithIndex.map { case (j, i) =>
+      (i, weighted(j)._2.map(_.toDouble))
+    }.toSeq.toDF("centroid_id", "centroid")
+  }
+
   /** (vec_id, centroid_id, vec): nearest centroid per vector with the vector
     * carried through the argmax aggregation — one corpus scan, one shuffle,
     * and the output doubles as the inverted-list store (no join back to the
@@ -103,16 +219,19 @@ object Ivf {
       .select(col("centroid_id"),
         transform(col("dims"), d => d.getField("m")).as("new_centroid"))
 
-  /** Build the full IVF index: seed, run `iters` Lloyd rounds (each = one
-    * corpus scan), return (centroids, assignment) where the centroids are
-    * exactly the per-cell means of the returned assignment and the
-    * assignment carries the vectors (the inverted lists, checkpointed —
-    * every search reuses one materialization). Cells that lose all members
-    * keep their previous centroid. */
+  /** Build the full IVF index: seed (driver farthest-point for c ≤ 1024,
+    * distributed k-means‖ beyond — see [[seedCentroidsLarge]]), run `iters`
+    * Lloyd rounds (each = one corpus scan), return (centroids, assignment)
+    * where the centroids are exactly the per-cell means of the returned
+    * assignment and the assignment carries the vectors (the inverted lists,
+    * checkpointed — every search reuses one materialization). Cells that
+    * lose all members keep their previous centroid. */
   def buildIndex(corpus: DataFrame, c: Int, iters: Int = 2,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    var centroids = seedCentroids(corpus, c, idCol, vecCol)
+    var centroids =
+      if (c <= 1024) seedCentroids(corpus, c, idCol, vecCol)
+      else seedCentroidsLarge(corpus, c, idCol = idCol, vecCol = vecCol)
     var carried: DataFrame = null
     (0 until math.max(iters, 1)).foreach { _ =>
       carried = assignCarry(corpus, centroids, idCol, vecCol).localCheckpoint()
