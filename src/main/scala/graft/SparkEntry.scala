@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, CoreQueries, LlmQueries, OpsQueries, StreamQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, LakeQueries, LlmQueries, OpsQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,11 @@ object SparkEntry {
     * event-time windows). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ LlmQueries.queries ++ AdvancedQueries.queries ++
-      OpsQueries.queries ++ StreamQueries.queries
+      OpsQueries.queries ++ StreamQueries.queries ++ LakeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ LlmQueries.oracle ++ AdvancedQueries.oracle ++
-      OpsQueries.oracle ++ StreamQueries.oracle
+      OpsQueries.oracle ++ StreamQueries.oracle ++ LakeQueries.oracle
 }
