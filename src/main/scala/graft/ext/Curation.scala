@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (north-star extension, SURVEY §2.11 [N]):
+  * PII redaction, deterministic dataset splits, repetition/boilerplate stats,
+  * context-window sequence packing, and benchmark-contamination checks.
+  *
+  * Everything here is shuffle-minimal and codegen-friendly: redaction and
+  * split assignment are pure column expressions (zero data movement at
+  * 100 TB); repetition and contamination shuffle once on the document id /
+  * shingle hash with map-side partial aggregation; packing uses a two-phase
+  * distributed prefix sum instead of the naive single-partition global
+  * window.
+  *
+  * Regex parity note: the patterns below restrict themselves to the syntax
+  * subset shared by Java's regex (Spark) and RE2 (DuckDB oracle) — character
+  * classes, bounded repetition, alternation-free word boundaries. No
+  * lookaround, no backreferences.
+  */
+object Curation {
+
+  /** PII patterns, ordered so earlier redactions cannot create or destroy
+    * later matches (emails contain no spaces; SSN is disjoint from the
+    * 3-3-4 phone shape because of its 2-digit middle group). */
+  val EmailRe: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val SsnRe: String = """\b\d{3}-\d{2}-\d{4}\b"""
+  val PhoneRe: String = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+  val Ipv4Re: String = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Scrub emails / SSNs / phone numbers / IPv4 addresses, replacing each
+    * with a typed placeholder token. Chained `regexp_replace` — one codegen
+    * expression, no shuffle, idempotent (placeholders match no pattern). */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val s = regexp_replace(e, SsnRe, "<SSN>")
+    val p = regexp_replace(s, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+
+  /** Count of matches of `re` in `text` (detection side of redaction). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Deterministic train/val/test assignment from a stable id: bucket by the
+    * first two hex chars of md5(id), split at 'cc' (≈79.7% train) and 'e6'
+    * (≈10.2% val, ≈10.2% test). Pure expression — the split is a property of
+    * the ROW, not of a sampling pass, so it is reproducible under
+    * repartitioning, retries, and incremental appends (a re-run at 100 TB
+    * assigns every old row to the same split; `rand()`-based sampling does
+    * not). Lexicographic hex comparison keeps the rule portable to any
+    * SQL engine with md5. */
+  def splitAssign(id: Column): Column = {
+    val p = substring(md5(id.cast("string")), 1, 2)
+    when(p < "cc", "train").when(p < "e6", "val").otherwise("test")
+  }
+
+  /** Per-document repetition statistics: total tokens, repeated-token ratio
+    * (1 − distinct/total), and the frequency share of the single most common
+    * token (boilerplate signal — crawl boilerplate repeats nav/footer tokens).
+    * Two hash aggregations on (id, token) then (id), both with map-side
+    * partials; shuffle volume is one row per distinct (doc, token). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n"), count(lit(1)).as("u"), max("c").as("m"))
+      .select(col(idCol),
+        col("n").cast("long").as("n_tokens"),
+        round(lit(1.0) - col("u").cast("double") / col("n").cast("double"), 6)
+          .as("rep_ratio"),
+        round(col("m").cast("double") / col("n").cast("double"), 6)
+          .as("top_tok_ratio"))
+
+  /** Pack documents (in id order) into fixed token-budget context windows:
+    * bin k holds the docs whose EXCLUSIVE running token count lands in
+    * [k·maxTokens, (k+1)·maxTokens). The global running sum is computed as a
+    * two-phase distributed prefix sum — per-bucket inner prefix (parallel
+    * window partitioned by `floor(id / bucketSize)`) plus a cumulative
+    * bucket-offset table (one window over ONE ROW PER BUCKET, broadcast back)
+    * — never as a single-partition window over the corpus, which at 100 TB
+    * would funnel every row through one task. The offset window touches
+    * |corpus|/bucketSize rows (pick bucketSize so that stays ≤ ~10⁶).
+    * Matches `sum() OVER (ORDER BY id ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING)` exactly. */
+  def packSequences(docs: DataFrame, idCol: String, nTokens: Column,
+                    maxTokens: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), nTokens.cast("long").as("n"))
+      .withColumn("bucket", floor(col("id") / lit(bucketSize.toDouble)).cast("long"))
+    val offsets = d.groupBy("bucket").agg(sum("n").as("btot"))
+      .select(col("bucket"),
+        coalesce(sum(col("btot")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("boff"))
+    val inner = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .select(col("id").as(idCol), col("n").as("n_tokens"),
+        floor((col("boff") + coalesce(sum(col("n")).over(inner), lit(0L))) /
+          lit(maxTokens.toDouble)).cast("long").as("bin_id"))
+  }
+
+  /** Distinct md5 hashes of word `n`-gram shingles: (id, h). Documents with
+    * fewer than `n` tokens emit nothing. Scalar slice/concat/md5 stay in
+    * whole-stage codegen; `distinct` is a hash aggregate. */
+  def wordShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
+      .distinct()
+
+  /** Benchmark-contamination check: training docs that share at least one
+    * word `n`-gram with any document in `bench` — the standard eval-leakage
+    * guard before training. Returns (id, n_shared) with the count of distinct
+    * shared shingles. The benchmark side is tiny relative to the corpus, so
+    * its hash set is broadcast: the corpus-side scan joins against it with NO
+    * shuffle of the 100 TB side (plan: BroadcastHashJoin on h), then
+    * aggregates per doc. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val benchH = wordShingleHashes(bench, idCol, textCol, n)
+      .select(col("h")).distinct()
+    wordShingleHashes(train, idCol, textCol, n)
+      .join(broadcast(benchH), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, TextAnalysis}
+import graft.model.Tables
+
+/** Training-data curation queries under the DuckDB oracle gate: PII
+  * redaction, deterministic splits, repetition stats, sequence packing,
+  * and benchmark contamination (SURVEY §2.11 [N] north-star ops).
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic PII planted per doc so redaction is exercised on every
+    * row even though the synthetic corpus contains none; the oracle builds
+    * the identical string. */
+  private def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com, tel 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(", host 10.1."), (col("doc_id") % 256).cast("string"),
+        lit(".7")).as("t"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII detection counts + redacted text. Redaction is a chained
+    // regexp_replace — one codegen projection, no shuffle.
+    "q68_pii_redact" -> ((s, dir) => {
+      withPlantedPii(t(s, dir, "documents")).select(
+        col("doc_id"),
+        Curation.piiCount(col("t"), Curation.EmailRe).as("n_email"),
+        Curation.piiCount(col("t"), Curation.PhoneRe).as("n_phone"),
+        Curation.piiCount(col("t"), Curation.Ipv4Re).as("n_ip"),
+        Curation.redactPii(col("t")).as("clean_text"))
+    }),
+
+    // Hash-stable train/val/test assignment — reproducible per row under
+    // repartitioning/appends, unlike rand() sampling.
+    "q69_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), Curation.splitAssign(col("doc_id")).as("split"))
+    }),
+
+    // Repeated-token ratio + top-token share (boilerplate signals).
+    "q70_repetition" -> ((s, dir) => {
+      Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Context-window packing via two-phase distributed prefix sum (small
+    // bucketSize so sf0.01 exercises multiple buckets + the offset table).
+    "q71_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.packSequences(docs, "doc_id",
+        TextAnalysis.nTokens(col("text")), maxTokens = 512, bucketSize = 64)
+    }),
+
+    // Eval-leakage guard: training docs sharing an 8-token shingle with the
+    // benchmark fixture (docs with doc_id % 50 = 0); benchmark hash set is
+    // broadcast so the corpus side never shuffles.
+    "q72_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contamination(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        bench = docs.filter(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+    })
+  )
+
+  private val planted =
+    """text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+      |'@example.com, tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |', host 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7'""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q68_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Curation.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '${Curation.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '${Curation.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Curation.SsnRe}', '<SSN>', 'g'),
+         |    '${Curation.PhoneRe}', '<PHONE>', 'g'),
+         |    '${Curation.Ipv4Re}', '<IP>', 'g') AS clean_text
+         |FROM p""".stripMargin,
+    "q69_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q70_repetition" ->
+      """WITH t AS (SELECT doc_id, tok, count(*) AS c
+        |           FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+        |           GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS rep_ratio,
+        |  round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_tok_ratio
+        |FROM t GROUP BY 1""".stripMargin,
+    "q71_seq_pack" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(floor(coalesce(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+        |    AS bin_id
+        |FROM d""".stripMargin,
+    "q72_contamination" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS h
+        |       FROM ws, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS u(i)),
+        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN bench b ON s.h = b.h
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin
+  )
+}
