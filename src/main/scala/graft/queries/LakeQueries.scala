@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{TableRef, Tables}
 import graft.sinks.{Maintenance, Sinks}
-import graft.sources.{EndpointSpec, Json, PagePagination, RestSource}
+import graft.sources.{EndpointSpec, IncrementalConfig, Json, PagePagination, RestSource}
 
 /** Sink/source round-trips under the driver's DuckDB gate (SURVEY §2.1/§2.2):
   * each query pushes real data THROUGH a sink or source operator and returns
@@ -95,6 +95,51 @@ object LakeQueries {
         .select(col("n_nationkey").cast("int").as("n_nationkey"),
           col("n_name"),
           col("n_regionkey").cast("int").as("n_regionkey"))
+    }),
+
+    // K3 + S2/S7: single-JSON-document sink → multi-line document scan
+    // round-trip (the QuickBooks-style bronze landing shape). One task
+    // streams the array out; readItems probes the bare-array shape back in.
+    "q73_json_doc_roundtrip" -> ((s, dir) => {
+      val out = tmp("q73")
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      Sinks.writeJsonDocument(supp, s"$out/doc")
+      Json.readItems(s, s"$out/doc")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("int").as("s_nationkey"),
+          col("s_acctbal"))
+    }),
+
+    // S5: incremental updated_since pull. The fixture server holds dated
+    // order records and filters by the engine-sent updated_since param —
+    // wrong or missing param plumbing returns the wrong row set and fails
+    // the oracle. today is pinned so sinceDate is deterministic.
+    "q74_incremental_scan" -> ((s, dir) => {
+      val dated: Array[(String, String)] = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 37 === 0)
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          to_json(struct(
+            col("o_orderkey"),
+            col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date")))
+            .as("j"))
+        .orderBy(col("j"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val pageSize = 50
+      val fetch: Map[String, String] => Seq[String] = { params =>
+        val since = params("updated_since")
+        val page = params("page").toInt
+        val live = dated.collect { case (d, j) if d >= since => j }
+        live.slice((page - 1) * pageSize, page * pageSize).toSeq
+      }
+      val src = new RestSource(
+        EndpointSpec("orders", PagePagination(pageSize = pageSize),
+          incremental = Some(IncrementalConfig(fromDaysAgo = 30))),
+        fetch, today = java.time.LocalDate.parse("1995-04-08"))
+      src.toDF(s, pageCount = dated.length / pageSize + 1, parallelism = 4)
+        .select(col("o_orderkey"), col("o_totalprice"), col("order_date"))
     })
   )
 
@@ -113,6 +158,14 @@ object LakeQueries {
         |  user_id, event_type, value
         |FROM events WHERE event_id % 5 = 0""".stripMargin,
     "q67_rest_source" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q73_json_doc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q74_incremental_scan" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |WHERE o_orderkey % 37 = 0
+        |  AND strftime(o_orderdate, '%Y-%m-%d') >= '1995-03-09'""".stripMargin
   )
 }
