@@ -89,8 +89,13 @@ object Curation {
     * PRECEDING)` exactly. */
   def packSequences(docs: DataFrame, idCol: String, nTokens: Column,
                     maxTokens: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    // (id, n, bucket) is consumed by two subplans (bucket totals + the
+    // inner-prefix join); Catalyst has no common-subplan elimination, so
+    // without a checkpoint the full scan + tokenize runs twice. The frame
+    // is three longs per document — negligible next to the corpus.
     val d = docs.select(col(idCol).as("id"), nTokens.cast("long").as("n"))
       .withColumn("bucket", floor(col("id") / lit(bucketSize.toDouble)).cast("long"))
+      .localCheckpoint()
     val offsets = d.groupBy("bucket").agg(sum("n").as("btot"))
       .select(col("bucket"),
         coalesce(sum(col("btot")).over(
@@ -109,6 +114,14 @@ object Curation {
     * whole-stage codegen; `distinct` is a hash aggregate. */
   def wordShingleHashes(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
+    rawShingleHashes(docs, idCol, textCol, n).distinct()
+
+  /** As [[wordShingleHashes]] but WITHOUT the distinct — callers that filter
+    * the stream down first (e.g. a broadcast contamination join) dedup after
+    * the filter, when rows are few, instead of shuffling every corpus
+    * shingle for a distinct up front. */
+  private def rawShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame =
     docs
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -116,7 +129,6 @@ object Curation {
         explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
       .select(col(idCol),
         md5(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
-      .distinct()
 
   /** Benchmark-contamination check: training docs that share at least one
     * word `n`-gram with any document in `bench` — the standard eval-leakage
@@ -129,9 +141,12 @@ object Curation {
                     textCol: String, n: Int): DataFrame = {
     val benchH = wordShingleHashes(bench, idCol, textCol, n)
       .select(col("h")).distinct()
-    wordShingleHashes(train, idCol, textCol, n)
+    // Corpus side stays UN-deduped until after the broadcast join: the join
+    // filters ~everything, so the per-doc distinct runs on the few surviving
+    // rows instead of shuffling every corpus shingle hash first.
+    rawShingleHashes(train, idCol, textCol, n)
       .join(broadcast(benchH), Seq("h"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("h")).as("n_shared"))
   }
 }
