@@ -140,6 +140,32 @@ object LakeQueries {
         fetch, today = java.time.LocalDate.parse("1995-04-08"))
       src.toDF(s, pageCount = dated.length / pageSize + 1, parallelism = 4)
         .select(col("o_orderkey"), col("o_totalprice"), col("order_date"))
+    }),
+
+    // S4 via the TRUE DataSource V2 path: page ranges become Spark
+    // InputPartitions, each executor instantiates its own fetcher
+    // (configure seam carries the connection config), rows land as raw
+    // strings and are parsed downstream with from_json — the bronze
+    // schema-free landing shape end-to-end.
+    "q75_dsv2_source" -> ((s, dir) => {
+      val out = tmp("q75")
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"))
+      Sinks.writeJsonl(parts, s"$out/jsonl")
+      s.read.format("graft.sources.v2.RestDataSource")
+        .option("fetcher", classOf[graft.sources.v2.JsonlFilePageFetcher].getName)
+        .option("fixturePath", s"$out/jsonl")
+        .option("pageSize", "100")
+        .option("pages", "1000")
+        .option("pagesPerPartition", "4")
+        .load()
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "p_partkey LONG, p_name STRING, p_size INT, p_retailprice DOUBLE"))
+          .as("r"))
+        .select(col("r.p_partkey").as("p_partkey"), col("r.p_name").as("p_name"),
+          col("r.p_size").as("p_size"), col("r.p_retailprice").as("p_retailprice"))
     })
   )
 
@@ -166,6 +192,8 @@ object LakeQueries {
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM orders
         |WHERE o_orderkey % 37 = 0
-        |  AND strftime(o_orderdate, '%Y-%m-%d') >= '1995-03-09'""".stripMargin
+        |  AND strftime(o_orderdate, '%Y-%m-%d') >= '1995-03-09'""".stripMargin,
+    "q75_dsv2_source" ->
+      "SELECT p_partkey, p_name, p_size, p_retailprice FROM part"
   )
 }

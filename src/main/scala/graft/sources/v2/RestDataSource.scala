@@ -21,6 +21,13 @@ trait PageFetcher extends Serializable {
   def fetch(params: Map[String, String]): Seq[String]
 }
 
+/** A [[PageFetcher]] that needs reader options (base URL, auth profile,
+  * fixture path, …). `configure` is called executor-side right after the
+  * no-arg instantiation, with the full option map of the scan. */
+trait ConfigurablePageFetcher extends PageFetcher {
+  def configure(opts: Map[String, String]): Unit
+}
+
 /** DataSource V2 REST source (SURVEY §2.1 S4/S5): the page-numbered
   * pagination protocol of the reference extractor (reference
   * `rest_api.py:58-93`) is splittable, so each Spark `InputPartition` owns a
@@ -109,8 +116,15 @@ final class RestReaderFactory(opts: Map[String, String])
 final class RestPartitionReader(opts: Map[String, String], startPage: Int, endPage: Int)
     extends PartitionReader[InternalRow] {
 
-  private val fetcher: PageFetcher = Class.forName(opts("fetcher"))
-    .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
+  private val fetcher: PageFetcher = {
+    val f = Class.forName(opts("fetcher"))
+      .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
+    f match {
+      case c: ConfigurablePageFetcher => c.configure(opts)
+      case _ => ()
+    }
+    f
+  }
 
   private def params(page: Int): Map[String, String] = {
     val base = Map(
