@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Skew, Upsert}
+import graft.ops.{BloomJoin, Skew, Upsert}
 import graft.qc.Checks
 import graft.sources.Json
 
@@ -138,6 +138,20 @@ object OpsQueries {
         partial = Seq(sum(col("value")).as("s"), count(lit(1)).as("c")),
         fin = Seq(round(sum(col("s")), 2).as("total_value"),
           sum(col("c")).as("n_events")))
+    }),
+
+    // Bloom-pre-filtered semi join (ops/BloomJoin): the build side's key set
+    // rides a native bloom_might_contain predicate that trims the probe side
+    // BEFORE its shuffle; the exact semi join on survivors makes the answer
+    // identical to the plain IN-subquery oracle (false positives re-checked,
+    // false negatives impossible).
+    "q76_bloom_semi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      BloomJoin.semiJoin(li, "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 1L << 17)
     })
   )
 
@@ -230,6 +244,11 @@ object OpsQueries {
         |  round(sum(value), 2) AS total_value,
         |  count(*) AS n_events
         |FROM events
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q76_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
   )
 }
