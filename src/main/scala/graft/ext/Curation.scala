@@ -57,6 +57,27 @@ object Curation {
     when(p < "cc", "train").when(p < "e6", "val").otherwise("test")
   }
 
+  /** Deterministic hash sampling: keep a row iff the first four hex chars of
+    * md5(id:salt) fall below `fraction`·16⁴. Like [[splitAssign]], the keep
+    * decision is a property of the row — stable under repartitioning,
+    * retries, and appends, and different salts give independent samples.
+    * Combine with a stratum CASE for stratified rates (see q77). */
+  def hashSampleExpr(id: Column, fraction: Double, salt: String): Column =
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4) <
+      f"${(fraction * 65536).toInt}%04x"
+
+  /** Cap each key's contribution at `k` rows (per-domain/source quota — the
+    * standard guard against one crawl domain dominating a training mix).
+    * Deterministic for a unique `order` column. One shuffle on the key; the
+    * per-key sort is bounded by the group, not the corpus. */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String, k: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+
   /** Per-document repetition statistics: total tokens, repeated-token ratio
     * (1 − distinct/total), and the frequency share of the single most common
     * token (boilerplate signal — crawl boilerplate repeats nav/footer tokens).

@@ -59,6 +59,24 @@ object CurationQueries {
         TextAnalysis.nTokens(col("text")), maxTokens = 512, bucketSize = 64)
     }),
 
+    // Stratified deterministic sampling: 50% of English docs, 20% of the
+    // rest, decided per row by a salted hash — reproducible under
+    // repartition/appends; different salts give independent samples.
+    "q77_stratified_sample" -> ((s, dir) => {
+      val keep = when(col("lang") === "en",
+        Curation.hashSampleExpr(col("doc_id"), 0.5, "s1"))
+        .otherwise(Curation.hashSampleExpr(col("doc_id"), 0.2, "s1"))
+      t(s, dir, "documents").filter(keep).select(col("doc_id"), col("lang"))
+    }),
+
+    // Per-source quota: at most 15 docs per crawl source (ordered by id) —
+    // the guard against one domain dominating the training mix.
+    "q78_source_cap" -> ((s, dir) => {
+      Curation.capPerKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        keyCol = "source", orderCol = "doc_id", k = 15)
+    }),
+
     // Eval-leakage guard: training docs sharing an 8-token shingle with the
     // benchmark fixture (docs with doc_id % 50 = 0); benchmark hash set is
     // broadcast so the corpus side never shuffles.
@@ -110,6 +128,14 @@ object CurationQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
         |    AS bin_id
         |FROM d""".stripMargin,
+    "q77_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 4) < '8000'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 4) < '3333' END""".stripMargin,
+    "q78_source_cap" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15""".stripMargin,
     "q72_contamination" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
