@@ -66,6 +66,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"))
   }
 
+  test("q68: PII redaction is a pure scan+project — zero exchanges") {
+    val p = plan("q68_pii_redact")
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+  }
+
+  test("q77: stratified sampling is a pure scan+filter — zero exchanges") {
+    val p = plan("q77_stratified_sample")
+    assert(!p.contains("Exchange"), s"hash sampling must not shuffle:\n$p")
+  }
+
+  test("q71: packing windows are bucket-partitioned; only the offset table is single-partition") {
+    val p = plan("q71_seq_pack")
+    assert(p.contains("Exchange hashpartitioning(bucket"),
+      s"inner prefix window must partition by bucket:\n$p")
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single == 1,
+      s"exactly the per-bucket offset table may be single-partition, got $single:\n$p")
+  }
+
+  test("q72: contamination joins via broadcast with no corpus-side pre-shuffle") {
+    val p = plan("q72_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle to join:\n$p")
+  }
+
+  test("q78: per-source cap costs one shuffle (window on the quota key)") {
+    val p = plan("q78_source_cap")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"no global window allowed:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
