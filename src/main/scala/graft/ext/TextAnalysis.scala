@@ -111,6 +111,36 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(col("m")).as("min_shingle_fp"))
 
+  /** Top-`k` distinctive terms per document: highest term frequency among
+    * tokens whose document frequency is ≤ `maxDf` (suppresses corpus-common
+    * terms — the same signal log-idf weights, kept RATIONAL so an ANSI
+    * oracle reproduces ranks bit-for-bit; `log` differs in the last ulp
+    * across libm implementations and can flip top-k ties). Tie-break is
+    * (tf desc, term asc) — fully deterministic.
+    *
+    * The (doc, term, tf) frame feeds both the vocabulary DF aggregate and
+    * the per-doc ranking, so it is checkpointed once (no common-subplan
+    * elimination). DF is a hash-agg over the vocabulary; the re-join is an
+    * equi-join on the term. Per-doc ranking is a bounded window (group =
+    * one document's distinct terms). */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String,
+                       maxDf: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    tf.join(dfreq, "term")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tf").desc, col("term").asc)))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"))
+  }
+
   /** (id, fp, min_shingle_fp) in ONE pass: the whole-document fingerprint is
     * computed before the shingle explode and carried as a grouping key
     * (functionally dependent on the id, so groups are unchanged) — one scan

@@ -77,6 +77,14 @@ object CurationQueries {
         keyCol = "source", orderCol = "doc_id", k = 15)
     }),
 
+    // Keyword extraction: top-3 distinctive terms per doc (highest tf among
+    // terms appearing in ≤ 50 docs — rational df suppression instead of
+    // log-idf so the oracle ranks identically).
+    "q79_distinctive_terms" -> ((s, dir) => {
+      TextAnalysis.distinctiveTerms(t(s, dir, "documents"),
+        "doc_id", "text", maxDf = 50, k = 3)
+    }),
+
     // Eval-leakage guard: training docs sharing an 8-token shingle with the
     // benchmark fixture (docs with doc_id % 50 = 0); benchmark hash set is
     // broadcast so the corpus side never shuffles.
@@ -136,6 +144,15 @@ object CurationQueries {
     "q78_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15""".stripMargin,
+    "q79_distinctive_terms" ->
+      """WITH t AS (SELECT doc_id, tok AS term, count(*) AS tf
+        |           FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+        |           GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1 HAVING count(*) <= 50)
+        |SELECT t.doc_id, t.term, t.tf, d.df
+        |FROM t JOIN d USING (term)
+        |QUALIFY row_number() OVER (PARTITION BY t.doc_id
+        |  ORDER BY t.tf DESC, t.term ASC) <= 3""".stripMargin,
     "q72_contamination" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
