@@ -142,6 +142,31 @@ object LakeQueries {
         .select(col("o_orderkey"), col("o_totalprice"), col("order_date"))
     }),
 
+    // P4/P5: partition-pruned lake read. The table lands hive-partitioned
+    // by run_date; the month filter must resolve from DIRECTORY LISTING, so
+    // only that partition's files are read (asserted via inputFiles — at
+    // 100 TB this is the difference between one partition and a full scan).
+    "q81_partition_pruned_read" -> ((s, dir) => {
+      val root = tmp("q81")
+      val ref = TableRef("silver", "sales", "orders")
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .withColumn("run_date", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("run_date"))
+      Sinks.writePartitionedByRunDate(base, root, ref)
+      val pruned = Sinks.readLakeTable(s, root, ref)
+        .filter(col("run_date") === "1995-06")
+      // the month filter must plan as a PARTITION filter (directory
+      // pruning), not a post-scan data filter
+      val plan = pruned.queryExecution.executedPlan.toString
+      require("PartitionFilters: \\[[^\\]]*run_date#\\d+ = 1995-06".r
+        .findFirstIn(plan).isDefined,
+        s"run_date filter did not reach partition pruning:\n$plan")
+      pruned.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("run_date").cast("string").as("run_date"))
+    }),
+
     // S4 via the TRUE DataSource V2 path: page ranges become Spark
     // InputPartitions, each executor instantiates its own fetcher
     // (configure seam carries the connection config), rows land as raw
@@ -194,6 +219,11 @@ object LakeQueries {
         |WHERE o_orderkey % 37 = 0
         |  AND strftime(o_orderdate, '%Y-%m-%d') >= '1995-03-09'""".stripMargin,
     "q75_dsv2_source" ->
-      "SELECT p_partkey, p_name, p_size, p_retailprice FROM part"
+      "SELECT p_partkey, p_name, p_size, p_retailprice FROM part",
+    "q81_partition_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m') AS run_date
+        |FROM orders
+        |WHERE o_orderkey % 4 = 0 AND strftime(o_orderdate, '%Y-%m') = '1995-06'""".stripMargin
   )
 }

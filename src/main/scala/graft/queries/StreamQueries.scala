@@ -86,6 +86,42 @@ object StreamQueries {
         ).toDF()
       }.groupBy(col("user_id"))
         .agg(max(col("total_events")).as("n_events"))
+    }),
+
+    // Stream-stream interval join replayed across micro-batches: view →
+    // purchase attribution within 30 minutes. Both sides stream from the
+    // same landed files; lateness exceeds the data's span so no join state
+    // expires before AvailableNow drains — every qualifying pair is emitted
+    // exactly once regardless of batch interleaving, making the output the
+    // plain batch interval join the oracle computes.
+    "q80_stream_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q80").toString
+      ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      def stream() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+      val joined = Streaming.streamIntervalJoin(
+        views, purchases, key = "user_id",
+        interval = "30 minutes", lateness = "3650 days")
+      val q = joined
+        .select(col("l.user_id").as("user_id"),
+          col("view_id"), col("purchase_id"),
+          unix_micros(col("l.ts")).as("view_ts_us"),
+          unix_micros(col("r.ts")).as("purchase_ts_us"))
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      q.awaitTermination(300000)
+      s.read.parquet(s"$tmp/out")
     })
   )
 
@@ -98,6 +134,14 @@ object StreamQueries {
     "q63_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events WHERE event_id % 10 < 3
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+    "q80_stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS view_ts_us,
+        |  epoch_us(CAST(r.ts AS TIMESTAMP)) AS purchase_ts_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        |WHERE l.event_type = 'view' AND r.event_type = 'purchase'""".stripMargin
   )
 }
