@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{BloomJoin, Skew, Upsert}
+import graft.ops.{BloomJoin, Cleaning, Skew, Upsert}
 import graft.qc.Checks
 import graft.sources.Json
 
@@ -152,6 +152,56 @@ object OpsQueries {
         .filter(col("o_orderpriority") === "1-URGENT")
       BloomJoin.semiJoin(li, "l_orderkey", urgent, "o_orderkey",
         expectedItems = 1L << 17)
+    }),
+
+    // P1-P3 silver cleaning under the gate: exact-duplicate rows deduped,
+    // ISO timestamps parsed (unparseable -> NULL via try_to_timestamp, the
+    // reference's coerce-errors behavior), defensive cast, audit column
+    // stamped then dropped by the gold projection. Duplicates are EXACT
+    // copies so dropDuplicates' arbitrary survivor is still deterministic.
+    "q82_silver_clean" -> ((s, dir) => {
+      val raw0 = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 7 === 0, lit("not-a-date"))
+          .otherwise(concat(lit("2024-01-"),
+            lpad(((col("c_custkey") % 28) + 1).cast("string"), 2, "0"),
+            lit(" 10:30:00"))).as("created_at"),
+        concat(col("c_name"), lit("@example.com")).as("email"))
+      val raw = raw0.unionAll(raw0.filter(col("c_custkey") % 3 === 0))
+      Cleaning.goldDim(Cleaning.cleanCustomers(raw))
+        .select(col("id"), col("name"),
+          unix_micros(col("created_at")).as("created_us"), col("email"))
+    }),
+
+    // K5 load plan: the declarative per-run upsert loop over two tables,
+    // driven end-to-end through parquet targets; both tables' final states
+    // are unioned (tagged) so the oracle checks the whole plan's effect.
+    "q83_load_plan" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q83").toString
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      cust.write.parquet(s"$root/cust")
+      ord.write.parquet(s"$root/ord")
+      val updates = Map(
+        "cust" -> cust.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)),
+        "ord" -> ord.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 50, 2)))
+      Upsert.runLoadPlan(
+        Seq(Upsert.LoadSpec("cust", Seq("c_custkey")),
+          Upsert.LoadSpec("ord", Seq("o_orderkey"))),
+        readTarget = n => s.read.parquet(s"$root/$n"),
+        readUpdates = n => updates(n),
+        writeTarget = (n, df) => df.write.parquet(s"$root/${n}_out"))
+      s.read.parquet(s"$root/cust_out")
+        .select(lit("cust").as("tbl"), col("c_custkey").as("k"),
+          round(col("c_acctbal"), 2).as("v"))
+        .unionAll(s.read.parquet(s"$root/ord_out")
+          .select(lit("ord").as("tbl"), col("o_orderkey").as("k"),
+            round(col("o_totalprice"), 2).as("v")))
     })
   )
 
@@ -249,6 +299,24 @@ object OpsQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
         |WHERE l_orderkey IN
-        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q82_silver_clean" ->
+      """SELECT c_custkey AS id, c_name AS name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |       ELSE epoch_us(CAST('2024-01-' ||
+        |         lpad(CAST((c_custkey % 28) + 1 AS VARCHAR), 2, '0') ||
+        |         ' 10:30:00' AS TIMESTAMP)) END AS created_us,
+        |  c_name || '@example.com' AS email
+        |FROM customer""".stripMargin,
+    "q83_load_plan" ->
+      """SELECT 'cust' AS tbl, c_custkey AS k,
+        |  round(CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100, 2)
+        |             ELSE c_acctbal END, 2) AS v
+        |FROM customer
+        |UNION ALL
+        |SELECT 'ord', o_orderkey,
+        |  round(CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 50, 2)
+        |             ELSE o_totalprice END, 2)
+        |FROM orders""".stripMargin
   )
 }
