@@ -150,7 +150,7 @@ object LakeQueries {
       val root = tmp("q81")
       val ref = TableRef("silver", "sales", "orders")
       val base = t(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === 0)
+        .filter(col("o_orderkey") % 4 === 0 && year(col("o_orderdate")) === 1995)
         .withColumn("run_date", date_format(col("o_orderdate"), "yyyy-MM"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("run_date"))
@@ -224,6 +224,7 @@ object LakeQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m') AS run_date
         |FROM orders
-        |WHERE o_orderkey % 4 = 0 AND strftime(o_orderdate, '%Y-%m') = '1995-06'""".stripMargin
+        |WHERE o_orderkey % 4 = 0 AND year(o_orderdate) = 1995
+        |  AND strftime(o_orderdate, '%Y-%m') = '1995-06'""".stripMargin
   )
 }

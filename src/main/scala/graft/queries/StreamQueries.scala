@@ -98,7 +98,10 @@ object StreamQueries {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q80").toString
-      ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      // 2 files × 2 streams still forces cross-batch joins through the
+      // state store (matching view/purchase rows land in different
+      // micro-batches); more files only multiply fixed batch overhead.
+      ev.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
       val schema = s.read.parquet(s"$tmp/in").schema
       def stream() = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
