@@ -24,6 +24,36 @@ object AdvancedQueries {
     Tables.load(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Correlated EXISTS + NOT EXISTS through the SQL surface: Catalyst must
+    // decorrelate both into semi/anti joins (plan has no per-row subquery
+    // execution — the scale difference between O(n) joins and O(n·m) loops).
+    "q84_correlated_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v84")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v84")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name
+          |FROM customer_v84 c
+          |WHERE EXISTS (SELECT 1 FROM orders_v84 o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v84 o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F')""".stripMargin)
+    }),
+
+    // Schema evolution at the union: the v2 frame added columns; v1 rows
+    // must surface with NULLs for them (unionByName + allowMissingColumns —
+    // the lake-native answer to appended-schema files).
+    "q85_union_evolved" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val v1 = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val v2 = cust.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("v2").as("schema_ver"))
+      v1.unionByName(v2, allowMissingColumns = true)
+    }),
+
     // TPC-H Q17 shape: rows below half their group's average.
     // l_quantity is integral, so group sums are exact in double and the
     // strict `<` compares identically across engines.
@@ -166,6 +196,22 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q84_correlated_exists" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')""".stripMargin,
+    "q85_union_evolved" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
+        |  CAST(NULL AS VARCHAR) AS schema_ver
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'v2'
+        |FROM customer WHERE c_custkey % 2 <> 0""".stripMargin,
     "q37_scalar_subquery" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem l1

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{TableRef, Tables}
+import graft.pipeline.Pipeline
 import graft.sinks.{Maintenance, Sinks}
 import graft.sources.{EndpointSpec, IncrementalConfig, Json, PagePagination, RestSource}
 
@@ -167,6 +168,39 @@ object LakeQueries {
         col("run_date").cast("string").as("run_date"))
     }),
 
+    // The reference's WHOLE pipeline in one gated query: bronze JSONL
+    // (dup-injected, mixed-validity amounts) → silver clean (dedup,
+    // try_cast, timestamp parse) → gold star write → dim⋈fact report read
+    // back FROM THE GOLD FILES. A fault anywhere in the medallion —
+    // landing, clean, routing, write, read — surfaces as an oracle diff.
+    "q86_medallion_e2e" -> ((s, dir) => {
+      val root = tmp("q86")
+      val cfg = Pipeline.LakeConfig(root, "2026-01-01")
+      val rawCust = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        lit("2024-02-01 00:00:00").as("created_at"),
+        concat(col("c_name"), lit("@example.com")).as("email"))
+      val rawPay = t(s, dir, "orders").select(
+        col("o_orderkey").as("payment_id"), col("o_custkey").as("customer_id"),
+        when(col("o_orderkey") % 13 === 0, lit("n/a"))
+          .otherwise(col("o_totalprice").cast("string")).as("amount"),
+        lit("2024-02-01 00:00:00").as("created_at"),
+        lit("2024-02-02 12:00:00").as("paid_at"))
+      Sinks.writeJsonl(rawCust.unionAll(rawCust.filter(col("id") % 4 === 0)),
+        Pipeline.bronzeRef("superoperator", "customers").path(root, cfg.runDate))
+      Sinks.writeJsonl(rawPay.unionAll(rawPay.filter(col("payment_id") % 6 === 0)),
+        Pipeline.bronzeRef("superoperator", "payments").path(root, cfg.runDate))
+      Pipeline.transformStage(s, cfg)
+      val dim = s.read.parquet(
+        Pipeline.goldRef("dim_customers").path(root, cfg.runDate))
+      val fact = s.read.parquet(
+        Pipeline.goldRef("fact_payments").path(root, cfg.runDate))
+      fact.join(dim, fact("customer_id") === dim("id"))
+        .groupBy(col("name"))
+        .agg(count(col("payment_id")).as("n_payments"),
+          round(sum(col("amount")), 2).as("total_paid"))
+    }),
+
     // S4 via the TRUE DataSource V2 path: page ranges become Spark
     // InputPartitions, each executor instantiates its own fetcher
     // (configure seam carries the connection config), rows land as raw
@@ -225,6 +259,12 @@ object LakeQueries {
         |  strftime(o_orderdate, '%Y-%m') AS run_date
         |FROM orders
         |WHERE o_orderkey % 4 = 0 AND year(o_orderdate) = 1995
-        |  AND strftime(o_orderdate, '%Y-%m') = '1995-06'""".stripMargin
+        |  AND strftime(o_orderdate, '%Y-%m') = '1995-06'""".stripMargin,
+    "q86_medallion_e2e" ->
+      """SELECT c.c_name AS name, count(*) AS n_payments,
+        |  round(sum(CASE WHEN o.o_orderkey % 13 = 0 THEN NULL
+        |                 ELSE o.o_totalprice END), 2) AS total_paid
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"no global window allowed:\n$p")
   }
 
+  test("q84: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q84_correlated_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
