@@ -130,6 +130,23 @@ object Curation {
           lit(maxTokens.toDouble)).cast("long").as("bin_id"))
   }
 
+  /** Split documents into overlapping token-window chunks (stride <
+    * chunkTokens ⇒ overlap) — the standard pre-training/RAG chunking shape.
+    * One generate per row, scalar slice/concat in codegen, no shuffle at
+    * all: chunking is embarrassingly parallel and stays that way at 100 TB.
+    * The final (short) tail window is emitted like any other chunk. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(stride))).as("st"))
+      .select(col(idCol),
+        floor((col("st") - 1) / lit(stride.toDouble)).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("st"), lit(chunkTokens))).as("chunk_text"),
+        least(size(col("w")) - col("st") + 1, lit(chunkTokens)).cast("long")
+          .as("n_tokens"))
+
   /** Distinct md5 hashes of word `n`-gram shingles: (id, h). Documents with
     * fewer than `n` tokens emit nothing. Scalar slice/concat/md5 stay in
     * whole-stage codegen; `distinct` is a hash aggregate. */

@@ -77,6 +77,14 @@ object CurationQueries {
         keyCol = "source", orderCol = "doc_id", k = 15)
     }),
 
+    // Overlapping token-window chunking (64-token chunks, stride 48):
+    // shuffle-free generate+slice, the shape RAG/pre-training tokenization
+    // fans out from.
+    "q87_chunking" -> ((s, dir) => {
+      Curation.chunkDocuments(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 64, stride = 48)
+    }),
+
     // Keyword extraction: top-3 distinctive terms per doc (highest tf among
     // terms appearing in ≤ 50 docs — rational df suppression instead of
     // log-idf so the oracle ranks identically).
@@ -144,6 +152,13 @@ object CurationQueries {
     "q78_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15""".stripMargin,
+    "q87_chunking" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST((i - 1) // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 63], ' ') AS chunk_text,
+        |  CAST(least(len(w) - i + 1, 64) AS BIGINT) AS n_tokens
+        |FROM ws, unnest(range(1, len(w) + 1, 48)) AS u(i)""".stripMargin,
     "q79_distinctive_terms" ->
       """WITH t AS (SELECT doc_id, tok AS term, count(*) AS tf
         |           FROM documents, unnest(string_split(text, ' ')) AS u(tok)

@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"no global window allowed:\n$p")
   }
 
+  test("q87: chunking is a shuffle-free generate — zero exchanges") {
+    val p = plan("q87_chunking")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected explode-based generate:\n$p")
+  }
+
   test("q84: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
     val p = plan("q84_correlated_exists")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
