@@ -57,16 +57,20 @@ object Curation {
     when(p < "cc", "train").when(p < "e6", "val").otherwise("test")
   }
 
-  /** Deterministic hash sampling: keep a row iff the first four hex chars of
-    * md5(id:salt) fall below `fraction`·16⁴. Like [[splitAssign]], the keep
-    * decision is a property of the row — stable under repartitioning,
-    * retries, and appends, and different salts give independent samples.
-    * Combine with a stratum CASE for stratified rates (see q77). */
-  def hashSampleExpr(id: Column, fraction: Double, salt: String): Column =
+  /** Deterministic hash sampling: keep a row iff the first eight hex chars
+    * of md5(id:salt) fall below `fraction`·16⁸ (granularity 2⁻³², so even
+    * a 1e-8 sample of a 100 TB corpus keeps rows instead of silently
+    * rounding to zero). Like [[splitAssign]], the keep decision is a
+    * property of the row — stable under repartitioning, retries, and
+    * appends, and different salts give independent samples. Combine with a
+    * stratum CASE for stratified rates (see q77). */
+  def hashSampleExpr(id: Column, fraction: Double, salt: String): Column = {
+    val threshold = (fraction * 4294967296.0).toLong
     if (fraction >= 1.0) lit(true)
-    else if (fraction <= 0.0) lit(false)
-    else substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4) <
-      f"${(fraction * 65536).toInt}%04x"
+    else if (threshold <= 0L) lit(false)
+    else substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8) <
+      f"$threshold%08x"
+  }
 
   /** Cap each key's contribution at `k` rows (per-domain/source quota — the
     * standard guard against one crawl domain dominating a training mix).

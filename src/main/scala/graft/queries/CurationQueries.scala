@@ -147,8 +147,8 @@ object CurationQueries {
     "q77_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CASE WHEN lang = 'en'
-        |  THEN substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 4) < '8000'
-        |  ELSE substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 4) < '3333' END""".stripMargin,
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8) < '80000000'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8) < '33333333' END""".stripMargin,
     "q78_source_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15""".stripMargin,

@@ -19,8 +19,7 @@ object LakeQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private def tmp(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+  private def tmp(name: String): String = QueryTmp.dir(name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // K2 + S1: JSONL sink → JSONL scan round-trip. JSON re-infers integer
@@ -212,11 +211,15 @@ object LakeQueries {
         .select(col("p_partkey"), col("p_name"), col("p_size"),
           col("p_retailprice"))
       Sinks.writeJsonl(parts, s"$out/jsonl")
+      // plan pages from the actual row count: over-planning costs a full
+      // fixture re-read per idle partition reader (each reader loads the
+      // directory before discovering its range is empty)
+      val pages = (parts.count() / 100 + 1).toString
       s.read.format("graft.sources.v2.RestDataSource")
         .option("fetcher", classOf[graft.sources.v2.JsonlFilePageFetcher].getName)
         .option("fixturePath", s"$out/jsonl")
         .option("pageSize", "100")
-        .option("pages", "1000")
+        .option("pages", pages)
         .option("pagesPerPartition", "4")
         .load()
         .select(from_json(col("value"),

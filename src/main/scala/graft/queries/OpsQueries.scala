@@ -178,7 +178,7 @@ object OpsQueries {
     // driven end-to-end through parquet targets; both tables' final states
     // are unioned (tagged) so the oracle checks the whole plan's effect.
     "q83_load_plan" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q83").toString
+      val root = QueryTmp.dir("q83")
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
       val ord = t(s, dir, "orders")

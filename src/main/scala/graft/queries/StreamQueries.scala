@@ -42,19 +42,30 @@ object StreamQueries {
     * over it one file per micro-batch; returns the appended output read
     * back as a batch frame. */
   private def replay(s: SparkSession, df: DataFrame, name: String,
-                     nFiles: Int)(transform: DataFrame => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+                     nFiles: Int)(transform: DataFrame => DataFrame): DataFrame =
+    replayWith(s, df, name, nFiles)(stream => transform(stream()))
+
+  /** As [[replay]], but hands the transform a STREAM FACTORY so it can open
+    * several independent readers over the same landed files (stream-stream
+    * joins — each side tracks its own file progress). */
+  private def replayWith(s: SparkSession, df: DataFrame, name: String,
+                         nFiles: Int)(
+      transform: (() => DataFrame) => DataFrame): DataFrame = {
+    val tmp = QueryTmp.dir(name)
     df.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/in")
     val schema = s.read.parquet(s"$tmp/in").schema
-    val stream = s.readStream.schema(schema)
+    def stream(): DataFrame = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-    val q = transform(stream).writeStream
+    val q = transform(stream _).writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$tmp/ckpt")
       .format("parquet").option("path", s"$tmp/out")
       .start()
-    q.awaitTermination(300000) // throws if the stream failed
+    // awaitTermination THROWS on stream failure but returns false on
+    // timeout — a silent false would read a partial output directory and
+    // report a bogus correctness diff.
+    require(q.awaitTermination(300000), s"$name: stream drain timed out")
     s.read.parquet(s"$tmp/out")
   }
 
@@ -97,34 +108,22 @@ object StreamQueries {
     "q80_stream_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q80").toString
       // 2 files × 2 streams still forces cross-batch joins through the
       // state store (matching view/purchase rows land in different
       // micro-batches); more files only multiply fixed batch overhead.
-      ev.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
-      val schema = s.read.parquet(s"$tmp/in").schema
-      def stream() = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-      val views = stream().filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
-      val purchases = stream().filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
-      val joined = Streaming.streamIntervalJoin(
-        views, purchases, key = "user_id",
-        interval = "30 minutes", lateness = "3650 days")
-      val q = joined
-        .select(col("l.user_id").as("user_id"),
-          col("view_id"), col("purchase_id"),
-          unix_micros(col("l.ts")).as("view_ts_us"),
-          unix_micros(col("r.ts")).as("purchase_ts_us"))
-        .writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .format("parquet").option("path", s"$tmp/out")
-        .start()
-      q.awaitTermination(300000)
-      s.read.parquet(s"$tmp/out")
+      replayWith(s, ev, "q80", nFiles = 2) { stream =>
+        val views = stream().filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+        Streaming.streamIntervalJoin(
+          views, purchases, key = "user_id",
+          interval = "30 minutes", lateness = "3650 days")
+          .select(col("l.user_id").as("user_id"),
+            col("view_id"), col("purchase_id"),
+            unix_micros(col("l.ts")).as("view_ts_us"),
+            unix_micros(col("r.ts")).as("purchase_ts_us"))
+      }
     })
   )
 
