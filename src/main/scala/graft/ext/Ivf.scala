@@ -38,6 +38,17 @@ object Ivf {
     * bigger c with distributed k-means‖ seeding ([[trainCentroids]] and
     * [[buildIndex]] dispatch on c automatically).
     */
+  /** Driver-side float cosine for the bounded seeding pools (executor-side
+    * cosines go through the codegen'd [[Similarity.cosine]]). */
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private[ext] def seedCentroids(corpus: DataFrame, c: Int,
                                  idCol: String, vecCol: String): DataFrame = {
     require(c > 0, s"seedCentroids: c must be positive, got $c")
@@ -55,14 +66,6 @@ object Ivf {
       .collect()
       .sortBy(_._1)
     require(pool.nonEmpty, "seedCentroids: empty corpus")
-    def cosArr(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val seedVecs = scala.collection.mutable.ArrayBuffer(pool.head._2)
     while (seedVecs.length < math.min(c, pool.length)) {
       // farthest = minimal similarity to its nearest existing seed; id asc tiebreak
@@ -128,7 +131,11 @@ object Ivf {
           .filter(pmod(xxhash64(col("id"), lit(round)), lit(1000000L))
             .cast("double") / 1e6 < least(lit(1.0), lit(l.toDouble) * col("cost") / phi))
           .select(col("id"), col("v"))
-        candidates = candidates.unionAll(accepted).localCheckpoint()
+        // a candidate's own residual cost is ~1e-16 (float cosine), so a
+        // hash fluke can re-accept it — dedup by id keeps the candidate set
+        // (and the distinct-centroid guarantee downstream) honest
+        candidates = candidates.unionAll(accepted)
+          .dropDuplicates("id").localCheckpoint()
       }
       round += 1
     }
@@ -150,14 +157,6 @@ object Ivf {
     require(weighted.length >= c,
       s"seedCentroidsLarge: only ${weighted.length} distinct candidates for c=$c — " +
         "corpus too small for this cell count (raise oversample/rounds or lower c)")
-    def cosArr(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     // deterministic weighted k-means++-style reduction: seed with the
     // heaviest candidate, then repeatedly take argmax of w·(1 − best cos to
     // the selected set), maintaining best-cos incrementally (O(c·m)).
@@ -233,7 +232,7 @@ object Ivf {
       if (c <= 1024) seedCentroids(corpus, c, idCol, vecCol)
       else seedCentroidsLarge(corpus, c, idCol = idCol, vecCol = vecCol)
     var carried: DataFrame = null
-    (0 until math.max(iters, 1)).foreach { _ =>
+    (0 until math.max(iters, 0)).foreach { _ =>
       carried = assignCarry(corpus, centroids, idCol, vecCol).localCheckpoint()
       centroids = centroids
         .join(cellMeans(carried, vecCol), Seq("centroid_id"), "left")
@@ -241,6 +240,10 @@ object Ivf {
           coalesce(col("new_centroid"), col("centroid")).as("centroid"))
         .localCheckpoint()
     }
+    // iters = 0 is seeding-only: no Lloyd round, but the index still needs
+    // an assignment against the (seed) centroids
+    if (carried == null)
+      carried = assignCarry(corpus, centroids, idCol, vecCol).localCheckpoint()
     (centroids, carried)
   }
 

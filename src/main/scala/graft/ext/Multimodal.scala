@@ -48,11 +48,15 @@ object Multimodal {
     val p = r.payload
     val base = MediaMeta(r.media_id, p.length.toLong, 0L, 0L, "unknown", 0L,
       sha256Hex(p))
-    decodeNetpbm(p).orElse(decodeBmp(p)).orElse(decodeWav(p))
-      .map { case (w, h, fmt, frames) =>
-        base.copy(width = w, height = h, format = fmt, n_frames = frames)
-      }
-      .getOrElse(base)
+    // belt-and-suspenders on the total-function contract: ANY decoder bug on
+    // adversarial bytes degrades to "unknown" instead of killing the stage
+    try {
+      decodeNetpbm(p).orElse(decodeBmp(p)).orElse(decodeWav(p))
+        .map { case (w, h, fmt, frames) =>
+          base.copy(width = w, height = h, format = fmt, n_frames = frames)
+        }
+        .getOrElse(base)
+    } catch { case scala.util.control.NonFatal(_) => base }
   }
 
   /** netpbm P5 (PGM) / P6 (PPM): "P5"/"P6", then width, height, maxval as
@@ -70,7 +74,8 @@ object Multimodal {
       }
       val start = i
       while (i < p.length && p(i) >= '0' && p(i) <= '9') i += 1
-      if (i == start) None
+      // > 18 digits would overflow Long (and is no real dimension)
+      if (i == start || i - start > 18) None
       else Some(new String(p, start, i - start, "US-ASCII").toLong)
     }
     for (w <- nextInt(); h <- nextInt(); _ <- nextInt() if w > 0 && h > 0)
@@ -86,6 +91,11 @@ object Multimodal {
     * width/height at byte 18/22 (negative height = top-down rows). */
   private def decodeBmp(p: Array[Byte]): Option[(Long, Long, String, Long)] = {
     if (p.length < 26 || p(0) != 'B' || p(1) != 'M') return None
+    // the DIB header-size field distinguishes layouts: only INFOHEADER and
+    // its V2-V5 extensions keep i32 dims at 18/22 (the 12-byte CORE header
+    // stores u16 dims at 18/20 — parsing it here would yield garbage)
+    val dib = leU32(p, 14)
+    if (!Set(40L, 52L, 56L, 108L, 124L).contains(dib)) return None
     val w = leU32(p, 18).toInt // i32: BMP dims are signed
     val h = math.abs(leU32(p, 22).toInt)
     if (w <= 0 || h == 0) None else Some((w.toLong, h.toLong, "bmp", 1L))
@@ -106,7 +116,9 @@ object Multimodal {
       val size = leU32(p, i + 4)
       if (id == "fmt " && i + 8 + 14 <= p.length)
         blockAlign = leU16(p, i + 8 + 12).toLong
-      if (id == "data") dataSize = size
+      // accept the data size only when the declared bytes actually fit —
+      // a corrupt size must not flow into the frame count
+      if (id == "data" && size <= p.length.toLong - i - 8) dataSize = size
       // a corrupt size field must terminate the walk, not loop or go back
       if (size > p.length) i = p.length
       else i += 8 + size.toInt + (size.toInt & 1)

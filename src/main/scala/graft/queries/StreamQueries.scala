@@ -2,8 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-
 import graft.model.Tables
 import graft.streaming.{Stateful, Streaming}
 
@@ -56,11 +54,7 @@ object StreamQueries {
     val schema = s.read.parquet(s"$tmp/in").schema
     def stream(): DataFrame = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-    val q = transform(stream _).writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .format("parquet").option("path", s"$tmp/out")
+    val q = Streaming.writeOnce(transform(stream _), s"$tmp/out", s"$tmp/ckpt")
       .start()
     // awaitTermination THROWS on stream failure but returns false on
     // timeout — a silent false would read a partial output directory and

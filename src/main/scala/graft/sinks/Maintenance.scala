@@ -39,7 +39,11 @@ object Maintenance {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
     fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      // exclude the hidden .compact_tmp_*/.compact_old_* swap dirs — their
+      // names embed the partition name's '=' and would otherwise surface as
+      // phantom partitions during (or after a crashed) compaction
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("."))
       .map { dir =>
         val files = fs.listStatus(dir.getPath).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
