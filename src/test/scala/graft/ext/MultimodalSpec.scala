@@ -40,6 +40,35 @@ class MultimodalSpec extends SparkSpec {
         MediaRecord(9L, junk.getBytes("US-ASCII"))).format == "unknown")
   }
 
+  test("adversarial headers degrade to unknown instead of lying or throwing") {
+    // netpbm dimension token that would overflow Long
+    val overflow = "P6\n12345678901234567890 1\n255\n".getBytes("US-ASCII")
+    assert(Multimodal.decodeHeader(MediaRecord(1L, overflow)).format == "unknown")
+
+    // WAV whose data chunk declares far more bytes than the payload holds
+    val b = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+    b.putInt(0) // only 4 real data bytes
+    val corrupt = Multimodal.decodeHeader(MediaRecord(2L, b.array()))
+    assert(corrupt.format == "unknown" && corrupt.n_frames == 0,
+      s"corrupt data size must not become a frame count: $corrupt")
+
+    // legacy BITMAPCOREHEADER (12-byte DIB): u16 dims at different offsets —
+    // must be rejected, not parsed as INFOHEADER garbage
+    val core = java.nio.ByteBuffer.allocate(26 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte)
+      .putInt(32).putInt(0).putInt(26)
+      .putInt(12).putShort(7).putShort(9).putShort(1).putShort(24)
+    assert(Multimodal.decodeHeader(MediaRecord(3L, core.array())).format == "unknown")
+  }
+
   test("decodeMeta runs the real decode distributed via mapPartitions") {
     val media = Seq(
       MediaRecord(1L, Multimodal.syntheticPayload(1L, 3)),  // ppm w=4 h=4
