@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{TableRef, Tables}
 import graft.pipeline.Pipeline
-import graft.sinks.{Maintenance, Sinks}
+import graft.sinks.{Bucketing, Maintenance, Sinks}
 import graft.sources.{EndpointSpec, IncrementalConfig, Json, PagePagination, RestSource}
 
 /** Sink/source round-trips under the driver's DuckDB gate (SURVEY §2.1/§2.2):
@@ -167,6 +167,45 @@ object LakeQueries {
         col("run_date").cast("string").as("run_date"))
     }),
 
+    // Bucketed co-located join under the gate: both sides land as catalog
+    // tables bucketed+sorted on the join key, so the sort-merge join plans
+    // with ZERO shuffle exchanges (asserted in-query) — at 100 TB this
+    // turns the recurring fact↔dim join from the dominant shuffle into
+    // pure scan work. The merge hint only pins the join strategy; the
+    // exchange elision comes from the bucket layout.
+    "q88_bucketed_join" -> ((s, dir) => {
+      Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "q88_cust", "c_custkey", buckets = 8)
+      Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+          col("o_totalprice")),
+        "q88_ord", "c_custkey", buckets = 8)
+      val j = s.table("q88_cust")
+        .join(s.table("q88_ord").hint("merge"), "c_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      j.groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("seg_total"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Source-format breadth: CSV sink → schema'd CSV scan round-trip (the
+    // interchange format every warehouse export still speaks).
+    "q89_csv_roundtrip" -> ((s, dir) => {
+      val out = tmp("q89")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 11 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+      li.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+      s.read
+        .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
+        .option("header", "true")
+        .csv(s"$out/csv")
+    }),
+
     // The reference's WHOLE pipeline in one gated query: bronze JSONL
     // (dup-injected, mixed-validity amounts) → silver clean (dedup,
     // try_cast, timestamp parse) → gold star write → dim⋈fact report read
@@ -263,6 +302,15 @@ object LakeQueries {
         |FROM orders
         |WHERE o_orderkey % 4 = 0 AND year(o_orderdate) = 1995
         |  AND strftime(o_orderdate, '%Y-%m') = '1995-06'""".stripMargin,
+    "q88_bucketed_join" ->
+      """SELECT c.c_mktsegment,
+        |  round(sum(o.o_totalprice), 2) AS seg_total,
+        |  count(*) AS n_orders
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q89_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 11 = 0""".stripMargin,
     "q86_medallion_e2e" ->
       """SELECT c.c_name AS name, count(*) AS n_payments,
         |  round(sum(CASE WHEN o.o_orderkey % 13 = 0 THEN NULL
