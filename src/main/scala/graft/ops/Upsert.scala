@@ -120,6 +120,18 @@ object Upsert {
       .unionByName(closed).unionByName(kept).unionByName(opened)
   }
 
+  /** Point-in-time read over an [[scd2]] dimension: the version of each key
+    * that was valid AT `date` — `valid_from <= date < valid_to` (open
+    * versions have null `valid_to`). A pure filter over the versioned
+    * frame: partition-prunable, no shuffle, the read-side contract that
+    * makes SCD2 history useful (training-data reproducibility, late-event
+    * joins against the dimension as it WAS). `date` must be the same
+    * comparable type the dimension's validity columns use. */
+  def asOf(scd2Frame: DataFrame, date: org.apache.spark.sql.Column): DataFrame =
+    scd2Frame.filter(
+      col("valid_from") <= date &&
+        (col("valid_to").isNull || col("valid_to") > date))
+
   /** Declarative load plan (reference `run_load.py:113-128`): a list of
     * upserts driven per run. */
   final case class LoadSpec(table: String, keys: Seq[String])

@@ -19,6 +19,32 @@ object OpsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared SCD2 fixture (q55 + the q90 as-of read): 2026-01-01 current
+    * versions + pre-existing history for %11 keys, updated by a 2026-06-01
+    * batch of changed (%7), unchanged (%13) and brand-new (%97) rows. */
+  private def scd2Fixture(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val current = cust
+      .withColumn("valid_from", lit("2026-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val history = cust.filter(col("c_custkey") % 11 === 0)
+      .withColumn("c_mktsegment", lit("OLD"))
+      .withColumn("valid_from", lit("2025-01-01"))
+      .withColumn("valid_to", lit("2026-01-01"))
+      .withColumn("is_current", lit(false))
+    val target = current.unionByName(history)
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+      .unionByName( // unchanged rows: must be kept untouched
+        cust.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0))
+      .unionByName( // brand-new keys: opened
+        cust.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(2000000L)))
+    Upsert.scd2(target, updates, Seq("c_custkey"), batchDate = "2026-06-01")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // K4 lake-native MERGE (reference run_load.py:75-90 semantics): updates
     // overwrite every non-key column on match, insert on no-match, unmatched
@@ -39,27 +65,16 @@ object OpsQueries {
     // rows close the current version and append a new one; unchanged update
     // rows are no-ops (idempotent re-runs); new keys open fresh versions;
     // pre-existing history passes through untouched.
-    "q55_scd2" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
+    "q55_scd2" -> ((s, dir) => scd2Fixture(s, dir)),
+
+    // Point-in-time dimension read over the SCD2 history built by q55:
+    // "the dimension as it WAS on 2026-03-01" — before the 2026-06-01 batch
+    // closed/opened versions, after the 2026-01-01 versions opened. The
+    // as-of filter must reconstruct exactly the pre-update current set from
+    // the versioned frame (validity windows, not is_current flags).
+    "q90_scd2_asof" -> ((s, dir) => {
+      Upsert.asOf(scd2Fixture(s, dir), lit("2026-03-01"))
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val current = cust
-        .withColumn("valid_from", lit("2026-01-01"))
-        .withColumn("valid_to", lit(null).cast("string"))
-        .withColumn("is_current", lit(true))
-      val history = cust.filter(col("c_custkey") % 11 === 0)
-        .withColumn("c_mktsegment", lit("OLD"))
-        .withColumn("valid_from", lit("2025-01-01"))
-        .withColumn("valid_to", lit("2026-01-01"))
-        .withColumn("is_current", lit(false))
-      val target = current.unionByName(history)
-      val updates = cust.filter(col("c_custkey") % 7 === 0)
-          .withColumn("c_mktsegment", lit("MOVED"))
-        .unionByName( // unchanged rows: must be kept untouched
-          cust.filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 7 =!= 0))
-        .unionByName( // brand-new keys: opened
-          cust.filter(col("c_custkey") % 97 === 0)
-            .withColumn("c_custkey", col("c_custkey") + lit(2000000L)))
-      Upsert.scd2(target, updates, Seq("c_custkey"), batchDate = "2026-06-01")
     }),
 
     // S7 variant-shape extraction (reference rest_api.py:42-55): each nation
@@ -300,6 +315,11 @@ object OpsQueries {
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    // as-of 2026-03-01: every original key's pre-update current version —
+    // i.e. exactly the customer table (history windows ended 2026-01-01,
+    // the update batch opened 2026-06-01)
+    "q90_scd2_asof" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
     "q82_silver_clean" ->
       """SELECT c_custkey AS id, c_name AS name,
         |  CASE WHEN c_custkey % 7 = 0 THEN NULL
