@@ -173,4 +173,24 @@ object Checks {
         (nullRate <= maxNullRate).as("null_rate_ok"),
         (dupRate <= maxDupRate).as("dup_rate_ok"))
   }
+
+  /** One-pass table profile (the "describe before you train" step): row
+    * count, per-column null rate + exact distinct count, numeric
+    * min/max/avg — ALL from a single aggregation (the multi-distinct plans
+    * as one scan with an Expand, never one scan per column the way a naive
+    * loop of `df.select(countDistinct(c))` would at 100 TB). Output is one
+    * wide typed row, so no lossy value-to-string casts. */
+  def profile(df: DataFrame, cols: Seq[String],
+              numeric: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      cols.flatMap(c => Seq(
+        round(coalesce(avg(col(c).isNull.cast("double")), lit(0.0)), 6)
+          .as(s"${c}_null_rate"),
+        countDistinct(col(c)).as(s"${c}_nd"))) ++
+      numeric.flatMap(c => Seq(
+        round(min(col(c)), 6).as(s"${c}_min"),
+        round(max(col(c)), 6).as(s"${c}_max"),
+        round(avg(col(c)), 6).as(s"${c}_avg")))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 }

@@ -169,6 +169,14 @@ object OpsQueries {
         expectedItems = 1L << 17)
     }),
 
+    // One-pass table profile: null rates, exact distinct counts, numeric
+    // min/max/avg — all columns in a single aggregation (one scan at any
+    // scale; plan-asserted in PlanSpec).
+    "q91_profile" -> ((s, dir) => {
+      Checks.profile(t(s, dir, "events"),
+        cols = Seq("user_id", "event_type"), numeric = Seq("value"))
+    }),
+
     // P1-P3 silver cleaning under the gate: exact-duplicate rows deduped,
     // ISO timestamps parsed (unparseable -> NULL via try_to_timestamp, the
     // reference's coerce-errors behavior), defensive cast, audit column
@@ -315,6 +323,16 @@ object OpsQueries {
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q91_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  round(avg(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS user_id_null_rate,
+        |  count(DISTINCT user_id) AS user_id_nd,
+        |  round(avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END), 6) AS event_type_null_rate,
+        |  count(DISTINCT event_type) AS event_type_nd,
+        |  round(min(value), 6) AS value_min,
+        |  round(max(value), 6) AS value_max,
+        |  round(avg(value), 6) AS value_avg
+        |FROM events""".stripMargin,
     // as-of 2026-03-01: every original key's pre-update current version —
     // i.e. exactly the customer table (history windows ended 2026-01-01,
     // the update batch opened 2026-06-01)

@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"no global window allowed:\n$p")
   }
 
+  test("q91: one-pass profile reads the table exactly once despite multi-distinct") {
+    val p = plan("q91_profile")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one fused scan, got $scans:\n$p")
+  }
+
   test("q87: chunking is a shuffle-free generate — zero exchanges") {
     val p = plan("q87_chunking")
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
