@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.{MisraGriesAggregator, NormalizeText}
 
 /** Training-data curation operators (north-star extension, SURVEY §2.11 [N]):
   * PII redaction, deterministic dataset splits, repetition/boilerplate stats,
@@ -70,6 +72,83 @@ object Curation {
     else if (threshold <= 0L) lit(false)
     else substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8) <
       f"$threshold%08x"
+  }
+
+  /** Near-dup-safe train/val/test assignment: every document gets the split
+    * of its near-dup CLUSTER representative (min id via
+    * [[Dedup.dedupByPairs]]), so two near-duplicates can never straddle
+    * train and test — the leakage mode a per-document [[splitAssign]]
+    * cannot prevent (a paraphrased test answer sitting in train). Documents
+    * with no near-dup are their own cluster and split exactly as
+    * [[splitAssign]] would. Cost on top of the pairs the dedup pipeline
+    * already computes: the label-propagation rounds of
+    * [[Dedup.clusters]] (O(graph diameter) joins over the PAIR graph, not
+    * the corpus) plus one hash per row. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    Dedup.dedupByPairs(docs, pairs, idCol, aCol, bCol)
+      .select(col(idCol), col("cluster_id"),
+        splitAssign(col("cluster_id")).as("split"))
+
+  /** EXACT heavy hitters in two bounded passes — the keys (tokens, domains,
+    * users) with share ≥ `minShare` of all non-null rows, with exact counts:
+    *
+    *   1. sketch pass: one scan through a fixed-k [[MisraGriesAggregator]]
+    *      (map-side partials merge up the aggregation tree; only k-counter
+    *      states move). `minShare > 1/k` (enforced) makes the candidate set
+    *      a guaranteed SUPERSET of the qualifying keys — MG cannot evict a
+    *      key with count > n/k;
+    *   2. verify pass: re-scan, broadcast-semi-join against the ≤ k−1
+    *      candidates, exact-count the survivors, keep those ≥
+    *      ceil(minShare·n).
+    *
+    * Neither pass shuffles the corpus: pass 1 moves O(k) state per
+    * partition, pass 2 moves only rows whose key is a candidate. The
+    * alternative — `groupBy(key).count()` then filter — shuffles one row
+    * per DISTINCT key (at 100 TB of tokens, billions of rows for a
+    * handful of answers). The one driver materialization is the ≤ k−1
+    * candidate sketch, bounded by construction. */
+  def heavyHitters(rows: DataFrame, keyCol: String, minShare: Double,
+                   k: Int = 1024): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, s"minShare out of (0,1]: $minShare")
+    require(minShare * k > 1.0,
+      s"minShare=$minShare needs k > ${1.0 / minShare} counters for the " +
+        s"sketch superset guarantee, got k=$k")
+    val spark = rows.sparkSession
+    val keyed = rows.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as(keyCol))
+    val sketch = keyed.as[String](Encoders.STRING)
+      .select(new MisraGriesAggregator(k).toColumn)
+      .head() // one row, ≤ k−1 keys — bounded driver materialization
+    val minCount = math.ceil(minShare * sketch.n).toLong
+    val candidates = spark.createDataset(sketch.keys.toSeq)(Encoders.STRING)
+      .toDF(keyCol)
+    keyed
+      .join(broadcast(candidates), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** [[graft.functions.NormalizeText]] as a column: NFC + control-strip +
+    * whitespace-collapse + trim, one codegen walk, no shuffle. */
+  def normalizeText(text: Column): Column =
+    GraftSqlBridge.column(NormalizeText(GraftSqlBridge.expression(text)))
+
+  /** Host part of an http(s) URL ('' if no match) — RE2-safe regex so an
+    * ANSI oracle extracts identically. */
+  val UrlHostRe: String = """https?://([A-Za-z0-9.-]+)"""
+
+  def domainOf(url: Column): Column = regexp_extract(url, UrlHostRe, 1)
+
+  /** Drop rows whose URL's domain appears in `blocked(domainCol)` — the
+    * crawl-blocklist filter. The blocklist is tiny by nature: broadcast
+    * anti-join, corpus side never shuffles. */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blocked: DataFrame, domainCol: String): DataFrame = {
+    val b = blocked.select(col(domainCol).as("__blocked_domain")).distinct()
+    df.join(broadcast(b), domainOf(col(urlCol)) === col("__blocked_domain"),
+      "left_anti")
   }
 
   /** Cap each key's contribution at `k` rows (per-domain/source quota — the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, TextAnalysis}
+import graft.ext.{Curation, Dedup, TextAnalysis}
 import graft.model.Tables
 
 /** Training-data curation queries under the DuckDB oracle gate: PII
@@ -93,6 +93,54 @@ object CurationQueries {
         "doc_id", "text", maxDf = 50, k = 3)
     }),
 
+    // Near-dup-safe splits: every doc gets its near-dup CLUSTER
+    // representative's split, so paraphrases never straddle train/test
+    // (same pair graph as q59; the oracle re-derives clusters by
+    // recursive CTE and applies the split rule to the representative).
+    "q92_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.2)
+      Curation.leakageSafeSplit(docs, pairs, "doc_id")
+    }),
+
+    // EXACT heavy hitters, sketch + verify: Misra-Gries candidates (fixed
+    // k-counter state, superset guaranteed for minShare > 1/k), then an
+    // exact broadcast-semi-join re-count — never a full groupBy over every
+    // distinct token. The oracle computes the same answer the exhaustive way.
+    "q93_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      Curation.heavyHitters(toks, "tok", minShare = 0.002, k = 1024)
+    }),
+
+    // Canonical text cleanup (native one-walk codegen expression): NFC
+    // composition + control-char strip + whitespace collapse + trim. The
+    // planted suffix carries a decomposed é, a BEL, a tab and edge spaces
+    // so every row exercises every rule.
+    "q94_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.normalizeText(
+          concat(lit("  cafe\u0301\u0007 "), col("text"),
+            lit("\tfine\u0301  "))).as("clean_text"))
+    }),
+
+    // Crawl-domain blocklist: URL host extraction + broadcast anti-join
+    // (blocklists are tiny; the corpus side never shuffles).
+    "q95_domain_blocklist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(array(lit("ok-site.org"), lit("spam.example.com"),
+            lit("news.example.io"), lit("mirror.example.net")),
+            (col("doc_id") % 4 + 1).cast("int")),
+          lit("/page/"), col("doc_id").cast("string")).as("url"))
+      val blocked = docs.sparkSession.createDataFrame(
+        Seq(Tuple1("spam.example.com"), Tuple1("mirror.example.net")))
+        .toDF("domain")
+      Curation.filterBlockedDomains(docs, "url", blocked, "domain")
+        .select(col("doc_id"), col("url"),
+          Curation.domainOf(col("url")).as("domain"))
+    }),
+
     // Eval-leakage guard: training docs sharing an 8-token shingle with the
     // benchmark fixture (docs with doc_id % 50 = 0); benchmark hash set is
     // broadcast so the corpus side never shuffles.
@@ -168,6 +216,54 @@ object CurationQueries {
         |FROM t JOIN d USING (term)
         |QUALIFY row_number() OVER (PARTITION BY t.doc_id
         |  ORDER BY t.tf DESC, t.term ASC) <= 3""".stripMargin,
+    "q92_leakage_safe_split" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+        |       FROM d, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS pa, y.doc_id AS pb, count(*) AS c
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT pa, pb FROM inter i
+        |          JOIN sz sx ON i.pa = sx.doc_id JOIN sz sy ON i.pb = sy.doc_id
+        |          WHERE c::DOUBLE / (sx.n + sy.n - c)::DOUBLE >= 0.2),
+        |edges AS (SELECT pa AS x, pb AS y FROM pairs
+        |          UNION ALL SELECT pb, pa FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.node),
+        |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |       FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cl""".stripMargin,
+    "q93_heavy_hitters" ->
+      """WITH t AS (SELECT tok FROM documents,
+        |             unnest(string_split(text, ' ')) AS u(tok)),
+        |c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1)
+        |SELECT tok, n FROM c
+        |WHERE n >= ceil(0.002 * (SELECT sum(n) FROM c))""".stripMargin,
+    "q94_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('  cafe' || chr(769) || chr(7) || ' ' || text ||
+        |                  chr(9) || 'fine' || chr(769) || '  '),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS clean_text
+        |FROM documents""".stripMargin,
+    "q95_domain_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'ok-site.org' WHEN 1 THEN 'spam.example.com'
+        |                  WHEN 2 THEN 'news.example.io' ELSE 'mirror.example.net'
+        |  END AS domain FROM documents)
+        |SELECT doc_id,
+        |  'https://' || domain || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |  domain
+        |FROM d
+        |WHERE domain NOT IN ('spam.example.com', 'mirror.example.net')""".stripMargin,
     "q72_contamination" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
