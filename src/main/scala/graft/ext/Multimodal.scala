@@ -97,8 +97,9 @@ object Multimodal {
     val dib = leU32(p, 14)
     if (!Set(40L, 52L, 56L, 108L, 124L).contains(dib)) return None
     val w = leU32(p, 18).toInt // i32: BMP dims are signed
+    // abs(Int.MinValue) stays negative, so reject non-positive (not just 0)
     val h = math.abs(leU32(p, 22).toInt)
-    if (w <= 0 || h == 0) None else Some((w.toLong, h.toLong, "bmp", 1L))
+    if (w <= 0 || h <= 0) None else Some((w.toLong, h.toLong, "bmp", 1L))
   }
 
   /** RIFF/WAVE: walk the chunk list for `fmt ` (block align = bytes per PCM
