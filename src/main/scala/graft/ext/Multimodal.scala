@@ -61,8 +61,9 @@ object Multimodal {
 
   /** netpbm P5 (PGM) / P6 (PPM): "P5"/"P6", then width, height, maxval as
     * ASCII tokens separated by whitespace, with '#'-to-EOL comments legal
-    * anywhere between tokens. */
-  private def decodeNetpbm(p: Array[Byte]): Option[(Long, Long, String, Long)] = {
+    * anywhere between tokens. Returns (w, h, isP6, dataOff) — pixel data
+    * starts one whitespace byte after the maxval token (netpbm spec). */
+  private def parseNetpbm(p: Array[Byte]): Option[(Long, Long, Boolean, Int)] = {
     if (p.length < 2 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
     var i = 2
     def nextInt(): Option[Long] = {
@@ -79,8 +80,13 @@ object Multimodal {
       else Some(new String(p, start, i - start, "US-ASCII").toLong)
     }
     for (w <- nextInt(); h <- nextInt(); _ <- nextInt() if w > 0 && h > 0)
-      yield (w, h, if (p(1) == '6') "ppm" else "pgm", 1L)
+      yield (w, h, p(1) == '6', i + 1)
   }
+
+  private def decodeNetpbm(p: Array[Byte]): Option[(Long, Long, String, Long)] =
+    parseNetpbm(p).map { case (w, h, isP6, _) =>
+      (w, h, if (isP6) "ppm" else "pgm", 1L)
+    }
 
   private def leU16(p: Array[Byte], off: Int): Int =
     (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
@@ -88,9 +94,11 @@ object Multimodal {
     (leU16(p, off).toLong) | (leU16(p, off + 2).toLong << 16)
 
   /** BMP with the 40-byte BITMAPINFOHEADER: "BM" magic; signed little-endian
-    * width/height at byte 18/22 (negative height = top-down rows). */
-  private def decodeBmp(p: Array[Byte]): Option[(Long, Long, String, Long)] = {
-    if (p.length < 26 || p(0) != 'B' || p(1) != 'M') return None
+    * width/height at byte 18/22 (negative height = top-down rows).
+    * Returns (w, h, dataOff, rowStride) — pixel offset is the u32 at byte
+    * 10, rows are stored 4-byte-aligned. */
+  private def parseBmp(p: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    if (p.length < 30 || p(0) != 'B' || p(1) != 'M') return None
     // the DIB header-size field distinguishes layouts: only INFOHEADER and
     // its V2-V5 extensions keep i32 dims at 18/22 (the 12-byte CORE header
     // stores u16 dims at 18/20 — parsing it here would yield garbage)
@@ -99,19 +107,26 @@ object Multimodal {
     val w = leU32(p, 18).toInt // i32: BMP dims are signed
     // abs(Int.MinValue) stays negative, so reject non-positive (not just 0)
     val h = math.abs(leU32(p, 22).toInt)
-    if (w <= 0 || h <= 0) None else Some((w.toLong, h.toLong, "bmp", 1L))
+    if (w <= 0 || h <= 0) return None
+    val bpp = leU16(p, 28)
+    val stride = ((w.toLong * bpp + 31) / 32 * 4).toInt
+    Some((w.toLong, h.toLong, leU32(p, 10).toInt, stride))
   }
+
+  private def decodeBmp(p: Array[Byte]): Option[(Long, Long, String, Long)] =
+    parseBmp(p).map { case (w, h, _, _) => (w, h, "bmp", 1L) }
 
   /** RIFF/WAVE: walk the chunk list for `fmt ` (block align = bytes per PCM
     * frame) and `data` (payload byte count); frames = dataSize / blockAlign.
     * Chunks are word-aligned (odd sizes padded by one byte). */
-  private def decodeWav(p: Array[Byte]): Option[(Long, Long, String, Long)] = {
+  private def parseWav(p: Array[Byte]): Option[(Long, Long, Int)] = {
     if (p.length < 12) return None
     def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12
     var blockAlign = 0L
     var dataSize = -1L
+    var dataOff = -1
     while (i + 8 <= p.length && (blockAlign == 0 || dataSize < 0)) {
       val id = tag(i)
       val size = leU32(p, i + 4)
@@ -119,14 +134,22 @@ object Multimodal {
         blockAlign = leU16(p, i + 8 + 12).toLong
       // accept the data size only when the declared bytes actually fit —
       // a corrupt size must not flow into the frame count
-      if (id == "data" && size <= p.length.toLong - i - 8) dataSize = size
+      if (id == "data" && size <= p.length.toLong - i - 8) {
+        dataSize = size
+        dataOff = i + 8
+      }
       // a corrupt size field must terminate the walk, not loop or go back
       if (size > p.length) i = p.length
       else i += 8 + size.toInt + (size.toInt & 1)
     }
     if (blockAlign <= 0 || dataSize < 0) None
-    else Some((0L, 0L, "wav", dataSize / blockAlign))
+    else Some((blockAlign, dataSize, dataOff))
   }
+
+  private def decodeWav(p: Array[Byte]): Option[(Long, Long, String, Long)] =
+    parseWav(p).map { case (blockAlign, dataSize, _) =>
+      (0L, 0L, "wav", dataSize / blockAlign)
+    }
 
   def sha256Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
@@ -145,16 +168,50 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampling stub: every `stride`-th byte of the payload stands in for
-    * a sampled frame; emits (media_id, frame_no, frame byte). Shows the
-    * explode-shaped output schema of a real frame sampler. */
+  /** Content frame layout of a payload: (data offset, bytes per frame,
+    * frame count). A "frame" is one stored pixel row for images — netpbm
+    * row = w·channels bytes starting one whitespace past the maxval token;
+    * BMP row = the 4-byte-aligned stride starting at the u32 pixel offset,
+    * in storage (bottom-up) order — and one PCM frame (blockAlign bytes at
+    * the data-chunk payload) for WAV. Unknown formats have no frames. */
+  def frameLayout(p: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      parseNetpbm(p).map { case (w, h, isP6, off) =>
+        (off, (w * (if (isP6) 3 else 1)).toInt, h)
+      }.orElse(parseBmp(p).map { case (_, h, off, stride) =>
+        (off, stride, h)
+      }).orElse(parseWav(p).map { case (blockAlign, dataSize, off) =>
+        (off, blockAlign.toInt, dataSize / blockAlign)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real frame sampler: decode the container layout executor-side, then
+    * extract every `stride`-th content frame (pixel row / PCM frame) and
+    * its byte statistics — (media_id, frame_no, frame_bytes, byte_sum)
+    * where byte_sum is the exact unsigned sum of the frame's bytes.
+    * Frames that overrun a truncated payload are clipped; unknown payloads
+    * emit nothing (poison rows must not kill the stage). Pure per-row
+    * generate — zero shuffle, schema-stable, same `flatMap` batch shape a
+    * codec-backed sampler would use. */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      r.payload.indices.by(stride).zipWithIndex.map { case (off, frameNo) =>
-        (r.media_id, frameNo.toLong, r.payload(off).toLong & 0xFF)
+      val p = r.payload
+      frameLayout(p).toSeq.flatMap { case (dataOff, frameBytes, nFrames) =>
+        (0L until nFrames).by(stride.toLong).flatMap { frameNo =>
+          val start = dataOff + frameNo * frameBytes
+          val end = math.min(start + frameBytes, p.length.toLong)
+          if (start >= end) None
+          else {
+            var sum = 0L
+            var i = start.toInt
+            while (i < end.toInt) { sum += (p(i) & 0xFF); i += 1 }
+            Some((r.media_id, frameNo, end - start, sum))
+          }
+        }
       }
-    }.toDF("media_id", "frame_no", "frame_byte")
+    }.toDF("media_id", "frame_no", "frame_bytes", "byte_sum")
   }
 
   /** Build a MediaRecord dataset from the documents table, using the UTF-8
