@@ -61,9 +61,11 @@ object Multimodal {
 
   /** netpbm P5 (PGM) / P6 (PPM): "P5"/"P6", then width, height, maxval as
     * ASCII tokens separated by whitespace, with '#'-to-EOL comments legal
-    * anywhere between tokens. Returns (w, h, isP6, dataOff) — pixel data
-    * starts one whitespace byte after the maxval token (netpbm spec). */
-  private def parseNetpbm(p: Array[Byte]): Option[(Long, Long, Boolean, Int)] = {
+    * anywhere between tokens. Returns (w, h, isP6, bytesPerSample, dataOff) —
+    * pixel data starts one whitespace byte after the maxval token (netpbm
+    * spec); maxval > 255 means two big-endian bytes per sample, and maxval
+    * outside 1..65535 is illegal (rejected, not guessed at). */
+  private def parseNetpbm(p: Array[Byte]): Option[(Long, Long, Boolean, Int, Int)] = {
     if (p.length < 2 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
     var i = 2
     def nextInt(): Option[Long] = {
@@ -79,12 +81,13 @@ object Multimodal {
       if (i == start || i - start > 18) None
       else Some(new String(p, start, i - start, "US-ASCII").toLong)
     }
-    for (w <- nextInt(); h <- nextInt(); _ <- nextInt() if w > 0 && h > 0)
-      yield (w, h, p(1) == '6', i + 1)
+    for (w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+         if w > 0 && h > 0 && maxval >= 1 && maxval <= 65535)
+      yield (w, h, p(1) == '6', if (maxval > 255) 2 else 1, i + 1)
   }
 
   private def decodeNetpbm(p: Array[Byte]): Option[(Long, Long, String, Long)] =
-    parseNetpbm(p).map { case (w, h, isP6, _) =>
+    parseNetpbm(p).map { case (w, h, isP6, _, _) =>
       (w, h, if (isP6) "ppm" else "pgm", 1L)
     }
 
@@ -96,8 +99,12 @@ object Multimodal {
   /** BMP with the 40-byte BITMAPINFOHEADER: "BM" magic; signed little-endian
     * width/height at byte 18/22 (negative height = top-down rows).
     * Returns (w, h, dataOff, rowStride) — pixel offset is the u32 at byte
-    * 10, rows are stored 4-byte-aligned. */
-  private def parseBmp(p: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    * 10, rows are stored 4-byte-aligned. A pixel offset pointing outside
+    * the payload is corrupt and rejects the whole header: `.toInt` on a
+    * u32 like 0x80000000 would wrap negative and index the array out of
+    * bounds downstream. rowStride stays Long — u31 width × u16 bpp
+    * overflows Int. */
+  private def parseBmp(p: Array[Byte]): Option[(Long, Long, Int, Long)] = {
     if (p.length < 30 || p(0) != 'B' || p(1) != 'M') return None
     // the DIB header-size field distinguishes layouts: only INFOHEADER and
     // its V2-V5 extensions keep i32 dims at 18/22 (the 12-byte CORE header
@@ -108,9 +115,11 @@ object Multimodal {
     // abs(Int.MinValue) stays negative, so reject non-positive (not just 0)
     val h = math.abs(leU32(p, 22).toInt)
     if (w <= 0 || h <= 0) return None
+    val dataOff = leU32(p, 10) // u32: unvalidated field from the wire
+    if (dataOff > p.length.toLong) return None
     val bpp = leU16(p, 28)
-    val stride = ((w.toLong * bpp + 31) / 32 * 4).toInt
-    Some((w.toLong, h.toLong, leU32(p, 10).toInt, stride))
+    val stride = (w.toLong * bpp + 31) / 32 * 4
+    Some((w.toLong, h.toLong, dataOff.toInt, stride))
   }
 
   private def decodeBmp(p: Array[Byte]): Option[(Long, Long, String, Long)] =
@@ -170,19 +179,35 @@ object Multimodal {
 
   /** Content frame layout of a payload: (data offset, bytes per frame,
     * frame count). A "frame" is one stored pixel row for images — netpbm
-    * row = w·channels bytes starting one whitespace past the maxval token;
-    * BMP row = the 4-byte-aligned stride starting at the u32 pixel offset,
-    * in storage (bottom-up) order — and one PCM frame (blockAlign bytes at
-    * the data-chunk payload) for WAV. Unknown formats have no frames. */
-  def frameLayout(p: Array[Byte]): Option[(Int, Int, Long)] =
+    * row = w·channels·bytesPerSample bytes starting one whitespace past the
+    * maxval token; BMP row = the 4-byte-aligned stride starting at the u32
+    * pixel offset, in storage (bottom-up) order — and one PCM frame
+    * (blockAlign bytes at the data-chunk payload) for WAV. Unknown formats
+    * have no frames.
+    *
+    * Adversarial-input contract: the header's declared frame count is
+    * clamped to what the payload can physically hold — a 30-byte BMP
+    * declaring 2^31−1 rows yields at most one (clipped) frame, never a
+    * multi-billion-iteration loop; a data offset outside the payload (or a
+    * frame size that can't fit a single byte of content) yields no frames
+    * at all. */
+  def frameLayout(p: Array[Byte]): Option[(Int, Long, Long)] =
     try {
-      parseNetpbm(p).map { case (w, h, isP6, off) =>
-        (off, (w * (if (isP6) 3 else 1)).toInt, h)
+      parseNetpbm(p).map { case (w, h, isP6, bps, off) =>
+        (off, w * (if (isP6) 3L else 1L) * bps, h)
       }.orElse(parseBmp(p).map { case (_, h, off, stride) =>
         (off, stride, h)
       }).orElse(parseWav(p).map { case (blockAlign, dataSize, off) =>
-        (off, blockAlign.toInt, dataSize / blockAlign)
-      })
+        (off, blockAlign, dataSize / blockAlign)
+      }).flatMap { case (dataOff, frameBytes, declared) =>
+        if (dataOff < 0 || dataOff > p.length || frameBytes <= 0) None
+        else {
+          val avail = (p.length - dataOff).toLong
+          val maxFrames = (avail + frameBytes - 1) / frameBytes // ceil
+          val n = math.min(declared, maxFrames)
+          if (n <= 0) None else Some((dataOff, frameBytes, n))
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real frame sampler: decode the container layout executor-side, then
@@ -197,20 +222,24 @@ object Multimodal {
     require(stride > 0, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val p = r.payload
-      frameLayout(p).toSeq.flatMap { case (dataOff, frameBytes, nFrames) =>
-        (0L until nFrames).by(stride.toLong).flatMap { frameNo =>
-          val start = dataOff + frameNo * frameBytes
-          val end = math.min(start + frameBytes, p.length.toLong)
-          if (start >= end) None
-          else {
-            var sum = 0L
-            var i = start.toInt
-            while (i < end.toInt) { sum += (p(i) & 0xFF); i += 1 }
-            Some((r.media_id, frameNo, end - start, sum))
+      // same poison-row contract as decodeHeader: any sampling bug on
+      // adversarial bytes degrades to zero frames, never a dead stage
+      try {
+        val p = r.payload
+        frameLayout(p).toSeq.flatMap { case (dataOff, frameBytes, nFrames) =>
+          (0L until nFrames).by(stride.toLong).flatMap { frameNo =>
+            val start = dataOff + frameNo * frameBytes
+            val end = math.min(start + frameBytes, p.length.toLong)
+            if (start >= end) None
+            else {
+              var sum = 0L
+              var i = start.toInt
+              while (i < end.toInt) { sum += (p(i) & 0xFF); i += 1 }
+              Some((r.media_id, frameNo, end - start, sum))
+            }
           }
         }
-      }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }.toDF("media_id", "frame_no", "frame_bytes", "byte_sum")
   }
 

@@ -192,6 +192,17 @@ object LlmQueries {
           col("format"), col("n_frames"))
     }),
 
+    // Frame sampling over the same synthetic media: every 2nd content frame
+    // (pixel row / PCM frame) with its exact byte sum. The sampler genuinely
+    // parses each container's layout; the oracle re-derives the frame grid
+    // and byte sums analytically from the deterministic fill pattern
+    // ((media_id + k) % 256). Pure per-row generate — zero shuffle.
+    "q96_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.documentsAsSyntheticMedia(s, t(s, dir, "documents")),
+        stride = 2)
+    }),
+
     // --- Event-time windows / sessions / as-of ---------------------------
     "q33_tumbling_window" -> ((s, dir) => {
       Streaming.tumblingAgg(t(s, dir, "events"), "1 hour")
@@ -410,6 +421,22 @@ object LlmQueries {
         |  CASE m WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
         |  CAST(CASE WHEN m = 2 THEN f ELSE 1 END AS BIGINT) AS n_frames
         |FROM p""".stripMargin,
+    "q96_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |p AS (SELECT doc_id, n % 3 AS m, n % 16 + 1 AS w, n % 9 + 1 AS h,
+        |             n % 50 + 1 AS f FROM d),
+        |l AS (SELECT doc_id,
+        |  CASE m WHEN 0 THEN w*3 WHEN 1 THEN ((w*3 + 3) // 4) * 4 ELSE 2 END AS fb,
+        |  CASE WHEN m = 2 THEN f ELSE h END AS nf
+        |  FROM p),
+        |fr AS (SELECT doc_id, fb,
+        |  unnest(generate_series(0, nf - 1, 2)) AS frame_no FROM l)
+        |SELECT doc_id AS media_id,
+        |  CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(fb AS BIGINT) AS frame_bytes,
+        |  CAST(list_sum(list_transform(range(frame_no * fb, (frame_no + 1) * fb),
+        |    i -> (doc_id + i) % 256)) AS BIGINT) AS byte_sum
+        |FROM fr""".stripMargin,
     "q51_from_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -93,10 +93,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("sampleFrames emits stride-sampled frame rows") {
-    val media = Seq(MediaRecord(1L, Array[Byte](10, 20, 30, 40, 50))).toDS()
-    val frames = Multimodal.sampleFrames(media, stride = 2).orderBy("frame_no").collect()
-    assert(frames.map(_.getLong(2)).toSeq == Seq(10L, 30L, 50L))
+  // fill(k) inside every synthetic payload is ((mediaId + k) % 256) — the
+  // analytic frame-sum the oracle (q96) also predicts
+  private def expectedSum(mediaId: Long, from: Long, until: Long): Long =
+    (from until until).map(k => (mediaId + k) % 256).sum
+
+  test("sampleFrames extracts real container frames with exact byte sums") {
+    // id=5, n=3 → PPM w=4 h=4: frameBytes=12, 4 pixel rows; stride 2 → rows 0,2
+    // id=6, n=4 → BMP w=5 h=5: stride=(5*3+3)/4*4=16, 5 rows; stride 2 → 0,2,4
+    // id=7, n=5 → WAV f=6: frameBytes=2 (mono 16-bit), 6 PCM frames → 0,2,4
+    val media = Seq(
+      MediaRecord(5L, Multimodal.syntheticPayload(5L, 3)),
+      MediaRecord(6L, Multimodal.syntheticPayload(6L, 4)),
+      MediaRecord(7L, Multimodal.syntheticPayload(7L, 5)),
+      MediaRecord(8L, "not a media file".getBytes("UTF-8"))  // unknown → no rows
+    ).toDS()
+    val got = Multimodal.sampleFrames(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val want =
+      (for (j <- Seq(0L, 2L)) yield (5L, j) -> (12L, expectedSum(5L, j * 12, j * 12 + 12))) ++
+      (for (j <- Seq(0L, 2L, 4L)) yield (6L, j) -> (16L, expectedSum(6L, j * 16, j * 16 + 16))) ++
+      (for (j <- Seq(0L, 2L, 4L)) yield (7L, j) -> (2L, expectedSum(7L, j * 2, j * 2 + 2)))
+    assert(got == want.toMap)
+  }
+
+  test("sampleFrames clips truncated payloads and survives adversarial headers") {
+    // PPM w=4 h=4 truncated mid-row-2: frame 2 clips to the remaining bytes
+    val full = Multimodal.syntheticPayload(5L, 3)
+    val headerLen = full.length - 4 * 4 * 3
+    val truncated = full.take(headerLen + 12 * 2 + 5) // rows 0,1 + 5 bytes of row 2
+    val clipped = Multimodal.sampleFrames(
+      Seq(MediaRecord(1L, truncated)).toDS(), stride = 2)
+      .orderBy("frame_no").collect()
+    assert(clipped.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 12L), (2L, 5L)))
+    assert(clipped(1).getLong(3) == expectedSum(5L, 24, 29))
+
+    // BMP whose pixel-offset field is 0x80000000 (wraps negative as Int):
+    // must emit nothing, not throw ArrayIndexOutOfBounds
+    val evil = Multimodal.syntheticPayload(1L, 1).clone()
+    evil(10) = 0; evil(11) = 0; evil(12) = 0; evil(13) = 0x80.toByte
+    // netpbm declaring a ~10^18-row image over a 10-byte payload: the frame
+    // count must clamp to what the bytes hold (terminates fast, 1 clipped row)
+    val huge = "P5\n3 999999999999999999\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](10)(1)
+    val adversarial = Multimodal.sampleFrames(
+      Seq(MediaRecord(1L, evil), MediaRecord(2L, huge)).toDS(), stride = 1).collect()
+    assert(adversarial.forall(_.getLong(0) == 2L), "evil BMP must emit nothing")
+    assert(adversarial.length == 4 && adversarial.map(_.getLong(2)).sum == 10L,
+      s"huge-height netpbm must clamp to the 10 real bytes: ${adversarial.toSeq}")
+
+    // 16-bit PGM (maxval 65535): 2 bytes/sample, so a 2x2 row is 4 bytes
+    val p16 = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8)(i => (i + 1).toByte)
+    val rows16 = Multimodal.sampleFrames(
+      Seq(MediaRecord(3L, p16)).toDS(), stride = 1).orderBy("frame_no").collect()
+    assert(rows16.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 4L, 1L + 2 + 3 + 4), (1L, 4L, 5L + 6 + 7 + 8)))
   }
 
   test("documentsAsMedia carries a true binary payload column") {
