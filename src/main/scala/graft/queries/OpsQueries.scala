@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.{BloomJoin, Cleaning, Skew, Upsert}
 import graft.qc.Checks
+import graft.sinks.JdbcUpsert
 import graft.sources.Json
 
 /** Driver queries that put the previously spec-only operators under the
@@ -197,6 +198,39 @@ object OpsQueries {
           unix_micros(col("created_at")).as("created_us"), col("email"))
     }),
 
+    // K4 warehouse leg, exercised END-TO-END against embedded Derby (the
+    // in-harness stand-in for the reference's SQL warehouse,
+    // run_load.py:57-96): land the base dimension via executor-parallel
+    // spark JDBC write, stage the update batch the same way, run the
+    // generated transactional MERGE (update non-keys on match, insert on
+    // no-match), drop the stage, and read the warehouse table back through
+    // spark.read.jdbc. The oracle recomputes the post-MERGE state in SQL.
+    "q97_jdbc_merge" -> ((s, dir) => {
+      // keep Derby's boot log out of the repo root
+      System.setProperty("derby.stream.error.file",
+        QueryTmp.dir("derby_log") + "/derby.log")
+      val url = "jdbc:derby:memory:graft_q97;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      // a tiny dim doesn't need 32 JDBC connections; a real one sizes this
+      // to the warehouse's ingest parallelism
+      cust.coalesce(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .jdbc(url, "customer_t", props)
+      val mods = cust.filter(col("c_custkey") % 6 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 200, 2))
+        .withColumn("c_mktsegment", lit("WAREHOUSED"))
+      val inserts = cust.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(3000000L))
+      JdbcUpsert.upsert(mods.unionByName(inserts).coalesce(4), url,
+        "customer_t", Seq("c_custkey"), props, JdbcUpsert.Derby)
+      s.read.jdbc(url, "customer_t", props)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    }),
+
     // K5 load plan: the declarative per-run upsert loop over two tables,
     // driven end-to-end through parquet targets; both tables' final states
     // are unioned (tagged) so the oracle checks the whole plan's effect.
@@ -245,6 +279,26 @@ object OpsQueries {
         |  round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
         |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
         |FROM customer t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey""".stripMargin,
+    "q97_jdbc_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        |  FROM customer),
+        |mods AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    round(c_acctbal + 200, 2) AS c_acctbal, 'WAREHOUSED' AS c_mktsegment
+        |  FROM base WHERE c_custkey % 6 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 3000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 89 = 0),
+        |u AS (SELECT * FROM mods UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |  round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |FROM base t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey""".stripMargin,
     "q55_scd2" ->
       """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
         |cur AS (SELECT c_custkey, c_name, c_mktsegment,

@@ -19,44 +19,82 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *    errors on them; see [[graft.ops.Upsert]]).
   *
   * The MERGE text generation is a pure function so its semantics are unit
-  * tested without a database.
+  * tested without a database; the full staged round-trip is exercised
+  * end-to-end against embedded Derby (driver query q97).
   */
 object JdbcUpsert {
 
-  /** Quote an identifier SQL-Server style (reference builds `[t]`-style
-    * bracket-free names; we quote defensively). */
-  private def q(ident: String): String = "[" + ident.replace("]", "]]") + "]"
+  /** Warehouse dialect seam: identifier quoting and stage-drop syntax are
+    * the only statements that differ between the targets we generate for.
+    * Table names are passed through UNQUOTED on dialects whose default
+    * case-folding must match how Spark's JDBC writer addressed the table
+    * (Spark creates tables with the name verbatim-unquoted, columns quoted).
+    */
+  sealed trait Dialect {
+    /** Quote a column identifier. */
+    def col(ident: String): String
+    /** Render a table name the same way Spark's JDBC writer does. */
+    def table(ident: String): String
+    /** Drop the staging table (dialects differ on IF EXISTS support). */
+    def dropStageSql(tableName: String): String
+  }
+
+  /** SQL Server / Synapse — the reference's warehouse (`run_load.py:75-90`):
+    * bracket quoting, `DROP TABLE IF EXISTS`. */
+  case object SqlServer extends Dialect {
+    private def q(ident: String): String = "[" + ident.replace("]", "]]") + "]"
+    def col(ident: String): String = q(ident)
+    def table(ident: String): String = q(ident)
+    def dropStageSql(tableName: String): String =
+      s"DROP TABLE IF EXISTS ${table(stagingName(tableName))}"
+  }
+
+  /** Apache Derby (embedded) — the in-harness stand-in warehouse: unquoted
+    * table names (Derby folds them the same way Spark's unquoted CREATE
+    * TABLE did), double-quoted case-exact column names (Spark's Derby
+    * dialect creates columns quoted), plain DROP (no IF EXISTS — the stage
+    * is always freshly written when we drop it). */
+  case object Derby extends Dialect {
+    def col(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def table(ident: String): String = ident
+    def dropStageSql(tableName: String): String =
+      s"DROP TABLE ${table(stagingName(tableName))}"
+  }
 
   def stagingName(table: String): String = s"tmp_$table"
 
   /** Generate the MERGE statement (reference `run_load.py:75-90`):
     * ON all keys; WHEN MATCHED update every non-key column; WHEN NOT MATCHED
-    * insert every column. */
-  def mergeSql(table: String, keys: Seq[String], columns: Seq[String]): String = {
+    * insert every column. SET targets are unqualified (SQL standard; both
+    * dialects accept it) and no trailing semicolon (Derby's JDBC layer
+    * rejects statement terminators). */
+  def mergeSql(table: String, keys: Seq[String], columns: Seq[String],
+               dialect: Dialect = SqlServer): String = {
     require(keys.nonEmpty && keys.forall(columns.contains),
       s"keys ${keys.mkString(",")} must be a subset of columns")
     val nonKeys = columns.filterNot(keys.contains)
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val setClause = nonKeys.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
-    val insertCols = columns.map(q).mkString(", ")
-    val insertVals = columns.map(c => s"s.${q(c)}").mkString(", ")
+    val on = keys.map(k => s"t.${dialect.col(k)} = s.${dialect.col(k)}").mkString(" AND ")
+    val setClause = nonKeys.map(c => s"${dialect.col(c)} = s.${dialect.col(c)}").mkString(", ")
+    val insertCols = columns.map(dialect.col).mkString(", ")
+    val insertVals = columns.map(c => s"s.${dialect.col(c)}").mkString(", ")
     val matched =
       if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause " else ""
-    s"""MERGE INTO ${q(table)} AS t
-       |USING ${q(stagingName(table))} AS s
+    s"""MERGE INTO ${dialect.table(table)} t
+       |USING ${dialect.table(stagingName(table))} s
        |ON $on
-       |${matched}WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals);""".stripMargin
+       |${matched}WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
   }
 
-  def dropSql(table: String): String =
-    s"DROP TABLE IF EXISTS ${q(stagingName(table))};"
+  def dropSql(table: String, dialect: Dialect = SqlServer): String =
+    dialect.dropStageSql(table)
 
   /** Full staged upsert: executor-parallel JDBC write of the stage, then the
-    * MERGE + DROP in one driver-side connection (DDL/DML on the warehouse is
+    * MERGE + DROP in one driver-side transaction (DDL/DML on the warehouse is
     * inherently a single statement — the heavy lifting, the stage write, is
     * distributed). Empty batches skip entirely (reference `run_load.py:68-70`). */
   def upsert(updates: DataFrame, url: String, table: String, keys: Seq[String],
-             props: Properties = new Properties()): Unit = {
+             props: Properties = new Properties(),
+             dialect: Dialect = SqlServer): Unit = {
     if (updates.isEmpty) return
     val deduped = updates.dropDuplicates(keys)
     deduped.write.mode(SaveMode.Overwrite).jdbc(url, stagingName(table), props)
@@ -65,8 +103,8 @@ object JdbcUpsert {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        st.executeUpdate(mergeSql(table, keys, updates.columns.toSeq))
-        st.executeUpdate(dropSql(table))
+        st.executeUpdate(mergeSql(table, keys, updates.columns.toSeq, dialect))
+        st.executeUpdate(dropSql(table, dialect))
         conn.commit()
       } catch {
         case t: Throwable => conn.rollback(); throw t
