@@ -119,6 +119,62 @@ object StreamQueries {
         .agg(max(col("total_events")).as("n_events"))
     }),
 
+    // Session-window aggregation replayed across micro-batches — the one
+    // windowed-agg shape where append-mode emission needs care: a session
+    // only emits once the watermark passes its END, and the watermark never
+    // passes max(ts) - lateness, so a naive bounded replay emits nothing.
+    // Two-phase flush makes it deterministic AND complete:
+    //   run 1 drains the data files with lateness > the data's span — no
+    //     row can be late-dropped regardless of file order, and session
+    //     merging in the state store is order-independent;
+    //   run 2 appends one sentinel row 20 years ahead (dedicated user) and
+    //     re-runs AvailableNow on the same checkpoint — the watermark jumps
+    //     past every real session's end and the no-data eviction batch
+    //     emits them all; the sentinel's own session stays open forever.
+    // The oracle is the classic gap-and-islands rewrite: break when the
+    // gap to the previous event is >= 2h (session windows are [ts, ts+gap),
+    // merged on overlap — strictly-less comparison).
+    "q98_stream_session_window" -> ((s, dir) => {
+      val tmp = QueryTmp.dir("q98")
+      val in = s"$tmp/in"
+      val sub = eventsSubset(s, dir)
+      sub.repartition(2).write.parquet(in)
+      val schema = s.read.parquet(in).schema
+      def stream(): DataFrame = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      // No sentinel-user filter here, and that is LOAD-BEARING: a filter on
+      // a grouping column is legally pushed below the aggregation into the
+      // scan, which would drop the sentinel row before it ever reaches the
+      // watermark node — the flush would silently never fire. The sentinel
+      // needs no filter: its own session's end is always ahead of the
+      // watermark it creates, so it can never be emitted.
+      def agg(): DataFrame =
+        Streaming.streamingSessionAgg(stream(), gap = "2 hours",
+          lateness = "3650 days")
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            col("n_events"))
+      def drain(): Unit = {
+        val q = Streaming.writeOnce(agg(), s"$tmp/out", s"$tmp/ckpt").start()
+        require(q.awaitTermination(300000), s"stream drain timed out: $tmp")
+      }
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 8).toString)
+      try {
+        drain()
+        sub.agg(max(col("ts")).as("ts")).select(
+          lit(-1L).as("event_id"),
+          (col("ts") + expr("INTERVAL 7305 DAYS")).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("flush").as("event_type"),
+          lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(in)
+        drain()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$tmp/out")
+    }),
+
     // Stream-stream interval join replayed across micro-batches: view →
     // purchase attribution within 6 hours. Both sides stream from the
     // same landed files; lateness exceeds the data's span so no join state
@@ -155,6 +211,24 @@ object StreamQueries {
       """SELECT user_id, count(*) AS n_events
         |FROM events WHERE event_id % 10 < 3
         |GROUP BY user_id""".stripMargin,
+    "q98_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_id % 10 < 3),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 7200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "q80_stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
         |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS view_ts_us,

@@ -58,6 +58,15 @@ object Streaming {
                            lateness: String): DataFrame =
     tumblingAgg(stream.withWatermark("ts", lateness), windowLen)
 
+  /** Watermarked session-window aggregation over a stream: the streaming
+    * form of [[sessionAgg]]. Sessions are merge-on-overlap state — a session
+    * only EMITS (append mode) once the watermark passes its end, so a
+    * bounded replay must advance the watermark past the data (see the q98
+    * driver query's sentinel-flush pattern). */
+  def streamingSessionAgg(stream: DataFrame, gap: String,
+                          lateness: String): DataFrame =
+    sessionAgg(stream.withWatermark("ts", lateness), gap)
+
   /** Stateful streaming dedup on a key within the watermark horizon — the
     * streaming form of the reference's re-pull-then-upsert late-data handling
     * (`dropDuplicatesWithinWatermark` keeps state only as long as the
