@@ -41,6 +41,43 @@ object AdvancedQueries {
           |                    AND o.o_orderstatus = 'F')""".stripMargin)
     }),
 
+    // TPC-H Q21 shape: DOUBLE-correlated EXISTS + NOT EXISTS against the
+    // same fact table ("this supplier's line was returned on a finished
+    // multi-supplier order, and no OTHER supplier's line on it was").
+    // Catalyst must decorrelate both subqueries into hash-partitioned
+    // LeftSemi/LeftAnti joins on the equi-key, carrying the <> predicate as
+    // a join-condition filter — NEVER a BroadcastNestedLoopJoin, which is
+    // the O(n·m) scale-killer this query plan-guards against.
+    "q99_double_correlated" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v99")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v99")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v99")
+      val df = s.sql(
+        """SELECT s.s_name, count(*) AS numwait
+          |FROM supplier_v99 s
+          |JOIN lineitem_v99 l1 ON s.s_suppkey = l1.l_suppkey
+          |JOIN orders_v99 o ON o.o_orderkey = l1.l_orderkey
+          |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v99 l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_v99 l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s.s_name
+          |ORDER BY numwait DESC, s_name ASC
+          |LIMIT 20""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LeftSemi"),
+        s"EXISTS did not decorrelate to a semi join:\n$plan")
+      require(plan.contains("LeftAnti"),
+        s"NOT EXISTS did not decorrelate to an anti join:\n$plan")
+      require(!plan.contains("BroadcastNestedLoop"),
+        s"nested-loop join in the Q21 plan — O(n*m) at scale:\n$plan")
+      df
+    }),
+
     // Schema evolution at the union: the v2 frame added columns; v1 rows
     // must surface with NULLs for them (unionByName + allowMissingColumns —
     // the lake-native answer to appended-schema files).
@@ -196,6 +233,22 @@ object AdvancedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q99_double_correlated" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
     "q84_correlated_exists" ->
       """SELECT c.c_custkey, c.c_name
         |FROM customer c
