@@ -214,9 +214,10 @@ object Dedup {
     * minimum label among itself and its neighbors — one equi-join + one
     * hash-agg per round, converging in O(graph diameter) rounds. Near-dup
     * graphs are dense blobs of mutual duplicates (diameter ≲ 3), so this
-    * converges in a handful of shuffles; for adversarially long chains use
-    * star-contraction (large-star/small-star) instead — `maxIters` guards
-    * against silently wrong labels by failing loudly. Each round is
+    * converges in a handful of shuffles; if an adversarially long chain
+    * exhausts `maxIters`, the computation AUTO-DISPATCHES to
+    * [[starContraction]] (large-star/small-star, O(log² n) rounds
+    * regardless of diameter) instead of iterating on. Each round is
     * checkpointed: the lineage would otherwise grow one join per round.
     *
     * Returns (node, cluster_id); nodes not present in `pairs` are absent
@@ -248,10 +249,73 @@ object Dedup {
       labels = updated.select(col("node"), col("label"))
       i += 1
     }
+    if (converged) labels.select(col("node"), col("label").as("cluster_id"))
+    else starContraction(pairs, aCol, bCol) // diameter > maxIters: switch
+  }
+
+  /** Connected components by alternating large-star / small-star contraction
+    * (the MapReduce-era CC algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public literature):
+    * converges in O(log² n) rounds REGARDLESS of graph diameter, so it is
+    * the fallback [[clusters]] dispatches to when min-label propagation
+    * (O(diameter) rounds) hits its round budget on a long-chain graph.
+    *
+    * Each half-round is one hash-agg (per-node min neighbor) + one equi-join
+    * — no per-node neighbor lists are ever materialized, so a high-degree
+    * hub costs the same as any other node at 100 TB:
+    *  - large-star: every neighbor v > u re-attaches to m = min(N(u) ∪ u)
+    *  - small-star: every neighbor v < u (and u itself) attaches to
+    *    m = min of u's smaller neighborhood
+    * The fixed point is a forest of stars whose centers are the component
+    * minima. Edges are kept canonical (hi → lo) between rounds; each round
+    * is checkpointed to cut lineage.
+    *
+    * Returns (node, cluster_id) for every node in `pairs`, cluster labeled
+    * by its minimum id — the same contract as [[clusters]]. */
+  def starContraction(pairs: DataFrame, aCol: String = "doc_a",
+                      bCol: String = "doc_b", maxRounds: Int = 40): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    // canonical hi → lo, self-loops dropped
+    var canon = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("x"),
+        least(col("x"), col("y")).as("y"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val e = canon.union(canon.select(col("y").as("x"), col("x").as("y")))
+      // large-star: m(u) = min(N(u) ∪ u); re-attach strictly-larger nbrs
+      val m = e.groupBy(col("x").as("u")).agg(min(col("y")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = e.filter(col("y") > col("x"))
+        .join(m, col("x") === col("u"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .filter(col("x") =!= col("y")).distinct()
+      // small-star over the large-star output: m = min of the ≤-neighborhood
+      val e2 = ls.union(ls.select(col("y").as("x"), col("x").as("y")))
+      val sm = e2.filter(col("y") < col("x"))
+      val ms = sm.groupBy(col("x").as("u")).agg(min(col("y")).as("m"))
+      val next = sm.join(ms, col("x") === col("u"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(greatest(col("x"), col("y")).as("x"),
+          least(col("x"), col("y")).as("y"))
+        .union(ms.select(col("u").as("x"), col("m").as("y"))) // u > m always
+        .distinct().localCheckpoint()
+      // fixed point: the canonical edge set stopped changing (star forest)
+      converged = next.count() == canon.count() &&
+        next.except(canon).limit(1).count() == 0
+      canon = next
+      i += 1
+    }
     require(converged,
-      s"clusters: no convergence in $maxIters rounds — graph diameter too " +
-        "large for min-propagation; raise maxIters or use star-contraction")
-    labels.select(col("node"), col("label").as("cluster_id"))
+      s"starContraction: no fixed point in $maxRounds rounds (theory bound " +
+        "is O(log^2 n) — raise maxRounds for astronomically large graphs)")
+    // stars: every edge is (node, componentMin); centers label themselves
+    canon.select(col("x").as("node"), col("y").as("cluster_id"))
+      .union(canon.select(col("y").as("node"), col("y").as("cluster_id")))
+      .distinct()
   }
 
   /** Cluster-aware dedup verdict per document: every doc gets its cluster id

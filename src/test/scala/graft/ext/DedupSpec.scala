@@ -77,16 +77,36 @@ class DedupSpec extends SparkSpec {
     assert(out.find(_._1 == 5L).get._3 == false)
   }
 
-  test("clusters fails loudly past maxIters instead of returning wrong labels") {
-    // a 6-node chain has diameter 5: 2 rounds cannot converge
+  test("clusters auto-dispatches to star-contraction past maxIters") {
+    // a 6-node chain has diameter 5: 2 min-propagation rounds cannot
+    // converge, so the call must fall through to star-contraction and
+    // still return the right labels instead of failing
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.clusters(chain, maxIters = 2)
-    }
-    assert(e.getMessage.contains("convergence"))
-    // and with enough rounds the same chain resolves
-    val ok = Dedup.clusters(chain, maxIters = 10)
+    val ok = Dedup.clusters(chain, maxIters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 6L).forall(ok(_) == 1L))
+  }
+
+  test("starContraction: 10^4-node chain collapses to one min-labeled component") {
+    // diameter 10^4 — min-propagation would need 10^4 rounds; star
+    // contraction must finish within its O(log^2 n) round budget
+    val n = 10000L
+    val chain = spark.range(1L, n).select(
+      col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val labels = Dedup.starContraction(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n.toInt)
+    assert(labels.forall(_._2 == 1L))
+  }
+
+  test("starContraction matches min-propagation on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val viaProp = Dedup.clusters(pairs, maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaStar = Dedup.starContraction(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(viaStar == viaProp)
   }
 }
