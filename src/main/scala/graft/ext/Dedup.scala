@@ -138,23 +138,46 @@ object Dedup {
       .select(col("doc"),
         xxhash64(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
 
-  /** MinHash LSH near-dup pairs, verified: banded candidates → cheap
-    * signature-estimate pre-filter (fraction of agreeing slots ≥ half the
-    * threshold; for a true-jaccard-θ pair the estimate is Binomial(k, θ)/k,
-    * so the half-threshold margin loses < 1% recall at k=32) → exact
-    * Jaccard via the candidate-restricted inverted index on the surviving
-    * few. The shingle-hash multiset is materialized once — signatures,
-    * band joins, and verification all derive from it, and Catalyst would
-    * re-execute the unshared subtree for every consumer otherwise. At scale
-    * this is also the right pipeline shape: the hash frame is one long per
-    * shingle, far smaller than the corpus text, and dedup pipelines stage it. */
+  /** MinHash LSH near-dup pairs, verified: exact-duplicate collapse →
+    * banded candidates → cheap signature-estimate pre-filter (fraction of
+    * agreeing slots ≥ half the threshold; for a true-jaccard-θ pair the
+    * estimate is Binomial(k, θ)/k, so the half-threshold margin loses < 1%
+    * recall at k=32) → exact Jaccard via the candidate-restricted inverted
+    * index on the surviving few. The shingle-hash multiset is materialized
+    * once — signatures, band joins, and verification all derive from it,
+    * and Catalyst would re-execute the unshared subtree for every consumer
+    * otherwise. At scale this is also the right pipeline shape: the hash
+    * frame is one long per shingle, far smaller than the corpus text, and
+    * dedup pipelines stage it.
+    *
+    * The EXACT-COLLAPSE front end is load-bearing at corpus scale: a
+    * boilerplate page duplicated d times shares every band bucket with all
+    * its copies, so banding the raw corpus explodes into O(d²) wide
+    * candidate rows per group BEFORE verification (observed as an OOM in
+    * the 10× scale smoke, where duplicate groups are 100 deep). Instead,
+    * identical texts (128-bit content fingerprint) collapse to one
+    * representative; banding + verification run on UNIQUE content only;
+    * afterwards within-group pairs are emitted directly (jaccard 1 by
+    * definition) and representative-level near-dup pairs expand back to all
+    * member cross pairs — the emitted pair set is IDENTICAL, only the
+    * intermediate is linear in unique content instead of quadratic in
+    * duplication depth. */
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5,
                         wordShingles: Boolean = true): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .filter(col("txt").isNotNull) // null text shingles to nothing: no pairs
+      .withColumn("fp", md5(col("txt").cast("binary")))
+    // (fp, doc, rep): every doc with its exact-group representative (min id)
+    val members = keyed.select(col("doc"), col("fp"))
+      .join(keyed.groupBy(col("fp")).agg(min(col("doc")).as("rep")), "fp")
+      .localCheckpoint()
+    val uniques = keyed.join(
+      members.filter(col("doc") === col("rep")).select(col("doc")), "doc")
     val base =
-      if (wordShingles) wordShingleHashes(docs, idCol, textCol, n)
-      else shingleHashes(docs, idCol, textCol, n)
+      if (wordShingles) wordShingleHashes(uniques, "doc", "txt", n)
+      else shingleHashes(uniques, "doc", "txt", n)
     val full = base.localCheckpoint()
     val sig = signaturesFromHashes(full, k).localCheckpoint()
     val cands = bandedCandidates(sig, k, bands)
@@ -172,13 +195,30 @@ object Dedup {
       .join(sh.as("y"), col("doc_b") === col("y.doc") && col("x.h") === col("y.h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // expand the collapsed groups back out (output-bound, narrow id rows):
+    // pairs WITHIN an exact group are jaccard-1 near-dups by definition; a
+    // rep-level near-dup pair implies the same jaccard for every cross pair
+    // of the two groups' members (identical texts)
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc").as("da")),
+        col("doc_a") === col("ra"))
+      .join(members.select(col("rep").as("rb"), col("doc").as("db")),
+        col("doc_b") === col("rb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    within.unionByName(cross)
   }
 
   /** (doc, sk) frame: 64-bit SimHash over whitespace tokens. For bit j the

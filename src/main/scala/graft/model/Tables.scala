@@ -23,17 +23,25 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * exactly what DuckDB's TIMESTAMP (µs) cast does, so oracle values agree.
-    * Integer `DIV` is required: epoch-nanos (~1.7e18) exceeds a double's 2^53
-    * exact-integer range, so a float division would corrupt the timestamp.
+  /** The driver testdata events table stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright.
+    * Read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and
+    * truncate to microseconds — exactly what DuckDB's TIMESTAMP (µs) cast
+    * does, so oracle values agree. Integer `DIV` is required: epoch-nanos
+    * (~1.7e18) exceeds a double's 2^53 exact-integer range, so a float
+    * division would corrupt the timestamp. A RE-LANDED events table
+    * (written by Spark, e.g. the scale-smoke's 10× copy) already has µs
+    * timestamps — those pass through untouched (type-dispatched).
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
   }
 
   val starSchema: Seq[String] = Seq(
