@@ -166,15 +166,7 @@ object Dedup {
                         n: Int = 3, k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5,
                         wordShingles: Boolean = true): DataFrame = {
-    val keyed = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
-      .filter(col("txt").isNotNull) // null text shingles to nothing: no pairs
-      .withColumn("fp", md5(col("txt").cast("binary")))
-    // (fp, doc, rep): every doc with its exact-group representative (min id)
-    val members = keyed.select(col("doc"), col("fp"))
-      .join(keyed.groupBy(col("fp")).agg(min(col("doc")).as("rep")), "fp")
-      .localCheckpoint()
-    val uniques = keyed.join(
-      members.filter(col("doc") === col("rep")).select(col("doc")), "doc")
+    val (members, uniques) = exactCollapse(docs, idCol, textCol)
     val base =
       if (wordShingles) wordShingleHashes(uniques, "doc", "txt", n)
       else shingleHashes(uniques, "doc", "txt", n)
@@ -202,22 +194,50 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // expand the collapsed groups back out (output-bound, narrow id rows):
-    // pairs WITHIN an exact group are jaccard-1 near-dups by definition; a
-    // rep-level near-dup pair implies the same jaccard for every cross pair
-    // of the two groups' members (identical texts)
+    expandCollapsed(members, repPairs, "jaccard", lit(1.0))
+  }
+
+  /** Exact-duplicate collapse front end shared by the near-dup pipelines:
+    * identical texts (128-bit content fingerprint; null texts excluded —
+    * they shingle to nothing and can never pair) group under one
+    * representative (the minimum id). Returns (members, uniques):
+    * members = (fp, doc, rep) for every doc; uniques = (doc, txt, fp)
+    * restricted to representatives — the frame the sketching pipeline runs
+    * on, making its cost a function of UNIQUE content rather than
+    * duplication depth. */
+  private def exactCollapse(docs: DataFrame, idCol: String,
+                            textCol: String): (DataFrame, DataFrame) = {
+    val keyed = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .filter(col("txt").isNotNull)
+      .withColumn("fp", md5(col("txt").cast("binary")))
+    val members = keyed.select(col("doc"), col("fp"))
+      .join(keyed.groupBy(col("fp")).agg(min(col("doc")).as("rep")), "fp")
+      .localCheckpoint()
+    val uniques = keyed.join(
+      members.filter(col("doc") === col("rep")).select(col("doc")), "doc")
+    (members, uniques)
+  }
+
+  /** Expand representative-level near-dup pairs back to member pairs
+    * (output-bound, narrow id rows): pairs WITHIN an exact group are
+    * identical by definition (metric = `identical`: jaccard 1, hamming 0);
+    * a rep-level pair implies the same metric for every cross pair of the
+    * two groups' members (identical texts). */
+  private def expandCollapsed(members: DataFrame, repPairs: DataFrame,
+                              metricCol: String,
+                              identical: Column): DataFrame = {
     val within = members.as("a")
       .join(members.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        lit(1.0).as("jaccard"))
+        identical.as(metricCol))
     val cross = repPairs
       .join(members.select(col("rep").as("ra"), col("doc").as("da")),
         col("doc_a") === col("ra"))
       .join(members.select(col("rep").as("rb"), col("doc").as("db")),
         col("doc_b") === col("rb"))
       .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+        greatest(col("da"), col("db")).as("doc_b"), col(metricCol))
     within.unionByName(cross)
   }
 
@@ -374,17 +394,21 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit sketch into four 16-bit chunks
     * (a pair within Hamming distance 3 shares ≥1 exact chunk — pigeonhole),
-    * join on (chunk index, chunk value), verify `bit_count(xor) <= maxHamming`. */
+    * join on (chunk index, chunk value), verify `bit_count(xor) <= maxHamming`.
+    * Runs behind the same exact-duplicate collapse as [[minHashDedupPairs]]:
+    * identical docs share all four chunks, so a d-deep duplicate group would
+    * otherwise put O(d²) rows through every chunk bucket. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    val (members, uniques) = exactCollapse(docs, idCol, textCol)
     // one sketch pass feeds both self-join sides (see minHashDedupPairs)
-    val sk = simHashSketches(docs, idCol, textCol).localCheckpoint()
+    val sk = simHashSketches(uniques, "doc", "txt").localCheckpoint()
     val chunks = array((0 until 4).map { b =>
       shiftright(col("sk"), b * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
     val banded = sk.select(col("doc"), col("sk"),
       posexplode(chunks).as(Seq("chunk", "v")))
-    banded.as("a")
+    val repPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
           col("a.doc") < col("b.doc"))
@@ -392,5 +416,6 @@ object Dedup {
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandCollapsed(members, repPairs, "hamming", lit(0).cast("int"))
   }
 }
