@@ -392,6 +392,47 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
 
+  /** Cross-document repeated-passage stats — the passage-level dedup signal
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", public literature): a document that shares long verbatim token
+    * windows with OTHER documents carries boilerplate/templated content that
+    * exact- and near-dup (whole-document) dedup both miss.
+    *
+    * Strided rolling windows of `window` tokens (stride bounds the blowup to
+    * ~|tokens|/stride rows per doc) are fingerprinted with md5 of the joined
+    * token slice — deterministic, so the driver's DuckDB oracle reproduces
+    * the exact hashes; a window is "shared" when its fingerprint occurs in
+    * more than one distinct document. Per doc: window count, shared-window
+    * count, shared ratio.
+    *
+    * Scale: one explode (linear in corpus tokens / stride), one hash-agg on
+    * the window fingerprint, one equi-join back — no pairwise work anywhere,
+    * so a passage repeated across d documents costs d rows, not d². */
+  def repeatedPassageStats(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int = 10, stride: Int = 5): DataFrame = {
+    val wins = docs
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("w"))
+      .select(col("doc"),
+        explode(sequence(lit(1),
+          greatest(size(col("w")) - (window - 1), lit(1)), lit(stride)))
+          .as("i"),
+        col("w"))
+      .select(col("doc"),
+        md5(concat_ws(" ", slice(col("w"), col("i"), lit(window))).cast("binary"))
+          .as("wkey"))
+      .localCheckpoint() // feeds both the share-count agg and the re-join
+    val shared = wins.groupBy(col("wkey"))
+      .agg(countDistinct(col("doc")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+    wins.join(shared, Seq("wkey"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("ndocs")).as("n_shared"))
+      .select(col(idCol), col("n_windows"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_windows"), 6)
+          .as("shared_ratio"))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit sketch into four 16-bit chunks
     * (a pair within Hamming distance 3 shares ≥1 exact chunk — pigeonhole),
     * join on (chunk index, chunk value), verify `bit_count(xor) <= maxHamming`.

@@ -87,6 +87,16 @@ object LlmQueries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Cross-document repeated-passage detection (Lee et al. 2022 passage
+    // dedup signal): strided 10-token rolling windows fingerprinted with
+    // md5, a window is shared when it occurs in >1 distinct doc; per-doc
+    // shared-window ratio. md5 is deterministic, so DuckDB reproduces the
+    // exact fingerprints and the query is fully oracle-gated.
+    "q100_passage_dedup" -> ((s, dir) => {
+      Dedup.repeatedPassageStats(t(s, dir, "documents"), "doc_id", "text",
+        window = 10, stride = 5)
+    }),
+
     // MinHash+LSH over ALL documents — candidates via banded word-shingle
     // signatures, verified with exact Jaccard. No SQL oracle (engine hashes).
     "q27_minhash_pairs" -> ((s, dir) => {
@@ -421,6 +431,24 @@ object LlmQueries {
         |  CASE m WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
         |  CAST(CASE WHEN m = 2 THEN f ELSE 1 END AS BIGINT) AS n_frames
         |FROM p""".stripMargin,
+    "q100_passage_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 9, 1), 5)) AS i
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, md5(array_to_string(w[i:i+9], ' ')) AS wkey FROM i),
+        |s AS (
+        |  SELECT wkey FROM k GROUP BY wkey
+        |  HAVING count(DISTINCT doc_id) > 1)
+        |SELECT k.doc_id,
+        |  count(*) AS n_windows,
+        |  count(s.wkey) AS n_shared,
+        |  round(count(s.wkey)::DOUBLE / count(*), 6) AS shared_ratio
+        |FROM k LEFT JOIN s ON k.wkey = s.wkey
+        |GROUP BY k.doc_id""".stripMargin,
     "q96_frame_sample" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
         |p AS (SELECT doc_id, n % 3 AS m, n % 16 + 1 AS w, n % 9 + 1 AS h,

@@ -99,6 +99,24 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 1L))
   }
 
+  test("repeatedPassageStats flags cross-doc shared windows, not unique text") {
+    val passage = (1 to 10).map(i => s"tok$i").mkString(" ") // one full window
+    val corpus = Seq(
+      (1L, passage + " unique tail one two three four five six seven"),
+      (2L, passage + " other ending alpha beta gamma delta epsilon zeta eta"),
+      (3L, "completely different words with no overlap at all in this doc")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.repeatedPassageStats(corpus, "doc_id", "text",
+      window = 10, stride = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1 and 2 share exactly the first window (tokens 1-10); their
+    // stride-5 second/third windows diverge after the passage
+    assert(stats(1L)._2 == 1L && stats(2L)._2 == 1L)
+    assert(stats(1L)._3 > 0.0 && stats(1L)._3 < 1.0)
+    assert(stats(3L)._2 == 0L && stats(3L)._3 == 0.0)
+  }
+
   test("starContraction matches min-propagation on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
