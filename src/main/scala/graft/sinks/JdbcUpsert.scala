@@ -91,11 +91,26 @@ object JdbcUpsert {
   /** Full staged upsert: executor-parallel JDBC write of the stage, then the
     * MERGE + DROP in one driver-side transaction (DDL/DML on the warehouse is
     * inherently a single statement — the heavy lifting, the stage write, is
-    * distributed). Empty batches skip entirely (reference `run_load.py:68-70`). */
+    * distributed). Empty batches skip entirely (reference `run_load.py:68-70`).
+    *
+    * Duplicate source keys: SQL Server's MERGE errors when several source
+    * rows match one target row, so the reference load would fail at the
+    * warehouse. Default policy here is pre-dedup (an arbitrary survivor per
+    * key — appropriate when upstream already guarantees key semantics);
+    * `failOnDuplicateKeys = true` restores reference parity by failing FAST
+    * on the Spark side, before any stage rows are shipped. */
   def upsert(updates: DataFrame, url: String, table: String, keys: Seq[String],
              props: Properties = new Properties(),
-             dialect: Dialect = SqlServer): Unit = {
+             dialect: Dialect = SqlServer,
+             failOnDuplicateKeys: Boolean = false): Unit = {
     if (updates.isEmpty) return
+    if (failOnDuplicateKeys) {
+      val dup = updates.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"duplicate source keys for MERGE into $table, first: ${dup.mkString}")
+    }
     val deduped = updates.dropDuplicates(keys)
     deduped.write.mode(SaveMode.Overwrite).jdbc(url, stagingName(table), props)
     val conn: Connection = DriverManager.getConnection(url, props)

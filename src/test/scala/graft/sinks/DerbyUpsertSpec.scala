@@ -1,0 +1,73 @@
+package graft.sinks
+
+import java.util.Properties
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end staged-MERGE against embedded Derby — the in-JVM stand-in for
+  * the reference's SQL warehouse (reference `run_load.py:57-96`): stage,
+  * MERGE, drop stage, plus the reference's empty-input skip and the
+  * duplicate-source-key failure its warehouse MERGE would raise. */
+class DerbyUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graft_spec;create=true"
+  private def props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  System.setProperty("derby.stream.error.file",
+    tmpDir("derby_spec") + "/derby.log")
+
+  private def base = Seq(
+    (1L, "a@x.com", 10.0), (2L, "b@x.com", 20.0), (3L, "c@x.com", 30.0)
+  ).toDF("id", "email", "bal")
+
+  test("stage -> MERGE -> drop: updates overwrite, inserts append, rest pass") {
+    base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_spec", props)
+    val updates = Seq(
+      (2L, "b2@x.com", 25.0), // matched: every non-key column updated
+      (9L, "i@x.com", 90.0)   // unmatched: inserted
+    ).toDF("id", "email", "bal")
+    JdbcUpsert.upsert(updates, url, "dim_spec", Seq("id"), props,
+      JdbcUpsert.Derby)
+    val out = spark.read.jdbc(url, "dim_spec", props)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ("a@x.com", 10.0), 2L -> ("b2@x.com", 25.0),
+      3L -> ("c@x.com", 30.0), 9L -> ("i@x.com", 90.0)))
+    // the stage must be gone (plain DROP ran in the same transaction)
+    val ex = intercept[Exception] {
+      spark.read.jdbc(url, JdbcUpsert.stagingName("dim_spec"), props).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("tmp_dim_spec"))
+  }
+
+  test("empty update batch skips entirely (reference run_load.py:68-70)") {
+    base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_empty", props)
+    JdbcUpsert.upsert(base.filter(col("id") < 0), url, "dim_empty",
+      Seq("id"), props, JdbcUpsert.Derby)
+    assert(spark.read.jdbc(url, "dim_empty", props).count() == 3)
+  }
+
+  test("duplicate source keys fail fast under reference-parity policy") {
+    base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_dup", props)
+    val dupes = Seq((2L, "x@x.com", 1.0), (2L, "y@x.com", 2.0))
+      .toDF("id", "email", "bal")
+    val e = intercept[IllegalArgumentException] {
+      JdbcUpsert.upsert(dupes, url, "dim_dup", Seq("id"), props,
+        JdbcUpsert.Derby, failOnDuplicateKeys = true)
+    }
+    assert(e.getMessage.contains("duplicate source keys"))
+    // and nothing reached the warehouse (filter driver-side: a pushed-down
+    // string predicate would compare CLOB to CHAR, which Derby rejects)
+    assert(!spark.read.jdbc(url, "dim_dup", props).collect()
+      .exists(_.getString(1) == "x@x.com"))
+  }
+}
