@@ -19,7 +19,8 @@ object Explain {
     else Seq("q2_filter_project", "q3_join_agg", "q4_join_topk", "q5_topk",
       "q27_minhash_pairs", "q29_cosine_topk", "q35_asof_join", "q41_range_join",
       "q44_sliding_window", "q45_ann_ivf", "q50_quantize", "q52_upsert",
-      "q54_qc_agg", "q56_neardup_lsh")
+      "q54_qc_agg", "q56_neardup_lsh", "q99_double_correlated",
+      "q100_passage_dedup")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -108,19 +108,59 @@ object Dedup {
     * callers can materialize the signature frame once and fan multiple
     * consumers off it. */
   def bandedCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val rows = k / bands
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(slice(col("sig"), b * rows + 1, rows))
-    }: _*)
-    val banded = sig.select(col("doc"),
-      posexplode(bandHashes).as(Seq("band", "bucket")))
+    val banded = bandedForm(sig, k, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
+  }
+
+  /** (doc, band, bucket) banding of a (doc, sig) frame — the join key shape
+    * shared by the self-join ([[bandedCandidates]]) and the incremental
+    * new-vs-store join ([[incrementalNearDupPairs]]). */
+  private def bandedForm(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(slice(col("sig"), b * rows + 1, rows))
+    }: _*)
+    sig.select(col("doc"), posexplode(bandHashes).as(Seq("band", "bucket")))
+  }
+
+  /** Incremental near-dup: screen a NEW batch's signatures against a
+    * persisted corpus signature STORE — the daily-ingest shape at 100 TB,
+    * where re-sketching the corpus per batch is the thing you must never do
+    * (the store keeps one k-long signature per document, a tiny fraction of
+    * corpus bytes; append today's signatures after screening).
+    *
+    * Both sides band identically; candidates come from the banded equi-join
+    * (new × store, never store × store); the score is the signature
+    * agreement estimate — the store intentionally does not retain text, so
+    * exact-Jaccard confirmation, when needed, is a follow-up join against
+    * the lake restricted to the few emitted pairs.
+    *
+    * Returns (new_doc, store_doc, est) with est ≥ threshold. */
+  def incrementalNearDupPairs(newSigs: DataFrame, storeSigs: DataFrame,
+                              k: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    val bn = bandedForm(newSigs, k, bands)
+    val bs = bandedForm(storeSigs, k, bands)
+    val cands = bn.as("a")
+      .join(bs.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("new_doc"), col("b.doc").as("store_doc"))
+      .distinct()
+    cands
+      .join(newSigs.select(col("doc"), col("sig").as("sn")),
+        col("new_doc") === col("doc")).drop("doc")
+      .join(storeSigs.select(col("doc"), col("sig").as("ss")),
+        col("store_doc") === col("doc")).drop("doc")
+      .select(col("new_doc"), col("store_doc"),
+        (size(filter(zip_with(col("sn"), col("ss"), (x, y) => x === y),
+          b => b)).cast("double") / k).as("est"))
+      .filter(col("est") >= threshold)
   }
 
   /** Word n-gram shingle hashes — the standard unit for document-level

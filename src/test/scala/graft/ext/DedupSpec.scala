@@ -99,6 +99,28 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 1L))
   }
 
+  test("incrementalNearDupPairs screens new batch against the signature store") {
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (102L, "completely unrelated corpus content about databases and indexes here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (201L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 101
+      (202L, "the quick brown fox jumps over the lazy cat and runs away fast"), // near dup of 101
+      (203L, "entirely novel text with no relation to anything stored before now")
+    ).toDF("doc_id", "text")
+    val store = Dedup.minHashSignatures(corpus, "doc_id", "text", n = 3, k = 64)
+    val fresh = Dedup.minHashSignatures(batch, "doc_id", "text", n = 3, k = 64)
+    val hits = Dedup.incrementalNearDupPairs(fresh, store, k = 64, bands = 16,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hits((201L, 101L)) == 1.0) // exact dup: all slots agree
+    assert(hits.contains((202L, 101L)) && hits((202L, 101L)) < 1.0)
+    assert(!hits.keys.exists { case (n, s) => n == 203L || s == 102L })
+    // never store x store: no pair of two store docs can appear
+    assert(hits.keys.forall { case (n, s) => n >= 200L && s < 200L })
+  }
+
   test("repeatedPassageStats flags cross-doc shared windows, not unique text") {
     val passage = (1 to 10).map(i => s"tok$i").mkString(" ") // one full window
     val corpus = Seq(
