@@ -56,6 +56,36 @@ class DerbyUpsertSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "dim_empty", props).count() == 3)
   }
 
+  test("streaming foreachBatch upserts micro-batches into the Derby warehouse") {
+    // the reference's daily load as a STREAM: late/re-pulled rows arrive as
+    // micro-batches and are idempotently MERGEd into the warehouse table —
+    // foreachBatch turns the JDBC staged MERGE into a streaming sink
+    base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_stream", props)
+    val tmp = tmpDir("derby_stream")
+    Seq((2L, "b-new@x.com", 22.0), (7L, "g@x.com", 70.0))
+      .toDF("id", "email", "bal")
+      .repartition(2).write.parquet(s"$tmp/in") // 2 files -> 2 micro-batches
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      .writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        JdbcUpsert.upsert(batch, url, "dim_stream", Seq("id"), props,
+          JdbcUpsert.Derby)
+      }
+      .start()
+    assert(q.awaitTermination(120000))
+    val out = spark.read.jdbc(url, "dim_stream", props)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ("a@x.com", 10.0), 2L -> ("b-new@x.com", 22.0),
+      3L -> ("c@x.com", 30.0), 7L -> ("g@x.com", 70.0)))
+  }
+
   test("duplicate source keys fail fast under reference-parity policy") {
     base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_dup", props)
     val dupes = Seq((2L, "x@x.com", 1.0), (2L, "y@x.com", 2.0))
