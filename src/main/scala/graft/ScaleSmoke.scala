@@ -44,7 +44,8 @@ object ScaleSmoke {
     "q80_stream_interval_join", "q62_stream_dedup", "q63_stream_stateful",
     "q86_medallion_e2e", "q92_leakage_safe_split", "q59_dedup_clusters",
     "q27_minhash_pairs", "q65_partition_overwrite", "q45_ann_ivf",
-    "q83_load_plan", "q1_agg", "q3_join_agg", "q76_bloom_semi_join")
+    "q83_load_plan", "q1_agg", "q3_join_agg", "q76_bloom_semi_join",
+    "q28_simhash_pairs", "q100_passage_dedup")
 
   def buildScaled(s: SparkSession, src: String, target: String,
                   copies: Int): Unit = {
