@@ -4,22 +4,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-growth smoke: run the heaviest driver queries at sf0.1 and at a
-  * synthetic 10× of it, and report the wall-time ratio per query.
+  * synthetic 10×/100× of it, and report the wall-time ratio per query.
   *
-  * The 10× dataset is built by unioning `copies` re-keyed copies of each
+  * The scaled dataset is built by unioning `copies` re-keyed copies of each
   * sf0.1 table: every key AND foreign-key column is offset by
   * `copy * 100M`, so referential integrity, join fan-outs, and group
   * cardinalities scale together the way real growth scales them (10× the
   * orders ⇒ 10× the customers, not 10× the lines per order). `region` and
   * `nation` stay single-copy — dimensions don't grow with fact volume.
   * Document text is copied verbatim: cross-copy exact duplicates are what
-  * a dedup pipeline exists to find, so q27/q59/q92 see 10-deep duplicate
+  * a dedup pipeline exists to find, so q27/q59/q92 see copies-deep duplicate
   * groups — a harder, not easier, input.
   *
-  * Usage: runMain graft.ScaleSmoke [srcSfDir] [scaledDir] [copies]
-  * Prints one JSON line per query: name, wall at sf0.1, wall at the
-  * scaled dir, and the ratio; a final line aggregates. The scaled dir is
-  * built once and reused if present (delete it to rebuild).
+  * Usage:
+  *   runMain graft.ScaleSmoke [srcSfDir] [scaledDir] [copies] [reps]
+  *     — growth smoke; each wall is the MEDIAN of `reps` timed passes
+  *       (default 3; single passes on this VM spread ±40%).
+  *   runMain graft.ScaleSmoke skew [srcSfDir] [skewDir] [copies] [reps]
+  *     — skewed-key smoke: same copy step, but lineitem's join key and
+  *       events' group key are re-drawn zipf-style (a few hot keys own
+  *       half the rows). Runs the salted q60/q61 against their unsalted
+  *       twins (with and without AQE skew-split) and the unsalted q3 star
+  *       join, reporting the salted-vs-unsalted wall gap.
+  *
+  * A build is only reused when its `_SCALE_OK` marker exists AND records
+  * the same `copies` — an interrupted or differently-sized build rebuilds
+  * instead of silently producing wrong ratios.
   */
 object ScaleSmoke {
 
@@ -48,7 +58,7 @@ object ScaleSmoke {
     "q28_simhash_pairs", "q100_passage_dedup")
 
   def buildScaled(s: SparkSession, src: String, target: String,
-                  copies: Int): Unit = {
+                  copies: Int, skewed: Boolean = false): Unit = {
     val offset = 100000000L
     dims.foreach { t =>
       graft.model.Tables.load(s, src, t)
@@ -64,14 +74,60 @@ object ScaleSmoke {
           df.withColumn(k, col(k) + lit(i * offset))
         }
       }.reduce(_ unionAll _)
-      scaled.write.mode("overwrite").parquet(s"$target/$t.parquet")
+      val out = if (!skewed) scaled else skewTable(t, scaled)
+      out.write.mode("overwrite").parquet(s"$target/$t.parquet")
+    }
+    writeMarker(target, copies, skewed)
+  }
+
+  /** Zipf-style hot keys, deterministically drawn: half of lineitem's rows
+    * collapse onto 3 hot order keys (each hot key then owns ~copies·100k
+    * rows — a 10×+ skew over the average shuffle partition), and 70% of
+    * events collapse onto one hot group key. Everything else is untouched,
+    * so the same driver queries run unchanged against the skewed dir. */
+  private def skewTable(t: String, df: DataFrame): DataFrame = t match {
+    case "lineitem" =>
+      val h = pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey")), lit(100L))
+      val hot = pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(3L)) + 1
+      df.withColumn("l_orderkey",
+        when(h < 50, hot).otherwise(col("l_orderkey")))
+    case "events" =>
+      val h = pmod(xxhash64(col("event_id"), col("user_id")), lit(100L))
+      df.withColumn("event_type",
+        when(h < 70, lit("hot_type")).otherwise(col("event_type")))
+    case _ => df
+  }
+
+  private def markerFile(target: String) = new java.io.File(s"$target/_SCALE_OK")
+
+  private def markerText(copies: Int, skewed: Boolean): String =
+    s"copies=$copies skewed=$skewed"
+
+  /** Reuse gate: the marker is written as the LAST build step, so a partial
+    * or differently-parameterized build never passes as current. */
+  private def markerOk(target: String, copies: Int, skewed: Boolean): Boolean = {
+    val f = markerFile(target)
+    f.exists() && {
+      val src = scala.io.Source.fromFile(f)
+      try src.mkString.trim == markerText(copies, skewed) finally src.close()
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
-    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+  private def writeMarker(target: String, copies: Int, skewed: Boolean): Unit = {
+    val w = new java.io.PrintWriter(markerFile(target))
+    try w.print(markerText(copies, skewed)) finally w.close()
+  }
+
+  private def ensureBuilt(s: SparkSession, src: String, target: String,
+                          copies: Int, skewed: Boolean): Unit =
+    if (!markerOk(target, copies, skewed)) {
+      System.err.println(
+        s"[scale] building ${copies}x${if (skewed) " (skewed)" else ""} of $src at $target")
+      buildScaled(s, src, target, copies, skewed)
+    }
+
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,18 +136,37 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    if (!new java.io.File(s"$target/lineitem.parquet").exists()) {
-      System.err.println(s"[scale] building ${copies}x of $src at $target")
-      buildScaled(spark, src, target, copies)
-    }
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
 
-    def wall(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+  private def timed(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("skew")) skewMain(args.drop(1))
+    else growthMain(args)
+
+  private def growthMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+
+    def wall(name: String, dir: String): Double = median((1 to reps).map { _ =>
+      timed(SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+    })
     try wall("q1_agg", src) catch { case _: Throwable => () } // warm-up
 
     var sumSmall = 0.0
@@ -100,9 +175,79 @@ object ScaleSmoke {
       val small = wall(name, src)
       val big = wall(name, target)
       sumSmall += small; sumBig += big
-      println(f"""{"query":"$name","sf01_sec":$small%.2f,"sf1_sec":$big%.2f,"ratio":${big / small}%.2f}""")
+      println(f"""{"query":"$name","sf01_sec":$small%.2f,"sf1_sec":$big%.2f,"ratio":${big / small}%.2f,"reps":$reps}""")
     }
-    println(f"""{"query":"TOTAL","sf01_sec":$sumSmall%.2f,"sf1_sec":$sumBig%.2f,"ratio":${sumBig / sumSmall}%.2f,"copies":$copies}""")
+    println(f"""{"query":"TOTAL","sf01_sec":$sumSmall%.2f,"sf1_sec":$sumBig%.2f,"ratio":${sumBig / sumSmall}%.2f,"copies":$copies,"reps":$reps}""")
+    spark.stop()
+  }
+
+  /** Skewed-key smoke: the salted operators' 100-TB claim is that they
+    * neutralize hot keys that would otherwise straggle one shuffle
+    * partition. Three-way comparison on a genuinely skewed key:
+    * salted (ops/Skew) vs unsalted-with-AQE (Spark's own skew-split) vs
+    * unsalted-without-AQE-skew-split (the worst case the salt guards
+    * against on plans AQE can't rewrite). */
+  private def skewMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/skew100")
+    val copies = args.lift(2).map(_.toInt).getOrElse(100)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = true)
+
+    def t(name: String) = spark.read.parquet(s"$target/$name.parquet")
+
+    // unsalted twin of q60 (same answer, plain left join)
+    def plainJoin(): DataFrame = {
+      val li = t("lineitem")
+      val ord = t("orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      li.join(ord, Seq("l_orderkey"), "left")
+        .groupBy(coalesce(col("o_orderpriority"), lit("UNMATCHED"))
+          .as("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }
+
+    // unsalted twin of q61 (plain group-by)
+    def plainAgg(): DataFrame =
+      graft.model.Tables.load(spark, target, "events")
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value")), 2).as("total_value"),
+          count(lit(1)).as("n_events"))
+
+    def run(df: => DataFrame): Double = median((1 to reps).map { _ =>
+      timed(df.write.format("noop").mode("overwrite").save())
+    })
+    def runQ(name: String): Double = median((1 to reps).map { _ =>
+      timed(SparkEntry.queries(name)(spark, target)
+        .write.format("noop").mode("overwrite").save())
+    })
+    try plainAgg().write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () } // warm-up
+
+    def withSkewSplit(enabled: Boolean)(body: => Double): Double = {
+      val key = "spark.sql.adaptive.skewJoin.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, enabled.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
+    val results = Seq(
+      "q60_salted_join" -> runQ("q60_salted_join"),
+      "q60_unsalted_aqe" -> run(plainJoin()),
+      "q60_unsalted_noskewsplit" ->
+        withSkewSplit(enabled = false)(run(plainJoin())),
+      "q61_salted_agg" -> runQ("q61_salted_agg"),
+      "q61_unsalted" -> run(plainAgg()),
+      "q3_star_join_unsalted" -> runQ("q3_join_agg"))
+    results.foreach { case (name, sec) =>
+      println(f"""{"variant":"$name","sec":$sec%.2f,"copies":$copies,"reps":$reps}""")
+    }
     spark.stop()
   }
 }

@@ -199,9 +199,13 @@ object Dedup {
     * representative; banding + verification run on UNIQUE content only;
     * afterwards within-group pairs are emitted directly (jaccard 1 by
     * definition) and representative-level near-dup pairs expand back to all
-    * member cross pairs — the emitted pair set is IDENTICAL, only the
-    * intermediate is linear in unique content instead of quadratic in
-    * duplication depth. */
+    * member cross pairs. The candidate-derived pair set is unchanged; the
+    * one INTENTIONAL addition is degenerate identical documents (empty or
+    * shorter than one shingle — zero shingles, so banding alone could never
+    * pair them): byte-identical texts are exact duplicates regardless of
+    * shingle count, so their within-group pairs are emitted with jaccard 1.
+    * The intermediate stays linear in unique content instead of quadratic
+    * in duplication depth. */
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5,
@@ -413,9 +417,17 @@ object Dedup {
       s"starContraction: no fixed point in $maxRounds rounds (theory bound " +
         "is O(log^2 n) — raise maxRounds for astronomically large graphs)")
     // stars: every edge is (node, componentMin); centers label themselves
-    canon.select(col("x").as("node"), col("y").as("cluster_id"))
+    val labeled = canon.select(col("x").as("node"), col("y").as("cluster_id"))
       .union(canon.select(col("y").as("node"), col("y").as("cluster_id")))
       .distinct()
+    // self-loop-only nodes were dropped with the x =!= y filter, but
+    // [[clusters]]' min-propagation labels them (node -> node); restore the
+    // same contract so auto-dispatch never changes the returned node set
+    val allNodes = fwd.select(col("x").as("node"))
+      .union(fwd.select(col("y").as("node"))).distinct()
+    allNodes.join(labeled, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 
   /** Cluster-aware dedup verdict per document: every doc gets its cluster id

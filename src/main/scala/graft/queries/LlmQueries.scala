@@ -97,6 +97,44 @@ object LlmQueries {
         window = 10, stride = 5)
     }),
 
+    // Incremental near-dup screening under the gate: TODAY'S batch banded
+    // against a PERSISTED signature store — the daily-cadence shape where
+    // the corpus is never re-sketched (ext/Dedup.incrementalNearDupPairs;
+    // the store is genuinely written to and read back from parquet here).
+    // Batch = re-ingested copies of every %5 store doc (new ids, text
+    // verbatim — the daily-crawl re-fetch case) + genuinely novel texts
+    // (%7==3, suffixed with a marker no store text contains). Oracle
+    // exactness despite banding: a re-ingested copy has the IDENTICAL
+    // signature as its store original, so it shares every band bucket —
+    // recall on text-equal pairs is 1 by construction, not probabilistic;
+    // any near-miss candidates the bands happen to surface are dropped by
+    // the exact text-equality confirmation against the lake (the store
+    // retains no text, so confirmation is a join restricted to the few
+    // emitted pairs — the scale path the scaladoc prescribes). The result
+    // is therefore exactly the SQL text-equality join the oracle computes.
+    "q102_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = QueryTmp.dir("q102")
+      Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 32)
+        .write.mode("overwrite").parquet(s"$tmp/store")
+      val store = s.read.parquet(s"$tmp/store")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" q102novel"), col("doc_id")).as("text")))
+      val newSigs = Dedup.minHashSignatures(batch, "doc_id", "text",
+        n = 3, k = 32)
+      Dedup.incrementalNearDupPairs(newSigs, store, k = 32, bands = 8,
+        threshold = 0.9)
+        .join(batch.select(col("doc_id").as("new_doc"), col("text").as("nt")),
+          "new_doc")
+        .join(docs.select(col("doc_id").as("store_doc"), col("text").as("st")),
+          "store_doc")
+        .filter(col("nt") === col("st"))
+        .select(col("new_doc").as("new_id"), col("store_doc").as("store_id"))
+    }),
+
     // MinHash+LSH over ALL documents — candidates via banded word-shingle
     // signatures, verified with exact Jaccard. No SQL oracle (engine hashes).
     "q27_minhash_pairs" -> ((s, dir) => {
@@ -431,6 +469,10 @@ object LlmQueries {
         |  CASE m WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
         |  CAST(CASE WHEN m = 2 THEN f ELSE 1 END AS BIGINT) AS n_frames
         |FROM p""".stripMargin,
+    "q102_incremental_neardup" ->
+      """SELECT n.doc_id + 100000 AS new_id, s.doc_id AS store_id
+        |FROM documents n JOIN documents s ON n.text = s.text
+        |WHERE n.doc_id % 5 = 0""".stripMargin,
     "q100_passage_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

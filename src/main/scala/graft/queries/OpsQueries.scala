@@ -231,6 +231,53 @@ object OpsQueries {
           round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
     }),
 
+    // The reference's WHOLE production loop composed end-to-end: the
+    // incremental re-pull (rest_api.py:70-72) arrives as a STREAM of
+    // micro-batches (file source, one file per trigger), each micro-batch
+    // foreachBatch-MERGEs into the embedded-Derby warehouse
+    // (run_load.py:57-96), and the result is the warehouse table read back
+    // after the stream drains. Every update key occurs exactly once across
+    // the whole update set (mods and offset inserts are disjoint), so the
+    // final warehouse state is independent of the file stream's
+    // nondeterministic batch order — deterministic under the oracle while
+    // still exercising per-micro-batch staged MERGEs through a real
+    // checkpointed stream.
+    "q101_stream_warehouse" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.file",
+        QueryTmp.dir("derby_log") + "/derby.log")
+      val url = "jdbc:derby:memory:graft_q101;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      cust.coalesce(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .jdbc(url, "customer_s", props)
+      val mods = cust.filter(col("c_custkey") % 6 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 300, 2))
+        .withColumn("c_mktsegment", lit("RESTREAMED"))
+      val inserts = cust.filter(col("c_custkey") % 83 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(5000000L))
+      val tmp = QueryTmp.dir("q101")
+      mods.unionByName(inserts).repartition(3).write.parquet(s"$tmp/in")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      // replay-scale state/shuffle sizing — same rationale as StreamQueries
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 8).toString)
+      try {
+        val q = graft.streaming.Streaming.jdbcUpsertStream(stream, url,
+          "customer_s", Seq("c_custkey"), props, JdbcUpsert.Derby,
+          s"$tmp/ckpt").start()
+        require(q.awaitTermination(300000), s"stream drain timed out: $tmp")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.jdbc(url, "customer_s", props)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+    }),
+
     // K5 load plan: the declarative per-run upsert loop over two tables,
     // driven end-to-end through parquet targets; both tables' final states
     // are unioned (tagged) so the oracle checks the whole plan's effect.
@@ -292,6 +339,26 @@ object OpsQueries {
         |  SELECT c_custkey + 3000000 AS c_custkey, c_name, c_nationkey,
         |    c_acctbal, c_mktsegment
         |  FROM base WHERE c_custkey % 89 = 0),
+        |u AS (SELECT * FROM mods UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |  round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |FROM base t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey""".stripMargin,
+    "q101_stream_warehouse" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        |  FROM customer),
+        |mods AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    round(c_acctbal + 300, 2) AS c_acctbal, 'RESTREAMED' AS c_mktsegment
+        |  FROM base WHERE c_custkey % 6 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 5000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 83 = 0),
         |u AS (SELECT * FROM mods UNION ALL SELECT * FROM ins)
         |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
         |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,

@@ -37,6 +37,10 @@ object JdbcUpsert {
     def table(ident: String): String
     /** Drop the staging table (dialects differ on IF EXISTS support). */
     def dropStageSql(tableName: String): String
+    /** Statement terminator for the MERGE. T-SQL requires MERGE to end with
+      * ';' (SQL Server Msg 10713; reference `run_load.py:89` keeps it);
+      * Derby's JDBC layer rejects terminators. */
+    def mergeTerminator: String
   }
 
   /** SQL Server / Synapse — the reference's warehouse (`run_load.py:75-90`):
@@ -47,6 +51,7 @@ object JdbcUpsert {
     def table(ident: String): String = q(ident)
     def dropStageSql(tableName: String): String =
       s"DROP TABLE IF EXISTS ${table(stagingName(tableName))}"
+    def mergeTerminator: String = ";"
   }
 
   /** Apache Derby (embedded) — the in-harness stand-in warehouse: unquoted
@@ -59,6 +64,7 @@ object JdbcUpsert {
     def table(ident: String): String = ident
     def dropStageSql(tableName: String): String =
       s"DROP TABLE ${table(stagingName(tableName))}"
+    def mergeTerminator: String = ""
   }
 
   def stagingName(table: String): String = s"tmp_$table"
@@ -66,8 +72,8 @@ object JdbcUpsert {
   /** Generate the MERGE statement (reference `run_load.py:75-90`):
     * ON all keys; WHEN MATCHED update every non-key column; WHEN NOT MATCHED
     * insert every column. SET targets are unqualified (SQL standard; both
-    * dialects accept it) and no trailing semicolon (Derby's JDBC layer
-    * rejects statement terminators). */
+    * dialects accept it). The terminator is dialect-specific: T-SQL requires
+    * the MERGE to end with ';', Derby rejects one. */
   def mergeSql(table: String, keys: Seq[String], columns: Seq[String],
                dialect: Dialect = SqlServer): String = {
     require(keys.nonEmpty && keys.forall(columns.contains),
@@ -82,7 +88,7 @@ object JdbcUpsert {
     s"""MERGE INTO ${dialect.table(table)} t
        |USING ${dialect.table(stagingName(table))} s
        |ON $on
-       |${matched}WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+       |${matched}WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)${dialect.mergeTerminator}""".stripMargin
   }
 
   def dropSql(table: String, dialect: Dialect = SqlServer): String =

@@ -118,4 +118,23 @@ object Streaming {
         val merged = graft.ops.Upsert.upsert(readTarget(spark), batch, keys)
         writeTarget(merged)
       }
+
+  /** Streaming upsert into a JDBC WAREHOUSE: each micro-batch runs the
+    * staged transactional MERGE ([[graft.sinks.JdbcUpsert]]) against the
+    * warehouse table — the reference's full production loop composed
+    * (incremental re-pull `rest_api.py:70-72` arriving as micro-batches +
+    * keyed warehouse upsert `run_load.py:57-96`), with foreachBatch turning
+    * the batch JDBC sink into a streaming one. Idempotent per key, so a
+    * replayed batch (checkpoint recovery) re-MERGEs harmlessly. */
+  def jdbcUpsertStream(stream: DataFrame, url: String, table: String,
+                       keys: Seq[String], props: java.util.Properties,
+                       dialect: graft.sinks.JdbcUpsert.Dialect,
+                       checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.JdbcUpsert.upsert(batch, url, table, keys, props, dialect)
+      }
 }

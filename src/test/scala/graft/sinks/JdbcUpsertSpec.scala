@@ -14,7 +14,8 @@ class JdbcUpsertSpec extends AnyFunSuite {
       "WHEN MATCHED THEN UPDATE SET [email] = s.[email], [updated_at] = s.[updated_at]"))
     assert(sql.contains(
       "WHEN NOT MATCHED THEN INSERT ([id], [email], [updated_at]) VALUES (s.[id], s.[email], s.[updated_at])"))
-    assert(!sql.contains(";"), "Derby's JDBC layer rejects terminators; none emitted")
+    assert(sql.endsWith(";"),
+      "T-SQL requires MERGE to be ';'-terminated (SQL Server Msg 10713)")
   }
 
   test("mergeSql: multi-key joins on AND of all keys; keys never updated") {
@@ -48,6 +49,7 @@ class JdbcUpsertSpec extends AnyFunSuite {
     assert(sql.contains("USING tmp_customer_t s"))
     assert(sql.contains("ON t.\"id\" = s.\"id\""))
     assert(sql.contains("WHEN MATCHED THEN UPDATE SET \"v\" = s.\"v\""))
+    assert(!sql.contains(";"), "Derby's JDBC layer rejects statement terminators")
     assert(JdbcUpsert.dropSql("customer_t", JdbcUpsert.Derby) ===
       "DROP TABLE tmp_customer_t")
     assert(JdbcUpsert.dropSql("customer_t") ===
