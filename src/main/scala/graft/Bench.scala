@@ -31,7 +31,10 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     try run("q1_agg") catch { case _: Throwable => () } // warm-up
+    // dev-only filter for iterating on single queries (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // A failing query must be VISIBLE, not a near-zero wall time that
     // silently improves the total: each failure is reported per query and
     // in a "failed" list.
@@ -60,7 +63,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"queries_all":$all,"failed":$failedJson,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"queries_all":$all,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(full)
+    // The full per-query JSON (~12 KB for 100+ queries) exceeds the
+    // driver's 2000-char stdout tail window, so the tail's last line was
+    // unparseable and per-query history was lost each round. Persist the
+    // full JSON to the repo (committed per round) and END stdout with a
+    // compact line that always fits the window.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","per_query":"BENCH_FULL.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** In-query physical-plan guards: assert the plan property that makes a
+  * query viable at 100 TB (broadcast of a small dim, top-k as
+  * TakeOrderedAndProject, partition pruning) AT QUERY CONSTRUCTION, so a
+  * plan regression fails the driver's CORRECTNESS gate — not just an
+  * offline explain audit. Guards only inspect `executedPlan` (planning,
+  * no execution) and return the frame unchanged.
+  */
+object PlanGuard {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** The physical plan must contain `needle`. */
+  def requireInPlan(df: DataFrame, needle: String, why: String): DataFrame = {
+    val p = planOf(df)
+    require(p.contains(needle), s"$why — expected '$needle' in plan:\n$p")
+    df
+  }
+
+  /** The physical plan must NOT contain `needle`. */
+  def requireNotInPlan(df: DataFrame, needle: String, why: String): DataFrame = {
+    val p = planOf(df)
+    require(!p.contains(needle), s"$why — found forbidden '$needle' in plan:\n$p")
+    df
+  }
+
+  /** The physical plan must match `regex` (for patterns with expression
+    * ids, e.g. partition filters). */
+  def requirePlanMatches(df: DataFrame, regex: scala.util.matching.Regex,
+                         why: String): DataFrame = {
+    val p = planOf(df)
+    require(regex.findFirstIn(p).isDefined,
+      s"$why — expected pattern '$regex' in plan:\n$p")
+    df
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.plans.PlanGuard
 
 /** Core relational operator surface (SURVEY.md §2.3-§2.9): scans,
   * projections/filters, joins, aggregations, windows, sorts/limits, set ops,
@@ -55,20 +56,24 @@ object CoreQueries {
     }),
 
     // --- Joins (SURVEY §2.4) --------------------------------------------
-    // Fact-fact join shuffles on the key; the 25-row nation dim is broadcast.
+    // Fact-fact join shuffles on the key; the 25-row nation dim is broadcast
+    // — plan-guarded in-query, so losing the broadcast (hint dropped, AQE
+    // demotion) fails CORRECTNESS, not just the offline explain audit.
     "q3_join_agg" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       val nat = t(s, dir, "nation")
-      cust
-        .join(ord, cust("c_custkey") === ord("o_custkey"))
-        .join(li, ord("o_orderkey") === li("l_orderkey"))
-        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n_items"))
+      PlanGuard.requireInPlan(
+        cust
+          .join(ord, cust("c_custkey") === ord("o_custkey"))
+          .join(li, ord("o_orderkey") === li("l_orderkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items")),
+        "BroadcastHashJoin", "the 25-row nation dim must broadcast")
     }),
 
     // TPC-H Q3 shape: selective filters pushed to both scans, then top-k.
@@ -86,12 +91,18 @@ object CoreQueries {
         .limit(10)
     }),
 
-    // --- Sorts / top-k (SURVEY §2.7): plans as TakeOrderedAndProject ----
+    // --- Sorts / top-k (SURVEY §2.7): plans as TakeOrderedAndProject
+    // (per-partition heaps + driver merge), guarded in-query against
+    // regressing to a global range-partitioned sort.
     "q5_topk" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(10)
+      PlanGuard.requireNotInPlan(
+        PlanGuard.requireInPlan(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+            .limit(10),
+          "TakeOrderedAndProject", "top-k must plan as per-partition heaps"),
+        "Exchange rangepartitioning", "top-k must not global-sort")
     }),
 
     // --- Windows (SURVEY §2.6): deterministic latest-row-per-key --------

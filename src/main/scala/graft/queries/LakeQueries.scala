@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{TableRef, Tables}
 import graft.pipeline.Pipeline
+import graft.plans.PlanGuard
 import graft.sinks.{Bucketing, Maintenance, Sinks}
 import graft.sources.{EndpointSpec, IncrementalConfig, Json, PagePagination, RestSource}
 
@@ -155,14 +156,13 @@ object LakeQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("run_date"))
       Sinks.writePartitionedByRunDate(base, root, ref)
-      val pruned = Sinks.readLakeTable(s, root, ref)
-        .filter(col("run_date") === "1995-06")
       // the month filter must plan as a PARTITION filter (directory
       // pruning), not a post-scan data filter
-      val plan = pruned.queryExecution.executedPlan.toString
-      require("PartitionFilters: \\[[^\\]]*run_date#\\d+ = 1995-06".r
-        .findFirstIn(plan).isDefined,
-        s"run_date filter did not reach partition pruning:\n$plan")
+      val pruned = PlanGuard.requirePlanMatches(
+        Sinks.readLakeTable(s, root, ref)
+          .filter(col("run_date") === "1995-06"),
+        "PartitionFilters: \\[[^\\]]*run_date#\\d+ = 1995-06".r,
+        "run_date filter did not reach partition pruning")
       pruned.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("run_date").cast("string").as("run_date"))
     }),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{AsofJoin, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
+import graft.qc.SketchGate
 import graft.streaming.Streaming
 
 /** LLM-training-data pipeline operators (north-star extensions) as driver
@@ -18,9 +19,11 @@ import graft.streaming.Streaming
   *  - cosine similarities are rounded to 6 decimals on BOTH sides before
   *    thresholding/ranking (group-sum order differs across engines in the
   *    last ulp);
-  *  - MinHash / SimHash / LSH / HLL queries have no SQL oracle (engine-
-  *    specific hashes) → driver records the weaker rows-only check; their
-  *    exactness is covered by ScalaTest specs instead.
+  *  - MinHash / SimHash / LSH queries have no SQL oracle (engine-specific
+  *    hashes) → driver records the weaker rows-only check; their exactness
+  *    is covered by ScalaTest specs instead. The SKETCH queries (q36 HLL,
+  *    q57 GK) are self-gating: they emit exact values + within-bound
+  *    booleans the oracle expects TRUE for (see [[graft.qc.SketchGate]]).
   */
 object LlmQueries {
 
@@ -304,25 +307,24 @@ object LlmQueries {
         .select(col("event_id"), col("p.k").cast("long").as("k"))
     }),
 
-    // --- Sketch aggregates (HLL) — engine-specific, rows-only check ------
+    // --- Sketch aggregates — SELF-GATING: the sketch runs alongside its
+    // exact twin; the emitted row carries exact values + within-bound
+    // booleans, an in-query require fails fast, AND the oracle expects
+    // TRUE — so sketch-error drift fails CORRECTNESS, not just a spec.
     "q36_hll_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count(lit(1)).as("n"))
+      SketchGate.hllGate(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey"), relErr = 0.15)
     }),
 
     // GK-sketch quantiles per group — the streaming/low-memory percentile
     // path (exact percentile shuffles every value; the sketch carries
-    // O(1/ε log εN) per group). Engine-specific sketch → rows-only check;
-    // SketchSpec pins the error against exact percentile_cont.
+    // O(1/ε log εN) per group). Gated against the exact ±0.5%-rank
+    // envelope (50× the accuracy=10000 guarantee of ε=1e-4); SketchSpec
+    // additionally pins the raw error and the gate's failure path.
     "q57_approx_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
-          count(lit(1)).as("n"))
+      SketchGate.gkGate(t(s, dir, "lineitem"),
+        groupCol = "l_returnflag", valCol = "l_extendedprice",
+        percentages = Seq(0.5, 0.95), accuracy = 10000, rankSlack = 0.005)
     })
   )
 
@@ -469,6 +471,16 @@ object LlmQueries {
         |  CASE m WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
         |  CAST(CASE WHEN m = 2 THEN f ELSE 1 END AS BIGINT) AS n_frames
         |FROM p""".stripMargin,
+    "q36_hll_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_l_orderkey,
+        |  count(DISTINCT l_partkey) AS exact_l_partkey,
+        |  count(*) AS n,
+        |  TRUE AS within_l_orderkey, TRUE AS within_l_partkey
+        |FROM lineitem""".stripMargin,
+    "q57_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS within_p50, TRUE AS within_p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q102_incremental_neardup" ->
       """SELECT n.doc_id + 100000 AS new_id, s.doc_id AS store_id
         |FROM documents n JOIN documents s ON n.text = s.text

@@ -116,6 +116,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
   }
 
+  // --- PlanGuard failure paths: the in-query guards (q3/q5/q81/q99) must
+  // THROW on a regressed plan, not silently pass it through -----------------
+
+  test("PlanGuard.requireInPlan throws when the broadcast is lost") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // no broadcast() hint + threshold off => sort-merge join
+      val df = li.join(nat, li("l_suppkey") % 25 === nat("n_nationkey"))
+      val e = intercept[IllegalArgumentException] {
+        graft.plans.PlanGuard.requireInPlan(df, "BroadcastHashJoin", "dim must broadcast")
+      }
+      assert(e.getMessage.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("PlanGuard catches top-k regressing to a global sort") {
+    import org.apache.spark.sql.functions.col
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    // no limit => global range-partitioned sort, no TakeOrderedAndProject
+    val sorted = ord.orderBy(col("o_totalprice").desc)
+    intercept[IllegalArgumentException] {
+      graft.plans.PlanGuard.requireInPlan(sorted, "TakeOrderedAndProject",
+        "top-k must plan as per-partition heaps")
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.PlanGuard.requireNotInPlan(sorted, "Exchange rangepartitioning",
+        "top-k must not global-sort")
+    }
+  }
+
+  test("PlanGuard.requirePlanMatches throws when pruning never happens") {
+    import org.apache.spark.sql.functions.col
+    // an unpartitioned read has no PartitionFilters entry to match
+    val flat = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") > 100)
+    intercept[IllegalArgumentException] {
+      graft.plans.PlanGuard.requirePlanMatches(flat,
+        "PartitionFilters: \\[[^\\]]*run_date#\\d+ = 1995-06".r,
+        "filter did not reach partition pruning")
+    }
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

@@ -47,4 +47,45 @@ class SketchSpec extends SparkSpec {
         s"p95 off for ${r.get(0)}")
     }
   }
+
+  // --- SketchGate: the q36/q57 self-gating path ---------------------------
+
+  test("hllGate passes within its bound and emits all-true booleans") {
+    val out = graft.qc.SketchGate.hllGate(li,
+      Seq("l_orderkey", "l_partkey"), relErr = 0.15).head
+    assert(out.getBoolean(3) && out.getBoolean(4))
+  }
+
+  test("hllGate's require is LOAD-BEARING: an impossible bound throws") {
+    // relErr = 0 demands approx == exact; HLL on tens of thousands of
+    // distinct keys essentially never lands exactly — the gate must FAIL,
+    // not quietly emit false booleans.
+    val e = intercept[IllegalArgumentException] {
+      graft.qc.SketchGate.hllGate(li, Seq("l_orderkey"), relErr = 0.0)
+    }
+    assert(e.getMessage.contains("sketch error contract violated"))
+  }
+
+  test("gkGate passes within the rank envelope and emits all-true booleans") {
+    val rows = graft.qc.SketchGate.gkGate(li, "l_returnflag",
+      "l_extendedprice", Seq(0.5, 0.95), accuracy = 10000,
+      rankSlack = 0.005).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3)))
+  }
+
+  test("gkGate's require is LOAD-BEARING: a broken sketch value throws") {
+    // feed the rank-envelope core a deliberately wrong "approx" median
+    // (9999 on uniform 1..10000 — true rank 0.9999, claimed 0.5): the
+    // booleans must go false and the require must FIRE.
+    import spark.implicits._
+    val uniform = (1 to 10000).map(_.toDouble).toDF("v")
+      .withColumn("g", lit("x"))
+    val broken = Seq(("x", 9999.0)).toDF("g", "a_p50")
+    val e = intercept[IllegalArgumentException] {
+      graft.qc.SketchGate.rankGate(uniform, "g", "v", broken, Seq(0.5),
+        rankSlack = 0.005)
+    }
+    assert(e.getMessage.contains("sketch error contract violated"))
+  }
 }
