@@ -80,18 +80,18 @@ object ScaleSmoke {
     writeMarker(target, copies, skewed)
   }
 
-  /** Zipf-style hot keys, deterministically drawn: half of lineitem's rows
-    * collapse onto 3 hot order keys (each hot key then owns ~copies·100k
-    * rows — a 10×+ skew over the average shuffle partition), and 70% of
-    * events collapse onto one hot group key. Everything else is untouched,
-    * so the same driver queries run unchanged against the skewed dir. */
+  /** Adversarial hot keys, deterministically drawn: 70% of lineitem's rows
+    * collapse onto ONE hot order key (at 100× that is ~42M rows in a single
+    * shuffle partition — a ~20× straggler over the 1.9M average), and 70%
+    * of events collapse onto one hot group key. Everything else is
+    * untouched, so the same driver queries run unchanged against the
+    * skewed dir. */
   private def skewTable(t: String, df: DataFrame): DataFrame = t match {
     case "lineitem" =>
       val h = pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey")), lit(100L))
-      val hot = pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(3L)) + 1
       df.withColumn("l_orderkey",
-        when(h < 50, hot).otherwise(col("l_orderkey")))
+        when(h < 70, lit(1L)).otherwise(col("l_orderkey")))
     case "events" =>
       val h = pmod(xxhash64(col("event_id"), col("user_id")), lit(100L))
       df.withColumn("event_type",
@@ -99,10 +99,15 @@ object ScaleSmoke {
     case _ => df
   }
 
+  /** Bump when [[skewTable]]'s shape changes — rides the reuse marker so a
+    * stale skew build can't silently serve a new shape. */
+  private val skewShape = "v2"
+
   private def markerFile(target: String) = new java.io.File(s"$target/_SCALE_OK")
 
   private def markerText(copies: Int, skewed: Boolean): String =
-    s"copies=$copies skewed=$skewed"
+    s"copies=$copies skewed=$skewed" +
+      (if (skewed) s" shape=$skewShape" else "")
 
   /** Reuse gate: the marker is written as the LAST build step, so a partial
     * or differently-parameterized build never passes as current. */
