@@ -85,6 +85,14 @@ object Dedup {
                         n: Int, k: Int): DataFrame =
     signaturesFromHashes(shingleHashes(docs, idCol, textCol, n), k)
 
+  /** Word-shingle MinHash signatures — the document-scale variant (char
+    * n-grams explode one row per character offset; word n-grams are ~6×
+    * fewer rows for prose). The store/batch sides of the incremental
+    * screen ([[incrementalNearDupPairs]]) must use the same family. */
+  def minHashSignaturesWords(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, k: Int): DataFrame =
+    signaturesFromHashes(wordShingleHashes(docs, idCol, textCol, n), k)
+
   /** k min-aggregates over a (doc, h) shingle-hash frame → (doc, sig). */
   private def signaturesFromHashes(hashes: DataFrame, k: Int): DataFrame = {
     val mins = hashes

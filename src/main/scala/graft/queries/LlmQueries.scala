@@ -118,7 +118,7 @@ object LlmQueries {
     "q102_incremental_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val tmp = QueryTmp.dir("q102")
-      Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, k = 32)
+      Dedup.minHashSignaturesWords(docs, "doc_id", "text", n = 3, k = 32)
         .write.mode("overwrite").parquet(s"$tmp/store")
       val store = s.read.parquet(s"$tmp/store")
       val batch = docs.filter(col("doc_id") % 5 === 0)
@@ -126,7 +126,7 @@ object LlmQueries {
         .unionByName(docs.filter(col("doc_id") % 7 === 3)
           .select((col("doc_id") + 200000L).as("doc_id"),
             concat(col("text"), lit(" q102novel"), col("doc_id")).as("text")))
-      val newSigs = Dedup.minHashSignatures(batch, "doc_id", "text",
+      val newSigs = Dedup.minHashSignaturesWords(batch, "doc_id", "text",
         n = 3, k = 32)
       Dedup.incrementalNearDupPairs(newSigs, store, k = 32, bands = 8,
         threshold = 0.9)
@@ -202,6 +202,22 @@ object LlmQueries {
       Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings").filter(col("vec_id") < 500),
         threshold = 0.4)
+    }),
+
+    // SEMANTIC dedup decisions end-to-end: exact cosine near-dup pairs over
+    // the embedding column → connected components → every vector labeled
+    // with its cluster's canonical (minimum) id — the q59 pairs-to-decision
+    // path composed onto the q31 similarity plane (embedding-space dedup is
+    // what whole-document near-dup misses when texts are paraphrased).
+    // Oracle = DuckDB recursive-CTE reachability over the same exact-cosine
+    // edge set. Scale path: swap the exact pair join for
+    // cosineNearDupPairsBanded (q56) — dedupByPairs is agnostic to the
+    // pair source.
+    "q103_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      Dedup.dedupByPairs(emb, pairs, "vec_id", aCol = "id_a", bCol = "id_b")
+        .select(col("vec_id"), col("cluster_id"), col("is_canonical"))
     }),
 
     // Banded-LSH embedding near-dup — the scale-shaped form of q31: equi-join
@@ -436,6 +452,27 @@ object LlmQueries {
         |SELECT id_a, id_b, round(dot / (x.nrm * y.nrm), 6) AS cos_sim
         |FROM d JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
         |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
+    "q103_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             unnest(embedding)::DOUBLE AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM d JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
+        |  WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT g.x, r.label FROM edges g JOIN reach r ON g.y = r.node)
+        |SELECT node AS vec_id, min(label) AS cluster_id,
+        |  node = min(label) AS is_canonical
+        |FROM reach GROUP BY node""".stripMargin,
     "q50_quantize" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve
