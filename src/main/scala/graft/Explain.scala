@@ -20,7 +20,7 @@ object Explain {
       "q27_minhash_pairs", "q29_cosine_topk", "q35_asof_join", "q41_range_join",
       "q44_sliding_window", "q45_ann_ivf", "q50_quantize", "q52_upsert",
       "q54_qc_agg", "q56_neardup_lsh", "q99_double_correlated",
-      "q100_passage_dedup")
+      "q100_passage_dedup", "q102_incremental_neardup", "q103_semantic_dedup")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -121,6 +121,30 @@ class DedupSpec extends SparkSpec {
     assert(hits.keys.forall { case (n, s) => n >= 200L && s < 200L })
   }
 
+  test("word-shingle signatures: identical texts agree on every slot, " +
+    "disjoint vocabularies share none (q102's signature family)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "one two three four five six seven eight nine")   // disjoint
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignaturesWords(docs, "doc_id", "text",
+      n = 3, k = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical text must yield identical sigs")
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree < 8, s"disjoint vocab should agree on ~0/32 slots, got $agree")
+    // and the incremental screen works end-to-end on the word family
+    val hits = Dedup.incrementalNearDupPairs(
+      Dedup.minHashSignaturesWords(
+        docs.filter(col("doc_id") === 2L), "doc_id", "text", n = 3, k = 32),
+      Dedup.minHashSignaturesWords(
+        docs.filter(col("doc_id") =!= 2L), "doc_id", "text", n = 3, k = 32),
+      k = 32, bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((2L, 1L)))
+  }
+
   test("repeatedPassageStats flags cross-doc shared windows, not unique text") {
     val passage = (1 to 10).map(i => s"tok$i").mkString(" ") // one full window
     val corpus = Seq(
