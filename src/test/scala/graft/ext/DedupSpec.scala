@@ -145,6 +145,35 @@ class DedupSpec extends SparkSpec {
     assert(hits.toSeq == Seq((2L, 1L)))
   }
 
+  test("daily incremental-dedup loop: screen, append signatures, screen " +
+    "tomorrow against the grown store — corpus never re-sketched") {
+    val storeDir = tmpDir("sig_store")
+    val day0 = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    Dedup.minHashSignaturesWords(day0, "doc_id", "text", n = 3, k = 32)
+      .write.mode("append").parquet(storeDir)
+    // day 1: one re-fetch of doc 1, one novel doc; screen then append
+    val day1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "novel content about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val sigs1 = Dedup.minHashSignaturesWords(day1, "doc_id", "text", n = 3, k = 32)
+    val hits1 = Dedup.incrementalNearDupPairs(sigs1,
+      spark.read.parquet(storeDir), k = 32, bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits1.toSet == Set((11L, 1L)))
+    sigs1.write.mode("append").parquet(storeDir)
+    // day 2: a re-fetch of day-1's NOVEL doc must now hit the grown store
+    val day2 = Seq(
+      (21L, "novel content about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val sigs2 = Dedup.minHashSignaturesWords(day2, "doc_id", "text", n = 3, k = 32)
+    val hits2 = Dedup.incrementalNearDupPairs(sigs2,
+      spark.read.parquet(storeDir), k = 32, bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits2.toSet == Set((21L, 12L)))
+  }
+
   test("repeatedPassageStats flags cross-doc shared windows, not unique text") {
     val passage = (1 to 10).map(i => s"tok$i").mkString(" ") // one full window
     val corpus = Seq(

@@ -86,6 +86,36 @@ class DerbyUpsertSpec extends SparkSpec {
       3L -> ("c@x.com", 30.0), 7L -> ("g@x.com", 70.0)))
   }
 
+  test("replayed batch re-MERGEs harmlessly (checkpoint-recovery idempotence)") {
+    // foreachBatch may redeliver a micro-batch after a crash-and-restore;
+    // the staged MERGE keyed on id must leave the warehouse unchanged when
+    // the same batch applies twice
+    base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_replay", props)
+    JdbcUpsert.ensureKeyIndex(url, "dim_replay", Seq("id"), props,
+      JdbcUpsert.Derby)
+    val batch = Seq((2L, "b2@x.com", 25.0), (9L, "i@x.com", 90.0))
+      .toDF("id", "email", "bal")
+    JdbcUpsert.upsert(batch, url, "dim_replay", Seq("id"), props,
+      JdbcUpsert.Derby)
+    val after1 = spark.read.jdbc(url, "dim_replay", props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    JdbcUpsert.upsert(batch, url, "dim_replay", Seq("id"), props,
+      JdbcUpsert.Derby) // the replay
+    val after2 = spark.read.jdbc(url, "dim_replay", props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(after2 == after1, "replayed MERGE must be a no-op")
+    assert(after1.size == 4)
+  }
+
+  test("ensureKeyIndex is idempotent (second call is a no-op)") {
+    base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_ix", props)
+    JdbcUpsert.ensureKeyIndex(url, "dim_ix", Seq("id"), props, JdbcUpsert.Derby)
+    JdbcUpsert.ensureKeyIndex(url, "dim_ix", Seq("id"), props, JdbcUpsert.Derby)
+    assert(spark.read.jdbc(url, "dim_ix", props).count() == 3)
+  }
+
   test("duplicate source keys fail fast under reference-parity policy") {
     base.write.mode(SaveMode.Overwrite).jdbc(url, "dim_dup", props)
     val dupes = Seq((2L, "x@x.com", 1.0), (2L, "y@x.com", 2.0))
