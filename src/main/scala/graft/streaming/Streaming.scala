@@ -17,6 +17,11 @@ import org.apache.spark.sql.Row
   * Scale: windowed aggregations are keyed by (window, group) — state is
   * bounded by the watermark, partitions by group key across executors, and
   * late rows past the watermark are dropped instead of growing state forever.
+  * For billion-key state (corpus-wide streaming dedup), configure the
+  * RocksDB state store (`spark.sql.streaming.stateStore.providerClass` →
+  * `RocksDBStateStoreProvider`) so state spills to executor-local disk
+  * instead of living on the heap — every transform here is provider-
+  * agnostic (proven by StreamingSpec's RocksDB run).
   */
 object Streaming {
 

@@ -81,6 +81,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streamingDedup runs on the RocksDB state store (the 100-TB state path)") {
+    // HDFSBackedStateStore keeps every key on the JVM heap — fine for the
+    // replay harness, fatal for billion-key dedup state. RocksDB spills
+    // state to local disk; this proves the same plan runs unchanged under
+    // the provider a real cluster would configure.
+    val dir = tmpDir("rocks-in")
+    val out = tmpDir("rocks-out")
+    val ckpt = tmpDir("rocks-ckpt")
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:00:30"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streaming.readEventsStream(spark, s"$dir/events.parquet")
+      val deduped = Streaming.streamingDedup(stream, Seq("event_id"), "10 minutes")
+      val q = deduped.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      assert(q.awaitTermination(120000))
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionAgg groups by gap-based session windows") {
     val out = Streaming.sessionAgg(eventsDf, "30 minutes")
       .orderBy("session_start").collect()
