@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No trailing "[success] ..." banner after runMain: the driver tail-parses
+// the LAST stdout line of `runMain graft.Bench` as compact JSON — the
+// banner was pushing it off the tail every round (BENCH_r*.json.parsed
+// came back null).
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,14 +70,24 @@ object Bench {
     // driver's 2000-char stdout tail window, so the tail's last line was
     // unparseable and per-query history was lost each round. Persist the
     // full JSON to the repo (committed per round) and END stdout with a
-    // compact line that always fits the window.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","per_query":"BENCH_FULL.json"}""")
+    // compact line that always fits the window. A dev-filtered run
+    // (SPARK_GRAFT_BENCH_ONLY) must NOT overwrite the committed per-round
+    // history with a partial query set.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      }
+    else System.err.println(
+      "[bench] SPARK_GRAFT_BENCH_ONLY set — skipping BENCH_FULL.json write")
+    // Stop Spark BEFORE the compact line so nothing (even a stray stdout
+    // logger) can print after it: paired with `showSuccess := false` in
+    // build.sbt (no trailing [success] banner), the compact JSON is the
+    // LAST stdout line — the driver's tail-parse reads it directly.
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","per_query":"BENCH_FULL.json"}""")
+    Console.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

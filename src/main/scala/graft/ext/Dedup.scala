@@ -208,10 +208,12 @@ object Dedup {
     * afterwards within-group pairs are emitted directly (jaccard 1 by
     * definition) and representative-level near-dup pairs expand back to all
     * member cross pairs. The candidate-derived pair set is unchanged; the
-    * one INTENTIONAL addition is degenerate identical documents (empty or
-    * shorter than one shingle — zero shingles, so banding alone could never
-    * pair them): byte-identical texts are exact duplicates regardless of
-    * shingle count, so their within-group pairs are emitted with jaccard 1.
+    * exact-collapse path is also the AUTHORITATIVE channel for degenerate
+    * identical documents (empty or shorter than one shingle): such texts
+    * still emit one clamped shingle (`greatest(…, 1)`) — only null texts
+    * shingle to nothing — but byte-identical texts are exact duplicates
+    * regardless of what they shingle to, so their within-group pairs are
+    * emitted with jaccard 1 without relying on the banding to find them.
     * The intermediate stays linear in unique content instead of quadratic
     * in duplication depth. */
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -247,6 +249,71 @@ object Dedup {
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     expandCollapsed(members, repPairs, "jaccard", lit(1.0))
+  }
+
+  /** EXACT word-n-gram Jaccard pairs over the whole corpus — the exact twin
+    * the banded MinHash path ([[minHashDedupPairs]]) is recall/precision-
+    * gated against under the driver's oracle (q27). Same shingle family
+    * (distinct word-shingle hash sets) as the banded path's verification, so
+    * the banded output is a strict subset of this one by construction.
+    *
+    * Runs behind the same exact-collapse front end, so the quadratic
+    * inverted-index join touches UNIQUE content only — on a duplicate-heavy
+    * corpus (the 100-deep groups of the scale smoke) cost tracks unique
+    * texts, not duplication depth. Still an exact all-true-pairs computation:
+    * a verification plane sized by unique content, not the 100 TB path (that
+    * is the banded query it gates). */
+  def jaccardPairsWords(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (members, uniques) = exactCollapse(docs, idCol, textCol)
+    val sh = wordShingleHashes(uniques, "doc", "txt", n)
+      .distinct().localCheckpoint() // set semantics; feeds sizes AND the join
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val repPairs = inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    expandCollapsed(members, repPairs, "jaccard", lit(1.0))
+  }
+
+  /** Byte-identical duplicate pairs (128-bit content-fingerprint equality) —
+    * the oracle-computable exact pair set the SimHash gate (q28) anchors on:
+    * identical texts have identical sketches, so every one of these pairs
+    * MUST surface from the banded SimHash join with hamming 0. One hash-agg
+    * + one fingerprint equi-join; null texts excluded (SQL text-equality
+    * semantics). */
+  def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (members, _) = exactCollapse(docs, idCol, textCol)
+    members.as("a")
+      .join(members.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+  }
+
+  /** Brute-force SimHash pairs — the exact twin ON THE ENGINE'S OWN SKETCH
+    * PLANE that the banded path ([[simHashPairs]]) is equivalence-gated
+    * against: every unique-content pair within `maxHamming`, no banding.
+    * By the pigeonhole argument (4 chunks, ≤3 differing bits) the banded
+    * output must equal this set EXACTLY — asserted in-query by the q28 gate
+    * and in RecallSpec. O(u²) over unique representatives: a verification
+    * plane, not a scale path. */
+  def simHashPairsBrute(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val (members, uniques) = exactCollapse(docs, idCol, textCol)
+    val sk = simHashSketches(uniques, "doc", "txt").localCheckpoint()
+    val repPairs = sk.as("a")
+      .join(sk.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    expandCollapsed(members, repPairs, "hamming", lit(0).cast("int"))
   }
 
   /** Exact-duplicate collapse front end shared by the near-dup pipelines:

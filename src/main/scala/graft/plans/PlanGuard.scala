@@ -8,6 +8,18 @@ import org.apache.spark.sql.DataFrame
   * plan regression fails the driver's CORRECTNESS gate — not just an
   * offline explain audit. Guards only inspect `executedPlan` (planning,
   * no execution) and return the frame unchanged.
+  *
+  * STATIC-CHECK LIMITATION: the guard inspects the QueryExecution created
+  * for THIS frame at construction time. A later action (`.write`, a new
+  * transformation chain) plans its own QueryExecution, and AQE may re-plan
+  * at runtime (e.g. demote a broadcast whose build side turns out larger
+  * than the threshold) — neither is seen here. The guards are therefore
+  * necessary-but-not-sufficient evidence of the 100 TB plan property: they
+  * catch plan-shape regressions introduced by code changes (the common
+  * failure), not runtime adaptive demotions. Where a property is
+  * load-bearing at runtime, also assert on
+  * `df.queryExecution.executedPlan` AFTER an action (the adaptive final
+  * plan) in a spec.
   */
 object PlanGuard {
 

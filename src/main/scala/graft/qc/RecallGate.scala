@@ -1,0 +1,79 @@
+package graft.qc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Self-validating retrieval gates for hash-randomized approximate
+  * operators (MinHash/SimHash banding, hyperplane LSH, IVF) — the sibling
+  * of [[SketchGate]] for operators whose OUTPUT (not just error) depends on
+  * engine hash families the driver's DuckDB oracle cannot reproduce.
+  *
+  * The gate inverts which side is emitted: the returned frame is the EXACT
+  * counterpart's rows (oracle-reproducible in ANSI SQL) plus constant
+  * within-contract BOOLEANS; the approximate operator still runs in-query
+  * as the gate subject, its retrieval is measured against the exact set,
+  * and an in-query `require` fails fast when the contract is violated —
+  * while the booleans ride the emitted rows so the same violation also
+  * fails the driver's hash compare (the oracle expects TRUE).
+  *
+  * As with [[SketchGate]], the exact twin is the verification harness, not
+  * the scale path: at 100 TB you run the approximate operator alone; the
+  * gate is how the harness proves its retrieval contract on real data.
+  * All hash seeds and inputs are fixed, so the measured recalls are
+  * deterministic — a gate either always passes or always fails on a given
+  * dataset, never flakily.
+  */
+object RecallGate {
+
+  /** Gate `approx` against `exact` on `keys`:
+    *  - recall = |exact ⋉ approx| / |exact| must be ≥ `recallFloor`;
+    *  - when `requireExactPrecision`, approx must be a SUBSET of exact
+    *    (operators that exact-verify every candidate have precision 1.0 by
+    *    construction — a spurious row means the verification broke).
+    * Returns `exact` + `recall_ok` (+ `precision_ok` when checked) boolean
+    * columns. Both sides are localCheckpoint-ed so the driver-side probe and
+    * the returned frame share one execution. */
+  def gate(exact: DataFrame, approx: DataFrame, keys: Seq[String],
+           recallFloor: Double, what: String,
+           requireExactPrecision: Boolean = true): DataFrame = {
+    val e = exact.localCheckpoint()
+    val eKeys = e.select(keys.map(col): _*).distinct().localCheckpoint()
+    val aKeys = approx.select(keys.map(col): _*).distinct().localCheckpoint()
+    val total = eKeys.count()
+    require(total > 0, s"$what: exact ground truth is empty — recall undefined")
+    val hits = eKeys.join(aKeys, keys, "left_semi").count()
+    val recall = hits.toDouble / total
+    require(recall >= recallFloor,
+      f"$what: retrieval recall $recall%.3f below floor $recallFloor " +
+        f"($hits of $total exact rows retrieved) — approximate operator's " +
+        "contract violated")
+    System.err.println(
+      f"[gate] $what: recall=$recall%.3f (floor $recallFloor, $hits/$total)")
+    val gated = e.withColumn("recall_ok", lit(recall >= recallFloor))
+    if (!requireExactPrecision) gated
+    else {
+      val spurious = aKeys.join(eKeys, keys, "left_anti").count()
+      require(spurious == 0,
+        s"$what: $spurious approximate rows outside the exact set — " +
+          "candidate verification is broken (precision must be 1.0 by " +
+          "construction)")
+      gated.withColumn("precision_ok", lit(spurious == 0L))
+    }
+  }
+
+  /** Exact set equivalence of two frames on `keys` (e.g. banded SimHash vs
+    * brute-force — pigeonhole says they must MATCH, not just overlap).
+    * `require`s both directions empty and returns true (for riding emitted
+    * rows as a constant gate boolean). */
+  def equivalent(a: DataFrame, b: DataFrame, keys: Seq[String],
+                 what: String): Boolean = {
+    val ak = a.select(keys.map(col): _*).distinct().localCheckpoint()
+    val bk = b.select(keys.map(col): _*).distinct().localCheckpoint()
+    val onlyA = ak.join(bk, keys, "left_anti").count()
+    val onlyB = bk.join(ak, keys, "left_anti").count()
+    require(onlyA == 0 && onlyB == 0,
+      s"$what: sets differ ($onlyA rows only in left, $onlyB only in " +
+        "right) — expected exact equivalence")
+    true
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{AsofJoin, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
-import graft.qc.SketchGate
+import graft.qc.{RecallGate, SketchGate}
 import graft.streaming.Streaming
 
 /** LLM-training-data pipeline operators (north-star extensions) as driver
@@ -19,11 +19,15 @@ import graft.streaming.Streaming
   *  - cosine similarities are rounded to 6 decimals on BOTH sides before
   *    thresholding/ranking (group-sum order differs across engines in the
   *    last ulp);
-  *  - MinHash / SimHash / LSH queries have no SQL oracle (engine-specific
-  *    hashes) → driver records the weaker rows-only check; their exactness
-  *    is covered by ScalaTest specs instead. The SKETCH queries (q36 HLL,
-  *    q57 GK) are self-gating: they emit exact values + within-bound
-  *    booleans the oracle expects TRUE for (see [[graft.qc.SketchGate]]).
+  *  - EVERY query is oracle-gated. Operators whose raw output depends on
+  *    engine-specific hashes (MinHash/SimHash banding q27/q28, hyperplane
+  *    LSH q30/q56, IVF q45) are SELF-GATING via [[graft.qc.RecallGate]]:
+  *    they emit their EXACT counterpart's rows (oracle-reproducible SQL)
+  *    plus recall/precision booleans the oracle expects TRUE for, while the
+  *    approximate operator runs in-query as the gate subject — a hash/seed/
+  *    banding regression fails the driver's hash compare, not just a spec.
+  *    The SKETCH queries (q36 HLL, q57 GK) self-gate the same way via
+  *    [[graft.qc.SketchGate]] (exact values + within-bound booleans).
   */
 object LlmQueries {
 
@@ -128,28 +132,81 @@ object LlmQueries {
             concat(col("text"), lit(" q102novel"), col("doc_id")).as("text")))
       val newSigs = Dedup.minHashSignaturesWords(batch, "doc_id", "text",
         n = 3, k = 32)
-      Dedup.incrementalNearDupPairs(newSigs, store, k = 32, bands = 8,
-        threshold = 0.9)
+      val cands = Dedup.incrementalNearDupPairs(newSigs, store, k = 32,
+        bands = 8, threshold = 0.9).localCheckpoint()
+      // Exact-confirm leg: the LAKE read is PRUNED to the candidate ids —
+      // the candidate set is emitted-pair-sized by construction (the store
+      // keeps no text precisely so confirmation touches only these few), so
+      // it is collected (bounded, capped) and pushed into the parquet scan
+      // as an In filter: confirm cost tracks emitted pairs, not lake size.
+      // PlanGuard asserts the filter actually reached the scan. Beyond the
+      // cap (a pathological candidate explosion — the banding parameters,
+      // not the confirm leg, are the fix there) it degrades to a semi-join,
+      // still candidate-bounded but scanning the lake.
+      val candIds = cands.select(col("store_doc")).distinct()
+        .limit(100001).collect().map(_.getLong(0))
+      val lakeSlice =
+        if (candIds.length <= 100000)
+          graft.plans.PlanGuard.requirePlanMatches(
+            docs.filter(col("doc_id").isin(candIds.toIndexedSeq: _*)),
+            "In\\(doc_id".r,
+            "q102 confirm leg must push the candidate-id filter into the lake scan")
+        else docs.join(broadcast(cands.select(col("store_doc").as("doc_id"))
+          .distinct()), "doc_id")
+      cands
         .join(batch.select(col("doc_id").as("new_doc"), col("text").as("nt")),
           "new_doc")
-        .join(docs.select(col("doc_id").as("store_doc"), col("text").as("st")),
-          "store_doc")
+        .join(lakeSlice.select(col("doc_id").as("store_doc"),
+          col("text").as("st")), "store_doc")
         .filter(col("nt") === col("st"))
         .select(col("new_doc").as("new_id"), col("store_doc").as("store_id"))
     }),
 
-    // MinHash+LSH over ALL documents — candidates via banded word-shingle
-    // signatures, verified with exact Jaccard. No SQL oracle (engine hashes).
+    // MinHash+LSH over ALL documents, SELF-GATING under the oracle
+    // (RecallGate — the q36/q57 pattern for retrieval operators): the banded
+    // path (exact-collapse → word-shingle signatures → banded join →
+    // estimate pre-filter → exact-Jaccard verify) runs in-query and is
+    // recall/precision-gated against the EXACT word-shingle Jaccard pair
+    // set, which is what the query emits — oracle-reproducible in SQL —
+    // with the gate booleans riding every row. A banding/seed regression
+    // now fails CORRECTNESS, not just RecallSpec.
     "q27_minhash_pairs" -> ((s, dir) => {
-      Dedup.minHashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.5)
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.jaccardPairsWords(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      val banded = Dedup.minHashDedupPairs(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.5)
+      RecallGate.gate(exact, banded, Seq("doc_a", "doc_b"),
+        recallFloor = 0.75, what = "q27 MinHash banded near-dup")
     }),
 
-    // SimHash sketches for every doc (shuffle-free) + banded near-dup pairs.
+    // SimHash banded near-dup, SELF-GATING: the banded path runs in-query
+    // and must (a) EXACTLY equal the brute-force all-pairs hamming<=3 set on
+    // the engine's sketch plane (pigeonhole over the four 16-bit chunks —
+    // equivalence, not just overlap) and (b) retrieve every byte-identical
+    // pair at hamming 0 (identical text => identical sketch). The emitted
+    // rows are the oracle-computable exact-duplicate pair set; the booleans
+    // carry both gate verdicts into the driver's hash compare. The corpus is
+    // augmented with deterministically re-keyed VERBATIM copies of every %5
+    // doc (the q102 re-ingest shape) so the exact-dup anchor is non-empty at
+    // every sf — the base documents table has no byte-identical texts below
+    // sf0.1.
     "q28_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val banded = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .localCheckpoint()
+      val brute = Dedup.simHashPairsBrute(docs, "doc_id", "text", maxHamming = 3)
+      val pigeonholeOk = RecallGate.equivalent(banded, brute,
+        Seq("doc_a", "doc_b", "hamming"), "q28 SimHash banded vs brute force")
+      val exact = Dedup.exactDupPairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+      RecallGate.gate(exact, banded, Seq("doc_a", "doc_b", "hamming"),
+        recallFloor = 1.0, what = "q28 SimHash exact-dup retrieval",
+        requireExactPrecision = false)
+        .withColumn("pigeonhole_ok", lit(pigeonholeOk))
     }),
 
     // Near-dup CLUSTERS: exact Jaccard pairs → connected components → every
@@ -173,27 +230,39 @@ object LlmQueries {
         k = 10)
     }),
 
+    // Multi-probe hyperplane-LSH ANN, SELF-GATING: the LSH retrieval runs
+    // in-query and its recall@10 is gated against the exact brute-force
+    // top-k, which is what the query emits (the q29 plane — oracle-
+    // reproducible); `recall_ok` rides every row. No precision gate: ANN
+    // top-k legitimately fills missed slots with lower-ranked neighbors.
     "q30_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.annTopK(
-        probes = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("embedding")),
-        corpus = emb.filter(col("vec_id") >= 5),
-        k = 10, nPlanes = 4)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val exact = Similarity.bruteForceTopK(probes, corpus, k = 10)
+      val ann = Similarity.annTopK(probes, corpus, k = 10, nPlanes = 4)
+      RecallGate.gate(exact, ann, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.30, what = "q30 LSH ANN top-k",
+        requireExactPrecision = false)
     }),
 
-    // IVF ANN: k-means coarse quantizer (declarative Lloyd's, no MLlib) +
-    // inverted lists; probes visit nProbe cells. The final assignment is
-    // built once with the index and reused by the search. Rows-only check.
+    // IVF ANN (k-means coarse quantizer — declarative Lloyd's, no MLlib —
+    // + inverted lists, probes visiting nProbe cells), SELF-GATING like
+    // q30: IVF retrieval runs in-query, recall@10 gated against the exact
+    // brute-force top-k the query emits.
     "q45_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 5)
+      val exact = Similarity.bruteForceTopK(probes, corpus, k = 10)
       val (centroids, assignment) = Ivf.buildIndex(corpus, c = 10, iters = 1)
-      Ivf.ivfTopK(
-        probes = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("embedding")),
-        corpus = corpus, centroids = centroids, k = 10, nProbe = 3,
+      val ivf = Ivf.ivfTopK(probes, corpus, centroids, k = 10, nProbe = 3,
         assignment = Some(assignment))
+      RecallGate.gate(exact, ivf, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.30, what = "q45 IVF ANN top-k",
+        requireExactPrecision = false)
     }),
 
     // Exact near-dup pairs on a bounded range — the VERIFY primitive and
@@ -220,14 +289,18 @@ object LlmQueries {
         .select(col("vec_id"), col("cluster_id"), col("is_canonical"))
     }),
 
-    // Banded-LSH embedding near-dup — the scale-shaped form of q31: equi-join
-    // candidates on (band, bucket), exact-cosine verify, so the output is a
-    // subset of q31 (precision 1.0); recall ≥ 0.95 asserted in SimilaritySpec.
-    // No SQL oracle (engine plane hashes) → rows-only check.
+    // Banded-LSH embedding near-dup — the scale-shaped form of q31 (equi-
+    // join candidates on (band, bucket), exact-cosine verify) — SELF-GATING:
+    // the banded retrieval runs in-query, gated recall ≥ 0.95 AND exact
+    // precision (its output is a subset of the exact all-pairs answer by
+    // construction — a spurious pair means the cosine verify broke) against
+    // the exact pair set the query emits (the q31 plane).
     "q56_neardup_lsh" -> ((s, dir) => {
-      Similarity.cosineNearDupPairsBanded(
-        t(s, dir, "embeddings").filter(col("vec_id") < 500),
-        threshold = 0.4)
+      val vecs = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val exact = Similarity.cosineNearDupPairs(vecs, threshold = 0.4)
+      val banded = Similarity.cosineNearDupPairsBanded(vecs, threshold = 0.4)
+      RecallGate.gate(exact, banded, Seq("id_a", "id_b"),
+        recallFloor = 0.95, what = "q56 banded-LSH embedding near-dup")
     }),
 
     // Int8 embedding quantization: per-vector max-abs scale, round-trip
@@ -425,6 +498,35 @@ object LlmQueries {
         |SELECT node AS doc_id, min(label) AS cluster_id,
         |  node = min(label) AS is_canonical
         |FROM reach GROUP BY node""".stripMargin,
+    // q27's emitted rows are the EXACT word-3-shingle Jaccard pairs (set
+    // semantics, null texts shingle to nothing); the gate booleans are
+    // constants the in-query RecallGate guarantees.
+    "q27_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |       FROM t, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(c::DOUBLE / (x.n + y.n - c)::DOUBLE, 6) AS jaccard,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE c::DOUBLE / (x.n + y.n - c)::DOUBLE >= 0.5""".stripMargin,
+    // q28 emits the byte-identical pair set over the dup-augmented corpus
+    // (SQL text-equality join); the booleans assert SimHash banding ≡ brute
+    // force (pigeonhole) and hamming-0 retrieval of every identical pair.
+    "q28_simhash_pairs" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 100000, text FROM documents
+        |             WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming,
+        |  TRUE AS recall_ok, TRUE AS pigeonhole_ok
+        |FROM aug a JOIN aug b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
     "q29_cosine_topk" ->
       """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
@@ -441,6 +543,57 @@ object LlmQueries {
         |             JOIN nrm y ON neighbor_id = y.vec_id)
         |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
         |FROM s WHERE rank <= 10""".stripMargin,
+    // q30/q45 emit the exact brute-force top-k (the q29 plane) + the ANN
+    // recall gate boolean; the LSH/IVF retrieval runs in-query as the gate
+    // subject.
+    "q30_ann_lsh" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok
+        |FROM s WHERE rank <= 10""".stripMargin,
+    "q45_ann_ivf" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok
+        |FROM s WHERE rank <= 10""".stripMargin,
+    // q56 emits the exact cosine near-dup pairs (the q31 plane) + both gate
+    // booleans (banded retrieval recall ≥ 0.95, precision exactly 1.0).
+    "q56_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             unnest(embedding)::DOUBLE AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM d JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
+        |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
     "q31_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -127,17 +127,21 @@ object OpsQueries {
         dupKeys = Seq("user_id"), maxDupRate = 0.9)
     }),
 
-    // Skew-salted equi-join (ops/Skew): the hot-key mitigation must be
-    // ANSWER-PRESERVING — the oracle is the PLAIN left join. Left join over
-    // a filtered right side exercises the trickiest allowed path (unmatched
-    // left rows must survive exactly once despite the right side being
-    // exploded factor×).
+    // Skew-aware equi-join (ops/Skew.joinSkewAware): dispatches per the
+    // MEASURED preference order (SCALE.md skew smoke) — on an AQE-skew-
+    // capable session (the default) this is the PLAIN join, split at
+    // runtime by AQE; the static salt is the fallback when the runtime
+    // split is unavailable. Either path must be ANSWER-PRESERVING — the
+    // oracle is the plain left join. Left join over a filtered right side
+    // exercises the trickiest allowed salt path (unmatched left rows must
+    // survive exactly once despite the right side being exploded factor×);
+    // SkewSpec proves both dispatch branches.
     "q60_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "O")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      Skew.saltedJoin(li, ord, Seq("l_orderkey"), factor = 8, joinType = "left")
+      Skew.joinSkewAware(li, ord, Seq("l_orderkey"), factor = 8, joinType = "left")
         .groupBy(coalesce(col("o_orderpriority"), lit("UNMATCHED"))
           .as("o_orderpriority"))
         .agg(

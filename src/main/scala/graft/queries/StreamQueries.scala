@@ -44,6 +44,10 @@ object StreamQueries {
     * replays (q63, q80) and across bench reps — previously every replay of
     * every rep re-wrote its own copy of the same subset. */
   private val sharedIn = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** q98's landed input (data files + trailing sentinel) — cached per sf
+    * dir like [[sharedIn]], but separate because the sentinel row must not
+    * leak into the other replays' inputs. */
+  private val q98In = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def landedSubset(s: SparkSession, dir: String): String =
     sharedIn.computeIfAbsent(dir, _ => {
       val tmp = QueryTmp.dir("stream_shared")
@@ -123,54 +127,61 @@ object StreamQueries {
     // windowed-agg shape where append-mode emission needs care: a session
     // only emits once the watermark passes its END, and the watermark never
     // passes max(ts) - lateness, so a naive bounded replay emits nothing.
-    // Two-phase flush makes it deterministic AND complete:
-    //   run 1 drains the data files with lateness > the data's span — no
-    //     row can be late-dropped regardless of file order, and session
-    //     merging in the state store is order-independent;
-    //   run 2 appends one sentinel row 20 years ahead (dedicated user) and
-    //     re-runs AvailableNow on the same checkpoint — the watermark jumps
-    //     past every real session's end and the no-data eviction batch
-    //     emits them all; the sentinel's own session stays open forever.
+    // A sentinel row 20 years ahead (dedicated user) makes the single run
+    // deterministic AND complete:
+    //   - the input lands ONCE per sf dir (cached across bench reps, like
+    //     q63/q80's shared subset): 2 data files, THEN the sentinel file —
+    //     FileStreamSource processes discovered files oldest-modification-
+    //     first, so the sentinel is always the LAST data trigger;
+    //   - lateness (3650d) exceeds the data's span but not the sentinel's
+    //     offset (7305d): no real row is ever late-dropped (every data file
+    //     is processed before the sentinel moves the watermark), and once
+    //     the sentinel batch commits, the watermark jumps past every real
+    //     session's end — the trailing no-data batch emits them all. The
+    //     sentinel's own session stays open forever (its end is always
+    //     ahead of the watermark it creates).
+    // One streaming run instead of the previous land+drain+append+drain
+    // per rep — same emitted rows, half the trigger/commit fixed cost
+    // (the q80 harness lesson applied to the session-window replay).
     // The oracle is the classic gap-and-islands rewrite: break when the
     // gap to the previous event is >= 2h (session windows are [ts, ts+gap),
     // merged on overlap — strictly-less comparison).
     "q98_stream_session_window" -> ((s, dir) => {
-      val tmp = QueryTmp.dir("q98")
-      val in = s"$tmp/in"
-      val sub = eventsSubset(s, dir)
-      sub.repartition(2).write.parquet(in)
-      val schema = s.read.parquet(in).schema
-      def stream(): DataFrame = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-      // No sentinel-user filter here, and that is LOAD-BEARING: a filter on
-      // a grouping column is legally pushed below the aggregation into the
-      // scan, which would drop the sentinel row before it ever reaches the
-      // watermark node — the flush would silently never fire. The sentinel
-      // needs no filter: its own session's end is always ahead of the
-      // watermark it creates, so it can never be emitted.
-      def agg(): DataFrame =
-        Streaming.streamingSessionAgg(stream(), gap = "2 hours",
-          lateness = "3650 days")
-          .select(col("user_id"),
-            unix_micros(col("session_start")).as("session_start_us"),
-            col("n_events"))
-      def drain(): Unit = {
-        val q = Streaming.writeOnce(agg(), s"$tmp/out", s"$tmp/ckpt").start()
-        require(q.awaitTermination(300000), s"stream drain timed out: $tmp")
-      }
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.min(prevParts.toInt, 8).toString)
-      try {
-        drain()
+      val in = q98In.computeIfAbsent(dir, _ => {
+        val d = QueryTmp.dir("q98in")
+        val sub = eventsSubset(s, dir)
+        sub.repartition(2).write.parquet(s"$d/in")
+        // No sentinel-user filter downstream, and that is LOAD-BEARING: a
+        // filter on a grouping column is legally pushed below the
+        // aggregation into the scan, which would drop the sentinel row
+        // before it ever reaches the watermark node — the flush would
+        // silently never fire. The sentinel needs no filter: its session
+        // can never be emitted.
         sub.agg(max(col("ts")).as("ts")).select(
           lit(-1L).as("event_id"),
           (col("ts") + expr("INTERVAL 7305 DAYS")).as("ts"),
           lit(-1L).as("user_id"),
           lit("flush").as("event_type"),
           lit(0.0).as("value"))
-          .coalesce(1).write.mode("append").parquet(in)
-        drain()
+          .coalesce(1).write.mode("append").parquet(s"$d/in")
+        s"$d/in"
+      })
+      val tmp = QueryTmp.dir("q98")
+      val schema = s.read.parquet(in).schema
+      def stream(): DataFrame = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val agg =
+        Streaming.streamingSessionAgg(stream(), gap = "2 hours",
+          lateness = "3650 days")
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            col("n_events"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 8).toString)
+      try {
+        val q = Streaming.writeOnce(agg, s"$tmp/out", s"$tmp/ckpt").start()
+        require(q.awaitTermination(300000), s"stream drain timed out: $tmp")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$tmp/out")
     }),

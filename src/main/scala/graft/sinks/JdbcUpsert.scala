@@ -111,9 +111,19 @@ object JdbcUpsert {
         s"CREATE INDEX ${dialect.table(table + "_gkix")} ON " +
           s"${dialect.table(table)} ${keys.map(dialect.col).mkString("(", ", ", ")")}")
       catch {
-        // Derby X0Y32 / SQL Server object-exists: index already there
+        // Swallow ONLY the object-already-exists signals, matched by
+        // SQLState / vendor code rather than message text (a substring match
+        // on "already" would also swallow permission or locking failures and
+        // leave the MERGE silently unindexed — the 5× regression this helper
+        // exists to prevent): Derby X0Y32; SQL Server 1913 (duplicate index
+        // name) / 2714 (object exists). Logged so an idempotent re-run is
+        // still visible in the driver log.
         case e: java.sql.SQLException
-          if e.getSQLState == "X0Y32" || e.getMessage.contains("already") => ()
+          if e.getSQLState == "X0Y32" ||
+            e.getErrorCode == 1913 || e.getErrorCode == 2714 =>
+          System.err.println(
+            s"[jdbc] index ${table}_gkix already exists (${e.getSQLState}/" +
+              s"${e.getErrorCode}) — skipping create")
       } finally st.close()
     } finally conn.close()
   }

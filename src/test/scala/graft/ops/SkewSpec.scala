@@ -61,6 +61,33 @@ class SkewSpec extends SparkSpec {
       s"expected __salt among the join keys, got:\n$p")
   }
 
+  test("joinSkewAware picks AQE (plain join, no salt) when skew-split is on") {
+    val left = (1 to 200).map(i => (1L, s"p$i")).toDF("k", "payload")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "w")
+    // test session defaults: adaptive on, skewJoin on → plain join path
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val p = Skew.joinSkewAware(left, right, Seq("k"), factor = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("__salt"),
+      s"expected the PLAIN join (AQE handles the skew at runtime), got:\n$p")
+  }
+
+  test("joinSkewAware falls back to the static salt when AQE skew-split is off") {
+    val left = (1 to 200).map(i => (1L, s"p$i")).toDF("k", "payload")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "w")
+    val key = "spark.sql.adaptive.skewJoin.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = Skew.joinSkewAware(left, right, Seq("k"), factor = 4)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"),
+        s"expected the salted fallback with skew-split disabled, got:\n$p")
+      // either path must be answer-preserving
+      assert(df.count() == left.join(right, Seq("k")).count())
+    } finally spark.conf.set(key, prev)
+  }
+
   test("salt is deterministic and within [0, factor)") {
     val df = Seq(("x", 1), ("y", 2)).toDF("a", "b")
     val s1 = df.select(Skew.salt(8, col("a"), col("b"))).collect().map(_.getInt(0))

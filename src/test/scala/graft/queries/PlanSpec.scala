@@ -43,14 +43,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
   }
 
-  test("q56: banded near-dup candidates come from an equi-join, never a nested loop") {
-    val p = plan("q56_neardup_lsh")
+  // q56/q30 now return the gated EXACT frame (RecallGate — a checkpoint
+  // scan), so the scale-path plan properties are asserted on the banded /
+  // ANN operators themselves, exactly as they run inside the gate.
+  test("q56 operator: banded near-dup candidates come from an equi-join, never a nested loop") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 500)
+    val p = graft.ext.Similarity.cosineNearDupPairsBanded(vecs, threshold = 0.4)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), s"expected equi-join plan:\n$p")
     assert(p.contains("lsh_bucket"))
   }
 
-  test("q30: multi-probe ANN broadcasts the probe side, corpus unexploded") {
-    val p = plan("q30_ann_lsh")
+  test("q30 operator: multi-probe ANN broadcasts the probe side, corpus unexploded") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ext.Similarity.annTopK(
+      probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding")),
+      corpus = emb.filter(col("vec_id") >= 5), k = 10, nPlanes = 4)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("lsh_bucket"))
   }
