@@ -184,15 +184,19 @@ object ScaleSmoke {
     })
     try wall("q1_agg", src) catch { case _: Throwable => () } // warm-up
 
-    var sumSmall = 0.0
-    var sumBig = 0.0
-    heavy.foreach { name =>
-      val small = wall(name, src)
-      val big = wall(name, target)
-      sumSmall += small; sumBig += big
-      println(f"""{"query":"$name","sf01_sec":$small%.2f,"sf1_sec":$big%.2f,"ratio":${big / small}%.2f,"reps":$reps}""")
+    // dev dial: SPARK_GRAFT_SCALE_EXTRAS=only re-runs just the dedicated
+    // q102/q103 growth measurements against an already-built scaled dir
+    if (!sys.env.get("SPARK_GRAFT_SCALE_EXTRAS").contains("only")) {
+      var sumSmall = 0.0
+      var sumBig = 0.0
+      heavy.foreach { name =>
+        val small = wall(name, src)
+        val big = wall(name, target)
+        sumSmall += small; sumBig += big
+        println(f"""{"query":"$name","sf01_sec":$small%.2f,"sf1_sec":$big%.2f,"ratio":${big / small}%.2f,"reps":$reps}""")
+      }
+      println(f"""{"query":"TOTAL","sf01_sec":$sumSmall%.2f,"sf1_sec":$sumBig%.2f,"ratio":${sumBig / sumSmall}%.2f,"copies":$copies,"reps":$reps}""")
     }
-    println(f"""{"query":"TOTAL","sf01_sec":$sumSmall%.2f,"sf1_sec":$sumBig%.2f,"ratio":${sumBig / sumSmall}%.2f,"copies":$copies,"reps":$reps}""")
     q102StoreGrowth(spark, src, target, copies, reps)
     q103BandedGrowth(spark, src, target, reps)
     spark.stop()
@@ -214,8 +218,11 @@ object ScaleSmoke {
       .select(col("doc_id"), col("text"))
     val bigDocs = graft.model.Tables.load(s, target, "documents")
       .select(col("doc_id"), col("text"))
-    val smallStore = s"$target/_q102_store_small"
-    val bigStore = s"$target/_q102_store_big"
+    // NO underscore prefix: `_`-prefixed paths are invisible to parquet
+    // reads (Hadoop hidden-file convention) — an `_q102_store` dir would be
+    // silently ignored and the screen would time an empty store.
+    val smallStore = s"$target/q102store_small"
+    val bigStore = s"$target/q102store_big"
     Dedup.minHashSignaturesWords(srcDocs, "doc_id", "text", n = 3, k = 32)
       .write.mode("overwrite").parquet(smallStore)
     Dedup.minHashSignaturesWords(bigDocs, "doc_id", "text", n = 3, k = 32)

@@ -221,6 +221,17 @@ object Dedup {
                         threshold: Double = 0.5,
                         wordShingles: Boolean = true): DataFrame = {
     val (members, uniques) = exactCollapse(docs, idCol, textCol)
+    expandCollapsed(members,
+      minHashRepPairs(uniques, n, k, bands, threshold, wordShingles),
+      "jaccard", lit(1.0))
+  }
+
+  /** Representative-level banded MinHash near-dup pairs over a collapsed
+    * `uniques` frame — the banded pipeline of [[minHashDedupPairs]] minus
+    * the expansion, shared with the q27 gate. */
+  private def minHashRepPairs(uniques: DataFrame, n: Int, k: Int, bands: Int,
+                              threshold: Double,
+                              wordShingles: Boolean): DataFrame = {
     val base =
       if (wordShingles) wordShingleHashes(uniques, "doc", "txt", n)
       else shingleHashes(uniques, "doc", "txt", n)
@@ -241,14 +252,13 @@ object Dedup {
       .join(sh.as("y"), col("doc_b") === col("y.doc") && col("x.h") === col("y.h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val repPairs = inter
+    inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    expandCollapsed(members, repPairs, "jaccard", lit(1.0))
   }
 
   /** EXACT word-n-gram Jaccard pairs over the whole corpus — the exact twin
@@ -266,6 +276,15 @@ object Dedup {
   def jaccardPairsWords(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val (members, uniques) = exactCollapse(docs, idCol, textCol)
+    expandCollapsed(members, jaccardRepPairsWords(uniques, n, threshold),
+      "jaccard", lit(1.0))
+  }
+
+  /** Representative-level exact word-shingle Jaccard pairs over a collapsed
+    * `uniques` frame — the bounded verify plane (cost tracks UNIQUE content
+    * only) shared by [[jaccardPairsWords]] and the q27 gate. */
+  private def jaccardRepPairsWords(uniques: DataFrame, n: Int,
+                                   threshold: Double): DataFrame = {
     val sh = wordShingleHashes(uniques, "doc", "txt", n)
       .distinct().localCheckpoint() // set semantics; feeds sizes AND the join
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
@@ -273,14 +292,40 @@ object Dedup {
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val repPairs = inter
+    inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    expandCollapsed(members, repPairs, "jaccard", lit(1.0))
+  }
+
+  /** q27's SELF-GATING form: ONE exact-collapse feeds both the banded
+    * MinHash pipeline and the exact word-shingle Jaccard plane; the banded
+    * retrieval is recall/precision-gated against the exact AT REPRESENTATIVE
+    * LEVEL — the unique-content plane, bounded regardless of duplication
+    * depth (gating the EXPANDED pair sets would cache O(dup²)-sized frames:
+    * the 100× smoke OOM'd exactly there before this form existed). Rep-level
+    * equivalence is the right gate plane: both sides expand through the SAME
+    * deterministic members mapping, so rep-level recall/precision carry to
+    * the expanded sets. Returns the expanded exact pair set (the oracle's
+    * plane) with the verdict booleans riding every row. */
+  def minHashGatedExactPairs(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, k: Int = 32, bands: Int = 8,
+                             threshold: Double = 0.5,
+                             recallFloor: Double = 0.75): DataFrame = {
+    val (members, uniques) = exactCollapse(docs, idCol, textCol)
+    val exactRep = jaccardRepPairsWords(uniques, n, threshold).localCheckpoint()
+    val bandedRep = minHashRepPairs(uniques, n, k, bands, threshold,
+      wordShingles = true)
+    val v = graft.qc.RecallGate.check(exactRep, bandedRep,
+      Seq("doc_a", "doc_b"), recallFloor,
+      "q27 MinHash banded near-dup (rep plane)")
+    expandCollapsed(members, exactRep, "jaccard", lit(1.0))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .withColumn("recall_ok", lit(v.recallOk))
+      .withColumn("precision_ok", lit(v.precisionOk.contains(true)))
   }
 
   /** Byte-identical duplicate pairs (128-bit content-fingerprint equality) —
@@ -308,12 +353,8 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame = {
     val (members, uniques) = exactCollapse(docs, idCol, textCol)
     val sk = simHashSketches(uniques, "doc", "txt").localCheckpoint()
-    val repPairs = sk.as("a")
-      .join(sk.as("b"), col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    expandCollapsed(members, repPairs, "hamming", lit(0).cast("int"))
+    expandCollapsed(members, simHashRepPairsBrute(sk, maxHamming),
+      "hamming", lit(0).cast("int"))
   }
 
   /** Exact-duplicate collapse front end shared by the near-dup pipelines:
@@ -571,12 +612,20 @@ object Dedup {
     val (members, uniques) = exactCollapse(docs, idCol, textCol)
     // one sketch pass feeds both self-join sides (see minHashDedupPairs)
     val sk = simHashSketches(uniques, "doc", "txt").localCheckpoint()
+    expandCollapsed(members, simHashRepPairs(sk, maxHamming),
+      "hamming", lit(0).cast("int"))
+  }
+
+  /** Representative-level banded SimHash pairs over a (doc, sk) sketch
+    * frame — [[simHashPairs]] minus collapse/expansion, shared with the
+    * q28 gate. */
+  private def simHashRepPairs(sk: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = array((0 until 4).map { b =>
       shiftright(col("sk"), b * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
     val banded = sk.select(col("doc"), col("sk"),
       posexplode(chunks).as(Seq("chunk", "v")))
-    val repPairs = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
           col("a.doc") < col("b.doc"))
@@ -584,6 +633,54 @@ object Dedup {
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    expandCollapsed(members, repPairs, "hamming", lit(0).cast("int"))
+  }
+
+  /** Representative-level brute-force SimHash pairs — all unique pairs
+    * within `maxHamming`, no banding. */
+  private def simHashRepPairsBrute(sk: DataFrame, maxHamming: Int): DataFrame =
+    sk.as("a")
+      .join(sk.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
+  /** q28's SELF-GATING form: one exact-collapse + one sketch pass feed
+    * (a) the rep-level PIGEONHOLE gate — the banded pair set must EXACTLY
+    * equal the brute-force all-pairs hamming≤max set on the unique-content
+    * plane (bounded at any duplication depth; both sides expand through the
+    * same members mapping, so rep-level equivalence carries to the expanded
+    * sets), and (b) a SAMPLED end-to-end containment gate — every
+    * byte-identical pair with doc_a ≡ 0 (mod `sampleMod`) must appear in
+    * the fully EXPANDED banded output at hamming 0 (the modulo filter
+    * pushes below the expansion joins, so the probe stays bounded while
+    * still exercising the real expansion path). Returns the exact-duplicate
+    * pair set (the oracle's text-equality plane) with both verdicts riding
+    * every row. */
+  def simHashGatedExactDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                                maxHamming: Int = 3,
+                                sampleMod: Int = 101): DataFrame = {
+    val (members, uniques) = exactCollapse(docs, idCol, textCol)
+    val sk = simHashSketches(uniques, "doc", "txt").localCheckpoint()
+    val bandedRep = simHashRepPairs(sk, maxHamming)
+    val bruteRep = simHashRepPairsBrute(sk, maxHamming)
+    val pigeonholeOk = graft.qc.RecallGate.equivalent(bandedRep, bruteRep,
+      Seq("doc_a", "doc_b", "hamming"),
+      "q28 SimHash banded vs brute force (rep plane)")
+    val exact = members.as("a")
+      .join(members.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .localCheckpoint() // feeds the sampled probe AND the emission
+    val expandedSlice =
+      expandCollapsed(members, bandedRep, "hamming", lit(0).cast("int"))
+        .filter(col("doc_a") % sampleMod === 0 && col("hamming") === 0)
+    val exactSlice = exact.filter(col("doc_a") % sampleMod === 0)
+    val v = graft.qc.RecallGate.check(exactSlice, expandedSlice,
+      Seq("doc_a", "doc_b"), recallFloor = 1.0,
+      what = "q28 sampled exact-dup retrieval (expanded plane)",
+      requireExactPrecision = false)
+    exact.select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+      .withColumn("recall_ok", lit(v.recallOk))
+      .withColumn("pigeonhole_ok", lit(pigeonholeOk))
   }
 }

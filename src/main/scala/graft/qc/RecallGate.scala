@@ -25,19 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object RecallGate {
 
-  /** Gate `approx` against `exact` on `keys`:
+  /** Gate verdicts measured by [[check]] — the booleans the caller rides on
+    * its emitted rows (`precisionOk` is None when precision is not claimed,
+    * e.g. ANN top-k which legitimately fills missed slots). */
+  final case class GateVerdict(recallOk: Boolean, precisionOk: Option[Boolean])
+
+  /** Measure `approx` against `exact` on `keys` and `require` the contract:
     *  - recall = |exact ⋉ approx| / |exact| must be ≥ `recallFloor`;
     *  - when `requireExactPrecision`, approx must be a SUBSET of exact
     *    (operators that exact-verify every candidate have precision 1.0 by
     *    construction — a spurious row means the verification broke).
-    * Returns `exact` + `recall_ok` (+ `precision_ok` when checked) boolean
-    * columns. Both sides are localCheckpoint-ed so the driver-side probe and
-    * the returned frame share one execution. */
-  def gate(exact: DataFrame, approx: DataFrame, keys: Seq[String],
-           recallFloor: Double, what: String,
-           requireExactPrecision: Boolean = true): DataFrame = {
-    val e = exact.localCheckpoint()
-    val eKeys = e.select(keys.map(col): _*).distinct().localCheckpoint()
+    * Only the DISTINCT KEY projections are checkpointed — callers gating a
+    * large emitted plane should pass its bounded gate plane here (e.g. the
+    * representative-level pair set behind an exact-duplicate collapse) and
+    * ride the verdict booleans on the expanded emission. */
+  def check(exact: DataFrame, approx: DataFrame, keys: Seq[String],
+            recallFloor: Double, what: String,
+            requireExactPrecision: Boolean = true): GateVerdict = {
+    val eKeys = exact.select(keys.map(col): _*).distinct().localCheckpoint()
     val aKeys = approx.select(keys.map(col): _*).distinct().localCheckpoint()
     val total = eKeys.count()
     require(total > 0, s"$what: exact ground truth is empty — recall undefined")
@@ -49,16 +54,30 @@ object RecallGate {
         "contract violated")
     System.err.println(
       f"[gate] $what: recall=$recall%.3f (floor $recallFloor, $hits/$total)")
-    val gated = e.withColumn("recall_ok", lit(recall >= recallFloor))
-    if (!requireExactPrecision) gated
+    if (!requireExactPrecision) GateVerdict(recall >= recallFloor, None)
     else {
       val spurious = aKeys.join(eKeys, keys, "left_anti").count()
       require(spurious == 0,
         s"$what: $spurious approximate rows outside the exact set — " +
           "candidate verification is broken (precision must be 1.0 by " +
           "construction)")
-      gated.withColumn("precision_ok", lit(spurious == 0L))
+      GateVerdict(recall >= recallFloor, Some(spurious == 0))
     }
+  }
+
+  /** [[check]] + emission: returns `exact` with `recall_ok`
+    * (+ `precision_ok` when checked) constant boolean columns. The exact
+    * frame is localCheckpoint-ed so the probe and the returned frame share
+    * one execution. Use for bounded exact planes; for large expanded
+    * planes, [[check]] the bounded gate plane and attach the verdicts to
+    * the expansion instead. */
+  def gate(exact: DataFrame, approx: DataFrame, keys: Seq[String],
+           recallFloor: Double, what: String,
+           requireExactPrecision: Boolean = true): DataFrame = {
+    val e = exact.localCheckpoint()
+    val v = check(e, approx, keys, recallFloor, what, requireExactPrecision)
+    val g = e.withColumn("recall_ok", lit(v.recallOk))
+    v.precisionOk.fold(g)(p => g.withColumn("precision_ok", lit(p)))
   }
 
   /** Exact set equivalence of two frames on `keys` (e.g. banded SimHash vs

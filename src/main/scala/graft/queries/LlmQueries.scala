@@ -167,46 +167,31 @@ object LlmQueries {
     // path (exact-collapse → word-shingle signatures → banded join →
     // estimate pre-filter → exact-Jaccard verify) runs in-query and is
     // recall/precision-gated against the EXACT word-shingle Jaccard pair
-    // set, which is what the query emits — oracle-reproducible in SQL —
+    // set AT REPRESENTATIVE LEVEL (bounded by unique content at any
+    // duplication depth — see Dedup.minHashGatedExactPairs); the query
+    // emits the expanded exact pair set — oracle-reproducible in SQL —
     // with the gate booleans riding every row. A banding/seed regression
     // now fails CORRECTNESS, not just RecallSpec.
-    "q27_minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val exact = Dedup.jaccardPairsWords(docs, "doc_id", "text",
-        n = 3, threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      val banded = Dedup.minHashDedupPairs(docs, "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.5)
-      RecallGate.gate(exact, banded, Seq("doc_a", "doc_b"),
-        recallFloor = 0.75, what = "q27 MinHash banded near-dup")
-    }),
+    "q27_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashGatedExactPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.5, recallFloor = 0.75)),
 
-    // SimHash banded near-dup, SELF-GATING: the banded path runs in-query
-    // and must (a) EXACTLY equal the brute-force all-pairs hamming<=3 set on
-    // the engine's sketch plane (pigeonhole over the four 16-bit chunks —
-    // equivalence, not just overlap) and (b) retrieve every byte-identical
-    // pair at hamming 0 (identical text => identical sketch). The emitted
-    // rows are the oracle-computable exact-duplicate pair set; the booleans
-    // carry both gate verdicts into the driver's hash compare. The corpus is
-    // augmented with deterministically re-keyed VERBATIM copies of every %5
-    // doc (the q102 re-ingest shape) so the exact-dup anchor is non-empty at
-    // every sf — the base documents table has no byte-identical texts below
-    // sf0.1.
+    // SimHash banded near-dup, SELF-GATING (Dedup.simHashGatedExactDupPairs):
+    // the banded path must EXACTLY equal brute-force all-pairs hamming<=3 on
+    // the rep plane (pigeonhole over the four 16-bit chunks — equivalence,
+    // not just overlap), and a deterministic modulo sample of the byte-
+    // identical pairs must surface from the fully EXPANDED banded output at
+    // hamming 0. The emitted rows are the oracle-computable exact-duplicate
+    // pair set; the booleans carry both verdicts into the driver's hash
+    // compare. The corpus is augmented with deterministically re-keyed
+    // VERBATIM copies of every %5 doc (the q102 re-ingest shape) so the
+    // exact-dup anchor is non-empty at every sf — the base documents table
+    // has no byte-identical texts below sf0.1.
     "q28_simhash_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs = base.unionByName(base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      val banded = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
-        .localCheckpoint()
-      val brute = Dedup.simHashPairsBrute(docs, "doc_id", "text", maxHamming = 3)
-      val pigeonholeOk = RecallGate.equivalent(banded, brute,
-        Seq("doc_a", "doc_b", "hamming"), "q28 SimHash banded vs brute force")
-      val exact = Dedup.exactDupPairs(docs, "doc_id", "text")
-        .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
-      RecallGate.gate(exact, banded, Seq("doc_a", "doc_b", "hamming"),
-        recallFloor = 1.0, what = "q28 SimHash exact-dup retrieval",
-        requireExactPrecision = false)
-        .withColumn("pigeonhole_ok", lit(pigeonholeOk))
+      Dedup.simHashGatedExactDupPairs(docs, "doc_id", "text", maxHamming = 3)
     }),
 
     // Near-dup CLUSTERS: exact Jaccard pairs → connected components → every

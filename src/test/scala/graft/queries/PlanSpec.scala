@@ -25,6 +25,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
   }
 
+  // PlanGuard's static check sees the plan BEFORE execution; AQE may
+  // re-plan at runtime (e.g. demote a broadcast whose build side measured
+  // larger than the threshold). Where the property is load-bearing, assert
+  // it on the FINAL adaptive plan too — after the action has run.
+  test("q3: broadcast survives AQE runtime re-planning (final adaptive plan)") {
+    val df = SparkEntry.queries("q3_join_agg")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"broadcast demoted at runtime:\n$p")
+  }
+
   test("q5: top-k plans as TakeOrderedAndProject, not global sort") {
     val p = plan("q5_topk")
     assert(p.contains("TakeOrderedAndProject"))
