@@ -192,6 +192,71 @@ class DedupSpec extends SparkSpec {
     assert(stats(3L)._2 == 0L && stats(3L)._3 == 0.0)
   }
 
+  // The exact twins behind the q27/q28 gates are now load-bearing for
+  // CORRECTNESS (they ARE the emitted rows): pin them against independent
+  // collapse-free computations so a bug in the collapse/expand path cannot
+  // hide inside a gate that compares two frames sharing that path.
+  test("jaccardPairsWords equals the collapse-free direct computation") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val direct = {
+      val sh = d.select(col("doc_id").as("doc"), split(col("text"), " ").as("w"))
+        .select(col("doc"), col("w"),
+          explode(sequence(lit(1), greatest(size(col("w")) - 2, lit(1)))).as("i"))
+        .select(col("doc"),
+          concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("s"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+      sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }
+    val viaCollapse = Dedup.jaccardPairsWords(d, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
+    assert(viaCollapse.collect().map(key).toSet == direct.collect().map(key).toSet)
+    assert(direct.count() > 0) // ground truth non-empty at sf0.01
+  }
+
+  test("exactDupPairs equals the direct text-equality self-join") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // augment with verbatim copies (the base table has no exact dups)
+    val d = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val direct = d.as("a")
+      .join(d.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val viaFp = Dedup.exactDupPairs(d, "doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    assert(viaFp.collect().map(key).toSet == direct.collect().map(key).toSet)
+    assert(direct.count() == 100)
+  }
+
+  test("gated q27/q28 forms emit TRUE verdict booleans on real data") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val g27 = Dedup.minHashGatedExactPairs(d, "doc_id", "text")
+    assert(g27.select(col("recall_ok"), col("precision_ok")).distinct()
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq == Seq((true, true)))
+    val aug = d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val g28 = Dedup.simHashGatedExactDupPairs(aug, "doc_id", "text")
+    assert(g28.select(col("recall_ok"), col("pigeonhole_ok")).distinct()
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq == Seq((true, true)))
+  }
+
   test("starContraction matches min-propagation on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
