@@ -162,6 +162,43 @@ object LlmQueries {
         .select(col("new_doc").as("new_id"), col("store_doc").as("store_id"))
     }),
 
+    // Incremental EXACT-dedup screen — the daily-cadence twin of q102 for
+    // byte-identical content: today's batch gets a per-row dup verdict
+    // against a PERSISTED fingerprint store (fp → canonical keeper id;
+    // genuinely written to and read back from parquet here). The plan is
+    // the 100-TB shape: the store is only ever SCANNED, never shuffled —
+    // the batch's fingerprints broadcast into a semi-style join that
+    // extracts the (batch-bounded) matching store rows, and the verdict
+    // join broadcasts that small result back onto the batch. PlanGuard
+    // rejects any sort-merge join (a corpus shuffle would mean the shape
+    // regressed). Batch = re-ingested %3 docs (dup verdicts) + novel %7==1
+    // docs (marker suffix no store text contains).
+    "q104_incremental_exact_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = QueryTmp.dir("q104")
+      docs.filter(col("text").isNotNull)
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .write.mode("overwrite").parquet(s"$tmp/fpstore")
+      val store = s.read.parquet(s"$tmp/fpstore")
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" q104novel"), col("doc_id")).as("text")))
+      val withFp = batch.withColumn("fp", md5(col("text").cast("binary")))
+        .localCheckpoint() // one batch scan feeds the probe AND the verdict
+      val matched = store.join(
+        broadcast(withFp.select(col("fp")).distinct()), "fp")
+      val verdicts = withFp
+        .join(broadcast(matched), Seq("fp"), "left")
+        .select(col("doc_id").as("batch_id"),
+          col("keep_id").isNotNull.as("is_dup"),
+          coalesce(col("keep_id"), lit(-1L)).as("dup_of"))
+      graft.plans.PlanGuard.requireNotInPlan(verdicts, "SortMergeJoin",
+        "q104 screen must never shuffle the fingerprint store")
+    }),
+
     // MinHash+LSH over ALL documents, SELF-GATING under the oracle
     // (RecallGate — the q36/q57 pattern for retrieval operators): the banded
     // path (exact-collapse → word-shingle signatures → banded join →
@@ -483,6 +520,21 @@ object LlmQueries {
         |SELECT node AS doc_id, min(label) AS cluster_id,
         |  node = min(label) AS is_canonical
         |FROM reach GROUP BY node""".stripMargin,
+    "q104_incremental_exact_screen" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 300000 AS batch_id, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    text || ' q104novel' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 7 = 1),
+        |store AS (
+        |  SELECT text, min(doc_id) AS keep_id
+        |  FROM documents WHERE text IS NOT NULL GROUP BY text)
+        |SELECT b.batch_id,
+        |  s.keep_id IS NOT NULL AS is_dup,
+        |  coalesce(s.keep_id, -1) AS dup_of
+        |FROM batch b LEFT JOIN store s ON b.text = s.text""".stripMargin,
     // q27's emitted rows are the EXACT word-3-shingle Jaccard pairs (set
     // semantics, null texts shingle to nothing); the gate booleans are
     // constants the in-query RecallGate guarantees.
