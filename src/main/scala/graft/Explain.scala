@@ -20,10 +20,31 @@ object Explain {
       "q27_minhash_pairs", "q29_cosine_topk", "q35_asof_join", "q41_range_join",
       "q44_sliding_window", "q45_ann_ivf", "q50_quantize", "q52_upsert",
       "q54_qc_agg", "q56_neardup_lsh", "q99_double_correlated",
-      "q100_passage_dedup", "q102_incremental_neardup", "q103_semantic_dedup")
+      "q100_passage_dedup", "q102_incremental_neardup", "q103_semantic_dedup",
+      "q104_incremental_exact_screen")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    // The RecallGate-d queries (q27/q28/q30/q45/q56) return their exact-twin
+    // emission, so the SCALE-PATH operator plans are printed separately —
+    // these are the plans that run at 100 TB.
+    if (args.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      println("\n========== q27 scale path: Dedup.minHashDedupPairs ==========")
+      graft.ext.Dedup.minHashDedupPairs(docs, "doc_id", "text")
+        .explain("formatted")
+      println("\n========== q56 scale path: Similarity.cosineNearDupPairsBanded ==========")
+      graft.ext.Similarity.cosineNearDupPairsBanded(
+        emb.filter(col("vec_id") < 500), threshold = 0.4).explain("formatted")
+      println("\n========== q30 scale path: Similarity.annTopK ==========")
+      graft.ext.Similarity.annTopK(
+        probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        corpus = emb.filter(col("vec_id") >= 5), k = 10, nPlanes = 4)
+        .explain("formatted")
     }
     spark.stop()
   }
