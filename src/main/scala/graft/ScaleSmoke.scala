@@ -287,13 +287,16 @@ object ScaleSmoke {
 
     def t(name: String) = spark.read.parquet(s"$target/$name.parquet")
 
-    // unsalted twin of q60 (same answer, plain left join)
-    def plainJoin(): DataFrame = {
+    // the q60 join shape with a pluggable join strategy: plain (AQE decides),
+    // statically salted, or the dispatcher itself. q60 now routes through
+    // Skew.joinSkewAware (AQE-first), so the STATIC salt must be invoked
+    // directly here to keep measuring it.
+    def q60Shape(join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
       val li = t("lineitem")
       val ord = t("orders")
         .filter(col("o_orderstatus") === "O")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      li.join(ord, Seq("l_orderkey"), "left")
+      join(li, ord)
         .groupBy(coalesce(col("o_orderpriority"), lit("UNMATCHED"))
           .as("o_orderpriority"))
         .agg(
@@ -301,6 +304,14 @@ object ScaleSmoke {
             .as("revenue"),
           count(lit(1)).as("n_lines"))
     }
+    def plainJoin(): DataFrame =
+      q60Shape((li, ord) => li.join(ord, Seq("l_orderkey"), "left"))
+    def saltedJoin(): DataFrame =
+      q60Shape((li, ord) => graft.ops.Skew.saltedJoin(li, ord,
+        Seq("l_orderkey"), factor = 8, joinType = "left"))
+    def dispatchedJoin(): DataFrame =
+      q60Shape((li, ord) => graft.ops.Skew.joinSkewAware(li, ord,
+        Seq("l_orderkey"), factor = 8, joinType = "left"))
 
     // unsalted twin of q61 (plain group-by)
     def plainAgg(): DataFrame =
@@ -327,7 +338,8 @@ object ScaleSmoke {
     }
 
     val results = Seq(
-      "q60_salted_join" -> runQ("q60_salted_join"),
+      "q60_salted_join" -> run(saltedJoin()),
+      "q60_dispatched_joinSkewAware" -> run(dispatchedJoin()),
       "q60_unsalted_aqe" -> run(plainJoin()),
       "q60_unsalted_noskewsplit" ->
         withSkewSplit(enabled = false)(run(plainJoin())),
