@@ -56,10 +56,11 @@ object ScaleSmoke {
     "q27_minhash_pairs", "q65_partition_overwrite", "q45_ann_ivf",
     "q83_load_plan", "q1_agg", "q3_join_agg", "q76_bloom_semi_join",
     "q28_simhash_pairs", "q100_passage_dedup",
-    // round-8 compositions: streamed warehouse MERGE, incremental near-dup
+    // round-8/9 compositions: streamed warehouse MERGE, incremental near-dup
     // screen, semantic dedup (bounded verify plane — its scale path is
-    // measured separately by [[q103Banded]])
-    "q101_stream_warehouse", "q102_incremental_neardup", "q103_semantic_dedup")
+    // measured separately by [[q103BandedGrowth]]), incremental exact screen
+    "q101_stream_warehouse", "q102_incremental_neardup", "q103_semantic_dedup",
+    "q104_incremental_exact_screen")
 
   def buildScaled(s: SparkSession, src: String, target: String,
                   copies: Int, skewed: Boolean = false): Unit = {
