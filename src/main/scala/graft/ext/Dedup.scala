@@ -382,8 +382,9 @@ object Dedup {
     * (output-bound, narrow id rows): pairs WITHIN an exact group are
     * identical by definition (metric = `identical`: jaccard 1, hamming 0);
     * a rep-level pair implies the same metric for every cross pair of the
-    * two groups' members (identical texts). */
-  private def expandCollapsed(members: DataFrame, repPairs: DataFrame,
+    * two groups' members (identical texts). Package-visible: [[ImageDedup]]
+    * expands its identical-hash collapse through the same mapping. */
+  private[ext] def expandCollapsed(members: DataFrame, repPairs: DataFrame,
                               metricCol: String,
                               identical: Column): DataFrame = {
     val within = members.as("a")
@@ -615,6 +616,20 @@ object Dedup {
     expandCollapsed(members, simHashRepPairs(sk, maxHamming),
       "hamming", lit(0).cast("int"))
   }
+
+  /** Banded hamming pairs over an arbitrary 64-bit sketch plane (doc, sk) —
+    * the SimHash pairing machinery decoupled from the text sketch, so any
+    * 64-bit perceptual/content hash (e.g. [[ImageDedup]]'s dHash) reuses
+    * the same pigeonhole-banded join + exact-hamming verify. The pigeonhole
+    * guarantee (4 chunks of 16 bits catch every pair within hamming 3)
+    * holds for any sketch source. */
+  def hammingPairsBanded(sk: DataFrame, maxHamming: Int = 3): DataFrame =
+    simHashRepPairs(sk, maxHamming)
+
+  /** All-pairs hamming twin of [[hammingPairsBanded]] — the O(n²)
+    * verification plane, not a scale path. */
+  def hammingPairsBrute(sk: DataFrame, maxHamming: Int = 3): DataFrame =
+    simHashRepPairsBrute(sk, maxHamming)
 
   /** Representative-level banded SimHash pairs over a (doc, sk) sketch
     * frame — [[simHashPairs]] minus collapse/expansion, shared with the

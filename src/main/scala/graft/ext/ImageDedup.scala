@@ -1,0 +1,260 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.qc.RecallGate
+
+/** Image near-duplicate detection over binary media columns — the
+  * multimodal face of the dedup family. A 100 TB crawl's images repeat with
+  * small re-encodes (brightness shifts, metadata churn, single-tile edits)
+  * just as its texts repeat with boilerplate edits; the standard screen is a
+  * perceptual hash per image + a hamming-bounded pair join, which is exactly
+  * the SimHash shape — so this module produces a 64-bit difference hash
+  * (dHash) from REAL pixel decode ([[Multimodal]]'s netpbm/BMP container
+  * parsing) and hands pairing to [[Dedup.hammingPairsBanded]] (pigeonhole-
+  * banded equi-join, no all-pairs anywhere).
+  *
+  * dHash (the classic 8×9 difference hash): average the pixel bytes in each
+  * cell of an 8-row × 9-column grid over the image's stored rows, then emit
+  * one bit per horizontally adjacent cell pair — bit (r,c) = mean(r,c) >
+  * mean(r,c+1). Gradient comparisons survive uniform brightness/contrast
+  * shifts, which is what makes the hash "perceptual" rather than
+  * cryptographic.
+  *
+  * Scale shape: hashing is a pure per-row flatMap over the binary column
+  * (zero shuffle, executor-side decode, poison rows degrade to no hash);
+  * pairing is one banded equi-join proportional to bucket collisions. The
+  * whole pipeline is a strict subset of the q28 SimHash plan, so its 100 TB
+  * behavior is the measured SimHash behavior.
+  */
+object ImageDedup {
+
+  /** 64-bit difference hash of an image payload; None for payloads that are
+    * not decodable still images (audio, garbage — a crawl's poison rows
+    * must skip, not kill the stage). Block means are taken over STORED
+    * pixel-row bytes (for PPM each byte is one RGB sample; byte-mean over a
+    * cell is the channel-mean luminance proxy), with integer cell
+    * boundaries `i·n/9` / `i·rows/8` — images smaller than the grid yield
+    * empty cells with mean 0, still deterministic. */
+  def dHash64(p: Array[Byte]): Option[Long] = {
+    val isImage = p.length >= 2 &&
+      ((p(0) == 'P' && (p(1) == '5' || p(1) == '6')) ||
+        (p(0) == 'B' && p(1) == 'M'))
+    if (!isImage) None
+    else Multimodal.frameLayout(p).map { case (dataOff, rowBytes, nRows) =>
+      val means = Array.ofDim[Double](8, 9)
+      var r = 0
+      while (r < 8) {
+        val r0 = r * nRows / 8
+        val r1 = (r + 1) * nRows / 8
+        var c = 0
+        while (c < 9) {
+          val c0 = c * rowBytes / 9
+          val c1 = (c + 1) * rowBytes / 9
+          var sum = 0L
+          var cnt = 0L
+          var rr = r0
+          while (rr < r1) {
+            val rowStart = dataOff + rr * rowBytes
+            var i = rowStart + c0
+            val end = math.min(rowStart + c1, p.length.toLong)
+            while (i < end) { sum += (p(i.toInt) & 0xFF); cnt += 1; i += 1 }
+            rr += 1
+          }
+          means(r)(c) = if (cnt == 0) 0.0 else sum.toDouble / cnt
+          c += 1
+        }
+        r += 1
+      }
+      var h = 0L
+      var bit = 0
+      r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (means(r)(c) > means(r)(c + 1)) h |= 1L << bit
+          bit += 1
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+  }
+
+  /** (doc, sk) perceptual-hash plane of a media corpus: executor-side
+    * decode+hash in one flatMap — the exact input shape
+    * [[Dedup.hammingPairsBanded]] pairs on. Non-image payloads emit
+    * nothing. */
+  def dHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      try dHash64(r.payload).map(h => (r.media_id, h))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.toDF("doc", "sk")
+  }
+
+  /** Collapse identical hashes to one representative (minimum doc id) —
+    * the dedup family's exact-collapse applied on the HASH plane: a crawl's
+    * d-deep byte-identical image groups share every chunk bucket, so
+    * banding uncollapsed would put O(d²) rows through each bucket (the
+    * q27 OOM shape). The hash value itself is the collapse key, so
+    * `uniques` needs no join back to the data. Returns (members, uniques):
+    * members = (fp=hash, doc, rep); uniques = (doc, sk) restricted to
+    * representatives. */
+  private def hashCollapse(sk: DataFrame): (DataFrame, DataFrame) = {
+    val members = sk.select(col("doc"), col("sk").as("fp"))
+      .join(sk.groupBy(col("sk").as("fp")).agg(min(col("doc")).as("rep")),
+        "fp")
+      .localCheckpoint()
+    val uniques = members.filter(col("doc") === col("rep"))
+      .select(col("doc"), col("fp").as("sk"))
+    (members, uniques)
+  }
+
+  /** Image near-dup pairs of a media corpus: perceptual hash plane →
+    * identical-hash collapse → pigeonhole-banded hamming join over unique
+    * hashes only → member expansion. The production entry point: work is
+    * proportional to UNIQUE image content, bounded at any duplication
+    * depth. Member pairs inherit their representatives' hamming (identical
+    * hashes ⇒ identical distances); within-group pairs are hamming 0. */
+  def imageNearDupPairs(media: Dataset[MediaRecord],
+                        maxHamming: Int = 3): DataFrame = {
+    val (members, uniques) = hashCollapse(dHashes(media))
+    Dedup.expandCollapsed(members,
+      Dedup.hammingPairsBanded(uniques, maxHamming),
+      "hamming", lit(0).cast("int"))
+  }
+
+  // --- Deterministic text-derived image corpus (oracle fixture) -----------
+
+  /** SplitMix64 — the standard public-domain 64-bit mix (Steele et al.,
+    * "Fast splittable pseudorandom number generators", OOPSLA'14); fills
+    * pixel buffers with content-seeded pseudorandom bytes so different
+    * texts render to images whose dHashes are ~uniform 64-bit values
+    * (expected pairwise hamming 32). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def textSeed(text: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** Render a complete valid 72×64 P6 PPM whose pixels are a pure function
+    * of the TEXT CONTENT (not the row id): byte-identical texts render to
+    * byte-identical images — the analytically known ground truth an image-
+    * dedup oracle needs. With `jitter` set, every byte of the top-left
+    * dHash cell (pixel rows 0..7, leading ninth of the row bytes) is
+    * wrap-shifted by +64 — a deterministic stand-in for a re-encode's
+    * brightness drift that perturbs exactly ONE cell mean, so it moves the
+    * hash by AT MOST one bit (only the (0,0)>(0,1) comparison can flip):
+    * jittered copies stay within any hamming tolerance ≥ 1 of their base
+    * image by construction, while remaining byte-distinct payloads. */
+  def renderTextImage(text: String, jitter: Boolean): Array[Byte] = {
+    val w = 72
+    val h = 64
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = w * h * 3
+    val px = new Array[Byte](n)
+    var s = textSeed(text)
+    var i = 0
+    while (i < n) {
+      s = mix64(s)
+      var k = 0
+      while (k < 8 && i < n) {
+        px(i) = ((s >>> (8 * k)) & 0xFF).toByte
+        i += 1
+        k += 1
+      }
+    }
+    if (jitter) {
+      val rowBytes = w * 3
+      var r = 0
+      while (r < h / 8) {
+        var c = 0
+        while (c < rowBytes / 9) {
+          val idx = r * rowBytes + c
+          px(idx) = (px(idx) + 64).toByte
+          c += 1
+        }
+        r += 1
+      }
+    }
+    header ++ px
+  }
+
+  /** The documents table as a corpus of real PPM images keyed by text
+    * content; rows with id ≥ `jitterIdFloor` (the re-ingested copies of the
+    * q28/q102 augment shape) render with the one-bit jitter — so the corpus
+    * contains genuine near-duplicates (hamming 1), not just byte-identical
+    * re-encodes. Null texts have no image. */
+  def documentsAsTextImages(spark: SparkSession, docs: DataFrame,
+                            jitterIdFloor: Long): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, renderTextImage(text, id >= jitterIdFloor))
+      }
+  }
+
+  /** q105's SELF-GATING form (the q28 pattern on the image plane): the
+    * documents corpus is augmented with deterministically re-keyed copies
+    * (every %`copyMod` doc re-keyed to id+`copyIdOffset`, rendered WITH
+    * jitter — near-dup images, not byte dups), images are decoded and
+    * dHashed for real, and the banded retrieval is gated three ways:
+    *  - pigeonhole: banded pairs ≡ brute-force all-pairs hamming≤max on the
+    *    REPRESENTATIVE hash plane (exact equivalence, both directions;
+    *    bounded by unique image content at any duplication depth);
+    *  - recall 1.0: every text-identity pair (the oracle's plane — same
+    *    text ⇒ same base image ⇒ hamming ≤ 1 by the jitter bound) must be
+    *    retrieved;
+    *  - precision 1.0: no retrieved pair may fall outside the text-identity
+    *    plane (content-seeded hashes of distinct texts sit ~32 bits apart;
+    *    a pair within 3 means the hash or decode broke).
+    * Emits the text-identity pair set (oracle-reproducible SQL) with the
+    * three verdict booleans riding every row. */
+  def gatedTextDupImagePairs(spark: SparkSession, docs: DataFrame,
+                             copyMod: Int = 5, copyIdOffset: Long = 100000L,
+                             maxHamming: Int = 3): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val aug = base.unionByName(
+      base.filter(col("doc_id") % copyMod === 0)
+        .select((col("doc_id") + copyIdOffset).as("doc_id"), col("text")))
+    val media = documentsAsTextImages(spark, aug, jitterIdFloor = copyIdOffset)
+    // one decode+hash pass feeds the collapse, both rep-level twins and the
+    // expansion; gates run at REPRESENTATIVE level (bounded by unique image
+    // content at any duplication depth — both sides expand through the same
+    // members mapping, so rep-level equivalence carries to the expansion)
+    val (members, uniques0) = hashCollapse(dHashes(media))
+    val uniques = uniques0.localCheckpoint()
+    val repBanded = Dedup.hammingPairsBanded(uniques, maxHamming)
+    val repBrute = Dedup.hammingPairsBrute(uniques, maxHamming)
+    val pigeonholeOk = RecallGate.equivalent(repBanded, repBrute,
+      Seq("doc_a", "doc_b", "hamming"),
+      "q105 image dHash banded vs brute force (rep hash plane)")
+    val expanded = Dedup.expandCollapsed(members, repBanded,
+      "hamming", lit(0).cast("int"))
+    val txt = aug.filter(col("text").isNotNull)
+    val exact = txt.as("a")
+      .join(txt.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .localCheckpoint()
+    val v = RecallGate.check(exact, expanded, Seq("doc_a", "doc_b"),
+      recallFloor = 1.0, what = "q105 image dHash near-dup vs text identity",
+      requireExactPrecision = true)
+    exact
+      .withColumn("recall_ok", lit(v.recallOk))
+      .withColumn("precision_ok", lit(v.precisionOk.getOrElse(false)))
+      .withColumn("pigeonhole_ok", lit(pigeonholeOk))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, Dedup, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
 import graft.qc.{RecallGate, SketchGate}
 import graft.streaming.Streaming
@@ -230,6 +230,19 @@ object LlmQueries {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       Dedup.simHashGatedExactDupPairs(docs, "doc_id", "text", maxHamming = 3)
     }),
+
+    // IMAGE near-dup over a binary media column, SELF-GATING (q28's pattern
+    // on the multimodal plane): docs render to real PPM images keyed by
+    // TEXT CONTENT (re-keyed %5 copies render with a one-bit perceptual
+    // jitter — genuine near-duplicates, not byte dups); the engine decodes
+    // the pixels (Multimodal netpbm parsing), computes the 8×9 dHash, and
+    // pairs via the pigeonhole-banded hamming join. Gates: banded ≡ brute
+    // on the hash plane, recall 1.0 AND precision 1.0 against the
+    // text-identity pair set, which is what the query emits (oracle-
+    // reproducible SQL over the same augment).
+    "q105_image_neardup" -> ((s, dir) =>
+      ImageDedup.gatedTextDupImagePairs(s, t(s, dir, "documents"),
+        copyMod = 5, copyIdOffset = 100000L, maxHamming = 3)),
 
     // Near-dup CLUSTERS: exact Jaccard pairs → connected components → every
     // doc labeled with its cluster's canonical (minimum) id. The full
@@ -562,6 +575,19 @@ object LlmQueries {
         |             WHERE doc_id % 5 = 0)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming,
         |  TRUE AS recall_ok, TRUE AS pigeonhole_ok
+        |FROM aug a JOIN aug b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    // q105 emits the text-identity pair set over the %5-augmented corpus
+    // (same text ⇒ same content-seeded image ⇒ within the jitter's one-bit
+    // hamming bound); the booleans assert the REAL decode→dHash→banded-join
+    // retrieval matched it exactly in both directions.
+    "q105_image_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 100000, text FROM documents
+        |             WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS pigeonhole_ok
         |FROM aug a JOIN aug b
         |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
     "q29_cosine_topk" ->

@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow",
+    "how vexingly quick daft zebras jump")
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash64 is deterministic and decodes the rendered PPM") {
+    val img = ImageDedup.renderTextImage(texts.head, jitter = false)
+    // the fixture is a real image the container decoder recognizes
+    assert(Multimodal.decodeHeader(MediaRecord(1L, img)).format == "ppm")
+    val h1 = ImageDedup.dHash64(img)
+    val h2 = ImageDedup.dHash64(ImageDedup.renderTextImage(texts.head, jitter = false))
+    assert(h1.isDefined && h1 == h2)
+  }
+
+  test("jitter moves the hash by at most one bit") {
+    texts.foreach { t =>
+      val base = ImageDedup.dHash64(ImageDedup.renderTextImage(t, jitter = false)).get
+      val jit = ImageDedup.dHash64(ImageDedup.renderTextImage(t, jitter = true)).get
+      assert(hamming(base, jit) <= 1, s"jitter moved hash by ${hamming(base, jit)} bits")
+    }
+  }
+
+  test("distinct texts hash far apart; non-images emit no hash") {
+    val hs = texts.map(t =>
+      ImageDedup.dHash64(ImageDedup.renderTextImage(t, jitter = false)).get)
+    for (i <- hs.indices; j <- hs.indices if i < j)
+      assert(hamming(hs(i), hs(j)) > 10,
+        s"texts $i/$j hash within ${hamming(hs(i), hs(j))} bits")
+    // WAV and garbage payloads must be skipped, not fail
+    assert(ImageDedup.dHash64(Multimodal.syntheticPayload(7L, 2)).isEmpty) // WAV
+    assert(ImageDedup.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    val media = Seq(
+      MediaRecord(1L, ImageDedup.renderTextImage(texts.head, jitter = false)),
+      MediaRecord(2L, Array[Byte](9, 9, 9))).toDS()
+    assert(ImageDedup.dHashes(media).count() == 1)
+  }
+
+  test("imageNearDupPairs pairs jittered copies, not distinct images") {
+    val media = Seq(
+      MediaRecord(1L, ImageDedup.renderTextImage(texts(0), jitter = false)),
+      MediaRecord(2L, ImageDedup.renderTextImage(texts(0), jitter = true)),
+      MediaRecord(3L, ImageDedup.renderTextImage(texts(1), jitter = false)),
+      MediaRecord(4L, ImageDedup.renderTextImage(texts(1), jitter = false))).toDS()
+    val pairs = ImageDedup.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("gatedTextDupImagePairs emits the text-identity plane with true gates") {
+    val docs = (0L until 20L).map(i => (i, texts((i % 4).toInt)))
+      .toDF("doc_id", "text")
+    val out = ImageDedup.gatedTextDupImagePairs(spark, docs,
+      copyMod = 5, copyIdOffset = 1000L, maxHamming = 3)
+    val rows = out.collect()
+    // 24 rows in 4 text groups of 6 (5 bases + 1 jittered copy of the %5
+    // member) -> 4 * C(6,2) pairs
+    assert(rows.length == 4 * 15)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
+  }
+
+  test("a broken retrieval fails the gate, not just the spec") {
+    // maxHamming 0 drops every (base, jittered-copy) pair whose hash moved
+    // one bit -> recall over the text-identity plane falls below 1.0 and
+    // the in-query require must throw
+    val docs = (0L until 20L).map(i => (i, texts((i % 4).toInt)))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      ImageDedup.gatedTextDupImagePairs(spark, docs,
+        copyMod = 5, copyIdOffset = 1000L, maxHamming = 0).collect()
+    }
+    assert(ex.getMessage.contains("recall"))
+  }
+}
