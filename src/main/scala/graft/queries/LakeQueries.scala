@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.model.{TableRef, Tables}
 import graft.pipeline.Pipeline
 import graft.plans.PlanGuard
-import graft.sinks.{Bucketing, Maintenance, Sinks}
+import graft.qc.RecallGate
+import graft.sinks.{Bucketing, Layout, Maintenance, Sinks}
 import graft.sources.{EndpointSpec, IncrementalConfig, Json, PagePagination, RestSource}
 
 /** Sink/source round-trips under the driver's DuckDB gate (SURVEY §2.1/§2.2):
@@ -77,6 +78,38 @@ object LakeQueries {
       s.read.parquet(ref.path(root, "2026-01-01"))
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // Z-ORDER layout + file-stats-manifest pruning, SELF-GATING: orders is
+    // laid out z-ordered on (o_custkey, o_totalprice) into 64 files, a
+    // min/max manifest is built (one column-pruned scan), and a 2-D range
+    // box is answered by scanning ONLY the manifest-surviving files.
+    // Gates: the pruning must actually bite (≤ half the files opened —
+    // measured, in-query) and the pruned scan must EXACTLY equal the full
+    // scan under the same predicate (stats can only over-include; a missing
+    // row means the layout or manifest broke). Emits the box's rows — plain
+    // SQL over orders — with both verdicts riding.
+    "q106_zorder_pruned_scan" -> ((s, dir) => {
+      val root = tmp("q106")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 64)
+      val manifest = Layout.buildManifest(s, s"$root/z", zcols).localCheckpoint()
+      val pr = Layout.prunedRead(s, s"$root/z", manifest,
+        Seq(("o_custkey", 100.0, 400.0), ("o_totalprice", 50000.0, 150000.0)))
+      val prunedOk = pr.filesRead * 2 <= pr.filesTotal
+      require(prunedOk,
+        s"stats pruning did not bite: ${pr.filesRead} of ${pr.filesTotal} files read")
+      val full = orders.filter(col("o_custkey").between(100, 400) &&
+        col("o_totalprice").between(50000.0, 150000.0))
+      val completeOk = RecallGate.equivalent(
+        pr.df.select(col("o_orderkey")), full.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q106 pruned scan vs full scan")
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("complete_ok", lit(completeOk))
     }),
 
     // S4: the distributed paginated REST read. The 25-row nation table
@@ -284,6 +317,14 @@ object LakeQueries {
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |  user_id, event_type, value
         |FROM events WHERE event_id % 5 = 0""".stripMargin,
+    // q106 emits the 2-D box's rows; the booleans assert measured file
+    // pruning (≤ 50 % of files opened) and pruned ≡ full-scan equivalence.
+    "q106_zorder_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS pruned_ok, TRUE AS complete_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_json_doc_roundtrip" ->

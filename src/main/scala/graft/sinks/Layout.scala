@@ -1,0 +1,137 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional clustered layout + file-statistics pruning — the
+  * data-skipping story for selective scans over plain parquet.
+  *
+  * A sorted layout ([[Maintenance]]) skips on ONE column; a 100 TB fact
+  * table is filtered on several (customer AND price band, date AND region).
+  * Z-ORDERING interleaves the bits of per-column quantile-bucket ids into a
+  * single Morton code and lays the table out in that order: each output
+  * file then covers a small hyper-rectangle of the value space, so its
+  * min/max footer stats are tight on EVERY clustered column at once and a
+  * conjunctive range predicate can exclude most files on statistics alone.
+  *
+  * The skipping side is an explicit FILE-STATS MANIFEST (one row per file:
+  * min/max per clustered column, built with one column-pruned aggregate) —
+  * the poor-man's Delta/Iceberg stats catalog. Pruning intersects the
+  * predicate's ranges with the manifest and plans a scan over ONLY the
+  * surviving files. Driver-side work is bounded by FILE COUNT (the same
+  * listing any planner pays), never row count.
+  *
+  * Scale shape: the layout write is two passes (quantile sketch + range
+  * shuffle) amortized over every subsequent read; the manifest build is one
+  * column-pruned scan per layout run; a pruned read opens the fraction of
+  * files the predicate's z-box covers (measured in LayoutSpec: a ~5 %
+  * 2-D box over a 64-file z-layout reads ≥ 4× fewer files than a 1-D
+  * sorted layout of the same data).
+  */
+object Layout {
+
+  /** Buckets per clustered dimension (4 bits — 16 quantile buckets per
+    * column, 256 z-cells for two columns): granular enough that a file
+    * covers few cells, coarse enough that bucket ids broadcast as plain
+    * literals inside one codegen'd projection. */
+  val Buckets = 16
+  private val Bits = 4
+
+  /** Monotone quantile-bucket id of `c` given driver-computed boundaries:
+    * the count of boundaries strictly below the value — a fold of `when`s,
+    * whole-stage-codegen friendly (no UDF, no higher-order array calls in
+    * the hot projection). Null values land in bucket 0. */
+  private def bucketExpr(c: Column, bounds: Seq[Double]): Column =
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(c.cast("double") > lit(b), 1).otherwise(0)
+    }
+
+  /** Interleave the low [[Bits]] bits of the per-column bucket ids into a
+    * Morton z-code (column 0 takes the higher bit of each pair). */
+  private def zExpr(buckets: Seq[Column]): Column = {
+    val d = buckets.size
+    val terms = for {
+      (b, j) <- buckets.zipWithIndex
+      i <- 0 until Bits
+    } yield shiftleft(
+      shiftright(b, i).bitwiseAND(lit(1)).cast("long"),
+      i * d + (d - 1 - j))
+    terms.reduce(_ + _) // disjoint bit positions: sum == bitwise OR
+  }
+
+  /** Per-column quantile boundaries for the z-bucketing — an approximate
+    * sketch pass (`approxQuantile`, driver gets `Buckets−1` doubles per
+    * column, never data). Quantile (not uniform min/max) bucketing keeps
+    * cells equal-POPULATION under skew, so files stay equal-sized. */
+  def quantileBounds(df: DataFrame, cols: Seq[String]): Map[String, Seq[Double]] =
+    cols.map { c =>
+      c -> df.stat.approxQuantile(c,
+        (1 until Buckets).map(_.toDouble / Buckets).toArray, 0.001)
+        .toSeq.distinct
+    }.toMap
+
+  /** The z-value column for `cols` under `bounds` — exposed for specs and
+    * for planning the same code on a streaming writer. */
+  def zValue(cols: Seq[String], bounds: Map[String, Seq[Double]]): Column =
+    zExpr(cols.map(c => bucketExpr(col(c), bounds(c))))
+
+  /** Write `df` z-ordered by `cols` into `nFiles` range-partitioned files:
+    * quantile sketch → Morton code projection → range shuffle on z →
+    * in-partition sort → write (the z column itself is dropped; order
+    * survives the projection). One shuffle total — the layout cost any
+    * OPTIMIZE ZORDER pays, amortized over every subsequent selective
+    * scan. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+                  nFiles: Int): Unit = {
+    val bounds = quantileBounds(df, cols)
+    df.withColumn("_z", zValue(cols, bounds))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Build the file-stats manifest of a layout: one row per data file with
+    * min/max of each clustered column — a single column-pruned scan
+    * grouped by the `_metadata.file_path` hidden column. At 100 TB this
+    * runs once per layout write (or incrementally per appended file) and
+    * its size is file-count-bounded. */
+  def buildManifest(spark: SparkSession, path: String,
+                    cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** A statistics-pruned scan plus its pruning evidence. */
+  final case class PrunedScan(df: DataFrame, filesRead: Long, filesTotal: Long)
+
+  /** Plan a scan over ONLY the files whose [min,max] box intersects every
+    * `(col, lo, hi)` range — file-level skipping on plain parquet, driven
+    * by the manifest instead of a table format's stats catalog. The
+    * collected file list is bounded by FILE COUNT (driver-side planning
+    * work, like any catalog's file index); the returned frame still
+    * carries the ranges as a residual filter, so correctness never depends
+    * on the stats (files are a superset of the answer by construction —
+    * stats can only over-include). */
+  def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
+                 ranges: Seq[(String, Double, Double)]): PrunedScan = {
+    val intersects = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c").cast("double") <= lit(hi) &&
+        col(s"max_$c").cast("double") >= lit(lo)
+    }.reduce(_ && _)
+    val total = manifest.count()
+    val files = manifest.filter(intersects).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c).cast("double").between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+    // an empty intersection is a legitimate answer: filter(false) over the
+    // base path folds to an empty LocalRelation (schema kept, no scan)
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(residual)
+    PrunedScan(df, files.size.toLong, total)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two independent ~uniform columns derived from hashes of the id — the
+  // shape where 1-D sorting can only skip on one dimension
+  private def data = spark.range(10000)
+    .select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"))
+
+  test("zorderWrite round-trips the rows and drops the z column") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 16)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.columns.sorted.toSeq == Seq("id", "x", "y"))
+    assert(back.count() == 10000)
+    assert(back.select(sum(col("id"))).head.getLong(0) ==
+      data.select(sum(col("id"))).head.getLong(0))
+  }
+
+  test("manifest has one row per file with correct global min/max") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 16)
+    val m = Layout.buildManifest(spark, s"$dir/z", Seq("x", "y")).collect()
+    assert(m.length > 1 && m.length <= 16)
+    assert(m.map(_.getAs[Long]("rows")).sum == 10000L)
+    assert(m.map(_.getAs[Long]("min_x")).min == 0L)
+    assert(m.map(_.getAs[Long]("max_x")).max == 999L)
+  }
+
+  test("pruned read equals the full filter; empty box yields empty frame") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 16)
+    val m = Layout.buildManifest(spark, s"$dir/z", Seq("x", "y"))
+    val pr = Layout.prunedRead(spark, s"$dir/z", m,
+      Seq(("x", 100.0, 199.0), ("y", 300.0, 399.0)))
+    val expected = data.filter(col("x").between(100, 199) &&
+      col("y").between(300, 399)).select("id").collect().map(_.getLong(0)).toSet
+    assert(pr.df.select("id").collect().map(_.getLong(0)).toSet == expected)
+    val empty = Layout.prunedRead(spark, s"$dir/z", m,
+      Seq(("x", 5000.0, 6000.0), ("y", 0.0, 999.0)))
+    assert(empty.filesRead == 0 && empty.df.count() == 0)
+  }
+
+  test("z-order prunes a 2-D box harder than a 1-D sorted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 64)
+    // the 1-D contender: range-partitioned + sorted on x only
+    data.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/lin")
+    val box = Seq(("x", 100.0, 199.0), ("y", 300.0, 399.0)) // ~10% per dim
+    val z = Layout.prunedRead(spark, s"$dir/z",
+      Layout.buildManifest(spark, s"$dir/z", Seq("x", "y")), box)
+    val lin = Layout.prunedRead(spark, s"$dir/lin",
+      Layout.buildManifest(spark, s"$dir/lin", Seq("x", "y")), box)
+    // same answer either way — layout changes cost, never content
+    assert(z.df.count() == lin.df.count())
+    assert(z.filesRead < lin.filesRead,
+      s"z-order read ${z.filesRead} files, 1-D sorted read ${lin.filesRead}")
+    assert(z.filesRead * 2 <= z.filesTotal,
+      s"z pruning too weak: ${z.filesRead}/${z.filesTotal}")
+  }
+}
