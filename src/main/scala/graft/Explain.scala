@@ -21,7 +21,7 @@ object Explain {
       "q44_sliding_window", "q45_ann_ivf", "q50_quantize", "q52_upsert",
       "q54_qc_agg", "q56_neardup_lsh", "q99_double_correlated",
       "q100_passage_dedup", "q102_incremental_neardup", "q103_semantic_dedup",
-      "q104_incremental_exact_screen")
+      "q104_incremental_exact_screen", "q106_zorder_pruned_scan")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
@@ -44,6 +44,11 @@ object Explain {
         probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding")),
         corpus = emb.filter(col("vec_id") >= 5), k = 10, nPlanes = 4)
+        .explain("formatted")
+      println("\n========== q105 scale path: ImageDedup.imageNearDupPairs ==========")
+      graft.ext.ImageDedup.imageNearDupPairs(
+        graft.ext.ImageDedup.documentsAsTextImages(spark, docs,
+          jitterIdFloor = Long.MaxValue), maxHamming = 3)
         .explain("formatted")
     }
     spark.stop()

@@ -60,7 +60,11 @@ object ScaleSmoke {
     // screen, semantic dedup (bounded verify plane — its scale path is
     // measured separately by [[q103BandedGrowth]]), incremental exact screen
     "q101_stream_warehouse", "q102_incremental_neardup", "q103_semantic_dedup",
-    "q104_incremental_exact_screen")
+    "q104_incremental_exact_screen",
+    // round-9 additions: image near-dup (collapse-bounded gates — copies
+    // share text ⇒ identical images, so the rep plane stays sf-sized) and
+    // the z-order layout write + manifest-pruned 2-D scan
+    "q105_image_neardup", "q106_zorder_pruned_scan")
 
   def buildScaled(s: SparkSession, src: String, target: String,
                   copies: Int, skewed: Boolean = false): Unit = {

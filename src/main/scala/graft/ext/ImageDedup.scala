@@ -214,17 +214,21 @@ object ImageDedup {
     *  - pigeonhole: banded pairs ≡ brute-force all-pairs hamming≤max on the
     *    REPRESENTATIVE hash plane (exact equivalence, both directions;
     *    bounded by unique image content at any duplication depth);
-    *  - recall 1.0: every text-identity pair (the oracle's plane — same
-    *    text ⇒ same base image ⇒ hamming ≤ 1 by the jitter bound) must be
-    *    retrieved;
-    *  - precision 1.0: no retrieved pair may fall outside the text-identity
-    *    plane (content-seeded hashes of distinct texts sit ~32 bits apart;
-    *    a pair within 3 means the hash or decode broke).
+    *  - recall/precision 1.0 on a SAMPLED end-to-end probe (the q28
+    *    shape): every text-identity pair with doc_a ≡ 0 (mod `sampleMod`)
+    *    must appear in the fully EXPANDED retrieval — and no expanded pair
+    *    in the slice may fall outside the text plane (content-seeded
+    *    hashes of distinct texts sit ~32 bits apart). The modulo filter
+    *    pushes below the expansion joins, so the probe stays bounded while
+    *    exercising the real expansion path — gating the FULL expanded
+    *    plane would checkpoint O(dup-depth²) rows at scale (the q27 OOM
+    *    shape).
     * Emits the text-identity pair set (oracle-reproducible SQL) with the
     * three verdict booleans riding every row. */
   def gatedTextDupImagePairs(spark: SparkSession, docs: DataFrame,
                              copyMod: Int = 5, copyIdOffset: Long = 100000L,
-                             maxHamming: Int = 3): DataFrame = {
+                             maxHamming: Int = 3,
+                             sampleMod: Int = 101): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val aug = base.unionByName(
       base.filter(col("doc_id") % copyMod === 0)
@@ -241,16 +245,19 @@ object ImageDedup {
     val pigeonholeOk = RecallGate.equivalent(repBanded, repBrute,
       Seq("doc_a", "doc_b", "hamming"),
       "q105 image dHash banded vs brute force (rep hash plane)")
-    val expanded = Dedup.expandCollapsed(members, repBanded,
-      "hamming", lit(0).cast("int"))
+    val expandedSlice = Dedup.expandCollapsed(members, repBanded,
+        "hamming", lit(0).cast("int"))
+      .filter(col("doc_a") % sampleMod === 0)
     val txt = aug.filter(col("text").isNotNull)
     val exact = txt.as("a")
       .join(txt.as("b"),
         col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .localCheckpoint()
-    val v = RecallGate.check(exact, expanded, Seq("doc_a", "doc_b"),
-      recallFloor = 1.0, what = "q105 image dHash near-dup vs text identity",
+    val exactSlice = exact.filter(col("doc_a") % sampleMod === 0)
+    val v = RecallGate.check(exactSlice, expandedSlice, Seq("doc_a", "doc_b"),
+      recallFloor = 1.0,
+      what = "q105 sampled image dHash retrieval (expanded plane)",
       requireExactPrecision = true)
     exact
       .withColumn("recall_ok", lit(v.recallOk))

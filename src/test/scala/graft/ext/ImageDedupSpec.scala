@@ -5,10 +5,13 @@ import graft.SparkSpec
 class ImageDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  // texts(0) deliberately one whose jitter flips a dHash bit (hamming 1 to
+  // its base) — the gate-failure test samples doc 0's group, so the slice
+  // must contain a pair that maxHamming = 0 genuinely loses
   private val texts = Seq(
-    "the quick brown fox jumps over the lazy dog",
-    "pack my box with five dozen liquor jugs",
     "sphinx of black quartz judge my vow",
+    "pack my box with five dozen liquor jugs",
+    "the quick brown fox jumps over the lazy dog",
     "how vexingly quick daft zebras jump")
 
   private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
@@ -28,6 +31,10 @@ class ImageDedupSpec extends SparkSpec {
       val jit = ImageDedup.dHash64(ImageDedup.renderTextImage(t, jitter = true)).get
       assert(hamming(base, jit) <= 1, s"jitter moved hash by ${hamming(base, jit)} bits")
     }
+    // the gate-failure test depends on texts(0) genuinely flipping a bit
+    val b0 = ImageDedup.dHash64(ImageDedup.renderTextImage(texts(0), jitter = false)).get
+    val j0 = ImageDedup.dHash64(ImageDedup.renderTextImage(texts(0), jitter = true)).get
+    assert(hamming(b0, j0) == 1)
   }
 
   test("distinct texts hash far apart; non-images emit no hash") {
@@ -69,9 +76,9 @@ class ImageDedupSpec extends SparkSpec {
   }
 
   test("a broken retrieval fails the gate, not just the spec") {
-    // maxHamming 0 drops every (base, jittered-copy) pair whose hash moved
-    // one bit -> recall over the text-identity plane falls below 1.0 and
-    // the in-query require must throw
+    // maxHamming 0 drops the (doc 0, jittered copy) pair whose hash moved
+    // one bit -> sampled recall over the text-identity plane falls below
+    // 1.0 and the in-query require must throw
     val docs = (0L until 20L).map(i => (i, texts((i % 4).toInt)))
       .toDF("doc_id", "text")
     val ex = intercept[Exception] {
