@@ -191,10 +191,14 @@ object ScaleSmoke {
 
     // dev dial: SPARK_GRAFT_SCALE_EXTRAS=only re-runs just the dedicated
     // q102/q103 growth measurements against an already-built scaled dir
+    // dev dial (the Bench.SPARK_GRAFT_BENCH_ONLY twin): comma-separated
+    // names restrict the heavy loop — for measuring a newly added query
+    // against an already-built scaled dir without re-running the full set
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
     if (!sys.env.get("SPARK_GRAFT_SCALE_EXTRAS").contains("only")) {
       var sumSmall = 0.0
       var sumBig = 0.0
-      heavy.foreach { name =>
+      heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
         val small = wall(name, src)
         val big = wall(name, target)
         sumSmall += small; sumBig += big
@@ -202,8 +206,10 @@ object ScaleSmoke {
       }
       println(f"""{"query":"TOTAL","sf01_sec":$sumSmall%.2f,"sf1_sec":$sumBig%.2f,"ratio":${sumBig / sumSmall}%.2f,"copies":$copies,"reps":$reps}""")
     }
-    q102StoreGrowth(spark, src, target, copies, reps)
-    q103BandedGrowth(spark, src, target, reps)
+    if (only.isEmpty) {
+      q102StoreGrowth(spark, src, target, copies, reps)
+      q103BandedGrowth(spark, src, target, reps)
+    }
     spark.stop()
   }
 
