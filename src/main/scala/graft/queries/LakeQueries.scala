@@ -112,6 +112,48 @@ object LakeQueries {
         .withColumn("complete_ok", lit(completeOk))
     }),
 
+    // q106's DAILY-CADENCE twin: half of orders is laid out z-ordered, the
+    // other half arrives as an appended batch — z-ordered by its own
+    // bounds, manifest extended with ONLY the new files' stats (existing
+    // data never rewritten or rescanned; the manifest is the record of
+    // known files). Gates: the manifest grew by exactly the appended file
+    // count, pruning still bites across the combined layout, and the
+    // pruned scan equals the full scan over base ∪ batch.
+    "q107_incremental_layout" -> ((s, dir) => {
+      val root = tmp("q107")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders.filter(col("o_orderkey") % 2 === 0),
+        zcols, s"$root/z", nFiles = 32)
+      Layout.buildManifest(s, s"$root/z", zcols)
+        .write.mode("overwrite").parquet(s"$root/m")
+      val before = s.read.parquet(s"$root/m").count()
+      val appended = Layout.appendWithManifest(s,
+        orders.filter(col("o_orderkey") % 2 === 1),
+        zcols, s"$root/z", s"$root/m", nFiles = 32)
+      val after = s.read.parquet(s"$root/m").count()
+      val incrementalOk = appended > 0 && after == before + appended
+      require(incrementalOk,
+        s"manifest did not grow incrementally: $before + $appended != $after")
+      val pr = Layout.prunedRead(s, s"$root/z",
+        s.read.parquet(s"$root/m").localCheckpoint(),
+        Seq(("o_custkey", 100.0, 400.0), ("o_totalprice", 50000.0, 150000.0)))
+      val prunedOk = pr.filesRead * 2 <= pr.filesTotal
+      require(prunedOk,
+        s"stats pruning did not bite: ${pr.filesRead} of ${pr.filesTotal} files read")
+      val full = orders.filter(col("o_custkey").between(100, 400) &&
+        col("o_totalprice").between(50000.0, 150000.0))
+      val completeOk = RecallGate.equivalent(
+        pr.df.select(col("o_orderkey")), full.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q107 pruned scan over appended layout vs full scan")
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("incremental_ok", lit(incrementalOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("complete_ok", lit(completeOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -322,6 +364,15 @@ object LakeQueries {
     "q106_zorder_pruned_scan" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS pruned_ok, TRUE AS complete_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
+    // q107 emits the same box over base ∪ batch = all orders; the booleans
+    // assert incremental manifest growth, measured pruning, and pruned ≡
+    // full equivalence.
+    "q107_incremental_layout" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS incremental_ok, TRUE AS pruned_ok, TRUE AS complete_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 400
         |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,

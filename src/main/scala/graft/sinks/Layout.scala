@@ -94,15 +94,59 @@ object Layout {
   /** Build the file-stats manifest of a layout: one row per data file with
     * min/max of each clustered column — a single column-pruned scan
     * grouped by the `_metadata.file_path` hidden column. At 100 TB this
-    * runs once per layout write (or incrementally per appended file) and
-    * its size is file-count-bounded. */
+    * runs once per layout write (or incrementally per appended file via
+    * [[appendWithManifest]]) and its size is file-count-bounded. */
   def buildManifest(spark: SparkSession, path: String,
                     cols: Seq[String]): DataFrame =
-    spark.read.parquet(path)
+    buildManifestFor(spark, Seq(path), cols)
+
+  /** [[buildManifest]] over an explicit path/file list — the incremental
+    * form scans ONLY the named files. */
+  def buildManifestFor(spark: SparkSession, paths: Seq[String],
+                       cols: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** Daily-cadence layout maintenance: z-order `batch` by its OWN quantile
+    * bounds, APPEND it to an existing layout, and extend the manifest with
+    * the stats of only the newly written files — the existing data is
+    * never rewritten and never rescanned (the manifest itself is the
+    * record of known files; new files are the FS listing minus it, a
+    * driver-side file-count-bounded diff, compared by unique part-file
+    * name so URI scheme differences can't alias). Per-batch z-ordering
+    * keeps each day's files tight on the clustered columns — the global
+    * interleave degrades only if the batch's value range drifts, in which
+    * case a periodic [[zorderWrite]] re-layout (the compaction analogue)
+    * restores it. Returns the number of appended files. */
+  def appendWithManifest(spark: SparkSession, batch: DataFrame,
+                         cols: Seq[String], path: String,
+                         manifestPath: String, nFiles: Int): Int = {
+    val bounds = quantileBounds(batch, cols)
+    batch.withColumn("_z", zValue(cols, bounds))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("append").parquet(path)
+    val known = spark.read.parquet(manifestPath).select(col("file"))
+      .collect().map(r => fileName(r.getString(0))).toSet
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        !known.contains(s.getPath.getName))
+      .map(_.getPath.toString)
+    if (fresh.nonEmpty)
+      buildManifestFor(spark, fresh, cols)
+        .write.mode("append").parquet(manifestPath)
+    fresh.size
+  }
+
+  private def fileName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
 
   /** A statistics-pruned scan plus its pruning evidence. */
   final case class PrunedScan(df: DataFrame, filesRead: Long, filesTotal: Long)

@@ -47,6 +47,32 @@ class LayoutSpec extends SparkSpec {
     assert(empty.filesRead == 0 && empty.df.count() == 0)
   }
 
+  test("appendWithManifest extends the manifest without rescanning the base") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    val base = data.filter(col("id") % 2 === 0)
+    val batch = data.filter(col("id") % 2 === 1)
+    Layout.zorderWrite(base, Seq("x", "y"), s"$dir/z", nFiles = 8)
+    Layout.buildManifest(spark, s"$dir/z", Seq("x", "y"))
+      .write.mode("overwrite").parquet(s"$dir/m")
+    val before = spark.read.parquet(s"$dir/m").count()
+    val appended = Layout.appendWithManifest(spark, batch, Seq("x", "y"),
+      s"$dir/z", s"$dir/m", nFiles = 8)
+    assert(appended > 0)
+    val m = spark.read.parquet(s"$dir/m")
+    assert(m.count() == before + appended)
+    // the combined layout round-trips and the manifest covers every row
+    assert(spark.read.parquet(s"$dir/z").count() == 10000)
+    assert(m.agg(sum(col("rows"))).head.getLong(0) == 10000L)
+    // a pruned read over the appended layout is complete AND still prunes
+    val box = Seq(("x", 100.0, 199.0), ("y", 300.0, 399.0))
+    val pr = Layout.prunedRead(spark, s"$dir/z", m, box)
+    val expected = data.filter(col("x").between(100, 199) &&
+      col("y").between(300, 399)).select("id").collect().map(_.getLong(0)).toSet
+    assert(pr.df.select("id").collect().map(_.getLong(0)).toSet == expected)
+    assert(pr.filesRead * 2 <= pr.filesTotal,
+      s"pruning too weak after append: ${pr.filesRead}/${pr.filesTotal}")
+  }
+
   test("z-order prunes a 2-D box harder than a 1-D sorted layout") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
     Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 64)
