@@ -186,6 +186,57 @@ object StreamQueries {
       s.read.parquet(s"$tmp/out")
     }),
 
+    // CONTINUOUS exact-dedup screen (the q104 daily screen as a stream):
+    // three "days" of documents land as one file each (mtime-ordered —
+    // FileStreamSource processes oldest-first, maxFilesPerTrigger=1 makes
+    // each day one micro-batch); every batch is screened against the
+    // fingerprint store of the PRIOR batches via foreachBatch, then the
+    // store grows by the batch's novel fingerprints. Batch boundaries are
+    // pinned by construction, so the verdicts are the oracle's: a doc is a
+    // dup iff an EARLIER day contains its text (same-day copies are not —
+    // the store only ever holds prior days). Replay-idempotent per-batch
+    // overwrite partition dirs (see Streaming.exactScreenStream).
+    // Corpus: bases split across day 0/1 by id parity; %5 docs re-keyed
+    // +100000 land on day 2 (guaranteed cross-day dups at every sf).
+    "q108_stream_exact_screen" -> ((s, dir) => {
+      val root = QueryTmp.dir("q108")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val aug = docs.select(col("doc_id"), col("text"),
+          (col("doc_id") % 2).cast("int").as("day"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            lit(2).cast("int").as("day")))
+      new java.io.File(s"$root/in").mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { d =>
+        val staging = s"$root/staging$d"
+        aug.filter(col("day") === d).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = new java.io.File(s"$root/in/day$d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // pin the processing order even if the three writes land within
+        // one mtime granule
+        require(dest.setLastModified(t0 + d * 2000L))
+      }
+      val schema = s.read.parquet(s"$root/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 8).toString)
+      try {
+        val q = Streaming.exactScreenStream(stream, "doc_id", "text",
+          throughCols = Seq("day"), storeDir = s"$root/store",
+          outDir = s"$root/out", checkpoint = s"$root/ckpt").start()
+        require(q.awaitTermination(300000), s"stream drain timed out: $root")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("day"), col("is_dup"))
+    }),
+
     // Stream-stream interval join replayed across micro-batches: view →
     // purchase attribution within 6 hours. Both sides stream from the
     // same landed files; lateness exceeds the data's span so no join state
@@ -213,6 +264,19 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q108: a doc is a dup iff an EARLIER day holds the same text — the
+    // pinned batch order makes the streaming verdicts exactly this SQL.
+    "q108_stream_exact_screen" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS day
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, CAST(2 AS INT) AS day
+        |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL)
+        |SELECT a.doc_id, a.day,
+        |  EXISTS(SELECT 1 FROM aug b
+        |         WHERE b.text = a.text AND b.day < a.day) AS is_dup
+        |FROM aug a""".stripMargin,
     "q62_stream_dedup" ->
       """SELECT DISTINCT event_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -124,6 +124,71 @@ object Streaming {
         writeTarget(merged)
       }
 
+  /** CONTINUOUS exact-dedup screen: each micro-batch is screened against a
+    * persisted fingerprint store (per-row `is_dup` verdict — the q104 daily
+    * screen as a stream), then the store is extended with the batch's novel
+    * fingerprints. The scale shape is q104's: the store is only ever
+    * SCANNED, never shuffled — the batch's fingerprints broadcast into the
+    * store probe and the (batch-bounded) matches broadcast back onto the
+    * batch.
+    *
+    * Replay idempotence (foreachBatch is at-least-once): both the verdict
+    * output and the store append are written as `batch=<id>` partition
+    * directories in OVERWRITE mode, and the store probe reads only
+    * partitions with `batch < id` (partition-pruned) — a replayed batch
+    * rewrites its own directories byte-identically and never sees its own
+    * failed half-append. */
+  def exactScreenStream(stream: DataFrame, idCol: String, textCol: String,
+                        throughCols: Seq[String], storeDir: String,
+                        outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val b = batch
+          .withColumn("fp", md5(col(textCol).cast("binary")))
+          .localCheckpoint() // one batch scan feeds the probe AND the verdict
+        val prior = priorStore(s, storeDir, id)
+        val out = Seq(col(idCol)) ++ throughCols.map(col) :+ col("is_dup")
+        val verdicts = prior match {
+          case Some(store) =>
+            val matched = store
+              .join(broadcast(b.select(col("fp")).distinct()), "fp")
+              .select(col("fp"), lit(true).as("hit"))
+            b.join(broadcast(matched), Seq("fp"), "left")
+              .withColumn("is_dup", coalesce(col("hit"), lit(false)))
+              .select(out: _*)
+          case None => b.withColumn("is_dup", lit(false)).select(out: _*)
+        }
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val fps = b.select(col("fp")).distinct()
+        val novel = prior.fold(fps)(store =>
+          fps.join(store, Seq("fp"), "left_anti")).localCheckpoint()
+        novel.write.mode("overwrite").parquet(s"$storeDir/batch=$id")
+      }
+
+  /** The fingerprint store as of batches STRICTLY BEFORE `id` — partition
+    * discovery over the `batch=<j>` dirs with a partition-pruned filter;
+    * None when no prior batch has committed. */
+  private def priorStore(s: SparkSession, storeDir: String,
+                         id: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val prior = fs.listStatus(root).toSeq.filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+          st.getPath.getName.drop("batch=".length).toLong < id
+      }
+      if (prior.isEmpty) None
+      else Some(s.read.option("basePath", storeDir)
+        .parquet(prior.map(_.getPath.toString): _*)
+        .select(col("fp")))
+    }
+  }
+
   /** Streaming upsert into a JDBC WAREHOUSE: each micro-batch runs the
     * staged transactional MERGE ([[graft.sinks.JdbcUpsert]]) against the
     * warehouse table — the reference's full production loop composed
