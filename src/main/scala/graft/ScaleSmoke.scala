@@ -62,9 +62,11 @@ object ScaleSmoke {
     "q101_stream_warehouse", "q102_incremental_neardup", "q103_semantic_dedup",
     "q104_incremental_exact_screen",
     // round-9 additions: image near-dup (collapse-bounded gates — copies
-    // share text ⇒ identical images, so the rep plane stays sf-sized) and
-    // the z-order layout write + manifest-pruned 2-D scan
-    "q105_image_neardup", "q106_zorder_pruned_scan")
+    // share text ⇒ identical images, so the rep plane stays sf-sized), the
+    // z-order layout write + manifest-pruned 2-D scan, the streaming
+    // exact-dedup screen, and the manifest-targeted delete
+    "q105_image_neardup", "q106_zorder_pruned_scan",
+    "q108_stream_exact_screen", "q109_targeted_delete")
 
   def buildScaled(s: SparkSession, src: String, target: String,
                   copies: Int, skewed: Boolean = false): Unit = {

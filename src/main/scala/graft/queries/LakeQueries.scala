@@ -154,6 +154,46 @@ object LakeQueries {
         .withColumn("complete_ok", lit(completeOk))
     }),
 
+    // TARGETED DELETE over the clustered layout (retention / right-to-
+    // erasure): rows in a custkey band (60–90 — inside every sf's custkey
+    // range) are deleted by rewriting ONLY the
+    // manifest-intersecting files (z-order clusters the band into few
+    // files); the manifest is atomically swapped so pruned readers see
+    // pre- or post-delete, never half. Gates: the rewrite touched ≤ half
+    // the files (targeted, not a table rewrite), rows were actually
+    // deleted, and the surviving table ≡ orders minus the band (full-key
+    // equivalence — no collateral loss from the rewritten files). Emits a
+    // post-delete manifest-pruned box read.
+    "q109_targeted_delete" -> ((s, dir) => {
+      val root = tmp("q109")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      Layout.buildManifest(s, s"$root/z", zcols)
+        .write.mode("overwrite").parquet(s"$root/m")
+      val res = Layout.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 60.0, 90.0)))
+      val targetedOk = res.rowsDeleted > 0 &&
+        res.filesRewritten * 2 <= res.filesTotal
+      require(targetedOk,
+        s"delete not targeted: ${res.filesRewritten} of ${res.filesTotal} " +
+          s"files rewritten, ${res.rowsDeleted} rows deleted")
+      val manifest = s.read.parquet(s"$root/m").localCheckpoint()
+      val expectedSurvivors = orders.filter(
+        !col("o_custkey").between(60, 90))
+      val completeOk = RecallGate.equivalent(
+        s.read.parquet(s"$root/z").select(col("o_orderkey")),
+        expectedSurvivors.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q109 post-delete table vs orders minus band")
+      val pr = Layout.prunedRead(s, s"$root/z", manifest,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("targeted_ok", lit(targetedOk))
+        .withColumn("complete_ok", lit(completeOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -376,6 +416,15 @@ object LakeQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 400
         |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
+    // q109 emits the custkey 30–120 box AFTER deleting the 60–90 band
+    // (bands chosen inside every sf's custkey range); the booleans assert
+    // the rewrite was file-targeted and loss-free.
+    "q109_targeted_delete" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS targeted_ok, TRUE AS complete_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120
+        |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_json_doc_roundtrip" ->

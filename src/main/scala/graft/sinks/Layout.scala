@@ -148,6 +148,72 @@ object Layout {
   private def fileName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
 
+  /** Outcome of a [[deleteWhere]]: how targeted the rewrite was. */
+  final case class DeleteResult(filesRewritten: Long, filesTotal: Long,
+                                rowsDeleted: Long)
+
+  /** TARGETED delete (the retention/right-to-erasure shape): remove every
+    * row inside the conjunctive `(col, lo, hi)` box by rewriting ONLY the
+    * files whose manifest stats intersect it — on a z-ordered layout the
+    * targets are clustered into few files, so a delete touches a small
+    * fraction of the table instead of rewriting it (measured in-query by
+    * q109's gate).
+    *
+    * Commit order makes the MANIFEST the source of truth (the table-format
+    * metadata model): (1) survivors of the hit files are staged and moved
+    * in as new data files; (2) the manifest is atomically swapped to
+    * reference unaffected + new files; (3) only then are the hit files
+    * deleted. A crash before (2) leaves orphan new files no manifest row
+    * references (invisible to manifest-driven reads, GC'able); a crash
+    * between (2) and (3) leaves dead hit files the new manifest no longer
+    * references. Manifest-pruned readers ([[prunedRead]]) therefore see
+    * either the complete pre-delete or the complete post-delete table,
+    * never a half-deleted one. */
+  def deleteWhere(spark: SparkSession, path: String, manifestPath: String,
+                  cols: Seq[String],
+                  box: Seq[(String, Double, Double)]): DeleteResult = {
+    val manifest = spark.read.parquet(manifestPath).localCheckpoint()
+    val intersects = box.map { case (c, lo, hi) =>
+      col(s"min_$c").cast("double") <= lit(hi) &&
+        col(s"max_$c").cast("double") >= lit(lo)
+    }.reduce(_ && _)
+    val inBox = box.map { case (c, lo, hi) =>
+      col(c).cast("double").between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+    val total = manifest.count()
+    val hit = manifest.filter(intersects).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+    if (hit.isEmpty) return DeleteResult(0, total, 0)
+    val hitRows = spark.read.parquet(hit: _*)
+    val deleted = hitRows.filter(inBox).count()
+    // (1) stage the hit files' survivors, move them in as new data files
+    val staging = path + ".delete_staging"
+    hitRows.filter(!inBox).write.mode("overwrite").parquet(staging)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val dest = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
+        require(fs.rename(st.getPath, dest), s"move failed: ${st.getPath}")
+        dest.toString
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // (2) atomic manifest swap: unaffected rows + the new files' stats
+    val keep = manifest.filter(!col("file").isInCollection(hit))
+    val next =
+      if (moved.isEmpty) keep
+      else keep.unionByName(buildManifestFor(spark, moved, cols))
+    val nextPath = new org.apache.hadoop.fs.Path(manifestPath + ".next")
+    next.coalesce(1).write.mode("overwrite").parquet(nextPath.toString)
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath)
+    fs.delete(mPath, true)
+    require(fs.rename(nextPath, mPath), s"manifest swap failed: $manifestPath")
+    // (3) drop the superseded files
+    hit.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    DeleteResult(hit.size.toLong, total, deleted)
+  }
+
   /** A statistics-pruned scan plus its pruning evidence. */
   final case class PrunedScan(df: DataFrame, filesRead: Long, filesTotal: Long)
 

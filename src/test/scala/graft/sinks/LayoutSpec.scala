@@ -73,6 +73,33 @@ class LayoutSpec extends SparkSpec {
       s"pruning too weak after append: ${pr.filesRead}/${pr.filesTotal}")
   }
 
+  test("deleteWhere rewrites only intersecting files and keeps the rest intact") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 32)
+    Layout.buildManifest(spark, s"$dir/z", Seq("x", "y"))
+      .write.mode("overwrite").parquet(s"$dir/m")
+    val res = Layout.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("x", "y"),
+      Seq(("x", 100.0, 199.0), ("y", 300.0, 399.0)))
+    val expectedDeleted = data.filter(col("x").between(100, 199) &&
+      col("y").between(300, 399)).count()
+    assert(res.rowsDeleted == expectedDeleted && expectedDeleted > 0)
+    assert(res.filesRewritten > 0 && res.filesRewritten * 2 <= res.filesTotal,
+      s"not targeted: ${res.filesRewritten}/${res.filesTotal}")
+    // survivors: exactly the complement, no collateral loss
+    val surviving = spark.read.parquet(s"$dir/z").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = data.filter(!(col("x").between(100, 199) &&
+      col("y").between(300, 399))).select("id").collect().map(_.getLong(0)).toSet
+    assert(surviving == expected)
+    // the swapped manifest matches the surviving files exactly: row counts
+    // add up and a pruned read over the deleted box finds nothing
+    val m = spark.read.parquet(s"$dir/m")
+    assert(m.agg(sum(col("rows"))).head.getLong(0) == expected.size.toLong)
+    val pr = Layout.prunedRead(spark, s"$dir/z", m,
+      Seq(("x", 100.0, 199.0), ("y", 300.0, 399.0)))
+    assert(pr.df.count() == 0)
+  }
+
   test("z-order prunes a 2-D box harder than a 1-D sorted layout") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
     Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 64)
