@@ -300,6 +300,31 @@ object LlmQueries {
         requireExactPrecision = false)
     }),
 
+    // PERSISTED-index IVF ANN — the index LIFECYCLE the q45 build lacks:
+    // the coarse quantizer (centroids) and the inverted lists are written
+    // to parquet and RELOADED before probing, exactly as a build-once-
+    // probe-many deployment stores them (at 100 TB the index build is a
+    // once-per-corpus job; probes run against the stored index). Same
+    // recall self-gate as q45: the reloaded-index retrieval runs in-query
+    // against the exact brute-force top-k the query emits.
+    "q110_ivf_persisted" -> ((s, dir) => {
+      val root = QueryTmp.dir("q110")
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val (centroids, assignment) = Ivf.buildIndex(corpus, c = 10, iters = 1)
+      centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      assignment.write.mode("overwrite").parquet(s"$root/lists")
+      val exact = Similarity.bruteForceTopK(probes, corpus, k = 10)
+      val ivf = Ivf.ivfTopK(probes, corpus,
+        s.read.parquet(s"$root/centroids"), k = 10, nProbe = 3,
+        assignment = Some(s.read.parquet(s"$root/lists")))
+      RecallGate.gate(exact, ivf, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.30, what = "q110 persisted-IVF ANN top-k",
+        requireExactPrecision = false)
+    }),
+
     // Exact near-dup pairs on a bounded range — the VERIFY primitive and
     // the recall oracle for q56's banded-LSH scale path.
     "q31_embedding_neardup" -> ((s, dir) => {
@@ -610,6 +635,25 @@ object LlmQueries {
     // recall gate boolean; the LSH/IVF retrieval runs in-query as the gate
     // subject.
     "q30_ann_lsh" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok
+        |FROM s WHERE rank <= 10""".stripMargin,
+    // q110 = q45's oracle plane (exact brute-force top-k + recall gate
+    // boolean); the persisted-and-reloaded index probe is the gate subject.
+    "q110_ivf_persisted" ->
       """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
         |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),

@@ -29,6 +29,23 @@ class IvfSpec extends SparkSpec {
     assert(byCell.forall(_.getAs[Long]("n") == 20L))
   }
 
+  test("persisted index (parquet roundtrip) probes identically to in-memory") {
+    val (cents, lists) = Ivf.buildIndex(corpus, c = 2, iters = 1)
+    val root = tmpDir("ivf_persist")
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    lists.write.mode("overwrite").parquet(s"$root/lists")
+    val probes = Seq((100L, Array(1f, 0.01f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0.02f, 0f))).toDF("probe_id", "embedding")
+    val mem = Ivf.ivfTopK(probes, corpus, cents, k = 5, nProbe = 1,
+      assignment = Some(lists)).orderBy("probe_id", "rank").collect()
+    val disk = Ivf.ivfTopK(probes, corpus, spark.read.parquet(s"$root/centroids"),
+      k = 5, nProbe = 1,
+      assignment = Some(spark.read.parquet(s"$root/lists")))
+      .orderBy("probe_id", "rank").collect()
+    assert(mem.length == 10 && disk.length == mem.length)
+    mem.zip(disk).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("ivfTopK with nProbe=1 returns in-cluster exact top-k") {
     val cents = Ivf.trainCentroids(corpus, c = 2, iters = 2)
     val probes = Seq((100L, Array(1f, 0.01f, 0f, 0f))).toDF("probe_id", "embedding")
