@@ -7,7 +7,7 @@ import graft.model.{TableRef, Tables}
 import graft.pipeline.Pipeline
 import graft.plans.PlanGuard
 import graft.qc.RecallGate
-import graft.sinks.{Bucketing, Layout, Maintenance, Sinks}
+import graft.sinks.{Bucketing, Layout, Maintenance, Sinks, Snapshots}
 import graft.sources.{EndpointSpec, IncrementalConfig, Json, PagePagination, RestSource}
 
 /** Sink/source round-trips under the driver's DuckDB gate (SURVEY §2.1/§2.2):
@@ -192,6 +192,55 @@ object LakeQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .withColumn("targeted_ok", lit(targetedOk))
         .withColumn("complete_ok", lit(completeOk))
+    }),
+
+    // TIME TRAVEL + VACUUM (the table-format snapshot model on plain
+    // parquet): the layout's manifest becomes a VERSION LOG — the targeted
+    // delete commits a new manifest version and RETAINS superseded files,
+    // so a reader pinned to v1 still serves the complete pre-delete table.
+    // The emitted rows ARE the time-traveled evidence: a v1-pinned pruned
+    // box read executed AFTER the delete, which must still contain the
+    // deleted band (the oracle checks it against un-deleted orders).
+    // Gates: latest read ≡ orders minus the band (the delete committed
+    // correctly), and vacuum(retain=1) drops exactly v1 and exactly the
+    // superseded files while leaving the latest read intact (reclaim is
+    // safe and complete).
+    "q111_time_travel" -> ((s, dir) => {
+      val root = tmp("q111")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 60.0, 90.0)))
+      require(res.rowsDeleted > 0, "q111 delete removed nothing — gate vacuous")
+      val v2 = Snapshots.latestVersion(s, s"$root/m")
+      // the time-traveled read: v1 snapshot, post-delete, pre-vacuum —
+      // materialized before vacuum reclaims v1's files (bounded: box rows)
+      val asOfV1 = Snapshots.readAt(s, s"$root/m", v1,
+        Seq(("o_custkey", 30.0, 120.0))).df.localCheckpoint()
+      val survivors = orders.filter(!col("o_custkey").between(60, 90))
+      val postDeleteOk = RecallGate.equivalent(
+        Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
+        survivors.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q111 latest read vs orders minus band")
+      val vac = Snapshots.vacuum(s, s"$root/z", s"$root/m", retainLast = 1)
+      val vacuumOk = vac.versionsDropped == 1 &&
+        vac.filesDeleted == res.filesRewritten &&
+        Snapshots.versions(s, s"$root/m") == Seq(v2)
+      require(vacuumOk,
+        s"vacuum reclaim wrong: dropped ${vac.versionsDropped} versions, " +
+          s"deleted ${vac.filesDeleted} files (expected ${res.filesRewritten})")
+      val postVacuumOk = RecallGate.equivalent(
+        Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
+        survivors.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q111 post-vacuum latest read vs survivors")
+      asOfV1.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("post_delete_ok", lit(postDeleteOk))
+        .withColumn("vacuum_ok", lit(vacuumOk && postVacuumOk))
     }),
 
     // S4: the distributed paginated REST read. The 25-row nation table
@@ -425,6 +474,15 @@ object LakeQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 30 AND 120
         |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin,
+    // q111 emits a V1-PINNED box read executed AFTER the band delete: time
+    // travel is exact iff the deleted 60–90 band is still present, so the
+    // oracle is the box over UN-deleted orders. The booleans assert the
+    // latest-version delete and the vacuum reclaim.
+    "q111_time_travel" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS post_delete_ok, TRUE AS vacuum_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_json_doc_roundtrip" ->

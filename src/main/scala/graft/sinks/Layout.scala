@@ -145,8 +145,45 @@ object Layout {
     fresh.size
   }
 
-  private def fileName(uri: String): String =
+  private[sinks] def fileName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Manifest-side predicate: file stats box intersects the query box. */
+  private[sinks] def intersectsExpr(box: Seq[(String, Double, Double)]): Column =
+    box.map { case (c, lo, hi) =>
+      col(s"min_$c").cast("double") <= lit(hi) &&
+        col(s"max_$c").cast("double") >= lit(lo)
+    }.reduce(_ && _)
+
+  /** Row-side predicate: the row is inside the conjunctive box. */
+  private[sinks] def inBoxExpr(box: Seq[(String, Double, Double)]): Column =
+    box.map { case (c, lo, hi) =>
+      col(c).cast("double").between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+
+  /** Stage the survivors of the `hit` files (rows NOT matching `inBox`) and
+    * move them into the layout as new data files. Returns (moved file
+    * paths, deleted row count). Shared by the in-place [[deleteWhere]] and
+    * the versioned [[Snapshots.deleteWhere]]. */
+  private[sinks] def stageSurvivors(spark: SparkSession, path: String,
+                                    hit: Seq[String],
+                                    inBox: Column): (Seq[String], Long) = {
+    val hitRows = spark.read.parquet(hit: _*)
+    val deleted = hitRows.filter(inBox).count()
+    val staging = path + ".delete_staging"
+    hitRows.filter(!inBox).write.mode("overwrite").parquet(staging)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val dest = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
+        require(fs.rename(st.getPath, dest), s"move failed: ${st.getPath}")
+        dest.toString
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    (moved, deleted)
+  }
 
   /** Outcome of a [[deleteWhere]]: how targeted the rewrite was. */
   final case class DeleteResult(filesRewritten: Long, filesTotal: Long,
@@ -173,32 +210,14 @@ object Layout {
                   cols: Seq[String],
                   box: Seq[(String, Double, Double)]): DeleteResult = {
     val manifest = spark.read.parquet(manifestPath).localCheckpoint()
-    val intersects = box.map { case (c, lo, hi) =>
-      col(s"min_$c").cast("double") <= lit(hi) &&
-        col(s"max_$c").cast("double") >= lit(lo)
-    }.reduce(_ && _)
-    val inBox = box.map { case (c, lo, hi) =>
-      col(c).cast("double").between(lit(lo), lit(hi))
-    }.reduce(_ && _)
     val total = manifest.count()
-    val hit = manifest.filter(intersects).select(col("file"))
+    val hit = manifest.filter(intersectsExpr(box)).select(col("file"))
       .collect().map(_.getString(0)).toSeq
     if (hit.isEmpty) return DeleteResult(0, total, 0)
-    val hitRows = spark.read.parquet(hit: _*)
-    val deleted = hitRows.filter(inBox).count()
     // (1) stage the hit files' survivors, move them in as new data files
-    val staging = path + ".delete_staging"
-    hitRows.filter(!inBox).write.mode("overwrite").parquet(staging)
+    val (moved, deleted) = stageSurvivors(spark, path, hit, inBoxExpr(box))
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map { st =>
-        val dest = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
-        require(fs.rename(st.getPath, dest), s"move failed: ${st.getPath}")
-        dest.toString
-      }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     // (2) atomic manifest swap: unaffected rows + the new files' stats
     val keep = manifest.filter(!col("file").isInCollection(hit))
     val next =
@@ -227,16 +246,10 @@ object Layout {
     * stats can only over-include). */
   def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
                  ranges: Seq[(String, Double, Double)]): PrunedScan = {
-    val intersects = ranges.map { case (c, lo, hi) =>
-      col(s"min_$c").cast("double") <= lit(hi) &&
-        col(s"max_$c").cast("double") >= lit(lo)
-    }.reduce(_ && _)
     val total = manifest.count()
-    val files = manifest.filter(intersects).select(col("file"))
+    val files = manifest.filter(intersectsExpr(ranges)).select(col("file"))
       .collect().map(_.getString(0)).toSeq
-    val residual = ranges.map { case (c, lo, hi) =>
-      col(c).cast("double").between(lit(lo), lit(hi))
-    }.reduce(_ && _)
+    val residual = inBoxExpr(ranges)
     // an empty intersection is a legitimate answer: filter(false) over the
     // base path folds to an empty LocalRelation (schema kept, no scan)
     val df =
