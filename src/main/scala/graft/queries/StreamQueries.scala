@@ -237,6 +237,59 @@ object StreamQueries {
         .select(col("doc_id"), col("day"), col("is_dup"))
     }),
 
+    // CONTINUOUS near-dup screen (the q102 daily near-dup loop as a
+    // stream): same 3-day landing as q108, but the per-batch screen is the
+    // banded MinHash retrieval against the prior batches' SIGNATURE store
+    // with exact-text confirmation against their landed lake — retrieval
+    // by banding, precision by confirm, so the verdict is exactly "an
+    // earlier day holds this text" (identical text ⇒ identical signature ⇒
+    // same band keys: the banded retrieval cannot miss it; the confirm
+    // kills every near-but-not-identical candidate). Day 2 adds both
+    // verbatim cross-day dups (%5, re-keyed) and NEAR-dup decoys (%7==3,
+    // one-token suffix): decoys band-pair against the store but must come
+    // out is_dup=false — precision is load-bearing in the oracle.
+    "q112_stream_neardup_screen" -> ((s, dir) => {
+      val root = QueryTmp.dir("q112")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val aug = docs.select(col("doc_id"), col("text"),
+          (col("doc_id") % 2).cast("int").as("day"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            lit(2).cast("int").as("day")))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" q112near")).as("text"),
+            lit(2).cast("int").as("day")))
+      new java.io.File(s"$root/in").mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { d =>
+        val staging = s"$root/staging$d"
+        aug.filter(col("day") === d).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = new java.io.File(s"$root/in/day$d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(t0 + d * 2000L))
+      }
+      val schema = s.read.parquet(s"$root/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 8).toString)
+      try {
+        val q = Streaming.nearDupScreenStream(stream, "doc_id", "text",
+          throughCols = Seq("day"), storeDir = s"$root/store",
+          lakeDir = s"$root/lake", outDir = s"$root/out",
+          checkpoint = s"$root/ckpt").start()
+        require(q.awaitTermination(300000), s"stream drain timed out: $root")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("day"), col("is_dup"))
+    }),
+
     // Stream-stream interval join replayed across micro-batches: view →
     // purchase attribution within 6 hours. Both sides stream from the
     // same landed files; lateness exceeds the data's span so no join state
@@ -273,6 +326,23 @@ object StreamQueries {
         |  UNION ALL
         |  SELECT doc_id + 100000, text, CAST(2 AS INT) AS day
         |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL)
+        |SELECT a.doc_id, a.day,
+        |  EXISTS(SELECT 1 FROM aug b
+        |         WHERE b.text = a.text AND b.day < a.day) AS is_dup
+        |FROM aug a""".stripMargin,
+    // q112: banded retrieval + exact confirm ⇒ dup iff an earlier day
+    // holds the same text; the near-dup decoys (suffix-modified) must be
+    // false — the EXISTS below is text EQUALITY, so they are.
+    "q112_stream_neardup_screen" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS day
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, CAST(2 AS INT) AS day
+        |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' q112near', CAST(2 AS INT) AS day
+        |  FROM documents WHERE doc_id % 7 = 3 AND text IS NOT NULL)
         |SELECT a.doc_id, a.day,
         |  EXISTS(SELECT 1 FROM aug b
         |         WHERE b.text = a.text AND b.day < a.day) AS is_dup

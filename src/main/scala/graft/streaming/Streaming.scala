@@ -169,12 +169,18 @@ object Streaming {
         novel.write.mode("overwrite").parquet(s"$storeDir/batch=$id")
       }
 
-  /** The fingerprint store as of batches STRICTLY BEFORE `id` — partition
-    * discovery over the `batch=<j>` dirs with a partition-pruned filter;
-    * None when no prior batch has committed. */
+  /** The fingerprint store as of batches STRICTLY BEFORE `id`. */
   private def priorStore(s: SparkSession, storeDir: String,
-                         id: Long): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
+                         id: Long): Option[DataFrame] =
+    priorBatches(s, storeDir, id).map(_.select(col("fp")))
+
+  /** All rows landed by batches STRICTLY BEFORE `id` — partition discovery
+    * over the `batch=<j>` dirs with a partition-pruned file list; None when
+    * no prior batch has committed. Shared by the exact and near-dup screen
+    * loops for their store/lake reads. */
+  private def priorBatches(s: SparkSession, dir: String,
+                           id: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) None
     else {
@@ -183,11 +189,72 @@ object Streaming {
           st.getPath.getName.drop("batch=".length).toLong < id
       }
       if (prior.isEmpty) None
-      else Some(s.read.option("basePath", storeDir)
-        .parquet(prior.map(_.getPath.toString): _*)
-        .select(col("fp")))
+      else Some(s.read.option("basePath", dir)
+        .parquet(prior.map(_.getPath.toString): _*))
     }
   }
+
+  /** CONTINUOUS near-dup screen — the q102 daily near-dup loop as a stream:
+    * each micro-batch's word-shingle MinHash signatures are banded against
+    * the persisted SIGNATURE store of the prior batches (retrieval), the
+    * candidates are exact-text-confirmed against the prior batches' landed
+    * text (precision), and each doc gets a per-row `is_dup` verdict; then
+    * the store grows by the batch's signatures and the lake by its text.
+    *
+    * Scale shape is q102's at every trigger: the banded join is new×store
+    * (never store×store — the corpus is never re-sketched), and the confirm
+    * leg reads the lake PRUNED to the candidate store ids (an In-filter
+    * pushed into the scan; semi-join fallback past the cap), so confirm
+    * cost tracks emitted pairs, not lake size. Replay idempotence as in
+    * [[exactScreenStream]]: verdicts, store, and lake all land as
+    * `batch=<id>` overwrite-mode partition dirs, and reads see only
+    * `batch < id`. */
+  def nearDupScreenStream(stream: DataFrame, idCol: String, textCol: String,
+                          throughCols: Seq[String], storeDir: String,
+                          lakeDir: String, outDir: String, checkpoint: String,
+                          n: Int = 3, k: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.9): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val sigs = graft.ext.Dedup
+          .minHashSignaturesWords(b, idCol, textCol, n, k).localCheckpoint()
+        val out = Seq(col(idCol)) ++ throughCols.map(col) :+ col("is_dup")
+        val verdicts = priorBatches(s, storeDir, id) match {
+          case Some(store) =>
+            val cands = graft.ext.Dedup.incrementalNearDupPairs(
+              sigs, store.drop("batch"), k, bands, threshold).localCheckpoint()
+            val lake = priorBatches(s, lakeDir, id).get // committed with store
+            val candIds = cands.select(col("store_doc")).distinct()
+              .limit(100001).collect().map(_.getLong(0))
+            val lakeSlice =
+              if (candIds.length <= 100000)
+                lake.filter(col(idCol).isin(candIds.toIndexedSeq: _*))
+              else lake.join(
+                broadcast(cands.select(col("store_doc").as(idCol)).distinct()),
+                idCol)
+            val confirmed = cands
+              .join(b.select(col(idCol).as("new_doc"),
+                col(textCol).as("nt")), "new_doc")
+              .join(lakeSlice.select(col(idCol).as("store_doc"),
+                col(textCol).as("st")), "store_doc")
+              .filter(col("nt") === col("st"))
+              .select(col("new_doc").as(idCol)).distinct()
+              .withColumn("hit", lit(true))
+            b.join(broadcast(confirmed), Seq(idCol), "left")
+              .withColumn("is_dup", coalesce(col("hit"), lit(false)))
+              .select(out: _*)
+          case None => b.withColumn("is_dup", lit(false)).select(out: _*)
+        }
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        sigs.write.mode("overwrite").parquet(s"$storeDir/batch=$id")
+        b.select(col(idCol), col(textCol))
+          .write.mode("overwrite").parquet(s"$lakeDir/batch=$id")
+      }
 
   /** Streaming upsert into a JDBC WAREHOUSE: each micro-batch runs the
     * staged transactional MERGE ([[graft.sinks.JdbcUpsert]]) against the

@@ -169,4 +169,59 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts() == v)
     assert(spark.read.parquet(s"$root/store").count() == storeRows)
   }
+
+  test("nearDupScreenStream: banded retrieval finds verbatim cross-batch " +
+    "dups; exact confirm rejects near-but-not-identical candidates") {
+    val root = tmpDir("ndscreen")
+    new java.io.File(s"$root/in").mkdirs()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val days = Seq(
+      Seq((1L, base, 0), (2L, "entirely different content here", 0)),
+      // doc 3 is a verbatim copy (must flag); doc 4 differs by ONE word —
+      // its word shingles overlap heavily so banding pairs it with high
+      // probability, and only the exact-text confirm keeps it false
+      Seq((3L, base, 1),
+        (4L, base + " extra", 1),
+        (5L, "novel unrelated text", 1)))
+    val t0 = System.currentTimeMillis()
+    days.zipWithIndex.foreach { case (rows, d) =>
+      val staging = s"$root/staging$d"
+      rows.toDF("doc_id", "text", "day").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(s"$root/in/day$d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(t0 + d * 2000L))
+    }
+    val schema = spark.read.parquet(s"$root/in").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val q = Streaming.nearDupScreenStream(stream, "doc_id", "text",
+        Seq("day"), s"$root/store", s"$root/lake", s"$root/out",
+        s"$root/ckpt").start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    def verdicts() = spark.read.parquet(s"$root/out")
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val v = verdicts()
+    assert(v == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false,
+      5L -> false))
+    // the near-miss doc 4 DID band-pair against the store (retrieval saw
+    // it) — proving the confirm leg, not a banding miss, kept it false
+    val sigs = spark.read.parquet(s"$root/store").filter(col("batch") === 0)
+    val newSigs = graft.ext.Dedup.minHashSignaturesWords(
+      Seq((4L, base + " extra")).toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, k = 32)
+    val paired = graft.ext.Dedup.incrementalNearDupPairs(
+      newSigs, sigs.drop("batch"), k = 32, bands = 8, threshold = 0.9)
+    assert(paired.count() > 0,
+      "decoy never banded — the precision assertion above is vacuous")
+    // restart idempotence, same contract as the exact screen
+    run()
+    assert(verdicts() == v)
+  }
 }
