@@ -19,6 +19,12 @@ ThisBuild / showSuccess := false
 // showSuccess is consumed by sbt's command engine, not a task — exclude it
 // from the unused-key lint.
 Global / excludeLintKeys += showSuccess
+// Pass the forked JVM's stdout through UNPREFIXED: sbt's default logger
+// decorates every forked-process line with "[info] ", which breaks the
+// driver's tail-parse of the bench's final JSON line. StdoutOutput wires
+// the fork's stdout straight to this process's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
