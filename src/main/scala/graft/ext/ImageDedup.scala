@@ -211,9 +211,16 @@ object ImageDedup {
     * (every %`copyMod` doc re-keyed to id+`copyIdOffset`, rendered WITH
     * jitter — near-dup images, not byte dups), images are decoded and
     * dHashed for real, and the banded retrieval is gated three ways:
-    *  - pigeonhole: banded pairs ≡ brute-force all-pairs hamming≤max on the
-    *    REPRESENTATIVE hash plane (exact equivalence, both directions;
-    *    bounded by unique image content at any duplication depth);
+    *  - pigeonhole: banded pairs ≡ brute-force all-pairs hamming≤max on a
+    *    SAMPLED slice of the representative hash plane (reps with doc ≡ 0
+    *    mod `gateSampleMod`, BOTH sides the same slice — pigeonhole
+    *    equivalence is a per-pair property, so slice equivalence is exact
+    *    equivalence restricted to the slice). The brute twin is O(U²) in
+    *    unique image content; unsampled it dominated the query's wall
+    *    (round-9 verdict: 12 s of a 12.2 s median was this gate).
+    *    `gateSampleMod` must divide `copyIdOffset` so a base rep and its
+    *    jittered copy land in the same slice — the slice then retains
+    *    genuine hamming-1 pairs the banded join must find;
     *  - recall/precision 1.0 on a SAMPLED end-to-end probe (the q28
     *    shape): every text-identity pair with doc_a ≡ 0 (mod `sampleMod`)
     *    must appear in the fully EXPANDED retrieval — and no expanded pair
@@ -228,7 +235,11 @@ object ImageDedup {
   def gatedTextDupImagePairs(spark: SparkSession, docs: DataFrame,
                              copyMod: Int = 5, copyIdOffset: Long = 100000L,
                              maxHamming: Int = 3,
-                             sampleMod: Int = 101): DataFrame = {
+                             sampleMod: Int = 101,
+                             gateSampleMod: Int = 10): DataFrame = {
+    require(copyIdOffset % gateSampleMod == 0,
+      s"gateSampleMod=$gateSampleMod must divide copyIdOffset=$copyIdOffset " +
+        "or the pigeonhole slice loses every base↔copy near-dup pair")
     val base = docs.select(col("doc_id"), col("text"))
     val aug = base.unionByName(
       base.filter(col("doc_id") % copyMod === 0)
@@ -241,10 +252,15 @@ object ImageDedup {
     val (members, uniques0) = hashCollapse(dHashes(media))
     val uniques = uniques0.localCheckpoint()
     val repBanded = Dedup.hammingPairsBanded(uniques, maxHamming)
-    val repBrute = Dedup.hammingPairsBrute(uniques, maxHamming)
-    val pigeonholeOk = RecallGate.equivalent(repBanded, repBrute,
+    // gate slice: same restriction on BOTH sides, so banded-vs-brute
+    // equivalence over the slice is exact (per-pair property) while the
+    // brute twin's O(U²) cross join shrinks by gateSampleMod²
+    val gateUniques = uniques.filter(col("doc") % gateSampleMod === 0)
+    val pigeonholeOk = RecallGate.equivalent(
+      Dedup.hammingPairsBanded(gateUniques, maxHamming),
+      Dedup.hammingPairsBrute(gateUniques, maxHamming),
       Seq("doc_a", "doc_b", "hamming"),
-      "q105 image dHash banded vs brute force (rep hash plane)")
+      "q105 image dHash banded vs brute force (sampled rep hash plane)")
     val expandedSlice = Dedup.expandCollapsed(members, repBanded,
         "hamming", lit(0).cast("int"))
       .filter(col("doc_a") % sampleMod === 0)

@@ -75,6 +75,30 @@ class ImageDedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
   }
 
+  test("pigeonhole gate sampling rejects a mod that loses the copy plane") {
+    val docs = (0L until 20L).map(i => (i, texts((i % 4).toInt)))
+      .toDF("doc_id", "text")
+    // 7 does not divide copyIdOffset=1000: every base↔jittered-copy pair
+    // would straddle the slice boundary and the gate would verify nothing
+    val ex = intercept[IllegalArgumentException] {
+      ImageDedup.gatedTextDupImagePairs(spark, docs,
+        copyMod = 5, copyIdOffset = 1000L, maxHamming = 3, gateSampleMod = 7)
+    }
+    assert(ex.getMessage.contains("gateSampleMod"))
+  }
+
+  test("the sampled pigeonhole slice still contains a hamming-1 pair") {
+    // reps in the mod-10 slice of the spec corpus: {0, 1000, 1010}; the
+    // (0, 1000) pair is the jittered copy of texts(0), hamming exactly 1 —
+    // so the sampled gate still exercises a pair the banded join must find
+    val b0 = ImageDedup.dHash64(ImageDedup.renderTextImage(texts(0), jitter = false)).get
+    val j0 = ImageDedup.dHash64(ImageDedup.renderTextImage(texts(0), jitter = true)).get
+    assert(hamming(b0, j0) == 1)
+    val slice = Seq((0L, b0), (1000L, j0)).toDF("doc", "sk")
+    val banded = Dedup.hammingPairsBanded(slice, maxHamming = 3).collect()
+    assert(banded.length == 1 && banded.head.getInt(2) == 1)
+  }
+
   test("a broken retrieval fails the gate, not just the spec") {
     // maxHamming 0 drops the (doc 0, jittered copy) pair whose hash moved
     // one bit -> sampled recall over the text-identity plane falls below
