@@ -49,4 +49,44 @@ object PlanGuard {
       s"$why — expected pattern '$regex' in plan:\n$p")
     df
   }
+
+  // --- Adaptive FINAL-plan guards -----------------------------------------
+  //
+  // The static guards above are blind to AQE runtime re-planning: under
+  // adaptive execution the pre-execution plan is an AdaptiveSparkPlan
+  // (isFinalPlan=false) whose join strategies can still change once real
+  // shuffle statistics arrive. These variants EXECUTE the frame's physical
+  // plan to completion (a distributed no-op pass — rows never reach the
+  // driver), which finalizes AQE on THIS QueryExecution, then assert on the
+  // final plan string. Cost = one full execution of the frame, so apply
+  // them where the plan property is load-bearing and the inputs are cheap
+  // to re-read (e.g. a localCheckpoint()ed leg), not on every guard site.
+
+  private def finalPlanOf(df: DataFrame): String = {
+    val qe = df.queryExecution
+    // RDD action on the plan's own RDD: forces execution (and thereby the
+    // AQE final plan) without collecting anything to the driver
+    qe.executedPlan.execute().foreach(_ => ())
+    qe.executedPlan.toString
+  }
+
+  /** Execute, then require `needle` in the ADAPTIVE FINAL plan. */
+  def requireInFinalPlan(df: DataFrame, needle: String,
+                         why: String): DataFrame = {
+    val p = finalPlanOf(df)
+    require(p.contains(needle),
+      s"$why — expected '$needle' in FINAL adaptive plan:\n$p")
+    df
+  }
+
+  /** Execute, then require `needle` ABSENT from the ADAPTIVE FINAL plan —
+    * catches an AQE runtime demotion (e.g. a stat-estimated broadcast
+    * falling back to sort-merge) that the static guard admits. */
+  def requireNotInFinalPlan(df: DataFrame, needle: String,
+                            why: String): DataFrame = {
+    val p = finalPlanOf(df)
+    require(!p.contains(needle),
+      s"$why — found forbidden '$needle' in FINAL adaptive plan:\n$p")
+    df
+  }
 }

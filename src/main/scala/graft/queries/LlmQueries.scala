@@ -195,7 +195,12 @@ object LlmQueries {
         .select(col("doc_id").as("batch_id"),
           col("keep_id").isNotNull.as("is_dup"),
           coalesce(col("keep_id"), lit(-1L)).as("dup_of"))
-      graft.plans.PlanGuard.requireNotInPlan(verdicts, "SortMergeJoin",
+      // FINAL-plan guard (not just static): the no-SMJ property is what
+      // keeps the store scan-only at 100 TB, and AQE finalizes join
+      // strategies at runtime — assert after execution. The extra pass is
+      // cheap: batch side is localCheckpoint()ed, store side is a parquet
+      // re-scan into a broadcast.
+      graft.plans.PlanGuard.requireNotInFinalPlan(verdicts, "SortMergeJoin",
         "q104 screen must never shuffle the fingerprint store")
     }),
 
