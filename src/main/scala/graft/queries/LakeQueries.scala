@@ -243,6 +243,61 @@ object LakeQueries {
         .withColumn("vacuum_ok", lit(vacuumOk && postVacuumOk))
     }),
 
+    // VERSIONED APPEND + COMPACTION (r9 verdict item: close the {append,
+    // delete, compact} × versioned matrix — q111 covered only delete).
+    // Base (¬%4 orders) commits as v1; the %4 batch lands via
+    // Snapshots.appendCommit (staged z-ordered files + commit, base never
+    // rescanned) as v2; compactCommit rewrites the snapshot into fewer
+    // freshly z-ordered files as v3; vacuum(retain=1) reclaims exactly the
+    // superseded v1/v2 inputs. Gates: a v1-pinned read EXCLUDES the batch
+    // (append atomicity/isolation), v2 ≡ all orders, v3 ≡ all orders off
+    // fewer files (pure re-layout), vacuum drops exactly 2 versions and
+    // exactly the pre-compaction file set while the latest pruned read
+    // still serves the complete box.
+    "q113_versioned_append_compact" -> ((s, dir) => {
+      val root = tmp("q113")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val (v2, nApp) = Snapshots.appendCommit(s, batch, zcols,
+        s"$root/z", s"$root/m", nFiles = 8)
+      require(nApp > 0, "q113 append landed no files — gate vacuous")
+      val pinnedOk = RecallGate.equivalent(
+        Snapshots.tableAt(s, s"$root/m", v1).select(col("o_orderkey")),
+        base.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q113 v1-pinned read must exclude the appended batch")
+      val appendOk = RecallGate.equivalent(
+        Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
+        orders.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q113 post-append read vs all orders")
+      val (v3, nIn, nOut) = Snapshots.compactCommit(s, s"$root/z", s"$root/m",
+        zcols, nFiles = 8)
+      require(nOut < nIn,
+        s"q113 compaction did not shrink the layout: $nIn -> $nOut files")
+      val compactOk = RecallGate.equivalent(
+        Snapshots.tableAt(s, s"$root/m", v3).select(col("o_orderkey")),
+        orders.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q113 post-compaction read vs all orders")
+      val vac = Snapshots.vacuum(s, s"$root/z", s"$root/m", retainLast = 1)
+      val vacuumOk = vac.versionsDropped == 2 && vac.filesDeleted == nIn &&
+        Snapshots.versions(s, s"$root/m") == Seq(v3)
+      require(vacuumOk,
+        s"q113 vacuum reclaim wrong: dropped ${vac.versionsDropped} versions, " +
+          s"deleted ${vac.filesDeleted} files (expected $nIn)")
+      val pr = Snapshots.readAt(s, s"$root/m", v3,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("append_ok", lit(pinnedOk && appendOk))
+        .withColumn("compact_ok", lit(compactOk))
+        .withColumn("vacuum_ok", lit(vacuumOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -481,6 +536,15 @@ object LakeQueries {
     "q111_time_travel" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS post_delete_ok, TRUE AS vacuum_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q113 emits a latest-version pruned box read AFTER append + compact +
+    // vacuum — the full table must survive all three commits, so the
+    // oracle is the box over ALL orders; the booleans assert the pinned
+    // append exclusion, the pure re-layout, and the exact reclaim.
+    "q113_versioned_append_compact" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS append_ok, TRUE AS compact_ok, TRUE AS vacuum_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
     "q67_rest_source" ->

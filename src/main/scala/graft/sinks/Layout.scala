@@ -161,6 +161,26 @@ object Layout {
       col(c).cast("double").between(lit(lo), lit(hi))
     }.reduce(_ && _)
 
+  /** Move every part file of a finished staging write into the layout dir
+    * and drop the staging dir. Part-file names embed the writing job's
+    * UUID, so moves from distinct jobs can never collide. Returns the
+    * moved files' new paths. Shared by delete staging, versioned append,
+    * and versioned compaction. */
+  private[sinks] def moveStagedIn(spark: SparkSession, staging: String,
+                                  path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val dest = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
+        require(fs.rename(st.getPath, dest), s"move failed: ${st.getPath}")
+        dest.toString
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    moved
+  }
+
   /** Stage the survivors of the `hit` files (rows NOT matching `inBox`) and
     * move them into the layout as new data files. Returns (moved file
     * paths, deleted row count). Shared by the in-place [[deleteWhere]] and
@@ -172,17 +192,7 @@ object Layout {
     val deleted = hitRows.filter(inBox).count()
     val staging = path + ".delete_staging"
     hitRows.filter(!inBox).write.mode("overwrite").parquet(staging)
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map { st =>
-        val dest = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
-        require(fs.rename(st.getPath, dest), s"move failed: ${st.getPath}")
-        dest.toString
-      }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    (moved, deleted)
+    (moveStagedIn(spark, staging, path), deleted)
   }
 
   /** Outcome of a [[deleteWhere]]: how targeted the rewrite was. */

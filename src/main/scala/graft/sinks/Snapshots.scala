@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   * Storage is reclaimed explicitly by [[vacuum]], which drops expired
   * versions and deletes only data files no retained version references.
   *
-  * Commit protocol: the next manifest is written to a hidden temp dir and
-  * `rename`d to `v=N` — readers list versions and see N fully or not at
-  * all (the same single-rename visibility [[Layout.deleteWhere]] uses for
-  * its swap). Writers are assumed single at a time (the reference's daily
-  * batch cadence); concurrent-writer arbitration would need a
-  * compare-and-swap on the version number, which plain FS rename provides
-  * on stores with atomic rename.
+  * Commit protocol: the next manifest is written to a hidden uniquely-named
+  * temp dir and `rename`d to `v=N` — readers list versions and see N fully
+  * or not at all (the same single-rename visibility [[Layout.deleteWhere]]
+  * uses for its swap). Concurrent writers are arbitrated by the rename
+  * itself as a compare-and-swap on the version number: on a store with
+  * atomic rename, renaming onto an existing (non-empty) `v=N` fails, and
+  * the loser retries with the next free version — its already-staged
+  * manifest, re-targeted. Losing a race never loses an update; it can at
+  * worst commit a manifest computed against a stale parent (write-write
+  * conflicts between concurrent delete/compact jobs need real conflict
+  * detection, which daily batch cadence doesn't — see [[commit]]).
   *
   * Scale shape: a version is one file-count-bounded parquet manifest, so
   * the version log grows by O(files) per commit, never O(rows); time-travel
@@ -61,18 +65,39 @@ object Snapshots {
     vs.last
   }
 
-  /** Commit `manifest` as the next version; returns its number. The write
-    * lands in a hidden temp dir first so the version becomes visible with
-    * one rename. */
+  /** Commit `manifest` as the next version; returns the number it actually
+    * landed at. The write stages once into a hidden uniquely-named temp dir
+    * (two racing committers must never share a staging path), then loops
+    * the rename as a compare-and-swap: if `v=N` already exists — or the
+    * rename fails because another writer won it between the existence check
+    * and the rename — the committer retries the SAME staged manifest at the
+    * next version number. Bounded retries so a broken store surfaces as an
+    * error, not a spin. */
   def commit(spark: SparkSession, manifest: DataFrame,
              manifestRoot: String): Int = {
-    val next = versions(spark, manifestRoot).lastOption.getOrElse(0) + 1
     val fs = hfs(spark, manifestRoot)
-    val tmp = new org.apache.hadoop.fs.Path(s"$manifestRoot/.tmp_v$next")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val dest = new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$next")
-    require(fs.rename(tmp, dest), s"version commit failed: $dest")
-    next
+    var next = versions(spark, manifestRoot).lastOption.getOrElse(0) + 1
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val dest = new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$next")
+      if (fs.exists(dest)) next += 1 // lost before trying: take the next slot
+      else if (fs.rename(tmp, dest)) {
+        // some local FSes "succeed" a rename onto an existing dir by moving
+        // the source INSIDE it — that is a lost race, not a commit: undo
+        // the nesting and retry at the next version
+        val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+        if (fs.exists(nested)) {
+          require(fs.rename(nested, tmp), s"un-nest failed: $nested")
+          next += 1
+        } else return next
+      } else next += 1 // rename refused: another writer took v=N
+    }
+    throw new IllegalStateException(
+      s"version commit gave up after $attempts attempts under $manifestRoot")
   }
 
   def manifestAt(spark: SparkSession, manifestRoot: String,
@@ -127,6 +152,54 @@ object Snapshots {
       else keep.unionByName(Layout.buildManifestFor(spark, moved, cols))
     commit(spark, next, manifestRoot)
     Layout.DeleteResult(hit.size.toLong, total, deleted)
+  }
+
+  /** Z-ordered batch APPEND as a version commit — the versioned twin of
+    * [[Layout.appendWithManifest]], closing the {append, delete, compact}
+    * × versioned matrix. The batch is z-ordered by its own quantile bounds
+    * and staged OUTSIDE the table dir, the staged part files are moved in,
+    * and vN+1 = vN ∪ the new files' stats is committed; base files are
+    * never touched or rescanned. Staging-then-move (rather than a direct
+    * `mode("append")` write + listing diff) is what makes the append
+    * ATOMIC under versioning: a crash before the commit leaves data files
+    * that NO manifest references — invisible to every pinned read and
+    * reclaimed by [[vacuum]] — instead of files a later listing diff would
+    * silently adopt into someone else's commit. Returns (version,
+    * appended file count). */
+  def appendCommit(spark: SparkSession, batch: DataFrame, cols: Seq[String],
+                   path: String, manifestRoot: String,
+                   nFiles: Int): (Int, Int) = {
+    val prev =
+      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
+        .localCheckpoint()
+    val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(batch, cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols))
+    (commit(spark, next, manifestRoot), moved.size)
+  }
+
+  /** COMPACTION as a version commit: the latest snapshot's files are
+    * rewritten into `nFiles` freshly z-ordered files (quantile sketch +
+    * one range shuffle over exactly the referenced files — per-batch
+    * appends degrade the global interleave over time; this restores it),
+    * staged outside the table dir, moved in, and committed as a manifest
+    * referencing ONLY the compacted files. The superseded inputs stay on
+    * disk for older pinned readers and are reclaimed by [[vacuum]] once
+    * their versions expire — compaction under versioning is a pure
+    * re-layout, never a destructive swap (contrast
+    * [[Maintenance]]'s flat-table compaction, which deletes its inputs).
+    * Returns (version, input file count, output file count). */
+  def compactCommit(spark: SparkSession, path: String, manifestRoot: String,
+                    cols: Seq[String], nFiles: Int): (Int, Int, Int) = {
+    val v = latestVersion(spark, manifestRoot)
+    val files = manifestAt(spark, manifestRoot, v)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val staging = path + ".compact_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(spark.read.parquet(files: _*), cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val next = Layout.buildManifestFor(spark, moved, cols)
+    (commit(spark, next, manifestRoot), files.size, moved.size)
   }
 
   /** Reclaim storage: drop all but the last `retainLast` versions, then

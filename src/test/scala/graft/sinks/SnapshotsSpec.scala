@@ -69,6 +69,80 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.tableAt(spark, s"$dir/m", 1).count() == 10000L)
   }
 
+  test("two committers racing to the same version: loser lands at the next, no lost update") {
+    val (dir, v1) = freshLayout()
+    // simulate writer B winning v=2 between writer A's version listing and
+    // its rename: pre-create a NON-EMPTY v=2 (a real committed manifest —
+    // copied from v1) that A's exists/rename CAS must refuse to clobber
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val winner = Snapshots.manifestAt(spark, s"$dir/m", v1)
+      .filter(col("rows") > 0).localCheckpoint()
+    winner.coalesce(1).write.parquet(s"$dir/m/v=2")
+    val loser = Snapshots.manifestAt(spark, s"$dir/m", v1).localCheckpoint()
+    val landed = Snapshots.commit(spark, loser, s"$dir/m")
+    assert(landed == 3, s"loser should have retried to v=3, landed at $landed")
+    assert(Snapshots.versions(spark, s"$dir/m") == Seq(1, 2, 3))
+    // neither commit lost: v=2 is the winner's manifest, v=3 the loser's,
+    // and both still plan a complete table read
+    assert(Snapshots.tableAt(spark, s"$dir/m", 2).count() == 10000L)
+    assert(Snapshots.tableAt(spark, s"$dir/m", 3).count() == 10000L)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/m")).exists(
+      _.getPath.getName.startsWith(".tmp")), "staging dir leaked")
+  }
+
+  test("appendCommit: pinned read excludes the batch; latest includes it; base files untouched") {
+    val (dir, v1) = freshLayout()
+    val filesV1 = Snapshots.manifestAt(spark, s"$dir/m", v1)
+      .select("file").collect().map(_.getString(0)).toSet
+    val batch = spark.range(10000, 12000)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"))
+    val (v2, nApp) = Snapshots.appendCommit(spark, batch, Seq("x", "y"),
+      s"$dir/z", s"$dir/m", nFiles = 4)
+    assert(v2 == v1 + 1 && nApp == 4)
+    // version-pinned read at v1 excludes the batch entirely
+    assert(Snapshots.tableAt(spark, s"$dir/m", v1).count() == 10000L)
+    assert(Snapshots.tableAt(spark, s"$dir/m", v2).count() == 12000L)
+    // the append never rewrote base data: v2 ⊃ exactly v1's files
+    val filesV2 = Snapshots.manifestAt(spark, s"$dir/m", v2)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(filesV1.subsetOf(filesV2) && (filesV2 -- filesV1).size == 4)
+  }
+
+  test("compactCommit rewrites the snapshot into fewer files; vacuum reclaims the inputs") {
+    val (dir, v1) = freshLayout()
+    val batch = spark.range(10000, 12000)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"))
+    val (v2, _) = Snapshots.appendCommit(spark, batch, Seq("x", "y"),
+      s"$dir/z", s"$dir/m", nFiles = 4)
+    val (v3, nIn, nOut) = Snapshots.compactCommit(spark, s"$dir/z", s"$dir/m",
+      Seq("x", "y"), nFiles = 8)
+    assert(v3 == v2 + 1 && nIn == 20 && nOut == 8)
+    // a pure re-layout: same rows before and after, and older pins intact
+    assert(Snapshots.tableAt(spark, s"$dir/m", v3).count() == 12000L)
+    assert(Snapshots.tableAt(spark, s"$dir/m", v1).count() == 10000L)
+    // vacuum to the compacted version: drops v1+v2 and exactly the 20
+    // superseded input files (v1's 16 ∪ the append's 4)
+    val vac = Snapshots.vacuum(spark, s"$dir/z", s"$dir/m", retainLast = 1)
+    assert(vac.versionsDropped == 2 && vac.filesDeleted == 20)
+    assert(Snapshots.tableAt(spark, s"$dir/m", v3).count() == 12000L)
+    // and a stats-pruned read over the compacted layout still prunes
+    val pr = Snapshots.readAt(spark, s"$dir/m", v3,
+      Seq(("x", 100.0, 199.0), ("y", 300.0, 399.0)))
+    assert(pr.filesRead < pr.filesTotal)
+    val expected = spark.range(12000)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"))
+      .filter(col("x").between(100, 199) && col("y").between(300, 399))
+      .count()
+    assert(pr.df.count() == expected)
+  }
+
   test("deliberate failure: vacuum must retain at least one version") {
     val (dir, _) = freshLayout()
     intercept[IllegalArgumentException] {
