@@ -137,16 +137,24 @@ object Streaming {
     * directories in OVERWRITE mode, and the store probe reads only
     * partitions with `batch < id` (partition-pruned) — a replayed batch
     * rewrites its own directories byte-identically and never sees its own
-    * failed half-append. */
+    * failed half-append. The store is a [[GenStore]]: every `compactEvery`
+    * triggers the prior batches fold into one dir, so store file count
+    * stays bounded at any trigger count (fold is a pure re-layout of
+    * `batch < id` rows — verdicts are unchanged by construction). The
+    * `matched` probe result is distinct-ed so verdicts stay exactly
+    * per-doc even if a crashed fold ever leaves a fingerprint present in
+    * two store files. */
   def exactScreenStream(stream: DataFrame, idCol: String, textCol: String,
                         throughCols: Seq[String], storeDir: String,
-                        outDir: String, checkpoint: String): DataStreamWriter[Row] =
+                        outDir: String, checkpoint: String,
+                        compactEvery: Int = 8): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
+        GenStore.maybeFold(s, storeDir, id, compactEvery)
         val b = batch
           .withColumn("fp", md5(col(textCol).cast("binary")))
           .localCheckpoint() // one batch scan feeds the probe AND the verdict
@@ -156,7 +164,8 @@ object Streaming {
           case Some(store) =>
             val matched = store
               .join(broadcast(b.select(col("fp")).distinct()), "fp")
-              .select(col("fp"), lit(true).as("hit"))
+              .select(col("fp")).distinct()
+              .withColumn("hit", lit(true))
             b.join(broadcast(matched), Seq("fp"), "left")
               .withColumn("is_dup", coalesce(col("hit"), lit(false)))
               .select(out: _*)
@@ -166,7 +175,7 @@ object Streaming {
         val fps = b.select(col("fp")).distinct()
         val novel = prior.fold(fps)(store =>
           fps.join(store, Seq("fp"), "left_anti")).localCheckpoint()
-        novel.write.mode("overwrite").parquet(s"$storeDir/batch=$id")
+        GenStore.append(novel, storeDir, id)
       }
 
   /** The fingerprint store as of batches STRICTLY BEFORE `id`. */
@@ -174,23 +183,143 @@ object Streaming {
                          id: Long): Option[DataFrame] =
     priorBatches(s, storeDir, id).map(_.select(col("fp")))
 
-  /** All rows landed by batches STRICTLY BEFORE `id` — partition discovery
-    * over the `batch=<j>` dirs with a partition-pruned file list; None when
-    * no prior batch has committed. Shared by the exact and near-dup screen
+  /** All rows landed by batches STRICTLY BEFORE `id`, read from the live
+    * generation of a [[GenStore]] — partition discovery over its
+    * `batch=<j>` dirs with a partition-pruned file list; None when no
+    * prior batch has committed. Shared by the exact and near-dup screen
     * loops for their store/lake reads. */
   private def priorBatches(s: SparkSession, dir: String,
                            id: Long): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
+    if (!GenStore.exists(s, dir)) None
     else {
-      val prior = fs.listStatus(root).toSeq.filter { st =>
-        st.isDirectory && st.getPath.getName.startsWith("batch=") &&
-          st.getPath.getName.drop("batch=".length).toLong < id
-      }
+      val genDir = GenStore.liveGenDir(s, dir)
+      val prior = GenStore.batchDirs(s, genDir).filter(_._1 < id)
       if (prior.isEmpty) None
-      else Some(s.read.option("basePath", dir)
-        .parquet(prior.map(_.getPath.toString): _*))
+      else Some(s.read.option("basePath", genDir)
+        .parquet(prior.map(_._2): _*))
+    }
+  }
+
+  /** Bounded-growth persisted state for the screen streams (the r9 verdict
+    * watch item: one `batch=N` dir per trigger forever is the small-file
+    * problem [[graft.sinks.Maintenance]] solves for batch tables, recreated
+    * in streaming). Batches land as `<root>/gen=G/batch=N` overwrite dirs;
+    * once the live generation holds `compactEvery` prior-batch dirs, the
+    * handler FOLDS them into a single `batch=<max folded>` dir of
+    * generation G+1 before screening. A generation is visible iff its
+    * `_COMMITTED` marker exists (written last), so the fold has snapshot
+    * visibility — the [[graft.sinks.Snapshots]] commit pattern applied to
+    * stream state:
+    *  - crash mid-fold: G+1 has no marker → readers stay on G (complete);
+    *    the debris is deleted and the fold redone on replay;
+    *  - crash after marker, before input cleanup: readers pick the highest
+    *    committed generation (G+1) and [[open]] finishes deleting G;
+    *  - fold is a pure re-layout of `batch < id` rows relabeled to the
+    *    highest folded batch number (all strictly below the in-flight
+    *    batch, so every future/replayed read of `batch < id'` sees exactly
+    *    the same row set) — verdicts are byte-identical with or without
+    *    folding, which is what keeps replay idempotence intact.
+    * Fold output file count shrinks geometrically (input files /
+    * `compactEvery`, floor 1) — no forced single-file bottleneck at scale,
+    * and no shuffle (a coalesce re-layout, like flat compaction). */
+  private[streaming] object GenStore {
+    private val BatchPrefix = "batch="
+    private val GenRe = "gen=(\\d+)".r
+
+    private def hfs(s: SparkSession, p: String) =
+      new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    def exists(s: SparkSession, root: String): Boolean =
+      hfs(s, root).exists(new org.apache.hadoop.fs.Path(root))
+
+    private def marker(root: String, g: Long) =
+      new org.apache.hadoop.fs.Path(s"$root/gen=$g/_COMMITTED")
+
+    /** (gen, committed?) pairs present under the root. */
+    private def gens(s: SparkSession, root: String): Seq[(Long, Boolean)] = {
+      val fs = hfs(s, root)
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.collect {
+        case st if st.isDirectory =>
+          st.getPath.getName match {
+            case GenRe(n) => Some(n.toLong -> fs.exists(marker(root, n.toLong)))
+            case _ => None
+          }
+      }.flatten
+    }
+
+    /** The live (highest committed) generation, initializing `gen=0` on a
+      * fresh root and clearing debris: uncommitted gens (crashed folds to
+      * redo) and committed gens below the live one (fold inputs whose
+      * cleanup was interrupted). Single-writer per store (one streaming
+      * query), like the screens themselves. */
+    def open(s: SparkSession, root: String): Long = {
+      val fs = hfs(s, root)
+      val all = gens(s, root)
+      val committed = all.collect { case (g, true) => g }
+      if (committed.isEmpty) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/gen=0"))
+        fs.create(marker(root, 0), true).close()
+        all.foreach { case (g, _) =>
+          if (g != 0)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$root/gen=$g"), true)
+        }
+        0L
+      } else {
+        val live = committed.max
+        all.foreach { case (g, _) =>
+          if (g != live)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$root/gen=$g"), true)
+        }
+        live
+      }
+    }
+
+    def liveGenDir(s: SparkSession, root: String): String =
+      s"$root/gen=${open(s, root)}"
+
+    /** (batch id, dir path) for every batch dir of a generation. */
+    def batchDirs(s: SparkSession, genDir: String): Seq[(Long, String)] = {
+      val fs = hfs(s, genDir)
+      val p = new org.apache.hadoop.fs.Path(genDir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith(BatchPrefix)
+      }.map(st => st.getPath.getName.drop(BatchPrefix.length).toLong ->
+        st.getPath.toString)
+    }
+
+    /** Land batch `id`'s rows (replay-idempotent overwrite dir). */
+    def append(df: DataFrame, root: String, id: Long): Unit = {
+      val g = open(df.sparkSession, root)
+      df.write.mode("overwrite").parquet(s"$root/gen=$g/batch=$id")
+    }
+
+    /** Fold the live generation's `batch < id` dirs into one dir of the
+      * next generation when they number ≥ `every` (see object doc for the
+      * crash story). */
+    def maybeFold(s: SparkSession, root: String, id: Long,
+                  every: Int): Unit = {
+      if (!exists(s, root)) return
+      val g = open(s, root)
+      val genDir = s"$root/gen=$g"
+      val prior = batchDirs(s, genDir).filter(_._1 < id)
+      if (prior.size < every) return
+      val fs = hfs(s, root)
+      val target = prior.map(_._1).max
+      val inputFiles = prior.map { case (_, d) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(d))
+          .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      }.sum
+      s.read.option("basePath", genDir).parquet(prior.map(_._2): _*)
+        .drop("batch")
+        .coalesce(math.max(1, (inputFiles / every).toInt))
+        .write.mode("overwrite")
+        .parquet(s"$root/gen=${g + 1}/batch=$target")
+      fs.create(marker(root, g + 1), true).close() // the commit point
+      fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
     }
   }
 
@@ -208,18 +337,23 @@ object Streaming {
     * cost tracks emitted pairs, not lake size. Replay idempotence as in
     * [[exactScreenStream]]: verdicts, store, and lake all land as
     * `batch=<id>` overwrite-mode partition dirs, and reads see only
-    * `batch < id`. */
+    * `batch < id`. Signature store AND text lake are [[GenStore]]s, folded
+    * every `compactEvery` triggers — both otherwise grow one dir per
+    * trigger forever. */
   def nearDupScreenStream(stream: DataFrame, idCol: String, textCol: String,
                           throughCols: Seq[String], storeDir: String,
                           lakeDir: String, outDir: String, checkpoint: String,
                           n: Int = 3, k: Int = 32, bands: Int = 8,
-                          threshold: Double = 0.9): DataStreamWriter[Row] =
+                          threshold: Double = 0.9,
+                          compactEvery: Int = 8): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
+        GenStore.maybeFold(s, storeDir, id, compactEvery)
+        GenStore.maybeFold(s, lakeDir, id, compactEvery)
         val b = batch.localCheckpoint()
         val sigs = graft.ext.Dedup
           .minHashSignaturesWords(b, idCol, textCol, n, k).localCheckpoint()
@@ -251,9 +385,8 @@ object Streaming {
           case None => b.withColumn("is_dup", lit(false)).select(out: _*)
         }
         verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        sigs.write.mode("overwrite").parquet(s"$storeDir/batch=$id")
-        b.select(col(idCol), col(textCol))
-          .write.mode("overwrite").parquet(s"$lakeDir/batch=$id")
+        GenStore.append(sigs, storeDir, id)
+        GenStore.append(b.select(col(idCol), col(textCol)), lakeDir, id)
       }
 
   /** Streaming upsert into a JDBC WAREHOUSE: each micro-batch runs the

@@ -170,6 +170,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/store").count() == storeRows)
   }
 
+  test("store folding bounds file growth; verdicts identical with and without it") {
+    // 8 single-doc days; every doc with an odd id duplicates the text of
+    // id-1 from the PREVIOUS day, so cross-batch dup verdicts exercise the
+    // store at every trigger depth, across fold boundaries
+    def land(root: String): Unit = {
+      new java.io.File(s"$root/in").mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 until 8).foreach { d =>
+        val text = s"text number ${d / 2}"
+        val staging = s"$root/staging$d"
+        Seq((d.toLong, text, d)).toDF("doc_id", "text", "day").coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = new java.io.File(s"$root/in/day$d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        assert(dest.setLastModified(t0 + d * 2000L))
+      }
+    }
+    def run(root: String, every: Int): Map[Long, Boolean] = {
+      val schema = spark.read.parquet(s"$root/in").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val q = Streaming.exactScreenStream(stream, "doc_id", "text",
+        Seq("day"), s"$root/store", s"$root/out", s"$root/ckpt",
+        compactEvery = every).start()
+      assert(q.awaitTermination(120000))
+      spark.read.parquet(s"$root/out").select("doc_id", "is_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val rootFold = tmpDir("fold"); land(rootFold)
+    val rootFlat = tmpDir("flat"); land(rootFlat)
+    val vFold = run(rootFold, every = 2)
+    val vFlat = run(rootFlat, every = 100) // never folds in 8 triggers
+    // identical verdicts: fold is a pure re-layout of batch < id rows
+    assert(vFold == vFlat)
+    assert(vFold == (0 until 8).map(d => d.toLong -> (d % 2 == 1)).toMap)
+    def batchDirs(root: String): Int =
+      new java.io.File(s"$root/store").listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).count(f =>
+          f.isDirectory && f.getName.startsWith("batch="))
+    // folding kept the live generation bounded; flat grew one dir per batch
+    assert(batchDirs(rootFold) <= 2, s"fold left ${batchDirs(rootFold)} dirs")
+    assert(batchDirs(rootFlat) == 8)
+    // restart over the same checkpoint with folding on: nothing re-emitted,
+    // verdicts stable (replay idempotence survives the folds)
+    assert(run(rootFold, every = 2) == vFold)
+  }
+
   test("nearDupScreenStream: banded retrieval finds verbatim cross-batch " +
     "dups; exact confirm rejects near-but-not-identical candidates") {
     val root = tmpDir("ndscreen")
@@ -217,7 +266,7 @@ class StreamingSpec extends SparkSpec {
       Seq((4L, base + " extra")).toDF("doc_id", "text"), "doc_id", "text",
       n = 3, k = 32)
     val paired = graft.ext.Dedup.incrementalNearDupPairs(
-      newSigs, sigs.drop("batch"), k = 32, bands = 8, threshold = 0.9)
+      newSigs, sigs.drop("batch", "gen"), k = 32, bands = 8, threshold = 0.9)
     assert(paired.count() > 0,
       "decoy never banded — the precision assertion above is vacuous")
     // restart idempotence, same contract as the exact screen
