@@ -298,6 +298,61 @@ object LakeQueries {
         .withColumn("vacuum_ok", lit(vacuumOk))
     }),
 
+    // CHANGE DATA FEED over the version log (the table-format "read the
+    // diff, not the table" consumer shape): v1 = base layout (¬%4 orders),
+    // v2 = versioned append of the %4 batch, v3 = targeted band delete,
+    // v4 = compaction. The feed reads ONLY files that differ between the
+    // two manifests (immutable data files ⇒ shared files cancel), so its
+    // cost tracks the commit's touch set, not table size — gated in-query
+    // (the delete feed read fewer files than the union). Gates: v1→v2 ≡
+    // batch as pure inserts; v3→v4 EMPTY (compaction is invisible to CDC —
+    // the pure-re-layout claim proven through the row diff); emitted rows =
+    // the v2→v3 feed, whose delete set the oracle pins to the band over
+    // ALL orders (plus the survivor-rewrite insert/delete pairs cancel —
+    // row-identical survivors annihilate in the multiset diff).
+    "q114_version_changes" -> ((s, dir) => {
+      val root = tmp("q114")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val (v2, _) = Snapshots.appendCommit(s, batch, zcols,
+        s"$root/z", s"$root/m", nFiles = 8)
+      val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 60.0, 90.0)))
+      require(res.rowsDeleted > 0, "q114 delete removed nothing — gate vacuous")
+      val v3 = Snapshots.latestVersion(s, s"$root/m")
+      val (v4, _, _) = Snapshots.compactCommit(s, s"$root/z", s"$root/m",
+        zcols, nFiles = 8)
+      val appendFeed = Snapshots.changesBetween(s, s"$root/m", v1, v2)
+      val insertOk = appendFeed.df.filter(col("change_type") =!= "insert")
+        .isEmpty &&
+        RecallGate.equivalent(
+          appendFeed.df.select(col("o_orderkey")),
+          batch.select(col("o_orderkey")),
+          Seq("o_orderkey"), "q114 append feed vs the appended batch")
+      val compactFeed = Snapshots.changesBetween(s, s"$root/m", v3, v4)
+      val compactInvisibleOk = compactFeed.df.isEmpty
+      require(compactInvisibleOk,
+        "q114 compaction leaked into the change feed — not a pure re-layout")
+      val deleteFeed = Snapshots.changesBetween(s, s"$root/m", v2, v3)
+      val prunedOk = deleteFeed.filesRead < deleteFeed.filesTotal
+      require(prunedOk,
+        s"q114 delete feed read ${deleteFeed.filesRead} of " +
+          s"${deleteFeed.filesTotal} files — not bounded by the touch set")
+      deleteFeed.df
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("change_type"))
+        .withColumn("insert_ok", lit(insertOk))
+        .withColumn("compact_invisible_ok", lit(compactInvisibleOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -547,6 +602,17 @@ object LakeQueries {
         |  TRUE AS append_ok, TRUE AS compact_ok, TRUE AS vacuum_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q114 emits the v2→v3 change feed of a band delete over the full
+    // (base ∪ appended-batch = all) orders: exactly the band rows as
+    // deletes — survivor rewrites annihilate in the multiset diff. The
+    // booleans assert the append feed (batch as pure inserts), the empty
+    // compaction feed, and the changed-files-only read.
+    "q114_version_changes" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  'delete' AS change_type, TRUE AS insert_ok,
+        |  TRUE AS compact_invisible_ok, TRUE AS pruned_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 60 AND 90""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_json_doc_roundtrip" ->

@@ -202,6 +202,54 @@ object Snapshots {
     (commit(spark, next, manifestRoot), files.size, moved.size)
   }
 
+  /** A row-level change feed between two versions plus its pruning
+    * evidence: how many files the diff actually read vs the union of both
+    * manifests. */
+  final case class ChangeScan(df: DataFrame, filesRead: Long,
+                              filesTotal: Long)
+
+  /** CHANGE DATA FEED between two committed versions — the row-level diff
+    * `vFrom → vTo`, emitted as the snapshot rows plus a `change_type`
+    * column (`insert` = present at vTo, absent at vFrom; `delete` = the
+    * reverse). The 100 TB shape comes from the manifests: a file present
+    * in BOTH versions contributes no changes by construction (versioned
+    * data files are immutable — commits add/remove file references, never
+    * rewrite contents in place), so only the files REMOVED and ADDED
+    * between the manifests are read, and the row diff (`exceptAll`, both
+    * directions — multiset semantics, so duplicate identical rows diff
+    * correctly) runs over that bounded slice, never the table. Follows
+    * directly: an append's feed is exactly its batch as inserts, a
+    * targeted delete's is the band as deletes (its survivor rewrites
+    * cancel between removed and added files), and a compaction's is EMPTY
+    * — a pure re-layout moves every row from removed to added files, the
+    * diff annihilates, and CDC consumers correctly see nothing. */
+  def changesBetween(spark: SparkSession, manifestRoot: String,
+                     vFrom: Int, vTo: Int): ChangeScan = {
+    def files(v: Int): Set[String] =
+      manifestAt(spark, manifestRoot, v).select(col("file"))
+        .collect().map(_.getString(0)).toSet
+    val from = files(vFrom)
+    val to = files(vTo)
+    val removed = (from -- to).toSeq
+    val added = (to -- from).toSeq
+    val total = (from ++ to).size.toLong
+    val read = (removed.size + added.size).toLong
+    def rows(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*))
+    val df = (rows(removed), rows(added)) match {
+      case (None, None) =>
+        // no file-level change at all: an empty feed with the table schema
+        tableAt(spark, manifestRoot, vTo).filter(lit(false))
+          .withColumn("change_type", lit(""))
+      case (Some(r), None) => r.withColumn("change_type", lit("delete"))
+      case (None, Some(a)) => a.withColumn("change_type", lit("insert"))
+      case (Some(r), Some(a)) =>
+        r.exceptAll(a).withColumn("change_type", lit("delete"))
+          .unionByName(a.exceptAll(r).withColumn("change_type", lit("insert")))
+    }
+    ChangeScan(df, read, total)
+  }
+
   /** Reclaim storage: drop all but the last `retainLast` versions, then
     * delete every data file under `path` that no RETAINED version
     * references (compared by unique part-file name, like

@@ -143,6 +143,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(pr.df.count() == expected)
   }
 
+  test("changesBetween: append feeds inserts, delete feeds the band, compaction feeds nothing") {
+    val (dir, v1) = freshLayout()
+    val batch = spark.range(10000, 12000)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"))
+    val (v2, _) = Snapshots.appendCommit(spark, batch, Seq("x", "y"),
+      s"$dir/z", s"$dir/m", nFiles = 4)
+    // append feed: exactly the batch, all inserts, only the 4 new files read
+    val af = Snapshots.changesBetween(spark, s"$dir/m", v1, v2)
+    assert(af.filesRead == 4 && af.filesTotal == 20)
+    assert(af.df.filter(col("change_type") =!= "insert").isEmpty)
+    assert(af.df.select("id").collect().map(_.getLong(0)).toSet ==
+      (10000L until 12000L).toSet)
+    // delete feed: exactly the band as deletes (survivor rewrites cancel)
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m",
+      Seq("x", "y"), Seq(("x", 100.0, 199.0)))
+    val v3 = Snapshots.latestVersion(spark, s"$dir/m")
+    val df3 = Snapshots.changesBetween(spark, s"$dir/m", v2, v3)
+    assert(df3.filesRead < df3.filesTotal) // only hit + survivor files read
+    assert(df3.df.filter(col("change_type") =!= "delete").isEmpty)
+    val expected = data.unionByName(batch).filter(col("x").between(100, 199))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(df3.df.select("id").collect().map(_.getLong(0)).toSet == expected)
+    // compaction feed: a pure re-layout is invisible to CDC
+    val (v4, _, _) = Snapshots.compactCommit(spark, s"$dir/z", s"$dir/m",
+      Seq("x", "y"), nFiles = 8)
+    assert(Snapshots.changesBetween(spark, s"$dir/m", v3, v4).df.isEmpty)
+    // identical versions: empty feed, zero files read
+    val same = Snapshots.changesBetween(spark, s"$dir/m", v4, v4)
+    assert(same.df.isEmpty && same.filesRead == 0)
+  }
+
   test("deliberate failure: vacuum must retain at least one version") {
     val (dir, _) = freshLayout()
     intercept[IllegalArgumentException] {
