@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{TableRef, Tables}
+import graft.ops.Ivm
 import graft.pipeline.Pipeline
 import graft.plans.PlanGuard
 import graft.qc.RecallGate
@@ -353,6 +354,120 @@ object LakeQueries {
         .withColumn("pruned_ok", lit(prunedOk))
     }),
 
+    // COPY-ON-WRITE MERGE as a version commit (q115): the Delta-style
+    // upsert over the versioned layout. v1 = all orders z-ordered on
+    // (o_orderkey, o_custkey); the source batch UPDATES a contiguous
+    // orderkey band (price doubled) and INSERTS fresh rows above the key
+    // space. Gates in-query: the touch set is stats-pruned (rewrote fewer
+    // files than the manifest lists — key locality in z-space is what a
+    // MERGE buys from clustering); matched/inserted counts equal the
+    // source's actual split; a v1-pinned read still serves pre-merge
+    // prices (snapshot isolation across DML); and the commit's change
+    // feed is exactly the updated keys as delete(old)+insert(new) pairs
+    // plus the fresh rows as inserts. Emits the post-merge state of the
+    // updated band and the inserted rows.
+    "q115_merge_commit" -> ((s, dir) => {
+      val root = tmp("q115")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val updates = orders.filter(col("o_orderkey").between(1000, 4000))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val res = Snapshots.mergeCommit(s, updates.unionByName(inserts),
+        "o_orderkey", zcols, s"$root/z", s"$root/m", nFiles = 16)
+      val prunedOk = res.filesRewritten < res.filesTotal
+      require(prunedOk, s"q115 merge rewrote ${res.filesRewritten} of " +
+        s"${res.filesTotal} files — stats pruning bought nothing")
+      val countsOk = res.rowsUpdated == updates.count() &&
+        res.rowsInserted == inserts.count()
+      require(countsOk, s"q115 matched/inserted counts off: $res")
+      val isolationOk = RecallGate.equivalent(
+        Snapshots.tableAt(s, s"$root/m", v1)
+          .filter(col("o_orderkey").between(1000, 4000))
+          .select(col("o_orderkey"), col("o_totalprice")),
+        orders.filter(col("o_orderkey").between(1000, 4000))
+          .select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderkey", "o_totalprice"), "q115 v1 pinned read vs pre-merge")
+      val feed = Snapshots.changesBetween(s, s"$root/m", v1, res.version)
+      val feedOk = RecallGate.equivalent(
+        feed.df.filter(col("change_type") === "delete")
+          .select(col("o_orderkey")),
+        updates.select(col("o_orderkey")),
+        Seq("o_orderkey"), "q115 feed deletes vs updated keys") &&
+        feed.df.filter(col("change_type") === "insert").count() ==
+          updates.count() + inserts.count()
+      Snapshots.tableAt(s, s"$root/m", res.version)
+        .filter(col("o_orderkey").between(1000, 4000) ||
+          col("o_orderkey") >= 10000000L) // orderkey 0 exists: >= keeps its insert
+        .withColumn("merge_pruned_ok", lit(prunedOk))
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("isolation_ok", lit(isolationOk))
+        .withColumn("feed_ok", lit(feedOk))
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE over the change feed (q116): a gold
+    // sum/count rollup is aggregated ONCE over v1, then maintained purely
+    // from the commits' change feeds — an append (v2) and a targeted band
+    // delete (v3) — without ever re-aggregating the table. Each
+    // maintenance step costs the commit's touch set: the feed reads only
+    // changed files (gated — the delete feed read fewer files than the
+    // manifest union), the delta is one feed-sized aggregation, the merge
+    // one join on the view's grain. Gate: the maintained view matches a
+    // from-scratch recompute of v3 (counts exact, sums to 1e-4 — the
+    // incremental path reassociates float addition). Emits the maintained
+    // view; the oracle recomputes it from the final state, so a sign
+    // error, a missed group, or a tombstone leak all hash-mismatch.
+    "q116_incremental_view" -> ((s, dir) => {
+      val root = tmp("q116")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      def gold(df: DataFrame): DataFrame =
+        df.groupBy(pmod(col("o_custkey"), lit(8)).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+      def withBucket(scan: Snapshots.ChangeScan): DataFrame =
+        scan.df.withColumn("bucket", pmod(col("o_custkey"), lit(8)))
+      val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 5 === 0)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val view1 = gold(Snapshots.tableAt(s, s"$root/m", v1)).localCheckpoint()
+      val (v2, _) = Snapshots.appendCommit(s, batch, zcols, s"$root/z",
+        s"$root/m", nFiles = 8)
+      val view2 = Ivm.applyFeed(view1,
+        withBucket(Snapshots.changesBetween(s, s"$root/m", v1, v2)),
+        Seq("bucket"), Seq("total" -> "o_totalprice"), "cnt").localCheckpoint()
+      Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 40.0, 110.0)))
+      val v3 = Snapshots.latestVersion(s, s"$root/m")
+      val feed23 = Snapshots.changesBetween(s, s"$root/m", v2, v3)
+      val prunedOk = feed23.filesRead < feed23.filesTotal
+      require(prunedOk, "q116 delete feed read the whole manifest union")
+      val view3 = Ivm.applyFeed(view2, withBucket(feed23),
+        Seq("bucket"), Seq("total" -> "o_totalprice"), "cnt").localCheckpoint()
+      val drift = view3.as("i")
+        .join(gold(Snapshots.tableAt(s, s"$root/m", v3)).as("r"),
+          Seq("bucket"), "full_outer")
+        .filter(col("i.cnt").isNull || col("r.cnt").isNull ||
+          col("i.cnt") =!= col("r.cnt") ||
+          abs(col("i.total") - col("r.total")) > 1e-4)
+        .count()
+      require(drift == 0,
+        s"q116 maintained view drifts from recompute on $drift groups")
+      view3.select(col("bucket"), col("cnt"),
+          round(col("total"), 2).as("total"))
+        .withColumn("ivm_ok", lit(true))
+        .withColumn("feed_pruned_ok", lit(prunedOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -613,6 +728,28 @@ object LakeQueries {
         |  TRUE AS compact_invisible_ok, TRUE AS pruned_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 60 AND 90""".stripMargin,
+    // q115 emits the post-merge state of the touched slices: the updated
+    // band (price doubled) plus the inserted rows (orderkey shifted above
+    // the key space). The booleans assert stats-pruned rewrite, count
+    // fidelity, v1 snapshot isolation, and the merge's change feed.
+    "q115_merge_commit" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(round(o_totalprice, 2) * 2, 2) AS o_totalprice,
+        |  TRUE AS merge_pruned_ok, TRUE AS counts_ok,
+        |  TRUE AS isolation_ok, TRUE AS feed_ok
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+    // q116's maintained view must equal the aggregate of the final state:
+    // all orders (base ∪ appended batch) minus the deleted custkey band.
+    "q116_incremental_view" ->
+      """SELECT o_custkey % 8 AS bucket, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS ivm_ok, TRUE AS feed_pruned_ok
+        |FROM orders WHERE o_custkey NOT BETWEEN 40 AND 110
+        |GROUP BY 1""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_json_doc_roundtrip" ->

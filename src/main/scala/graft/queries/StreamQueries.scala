@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
+import graft.sinks.{Layout, Snapshots}
 import graft.streaming.{Stateful, Streaming}
 
 /** Streaming semantics under the driver's DuckDB gate (SURVEY §2.10): each
@@ -290,6 +291,76 @@ object StreamQueries {
         .select(col("doc_id"), col("day"), col("is_dup"))
     }),
 
+    // CONTINUOUS materialized view over a versioned lake table (q117):
+    // the q116 maintenance loop as a STREAM. Day 0 of orders is committed
+    // as v1 and aggregated ONCE into the bootstrap view; days 1 and 2 land
+    // as separate micro-batches, each append-committed to the table with a
+    // batch-id TAG (exactly-once: a replayed batch finds its tag and skips
+    // the double-append) and folded into the view purely from the commit's
+    // change feed — the table is never re-aggregated. Gates: exactly 3
+    // versions committed (one per day — no replay duplicates), and the
+    // maintained view matches a from-scratch recompute of the final
+    // snapshot (counts exact, sums to 1e-4). Emits the maintained view;
+    // the oracle aggregates ALL orders, so a dropped batch, a double
+    // commit, or a sign error each hash-mismatch.
+    "q117_stream_ivm" -> ((s, dir) => {
+      val root = QueryTmp.dir("q117")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          pmod(col("o_custkey"), lit(8)).as("bucket"), // long, like the oracle's %
+          (col("o_orderkey") % 3).cast("int").as("day"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      def gold(df: DataFrame): DataFrame =
+        df.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+      Layout.zorderWrite(orders.filter(col("day") === 0).drop("day"),
+        zcols, s"$root/z", nFiles = 8)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      gold(Snapshots.tableAt(s, s"$root/m", 1))
+        .coalesce(1).write.parquet(s"$root/view/batch=-1")
+      new java.io.File(s"$root/in").mkdirs()
+      val t0 = System.currentTimeMillis()
+      (1 to 2).foreach { d =>
+        val staging = s"$root/staging$d"
+        orders.filter(col("day") === d).drop("day").coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = new java.io.File(s"$root/in/day$d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(t0 + d * 2000L))
+      }
+      val schema = s.read.parquet(s"$root/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 8).toString)
+      try {
+        val q = Streaming.ivmStream(stream, zcols, Seq("bucket"),
+          Seq("total" -> "o_totalprice"), "cnt", s"$root/z", s"$root/m",
+          s"$root/view", s"$root/ckpt").start()
+        require(q.awaitTermination(300000), s"stream drain timed out: $root")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val versionsOk = Snapshots.versions(s, s"$root/m") == Seq(1, 2, 3)
+      require(versionsOk, "q117 expected one commit per day, no duplicates")
+      val view = s.read.parquet(s"$root/view/batch=1")
+      val drift = view.as("i")
+        .join(gold(Snapshots.tableAt(s, s"$root/m", 3)).as("r"),
+          Seq("bucket"), "full_outer")
+        .filter(col("i.cnt").isNull || col("r.cnt").isNull ||
+          col("i.cnt") =!= col("r.cnt") ||
+          abs(col("i.total") - col("r.total")) > 1e-4)
+        .count()
+      require(drift == 0,
+        s"q117 streamed view drifts from recompute on $drift groups")
+      view.select(col("bucket"), col("cnt"),
+          round(col("total"), 2).as("total"))
+        .withColumn("ivm_ok", lit(true))
+        .withColumn("versions_ok", lit(versionsOk))
+    }),
+
     // Stream-stream interval join replayed across micro-batches: view →
     // purchase attribution within 6 hours. Both sides stream from the
     // same landed files; lateness exceeds the data's span so no join state
@@ -347,6 +418,13 @@ object StreamQueries {
         |  EXISTS(SELECT 1 FROM aug b
         |         WHERE b.text = a.text AND b.day < a.day) AS is_dup
         |FROM aug a""".stripMargin,
+    // q117: the streamed, feed-maintained view must equal the aggregate
+    // of everything committed — all three days, i.e. all orders.
+    "q117_stream_ivm" ->
+      """SELECT o_custkey % 8 AS bucket, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS ivm_ok, TRUE AS versions_ok
+        |FROM orders GROUP BY 1""".stripMargin,
     "q62_stream_dedup" ->
       """SELECT DISTINCT event_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

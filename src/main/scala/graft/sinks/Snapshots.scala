@@ -74,11 +74,17 @@ object Snapshots {
     * next version number. Bounded retries so a broken store surfaces as an
     * error, not a spin. */
   def commit(spark: SparkSession, manifest: DataFrame,
-             manifestRoot: String): Int = {
+             manifestRoot: String, tag: Option[String] = None): Int = {
     val fs = hfs(spark, manifestRoot)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
     manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // the txn tag travels INSIDE the staged dir: tag and manifest become
+    // visible in the same atomic rename — no window where the version
+    // exists untagged (underscore-prefixed, so parquet readers skip it)
+    tag.foreach { t =>
+      fs.create(new org.apache.hadoop.fs.Path(tmp, s"_txn_$t"), true).close()
+    }
     var next = versions(spark, manifestRoot).lastOption.getOrElse(0) + 1
     var attempts = 0
     while (attempts < 100) {
@@ -98,6 +104,21 @@ object Snapshots {
     }
     throw new IllegalStateException(
       s"version commit gave up after $attempts attempts under $manifestRoot")
+  }
+
+  /** The version whose commit carried `tag`, if any — the idempotence
+    * lookup for exactly-once writers (the Delta txnAppId/txnVersion
+    * contract re-expressed on the version log): an at-least-once appender
+    * tags each commit with its batch id, and a replay that finds the tag
+    * already committed skips the append instead of double-writing. Driver
+    * work is one existence probe per version — version-count-bounded,
+    * like every other planner read here. */
+  def versionForTag(spark: SparkSession, manifestRoot: String,
+                    tag: String): Option[Int] = {
+    val fs = hfs(spark, manifestRoot)
+    versions(spark, manifestRoot).find { v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v/_txn_$tag"))
+    }
   }
 
   def manifestAt(spark: SparkSession, manifestRoot: String,
@@ -167,8 +188,8 @@ object Snapshots {
     * silently adopt into someone else's commit. Returns (version,
     * appended file count). */
   def appendCommit(spark: SparkSession, batch: DataFrame, cols: Seq[String],
-                   path: String, manifestRoot: String,
-                   nFiles: Int): (Int, Int) = {
+                   path: String, manifestRoot: String, nFiles: Int,
+                   tag: Option[String] = None): (Int, Int) = {
     val prev =
       manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
         .localCheckpoint()
@@ -176,7 +197,7 @@ object Snapshots {
     Layout.zorderWrite(batch, cols, staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols))
-    (commit(spark, next, manifestRoot), moved.size)
+    (commit(spark, next, manifestRoot, tag), moved.size)
   }
 
   /** COMPACTION as a version commit: the latest snapshot's files are
@@ -200,6 +221,69 @@ object Snapshots {
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = Layout.buildManifestFor(spark, moved, cols)
     (commit(spark, next, manifestRoot), files.size, moved.size)
+  }
+
+  final case class MergeResult(version: Int, filesRewritten: Long,
+                               filesTotal: Long, rowsUpdated: Long,
+                               rowsInserted: Long)
+
+  /** COPY-ON-WRITE MERGE (upsert) as a version commit — the Delta-style
+    * `MERGE INTO t USING s ON t.key = s.key WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *` shape, closing the {append, delete,
+    * merge, compact} DML matrix over the version log. `key` must be one of
+    * the manifest stats columns: the touch set is the files whose
+    * `[min_key, max_key]` interval contains at least one source key, found
+    * by joining the source's distinct keys against the BROADCAST manifest
+    * (file-count-bounded — the join is keys × manifest, never keys ×
+    * table). Touch-set completeness is what makes the not-matched
+    * classification sound: any table row sharing a key with the source
+    * lives in a file whose stats interval contains that key, so a source
+    * row that matches nothing in the touched files matches nothing
+    * anywhere. The rewrite is `(touched rows whose key is NOT in the
+    * source) ∪ source` — matched rows take the source row wholesale,
+    * unmatched source rows are inserts — z-ordered, staged outside the
+    * table, moved in, and committed as vN+1 = (manifest − touched files) ∪
+    * new-file stats. Superseded files stay for pinned readers (vacuum
+    * reclaims them); the commit's change feed is therefore the old row
+    * images as deletes plus updated+inserted rows as inserts, with
+    * untouched cohabitants cancelling. */
+  def mergeCommit(spark: SparkSession, source: DataFrame, key: String,
+                  cols: Seq[String], path: String, manifestRoot: String,
+                  nFiles: Int): MergeResult = {
+    require(cols.contains(key),
+      s"merge key $key needs manifest stats — not in ${cols.mkString(",")}")
+    val manifest =
+      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
+        .localCheckpoint()
+    val total = manifest.count()
+    val hit = source.select(col(key).cast("double").as("k")).distinct()
+      .join(broadcast(manifest.select(col("file"),
+          col(s"min_$key").cast("double").as("lo"),
+          col(s"max_$key").cast("double").as("hi"))),
+        col("k") >= col("lo") && col("k") <= col("hi"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val srcKeys = source.select(col(key)).distinct()
+    val (newData, updated, matchedSrc) =
+      if (hit.isEmpty) (source, 0L, 0L)
+      else {
+        val hitRows = spark.read.parquet(hit: _*)
+        val hitKeys = hitRows.select(col(key)).distinct().localCheckpoint()
+        val survivors = hitRows.join(srcKeys, Seq(key), "left_anti")
+        (survivors.unionByName(source),
+          hitRows.join(srcKeys, Seq(key), "left_semi").count(),
+          source.join(hitKeys, Seq(key), "left_semi").count())
+      }
+    val inserted = source.count() - matchedSrc
+    val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(newData, cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep =
+      if (hit.isEmpty) manifest
+      else manifest.filter(!col("file").isInCollection(hit))
+    val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols))
+    MergeResult(commit(spark, next, manifestRoot), hit.size.toLong, total,
+      updated, inserted)
   }
 
   /** A row-level change feed between two versions plus its pruning

@@ -389,6 +389,70 @@ object Streaming {
         GenStore.append(b.select(col(idCol), col(textCol)), lakeDir, id)
       }
 
+  /** CONTINUOUS materialized view over a versioned lake table: each
+    * micro-batch is append-committed to the table, its change feed is
+    * derived from exactly the manifests that commit touched
+    * ([[graft.sinks.Snapshots.changesBetween]] — reads the batch's files,
+    * never the table), and the feed's ± deltas are folded into a persisted
+    * sum/count view ([[graft.ops.Ivm.applyFeed]]). Per-trigger cost is
+    * batch-sized while the table grows without bound — the streaming form
+    * of q116's maintenance loop.
+    *
+    * Exactly-once table commits under at-least-once foreachBatch: every
+    * commit is TAGGED with the batch id, and the tag marker travels inside
+    * the atomically-renamed manifest dir, so a replayed batch finds its
+    * tag already committed ([[graft.sinks.Snapshots.versionForTag]]) and
+    * skips the append instead of double-writing — the Delta
+    * txnAppId/txnVersion contract on the version log. The view is a
+    * `batch=<id>` overwrite-dir chain seeded by the caller at `batch=-1`:
+    * view(id) = applyFeed(view(max prior id), feed(id)) is a pure function
+    * of committed state, so a replay rewrites its dir byte-identically.
+    * Single-writer stream assumed (the feed spans vTo−1 → vTo); concurrent
+    * DML on the same table would need the feed to span tag(id−1)→tag(id). */
+  def ivmStream(stream: DataFrame, zcols: Seq[String], keys: Seq[String],
+                sums: Seq[(String, String)], cnt: String, path: String,
+                manifestRoot: String, viewDir: String, checkpoint: String,
+                nFiles: Int = 2): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        if (!batch.isEmpty) {
+          val tag = s"ivm_$id"
+          val vTo = graft.sinks.Snapshots.versionForTag(s, manifestRoot, tag)
+            .getOrElse(graft.sinks.Snapshots.appendCommit(s, batch, zcols,
+              path, manifestRoot, nFiles, tag = Some(tag))._1)
+          val feed = graft.sinks.Snapshots
+            .changesBetween(s, manifestRoot, vTo - 1, vTo)
+          graft.ops.Ivm.applyFeed(priorView(s, viewDir, id), feed.df,
+              keys, sums, cnt)
+            .coalesce(1).write.mode("overwrite").parquet(s"$viewDir/batch=$id")
+        }
+      }
+
+  private val ViewBatchDir = "batch=(-?\\d+)".r
+
+  /** The most recent committed view strictly before `id` (the `batch=-1`
+    * bootstrap written by the caller counts). Listing is dir-count-bounded
+    * driver work; empty batches leave gaps the max() skips over. */
+  private def priorView(s: SparkSession, viewDir: String,
+                        id: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(viewDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prior = fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case ViewBatchDir(n) if n.toLong < id => Some(n.toLong)
+          case _ => None
+        }
+    }.flatten
+    require(prior.nonEmpty,
+      s"no bootstrap view under $viewDir — seed batch=-1 before streaming")
+    s.read.parquet(s"$viewDir/batch=${prior.max}")
+  }
+
   /** Streaming upsert into a JDBC WAREHOUSE: each micro-batch runs the
     * staged transactional MERGE ([[graft.sinks.JdbcUpsert]]) against the
     * warehouse table — the reference's full production loop composed

@@ -176,6 +176,55 @@ class SnapshotsSpec extends SparkSpec {
     assert(same.df.isEmpty && same.filesRead == 0)
   }
 
+  // merge needs key stats in the manifest: a layout z-ordered on (id, x)
+  private def keyedLayout(): (String, Int) = {
+    val dir = tmpDir("snapmerge")
+    Layout.zorderWrite(data, Seq("id", "x"), s"$dir/z", nFiles = 16)
+    val v1 = Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id", "x")), s"$dir/m")
+    (dir, v1)
+  }
+
+  test("mergeCommit: updates in place, inserts appended, touch set stats-pruned") {
+    val (dir, v1) = keyedLayout()
+    // updates: a contiguous key band re-valued; inserts: ids above the space
+    val updates = data.filter(col("id").between(1000, 1999))
+      .withColumn("y", col("y") + 5000)
+    val inserts = spark.range(50000, 50100)
+      .select(col("id"), lit(42L).as("x"), lit(7L).as("y"))
+    val res = Snapshots.mergeCommit(spark, updates.unionByName(inserts),
+      "id", Seq("id", "x"), s"$dir/z", s"$dir/m", nFiles = 8)
+    assert(res.version == v1 + 1)
+    assert(res.filesRewritten < res.filesTotal) // the band's files only
+    assert(res.rowsUpdated == 1000)
+    assert(res.rowsInserted == 100)
+    val after = Snapshots.tableAt(spark, s"$dir/m", res.version)
+    assert(after.count() == 10000 + 100)
+    // matched rows carry the source's values, unmatched are untouched
+    assert(after.filter(col("id").between(1000, 1999) &&
+      col("y") < 5000).isEmpty)
+    assert(after.filter(col("id") >= 50000).count() == 100)
+    // v1 still serves the pre-merge snapshot
+    assert(Snapshots.tableAt(spark, s"$dir/m", v1)
+      .filter(col("id").between(1000, 1999) && col("y") >= 5000).isEmpty)
+    // the merge's change feed: old images out, new images + inserts in
+    val feed = Snapshots.changesBetween(spark, s"$dir/m", v1, res.version)
+    assert(feed.df.filter(col("change_type") === "delete").count() == 1000)
+    assert(feed.df.filter(col("change_type") === "insert").count() == 1100)
+  }
+
+  test("mergeCommit with no matched keys behaves as pure insert") {
+    val (dir, v1) = keyedLayout()
+    val inserts = spark.range(60000, 60010)
+      .select(col("id"), lit(1L).as("x"), lit(2L).as("y"))
+    val res = Snapshots.mergeCommit(spark, inserts, "id", Seq("id", "x"),
+      s"$dir/z", s"$dir/m", nFiles = 2)
+    assert(res.rowsUpdated == 0 && res.rowsInserted == 10)
+    assert(res.filesRewritten == 0)
+    assert(Snapshots.tableAt(spark, s"$dir/m", res.version).count() == 10010)
+    assert(Snapshots.tableAt(spark, s"$dir/m", v1).count() == 10000)
+  }
+
   test("deliberate failure: vacuum must retain at least one version") {
     val (dir, _) = freshLayout()
     intercept[IllegalArgumentException] {
