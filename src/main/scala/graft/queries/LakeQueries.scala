@@ -468,6 +468,49 @@ object LakeQueries {
         .withColumn("feed_pruned_ok", lit(prunedOk))
     }),
 
+    // SCHEMA EVOLUTION over the version log (q118): a column is added by
+    // APPENDING post-evolution files — no rewrite, no migration job, the
+    // mechanism every serious table format uses (columns arrive with new
+    // data; history keeps its shape). Gates: a v1-pinned read does NOT
+    // show the column (old snapshots keep the old schema); the latest
+    // read serves the MERGED schema with nulls for pre-evolution rows;
+    // and the evolution commit's change feed carries the new column and
+    // is pure inserts (an append has no removed side to collide with).
+    // Emits the evolved table: o_score = o_custkey × 1.5 on post-
+    // evolution rows, NULL before — the oracle pins exactly which rows
+    // predate the column.
+    "q118_schema_evolution" -> ((s, dir) => {
+      val root = tmp("q118")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_score", col("o_custkey").cast("double") * lit(1.5))
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val (v2, _) = Snapshots.appendCommit(s, batch, zcols, s"$root/z",
+        s"$root/m", nFiles = 4)
+      val oldSchemaOk =
+        !Snapshots.tableAt(s, s"$root/m", v1).columns.contains("o_score")
+      require(oldSchemaOk, "q118 pinned pre-evolution read leaked the column")
+      val evolved = Snapshots.tableAt(s, s"$root/m", v2)
+      val newSchemaOk = evolved.columns.contains("o_score") &&
+        evolved.filter(col("o_score").isNull).count() == base.count()
+      require(newSchemaOk, "q118 merged read wrong: column or null set off")
+      val feed = Snapshots.changesBetween(s, s"$root/m", v1, v2)
+      val feedOk = feed.df.columns.contains("o_score") &&
+        feed.df.filter(col("change_type") =!= "insert").isEmpty &&
+        feed.df.filter(col("o_score").isNull).isEmpty
+      require(feedOk, "q118 evolution feed malformed")
+      evolved
+        .withColumn("old_schema_ok", lit(oldSchemaOk))
+        .withColumn("new_schema_ok", lit(newSchemaOk))
+        .withColumn("feed_ok", lit(feedOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -750,6 +793,13 @@ object LakeQueries {
         |  TRUE AS ivm_ok, TRUE AS feed_pruned_ok
         |FROM orders WHERE o_custkey NOT BETWEEN 40 AND 110
         |GROUP BY 1""".stripMargin,
+    // q118: the evolved table — post-evolution rows (%4) carry the new
+    // column, pre-evolution rows serve NULL through the merged schema.
+    "q118_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN o_custkey * 1.5 END AS o_score,
+        |  TRUE AS old_schema_ok, TRUE AS new_schema_ok, TRUE AS feed_ok
+        |FROM orders""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_json_doc_roundtrip" ->

@@ -127,12 +127,18 @@ object Snapshots {
 
   /** The complete table as of `version`: exactly the files that version's
     * manifest references (the snapshot read — later deletes/appends are
-    * invisible because their files are not in this manifest). */
+    * invisible because their files are not in this manifest). Schemas are
+    * MERGED across the version's files (footer union — file-count-bounded
+    * planner work), so a version that mixes pre- and post-evolution files
+    * serves the superset schema with nulls for the rows that predate a
+    * column, while a version pinned before the evolution never shows the
+    * column at all — schema evolution rides the same snapshot mechanics
+    * as data DML, no rewrite. */
   def tableAt(spark: SparkSession, manifestRoot: String,
               version: Int): DataFrame = {
     val files = manifestAt(spark, manifestRoot, version)
       .select(col("file")).collect().map(_.getString(0)).toSeq
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** [[Layout.prunedRead]] against a pinned version's manifest: stats-pruned
@@ -318,8 +324,14 @@ object Snapshots {
     val added = (to -- from).toSeq
     val total = (from ++ to).size.toLong
     val read = (removed.size + added.size).toLong
+    // mergeSchema so a feed whose side spans a schema evolution serves the
+    // superset schema; a diff whose removed AND added sides have drifted
+    // apart (delete/compact across an evolution) would need explicit
+    // column alignment before exceptAll — evolution here arrives by
+    // append, whose feed has no removed side to clash with
     def rows(fs: Seq[String]): Option[DataFrame] =
-      if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*))
+      if (fs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(fs: _*))
     val df = (rows(removed), rows(added)) match {
       case (None, None) =>
         // no file-level change at all: an empty feed with the table schema

@@ -225,6 +225,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.tableAt(spark, s"$dir/m", v1).count() == 10000)
   }
 
+  test("schema evolution by append: pinned versions keep the old schema, latest merges") {
+    val (dir, v1) = freshLayout()
+    val batch = spark.range(10000, 11000)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(1000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"),
+        (col("id") * 2).cast("double").as("w"))
+    val (v2, _) = Snapshots.appendCommit(spark, batch, Seq("x", "y"),
+      s"$dir/z", s"$dir/m", nFiles = 2)
+    assert(!Snapshots.tableAt(spark, s"$dir/m", v1).columns.contains("w"))
+    val t2 = Snapshots.tableAt(spark, s"$dir/m", v2)
+    assert(t2.columns.contains("w"))
+    assert(t2.filter(col("w").isNull).count() == 10000)   // pre-evolution rows
+    assert(t2.filter(col("w").isNotNull).count() == 1000) // the batch
+    // the evolution commit's feed: pure inserts carrying the new column
+    val feed = Snapshots.changesBetween(spark, s"$dir/m", v1, v2)
+    assert(feed.df.columns.contains("w"))
+    assert(feed.df.filter(col("change_type") =!= "insert").isEmpty)
+    assert(feed.df.filter(col("w").isNull).isEmpty)
+  }
+
   test("deliberate failure: vacuum must retain at least one version") {
     val (dir, _) = freshLayout()
     intercept[IllegalArgumentException] {
