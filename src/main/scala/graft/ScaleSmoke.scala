@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   *       half the rows). Runs the salted q60/q61 against their unsalted
   *       twins (with and without AQE skew-split) and the unsalted q3 star
   *       join, reporting the salted-vs-unsalted wall gap.
+  *   runMain graft.ScaleSmoke lake [srcSfDir] [scaledDir] [copies] [reps]
+  *     — table-format growth smoke: versioned z-layouts of orders at 1×
+  *       and `copies`×, then a CONSTANT batch appended/merged and a gold
+  *       view maintained from the change feed vs recomputed from scratch.
+  *       The claims under test: append, feed, IVM, and merge cost track
+  *       the commit's TOUCH SET (≈flat as the table grows); only the
+  *       recompute tracks table size.
   *
   * A build is only reused when its `_SCALE_OK` marker exists AND records
   * the same `copies` — an interrupted or differently-sized build rebuilds
@@ -174,7 +181,77 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("skew")) skewMain(args.drop(1))
+    else if (args.headOption.contains("lake")) lakeMain(args.drop(1))
     else growthMain(args)
+
+  /** Table-format growth: the versioned-lake operations against a 1× and a
+    * `copies`× orders layout, with a CONSTANT batch — so any wall growth is
+    * the table's fault, not the work's. appendCommit, the append's change
+    * feed + IVM fold, and mergeCommit should all be ≈flat (their cost is
+    * the touch set: batch files, band files, manifest reads — never the
+    * table); the from-scratch gold recompute is the control that SHOULD
+    * grow ~linearly, and its ratio divided by the IVM ratio is the
+    * maintenance win at scale. */
+  private def lakeMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.ops.Ivm
+    import graft.sinks.{Layout, Snapshots}
+    val zcols = Seq("o_orderkey", "o_custkey")
+    def orders(dir: String) = graft.model.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def gold(df: DataFrame): DataFrame =
+      df.groupBy(pmod(col("o_custkey"), lit(8)).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(col("o_custkey"), lit(8)))
+    // constant across scales: keys far above every copy's offset range
+    val batch = orders(src).filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + 77000000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")).localCheckpoint()
+    val updates = orders(src).filter(col("o_orderkey").between(1000, 4000))
+      .withColumn("o_totalprice", col("o_totalprice") * 2).localCheckpoint()
+    val inserts = orders(src).filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 88000000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")).localCheckpoint()
+    def measure(label: String, df: DataFrame, nFiles: Int): Unit = {
+      val root = java.nio.file.Files.createTempDirectory("lakegrowth").toString
+      Layout.zorderWrite(df, zcols, s"$root/z", nFiles)
+      Snapshots.commit(spark,
+        Layout.buildManifest(spark, s"$root/z", zcols), s"$root/m")
+      val view = gold(Snapshots.tableAt(spark, s"$root/m", 1)).localCheckpoint()
+      val tAppend = median((1 to reps).map { _ =>
+        timed(Snapshots.appendCommit(spark, batch, zcols, s"$root/z",
+          s"$root/m", nFiles = 8))
+      })
+      val vL = Snapshots.latestVersion(spark, s"$root/m")
+      val tIvm = median((1 to reps).map { _ =>
+        timed(Ivm.applyFeed(view,
+            withBucket(Snapshots.changesBetween(spark, s"$root/m",
+              vL - 1, vL).df),
+            Seq("bucket"), Seq("total" -> "o_totalprice"), "cnt")
+          .write.format("noop").mode("overwrite").save())
+      })
+      val tRecompute = median((1 to reps).map { _ =>
+        timed(gold(Snapshots.tableAt(spark, s"$root/m", vL))
+          .write.format("noop").mode("overwrite").save())
+      })
+      val tMerge = median((1 to reps).map { _ =>
+        timed(Snapshots.mergeCommit(spark, updates.unionByName(inserts),
+          "o_orderkey", zcols, s"$root/z", s"$root/m", nFiles = 8))
+      })
+      println(f"""{"query":"lake_growth","scale":"$label","append_sec":$tAppend%.2f,"ivm_maintain_sec":$tIvm%.2f,"recompute_sec":$tRecompute%.2f,"merge_sec":$tMerge%.2f,"reps":$reps}""")
+    }
+    measure("1x", orders(src), nFiles = 32)
+    measure(s"${copies}x", orders(target),
+      nFiles = math.min(32 * copies, 2048))
+    spark.stop()
+  }
 
   private def growthMain(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
