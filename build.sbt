@@ -23,7 +23,6 @@ Global / excludeLintKeys += showSuccess
 // decorates every forked-process line with "[info] ", which breaks the
 // driver's tail-parse of the bench's final JSON line. StdoutOutput wires
 // the fork's stdout straight to this process's stdout.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
