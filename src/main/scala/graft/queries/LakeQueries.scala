@@ -511,6 +511,150 @@ object LakeQueries {
         .withColumn("feed_ok", lit(feedOk))
     }),
 
+    // MERGE-ON-READ DELETE via positional deletion vectors (q119) — the
+    // Delta DV / Iceberg positional-delete model: a delete commit writes
+    // an O(deleted-rows) sidecar of (file, parquet row ordinal) pairs and
+    // flips the touched manifest rows' dv pointer; data files are never
+    // rewritten (the copy-on-write twin q109 pays the rewrite up front;
+    // MoR defers it to compaction, once, batched). Two delete shapes run:
+    // a stats-planned band delete, then a KEY delete whose victims scatter
+    // across files — the case where CoW would rewrite half the table for
+    // a few thousand rows. Gates in-query: (1) the data-file set is
+    // byte-identical across both deletes (zero files written — the number
+    // the whole design exists to produce); (2) both touch sets are
+    // stats-bounded; (3) a v1-pinned read STILL serves the band (masks
+    // are versioned metadata, not mutations); (4) the band delete's
+    // change feed is exactly the band as deletes (the (file, dv) pair is
+    // the snapshot identity — a moved pointer contributes its newly
+    // masked rows and nothing else); (5) compaction FOLDS the masks: no
+    // dv pointers survive, and its feed is empty (a pure re-layout).
+    // Emits the post-everything table; the oracle recomputes orders minus
+    // band minus keys, so a mask leak, resurrection, or fold error all
+    // hash-mismatch.
+    "q119_mor_delete" -> ((s, dir) => {
+      import graft.sinks.Dv
+      val root = tmp("q119")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val statsCols = zcols :+ "o_orderkey" // key stats for the key planner
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", statsCols), s"$root/m")
+      def files(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+      }
+      val before = files()
+      val band = Dv.deleteWhereMoR(s, s"$root/z", s"$root/m",
+        Seq(("o_custkey", 60.0, 90.0)))
+      val keys = orders.filter(col("o_orderkey") % 400 === 0)
+        .select(col("o_orderkey"))
+      val keyDel = Dv.deleteKeysMoR(s, s"$root/z", s"$root/m",
+        "o_orderkey", keys)
+      val zeroRewriteOk = band.dataFilesWritten == 0 &&
+        keyDel.dataFilesWritten == 0 && files() == before &&
+        band.rowsDeleted > 0 && keyDel.rowsDeleted > 0
+      require(zeroRewriteOk, s"q119 MoR delete wrote data files: $band $keyDel")
+      val targetedOk = band.filesMasked < band.filesTotal
+      require(targetedOk,
+        s"q119 band mask untargeted: ${band.filesMasked}/${band.filesTotal}")
+      val pinnedOk = RecallGate.equivalent(
+        Snapshots.tableAt(s, s"$root/m", v1)
+          .filter(col("o_custkey").between(60, 90)).select(col("o_orderkey")),
+        orders.filter(col("o_custkey").between(60, 90))
+          .select(col("o_orderkey")),
+        Seq("o_orderkey"), "q119 v1 pinned read vs pre-delete band")
+      val feed = Snapshots.changesBetween(s, s"$root/m", v1, band.version)
+      val feedOk = feed.filesRead < feed.filesTotal &&
+        feed.df.filter(col("change_type") =!= "delete").isEmpty &&
+        RecallGate.equivalent(
+          feed.df.select(col("o_orderkey")),
+          orders.filter(col("o_custkey").between(60, 90))
+            .select(col("o_orderkey")),
+          Seq("o_orderkey"), "q119 band feed vs the band")
+      val (vc, _, _) = Snapshots.compactCommit(s, s"$root/z", s"$root/m",
+        statsCols, nFiles = 8)
+      val foldOk = Dv.ensureDv(Snapshots.manifestAt(s, s"$root/m", vc))
+        .filter(col("dv").isNotNull).isEmpty &&
+        Snapshots.changesBetween(s, s"$root/m", keyDel.version, vc).df.isEmpty
+      require(foldOk, "q119 compaction failed to fold the masks silently")
+      Snapshots.tableAt(s, s"$root/m", vc)
+        .withColumn("zero_rewrite_ok", lit(zeroRewriteOk))
+        .withColumn("targeted_ok", lit(targetedOk))
+        .withColumn("pinned_ok", lit(pinnedOk))
+        .withColumn("feed_ok", lit(feedOk))
+        .withColumn("fold_ok", lit(foldOk))
+    }),
+
+    // OPTIMISTIC CONCURRENCY over the version log (q120): three writers
+    // plan MoR deletes against the SAME v1 snapshot, then commit
+    // interleaved — the serializable-writers story a single CAS slot
+    // cannot give (a CAS loser could land a manifest computed against a
+    // stale parent, silently undoing the winner). `Snapshots.commitTxn`
+    // re-diffs every commit that landed since the txn's snapshot:
+    // disjoint touch sets REBASE (B lands v2; A, planned before B, lands
+    // v3 composing both — Delta/Iceberg's disjoint-files rule), while a
+    // txn whose read set was invalidated (C's band overlaps A's files)
+    // raises CommitConflictException instead of resurrecting A's masked
+    // rows — C re-plans against the fresh snapshot and commits the
+    // remainder. Bands are FRACTIONS of the orderkey domain (5–20%,
+    // 60–75%, 10–25% — far-apart bands on a range layout are disjoint at
+    // any SF; the oracle recomputes identical bounds via a scalar
+    // subquery). Gates: A rebased over exactly one commit with zero data
+    // files written; C's stale commit threw; the final table is orders
+    // minus all three bands (the oracle's WHERE — a lost update, double
+    // mask, or bad rebase all hash-mismatch).
+    "q120_txn_commit" -> ((s, dir) => {
+      import graft.sinks.Dv
+      val root = tmp("q120")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      Layout.zorderWrite(orders, Seq("o_orderkey"), s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", Seq("o_orderkey")), s"$root/m")
+      val Seq(lo, hi) = orders.agg(min("o_orderkey"), max("o_orderkey"))
+        .collect().head.toSeq.map(_.toString.toDouble)
+      val span = hi - lo
+      def band(a: Double, b: Double) =
+        Seq(("o_orderkey", lo + a * span, lo + b * span))
+      def files(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+      }
+      val before = files()
+      // all three writers plan against v1
+      val Some((txnA, _)) = Dv.planDeleteMoR(s, s"$root/z", s"$root/m",
+        band(0.05, 0.20))
+      val Some((txnB, _)) = Dv.planDeleteMoR(s, s"$root/z", s"$root/m",
+        band(0.60, 0.75))
+      val Some((txnC, _)) = Dv.planDeleteMoR(s, s"$root/z", s"$root/m",
+        band(0.10, 0.25))
+      val rb = Snapshots.commitTxn(s, s"$root/m", txnB) // B wins the race
+      val ra = Snapshots.commitTxn(s, s"$root/m", txnA) // A rebases over B
+      val rebaseOk = rb.version == v1 + 1 && ra.version == v1 + 2 &&
+        ra.rebasedOver == 1 && files() == before
+      require(rebaseOk, s"q120 disjoint rebase broken: $rb $ra")
+      val conflictCaught =
+        try { Snapshots.commitTxn(s, s"$root/m", txnC); false }
+        catch { case _: Snapshots.CommitConflictException => true }
+      require(conflictCaught, "q120 stale overlapping txn was NOT detected")
+      // C re-plans from the fresh snapshot and commits the remainder
+      val rc = Dv.planDeleteMoR(s, s"$root/z", s"$root/m", band(0.10, 0.25))
+        .map { case (txn, _) => Snapshots.commitTxn(s, s"$root/m", txn) }
+      val replanOk = rc.exists(_.version == v1 + 3) && files() == before
+      require(replanOk, s"q120 replanned commit broken: $rc")
+      Snapshots.tableAt(s, s"$root/m",
+          Snapshots.latestVersion(s, s"$root/m"))
+        .withColumn("rebase_ok", lit(rebaseOk))
+        .withColumn("conflict_caught", lit(conflictCaught))
+        .withColumn("replan_ok", lit(replanOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -800,6 +944,31 @@ object LakeQueries {
         |  CASE WHEN o_orderkey % 4 = 0 THEN o_custkey * 1.5 END AS o_score,
         |  TRUE AS old_schema_ok, TRUE AS new_schema_ok, TRUE AS feed_ok
         |FROM orders""".stripMargin,
+    // q120: orders minus the three writers' bands, bounds recomputed by
+    // the oracle from the same min/max-fraction arithmetic (identical
+    // IEEE double ops in both engines); booleans assert the rebase, the
+    // detected conflict, and the replanned commit.
+    "q120_txn_commit" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS rebase_ok, TRUE AS conflict_caught, TRUE AS replan_ok
+        |FROM orders, b
+        |WHERE NOT (o_orderkey BETWEEN lo + 0.05 * (hi - lo)
+        |                          AND lo + 0.25 * (hi - lo))
+        |  AND NOT (o_orderkey BETWEEN lo + 0.60 * (hi - lo)
+        |                          AND lo + 0.75 * (hi - lo))""".stripMargin,
+    // q119: the table after a MoR band delete + key delete + folding
+    // compaction — the oracle is orders minus both delete sets; the
+    // booleans assert zero data-file writes, stats targeting, snapshot
+    // pinning, the exact change feed, and the silent fold.
+    "q119_mor_delete" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS zero_rewrite_ok, TRUE AS targeted_ok, TRUE AS pinned_ok,
+        |  TRUE AS feed_ok, TRUE AS fold_ok
+        |FROM orders
+        |WHERE NOT (o_custkey BETWEEN 60 AND 90)
+        |  AND o_orderkey % 400 <> 0""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_json_doc_roundtrip" ->

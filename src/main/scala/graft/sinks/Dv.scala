@@ -1,0 +1,246 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional DELETION VECTORS — merge-on-read deletes over the
+  * [[Snapshots]] version log (the Delta deletion-vector / Iceberg
+  * positional-delete model re-expressed on plain parquet).
+  *
+  * A copy-on-write delete ([[Snapshots.deleteWhere]]) pays a rewrite of
+  * every file the predicate touches; fine for rare band deletes, wrong for
+  * frequent small ones (GDPR erasure, dedup verdict application) where the
+  * touch set is wide but the row count is tiny. Merge-on-read inverts the
+  * cost: the delete commit writes only a DV sidecar — (file, row position)
+  * pairs, positions being the parquet row ordinal `_metadata.row_index` —
+  * and flips the affected manifest rows' `dv` column to the sidecar path.
+  * Data files are immutable forever; a read subtracts the DV with an
+  * anti-join on exactly the DV'd files. Compaction pays the rewrite later,
+  * once, batched — and drops the DVs.
+  *
+  * Scale shape: the delete's write cost is O(deleted rows), not O(touched
+  * bytes); the read-side anti-join runs ONLY over DV'd files (plain files
+  * take the unmodified scan path) and joins against a DV bounded by the
+  * table's accumulated deletes — broadcast-sized until compaction folds
+  * it. The manifest stays the single planning object: `dv` is one nullable
+  * string column, min/max stats remain valid superset bounds under
+  * deletion (deletes only shrink a file's value set), so stats pruning is
+  * untouched.
+  *
+  * Reference: the repo models Databricks table behavior the way
+  * run_transform.py:1 consumes it; deletion vectors are the lake-side
+  * delete mechanics a Databricks pipeline gets from Delta.
+  */
+object Dv {
+
+  /** DV sidecar schema: the parquet file (as `_metadata.file_path` — the
+    * same canonical form the manifests' `file` column uses) and the
+    * 0-based parquet row ordinal within it. */
+  val FileCol = "file"
+  val PosCol = "pos"
+
+  /** Normalize a manifest to carry the nullable `dv` column, so manifests
+    * committed before the MoR tier joined (all-null dv) and after mix
+    * freely in unions and diffs. */
+  def ensureDv(m: DataFrame): DataFrame =
+    if (m.columns.contains("dv")) m
+    else m.withColumn("dv", lit(null).cast("string"))
+
+  /** One manifest entry as planner data: data file path + optional DV
+    * sidecar path. */
+  final case class Entry(file: String, dv: Option[String])
+
+  /** Collect (file, dv) entries from manifest rows — driver-side planner
+    * work, file-count-bounded like every manifest read. */
+  def entries(m: DataFrame): Seq[Entry] =
+    ensureDv(m).select(col("file"), col("dv")).collect().toSeq
+      .map(r => Entry(r.getString(0), Option(r.getString(1))))
+
+  /** The live rows of the given manifest entries: plain files take the
+    * direct scan; DV'd files are read with the parquet row ordinal and
+    * anti-joined against their sidecars. Grouping by sidecar path reads
+    * each DV once however many files share it (a MoR commit writes ONE
+    * sidecar for its whole touch set). `mergeSchema` on every branch so a
+    * snapshot spanning a schema evolution serves the superset schema on
+    * the DV path exactly as on the plain path. */
+  def readLive(spark: SparkSession, entries: Seq[Entry]): DataFrame =
+    readLiveWithPos(spark, entries).drop("_dv_f", "_dv_p")
+
+  /** [[readLive]] with the row's provenance retained as `_dv_f` (canonical
+    * file path) and `_dv_p` (parquet row ordinal) — what a delete needs to
+    * turn matched rows into sidecar entries. The columns must be captured
+    * ON the scan relation (`_metadata` resolves only there, not across the
+    * joins/unions this frame goes through). */
+  def readLiveWithPos(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    require(entries.nonEmpty, "readLive needs at least one manifest entry")
+    val plain = entries.collect { case Entry(f, None) => f }
+    val masked = entries.collect { case Entry(f, Some(d)) => (f, d) }
+    def scan(files: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+        .withColumn("_dv_f", col("_metadata.file_path"))
+        .withColumn("_dv_p", col("_metadata.row_index").cast("long"))
+    val parts =
+      (if (plain.isEmpty) Seq.empty[DataFrame] else Seq(scan(plain))) ++
+        masked.groupBy(_._2).toSeq.map { case (dvPath, group) =>
+          val data = scan(group.map(_._1))
+          // restrict the sidecar to this group's files: other files may
+          // share the sidecar but carry a NEWER dv in the same manifest
+          val dv = spark.read.parquet(dvPath)
+            .filter(col(FileCol).isInCollection(group.map(_._1)))
+          data.join(dv,
+              data("_dv_f") === dv(FileCol) && data("_dv_p") === dv(PosCol),
+              "left_anti")
+        }
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Write one DV sidecar under the table's `_dv/` dir (underscore-hidden:
+    * plain parquet scans of the table path never see it) and return its
+    * path. Coalesced to one part — a sidecar is O(deleted rows), planner-
+    * adjacent data, not a table. */
+  def writeSidecar(spark: SparkSession, tablePath: String,
+                   dvRows: DataFrame): String = {
+    val out = s"$tablePath/_dv/dv_${java.util.UUID.randomUUID()}"
+    dvRows.select(col(FileCol), col(PosCol).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** MERGE-ON-READ targeted delete as a version commit. Plans the touch
+    * set by manifest stats exactly like the copy-on-write twin, but
+    * instead of staging survivor rewrites it:
+    *
+    *  1. reads the touched files' LIVE rows (existing DVs applied — a
+    *     second delete on an already-masked file must extend, not reset,
+    *     its mask) with file/ordinal attached,
+    *  2. writes ONE sidecar = prior DV rows of the touched files ∪ the
+    *     newly matched positions,
+    *  3. commits vN+1 where only the touched manifest rows' `dv` pointer
+    *     moved. Zero data files written, zero rewritten.
+    *
+    * Prior sidecars stay for pinned readers and other manifest rows that
+    * still reference them; [[Snapshots.vacuum]] reclaims sidecars no
+    * retained version references. Returns the commit and its evidence:
+    * `filesMasked`/`filesTotal` (stats pruning still bounds the touch
+    * set), `rowsDeleted` (newly masked positions), and `dataFilesWritten`
+    * — structurally 0, the number the whole design exists to produce. */
+  final case class MoRDeleteResult(version: Int, filesMasked: Long,
+                                   filesTotal: Long, rowsDeleted: Long,
+                                   dataFilesWritten: Long)
+
+  def deleteWhereMoR(spark: SparkSession, path: String, manifestRoot: String,
+                     box: Seq[(String, Double, Double)]): MoRDeleteResult = {
+    val v = Snapshots.latestVersion(spark, manifestRoot)
+    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
+      .localCheckpoint()
+    val total = manifest.count()
+    val hit = entries(manifest.filter(Layout.intersectsExpr(box)))
+    if (hit.isEmpty) return MoRDeleteResult(v, 0, total, 0, 0)
+    val hitFiles = hit.map(_.file)
+    // newly deleted = live rows of the touched files inside the box
+    val fresh = readLiveWithPos(spark, hit)
+      .filter(Layout.inBoxExpr(box))
+      .select(col("_dv_f").as(FileCol), col("_dv_p").as(PosCol))
+      .localCheckpoint() // pin before the sidecar they feed is swapped in
+    val rowsDeleted = fresh.count()
+    if (rowsDeleted == 0) return MoRDeleteResult(v, 0, total, 0, 0)
+    // carried-forward mask: ALL prior DV rows of the touched files (in-box
+    // or not — the new sidecar REPLACES the old pointer on these rows)
+    val prior = hit.collect { case Entry(f, Some(d)) => (f, d) }
+      .groupBy(_._2).toSeq.map { case (dvPath, group) =>
+        spark.read.parquet(dvPath)
+          .filter(col(FileCol).isInCollection(group.map(_._1)))
+      }
+    val mask = (prior :+ fresh).reduce(_.unionByName(_))
+    val sidecar = writeSidecar(spark, path, mask)
+    val next = manifest
+      .withColumn("dv",
+        when(col("file").isInCollection(hitFiles), lit(sidecar))
+          .otherwise(col("dv")))
+    MoRDeleteResult(Snapshots.commit(spark, next, manifestRoot),
+      hit.size.toLong, total, rowsDeleted, 0)
+  }
+
+  /** PLAN a MoR band delete against the current snapshot WITHOUT
+    * committing — the optimistic-concurrency form: the returned
+    * [[Snapshots.Txn]] carries the touched files as removes+readSet and
+    * the re-pointed manifest rows (new sidecar already written — sidecars
+    * are invisible until a manifest references them, so planning is
+    * side-effect-free from a reader's view) as adds.
+    * [[Snapshots.commitTxn]] then rebases it over any disjoint commits
+    * that landed since, or raises [[Snapshots.CommitConflictException]]
+    * if one of them invalidated a touched file — in which case the caller
+    * re-plans from the fresh snapshot (the orphaned sidecar is vacuum
+    * fodder). Returns None when the box misses every file. */
+  def planDeleteMoR(spark: SparkSession, path: String, manifestRoot: String,
+                    box: Seq[(String, Double, Double)])
+      : Option[(Snapshots.Txn, Long)] = {
+    val v = Snapshots.latestVersion(spark, manifestRoot)
+    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
+      .localCheckpoint()
+    val hit = entries(manifest.filter(Layout.intersectsExpr(box)))
+    if (hit.isEmpty) return None
+    val hitFiles = hit.map(_.file).toSet
+    val fresh = readLiveWithPos(spark, hit)
+      .filter(Layout.inBoxExpr(box))
+      .select(col("_dv_f").as(FileCol), col("_dv_p").as(PosCol))
+      .localCheckpoint()
+    val rowsDeleted = fresh.count()
+    if (rowsDeleted == 0) return None
+    val prior = hit.collect { case Entry(f, Some(d)) => (f, d) }
+      .groupBy(_._2).toSeq.map { case (dvPath, group) =>
+        spark.read.parquet(dvPath)
+          .filter(col(FileCol).isInCollection(group.map(_._1)))
+      }
+    val sidecar = writeSidecar(spark, path, (prior :+ fresh).reduce(_.unionByName(_)))
+    val adds = manifest.filter(col("file").isInCollection(hitFiles.toSeq))
+      .withColumn("dv", lit(sidecar))
+    Some((Snapshots.Txn(v, hitFiles, Some(adds.localCheckpoint()), hitFiles),
+      rowsDeleted))
+  }
+
+  /** Point-delete by KEY (the GDPR / dedup-verdict shape): mask exactly
+    * the rows whose `key` value is in `keys`, planning the touch set by
+    * manifest [min,max] stats on `key`. Same commit mechanics as
+    * [[deleteWhereMoR]]; the matcher is a semi-join against the
+    * (broadcast-sized) key set instead of a box predicate — O(deleted
+    * rows) written regardless of how many files the keys scatter across,
+    * which is precisely where copy-on-write loses. */
+  def deleteKeysMoR(spark: SparkSession, path: String, manifestRoot: String,
+                    key: String, keys: DataFrame): MoRDeleteResult = {
+    val v = Snapshots.latestVersion(spark, manifestRoot)
+    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
+      .localCheckpoint()
+    val total = manifest.count()
+    val k = keys.select(col(key).cast("double").as("k")).distinct()
+      .localCheckpoint()
+    val hitFiles = k
+      .join(broadcast(manifest.select(col("file"),
+          col(s"min_$key").cast("double").as("lo"),
+          col(s"max_$key").cast("double").as("hi"))),
+        col("k") >= col("lo") && col("k") <= col("hi"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (hitFiles.isEmpty) return MoRDeleteResult(v, 0, total, 0, 0)
+    val hit = entries(manifest.filter(col("file").isInCollection(hitFiles)))
+    val fresh = readLiveWithPos(spark, hit)
+      .join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
+      .select(col("_dv_f").as(FileCol), col("_dv_p").as(PosCol))
+      .localCheckpoint()
+    val rowsDeleted = fresh.count()
+    if (rowsDeleted == 0) return MoRDeleteResult(v, 0, total, 0, 0)
+    val prior = hit.collect { case Entry(f, Some(d)) => (f, d) }
+      .groupBy(_._2).toSeq.map { case (dvPath, group) =>
+        spark.read.parquet(dvPath)
+          .filter(col(FileCol).isInCollection(group.map(_._1)))
+      }
+    val mask = (prior :+ fresh).reduce(_.unionByName(_))
+    val sidecar = writeSidecar(spark, path, mask)
+    val next = manifest
+      .withColumn("dv",
+        when(col("file").isInCollection(hitFiles), lit(sidecar))
+          .otherwise(col("dv")))
+    MoRDeleteResult(Snapshots.commit(spark, next, manifestRoot),
+      hitFiles.size.toLong, total, rowsDeleted, 0)
+  }
+}

@@ -135,11 +135,9 @@ object Snapshots {
     * column at all — schema evolution rides the same snapshot mechanics
     * as data DML, no rewrite. */
   def tableAt(spark: SparkSession, manifestRoot: String,
-              version: Int): DataFrame = {
-    val files = manifestAt(spark, manifestRoot, version)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
-  }
+              version: Int): DataFrame =
+    Dv.readLive(spark,
+      Dv.entries(manifestAt(spark, manifestRoot, version)))
 
   /** [[Layout.prunedRead]] against a pinned version's manifest: stats-pruned
     * AND time-traveled in one plan. */
@@ -147,12 +145,11 @@ object Snapshots {
              ranges: Seq[(String, Double, Double)]): Layout.PrunedScan = {
     val m = manifestAt(spark, manifestRoot, version)
     val total = m.count()
-    val files = m.filter(Layout.intersectsExpr(ranges)).select(col("file"))
-      .collect().map(_.getString(0)).toSeq
+    val hit = Dv.entries(m.filter(Layout.intersectsExpr(ranges)))
     val df =
-      if (files.isEmpty) tableAt(spark, manifestRoot, version).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(Layout.inBoxExpr(ranges))
-    Layout.PrunedScan(df, files.size.toLong, total)
+      if (hit.isEmpty) tableAt(spark, manifestRoot, version).filter(lit(false))
+      else Dv.readLive(spark, hit).filter(Layout.inBoxExpr(ranges))
+    Layout.PrunedScan(df, hit.size.toLong, total)
   }
 
   /** Targeted delete as a VERSION COMMIT: survivors of the manifest-
@@ -165,18 +162,26 @@ object Snapshots {
                   cols: Seq[String],
                   box: Seq[(String, Double, Double)]): Layout.DeleteResult = {
     val manifest =
-      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
+      Dv.ensureDv(manifestAt(spark, manifestRoot,
+          latestVersion(spark, manifestRoot)))
         .localCheckpoint()
     val total = manifest.count()
-    val hit = manifest.filter(Layout.intersectsExpr(box)).select(col("file"))
-      .collect().map(_.getString(0)).toSeq
+    val hit = Dv.entries(manifest.filter(Layout.intersectsExpr(box)))
     if (hit.isEmpty) return Layout.DeleteResult(0, total, 0)
-    val (moved, deleted) =
-      Layout.stageSurvivors(spark, path, hit, Layout.inBoxExpr(box))
-    val keep = manifest.filter(!col("file").isInCollection(hit))
+    // survivors come from the LIVE rows (existing deletion vectors
+    // applied — a copy-on-write rewrite of a masked file must not
+    // resurrect its masked rows); the rewrite also FOLDS the DV away: the
+    // new files carry no mask
+    val live = Dv.readLive(spark, hit)
+    val deleted = live.filter(Layout.inBoxExpr(box)).count()
+    val staging = path + ".delete_staging"
+    live.filter(!Layout.inBoxExpr(box)).write.mode("overwrite").parquet(staging)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep = manifest.filter(!col("file").isInCollection(hit.map(_.file)))
     val next =
       if (moved.isEmpty) keep
-      else keep.unionByName(Layout.buildManifestFor(spark, moved, cols))
+      else keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
+        allowMissingColumns = true)
     commit(spark, next, manifestRoot)
     Layout.DeleteResult(hit.size.toLong, total, deleted)
   }
@@ -202,7 +207,8 @@ object Snapshots {
     val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(batch, cols, staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
-    val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols))
+    val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols),
+      allowMissingColumns = true)
     (commit(spark, next, manifestRoot, tag), moved.size)
   }
 
@@ -220,13 +226,15 @@ object Snapshots {
   def compactCommit(spark: SparkSession, path: String, manifestRoot: String,
                     cols: Seq[String], nFiles: Int): (Int, Int, Int) = {
     val v = latestVersion(spark, manifestRoot)
-    val files = manifestAt(spark, manifestRoot, v)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val entries = Dv.entries(manifestAt(spark, manifestRoot, v))
     val staging = path + ".compact_staging_" + java.util.UUID.randomUUID()
-    Layout.zorderWrite(spark.read.parquet(files: _*), cols, staging, nFiles)
+    // compaction reads LIVE rows: it is also the fold point for deletion
+    // vectors — the rewritten files carry no mask, and the superseded
+    // sidecars expire with the versions that referenced them
+    Layout.zorderWrite(Dv.readLive(spark, entries), cols, staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = Layout.buildManifestFor(spark, moved, cols)
-    (commit(spark, next, manifestRoot), files.size, moved.size)
+    (commit(spark, next, manifestRoot), entries.size, moved.size)
   }
 
   final case class MergeResult(version: Int, filesRewritten: Long,
@@ -259,7 +267,8 @@ object Snapshots {
     require(cols.contains(key),
       s"merge key $key needs manifest stats — not in ${cols.mkString(",")}")
     val manifest =
-      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
+      Dv.ensureDv(manifestAt(spark, manifestRoot,
+          latestVersion(spark, manifestRoot)))
         .localCheckpoint()
     val total = manifest.count()
     val hit = source.select(col(key).cast("double").as("k")).distinct()
@@ -273,7 +282,10 @@ object Snapshots {
     val (newData, updated, matchedSrc) =
       if (hit.isEmpty) (source, 0L, 0L)
       else {
-        val hitRows = spark.read.parquet(hit: _*)
+        // live rows only: a merge rewriting a DV-masked file must not
+        // resurrect its masked rows (the rewrite folds the mask away)
+        val hitRows = Dv.readLive(spark,
+          Dv.entries(manifest.filter(col("file").isInCollection(hit))))
         val hitKeys = hitRows.select(col(key)).distinct().localCheckpoint()
         val survivors = hitRows.join(srcKeys, Seq(key), "left_anti")
         (survivors.unionByName(source),
@@ -287,9 +299,103 @@ object Snapshots {
     val keep =
       if (hit.isEmpty) manifest
       else manifest.filter(!col("file").isInCollection(hit))
-    val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols))
+    val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
+      allowMissingColumns = true)
     MergeResult(commit(spark, next, manifestRoot), hit.size.toLong, total,
       updated, inserted)
+  }
+
+  /** Thrown when an optimistic transaction's read set was invalidated by a
+    * commit that landed between its snapshot and its commit attempt — the
+    * caller must re-plan against the current snapshot and retry. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** What an optimistic transaction did, expressed in manifest terms:
+    * computed against snapshot `readVersion`, it wants to REMOVE the
+    * manifest rows for `removes` (files it rewrote or re-pointed) and add
+    * `adds` (manifest rows for files it wrote; empty for pure removals).
+    * `readSet` is every file whose CONTENT the outcome depends on — for a
+    * delete/merge that is the touched files it read; for a blind append,
+    * nothing. */
+  final case class Txn(readVersion: Int, removes: Set[String],
+                       adds: Option[DataFrame], readSet: Set[String])
+
+  final case class TxnResult(version: Int, rebasedOver: Int)
+
+  /** OPTIMISTIC COMMIT with conflict detection — the layer ABOVE the CAS
+    * slot arbitration (which only guarantees two committers never clobber
+    * the same `v=N`; a loser could still land a manifest computed against
+    * a stale parent, silently undoing the winner). Protocol, per attempt:
+    *
+    *  1. read the CURRENT latest version L. If L > readVersion, diff every
+    *     intermediate commit: the (file, dv) pairs it removed. If any
+    *     removed pair names a file in this txn's `readSet` or `removes`,
+    *     the snapshot this txn planned against is gone — throw
+    *     [[CommitConflictException]] (the caller re-plans; blind retry
+    *     would resurrect the winner's deletes or double-apply its merge).
+    *  2. otherwise REBASE: next = manifestAt(L) − removes + adds. The
+    *     intermediate commits touched only files this txn never read, so
+    *     the rebased manifest composes both outcomes (Delta/Iceberg's
+    *     disjoint-files rule).
+    *  3. CAS-commit at the next slot. Losing the slot is not a conflict —
+    *     loop back to 1 and re-diff against the new winner.
+    *
+    * Scale: conflict checking is manifest-pair set algebra — file-count-
+    * bounded driver work per intermediate commit, no data reads. */
+  def commitTxn(spark: SparkSession, manifestRoot: String,
+                txn: Txn): TxnResult = {
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val latest = latestVersion(spark, manifestRoot)
+      if (latest > txn.readVersion) {
+        val mine = txn.readSet ++ txn.removes
+        var prev = Dv.entries(manifestAt(spark, manifestRoot,
+          txn.readVersion)).toSet
+        for (v <- (txn.readVersion + 1) to latest) {
+          val cur = Dv.entries(manifestAt(spark, manifestRoot, v)).toSet
+          val removedPairs = prev -- cur
+          val clash = removedPairs.map(_.file).intersect(mine)
+          if (clash.nonEmpty)
+            throw new CommitConflictException(
+              s"commit v$v invalidated ${clash.size} file(s) this txn read " +
+                s"(snapshot v${txn.readVersion}): ${clash.take(3).mkString(", ")} …")
+          prev = cur
+        }
+      }
+      val base = Dv.ensureDv(manifestAt(spark, manifestRoot, latest))
+        .localCheckpoint()
+      val keep =
+        if (txn.removes.isEmpty) base
+        else base.filter(!col("file").isInCollection(txn.removes.toSeq))
+      val next = txn.adds match {
+        case Some(a) => keep.unionByName(Dv.ensureDv(a),
+          allowMissingColumns = true)
+        case None => keep
+      }
+      // CAS at exactly latest+1: if another writer takes the slot first we
+      // must NOT slide to the next free one (that would skip re-diffing
+      // its commit) — re-enter the loop and re-check instead.
+      val fs = hfs(spark, manifestRoot)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
+      next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dest = new org.apache.hadoop.fs.Path(s"$manifestRoot/v=${latest + 1}")
+      val won =
+        if (fs.exists(dest)) false
+        else if (fs.rename(tmp, dest)) {
+          val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+          if (fs.exists(nested)) { // local-FS rename-into semantics: lost
+            require(fs.rename(nested, tmp), s"un-nest failed: $nested")
+            false
+          } else true
+        } else false
+      if (won) return TxnResult(latest + 1, latest - txn.readVersion)
+      fs.delete(tmp, true)
+    }
+    throw new IllegalStateException(
+      s"optimistic commit gave up after $attempts attempts under $manifestRoot")
   }
 
   /** A row-level change feed between two versions plus its pruning
@@ -315,23 +421,28 @@ object Snapshots {
     * diff annihilates, and CDC consumers correctly see nothing. */
   def changesBetween(spark: SparkSession, manifestRoot: String,
                      vFrom: Int, vTo: Int): ChangeScan = {
-    def files(v: Int): Set[String] =
-      manifestAt(spark, manifestRoot, v).select(col("file"))
-        .collect().map(_.getString(0)).toSet
-    val from = files(vFrom)
-    val to = files(vTo)
+    // the snapshot identity of a file is the (file, dv) PAIR: a MoR delete
+    // leaves the data file in place but moves its dv pointer, and that
+    // pair change is exactly what makes the file contribute its newly
+    // masked rows to the feed (old live rows minus new live rows). A pair
+    // present in both versions is immutable on both axes and contributes
+    // nothing, exactly as before.
+    def pairs(v: Int): Set[Dv.Entry] =
+      Dv.entries(manifestAt(spark, manifestRoot, v)).toSet
+    val from = pairs(vFrom)
+    val to = pairs(vTo)
     val removed = (from -- to).toSeq
     val added = (to -- from).toSeq
-    val total = (from ++ to).size.toLong
-    val read = (removed.size + added.size).toLong
-    // mergeSchema so a feed whose side spans a schema evolution serves the
-    // superset schema; a diff whose removed AND added sides have drifted
-    // apart (delete/compact across an evolution) would need explicit
-    // column alignment before exceptAll — evolution here arrives by
-    // append, whose feed has no removed side to clash with
-    def rows(fs: Seq[String]): Option[DataFrame] =
-      if (fs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(fs: _*))
+    val total = (from ++ to).map(_.file).size.toLong
+    val read = (removed.map(_.file) ++ added.map(_.file)).distinct.size.toLong
+    // mergeSchema (inside readLive) so a feed whose side spans a schema
+    // evolution serves the superset schema; a diff whose removed AND added
+    // sides have drifted apart (delete/compact across an evolution) would
+    // need explicit column alignment before exceptAll — evolution here
+    // arrives by append, whose feed has no removed side to clash with
+    def rows(es: Seq[Dv.Entry]): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(Dv.readLive(spark, es))
     val df = (rows(removed), rows(added)) match {
       case (None, None) =>
         // no file-level change at all: an empty feed with the table schema
@@ -360,10 +471,8 @@ object Snapshots {
     val vs = versions(spark, manifestRoot)
     require(vs.nonEmpty, s"no committed versions under $manifestRoot")
     val (drop, keep) = vs.splitAt((vs.size - retainLast).max(0))
-    val referenced = keep.flatMap { v =>
-      manifestAt(spark, manifestRoot, v).select(col("file"))
-        .collect().map(r => Layout.fileName(r.getString(0)))
-    }.toSet
+    val retained = keep.map(v => Dv.entries(manifestAt(spark, manifestRoot, v)))
+    val referenced = retained.flatten.map(e => Layout.fileName(e.file)).toSet
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = hfs(spark, path)
     val dead = fs.listStatus(dir).toSeq.filter { st =>
@@ -372,9 +481,23 @@ object Snapshots {
         !referenced.contains(st.getPath.getName)
     }
     dead.foreach(st => fs.delete(st.getPath, false))
+    // deletion-vector sidecars are versioned metadata like the data files:
+    // a sidecar dir under _dv/ that no RETAINED manifest's dv column
+    // references belongs only to expired masks — reclaim it the same way
+    val dvDir = new org.apache.hadoop.fs.Path(path, "_dv")
+    val deadDv =
+      if (!fs.exists(dvDir)) Seq.empty
+      else {
+        val liveDv = retained.flatten
+          .flatMap(_.dv).map(Layout.fileName).toSet
+        fs.listStatus(dvDir).toSeq.filter { st =>
+          st.isDirectory && !liveDv.contains(st.getPath.getName)
+        }
+      }
+    deadDv.foreach(st => fs.delete(st.getPath, true))
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"), true)
     }
-    VacuumResult(dead.size.toLong, drop.size.toLong)
+    VacuumResult(dead.size.toLong + deadDv.size.toLong, drop.size.toLong)
   }
 }
