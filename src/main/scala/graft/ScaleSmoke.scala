@@ -182,7 +182,94 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("skew")) skewMain(args.drop(1))
     else if (args.headOption.contains("lake")) lakeMain(args.drop(1))
+    else if (args.headOption.contains("dv")) dvMain(args.drop(1))
     else growthMain(args)
+
+  /** Copy-on-write vs merge-on-read delete at 1× and `copies`× table
+    * size. The bands/keys are FRACTIONS of the key domain, so each scale
+    * deletes a comparable slice of ITS table; the claims under test:
+    * a MoR delete never writes data files (cost = touch-set scan + an
+    * O(deleted-rows) sidecar) while CoW pays a rewrite of every touched
+    * file; a scattered-KEY MoR delete stays cheap however many files the
+    * keys cross; and the masked read's anti-join overhead is confined to
+    * the DV'd files. */
+  private def dvMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.sinks.{Dv, Layout, Snapshots}
+    val zcols = Seq("o_custkey", "o_totalprice")
+    val statsCols = zcols :+ "o_orderkey"
+    def orders(dir: String) = graft.model.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def measure(label: String, df: DataFrame, nFiles: Int): Unit = {
+      val root = java.nio.file.Files.createTempDirectory("dvgrowth").toString
+      Layout.zorderWrite(df, zcols, s"$root/z", nFiles)
+      Snapshots.commit(spark,
+        Layout.buildManifest(spark, s"$root/z", statsCols), s"$root/m")
+      // row-fraction bands via quantiles (NOT domain fractions: the scaled
+      // builds offset custkey per copy, so the value domain is mostly
+      // void and a narrow domain slice can miss every row)
+      def band(a: Double, b: Double) = {
+        val Array(lo, hi) = df.stat
+          .approxQuantile("o_custkey", Array(a, b), 0.0005)
+        Seq(("o_custkey", lo, hi))
+      }
+      def scan(): Unit =
+        Snapshots.tableAt(spark, s"$root/m",
+            Snapshots.latestVersion(spark, s"$root/m"))
+          .agg(count(lit(1)), sum("o_totalprice"))
+          .write.format("noop").mode("overwrite").save()
+      val tScanPlain = median((1 to reps).map(_ => timed(scan())))
+      // per-rep disjoint NARROW bands (0.5% of the domain): at a fixed
+      // file-size policy the touched FILES carry far more rows than the
+      // band — the regime where CoW pays the file bytes and MoR only the
+      // band rows. CoW deletes low in the domain, MoR high.
+      var cowFiles = 0L; var morFiles = 0L; var keyFiles = 0L
+      val tCow = median((1 to reps).map { r =>
+        timed {
+          val res = Snapshots.deleteWhere(spark, s"$root/z", s"$root/m",
+            statsCols, band(0.02 * r, 0.02 * r + 0.005))
+          cowFiles = math.max(cowFiles, res.filesRewritten)
+        }
+      })
+      val tMor = median((1 to reps).map { r =>
+        timed {
+          val res = Dv.deleteWhereMoR(spark, s"$root/z", s"$root/m",
+            band(0.5 + 0.02 * r, 0.5 + 0.02 * r + 0.005))
+          morFiles = math.max(morFiles, res.filesMasked)
+        }
+      })
+      // constant ~2000-key scatter drawn from the WHOLE scaled table (a
+      // hash remainder class, new each rep) — the keys cross every file,
+      // the case where CoW would rewrite the table for a few thousand rows
+      val n = df.count()
+      val p = math.max(1L, n / 2000L)
+      val tKeys = median((1 to reps).map { r =>
+        timed {
+          val keys = df.filter(pmod(xxhash64(col("o_orderkey")), lit(p)) === r)
+            .select(col("o_orderkey"))
+          val res = Dv.deleteKeysMoR(spark, s"$root/z", s"$root/m",
+            "o_orderkey", keys)
+          keyFiles = math.max(keyFiles, res.filesMasked)
+        }
+      })
+      val tScanMasked = median((1 to reps).map(_ => timed(scan())))
+      println(f"""{"query":"dv_growth","scale":"$label","scan_plain_sec":$tScanPlain%.2f,"cow_band_sec":$tCow%.2f,"mor_band_sec":$tMor%.2f,"mor_keys_sec":$tKeys%.2f,"scan_masked_sec":$tScanMasked%.2f,"cow_files_rewritten":$cowFiles,"mor_files_masked":$morFiles,"keys_files_masked":$keyFiles,"reps":$reps}""")
+    }
+    // nFiles CONSTANT across scales: real tables hold file SIZE policy
+    // (128 MB–1 GB) and let count grow with data; holding count instead
+    // makes each 100× file carry 100× rows — the honest per-file-bytes
+    // regime for a narrow delete (count-growing files would shrink the
+    // touch set's bytes back to the 1× case and hide CoW's cost).
+    measure("1x", orders(src), nFiles = 32)
+    measure(s"${copies}x", orders(target), nFiles = 32)
+    spark.stop()
+  }
 
   /** Table-format growth: the versioned-lake operations against a 1× and a
     * `copies`× orders layout, with a CONSTANT batch — so any wall growth is

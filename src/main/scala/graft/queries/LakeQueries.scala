@@ -655,6 +655,50 @@ object LakeQueries {
         .withColumn("replan_ok", lit(replanOk))
     }),
 
+    // FILE-LEVEL BLOOM SKIPPING (q121): point lookups on a column the
+    // layout is NOT clustered on — the axis where min/max stats die
+    // (every file's orderkey interval spans ~the whole domain once the
+    // table is z-ordered on custkey/totalprice, so the stats planner
+    // reads everything for one key). The manifest carries one extra
+    // column per file: the sorted distinct set of k xxhash64 positions of
+    // the file's orderkeys (`sinks/BloomSkip.scala`); membership is
+    // driver-side planner work like every stats decision. The probes are
+    // the 8 smallest orderkeys ABOVE the domain midpoint — INTERIOR
+    // values every file's interval contains (extreme keys would let
+    // min/max prune too, which is not the regime blooms exist for), and
+    // SQL-expressible at any SF. The bloom plan must read STRICTLY fewer
+    // files than the interval-stats control while the residual IN-filter
+    // keeps the result exact — the oracle recomputes the same 8 keys by
+    // subquery, so a dropped or phantom row hash-mismatches.
+    "q121_bloom_skip" -> ((s, dir) => {
+      import graft.sinks.BloomSkip
+      val root = tmp("q121")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
+        s"$root/z", nFiles = 32)
+      val files = s.read.parquet(s"$root/z")
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val manifest = BloomSkip.manifestWithBloom(s, files,
+        Seq("o_custkey", "o_totalprice", "o_orderkey"), "o_orderkey")
+        .localCheckpoint()
+      val Seq(kLo, kHi) = orders.agg(min("o_orderkey"), max("o_orderkey"))
+        .collect().head.toSeq.map(_.toString.toLong)
+      val mid = (kLo + kHi) / 2
+      val keys = orders.filter(col("o_orderkey") >= mid)
+        .orderBy(col("o_orderkey")).limit(8)
+        .select(col("o_orderkey")).localCheckpoint()
+      val pr = BloomSkip.pointRead(s, manifest, "o_orderkey", keys)
+      val statsN = BloomSkip.statsCandidates(manifest, "o_orderkey", keys)
+      val prunedOk = pr.filesRead < statsN && pr.filesRead < pr.filesTotal
+      require(prunedOk,
+        s"q121 bloom read ${pr.filesRead} files vs stats $statsN " +
+          s"of ${pr.filesTotal} — skipping bought nothing")
+      pr.df.withColumn("bloom_pruned_ok", lit(prunedOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -944,6 +988,19 @@ object LakeQueries {
         |  CASE WHEN o_orderkey % 4 = 0 THEN o_custkey * 1.5 END AS o_score,
         |  TRUE AS old_schema_ok, TRUE AS new_schema_ok, TRUE AS feed_ok
         |FROM orders""".stripMargin,
+    // q121: the 8 smallest orderkeys above the domain midpoint (interior
+    // values — the regime where interval stats cannot prune) fetched
+    // through the bloom-planned point read; the boolean asserts the bloom
+    // beat the interval-stats control.
+    "q121_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS bloom_pruned_ok
+        |FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT o_orderkey FROM orders
+        |   WHERE o_orderkey >= (SELECT (min(o_orderkey) + max(o_orderkey)) // 2
+        |                        FROM orders)
+        |   ORDER BY o_orderkey LIMIT 8)""".stripMargin,
     // q120: orders minus the three writers' bands, bounds recomputed by
     // the oracle from the same min/max-fraction arithmetic (identical
     // IEEE double ops in both engines); booleans assert the rebase, the

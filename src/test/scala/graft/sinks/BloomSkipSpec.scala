@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BloomSkipSpec extends SparkSpec {
+
+  // id is UNCLUSTERED in the layout (z-ordered on x): interval stats on id
+  // are useless, which is the regime blooms exist for
+  private def data = spark.range(20000)
+    .select(col("id"), pmod(xxhash64(col("id")), lit(1000)).as("x"))
+
+  private def build(): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = tmpDir("bloom")
+    Layout.zorderWrite(data, Seq("x"), s"$dir/z", nFiles = 16)
+    val files = spark.read.parquet(s"$dir/z")
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val m = BloomSkip.manifestWithBloom(spark, files, Seq("x", "id"), "id")
+      .localCheckpoint()
+    (dir, m)
+  }
+
+  test("point lookup reads a fraction of the files stats would; result exact") {
+    val (_, m) = build()
+    val keys = spark.range(5).select((col("id") * 4021 + 13).as("id"))
+    val pr = BloomSkip.pointRead(spark, m, "id", keys)
+    val statsN = BloomSkip.statsCandidates(m, "id", keys)
+    assert(pr.filesTotal >= 14) // ~16 requested; range split may merge one
+    assert(statsN >= pr.filesTotal - 2) // control: stats prune ~nothing
+    assert(pr.filesRead <= 8) // ≤ 5 true files + bloom false positives
+    assert(pr.filesRead < statsN)
+    val expected = data.join(keys, Seq("id"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(expected.size == 5)
+    assert(pr.df.select("id").collect().map(_.getLong(0)).toSet == expected)
+  }
+
+  test("absent keys read at most false-positive files and return nothing") {
+    val (_, m) = build()
+    val keys = spark.range(5).select((col("id") + 1000000).as("id"))
+    val pr = BloomSkip.pointRead(spark, m, "id", keys)
+    assert(pr.df.isEmpty)
+    assert(pr.filesRead <= 2) // fp-rate-bounded, typically 0
+  }
+
+  test("bloom point lookup composes with deletion vectors") {
+    val (dir, _) = build()
+    Snapshots.commit(spark,
+      BloomSkip.manifestWithBloom(spark,
+        spark.read.parquet(s"$dir/z").select(col("_metadata.file_path"))
+          .distinct().collect().map(_.getString(0)).toSeq,
+        Seq("x", "id"), "id"),
+      s"$dir/m")
+    val victim = spark.range(1).select((col("id") + 4034).as("id")) // 4034=4021+13
+    Dv.deleteKeysMoR(spark, s"$dir/z", s"$dir/m", "id", victim)
+    val m2 = Snapshots.manifestAt(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m"))
+    val keys = spark.range(5).select((col("id") * 4021 + 13).as("id"))
+    val pr = BloomSkip.pointRead(spark, m2, "id", keys)
+    val got = pr.df.select("id").collect().map(_.getLong(0)).toSet
+    assert(!got.contains(4034L)) // the masked row cannot resurface
+    assert(got.size == 4)
+  }
+}
