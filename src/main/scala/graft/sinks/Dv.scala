@@ -205,9 +205,16 @@ object Dv {
     * [[deleteWhereMoR]]; the matcher is a semi-join against the
     * (broadcast-sized) key set instead of a box predicate — O(deleted
     * rows) written regardless of how many files the keys scatter across,
-    * which is precisely where copy-on-write loses. */
+    * which is precisely where copy-on-write loses.
+    *
+    * `deltaCommit = true` commits LOG-STRUCTURED ([[Snapshots.commitDelta]]):
+    * only the re-pointed manifest rows are written, as upserts — the commit
+    * is O(touched files) instead of O(table files), the natural pairing for
+    * this delete shape (tiny row count, frequent cadence). Verdicts are
+    * identical either way; readers fold transparently. */
   def deleteKeysMoR(spark: SparkSession, path: String, manifestRoot: String,
-                    key: String, keys: DataFrame): MoRDeleteResult = {
+                    key: String, keys: DataFrame,
+                    deltaCommit: Boolean = false): MoRDeleteResult = {
     val v = Snapshots.latestVersion(spark, manifestRoot)
     val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
       .localCheckpoint()
@@ -236,11 +243,18 @@ object Dv {
       }
     val mask = (prior :+ fresh).reduce(_.unionByName(_))
     val sidecar = writeSidecar(spark, path, mask)
-    val next = manifest
-      .withColumn("dv",
-        when(col("file").isInCollection(hitFiles), lit(sidecar))
-          .otherwise(col("dv")))
-    MoRDeleteResult(Snapshots.commit(spark, next, manifestRoot),
-      hitFiles.size.toLong, total, rowsDeleted, 0)
+    val committed =
+      if (deltaCommit)
+        Snapshots.commitDelta(spark, manifestRoot,
+          Some(manifest.filter(col("file").isInCollection(hitFiles))
+            .withColumn("dv", lit(sidecar))))
+      else {
+        val next = manifest
+          .withColumn("dv",
+            when(col("file").isInCollection(hitFiles), lit(sidecar))
+              .otherwise(col("dv")))
+        Snapshots.commit(spark, next, manifestRoot)
+      }
+    MoRDeleteResult(committed, hitFiles.size.toLong, total, rowsDeleted, 0)
   }
 }

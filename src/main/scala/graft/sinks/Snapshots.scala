@@ -44,6 +44,9 @@ object Snapshots {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val VersionDir = "v=(\\d+)".r
+  private val CkptDir = "ckpt=(\\d+)".r
+  private val DeltaMarker = "_delta"
+  private val ActionCol = "action"
 
   /** Committed version numbers, ascending (empty for a fresh root). */
   def versions(spark: SparkSession, manifestRoot: String): Seq[Int] = {
@@ -74,17 +77,29 @@ object Snapshots {
     * next version number. Bounded retries so a broken store surfaces as an
     * error, not a spin. */
   def commit(spark: SparkSession, manifest: DataFrame,
-             manifestRoot: String, tag: Option[String] = None): Int = {
+             manifestRoot: String, tag: Option[String] = None): Int =
+    commitStaged(spark, manifest, manifestRoot, tag, delta = false)
+
+  /** Shared staging + CAS-rename loop behind [[commit]] (full manifests)
+    * and [[commitDelta]] (log-structured commits). A delta version carries
+    * an underscore-prefixed `_delta` marker file inside the staged dir, so
+    * the marker becomes visible in the same atomic rename as the content —
+    * a version is never observable in a half-classified state. */
+  private def commitStaged(spark: SparkSession, content: DataFrame,
+                           manifestRoot: String, tag: Option[String],
+                           delta: Boolean): Int = {
     val fs = hfs(spark, manifestRoot)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
-    manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    content.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // the txn tag travels INSIDE the staged dir: tag and manifest become
     // visible in the same atomic rename — no window where the version
     // exists untagged (underscore-prefixed, so parquet readers skip it)
     tag.foreach { t =>
       fs.create(new org.apache.hadoop.fs.Path(tmp, s"_txn_$t"), true).close()
     }
+    if (delta)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, DeltaMarker), true).close()
     var next = versions(spark, manifestRoot).lastOption.getOrElse(0) + 1
     var attempts = 0
     while (attempts < 100) {
@@ -121,9 +136,134 @@ object Snapshots {
     }
   }
 
+  /** True when `v=N` is a log-structured delta commit (adds/removes) rather
+    * than a full manifest — classified by the `_delta` marker that rode the
+    * commit's atomic rename. */
+  def isDelta(spark: SparkSession, manifestRoot: String, version: Int): Boolean =
+    hfs(spark, manifestRoot).exists(new org.apache.hadoop.fs.Path(
+      s"$manifestRoot/v=$version/$DeltaMarker"))
+
+  /** LOG-STRUCTURED COMMIT — the Delta-log model: instead of writing the
+    * whole manifest every commit (O(table files) write volume, which a
+    * frequent writer on a wide table cannot afford), commit only the CHANGE:
+    * `adds` as manifest rows (an add for a file already in the table is an
+    * UPSERT — how a MoR delete re-points a `dv` without touching the rest)
+    * and `removes` as bare file names. Readers reconstruct any version by
+    * folding deltas over the nearest full manifest or [[writeCheckpoint]]
+    * at or below it — transparently, inside [[manifestAt]], so time travel,
+    * CDC, pruning, and vacuum all work unchanged over delta commits.
+    *
+    * Scale shape: commit cost is O(commit delta) in both write volume and
+    * planner work — the previous manifest is never read. Read-side fold
+    * cost is bounded by checkpoint cadence (every K commits a checkpoint
+    * re-bases the log), the same amortization Delta's `_last_checkpoint`
+    * buys. A fresh root must start with a FULL commit (or carry a
+    * checkpoint): a delta chain with no base is unreadable by construction
+    * and [[manifestAt]] rejects it. */
+  def commitDelta(spark: SparkSession, manifestRoot: String,
+                  adds: Option[DataFrame], removes: Seq[String] = Seq.empty,
+                  tag: Option[String] = None): Int = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty delta commit")
+    import spark.implicits._
+    val addRows = adds.map(a =>
+      Dv.ensureDv(a).withColumn(ActionCol, lit("add")))
+    val removeRows =
+      if (removes.isEmpty) None
+      else Some(removes.toDF("file").withColumn(ActionCol, lit("remove")))
+    val delta = (addRows.toSeq ++ removeRows.toSeq)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    commitStaged(spark, delta, manifestRoot, tag, delta = true)
+  }
+
+  /** Checkpoint versions present under the root, ascending. A checkpoint
+    * `ckpt=N` is the MATERIALIZED full manifest of version N — a derived
+    * cache object, not a commit: writing one never creates a version, and
+    * any reader folding to a version ≥ N may start from it instead of
+    * walking the delta chain below. */
+  def checkpoints(spark: SparkSession, manifestRoot: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(manifestRoot)
+    val fs = hfs(spark, manifestRoot)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case CkptDir(n) => Some(n.toInt)
+          case _ => None
+        }
+    }.flatten.sorted
+  }
+
+  /** Materialize the full manifest of `version` as `ckpt=version`.
+    * Idempotent and race-safe without coordination: the content is a pure
+    * function of the (immutable) log prefix, so two writers racing to the
+    * same checkpoint stage identical bytes and the rename loser simply
+    * discards its copy. */
+  def writeCheckpoint(spark: SparkSession, manifestRoot: String,
+                      version: Int): Unit = {
+    val fs = hfs(spark, manifestRoot)
+    val dest = new org.apache.hadoop.fs.Path(s"$manifestRoot/ckpt=$version")
+    if (fs.exists(dest)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
+    manifestAt(spark, manifestRoot, version)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost a benign race
+    else {
+      val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true) // local-FS rename-into
+    }
+  }
+
+  /** How [[manifestAt]] would reconstruct `version`: the base it folds from
+    * (a full version or a checkpoint) and how many delta commits sit on
+    * top. The gate-visible evidence that checkpoints actually re-base the
+    * log (`deltasFolded` drops back to the post-checkpoint tail). */
+  final case class FoldInfo(base: Int, baseIsCheckpoint: Boolean,
+                            deltasFolded: Int)
+
+  def foldInfo(spark: SparkSession, manifestRoot: String,
+               version: Int): FoldInfo = {
+    val vs = versions(spark, manifestRoot).filter(_ <= version)
+    require(vs.contains(version), s"version $version not committed")
+    val fulls = vs.filterNot(isDelta(spark, manifestRoot, _))
+    val ckpts = checkpoints(spark, manifestRoot).filter(_ <= version)
+    require(fulls.nonEmpty || ckpts.nonEmpty,
+      s"version $version is an unreadable delta chain: no full manifest or " +
+        s"checkpoint at or below it under $manifestRoot — a fresh root must " +
+        "start with a full commit")
+    val base = (fulls ++ ckpts).max
+    FoldInfo(base, baseIsCheckpoint = !fulls.contains(base),
+      vs.count(v => v > base))
+  }
+
+  /** The manifest of `version`. A full commit reads directly; a delta
+    * commit folds: nearest base (full version or checkpoint) ≤ N, then
+    * last-action-wins per file across the delta tail — an `add` upserts
+    * the file's row, a `remove` drops it. Sound because data files are
+    * immutable and never re-added under the same name after a remove. All
+    * inputs are file-count-bounded manifests; the fold is one window over
+    * their union. */
   def manifestAt(spark: SparkSession, manifestRoot: String,
-                 version: Int): DataFrame =
-    spark.read.parquet(s"$manifestRoot/v=$version")
+                 version: Int): DataFrame = {
+    if (!isDelta(spark, manifestRoot, version))
+      return spark.read.parquet(s"$manifestRoot/v=$version")
+    val info = foldInfo(spark, manifestRoot, version)
+    val baseDf = (if (info.baseIsCheckpoint)
+        spark.read.parquet(s"$manifestRoot/ckpt=${info.base}")
+      else spark.read.parquet(s"$manifestRoot/v=${info.base}"))
+      .withColumn(ActionCol, lit("add")).withColumn("_v", lit(info.base))
+    val deltas = versions(spark, manifestRoot)
+      .filter(v => v > info.base && v <= version)
+      .map(v => spark.read.parquet(s"$manifestRoot/v=$v")
+        .withColumn("_v", lit(v)))
+    val all = (baseDf +: deltas)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy(col("_v").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(ActionCol) === "add")
+      .drop(ActionCol, "_v", "_rn")
+  }
 
   /** The complete table as of `version`: exactly the files that version's
     * manifest references (the snapshot read — later deletes/appends are
@@ -210,6 +350,34 @@ object Snapshots {
     val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols),
       allowMissingColumns = true)
     (commit(spark, next, manifestRoot, tag), moved.size)
+  }
+
+  /** [[appendCommit]] in LOG-STRUCTURED form: the batch is staged and moved
+    * in identically, but the commit is a [[commitDelta]] of ONLY the new
+    * files' stats — the previous manifest is never read, so both planner
+    * work and commit write volume are O(batch), independent of how many
+    * files the table has accumulated. This is the shape a frequent
+    * (streaming) writer needs: [[appendCommit]] re-writes an O(table-files)
+    * manifest every trigger and re-reads it first.
+    *
+    * `checkpointEvery > 0` amortizes the read side: once the delta tail
+    * since the last base (full version or checkpoint) reaches that many
+    * commits, the just-committed version is checkpointed — an O(table)
+    * materialization every K commits instead of per commit, after which
+    * readers fold from the new checkpoint. */
+  def appendCommitDelta(spark: SparkSession, batch: DataFrame,
+                        cols: Seq[String], path: String, manifestRoot: String,
+                        nFiles: Int, tag: Option[String] = None,
+                        checkpointEvery: Int = 0): (Int, Int) = {
+    val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(batch, cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val v = commitDelta(spark, manifestRoot,
+      Some(Layout.buildManifestFor(spark, moved, cols)), tag = tag)
+    if (checkpointEvery > 0 &&
+        foldInfo(spark, manifestRoot, v).deltasFolded >= checkpointEvery)
+      writeCheckpoint(spark, manifestRoot, v)
+    (v, moved.size)
   }
 
   /** COMPACTION as a version commit: the latest snapshot's files are
@@ -354,7 +522,20 @@ object Snapshots {
         var prev = Dv.entries(manifestAt(spark, manifestRoot,
           txn.readVersion)).toSet
         for (v <- (txn.readVersion + 1) to latest) {
-          val cur = Dv.entries(manifestAt(spark, manifestRoot, v)).toSet
+          // a delta commit IS the change — apply it to the running pair set
+          // instead of folding the whole chain again for every v
+          val cur: Set[Dv.Entry] =
+            if (!isDelta(spark, manifestRoot, v))
+              Dv.entries(manifestAt(spark, manifestRoot, v)).toSet
+            else {
+              val rows = Dv.ensureDv(
+                  spark.read.parquet(s"$manifestRoot/v=$v"))
+                .select(col("file"), col("dv"), col(ActionCol)).collect()
+              val touched = rows.map(_.getString(0)).toSet
+              prev.filterNot(e => touched.contains(e.file)) ++
+                rows.toSeq.filter(_.getString(2) == "add")
+                  .map(r => Dv.Entry(r.getString(0), Option(r.getString(1))))
+            }
           val removedPairs = prev -- cur
           val clash = removedPairs.map(_.file).intersect(mine)
           if (clash.nonEmpty)
@@ -471,6 +652,15 @@ object Snapshots {
     val vs = versions(spark, manifestRoot)
     require(vs.nonEmpty, s"no committed versions under $manifestRoot")
     val (drop, keep) = vs.splitAt((vs.size - retainLast).max(0))
+    // log-structured tails must stay self-contained: if the oldest retained
+    // version is a delta whose fold base is about to be dropped,
+    // materialize it as a checkpoint FIRST — every retained version then
+    // folds from a base ≥ the cut. (writeCheckpoint is a no-op when the
+    // base is already a retained full version or surviving checkpoint.)
+    val cut = keep.head
+    if (drop.nonEmpty && isDelta(spark, manifestRoot, cut) &&
+        foldInfo(spark, manifestRoot, cut).base < cut)
+      writeCheckpoint(spark, manifestRoot, cut)
     val retained = keep.map(v => Dv.entries(manifestAt(spark, manifestRoot, v)))
     val referenced = retained.flatten.map(e => Layout.fileName(e.file)).toSet
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -497,6 +687,13 @@ object Snapshots {
     deadDv.foreach(st => fs.delete(st.getPath, true))
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"), true)
+    }
+    // checkpoints below the cut cache expired log prefixes — reclaim them
+    // (after the version drop, so a crash mid-vacuum never leaves a delta
+    // tail whose base was deleted first)
+    val mfs = hfs(spark, manifestRoot)
+    checkpoints(spark, manifestRoot).filter(_ < cut).foreach { c =>
+      mfs.delete(new org.apache.hadoop.fs.Path(s"$manifestRoot/ckpt=$c"), true)
     }
     VacuumResult(dead.size.toLong + deadDv.size.toLong, drop.size.toLong)
   }
