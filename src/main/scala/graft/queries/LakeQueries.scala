@@ -718,6 +718,63 @@ object LakeQueries {
           col("n_regionkey").cast("int").as("n_regionkey"))
     }),
 
+    // S6: the QBO-style authed query source, end to end — token exchange,
+    // retry-once-on-401, QueryResponse entity extraction (reference
+    // `quickbooks.py:43-59,70-81`). The fixture server (customer rows as a
+    // canned QueryResponse document) accepts ONLY the second issued token:
+    // the first request 401s, the policy refreshes once and retries, and
+    // the gate requires exactly two token exchanges — a transport that
+    // skips the refresh, retries forever, or never retries cannot pass.
+    "q122_qbo_source" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+      val payload =
+        cust.toJSON.collect().sorted
+          .mkString("""{"QueryResponse":{"Customer":[""", ",", """]},"time":"2024-01-01T00:00:00Z"}""")
+      val issued = new java.util.concurrent.atomic.AtomicInteger(0)
+      val policy = new graft.sources.AuthRetryPolicy(
+        () => s"tok${issued.incrementAndGet()}")
+      val raw: (String, Map[String, String]) => Seq[String] = { (tok, _) =>
+        if (tok != "tok2")
+          throw new graft.sources.UnauthorizedException(s"401 for $tok")
+        Seq(payload)
+      }
+      val fetched = new graft.sources.AuthedFetch(policy, raw)(
+        Map("query" -> "select * from Customer"))
+      val authOk = issued.get() == 2
+      require(authOk, s"q122 expected refresh+retry (2 exchanges), got ${issued.get()}")
+      import s.implicits._
+      val doc = s.read.json(s.createDataset(fetched))
+      Json.extractQueryResponse(doc, "Customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("int").as("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .withColumn("auth_retry_ok", lit(authOk))
+    }),
+
+    // DecimalType money extension (SURVEY §1.2): the reference computes
+    // money in doubles (`run_transform.py:68`); the engine also supports
+    // exact DECIMAL arithmetic — TPC-H Q1-style revenue in DECIMAL(18,4),
+    // multiplied at scale 8, summed exactly, and surfaced as the decimal's
+    // canonical string so the oracle compare is exact-to-the-last-digit
+    // (no float ulp tolerance needed: that's the point of decimal money).
+    "q123_decimal_money" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,4)").as("ep"),
+          col("l_discount").cast("decimal(18,4)").as("dc"))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("ep") * (lit(1).cast("decimal(18,4)") - col("dc")))
+            .as("rev"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"),
+          col("rev").cast("decimal(38,8)").cast("string").as("revenue"),
+          col("n_items"))
+    }),
+
     // K3 + S2/S7: single-JSON-document sink → multi-line document scan
     // round-trip (the QuickBooks-style bronze landing shape). One task
     // streams the array out; readItems probes the bare-array shape back in.
@@ -1028,6 +1085,21 @@ object LakeQueries {
         |  AND o_orderkey % 400 <> 0""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // q122: the canned QueryResponse carries every 10th customer; the gate
+    // boolean asserts the token refresh + retry actually happened.
+    "q122_qbo_source" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  round(c_acctbal, 2) AS c_acctbal, TRUE AS auth_retry_ok
+        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
+    // q123: exact decimal revenue — both engines multiply at scale 8 and
+    // sum exactly; the canonical string compare is digit-exact.
+    "q123_decimal_money" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS DECIMAL(38,8)) AS VARCHAR) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q73_json_doc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q74_incremental_scan" ->

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * (`pmod(xxhash64(value, seed_i), bits)`) present in the file.
   *
   * Membership is the classic test — a key may be in the file iff ALL k of
-  * its positions are set — evaluated DRIVER-SIDE against the collected
-  * manifest, like every other planning decision here: file-count-bounded
-  * work, no data scan. Probe positions are computed by a one-row-per-key
-  * Spark job with the SAME hash expressions that built the blooms, so
-  * builder and prober can never drift.
+  * its positions are set — evaluated DISTRIBUTED: the (tiny) probe-position
+  * set is broadcast against the manifest and the `forall`/`array_contains`
+  * membership test runs executor-side, so the per-file bloom arrays (the
+  * heavy column) NEVER travel to the driver; only the surviving files'
+  * `(file, dv)` rows are collected, file-count-bounded like every other
+  * planning decision here. Probe positions are computed by a
+  * one-row-per-key Spark job with the SAME hash expressions that built the
+  * blooms, so builder and prober can never drift.
   *
   * Scale shape: the bloom column is bounded by `min(distinct·k, bits)`
   * ints per file (bits=2^18 default ⇒ ≤1 MB/file worst case, typically
@@ -68,19 +71,10 @@ object BloomSkip {
                 keys: DataFrame, bits: Int = DefaultBits,
                 k: Int = DefaultK): Layout.PrunedScan = {
     val total = manifest.count()
-    // probe positions via the same expressions that built the blooms
-    val probes: Array[Seq[Int]] = keys
-      .select(array(posExprs(bloomCol, bits, k): _*).as("ps"))
-      .distinct().collect().map(_.getSeq[Int](0))
     val keyVals = keys.select(col(bloomCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    val candidates = Dv.ensureDv(manifest)
-      .select(col("file"), col("dv"), col(s"bloom_$bloomCol"))
+    val candidates = survivingEntries(manifest, bloomCol, keys, bits, k)
       .collect().toSeq
-      .filter { r =>
-        val bloom = r.getSeq[Int](2).toSet
-        probes.exists(_.forall(bloom.contains))
-      }
       .map(r => Dv.Entry(r.getString(0), Option(r.getString(1))))
     val df =
       if (candidates.isEmpty || keyVals.isEmpty)
@@ -88,6 +82,29 @@ object BloomSkip {
       else Dv.readLive(spark, candidates)
         .filter(col(bloomCol).isInCollection(keyVals))
     Layout.PrunedScan(df, candidates.size.toLong, total)
+  }
+
+  /** The distributed candidate plan behind [[pointRead]]: broadcast the
+    * (key-count-bounded) probe-position arrays against the manifest,
+    * evaluate `∃ probe. ∀ position ∈ probe. position ∈ bloom` executor-side
+    * with `forall`/`array_contains`, and return ONLY the surviving files'
+    * `(file, dv)` rows. The bloom arrays — ~k·distinct ints per file, the
+    * column that made a whole-manifest collect a driver-memory scale-killer
+    * — are consumed inside the join and pruned before anything reaches the
+    * driver. A left-semi join (not inner+distinct) so a file matching
+    * several probe keys still yields one row. */
+  private[sinks] def survivingEntries(manifest: DataFrame, bloomCol: String,
+                                      keys: DataFrame, bits: Int = DefaultBits,
+                                      k: Int = DefaultK): DataFrame = {
+    val probes = keys
+      .select(array(posExprs(bloomCol, bits, k): _*).as("_probe_ps"))
+      .distinct()
+    val m = Dv.ensureDv(manifest)
+      .select(col("file"), col("dv"), col(s"bloom_$bloomCol").as("_bloom"))
+    m.join(broadcast(probes),
+        forall(col("_probe_ps"), p => array_contains(col("_bloom"), p)),
+        "left_semi")
+      .select(col("file"), col("dv"))
   }
 
   /** The interval-stats control for the same lookup: how many files the

@@ -219,15 +219,26 @@ object Dv {
     val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
       .localCheckpoint()
     val total = manifest.count()
-    val k = keys.select(col(key).cast("double").as("k")).distinct()
-      .localCheckpoint()
-    val hitFiles = k
-      .join(broadcast(manifest.select(col("file"),
-          col(s"min_$key").cast("double").as("lo"),
-          col(s"max_$key").cast("double").as("hi"))),
-        col("k") >= col("lo") && col("k") <= col("hi"))
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // Stats-prune the touch set ONLY when the manifest actually carries
+    // [min,max] stats for the delete key — a manifest built with stats for
+    // other columns (or none) degrades to the full file set. Correctness
+    // never depended on the prune: the semi-join below masks exactly the
+    // matching rows either way; stats only bound how many files get read.
+    val hasKeyStats = manifest.columns.contains(s"min_$key") &&
+      manifest.columns.contains(s"max_$key")
+    val hitFiles =
+      if (!hasKeyStats)
+        manifest.select(col("file")).collect().map(_.getString(0)).toSeq
+      else {
+        val k = keys.select(col(key).cast("double").as("k")).distinct()
+          .localCheckpoint()
+        k.join(broadcast(manifest.select(col("file"),
+              col(s"min_$key").cast("double").as("lo"),
+              col(s"max_$key").cast("double").as("hi"))),
+            col("k") >= col("lo") && col("k") <= col("hi"))
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
     if (hitFiles.isEmpty) return MoRDeleteResult(v, 0, total, 0, 0)
     val hit = entries(manifest.filter(col("file").isInCollection(hitFiles)))
     val fresh = readLiveWithPos(spark, hit)

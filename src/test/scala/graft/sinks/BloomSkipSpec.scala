@@ -44,6 +44,29 @@ class BloomSkipSpec extends SparkSpec {
     assert(pr.filesRead <= 2) // fp-rate-bounded, typically 0
   }
 
+  test("candidate plan is distributed: blooms never reach the driver") {
+    val (_, m) = build()
+    val keys = spark.range(5).select((col("id") * 4021 + 13).as("id"))
+    val surviving = BloomSkip.survivingEntries(m, "id", keys)
+    // the collected frame carries ONLY (file, dv) — the bloom column is
+    // consumed inside the join and pruned before any driver materialization
+    assert(surviving.columns.toSeq == Seq("file", "dv"))
+    // the probe side is broadcast; no shuffle of the manifest's bloom column
+    val plan = surviving.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"probe side should broadcast:\n$plan")
+    // distributed verdict ≡ the driver-side reference evaluation
+    val probes = keys
+      .select(array((0 until BloomSkip.DefaultK).map(i =>
+        pmod(xxhash64(col("id"), lit(i)), lit(BloomSkip.DefaultBits))
+          .cast("int")): _*).as("ps"))
+      .distinct().collect().map(_.getSeq[Int](0))
+    val reference = m.select(col("file"), col("bloom_id")).collect()
+      .filter(r => probes.exists(_.forall(r.getSeq[Int](1).toSet.contains)))
+      .map(_.getString(0)).toSet
+    val got = surviving.collect().map(_.getString(0)).toSet
+    assert(got == reference)
+  }
+
   test("bloom point lookup composes with deletion vectors") {
     val (dir, _) = build()
     Snapshots.commit(spark,

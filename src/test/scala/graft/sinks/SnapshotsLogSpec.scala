@@ -140,6 +140,24 @@ class SnapshotsLogSpec extends SparkSpec {
     assert(rows == delta.filesMasked)
   }
 
+  test("MoR key delete prunes by key stats when the manifest carries them") {
+    val dir = tmpDir("snaplog")
+    // id-clustered layout + id stats in the manifest ⇒ disjoint [min_id,
+    // max_id] ranges per file, so the stats prune can actually bite
+    Layout.zorderWrite(data, Seq("id"), s"$dir/z", nFiles = 8)
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id")), s"$dir/m")
+    val keys = data.filter(col("id") < 100).select("id")
+    val res = Dv.deleteKeysMoR(spark, s"$dir/z", s"$dir/m", "id", keys,
+      deltaCommit = true)
+    assert(res.rowsDeleted == 100)
+    assert(res.filesMasked < res.filesTotal,
+      s"key stats should prune the touch set: masked ${res.filesMasked} of ${res.filesTotal}")
+    assert(Snapshots.isDelta(spark, s"$dir/m", res.version))
+    assert(ids(Snapshots.tableAt(spark, s"$dir/m", res.version)) ==
+      ids(data.filter(col("id") >= 100)))
+  }
+
   test("optimistic txns rebase over delta commits") {
     val dir = freshLog()
     // plan a MoR band delete against v4, then land a DISJOINT delta append
