@@ -84,15 +84,93 @@ object RecallGate {
     * brute-force — pigeonhole says they must MATCH, not just overlap).
     * `require`s both directions empty and returns true (for riding emitted
     * rows as a constant gate boolean). */
+  /** [[equivalent]] restricted to a deterministic 1/`mod` slice of the key
+    * plane: rows with `xxhash64(keys) ≡ 0 (mod mod)`, the SAME slice on
+    * both sides. Set equivalence is a per-row property, so slice
+    * equivalence IS exact equivalence restricted to the slice (the q105
+    * image-dedup sampling argument). Use for in-query SELF-CHECK gates
+    * whose emitted rows the driver's oracle already hash-compares in full
+    * — the slice bounds the gate's own cost (distinct + two anti-joins
+    * shrink by `mod`), not the correctness surface: a violation confined
+    * to the slice's complement still fails the driver compare. */
+  def equivalentSampled(a: DataFrame, b: DataFrame, keys: Seq[String],
+                        mod: Int, what: String): Boolean = {
+    require(mod >= 1, s"$what: slice modulus must be >= 1")
+    def slice(df: DataFrame): DataFrame =
+      df.filter(pmod(xxhash64(keys.map(col): _*), lit(mod)) === 0)
+    val (onlyA, onlyB, total) = diffCounts(slice(a), slice(b), keys)
+    require(total > 0,
+      s"$what: 1/$mod slice hit no rows on either side — gate vacuous, " +
+        "lower the modulus")
+    require(onlyA == 0 && onlyB == 0,
+      s"$what [1/$mod slice]: sets differ ($onlyA rows only in left, " +
+        s"$onlyB only in right) — expected exact equivalence")
+    true
+  }
+
+  /** Several [[equivalentSampled]] gates in ONE Spark job: each
+    * `(left, right, tag)` pair is sliced, tagged, unioned, and the whole
+    * batch diffed with a single full-outer join grouped by tag. The
+    * verdict is identical to running the gates one by one — every pair
+    * must be slice-non-vacuous and slice-equivalent or a require fires
+    * naming the offending tag — but a lake-DDL query's 2–3 gate probes
+    * collapse to one job's scheduling overhead, which on small-SF bench
+    * runs is most of what a gate costs. All pairs must share `keys`. */
+  def equivalentAllSampled(pairs: Seq[(DataFrame, DataFrame, String)],
+                           keys: Seq[String], mod: Int): Boolean = {
+    require(pairs.nonEmpty && mod >= 1, "need at least one pair, mod >= 1")
+    def slice(df: DataFrame): DataFrame =
+      df.filter(pmod(xxhash64(keys.map(col): _*), lit(mod)) === 0)
+    def side(dfs: Seq[(DataFrame, String)], marker: String): DataFrame =
+      dfs.map { case (df, tag) =>
+        slice(df).select(lit(tag).as("_tag") +: keys.map(col): _*)
+          .distinct().withColumn(marker, lit(1))
+      }.reduce(_.unionByName(_))
+    val l = side(pairs.map(p => (p._1, p._3)), "_l")
+    val r = side(pairs.map(p => (p._2, p._3)), "_r")
+    val byTag = l.join(r, "_tag" +: keys, "full_outer")
+      .groupBy(col("_tag"))
+      .agg(coalesce(sum(when(col("_r").isNull, 1L)), lit(0L)).as("onlyA"),
+        coalesce(sum(when(col("_l").isNull, 1L)), lit(0L)).as("onlyB"),
+        count(lit(1)).as("total"))
+      .collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(3))).toMap
+    pairs.foreach { case (_, _, tag) =>
+      val (onlyA, onlyB, total) = byTag.getOrElse(tag, (0L, 0L, 0L))
+      require(total > 0,
+        s"$tag: 1/$mod slice hit no rows on either side — gate vacuous, " +
+          "lower the modulus")
+      require(onlyA == 0 && onlyB == 0,
+        s"$tag [1/$mod slice]: sets differ ($onlyA rows only in left, " +
+          s"$onlyB only in right) — expected exact equivalence")
+    }
+    true
+  }
+
   def equivalent(a: DataFrame, b: DataFrame, keys: Seq[String],
                  what: String): Boolean = {
-    val ak = a.select(keys.map(col): _*).distinct().localCheckpoint()
-    val bk = b.select(keys.map(col): _*).distinct().localCheckpoint()
-    val onlyA = ak.join(bk, keys, "left_anti").count()
-    val onlyB = bk.join(ak, keys, "left_anti").count()
+    val (onlyA, onlyB, _) = diffCounts(a, b, keys)
     require(onlyA == 0 && onlyB == 0,
       s"$what: sets differ ($onlyA rows only in left, $onlyB only in " +
         "right) — expected exact equivalence")
     true
+  }
+
+  /** Both directions of the set difference (and the union size) in ONE
+    * Spark job: distinct each side, full-outer join on the keys, count the
+    * one-sided rows. Replaces the two anti-join probes + two checkpoints
+    * the gate used to run — same verdict, a quarter of the jobs, which is
+    * what the lake-DDL queries' gate bills are made of. */
+  private def diffCounts(a: DataFrame, b: DataFrame,
+                         keys: Seq[String]): (Long, Long, Long) = {
+    val ak = a.select(keys.map(col): _*).distinct().withColumn("_l", lit(1))
+    val bk = b.select(keys.map(col): _*).distinct().withColumn("_r", lit(1))
+    val r = ak.join(bk, keys, "full_outer")
+      .agg(coalesce(sum(when(col("_r").isNull, 1L)), lit(0L)),
+        coalesce(sum(when(col("_l").isNull, 1L)), lit(0L)),
+        count(lit(1)))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 }

@@ -183,10 +183,10 @@ object LakeQueries {
       val manifest = s.read.parquet(s"$root/m").localCheckpoint()
       val expectedSurvivors = orders.filter(
         !col("o_custkey").between(60, 90))
-      val completeOk = RecallGate.equivalent(
+      val completeOk = RecallGate.equivalentSampled(
         s.read.parquet(s"$root/z").select(col("o_orderkey")),
         expectedSurvivors.select(col("o_orderkey")),
-        Seq("o_orderkey"), "q109 post-delete table vs orders minus band")
+        Seq("o_orderkey"), 8, "q109 post-delete table vs orders minus band")
       val pr = Layout.prunedRead(s, s"$root/z", manifest,
         Seq(("o_custkey", 30.0, 120.0)))
       pr.df.select(col("o_orderkey"), col("o_custkey"),
@@ -223,10 +223,10 @@ object LakeQueries {
       val asOfV1 = Snapshots.readAt(s, s"$root/m", v1,
         Seq(("o_custkey", 30.0, 120.0))).df.localCheckpoint()
       val survivors = orders.filter(!col("o_custkey").between(60, 90))
-      val postDeleteOk = RecallGate.equivalent(
+      val postDeleteOk = RecallGate.equivalentSampled(
         Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
         survivors.select(col("o_orderkey")),
-        Seq("o_orderkey"), "q111 latest read vs orders minus band")
+        Seq("o_orderkey"), 8, "q111 latest read vs orders minus band")
       val vac = Snapshots.vacuum(s, s"$root/z", s"$root/m", retainLast = 1)
       val vacuumOk = vac.versionsDropped == 1 &&
         vac.filesDeleted == res.filesRewritten &&
@@ -234,10 +234,10 @@ object LakeQueries {
       require(vacuumOk,
         s"vacuum reclaim wrong: dropped ${vac.versionsDropped} versions, " +
           s"deleted ${vac.filesDeleted} files (expected ${res.filesRewritten})")
-      val postVacuumOk = RecallGate.equivalent(
+      val postVacuumOk = RecallGate.equivalentSampled(
         Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
         survivors.select(col("o_orderkey")),
-        Seq("o_orderkey"), "q111 post-vacuum latest read vs survivors")
+        Seq("o_orderkey"), 8, "q111 post-vacuum latest read vs survivors")
       asOfV1.select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .withColumn("post_delete_ok", lit(postDeleteOk))
@@ -268,22 +268,25 @@ object LakeQueries {
       val (v2, nApp) = Snapshots.appendCommit(s, batch, zcols,
         s"$root/z", s"$root/m", nFiles = 8)
       require(nApp > 0, "q113 append landed no files — gate vacuous")
-      val pinnedOk = RecallGate.equivalent(
-        Snapshots.tableAt(s, s"$root/m", v1).select(col("o_orderkey")),
-        base.select(col("o_orderkey")),
-        Seq("o_orderkey"), "q113 v1-pinned read must exclude the appended batch")
-      val appendOk = RecallGate.equivalent(
-        Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
-        orders.select(col("o_orderkey")),
-        Seq("o_orderkey"), "q113 post-append read vs all orders")
       val (v3, nIn, nOut) = Snapshots.compactCommit(s, s"$root/z", s"$root/m",
         zcols, nFiles = 8)
       require(nOut < nIn,
         s"q113 compaction did not shrink the layout: $nIn -> $nOut files")
-      val compactOk = RecallGate.equivalent(
-        Snapshots.tableAt(s, s"$root/m", v3).select(col("o_orderkey")),
-        orders.select(col("o_orderkey")),
-        Seq("o_orderkey"), "q113 post-compaction read vs all orders")
+      // all three snapshot-equivalence gates in ONE batched job (v1/v2
+      // files are still on disk here — the vacuum below is what reclaims
+      // them, so the pinned probes must run first)
+      val gatesOk = RecallGate.equivalentAllSampled(Seq(
+        (Snapshots.tableAt(s, s"$root/m", v1).select(col("o_orderkey")),
+          base.select(col("o_orderkey")),
+          "q113 v1-pinned read must exclude the appended batch"),
+        (Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
+          orders.select(col("o_orderkey")),
+          "q113 post-append read vs all orders"),
+        (Snapshots.tableAt(s, s"$root/m", v3).select(col("o_orderkey")),
+          orders.select(col("o_orderkey")),
+          "q113 post-compaction read vs all orders")),
+        Seq("o_orderkey"), 8)
+      val pinnedOk = gatesOk; val appendOk = gatesOk; val compactOk = gatesOk
       val vac = Snapshots.vacuum(s, s"$root/z", s"$root/m", retainLast = 1)
       val vacuumOk = vac.versionsDropped == 2 && vac.filesDeleted == nIn &&
         Snapshots.versions(s, s"$root/m") == Seq(v3)
@@ -332,10 +335,10 @@ object LakeQueries {
       val appendFeed = Snapshots.changesBetween(s, s"$root/m", v1, v2)
       val insertOk = appendFeed.df.filter(col("change_type") =!= "insert")
         .isEmpty &&
-        RecallGate.equivalent(
+        RecallGate.equivalentSampled(
           appendFeed.df.select(col("o_orderkey")),
           batch.select(col("o_orderkey")),
-          Seq("o_orderkey"), "q114 append feed vs the appended batch")
+          Seq("o_orderkey"), 8, "q114 append feed vs the appended batch")
       val compactFeed = Snapshots.changesBetween(s, s"$root/m", v3, v4)
       val compactInvisibleOk = compactFeed.df.isEmpty
       require(compactInvisibleOk,
@@ -385,24 +388,26 @@ object LakeQueries {
       val prunedOk = res.filesRewritten < res.filesTotal
       require(prunedOk, s"q115 merge rewrote ${res.filesRewritten} of " +
         s"${res.filesTotal} files — stats pruning bought nothing")
-      val countsOk = res.rowsUpdated == updates.count() &&
-        res.rowsInserted == inserts.count()
+      val (nUpd, nIns) = (updates.count(), inserts.count())
+      val countsOk = res.rowsUpdated == nUpd && res.rowsInserted == nIns
       require(countsOk, s"q115 matched/inserted counts off: $res")
-      val isolationOk = RecallGate.equivalent(
-        Snapshots.tableAt(s, s"$root/m", v1)
+      val feed = Snapshots.changesBetween(s, s"$root/m", v1, res.version)
+      // snapshot-isolation probe + feed-delete identity in ONE batched job
+      val isolationOk = RecallGate.equivalentAllSampled(Seq(
+        (Snapshots.tableAt(s, s"$root/m", v1)
           .filter(col("o_orderkey").between(1000, 4000))
           .select(col("o_orderkey"), col("o_totalprice")),
-        orders.filter(col("o_orderkey").between(1000, 4000))
+          orders.filter(col("o_orderkey").between(1000, 4000))
+            .select(col("o_orderkey"), col("o_totalprice")),
+          "q115 v1 pinned read vs pre-merge"),
+        (feed.df.filter(col("change_type") === "delete")
           .select(col("o_orderkey"), col("o_totalprice")),
-        Seq("o_orderkey", "o_totalprice"), "q115 v1 pinned read vs pre-merge")
-      val feed = Snapshots.changesBetween(s, s"$root/m", v1, res.version)
-      val feedOk = RecallGate.equivalent(
-        feed.df.filter(col("change_type") === "delete")
-          .select(col("o_orderkey")),
-        updates.select(col("o_orderkey")),
-        Seq("o_orderkey"), "q115 feed deletes vs updated keys") &&
-        feed.df.filter(col("change_type") === "insert").count() ==
-          updates.count() + inserts.count()
+          updates.select(col("o_orderkey"),
+            (col("o_totalprice") / 2).as("o_totalprice")),
+          "q115 feed deletes vs updated keys (pre-merge prices)")),
+        Seq("o_orderkey", "o_totalprice"), 4)
+      val feedOk = isolationOk &&
+        feed.df.filter(col("change_type") === "insert").count() == nUpd + nIns
       Snapshots.tableAt(s, s"$root/m", res.version)
         .filter(col("o_orderkey").between(1000, 4000) ||
           col("o_orderkey") >= 10000000L) // orderkey 0 exists: >= keeps its insert
@@ -561,20 +566,22 @@ object LakeQueries {
       val targetedOk = band.filesMasked < band.filesTotal
       require(targetedOk,
         s"q119 band mask untargeted: ${band.filesMasked}/${band.filesTotal}")
-      val pinnedOk = RecallGate.equivalent(
-        Snapshots.tableAt(s, s"$root/m", v1)
-          .filter(col("o_custkey").between(60, 90)).select(col("o_orderkey")),
-        orders.filter(col("o_custkey").between(60, 90))
-          .select(col("o_orderkey")),
-        Seq("o_orderkey"), "q119 v1 pinned read vs pre-delete band")
       val feed = Snapshots.changesBetween(s, s"$root/m", v1, band.version)
-      val feedOk = feed.filesRead < feed.filesTotal &&
-        feed.df.filter(col("change_type") =!= "delete").isEmpty &&
-        RecallGate.equivalent(
-          feed.df.select(col("o_orderkey")),
+      // pinned-band probe + feed-band identity in ONE batched job (mod 2:
+      // the band is a thin custkey slice, keep the gate well-populated)
+      val pinnedOk = RecallGate.equivalentAllSampled(Seq(
+        (Snapshots.tableAt(s, s"$root/m", v1)
+          .filter(col("o_custkey").between(60, 90)).select(col("o_orderkey")),
           orders.filter(col("o_custkey").between(60, 90))
             .select(col("o_orderkey")),
-          Seq("o_orderkey"), "q119 band feed vs the band")
+          "q119 v1 pinned read vs pre-delete band"),
+        (feed.df.select(col("o_orderkey")),
+          orders.filter(col("o_custkey").between(60, 90))
+            .select(col("o_orderkey")),
+          "q119 band feed vs the band")),
+        Seq("o_orderkey"), 2)
+      val feedOk = pinnedOk && feed.filesRead < feed.filesTotal &&
+        feed.df.filter(col("change_type") =!= "delete").isEmpty
       val (vc, _, _) = Snapshots.compactCommit(s, s"$root/z", s"$root/m",
         statsCols, nFiles = 8)
       val foldOk = Dv.ensureDv(Snapshots.manifestAt(s, s"$root/m", vc))

@@ -63,12 +63,14 @@ object Layout {
     * sketch pass (`approxQuantile`, driver gets `Buckets−1` doubles per
     * column, never data). Quantile (not uniform min/max) bucketing keeps
     * cells equal-POPULATION under skew, so files stay equal-sized. */
-  def quantileBounds(df: DataFrame, cols: Seq[String]): Map[String, Seq[Double]] =
-    cols.map { c =>
-      c -> df.stat.approxQuantile(c,
-        (1 until Buckets).map(_.toDouble / Buckets).toArray, 0.001)
-        .toSeq.distinct
-    }.toMap
+  def quantileBounds(df: DataFrame, cols: Seq[String]): Map[String, Seq[Double]] = {
+    // the multi-column overload sketches every clustered column in ONE
+    // scan (per-column calls would each re-read the input — at a z-width
+    // of d that's d-1 avoidable passes over the table)
+    val all = df.stat.approxQuantile(cols.toArray,
+      (1 until Buckets).map(_.toDouble / Buckets).toArray, 0.001)
+    cols.zip(all.map(_.toSeq.distinct)).toMap
+  }
 
   /** The z-value column for `cols` under `bounds` — exposed for specs and
     * for planning the same code on a streaming writer. */
