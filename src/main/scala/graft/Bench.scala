@@ -55,14 +55,21 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val medians = names.map(n => n -> median(times(n)))
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // A failed query's wall time is a FAIL-FAST time, not a measurement —
+    // reporting it in `queries`/`value` reads as a speedup to any consumer
+    // that misses the `failed` list (round-10 postmortem). Failed queries
+    // get null medians and contribute nothing to the total; their raw
+    // fail-fast times stay visible in `queries_all`.
+    val medians = names.map(n =>
+      n -> (if (failed.contains(n)) None else Some(median(times(n)))))
+    val qs = medians.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
     val all = names.map { n =>
       "\"" + n + "\":" + times(n).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = medians.map(_._2).sum
+    val total = medians.flatMap(_._2).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"queries_all":$all,"failed":$failedJson,"sf":"$sfDir"}"""
     println(full)

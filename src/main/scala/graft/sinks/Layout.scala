@@ -78,20 +78,158 @@ object Layout {
     zExpr(cols.map(c => bucketExpr(col(c), bounds(c))))
 
   /** Write `df` z-ordered by `cols` into `nFiles` range-partitioned files:
-    * quantile sketch → Morton code projection → range shuffle on z →
-    * in-partition sort → write (the z column itself is dropped; order
-    * survives the projection). One shuffle total — the layout cost any
-    * OPTIMIZE ZORDER pays, amortized over every subsequent selective
-    * scan. */
+    * one column-pruned PLANNING pass (a weighted reservoir sample yields
+    * both the per-column quantile bounds and the z range boundaries) →
+    * Morton code projection → ONE full-width shuffle on an explicit
+    * partition id → in-partition sort → write (the z column itself is
+    * dropped; order survives the projection).
+    *
+    * Two data passes total, and only the second reads every column. The
+    * naive composition costs three: an `approxQuantile` sketch scan, then
+    * `repartitionByRange`'s own range-sampling scan (RangePartitioner
+    * iterates the full projected input again), then the shuffle — at
+    * 100 TB those are two avoidable full-table reads per OPTIMIZE ZORDER.
+    * The explicit id avoids the range sampler: the planning sample already
+    * fixes the z boundaries, each row's target partition is a codegen'd
+    * when-chain over them, and [[partitionTokens]] turns the id into a
+    * value Spark's hash partitioner provably routes to that partition. */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
-                  nFiles: Int): Unit = {
-    val bounds = quantileBounds(df, cols)
+                  nFiles: Int): Unit =
+    stageZordered(df, cols, nFiles).write.mode("overwrite").parquet(path)
+
+  /** The staged (shuffled + sorted, z/pid columns dropped) frame behind
+    * [[zorderWrite]] — exposed so append-mode writers share the exact
+    * layout path. */
+  private[sinks] def stageZordered(df: DataFrame, cols: Seq[String],
+                                   nFiles: Int): DataFrame = {
+    val (bounds, zBoundaries) = planZ(df, cols, nFiles)
+    val pid = zBoundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("_z") > lit(b), 1).otherwise(0)
+    }
+    val tokens = partitionTokens(df.sparkSession, nFiles)
     df.withColumn("_z", zValue(cols, bounds))
-      .repartitionByRange(nFiles, col("_z"))
+      .withColumn("_pt", element_at(typedLit(tokens.toSeq), pid + 1))
+      .repartition(nFiles, col("_pt"))
       .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
+      .drop("_z", "_pt")
   }
+
+  /** Planning sample size cap — bounds driver memory (≤ cap × d doubles)
+    * and is ~500+ samples per boundary at the widest nFiles used here,
+    * the same order RangePartitioner itself samples. */
+  private val SampleCap = 131072
+
+  /** ONE column-pruned pass planning a z-order write: a per-partition
+    * weighted reservoir sample (weight = partition rows / sample rows)
+    * from which the driver derives BOTH the per-column quantile-bucket
+    * bounds and the z-value range boundaries. Mirrors [[bucketExpr]] /
+    * [[zExpr]] bit-for-bit on the driver so planned boundaries and
+    * executed z values can never disagree. */
+  private[sinks] def planZ(df: DataFrame, cols: Seq[String], nFiles: Int)
+      : (Map[String, Seq[Double]], Seq[Long]) = {
+    val d = cols.size
+    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
+    val nParts = proj.rdd.getNumPartitions.max(1)
+    val perPart = math.max(16, SampleCap / nParts)
+    val collected = proj.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rng = new java.util.Random(0x5eed + pi.toLong * 7919L)
+      val buf = new Array[Array[Double]](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        val v = Array.tabulate(d)(i =>
+          if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+        if (n < perPart) buf(n.toInt) = v
+        else {
+          val j = java.lang.Math.floorMod(rng.nextLong(), n + 1)
+          if (j < perPart) buf(j.toInt) = v
+        }
+        n += 1
+      }
+      Iterator.single((buf.take(math.min(n, perPart.toLong).toInt), n))
+    }.collect()
+    val weighted: Array[(Array[Double], Double)] =
+      collected.filter(_._2 > 0).flatMap { case (rows, n) =>
+        val w = n.toDouble / rows.length
+        rows.map(v => (v, w))
+      }
+    if (weighted.isEmpty) // empty input: degenerate single-cell layout
+      return (cols.map(_ -> Seq.empty[Double]).toMap, Seq.empty)
+    val colQs = (1 until Buckets).map(_.toDouble / Buckets)
+    val bounds = cols.zipWithIndex.map { case (c, i) =>
+      val vals = weighted.iterator
+        .filterNot(_._1(i).isNaN).map(x => (x._1(i), x._2)).toIndexedSeq
+      c -> (if (vals.isEmpty) Seq.empty[Double]
+            else weightedQuantiles(vals, colQs).distinct)
+    }.toMap
+    val zs = weighted.map { case (v, w) =>
+      (zOf(cols.indices.map(i => bucketOf(v(i), bounds(cols(i))))).toDouble, w)
+    }.toIndexedSeq
+    val zB = weightedQuantiles(zs, (1 until nFiles).map(_.toDouble / nFiles))
+      .map(_.toLong)
+    (bounds, zB)
+  }
+
+  /** Driver-side mirror of [[bucketExpr]]: count of bounds strictly below
+    * the value; null (NaN) lands in bucket 0. */
+  private def bucketOf(v: Double, bounds: Seq[Double]): Int =
+    if (v.isNaN) 0 else bounds.count(v > _)
+
+  /** Driver-side mirror of [[zExpr]]. */
+  private def zOf(buckets: Seq[Int]): Long = {
+    val d = buckets.size
+    var z = 0L
+    for ((b, j) <- buckets.zipWithIndex; i <- 0 until Bits)
+      z |= ((b >> i) & 1).toLong << (i * d + (d - 1 - j))
+    z
+  }
+
+  /** Weighted quantiles of `(value, weight)` pairs: sort, walk the
+    * cumulative weight, emit the first value reaching each target. */
+  private def weightedQuantiles(vals: IndexedSeq[(Double, Double)],
+                                qs: Seq[Double]): Seq[Double] = {
+    val sorted = vals.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val targets = qs.map(_ * total)
+    val out = Array.fill(targets.size)(Double.NaN)
+    var cum = 0.0
+    var ti = 0
+    var i = 0
+    while (i < sorted.length && ti < targets.size) {
+      cum += sorted(i)._2
+      while (ti < targets.size && cum >= targets(ti)) {
+        out(ti) = sorted(i)._1; ti += 1
+      }
+      i += 1
+    }
+    while (ti < targets.size) { out(ti) = sorted.last._1; ti += 1 }
+    out.toSeq
+  }
+
+  /** For each target partition `p` of an `n`-way hash repartition, a small
+    * int token that Spark's own hash partitioning routes to `p` — learned
+    * EMPIRICALLY with one tiny data-free job (64·n candidate ints through
+    * `repartition(n, t)` + `spark_partition_id`), so the mapping is
+    * faithful to whatever hash/seed Spark uses, and memoized per n. This
+    * is what lets [[stageZordered]] place rows into exact z-range
+    * partitions with a plain `repartition` — no range-sampling pass. */
+  private val tokenCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Int]]
+  private[sinks] def partitionTokens(spark: SparkSession,
+                                     n: Int): Array[Int] =
+    tokenCache.getOrElseUpdate(n, {
+      val rows = spark.range(0, n * 64L)
+        .select(col("id").cast("int").as("t"))
+        .repartition(n, col("t"))
+        .select(col("t"), spark_partition_id().as("p"))
+        .collect()
+      val byP = rows.groupBy(_.getInt(1))
+      (0 until n).map { p =>
+        byP.getOrElse(p, throw new IllegalStateException(
+          s"no candidate token landed in partition $p of $n — " +
+            "hash partitioning changed shape")).head.getInt(0)
+      }.toArray
+    })
 
   /** Build the file-stats manifest of a layout: one row per data file with
     * min/max of each clustered column — a single column-pruned scan
@@ -126,12 +264,7 @@ object Layout {
   def appendWithManifest(spark: SparkSession, batch: DataFrame,
                          cols: Seq[String], path: String,
                          manifestPath: String, nFiles: Int): Int = {
-    val bounds = quantileBounds(batch, cols)
-    batch.withColumn("_z", zValue(cols, bounds))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("append").parquet(path)
+    stageZordered(batch, cols, nFiles).write.mode("append").parquet(path)
     val known = spark.read.parquet(manifestPath).select(col("file"))
       .collect().map(r => fileName(r.getString(0))).toSet
     val dir = new org.apache.hadoop.fs.Path(path)
