@@ -49,6 +49,10 @@ object StreamQueries {
     * dir like [[sharedIn]], but separate because the sentinel row must not
     * leak into the other replays' inputs. */
   private val q98In = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** q124's landed input: the shared subset + trailing sentinel rows on
+    * BOTH event types (the outer join flushes on the MIN of the two
+    * sides' watermarks, so each side's stream must see its own flusher). */
+  private val q124In = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def landedSubset(s: SparkSession, dir: String): String =
     sharedIn.computeIfAbsent(dir, _ => {
       val tmp = QueryTmp.dir("stream_shared")
@@ -384,6 +388,53 @@ object StreamQueries {
             unix_micros(col("l.ts")).as("view_ts_us"),
             unix_micros(col("r.ts")).as("purchase_ts_us"))
       }
+    }),
+
+    // Stream-stream LEFT OUTER interval join: q80's attribution plus the
+    // NO-CONVERSION rows — a view matching no purchase within 6 hours
+    // null-pads once the watermark passes its window. Emission mechanics
+    // (and why they are deterministic here): unmatched rows flush only
+    // when the MIN of both sides' watermarks passes view.ts + 6h, so the
+    // landed input appends a trailing sentinel of EACH event type (7305
+    // days ahead, dedicated negative users). Lateness (3650 d) exceeds
+    // the data's span but not the sentinels' offset: no real row is ever
+    // late-dropped, every real unmatched view flushes in the trailing
+    // batch, and the sentinels themselves can never emit (a sentinel
+    // view's expiry is always ahead of the watermark it creates). The
+    // q98 filter-pushdown lesson applies twice over: the event_type
+    // filters that SPLIT the sides legitimately pass their own side's
+    // sentinel, and the sentinel-user filter runs on the BATCH read-back
+    // of the output — never inside the streaming plan, where it would be
+    // pushed below the watermark node and silently kill the flush.
+    "q124_stream_outer_join" -> ((s, dir) => {
+      val in = q124In.computeIfAbsent(dir, _ => {
+        val d = QueryTmp.dir("q124in")
+        val sub = eventsSubset(s, dir)
+        sub.repartition(2).write.parquet(s"$d/in")
+        val mx = sub.agg(max(col("ts")).as("ts"))
+        def sentinel(id: Long, tpe: String) = mx.select(
+          lit(id).as("event_id"),
+          (col("ts") + expr("INTERVAL 7305 DAYS")).as("ts"),
+          lit(id).as("user_id"),
+          lit(tpe).as("event_type"),
+          lit(0.0).as("value"))
+        sentinel(-1L, "view").unionByName(sentinel(-2L, "purchase"))
+          .coalesce(1).write.mode("append").parquet(s"$d/in")
+        s"$d/in"
+      })
+      replayLanded(s, in, QueryTmp.dir("q124")) { stream =>
+        val views = stream().filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+        Streaming.streamIntervalJoinOuter(
+          views, purchases, key = "user_id",
+          interval = "6 hours", lateness = "3650 days")
+          .select(col("l.user_id").as("user_id"),
+            col("view_id"), col("purchase_id"),
+            unix_micros(col("l.ts")).as("view_ts_us"),
+            unix_micros(col("r.ts")).as("purchase_ts_us"))
+      }.filter(col("user_id") >= 0)
     })
   )
 
@@ -460,6 +511,19 @@ object StreamQueries {
         |  ON l.user_id = r.user_id
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
         |WHERE l.event_type = 'view' AND r.event_type = 'purchase'
-        |  AND l.event_id % 10 < 3 AND r.event_id % 10 < 3""".stripMargin
+        |  AND l.event_id % 10 < 3 AND r.event_id % 10 < 3""".stripMargin,
+    // q124: the left-outer twin — every subset view row appears exactly
+    // once per matching purchase, or once null-padded when none exists;
+    // the right-side predicates live in the ON clause (a WHERE would turn
+    // the outer join back into an inner one).
+    "q124_stream_outer_join" ->
+      """SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS view_ts_us,
+        |  epoch_us(CAST(r.ts AS TIMESTAMP)) AS purchase_ts_us
+        |FROM events l LEFT JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+        | AND r.event_type = 'purchase' AND r.event_id % 10 < 3
+        |WHERE l.event_type = 'view' AND l.event_id % 10 < 3""".stripMargin
   )
 }

@@ -104,6 +104,25 @@ object Streaming {
       expr(s"l.$key = r.$key AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $interval"))
   }
 
+  /** [[streamIntervalJoin]]'s LEFT OUTER form — the attribution shape that
+    * also EMITS the no-conversion rows: a left event that matches nothing
+    * inside its interval is null-padded and emitted once the combined
+    * watermark passes `left.ts + interval` (Spark holds the unmatched row
+    * in join state until no late right row could still match it). Matched
+    * pairs emit eagerly, exactly as in the inner form. Callers replaying a
+    * bounded input must push the final watermark past every real left
+    * row's expiry (trailing sentinel rows on BOTH sides — the emission
+    * trigger is the min of the two sides' watermarks) or the unmatched
+    * rows never flush. */
+  def streamIntervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                              interval: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).as("l")
+    val r = right.withWatermark("ts", lateness).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $interval"),
+      "left_outer")
+  }
+
   /** Streaming upsert: apply each micro-batch to a keyed target via the
     * lake-native MERGE ([[graft.ops.Upsert]]). This is the streaming form of
     * the reference's late-data story — re-pulled rows within the lateness

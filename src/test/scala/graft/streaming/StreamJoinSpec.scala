@@ -38,4 +38,44 @@ class StreamJoinSpec extends SparkSpec {
     assert(byUser(1L) == ts("2024-01-01 10:02:00"))
     assert(byUser(2L) == ts("2024-01-01 10:04:59"))
   }
+
+  test("left-outer interval join null-pads unmatched rows only after the watermark passes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val l = views.toDS().toDF("user_id", "ts")
+    val r = purchases.toDS().toDF("uid", "ts").withColumnRenamed("uid", "user_id")
+
+    val joined = Streaming.streamIntervalJoinOuter(
+      l, r, key = "user_id", interval = "5 MINUTES", lateness = "1 minute")
+      .selectExpr("l.user_id AS user_id", "l.ts AS lts", "r.ts AS rts")
+
+    val q = joined.writeStream.format("memory").queryName("sjo_out")
+      .outputMode("append").start()
+
+    views.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    purchases.addData((1L, ts("2024-01-01 10:02:00"))) // user 1 converts; user 2 never
+    q.processAllAvailable()
+    // before any watermark passes 10:05, user 2 must NOT have null-padded:
+    // a premature emission would duplicate once a real match arrived late
+    val early = spark.table("sjo_out").collect()
+    assert(early.count(_.isNullAt(2)) == 0,
+      s"unmatched row emitted before its window closed: ${early.mkString(",")}")
+    // advance BOTH watermarks past 10:00 + 5m (+1m lateness): user 2 flushes
+    views.addData((99L, ts("2024-01-01 10:30:00")))
+    purchases.addData((98L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    views.addData((97L, ts("2024-01-01 10:31:00"))) // extra batch: state eviction runs
+    q.processAllAvailable()
+    val rows = spark.table("sjo_out").collect()
+    q.stop()
+
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.length == 1 && matched.head.getAs[Long]("user_id") == 1L)
+    assert(matched.head.getAs[Timestamp]("rts") == ts("2024-01-01 10:02:00"))
+    val padded = rows.filter(_.isNullAt(2)).map(_.getAs[Long]("user_id")).toSet
+    assert(padded.contains(2L), s"user 2's no-conversion row never flushed: ${rows.mkString(",")}")
+    // user 1 matched, so it must not ALSO null-pad
+    assert(!padded.contains(1L), "matched row must not also emit null-padded")
+  }
 }
