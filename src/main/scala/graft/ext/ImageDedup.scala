@@ -87,13 +87,8 @@ object ImageDedup {
     * decode+hash in one flatMap — the exact input shape
     * [[Dedup.hammingPairsBanded]] pairs on. Non-image payloads emit
     * nothing. */
-  def dHashes(media: Dataset[MediaRecord]): DataFrame = {
-    import media.sparkSession.implicits._
-    media.flatMap { r =>
-      try dHash64(r.payload).map(h => (r.media_id, h))
-      catch { case scala.util.control.NonFatal(_) => None }
-    }.toDF("doc", "sk")
-  }
+  def dHashes(media: Dataset[MediaRecord]): DataFrame =
+    MediaNearDup.hashes(media, dHash64)
 
   /** Collapse identical hashes to one representative (minimum doc id) —
     * the dedup family's exact-collapse applied on the HASH plane: a crawl's
@@ -103,15 +98,7 @@ object ImageDedup {
     * `uniques` needs no join back to the data. Returns (members, uniques):
     * members = (fp=hash, doc, rep); uniques = (doc, sk) restricted to
     * representatives. */
-  private def hashCollapse(sk: DataFrame): (DataFrame, DataFrame) = {
-    val members = sk.select(col("doc"), col("sk").as("fp"))
-      .join(sk.groupBy(col("sk").as("fp")).agg(min(col("doc")).as("rep")),
-        "fp")
-      .localCheckpoint()
-    val uniques = members.filter(col("doc") === col("rep"))
-      .select(col("doc"), col("fp").as("sk"))
-    (members, uniques)
-  }
+
 
   /** Image near-dup pairs of a media corpus: perceptual hash plane →
     * identical-hash collapse → pigeonhole-banded hamming join over unique
@@ -120,12 +107,8 @@ object ImageDedup {
     * depth. Member pairs inherit their representatives' hamming (identical
     * hashes ⇒ identical distances); within-group pairs are hamming 0. */
   def imageNearDupPairs(media: Dataset[MediaRecord],
-                        maxHamming: Int = 3): DataFrame = {
-    val (members, uniques) = hashCollapse(dHashes(media))
-    Dedup.expandCollapsed(members,
-      Dedup.hammingPairsBanded(uniques, maxHamming),
-      "hamming", lit(0).cast("int"))
-  }
+                        maxHamming: Int = 3): DataFrame =
+    MediaNearDup.nearDupPairs(media, dHash64, maxHamming)
 
   // --- Deterministic text-derived image corpus (oracle fixture) -----------
 
@@ -134,18 +117,7 @@ object ImageDedup {
     * pixel buffers with content-seeded pseudorandom bytes so different
     * texts render to images whose dHashes are ~uniform 64-bit values
     * (expected pairwise hamming 32). */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
-  private def textSeed(text: String): Long = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(text.getBytes("UTF-8"))
-    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
-  }
 
   /** Render a complete valid 72×64 P6 PPM whose pixels are a pure function
     * of the TEXT CONTENT (not the row id): byte-identical texts render to
@@ -163,10 +135,10 @@ object ImageDedup {
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val n = w * h * 3
     val px = new Array[Byte](n)
-    var s = textSeed(text)
+    var s = MediaNearDup.textSeed(text)
     var i = 0
     while (i < n) {
-      s = mix64(s)
+      s = MediaNearDup.mix64(s)
       var k = 0
       while (k < 8 && i < n) {
         px(i) = ((s >>> (8 * k)) & 0xFF).toByte
@@ -196,15 +168,8 @@ object ImageDedup {
     * contains genuine near-duplicates (hamming 1), not just byte-identical
     * re-encodes. Null texts have no image. */
   def documentsAsTextImages(spark: SparkSession, docs: DataFrame,
-                            jitterIdFloor: Long): Dataset[MediaRecord] = {
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
-      .filter(col("text").isNotNull)
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        MediaRecord(id, renderTextImage(text, id >= jitterIdFloor))
-      }
-  }
+                            jitterIdFloor: Long): Dataset[MediaRecord] =
+    MediaNearDup.textCorpus(spark, docs, renderTextImage, jitterIdFloor)
 
   /** q105's SELF-GATING form (the q28 pattern on the image plane): the
     * documents corpus is augmented with deterministically re-keyed copies
@@ -236,48 +201,8 @@ object ImageDedup {
                              copyMod: Int = 5, copyIdOffset: Long = 100000L,
                              maxHamming: Int = 3,
                              sampleMod: Int = 101,
-                             gateSampleMod: Int = 10): DataFrame = {
-    require(copyIdOffset % gateSampleMod == 0,
-      s"gateSampleMod=$gateSampleMod must divide copyIdOffset=$copyIdOffset " +
-        "or the pigeonhole slice loses every base↔copy near-dup pair")
-    val base = docs.select(col("doc_id"), col("text"))
-    val aug = base.unionByName(
-      base.filter(col("doc_id") % copyMod === 0)
-        .select((col("doc_id") + copyIdOffset).as("doc_id"), col("text")))
-    val media = documentsAsTextImages(spark, aug, jitterIdFloor = copyIdOffset)
-    // one decode+hash pass feeds the collapse, both rep-level twins and the
-    // expansion; gates run at REPRESENTATIVE level (bounded by unique image
-    // content at any duplication depth — both sides expand through the same
-    // members mapping, so rep-level equivalence carries to the expansion)
-    val (members, uniques0) = hashCollapse(dHashes(media))
-    val uniques = uniques0.localCheckpoint()
-    val repBanded = Dedup.hammingPairsBanded(uniques, maxHamming)
-    // gate slice: same restriction on BOTH sides, so banded-vs-brute
-    // equivalence over the slice is exact (per-pair property) while the
-    // brute twin's O(U²) cross join shrinks by gateSampleMod²
-    val gateUniques = uniques.filter(col("doc") % gateSampleMod === 0)
-    val pigeonholeOk = RecallGate.equivalent(
-      Dedup.hammingPairsBanded(gateUniques, maxHamming),
-      Dedup.hammingPairsBrute(gateUniques, maxHamming),
-      Seq("doc_a", "doc_b", "hamming"),
-      "q105 image dHash banded vs brute force (sampled rep hash plane)")
-    val expandedSlice = Dedup.expandCollapsed(members, repBanded,
-        "hamming", lit(0).cast("int"))
-      .filter(col("doc_a") % sampleMod === 0)
-    val txt = aug.filter(col("text").isNotNull)
-    val exact = txt.as("a")
-      .join(txt.as("b"),
-        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .localCheckpoint()
-    val exactSlice = exact.filter(col("doc_a") % sampleMod === 0)
-    val v = RecallGate.check(exactSlice, expandedSlice, Seq("doc_a", "doc_b"),
-      recallFloor = 1.0,
-      what = "q105 sampled image dHash retrieval (expanded plane)",
-      requireExactPrecision = true)
-    exact
-      .withColumn("recall_ok", lit(v.recallOk))
-      .withColumn("precision_ok", lit(v.precisionOk.getOrElse(false)))
-      .withColumn("pigeonhole_ok", lit(pigeonholeOk))
-  }
+                             gateSampleMod: Int = 10): DataFrame =
+    MediaNearDup.gatedTextDupPairs(spark, docs, renderTextImage, dHash64,
+      "q105 image dHash", copyMod, copyIdOffset, maxHamming, sampleMod,
+      gateSampleMod)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Dedup, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, AudioDedup, Dedup, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
 import graft.qc.{RecallGate, SketchGate}
 import graft.streaming.Streaming
@@ -248,6 +248,18 @@ object LlmQueries {
     "q105_image_neardup" -> ((s, dir) =>
       ImageDedup.gatedTextDupImagePairs(s, t(s, dir, "documents"),
         copyMod = 5, copyIdOffset = 100000L, maxHamming = 3)),
+
+    // The AUDIO modality of the same screen (q125): every %7 doc re-keyed
+    // and rendered as a gain-jittered WAV clip; clips are container-decoded
+    // and energy-delta-hashed for real (ext/AudioDedup.scala), pairing and
+    // gates shared with q105 via MediaNearDup — pigeonhole slice
+    // equivalence, sampled end-to-end recall/precision 1.0, rep-level
+    // gating bounded by unique audio content. copyMod=7 keeps the corpus
+    // disjoint from q105's %5 fixture so the two modalities cannot mask
+    // each other's failures.
+    "q125_audio_neardup" -> ((s, dir) =>
+      AudioDedup.gatedTextDupAudioPairs(s, t(s, dir, "documents"),
+        copyMod = 7, copyIdOffset = 100000L, maxHamming = 3)),
 
     // Near-dup CLUSTERS: exact Jaccard pairs → connected components → every
     // doc labeled with its cluster's canonical (minimum) id. The full
@@ -616,6 +628,17 @@ object LlmQueries {
         |             UNION ALL
         |             SELECT doc_id + 100000, text FROM documents
         |             WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS pigeonhole_ok
+        |FROM aug a JOIN aug b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    // q125 emits the text-identity pair set over the %7-augmented corpus
+    // (the audio twin of q105's oracle).
+    "q125_audio_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 100000, text FROM documents
+        |             WHERE doc_id % 7 = 0)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS pigeonhole_ok
         |FROM aug a JOIN aug b
