@@ -241,14 +241,108 @@ object Layout {
     buildManifestFor(spark, Seq(path), cols)
 
   /** [[buildManifest]] over an explicit path/file list — the incremental
-    * form scans ONLY the named files. */
+    * form touches ONLY the named files, and when every stats column is a
+    * plain numeric it never reads DATA at all: parquet FOOTERS already
+    * carry per-row-group min/max and row counts, so the manifest is a
+    * metadata-only read (KBs per file), the way production table formats
+    * collect stats. Falls back to the one-pass column-pruned scan whenever
+    * footer stats can't serve a column (non-numeric, annotated logical
+    * type, absent stats) — verdicts are identical either way, and the
+    * footer path's `file` strings use the same canonical `file:/...` form
+    * `_metadata.file_path` produces, so sidecar/bloom joins keyed on the
+    * manifest cannot alias. */
   def buildManifestFor(spark: SparkSession, paths: Seq[String],
                        cols: Seq[String]): DataFrame =
-    spark.read.parquet(paths: _*)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(count(lit(1)).as("rows"),
-        cols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+    footerManifestFor(spark, paths, cols).getOrElse(
+      spark.read.parquet(paths: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(count(lit(1)).as("rows"),
+          cols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*))
+
+  /** The footer fast path behind [[buildManifestFor]]: expand dirs to data
+    * files, open each parquet footer (driver-side, file-count-bounded like
+    * every manifest operation here — a 100 TB deployment would fan the
+    * footer reads out over a tiny executors job and collect only the stat
+    * rows), and fold min/max/rowcount across row groups. None ⇒ caller
+    * falls back to the scan build. Only unannotated INT32/INT64/FLOAT/
+    * DOUBLE columns are served — exactly the types the scan build would
+    * aggregate to the same Spark types, so manifests from the two paths
+    * mix freely in delta-log folds. */
+  private[sinks] def footerManifestFor(spark: SparkSession, paths: Seq[String],
+                                       cols: Seq[String]): Option[DataFrame] = try {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = paths.flatMap { p0 =>
+      val p = new Path(p0)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      // makeQualified, NOT the caller's form: a scheme-less input ("/tmp/…")
+      // must still emit the canonical "file:/…" string `_metadata.file_path`
+      // produces, or sidecar/DV joins keyed on the manifest silently miss
+      // (the scan build normalized through _metadata; this path must too)
+      else Seq(fs.makeQualified(p))
+    }
+    if (files.isEmpty) return None
+    var sparkTypes: Map[String, DataType] = Map.empty
+    val rows = files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val footer = reader.getFooter
+        val msgType = footer.getFileMetaData.getSchema
+        import scala.jdk.CollectionConverters._
+        val blocks = footer.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val stats = cols.map { c =>
+          val prim = msgType.getType(Seq(c): _*).asPrimitiveType()
+          if (prim.getLogicalTypeAnnotation != null) return None
+          val tpe: DataType = prim.getPrimitiveTypeName match {
+            case INT64 => LongType
+            case INT32 => IntegerType
+            case DOUBLE => DoubleType
+            case FLOAT => FloatType
+            case _ => return None
+          }
+          sparkTypes.get(c) match {
+            case Some(t) if t != tpe => return None // mixed schemas: punt
+            case None => sparkTypes += c -> tpe
+            case _ => ()
+          }
+          val chunkStats = blocks.map { b =>
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).getOrElse(return None)
+            val s = chunk.getStatistics
+            if (s == null || s.isEmpty || !s.hasNonNullValue) return None
+            (s.genericGetMin.asInstanceOf[Comparable[Any]],
+              s.genericGetMax.asInstanceOf[Comparable[Any]])
+          }
+          (chunkStats.map(_._1).min((a: Comparable[Any], b: Comparable[Any]) =>
+            a.compareTo(b)),
+            chunkStats.map(_._2).max((a: Comparable[Any], b: Comparable[Any]) =>
+              a.compareTo(b)))
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          f.toString +: nRows +: stats.flatMap(s => Seq(s._1, s._2)))
+      } finally reader.close()
+    }
+    val schema = StructType(
+      StructField("file", StringType, nullable = false) +:
+        StructField("rows", LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          StructField(s"min_$c", sparkTypes(c)),
+          StructField(s"max_$c", sparkTypes(c)))))
+    import scala.jdk.CollectionConverters._
+    Some(spark.createDataFrame(rows.asJava, schema))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Daily-cadence layout maintenance: z-order `batch` by its OWN quantile
     * bounds, APPEND it to an existing layout, and extend the manifest with

@@ -33,6 +33,41 @@ class LayoutSpec extends SparkSpec {
     assert(m.map(_.getAs[Long]("max_x")).max == 999L)
   }
 
+  test("footer-stats manifest is row- and type-identical to the scan build") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    // long + double stats columns — the numeric shapes the footer path serves
+    val d = data.withColumn("p", col("x").cast("double") / 10.0)
+    Layout.zorderWrite(d, Seq("x", "p"), s"$dir/z", nFiles = 8)
+    val footer = Layout.footerManifestFor(spark, Seq(s"$dir/z"), Seq("x", "p"))
+    assert(footer.nonEmpty, "footer path should serve plain numeric columns")
+    val scan = spark.read.parquet(s"$dir/z")
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+    assert(footer.get.schema == scan.schema,
+      s"schemas differ:\n${footer.get.schema}\n${scan.schema}")
+    val f = footer.get.collect().map(_.toSeq).sortBy(_.head.toString)
+    val sc = scan.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(f.toSeq == sc.toSeq)
+    // scheme-less explicit file paths (the moveStagedIn form) must emit the
+    // SAME canonical "file:/…" strings _metadata.file_path produces — a
+    // pass-through would silently break every sidecar/DV join on `file`
+    val rawFiles = f.map(_.head.toString.stripPrefix("file:"))
+    val fromRaw = Layout.footerManifestFor(spark, rawFiles.toSeq, Seq("x", "p"))
+    assert(fromRaw.nonEmpty)
+    assert(fromRaw.get.select("file").collect().map(_.getString(0)).sorted.toSeq ==
+      f.map(_.head.toString).sorted.toSeq)
+    // a string column can't be served from footers here — the public build
+    // falls back to the scan transparently
+    val d2 = data.withColumn("s", concat(lit("v"), col("x")))
+    d2.write.mode("overwrite").parquet(s"$dir/z2")
+    assert(Layout.footerManifestFor(spark, Seq(s"$dir/z2"), Seq("x", "s")).isEmpty)
+    val m2 = Layout.buildManifestFor(spark, Seq(s"$dir/z2"), Seq("x", "s"))
+    assert(m2.columns.contains("min_s") &&
+      m2.agg(sum(col("rows"))).head.getLong(0) == 10000L)
+  }
+
   test("pruned read equals the full filter; empty box yields empty frame") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
     Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 16)
