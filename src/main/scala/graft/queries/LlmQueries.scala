@@ -303,6 +303,37 @@ object LlmQueries {
     // + inverted lists, probes visiting nProbe cells), SELF-GATING like
     // q30: IVF retrieval runs in-query, recall@10 gated against the exact
     // brute-force top-k the query emits.
+    // PQ compressed ANN (q126): the memory-compression member of the ANN
+    // family — codebook trained on a bounded hash-ordered sample, corpus
+    // stored as m=8 one-byte codes (32x smaller than the 64-float
+    // vectors, structurally gated in-query), search = broadcast ADC
+    // tables + one pass over the code plane. Recall-gated against the
+    // exact cosine twin like q30/q45; precision not claimed (top-k fills
+    // missed slots by design).
+    "q126_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val exact = Similarity.bruteForceTopK(probes, corpus, k = 10)
+      val cb = graft.ext.Pq.train(corpus, "vec_id", "embedding", m = 8, k = 32)
+      val compressedOk = cb.rawBytes >= 16 * cb.codeBytes
+      require(compressedOk,
+        s"q126 PQ code is ${cb.codeBytes} B vs raw ${cb.rawBytes} B — " +
+          "compression story broken")
+      val encoded = graft.ext.Pq.encode(corpus, "vec_id", "embedding", cb)
+        .localCheckpoint()
+      // ADC shortlist (code plane only) + exact re-rank on the fetched
+      // shortlist rows — the FAISS refine arrangement; recall is bounded
+      // by the shortlist's recall, not raw quantization error
+      val pq = graft.ext.Pq.pqTopKRerank(probes, encoded, corpus,
+        "probe_id", "vec_id", "embedding", cb, topK = 10, shortlist = 100)
+      RecallGate.gate(exact, pq, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.40, what = "q126 PQ ANN top-k",
+        requireExactPrecision = false)
+        .withColumn("compressed_ok", lit(compressedOk))
+    }),
+
     "q45_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
@@ -697,6 +728,25 @@ object LlmQueries {
         |             JOIN nrm y ON neighbor_id = y.vec_id)
         |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
         |  TRUE AS recall_ok
+        |FROM s WHERE rank <= 10""".stripMargin,
+    // q126 emits the exact brute-force top-k plane + the PQ recall gate
+    // and compression gate booleans.
+    "q126_ann_pq" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok, TRUE AS compressed_ok
         |FROM s WHERE rank <= 10""".stripMargin,
     "q45_ann_ivf" ->
       """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
