@@ -706,6 +706,61 @@ object LakeQueries {
       pr.df.withColumn("bloom_pruned_ok", lit(prunedOk))
     }),
 
+    // INCREMENTAL BLOOM MAINTENANCE (q127): the q107 daily-cadence story
+    // on the bloom-skipping axis — the batch's files get stats+bloom rows
+    // computed over ONLY themselves (per-file blooms are immutable
+    // properties, so the base layout is never rescanned or re-hashed; the
+    // call below takes the fresh file list, structurally incapable of
+    // touching the base) and the manifest is extended by union. Gates:
+    // the manifest grew by exactly the appended file count, and a point
+    // lookup probing keys from BOTH generations (4 even = base, 4 odd =
+    // batch, interior values where min/max stats cannot prune) reads
+    // strictly fewer files than the interval-stats control while the
+    // residual IN-filter keeps the result exact across generations.
+    "q127_incremental_bloom" -> ((s, dir) => {
+      import graft.sinks.BloomSkip
+      val root = tmp("q127")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val statsCols = zcols :+ "o_orderkey"
+      def listFiles(p: String): Seq[String] = s.read.parquet(p)
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      Layout.zorderWrite(orders.filter(col("o_orderkey") % 2 === 0),
+        zcols, s"$root/z", nFiles = 16)
+      val baseFiles = listFiles(s"$root/z")
+      val m1 = BloomSkip.manifestWithBloom(s, baseFiles, statsCols,
+        "o_orderkey").localCheckpoint()
+      Layout.zorderWrite(orders.filter(col("o_orderkey") % 2 === 1),
+        zcols, s"$root/z2", nFiles = 16)
+      val batchFiles = listFiles(s"$root/z2")
+      val m2 = m1.unionByName(
+          BloomSkip.manifestWithBloom(s, batchFiles, statsCols, "o_orderkey"))
+        .localCheckpoint()
+      val incrementalOk =
+        m2.count() == baseFiles.size + batchFiles.size && batchFiles.nonEmpty
+      require(incrementalOk,
+        s"q127 manifest did not grow by the appended files: " +
+          s"${baseFiles.size}+${batchFiles.size} != ${m2.count()}")
+      val Seq(kLo, kHi) = orders.agg(min("o_orderkey"), max("o_orderkey"))
+        .collect().head.toSeq.map(_.toString.toLong)
+      val mid = (kLo + kHi) / 2
+      def probe(parity: Int) = orders
+        .filter(col("o_orderkey") >= mid && col("o_orderkey") % 2 === parity)
+        .orderBy(col("o_orderkey")).limit(4).select(col("o_orderkey"))
+      val keys = probe(0).unionByName(probe(1)).localCheckpoint()
+      val pr = BloomSkip.pointRead(s, m2, "o_orderkey", keys)
+      val statsN = BloomSkip.statsCandidates(m2, "o_orderkey", keys)
+      val prunedOk = pr.filesRead < statsN && pr.filesRead < pr.filesTotal
+      require(prunedOk,
+        s"q127 bloom read ${pr.filesRead} files vs stats $statsN of " +
+          s"${pr.filesTotal} — incremental blooms bought nothing")
+      pr.df.withColumn("incremental_ok", lit(incrementalOk))
+        .withColumn("bloom_pruned_ok", lit(prunedOk))
+    }),
+
     // S4: the distributed paginated REST read. The 25-row nation table
     // plays the remote config endpoint (a bounded driver-side fixture — it
     // models the SERVER; the engine-side page-range parallel fetch and JSON
@@ -1092,6 +1147,24 @@ object LakeQueries {
         |  AND o_orderkey % 400 <> 0""".stripMargin,
     "q67_rest_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // q127: 4 even (base-generation) + 4 odd (appended-generation) interior
+    // keys above the domain midpoint, fetched through the incrementally
+    // maintained bloom manifest; booleans assert the manifest grew by
+    // exactly the appended files and the bloom beat the stats control.
+    "q127_incremental_bloom" ->
+      """WITH mid AS (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS m
+        |            FROM orders),
+        |k AS (
+        |  (SELECT o_orderkey FROM orders, mid
+        |   WHERE o_orderkey >= m AND o_orderkey % 2 = 0
+        |   ORDER BY o_orderkey LIMIT 4)
+        |  UNION ALL
+        |  (SELECT o_orderkey FROM orders, mid
+        |   WHERE o_orderkey >= m AND o_orderkey % 2 = 1
+        |   ORDER BY o_orderkey LIMIT 4))
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS incremental_ok, TRUE AS bloom_pruned_ok
+        |FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM k)""".stripMargin,
     // q122: the canned QueryResponse carries every 10th customer; the gate
     // boolean asserts the token refresh + retry actually happened.
     "q122_qbo_source" ->
