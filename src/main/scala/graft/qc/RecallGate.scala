@@ -108,6 +108,27 @@ object RecallGate {
     true
   }
 
+  /** [[equivalentSampled]] plus a FULL row-count equality check. The slice
+    * bounds the per-row diff cost, but when the gate's subject is NOT
+    * covered by the driver's emitted/oracle-compared rows (q109/q111: the
+    * emitted surface is a pruned custkey box, the gate subject is the whole
+    * post-delete table), a bug confined to the slice's complement would
+    * pass silently. The count — one cheap key-projected aggregate over each
+    * full side, unioned into a single job — bounds that: off-slice
+    * divergence must now be exactly count-compensating to slip through. */
+  def equivalentSampledCounted(a: DataFrame, b: DataFrame, keys: Seq[String],
+                               mod: Int, what: String): Boolean = {
+    val counts = a.select(keys.map(col): _*).select(lit("l").as("_side"))
+      .unionByName(b.select(keys.map(col): _*).select(lit("r").as("_side")))
+      .groupBy(col("_side")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (ca, cb) = (counts.getOrElse("l", 0L), counts.getOrElse("r", 0L))
+    require(ca == cb,
+      s"$what: full row counts differ ($ca left vs $cb right) — " +
+        "divergence outside the sampled slice")
+    equivalentSampled(a, b, keys, mod, what)
+  }
+
   /** Several [[equivalentSampled]] gates in ONE Spark job: each
     * `(left, right, tag)` pair is sliced, tagged, unioned, and the whole
     * batch diffed with a single full-outer join grouped by tag. The

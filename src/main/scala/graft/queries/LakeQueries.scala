@@ -183,7 +183,7 @@ object LakeQueries {
       val manifest = s.read.parquet(s"$root/m").localCheckpoint()
       val expectedSurvivors = orders.filter(
         !col("o_custkey").between(60, 90))
-      val completeOk = RecallGate.equivalentSampled(
+      val completeOk = RecallGate.equivalentSampledCounted(
         s.read.parquet(s"$root/z").select(col("o_orderkey")),
         expectedSurvivors.select(col("o_orderkey")),
         Seq("o_orderkey"), 8, "q109 post-delete table vs orders minus band")
@@ -223,7 +223,7 @@ object LakeQueries {
       val asOfV1 = Snapshots.readAt(s, s"$root/m", v1,
         Seq(("o_custkey", 30.0, 120.0))).df.localCheckpoint()
       val survivors = orders.filter(!col("o_custkey").between(60, 90))
-      val postDeleteOk = RecallGate.equivalentSampled(
+      val postDeleteOk = RecallGate.equivalentSampledCounted(
         Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
         survivors.select(col("o_orderkey")),
         Seq("o_orderkey"), 8, "q111 latest read vs orders minus band")
@@ -234,7 +234,7 @@ object LakeQueries {
       require(vacuumOk,
         s"vacuum reclaim wrong: dropped ${vac.versionsDropped} versions, " +
           s"deleted ${vac.filesDeleted} files (expected ${res.filesRewritten})")
-      val postVacuumOk = RecallGate.equivalentSampled(
+      val postVacuumOk = RecallGate.equivalentSampledCounted(
         Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
         survivors.select(col("o_orderkey")),
         Seq("o_orderkey"), 8, "q111 post-vacuum latest read vs survivors")

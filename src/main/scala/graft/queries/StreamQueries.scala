@@ -53,6 +53,35 @@ object StreamQueries {
     * BOTH event types (the outer join flushes on the MIN of the two
     * sides' watermarks, so each side's stream must see its own flusher). */
   private val q124In = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Data part-file names currently in `dir` (used to tell sentinel files
+    * from data files after an append). */
+  private def partNames(s: SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+  }
+
+  /** Guarantee the just-appended sentinel file(s) are processed LAST:
+    * FileStreamSource orders candidate files by modification time, and on
+    * a mod-time TIE with a data file (fs timestamp granularity) it can
+    * process a sentinel early — advancing the watermark thousands of days
+    * past the data and late-dropping every real row (loud oracle diff, but
+    * flaky). Explicitly stamps every file NOT in `before` to the max data
+    * mtime + 2s, well past any filesystem timestamp granularity. */
+  private def stampSentinelsLast(s: SparkSession, dir: String,
+                                 before: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(p).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    val (sent, data) = all.partition(st => !before.contains(st.getPath.getName))
+    require(sent.nonEmpty && data.nonEmpty,
+      s"sentinel stamp: nothing to order in $dir")
+    val last = data.map(_.getModificationTime).max + 2000L
+    sent.foreach(st => fs.setTimes(st.getPath, last, -1))
+  }
+
   private def landedSubset(s: SparkSession, dir: String): String =
     sharedIn.computeIfAbsent(dir, _ => {
       val tmp = QueryTmp.dir("stream_shared")
@@ -156,6 +185,7 @@ object StreamQueries {
         val d = QueryTmp.dir("q98in")
         val sub = eventsSubset(s, dir)
         sub.repartition(2).write.parquet(s"$d/in")
+        val dataNames = partNames(s, s"$d/in")
         // No sentinel-user filter downstream, and that is LOAD-BEARING: a
         // filter on a grouping column is legally pushed below the
         // aggregation into the scan, which would drop the sentinel row
@@ -169,6 +199,7 @@ object StreamQueries {
           lit("flush").as("event_type"),
           lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(s"$d/in")
+        stampSentinelsLast(s, s"$d/in", dataNames)
         s"$d/in"
       })
       val tmp = QueryTmp.dir("q98")
@@ -411,6 +442,7 @@ object StreamQueries {
         val d = QueryTmp.dir("q124in")
         val sub = eventsSubset(s, dir)
         sub.repartition(2).write.parquet(s"$d/in")
+        val dataNames = partNames(s, s"$d/in")
         val mx = sub.agg(max(col("ts")).as("ts"))
         def sentinel(id: Long, tpe: String) = mx.select(
           lit(id).as("event_id"),
@@ -420,6 +452,7 @@ object StreamQueries {
           lit(0.0).as("value"))
         sentinel(-1L, "view").unionByName(sentinel(-2L, "purchase"))
           .coalesce(1).write.mode("append").parquet(s"$d/in")
+        stampSentinelsLast(s, s"$d/in", dataNames)
         s"$d/in"
       })
       replayLanded(s, in, QueryTmp.dir("q124")) { stream =>

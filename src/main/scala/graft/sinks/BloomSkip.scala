@@ -92,7 +92,11 @@ object BloomSkip {
     * column that made a whole-manifest collect a driver-memory scale-killer
     * — are consumed inside the join and pruned before anything reaches the
     * driver. A left-semi join (not inner+distinct) so a file matching
-    * several probe keys still yields one row. */
+    * several probe keys still yields one row. A manifest row WITHOUT a
+    * bloom set (null `bloom_<col>` — e.g. a stats-only generation unioned
+    * with a bloom generation) is a MANDATORY candidate: the bloom may only
+    * ever over-include, and a null would otherwise evaluate the membership
+    * condition to null ⇒ silently prune a file that can hold matches. */
   private[sinks] def survivingEntries(manifest: DataFrame, bloomCol: String,
                                       keys: DataFrame, bits: Int = DefaultBits,
                                       k: Int = DefaultK): DataFrame = {
@@ -102,7 +106,8 @@ object BloomSkip {
     val m = Dv.ensureDv(manifest)
       .select(col("file"), col("dv"), col(s"bloom_$bloomCol").as("_bloom"))
     m.join(broadcast(probes),
-        forall(col("_probe_ps"), p => array_contains(col("_bloom"), p)),
+        col("_bloom").isNull ||
+          forall(col("_probe_ps"), p => array_contains(col("_bloom"), p)),
         "left_semi")
       .select(col("file"), col("dv"))
   }

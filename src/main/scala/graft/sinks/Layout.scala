@@ -281,11 +281,17 @@ object Layout {
       val p = new Path(p0)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(s => s.isFile &&
-            !s.getPath.getName.startsWith("_") &&
+      if (st.isDirectory) {
+        val listing = fs.listStatus(p).toSeq
+          .filter(s => !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
-          .map(_.getPath)
+        // a nested layout (e.g. hive-partitioned output) must take the
+        // recursive scan build — a flat listStatus would silently build a
+        // manifest over only the top-level files, and a pruned read keyed
+        // on it could skip files holding matching rows
+        if (listing.exists(_.isDirectory)) return None
+        listing.filter(_.isFile).map(_.getPath)
+      }
       // makeQualified, NOT the caller's form: a scheme-less input ("/tmp/…")
       // must still emit the canonical "file:/…" string `_metadata.file_path`
       // produces, or sidecar/DV joins keyed on the manifest silently miss
@@ -322,6 +328,15 @@ object Layout {
               .find(_.getPath.toDotString == c).getOrElse(return None)
             val s = chunk.getStatistics
             if (s == null || s.isEmpty || !s.hasNonNullValue) return None
+            // parquet float/double stats have NaN-ordering caveats the
+            // Spark scan path does not share — any NaN bound punts to the
+            // scan build rather than serving possibly-divergent intervals
+            def nan(v: Any): Boolean = v match {
+              case d: java.lang.Double => d.isNaN
+              case f2: java.lang.Float => f2.isNaN
+              case _ => false
+            }
+            if (nan(s.genericGetMin) || nan(s.genericGetMax)) return None
             (s.genericGetMin.asInstanceOf[Comparable[Any]],
               s.genericGetMax.asInstanceOf[Comparable[Any]])
           }

@@ -67,6 +67,30 @@ class BloomSkipSpec extends SparkSpec {
     assert(got == reference)
   }
 
+  test("bloomless manifest rows are mandatory candidates, not pruned") {
+    // a manifest mixing generations — some rows with a bloom set, some
+    // without (null) — must treat the bloomless files as un-prunable: the
+    // bloom may only ever over-include, and a null membership verdict
+    // silently dropping a file would lose matching rows from point reads
+    val (_, m) = build()
+    val stripped = m.withColumn("bloom_id",
+      when(pmod(xxhash64(col("file")), lit(2)) === 0, col("bloom_id")))
+    val nNull = stripped.filter(col("bloom_id").isNull).count()
+    assert(nNull > 0 && nNull < stripped.count()) // genuinely mixed
+    val keys = spark.range(5).select((col("id") * 4021 + 13).as("id"))
+    val surviving = BloomSkip.survivingEntries(stripped, "id", keys)
+      .collect().map(_.getString(0)).toSet
+    // every bloomless file survives; bloomed files survive iff their bloom
+    // admits a probe — so the point read still returns the exact rows
+    val bloomless = stripped.filter(col("bloom_id").isNull)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(bloomless.subsetOf(surviving))
+    val pr = BloomSkip.pointRead(spark, stripped, "id", keys)
+    val expected = data.join(keys, Seq("id"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pr.df.select("id").collect().map(_.getLong(0)).toSet == expected)
+  }
+
   test("bloom point lookup composes with deletion vectors") {
     val (dir, _) = build()
     Snapshots.commit(spark,

@@ -68,6 +68,25 @@ class LayoutSpec extends SparkSpec {
       m2.agg(sum(col("rows"))).head.getLong(0) == 10000L)
   }
 
+  test("footer path punts on nested dirs and NaN float stats") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    // hive-partitioned output: data lives in subdirectories — the footer
+    // path must fall back (None), not build a silently top-level-only
+    // manifest that pruned reads would trust
+    data.withColumn("part", pmod(col("x"), lit(2)))
+      .write.partitionBy("part").parquet(s"$dir/hp")
+    assert(Layout.footerManifestFor(spark, Seq(s"$dir/hp"), Seq("x")).isEmpty)
+    // a NaN in a double column's stats punts too (parquet NaN-ordering
+    // semantics can diverge from the Spark scan build)
+    data.withColumn("p",
+        when(col("id") === 7, lit(Double.NaN)).otherwise(col("x") / 10.0))
+      .write.parquet(s"$dir/nan")
+    assert(Layout.footerManifestFor(spark, Seq(s"$dir/nan"), Seq("p")).isEmpty)
+    // ...but the public build still serves both via the scan fallback
+    val m = Layout.buildManifestFor(spark, Seq(s"$dir/nan"), Seq("p"))
+    assert(m.agg(sum(col("rows"))).head.getLong(0) == 10000L)
+  }
+
   test("pruned read equals the full filter; empty box yields empty frame") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
     Layout.zorderWrite(data, Seq("x", "y"), s"$dir/z", nFiles = 16)
