@@ -39,7 +39,7 @@ object Pq {
     def rawBytes: Int = m * subDim * 4
   }
 
-  private def normalize(v: Array[Float]): Array[Float] = {
+  private[ext] def normalize(v: Array[Float]): Array[Float] = {
     var n = 0.0
     var i = 0
     while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
@@ -57,7 +57,7 @@ object Pq {
     s
   }
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
+  private[ext] def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
@@ -104,15 +104,20 @@ object Pq {
   /** Train a codebook on a bounded deterministic sample of the corpus
     * (hash-ordered limit — one TakeOrdered job, never a full collect).
     * Vectors are L2-normalized before quantization so ADC inner product
-    * approximates cosine. */
+    * approximates cosine; [[IvfPq]] passes `normalizeInput = false` to
+    * quantize residuals, which must NOT be re-normalized (the cell-anchor
+    * decomposition is exact only on the raw residual). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, sampleCap: Int = 20000,
-            rounds: Int = 8): Codebook = {
+            rounds: Int = 8, normalizeInput: Boolean = true): Codebook = {
     val sample = corpus
       .select(col(vecCol).cast("array<float>").as("v"), col(idCol).as("id"))
       .orderBy(xxhash64(col("id")))
       .limit(sampleCap)
-      .collect().map(r => normalize(r.getSeq[Float](0).toArray))
+      .collect().map { r =>
+        val a = r.getSeq[Float](0).toArray
+        if (normalizeInput) normalize(a) else a
+      }
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
@@ -126,7 +131,7 @@ object Pq {
 
   /** Encode one normalized vector: per-subspace L2 argmin (lowest id wins
     * ties — deterministic). */
-  private def encodeOne(v: Array[Float], cb: Codebook): Array[Int] =
+  private[ext] def encodeOne(v: Array[Float], cb: Codebook): Array[Int] =
     Array.tabulate(cb.m) { s =>
       val sub = java.util.Arrays.copyOfRange(v, s * cb.subDim, (s + 1) * cb.subDim)
       var best = 0

@@ -334,6 +334,58 @@ object LlmQueries {
         .withColumn("compressed_ok", lit(compressedOk))
     }),
 
+    // IVF-PQ (q128): the COMPOSITION of the q45 coarse quantizer with the
+    // q126 code plane — the 100 TB ANN deployment shape (FAISS IVFPQ;
+    // Jégou TPAMI'11 §V). Residual-encoded codes persist PARTITIONED BY
+    // CELL and the search scans only the probed cells' partitions — the
+    // cell-bounded probe that lifts q126's flat-ADC full-plane scan.
+    // Gates ride the emitted exact-twin rows: recall vs brute force (like
+    // q30/q45/q126), compression ≥ 16×, and CELL-BOUNDEDNESS — the rows
+    // the probe scanned must be a strict fraction of the corpus.
+    "q128_ann_ivfpq" -> ((s, dir) => {
+      val root = QueryTmp.dir("q128")
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5).localCheckpoint()
+      val exact = Similarity.bruteForceTopK(probes, corpus, k = 10)
+      val (index, codes) = graft.ext.IvfPq.build(corpus, "vec_id",
+        "embedding", c = 10, m = 8, k = 32, iters = 1)
+      val compressedOk = index.cb.rawBytes >= 16 * index.cb.codeBytes
+      require(compressedOk,
+        s"q128 PQ code is ${index.cb.codeBytes} B vs raw " +
+          s"${index.cb.rawBytes} B — compression story broken")
+      // the deployment shape: code plane persisted partitioned by cell,
+      // searched from the store (partition pruning bounds the scan)
+      codes.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/codes")
+      val stored = s.read.parquet(s"$root/codes")
+      val nProbe = 3
+      // cell-boundedness: EACH probe's search reads only its nProbe cells'
+      // code rows — a bounded fraction of the plane, where flat ADC (q126)
+      // reads all of it per probe. Cell sizes come from the store (one
+      // c-bounded aggregate with the same partition layout the scan uses).
+      val sizes = stored.groupBy(col("cell")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val perProbe = graft.ext.IvfPq.perProbeCells(probes, index,
+        "probe_id", "embedding", nProbe)
+      val total = corpus.count()
+      val worst = perProbe.values
+        .map(_.map(sizes.getOrElse(_, 0L)).sum).max
+      val cellBoundedOk = worst * 5 <= total * 4 // ≤ 80% of the plane
+      require(cellBoundedOk,
+        s"q128 probe not cell-bounded: worst probe scans $worst of $total " +
+          "code rows")
+      val ivfpq = graft.ext.IvfPq.search(probes, index, stored, corpus,
+        "probe_id", "vec_id", "embedding", topK = 10, nProbe = nProbe,
+        shortlist = 100)
+      RecallGate.gate(exact, ivfpq, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.30, what = "q128 IVF-PQ ANN top-k",
+        requireExactPrecision = false)
+        .withColumn("compressed_ok", lit(compressedOk))
+        .withColumn("cell_bounded_ok", lit(cellBoundedOk))
+    }),
+
     "q45_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
@@ -747,6 +799,25 @@ object LlmQueries {
         |             JOIN nrm y ON neighbor_id = y.vec_id)
         |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
         |  TRUE AS recall_ok, TRUE AS compressed_ok
+        |FROM s WHERE rank <= 10""".stripMargin,
+    // q128 emits the exact brute-force top-k plane + the IVF-PQ recall,
+    // compression, and cell-boundedness gate booleans.
+    "q128_ann_ivfpq" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok, TRUE AS compressed_ok, TRUE AS cell_bounded_ok
         |FROM s WHERE rank <= 10""".stripMargin,
     "q45_ann_ivf" ->
       """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
