@@ -244,6 +244,118 @@ object LakeQueries {
         .withColumn("vacuum_ok", lit(vacuumOk && postVacuumOk))
     }),
 
+    // COLUMN RENAME/DROP via manifest column mapping (the Iceberg/Delta
+    // column-mapping indirection on the version log): a rename commit
+    // rewrites ONLY the logical→physical mapping marker — zero data
+    // files — while pinned reads below it serve the old name, appends
+    // after it route through toPhysical so every file keeps one physical
+    // schema, stats keep pruning on the renamed logical column, and CDF
+    // across the rename stays key-correct (the rename contributes no row
+    // changes). A drop then hides a column at the head while the pinned
+    // version keeps serving it. Emits a mapped pruned box read at the
+    // post-append version under the NEW name.
+    "q129_column_rename" -> ((s, dir) => {
+      val root = tmp("q129")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumnRenamed("o_totalprice", "price") // the logical batch
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      def files(): Set[(String, Long, Long)] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+          .toSet
+      }
+      val before = files()
+      val v2 = Snapshots.renameColumn(s, s"$root/m", "o_totalprice", "price")
+      val zeroRewriteOk = files() == before
+      require(zeroRewriteOk, "q129 rename touched data files")
+      val mapping = Snapshots.columnMapping(s, s"$root/m", v2).get
+      val (v3, _) = Snapshots.appendCommit(s,
+        Snapshots.toPhysical(batch, mapping), zcols,
+        s"$root/z", s"$root/m", nFiles = 8)
+      val pinnedCols = Snapshots.mappedTableAt(s, s"$root/m", v1).columns.toSet
+      val headCols = Snapshots.mappedTableAt(s, s"$root/m", v3).columns.toSet
+      val pinnedOk = pinnedCols.contains("o_totalprice") &&
+        !pinnedCols.contains("price") &&
+        headCols.contains("price") && !headCols.contains("o_totalprice")
+      require(pinnedOk, s"q129 name visibility wrong: $pinnedCols / $headCols")
+      val feed = Snapshots.mappedChangesBetween(s, s"$root/m", v1, v3)
+      val cdfCleanOk =
+        feed.df.filter(col("change_type") === "delete").count() == 0
+      val pr = Snapshots.mappedReadAt(s, s"$root/m", v3,
+        Seq(("o_custkey", 30.0, 120.0)))
+      val gatesOk = RecallGate.equivalentAllSampled(Seq(
+          (feed.df.filter(col("change_type") === "insert")
+            .select(col("o_orderkey")),
+            batch.select(col("o_orderkey")),
+            "q129 CDF-across-rename inserts vs appended batch"),
+          (pr.df.select(col("o_orderkey")),
+            orders.filter(col("o_custkey").between(30, 120))
+              .select(col("o_orderkey")),
+            "q129 mapped pruned box vs orders box")),
+        Seq("o_orderkey"), 4)
+      val beforeDrop = files() // post-append baseline: drop must not touch it
+      val v4 = Snapshots.dropColumn(s, s"$root/m", "o_custkey")
+      val dropOk =
+        !Snapshots.mappedTableAt(s, s"$root/m", v4).columns.contains("o_custkey") &&
+          Snapshots.mappedTableAt(s, s"$root/m", v3).columns.contains("o_custkey") &&
+          files() == beforeDrop
+      require(dropOk, "q129 drop semantics wrong")
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("price"), 2).as("price"))
+        .withColumn("zero_rewrite_ok", lit(zeroRewriteOk))
+        .withColumn("pinned_ok", lit(pinnedOk))
+        .withColumn("cdf_ok", lit(cdfCleanOk && gatesOk))
+        .withColumn("drop_ok", lit(dropOk))
+    }),
+
+    // TIME TRAVEL BY TIMESTAMP (`AS OF <timestamp>`): every commit stamps
+    // a strictly-monotonic wall-clock marker inside the atomically-renamed
+    // version dir (the Delta in-commit-timestamp model); resolution is
+    // last-version-at-or-before. The emitted rows are a pruned box read
+    // of the version resolved from the PRE-DELETE commit's stamp —
+    // executed after the delete, so they must still contain the deleted
+    // band (q111's version-pinned oracle, reached through a timestamp).
+    "q130_time_travel_ts" -> ((s, dir) => {
+      val root = tmp("q130")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 60.0, 90.0)))
+      require(res.rowsDeleted > 0, "q130 delete removed nothing — gate vacuous")
+      val v2 = Snapshots.latestVersion(s, s"$root/m")
+      val ts1 = Snapshots.commitTimestamp(s, s"$root/m", v1).get
+      val ts2 = Snapshots.commitTimestamp(s, s"$root/m", v2).get
+      val monotonicOk = ts2 > ts1
+      val resolveOk =
+        Snapshots.versionAtTimestamp(s, s"$root/m", ts1) == v1 &&
+          Snapshots.versionAtTimestamp(s, s"$root/m", ts2 - 1) == v1 &&
+          Snapshots.versionAtTimestamp(s, s"$root/m", ts2) == v2 &&
+          Snapshots.versionAtTimestamp(s, s"$root/m", ts2 + 3600000L) == v2
+      require(monotonicOk && resolveOk,
+        s"q130 timestamp resolution broken: ts1=$ts1 ts2=$ts2")
+      val asOf = Snapshots.readAt(s, s"$root/m",
+        Snapshots.versionAtTimestamp(s, s"$root/m", ts1),
+        Seq(("o_custkey", 30.0, 120.0)))
+      asOf.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("monotonic_ok", lit(monotonicOk))
+        .withColumn("resolve_ok", lit(resolveOk))
+    }),
+
     // VERSIONED APPEND + COMPACTION (r9 verdict item: close the {append,
     // delete, compact} × versioned matrix — q111 covered only delete).
     // Base (¬%4 orders) commits as v1; the %4 batch lands via
@@ -1056,6 +1168,24 @@ object LakeQueries {
     "q111_time_travel" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS post_delete_ok, TRUE AS vacuum_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q129 emits the post-append box under the RENAMED column: all orders
+    // (base ∪ batch) with o_totalprice visible as `price`; the booleans
+    // assert the zero-rewrite rename, pinned-name visibility, the
+    // key-correct cross-rename CDF, and drop semantics.
+    "q129_column_rename" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |  TRUE AS zero_rewrite_ok, TRUE AS pinned_ok, TRUE AS cdf_ok,
+        |  TRUE AS drop_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q130 emits a box read of the version RESOLVED FROM the pre-delete
+    // commit's timestamp, executed after the delete — the un-deleted
+    // orders box, q111's oracle reached through `AS OF <timestamp>`.
+    "q130_time_travel_ts" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS monotonic_ok, TRUE AS resolve_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
     // q113 emits a latest-version pruned box read AFTER append + compact +

@@ -47,6 +47,8 @@ object Snapshots {
   private val CkptDir = "ckpt=(\\d+)".r
   private val DeltaMarker = "_delta"
   private val ActionCol = "action"
+  private val TsPrefix = "_ts_"
+  private val CmapPrefix = "_cmap_"
 
   /** Committed version numbers, ascending (empty for a fresh root). */
   def versions(spark: SparkSession, manifestRoot: String): Seq[Int] = {
@@ -77,8 +79,9 @@ object Snapshots {
     * next version number. Bounded retries so a broken store surfaces as an
     * error, not a spin. */
   def commit(spark: SparkSession, manifest: DataFrame,
-             manifestRoot: String, tag: Option[String] = None): Int =
-    commitStaged(spark, manifest, manifestRoot, tag, delta = false)
+             manifestRoot: String, tag: Option[String] = None,
+             markers: Seq[String] = Seq.empty): Int =
+    commitStaged(spark, manifest, manifestRoot, tag, delta = false, markers)
 
   /** Shared staging + CAS-rename loop behind [[commit]] (full manifests)
     * and [[commitDelta]] (log-structured commits). A delta version carries
@@ -87,7 +90,8 @@ object Snapshots {
     * a version is never observable in a half-classified state. */
   private def commitStaged(spark: SparkSession, content: DataFrame,
                            manifestRoot: String, tag: Option[String],
-                           delta: Boolean): Int = {
+                           delta: Boolean,
+                           markers: Seq[String] = Seq.empty): Int = {
     val fs = hfs(spark, manifestRoot)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
@@ -100,6 +104,19 @@ object Snapshots {
     }
     if (delta)
       fs.create(new org.apache.hadoop.fs.Path(tmp, DeltaMarker), true).close()
+    // the commit TIMESTAMP rides the same atomic rename (the Delta
+    // in-commit-timestamp model): stamped strictly after the latest
+    // existing stamp so single-writer logs resolve `AS OF <timestamp>`
+    // unambiguously even when two commits land within one clock tick.
+    // (Racing writers can still interleave stamps out of version order —
+    // resolution is max-version-at-or-below-timestamp, matching Delta.)
+    val ts = math.max(System.currentTimeMillis(),
+      latestCommitTs(spark, manifestRoot) + 1)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"$TsPrefix$ts"), true).close()
+    markers.foreach { m =>
+      require(m.startsWith("_"), s"marker must be underscore-prefixed: $m")
+      fs.create(new org.apache.hadoop.fs.Path(tmp, m), true).close()
+    }
     var next = versions(spark, manifestRoot).lastOption.getOrElse(0) + 1
     var attempts = 0
     while (attempts < 100) {
@@ -134,6 +151,45 @@ object Snapshots {
     versions(spark, manifestRoot).find { v =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v/_txn_$tag"))
     }
+  }
+
+  /** The wall-clock commit stamp (epoch millis) of `version`, if stamped —
+    * the `_ts_<millis>` marker that rode the commit's atomic rename.
+    * Versions committed before timestamping existed return None and are
+    * invisible to timestamp resolution. One listing per call —
+    * version-count-bounded planner work. */
+  def commitTimestamp(spark: SparkSession, manifestRoot: String,
+                      version: Int): Option[Long] = {
+    val fs = hfs(spark, manifestRoot)
+    val dir = new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$version")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith(TsPrefix) =>
+        n.stripPrefix(TsPrefix).toLong }
+  }
+
+  private def latestCommitTs(spark: SparkSession, manifestRoot: String): Long =
+    versions(spark, manifestRoot)
+      .flatMap(commitTimestamp(spark, manifestRoot, _))
+      .maxOption.getOrElse(0L)
+
+  /** `AS OF <timestamp>` resolution: the LAST committed version whose stamp
+    * is at or below `tsMillis` (the Delta/Iceberg timestamp-travel
+    * contract). Rejects a timestamp earlier than every stamped commit —
+    * "before the table existed" must be an error, not an empty table. Pass
+    * the result to [[manifestAt]]/[[tableAt]]/[[readAt]]; timestamp travel
+    * is a resolution step, not a second read path. */
+  def versionAtTimestamp(spark: SparkSession, manifestRoot: String,
+                         tsMillis: Long): Int = {
+    val stamped = versions(spark, manifestRoot)
+      .flatMap(v => commitTimestamp(spark, manifestRoot, v).map(v -> _))
+    require(stamped.nonEmpty, s"no timestamped versions under $manifestRoot")
+    val atOrBefore = stamped.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"timestamp $tsMillis predates the first commit " +
+        s"(${stamped.map(_._2).min}) under $manifestRoot")
+    atOrBefore.map(_._1).max
   }
 
   /** True when `v=N` is a log-structured delta commit (adds/removes) rather
@@ -636,6 +692,172 @@ object Snapshots {
           .unionByName(a.exceptAll(r).withColumn("change_type", lit("insert")))
     }
     ChangeScan(df, read, total)
+  }
+
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING — non-additive schema evolution (rename/drop) without
+  // touching a single data file: the Iceberg/Delta "column mapping"
+  // indirection re-expressed on the version log. A mapping is a
+  // logical→physical name table that rides a commit as an
+  // underscore-prefixed marker (visible in the same atomic rename as the
+  // manifest, like the txn tag); data files always store PHYSICAL names,
+  // so a rename commit rewrites ONLY the mapping — zero data files, like
+  // a DV re-point — while pinned reads below the commit still serve the
+  // old names and stats/pruning follow the map by translating logical
+  // range columns to physical before touching the manifest.
+  // Contract: when a mapping exists at a version, the visible schema is
+  // EXACTLY the mapping's logical keys. Reads below the first mapping
+  // commit serve raw physical names. Writers appending after a rename
+  // route batches through [[toPhysical]] so every data file keeps the one
+  // physical schema.
+  // ------------------------------------------------------------------
+
+  private def cmapMarker(m: Map[String, String]): String = {
+    val joined = m.toSeq.sorted.map { case (l, p) => s"$l=$p" }.mkString(",")
+    CmapPrefix + java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(joined.getBytes("UTF-8"))
+  }
+
+  private def parseCmap(name: String): Map[String, String] = {
+    val joined = new String(java.util.Base64.getUrlDecoder
+      .decode(name.stripPrefix(CmapPrefix)), "UTF-8")
+    joined.split(",").map { kv =>
+      val Array(l, p) = kv.split("=", 2)
+      l -> p
+    }.toMap
+  }
+
+  /** The column mapping in force at `version`: the marker of the LARGEST
+    * version at or below it that carries one (a mapping, once committed,
+    * applies to every later version until superseded). None ⇒ physical
+    * names are the visible schema. */
+  def columnMapping(spark: SparkSession, manifestRoot: String,
+                    version: Int): Option[Map[String, String]] = {
+    val fs = hfs(spark, manifestRoot)
+    versions(spark, manifestRoot).filter(_ <= version).sorted.reverse
+      .iterator
+      .map { v =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+          .toSeq.map(_.getPath.getName)
+          .collectFirst { case n if n.startsWith(CmapPrefix) => parseCmap(n) }
+      }
+      .collectFirst { case Some(m) => m }
+  }
+
+  /** The mapping to commit against: the one in force, or identity over the
+    * latest snapshot's physical schema when none exists yet. */
+  private def currentMapping(spark: SparkSession,
+                             manifestRoot: String): Map[String, String] = {
+    val v = latestVersion(spark, manifestRoot)
+    columnMapping(spark, manifestRoot, v).getOrElse(
+      tableAt(spark, manifestRoot, v).columns.map(c => c -> c).toMap)
+  }
+
+  /** RENAME a logical column — a metadata-only commit: the next version
+    * carries the current manifest CONTENT unchanged plus the updated
+    * mapping marker; no data file is written, moved, or rewritten (the
+    * q119 DV-re-point economics, applied to schema). Pinned reads below
+    * the commit keep serving the old name. */
+  def renameColumn(spark: SparkSession, manifestRoot: String,
+                   logicalOld: String, logicalNew: String): Int = {
+    val cur = currentMapping(spark, manifestRoot)
+    require(cur.contains(logicalOld),
+      s"rename: no visible column '$logicalOld' (have ${cur.keys.toSeq.sorted})")
+    require(!cur.contains(logicalNew),
+      s"rename: '$logicalNew' already visible")
+    val next = (cur - logicalOld) + (logicalNew -> cur(logicalOld))
+    commit(spark,
+      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot)),
+      manifestRoot, markers = Seq(cmapMarker(next)))
+  }
+
+  /** DROP a logical column — metadata-only like [[renameColumn]]: the
+    * column vanishes from the visible schema at this version; pinned reads
+    * below it still serve it; the physical bytes stay (reclaimed only if a
+    * later rewrite drops them). */
+  def dropColumn(spark: SparkSession, manifestRoot: String,
+                 logical: String): Int = {
+    val cur = currentMapping(spark, manifestRoot)
+    require(cur.contains(logical),
+      s"drop: no visible column '$logical' (have ${cur.keys.toSeq.sorted})")
+    require(cur.size > 1, "drop would leave an empty visible schema")
+    commit(spark,
+      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot)),
+      manifestRoot, markers = Seq(cmapMarker(cur - logical)))
+  }
+
+  /** Route a LOGICAL-schema batch to PHYSICAL names for writing — what an
+    * appender uses after a rename so every data file keeps the one
+    * physical schema. Columns outside the mapping are rejected (a writer
+    * must evolve the mapping first, not invent physical names). */
+  def toPhysical(batch: DataFrame, mapping: Map[String, String]): DataFrame = {
+    val unknown = batch.columns.filterNot(mapping.contains)
+    require(unknown.isEmpty,
+      s"toPhysical: columns not in the mapping: ${unknown.toSeq.sorted}")
+    batch.select(batch.columns.map(c => col(c).as(mapping(c))): _*)
+  }
+
+  /** [[tableAt]] through the mapping in force at `version`: physical
+    * columns served under their logical names, in physical-schema order;
+    * unmapped physical columns (dropped, or never mapped) are invisible. */
+  def mappedTableAt(spark: SparkSession, manifestRoot: String,
+                    version: Int): DataFrame = {
+    val t = tableAt(spark, manifestRoot, version)
+    columnMapping(spark, manifestRoot, version) match {
+      case None => t
+      case Some(m) =>
+        val order = t.columns.zipWithIndex.toMap
+        val cols = m.toSeq
+          .filter { case (_, p) => order.contains(p) }
+          .sortBy { case (_, p) => order(p) }
+          .map { case (l, p) => col(p).as(l) }
+        require(cols.nonEmpty,
+          s"mapping at v$version matches no physical column of the snapshot")
+        t.select(cols: _*)
+    }
+  }
+
+  /** [[readAt]] with ranges over LOGICAL names: ranges translate to
+    * physical before touching the manifest — so the stats columns
+    * (`min_<physical>`/`max_<physical>`) keep pruning across renames —
+    * and the emitted rows come back under logical names. */
+  def mappedReadAt(spark: SparkSession, manifestRoot: String, version: Int,
+                   ranges: Seq[(String, Double, Double)]): Layout.PrunedScan = {
+    columnMapping(spark, manifestRoot, version) match {
+      case None => readAt(spark, manifestRoot, version, ranges)
+      case Some(m) =>
+        val phys = ranges.map { case (l, lo, hi) =>
+          require(m.contains(l), s"pruned read on unmapped column '$l'")
+          (m(l), lo, hi)
+        }
+        val pr = readAt(spark, manifestRoot, version, phys)
+        val order = pr.df.columns.zipWithIndex.toMap
+        val cols = m.toSeq
+          .filter { case (_, p) => order.contains(p) }
+          .sortBy { case (_, p) => order(p) }
+          .map { case (l, p) => col(p).as(l) }
+        Layout.PrunedScan(pr.df.select(cols: _*), pr.filesRead, pr.filesTotal)
+    }
+  }
+
+  /** [[changesBetween]] served under the DESTINATION version's mapping —
+    * how a CDC consumer reads a feed that crosses a rename: the diff runs
+    * on physical rows (key-correct by construction — a rename commit
+    * changes no (file, dv) pair, so it contributes no row changes), and
+    * only the emitted column names translate. */
+  def mappedChangesBetween(spark: SparkSession, manifestRoot: String,
+                           vFrom: Int, vTo: Int): ChangeScan = {
+    val cs = changesBetween(spark, manifestRoot, vFrom, vTo)
+    columnMapping(spark, manifestRoot, vTo) match {
+      case None => cs
+      case Some(m) =>
+        val order = cs.df.columns.zipWithIndex.toMap
+        val cols = m.toSeq
+          .filter { case (_, p) => order.contains(p) }
+          .sortBy { case (_, p) => order(p) }
+          .map { case (l, p) => col(p).as(l) } :+ col("change_type")
+        ChangeScan(cs.df.select(cols: _*), cs.filesRead, cs.filesTotal)
+    }
   }
 
   /** Reclaim storage: drop all but the last `retainLast` versions, then
