@@ -468,6 +468,49 @@ object StreamQueries {
             unix_micros(col("l.ts")).as("view_ts_us"),
             unix_micros(col("r.ts")).as("purchase_ts_us"))
       }.filter(col("user_id") >= 0)
+    }),
+
+    // Stream-stream FULL OUTER interval join — q124 plus the symmetric
+    // null-padding: a purchase no view could claim ALSO emits, (null, r),
+    // once the combined watermark passes its state bound. Same landed
+    // input (sentinels on both event types already exist — each side's
+    // unmatched rows flush on the MIN of the two watermarks), same
+    // emission determinism argument; the user_id must COALESCE across
+    // sides because either can be null now. Sentinels still can't emit
+    // (each side's expiry stays ahead of the watermark it creates), and
+    // the `user_id >= 0` filter on the batch read-back drops nothing
+    // real: sentinel users are negative by construction.
+    "q131_stream_full_outer_join" -> ((s, dir) => {
+      val in = q124In.computeIfAbsent(dir, _ => {
+        val d = QueryTmp.dir("q124in")
+        val sub = eventsSubset(s, dir)
+        sub.repartition(2).write.parquet(s"$d/in")
+        val dataNames = partNames(s, s"$d/in")
+        val mx = sub.agg(max(col("ts")).as("ts"))
+        def sentinel(id: Long, tpe: String) = mx.select(
+          lit(id).as("event_id"),
+          (col("ts") + expr("INTERVAL 7305 DAYS")).as("ts"),
+          lit(id).as("user_id"),
+          lit(tpe).as("event_type"),
+          lit(0.0).as("value"))
+        sentinel(-1L, "view").unionByName(sentinel(-2L, "purchase"))
+          .coalesce(1).write.mode("append").parquet(s"$d/in")
+        stampSentinelsLast(s, s"$d/in", dataNames)
+        s"$d/in"
+      })
+      replayLanded(s, in, QueryTmp.dir("q131")) { stream =>
+        val views = stream().filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+        Streaming.streamIntervalJoinFullOuter(
+          views, purchases, key = "user_id",
+          interval = "6 hours", lateness = "3650 days")
+          .select(coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+            col("view_id"), col("purchase_id"),
+            unix_micros(col("l.ts")).as("view_ts_us"),
+            unix_micros(col("r.ts")).as("purchase_ts_us"))
+      }.filter(col("user_id") >= 0)
     })
   )
 
@@ -557,6 +600,21 @@ object StreamQueries {
         |  ON l.user_id = r.user_id
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
         | AND r.event_type = 'purchase' AND r.event_id % 10 < 3
-        |WHERE l.event_type = 'view' AND l.event_id % 10 < 3""".stripMargin
+        |WHERE l.event_type = 'view' AND l.event_id % 10 < 3""".stripMargin,
+    // q131: the full-outer twin — q124's rows plus every unclaimed
+    // purchase as (null, r). Side filters live in subqueries, not ON/WHERE:
+    // a WHERE on l would drop the unmatched-right rows a full join exists
+    // to keep.
+    "q131_stream_full_outer_join" ->
+      """SELECT coalesce(l.user_id, r.user_id) AS user_id,
+        |  l.event_id AS view_id, r.event_id AS purchase_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS view_ts_us,
+        |  epoch_us(CAST(r.ts AS TIMESTAMP)) AS purchase_ts_us
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'view' AND event_id % 10 < 3) l
+        |FULL JOIN (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND event_id % 10 < 3) r
+        |  ON l.user_id = r.user_id
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin
   )
 }

@@ -123,6 +123,24 @@ object Streaming {
       "left_outer")
   }
 
+  /** [[streamIntervalJoinOuter]]'s FULL OUTER form — both unmatched sides
+    * null-pad: a left event with no right match inside `[l.ts, l.ts +
+    * interval]` emits `(l, null)` once the combined watermark passes its
+    * expiry (exactly the left-outer behavior), and a right event no left
+    * row could claim emits `(null, r)` once the watermark passes ITS state
+    * bound symmetrically. Matched pairs emit eagerly. The same replay
+    * caveat applies doubled: BOTH sides need trailing sentinels, since
+    * each side's unmatched rows flush on the min of the two watermarks. */
+  def streamIntervalJoinFullOuter(left: DataFrame, right: DataFrame,
+                                  key: String, interval: String,
+                                  lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).as("l")
+    val r = right.withWatermark("ts", lateness).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $interval"),
+      "full_outer")
+  }
+
   /** Streaming upsert: apply each micro-batch to a keyed target via the
     * lake-native MERGE ([[graft.ops.Upsert]]). This is the streaming form of
     * the reference's late-data story — re-pulled rows within the lateness

@@ -78,4 +78,46 @@ class StreamJoinSpec extends SparkSpec {
     // user 1 matched, so it must not ALSO null-pad
     assert(!padded.contains(1L), "matched row must not also emit null-padded")
   }
+
+  test("full-outer interval join null-pads BOTH unmatched sides exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val l = views.toDS().toDF("user_id", "ts")
+    val r = purchases.toDS().toDF("uid", "ts").withColumnRenamed("uid", "user_id")
+
+    val joined = Streaming.streamIntervalJoinFullOuter(
+      l, r, key = "user_id", interval = "5 MINUTES", lateness = "1 minute")
+      .selectExpr("coalesce(l.user_id, r.user_id) AS user_id",
+        "l.ts AS lts", "r.ts AS rts")
+
+    val q = joined.writeStream.format("memory").queryName("sjf_out")
+      .outputMode("append").start()
+
+    // user 1: matched pair; user 2: view only; user 3: purchase only
+    views.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    purchases.addData((1L, ts("2024-01-01 10:02:00")), (3L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    // advance both watermarks past every window, then one more batch so
+    // state eviction runs
+    views.addData((99L, ts("2024-01-01 10:30:00")))
+    purchases.addData((98L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    views.addData((97L, ts("2024-01-01 10:31:00")))
+    purchases.addData((96L, ts("2024-01-01 10:31:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sjf_out").collect()
+      .filter(x => x.getAs[Long]("user_id") <= 3L)
+    q.stop()
+
+    val matched = rows.filter(x => !x.isNullAt(1) && !x.isNullAt(2))
+    assert(matched.length == 1 && matched.head.getAs[Long]("user_id") == 1L)
+    // user 2's view null-pads on the right; user 3's purchase on the left
+    val leftOnly = rows.filter(x => !x.isNullAt(1) && x.isNullAt(2))
+      .map(_.getAs[Long]("user_id")).toSeq
+    val rightOnly = rows.filter(x => x.isNullAt(1) && !x.isNullAt(2))
+      .map(_.getAs[Long]("user_id")).toSeq
+    assert(leftOnly == Seq(2L), s"left-unmatched wrong: ${rows.mkString(",")}")
+    assert(rightOnly == Seq(3L), s"right-unmatched wrong: ${rows.mkString(",")}")
+  }
 }
