@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, AudioDedup, Dedup, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AsofJoin, AudioDedup, Dedup, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis, VideoDedup}
 import graft.model.Tables
 import graft.qc.{RecallGate, SketchGate}
 import graft.streaming.Streaming
@@ -260,6 +260,19 @@ object LlmQueries {
     "q125_audio_neardup" -> ((s, dir) =>
       AudioDedup.gatedTextDupAudioPairs(s, t(s, dir, "documents"),
         copyMod = 7, copyIdOffset = 100000L, maxHamming = 3)),
+
+    // The VIDEO modality of the same screen (q132), closing the
+    // image/audio/video matrix on shared machinery: every %11 doc re-keyed
+    // and rendered as a real multi-frame Y4M clip with a first-frame
+    // perceptual jitter; the engine walks the container's FRAME markers,
+    // dHashes SAMPLED frames' luma planes, folds them into an
+    // order-sensitive clip signature (ext/VideoDedup.scala), and pairs via
+    // the same banded hamming join. Gates shared with q105/q125 via
+    // MediaNearDup; copyMod=11 keeps the fixture disjoint from image's %5
+    // and audio's %7 so the three modalities cannot mask each other.
+    "q132_video_neardup" -> ((s, dir) =>
+      VideoDedup.gatedTextDupVideoPairs(s, t(s, dir, "documents"),
+        copyMod = 11, copyIdOffset = 100000L, maxHamming = 3)),
 
     // Near-dup CLUSTERS: exact Jaccard pairs → connected components → every
     // doc labeled with its cluster's canonical (minimum) id. The full
@@ -722,6 +735,15 @@ object LlmQueries {
         |             UNION ALL
         |             SELECT doc_id + 100000, text FROM documents
         |             WHERE doc_id % 7 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS pigeonhole_ok
+        |FROM aug a JOIN aug b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    "q132_video_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |             UNION ALL
+        |             SELECT doc_id + 100000, text FROM documents
+        |             WHERE doc_id % 11 = 0)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS pigeonhole_ok
         |FROM aug a JOIN aug b
