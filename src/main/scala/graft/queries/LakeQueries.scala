@@ -126,13 +126,13 @@ object LakeQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
       Layout.zorderWrite(orders.filter(col("o_orderkey") % 2 === 0),
-        zcols, s"$root/z", nFiles = 32)
+        zcols, s"$root/z", nFiles = 16)
       Layout.buildManifest(s, s"$root/z", zcols)
         .write.mode("overwrite").parquet(s"$root/m")
       val before = s.read.parquet(s"$root/m").count()
       val appended = Layout.appendWithManifest(s,
         orders.filter(col("o_orderkey") % 2 === 1),
-        zcols, s"$root/z", s"$root/m", nFiles = 32)
+        zcols, s"$root/z", s"$root/m", nFiles = 16)
       val after = s.read.parquet(s"$root/m").count()
       val incrementalOk = appended > 0 && after == before + appended
       require(incrementalOk,
@@ -170,7 +170,7 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
       Layout.buildManifest(s, s"$root/z", zcols)
         .write.mode("overwrite").parquet(s"$root/m")
       val res = Layout.deleteWhere(s, s"$root/z", s"$root/m", zcols,
@@ -211,7 +211,7 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
@@ -330,7 +330,7 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
@@ -374,7 +374,7 @@ object LakeQueries {
       val zcols = Seq("o_custkey", "o_totalprice")
       val base = orders.filter(col("o_orderkey") % 4 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 4 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val (v2, nApp) = Snapshots.appendCommit(s, batch, zcols,
@@ -433,7 +433,7 @@ object LakeQueries {
       val zcols = Seq("o_custkey", "o_totalprice")
       val base = orders.filter(col("o_orderkey") % 4 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 4 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val (v2, _) = Snapshots.appendCommit(s, batch, zcols,
@@ -487,7 +487,7 @@ object LakeQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
       val zcols = Seq("o_orderkey", "o_custkey")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val updates = orders.filter(col("o_orderkey").between(1000, 4000))
@@ -553,7 +553,7 @@ object LakeQueries {
         scan.df.withColumn("bucket", pmod(col("o_custkey"), lit(8)))
       val base = orders.filter(col("o_orderkey") % 5 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 5 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val view1 = gold(Snapshots.tableAt(s, s"$root/m", v1)).localCheckpoint()
@@ -656,7 +656,7 @@ object LakeQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
       val statsCols = zcols :+ "o_orderkey" // key stats for the key planner
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 32)
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", statsCols), s"$root/m")
       def files(): Set[String] = {
@@ -732,7 +732,7 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
-      Layout.zorderWrite(orders, Seq("o_orderkey"), s"$root/z", nFiles = 32)
+      Layout.zorderWrite(orders, Seq("o_orderkey"), s"$root/z", nFiles = 16)
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", Seq("o_orderkey")), s"$root/m")
       val Seq(lo, hi) = orders.agg(min("o_orderkey"), max("o_orderkey"))
@@ -796,7 +796,7 @@ object LakeQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
       Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
-        s"$root/z", nFiles = 32)
+        s"$root/z", nFiles = 16)
       val files = s.read.parquet(s"$root/z")
         .select(col("_metadata.file_path")).distinct()
         .collect().map(_.getString(0)).toSeq
