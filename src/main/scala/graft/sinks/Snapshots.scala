@@ -786,6 +786,24 @@ object Snapshots {
       manifestRoot, markers = Seq(cmapMarker(cur - logical)))
   }
 
+  /** EXTEND the mapping with a new logical column (schema-evolution ADD
+    * after a rename/drop): once a mapping exists, an appended physical
+    * column is invisible until mapped — the writer evolves the mapping
+    * (one metadata commit), then appends batches carrying the column
+    * through [[toPhysical]] as usual. The physical name defaults to the
+    * logical one (a fresh column has nothing to indirect). */
+  def extendMapping(spark: SparkSession, manifestRoot: String,
+                    logical: String, physical: Option[String] = None): Int = {
+    val cur = currentMapping(spark, manifestRoot)
+    require(!cur.contains(logical), s"extend: '$logical' already visible")
+    val phys = physical.getOrElse(logical)
+    require(!cur.values.exists(_ == phys),
+      s"extend: physical '$phys' already mapped")
+    commit(spark,
+      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot)),
+      manifestRoot, markers = Seq(cmapMarker(cur + (logical -> phys))))
+  }
+
   /** Route a LOGICAL-schema batch to PHYSICAL names for writing — what an
     * appender uses after a rename so every data file keeps the one
     * physical schema. Columns outside the mapping are rejected (a writer

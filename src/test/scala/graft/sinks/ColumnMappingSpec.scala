@@ -126,6 +126,35 @@ class ColumnMappingSpec extends SparkSpec {
       Snapshots.dropColumn(spark, s"$dir/m", "ghost"))
   }
 
+  test("schema-evolution ADD after a rename: extendMapping then append") {
+    val (dir, _) = freshTable()
+    val v2 = Snapshots.renameColumn(spark, s"$dir/m", "amount", "price")
+    // an appended physical column is invisible until mapped — extend first
+    val v3 = Snapshots.extendMapping(spark, s"$dir/m", "score")
+    val mapping = Snapshots.columnMapping(spark, s"$dir/m", v3).get
+    assert(mapping("score") == "score" && mapping("price") == "amount")
+    val batch = spark.range(2000, 2400)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(100)).as("x"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 10.0).as("price"),
+        (col("id") % 7).cast("double").as("score"))
+    val (v4, _) = Snapshots.appendCommit(spark,
+      Snapshots.toPhysical(batch, mapping), Seq("x", "amount"),
+      s"$dir/z", s"$dir/m", nFiles = 2)
+    val t = Snapshots.mappedTableAt(spark, s"$dir/m", v4)
+    assert(t.columns.toSeq == Seq("id", "x", "amount", "score").map {
+      case "amount" => "price"; case c => c })
+    assert(t.filter(col("score").isNotNull).count() == 400)
+    assert(t.filter(col("score").isNull).count() == 2000)
+    // pinned below the extension: no score column visible
+    assert(!Snapshots.mappedTableAt(spark, s"$dir/m", v2).columns.contains("score"))
+    // guards
+    assertThrows[IllegalArgumentException](
+      Snapshots.extendMapping(spark, s"$dir/m", "price"))
+    assertThrows[IllegalArgumentException](
+      Snapshots.extendMapping(spark, s"$dir/m", "cost", Some("amount")))
+  }
+
   test("AS OF timestamp resolves to the last version at or before the stamp") {
     val (dir, v1) = freshTable()
     val res = Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m",
