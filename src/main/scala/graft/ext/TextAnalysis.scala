@@ -45,6 +45,20 @@ object TextAnalysis {
   def typeTokenRatio(text: Column): Column =
     nUniqueTokens(text).cast("double") / nTokens(text).cast("double")
 
+  /** Mean word length — exact integer sum over tokens divided once, so an
+    * ANSI oracle summing the same lengths reproduces it bit-for-bit. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+      .cast("double") / size(toks).cast("double")
+  }
+
+  /** Number of DISTINCT words from `words` present in the document — the
+    * Gopher-style "must contain ≥k stop words" rule's measurement. */
+  def stopHitCount(text: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(words.map(lit): _*))).cast("long")
+
   /** Quality score in [0,1]: rewards length (capped) and lexical diversity,
     * penalizes stopword stuffing. Pure +,*,/ arithmetic so an oracle engine
     * reproduces it bit-for-bit (no ln/exp whose libm rounding could differ).

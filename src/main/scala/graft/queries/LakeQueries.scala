@@ -1118,6 +1118,194 @@ object LakeQueries {
           .as("r"))
         .select(col("r.p_partkey").as("p_partkey"), col("r.p_name").as("p_name"),
           col("r.p_size").as("p_size"), col("r.p_retailprice").as("p_retailprice"))
+    }),
+
+    // RESTORE TO VERSION (q133): rolling a table back from a bad commit
+    // the way production formats do — a NEW head whose manifest is the
+    // target version's, re-referencing files every prior version already
+    // references. Gates in-query: the restore wrote/moved/deleted ZERO
+    // data files (metadata-only, like the q129 rename); history is
+    // preserved, not erased (a pinned read of the post-delete version
+    // still excludes the band — roll-forward semantics); and the restore
+    // commit's change feed is exactly the bad delete's INVERSE — pure
+    // re-inserts of the deleted band, survivor rewrites annihilating in
+    // the multiset diff. Emits a pruned box read of the restored head:
+    // the band is back, so the oracle is the full box over all orders.
+    "q133_restore" -> ((s, dir) => {
+      val root = tmp("q133")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val (v2, _) = Snapshots.appendCommit(s, batch, zcols, s"$root/z",
+        s"$root/m", nFiles = 8)
+      val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 60.0, 90.0)))
+      require(res.rowsDeleted > 0, "q133 delete removed nothing — gate vacuous")
+      val v3 = Snapshots.latestVersion(s, s"$root/m")
+      def files(): Set[(String, Long, Long)] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+          .toSet
+      }
+      val before = files()
+      val v4 = Snapshots.restoreCommit(s, s"$root/m", v2)
+      val zeroWriteOk = files() == before
+      require(zeroWriteOk, "q133 restore touched data files")
+      val historyOk = Snapshots.readAt(s, s"$root/m", v3,
+        Seq(("o_custkey", 60.0, 90.0))).df.isEmpty
+      require(historyOk, "q133 pinned post-delete version resurrected the band")
+      val feed = Snapshots.changesBetween(s, s"$root/m", v3, v4)
+      val insertsOnly =
+        feed.df.filter(col("change_type") =!= "insert").isEmpty
+      // feed-inverse + restored-head equivalence in ONE batched job
+      val gatesOk = RecallGate.equivalentAllSampled(Seq(
+          (feed.df.select(col("o_orderkey")),
+            orders.filter(col("o_custkey").between(60, 90))
+              .select(col("o_orderkey")),
+            "q133 restore feed vs the deleted band (delete's inverse)"),
+          (Snapshots.tableAt(s, s"$root/m", v4).select(col("o_orderkey")),
+            orders.select(col("o_orderkey")),
+            "q133 restored head vs all orders")),
+        Seq("o_orderkey"), 8)
+      val pr = Snapshots.readAt(s, s"$root/m", v4,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("zero_write_ok", lit(zeroWriteOk))
+        .withColumn("history_ok", lit(historyOk))
+        .withColumn("feed_ok", lit(insertsOnly && gatesOk))
+    }),
+
+    // SHALLOW CLONE (q134): a zero-copy table fork — the clone's v=1 is
+    // the source's pinned manifest committed under a FRESH log root,
+    // referencing the source's data files by the same absolute paths.
+    // Gates in-query: the clone manifest's file set is EXACTLY the
+    // source's (nothing copied — compared by path, file-count-bounded);
+    // a delete on the clone stages survivors into the CLONE's own data
+    // dir and leaves the source log and head untouched (isolation both
+    // ways: src still one version, src head still serves the band); and
+    // the two heads diverge to their expected states in one batched
+    // equivalence job. Emits a pruned box read of the clone head —
+    // orders minus the clone-side deleted band.
+    "q134_shallow_clone" -> ((s, dir) => {
+      val root = tmp("q134")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders, zcols, s"$root/src/z", nFiles = 16)
+      val sv1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/src/z", zcols), s"$root/src/m")
+      val cv1 = Snapshots.cloneCommit(s, s"$root/src/m", s"$root/clone/m", sv1)
+      val srcFiles = Snapshots.manifestAt(s, s"$root/src/m", sv1)
+        .select(col("file")).collect().map(_.getString(0)).toSet
+      val cloneFiles = Snapshots.manifestAt(s, s"$root/clone/m", cv1)
+        .select(col("file")).collect().map(_.getString(0)).toSet
+      val zeroCopyOk = srcFiles == cloneFiles && srcFiles.nonEmpty
+      require(zeroCopyOk, "q134 clone does not alias the source file set")
+      // the clone's own data dir: survivors of clone-side DML land here
+      new org.apache.hadoop.fs.Path(s"$root/clone/z")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$root/clone/z"))
+      val res = Snapshots.deleteWhere(s, s"$root/clone/z", s"$root/clone/m",
+        zcols, Seq(("o_custkey", 60.0, 90.0)))
+      require(res.rowsDeleted > 0, "q134 clone delete removed nothing")
+      val cv2 = Snapshots.latestVersion(s, s"$root/clone/m")
+      val srcIsolatedOk =
+        Snapshots.versions(s, s"$root/src/m") == Seq(sv1) &&
+          !Snapshots.readAt(s, s"$root/src/m", sv1,
+            Seq(("o_custkey", 60.0, 90.0))).df.isEmpty
+      require(srcIsolatedOk, "q134 clone DML leaked into the source")
+      val divergedOk = RecallGate.equivalentAllSampled(Seq(
+          (Snapshots.tableAt(s, s"$root/clone/m", cv2)
+            .select(col("o_orderkey")),
+            orders.filter(!col("o_custkey").between(60, 90))
+              .select(col("o_orderkey")),
+            "q134 clone head vs orders minus the band"),
+          (Snapshots.tableAt(s, s"$root/src/m", sv1)
+            .select(col("o_orderkey")),
+            orders.select(col("o_orderkey")),
+            "q134 source head vs all orders")),
+        Seq("o_orderkey"), 8)
+      val pr = Snapshots.readAt(s, s"$root/clone/m", cv2,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("zero_copy_ok", lit(zeroCopyOk))
+        .withColumn("src_isolated_ok", lit(srcIsolatedOk))
+        .withColumn("diverged_ok", lit(divergedOk))
+    }),
+
+    // DV PURGE (q136, the Delta `REORG ... APPLY (PURGE)` shape): after a
+    // MoR band delete leaves deletion-vector debt, the purge rewrites
+    // ONLY the masked files' live rows into clean files — converting
+    // cheap-write debt back into clean-read files. Gates in-query: the
+    // purge touched strictly fewer files than the manifest lists AND left
+    // every unmasked data file byte-untouched on disk (cost tracks the
+    // MASKED set, not table size); the purged manifest carries zero dv
+    // pointers; the purge commit is INVISIBLE to the change feed (row-
+    // identical rewrite — the compaction contract); and a pinned read of
+    // the pre-purge MoR version still masks the band through its sidecar.
+    // Emits a pruned box read of the purged head — orders minus the band.
+    "q136_dv_purge" -> ((s, dir) => {
+      import graft.sinks.Dv
+      val root = tmp("q136")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      def files(): Map[String, Long] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      }
+      val mor = Dv.deleteWhereMoR(s, s"$root/z", s"$root/m",
+        Seq(("o_custkey", 60.0, 90.0)))
+      require(mor.rowsDeleted > 0 && mor.dataFilesWritten == 0,
+        s"q136 MoR setup wrong: $mor")
+      val maskedFiles = Snapshots.manifestAt(s, s"$root/m", mor.version)
+        .filter(col("dv").isNotNull)
+        .select(col("file")).collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+      val before = files()
+      val purge = Dv.purgeDv(s, s"$root/z", s"$root/m", zcols)
+      val after = files()
+      val untouched = before.filterNot { case (n, _) => maskedFiles.contains(n) }
+      val targetedOk = purge.filesPurged < purge.filesTotal &&
+        purge.filesPurged == maskedFiles.size &&
+        untouched.forall { case (n, ts) => after.get(n).contains(ts) }
+      require(targetedOk, s"q136 purge not masked-set-bounded: $purge")
+      val cleanOk = Dv.ensureDv(
+          Snapshots.manifestAt(s, s"$root/m", purge.version))
+        .filter(col("dv").isNotNull).isEmpty
+      require(cleanOk, "q136 purged manifest still carries dv pointers")
+      val invisibleOk = Snapshots.changesBetween(s, s"$root/m",
+        mor.version, purge.version).df.isEmpty
+      require(invisibleOk, "q136 purge leaked into the change feed")
+      // pinned pre-purge MoR read still masks the band through its sidecar
+      val pinnedOk = Snapshots.readAt(s, s"$root/m", mor.version,
+        Seq(("o_custkey", 60.0, 90.0))).df.isEmpty
+      require(pinnedOk, "q136 pinned MoR version resurrected the band")
+      val pr = Snapshots.readAt(s, s"$root/m", purge.version,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("targeted_ok", lit(targetedOk))
+        .withColumn("clean_ok", lit(cleanOk))
+        .withColumn("invisible_ok", lit(invisibleOk && pinnedOk))
     })
   )
 
@@ -1340,6 +1528,34 @@ object LakeQueries {
         |  round(sum(CASE WHEN o.o_orderkey % 13 = 0 THEN NULL
         |                 ELSE o.o_totalprice END), 2) AS total_paid
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q133 emits a box read of the RESTORED head, executed after a band
+    // delete was rolled back: the band is present again, so the oracle is
+    // the full box over all orders. The booleans assert the metadata-only
+    // commit, preserved (pinnable) history, and the feed-is-inverse gate.
+    "q133_restore" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS zero_write_ok, TRUE AS history_ok, TRUE AS feed_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q134 emits a box read of the CLONE head after a clone-side band
+    // delete — orders minus the band; the booleans assert the zero-copy
+    // aliasing, both-ways isolation, and the diverged-heads equivalences.
+    "q134_shallow_clone" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS zero_copy_ok, TRUE AS src_isolated_ok, TRUE AS diverged_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120
+        |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin,
+    // q136 emits a box read of the PURGED head: the MoR-deleted band is
+    // gone (now physically, not just masked), so the oracle is orders
+    // minus the band. The booleans assert the masked-set-bounded rewrite,
+    // the dv-free manifest, feed invisibility, and the pinned MoR read.
+    "q136_dv_purge" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS targeted_ok, TRUE AS clean_ok, TRUE AS invisible_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120
+        |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin
   )
 }

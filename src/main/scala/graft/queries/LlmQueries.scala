@@ -587,6 +587,38 @@ object LlmQueries {
       SketchGate.gkGate(t(s, dir, "lineitem"),
         groupCol = "l_returnflag", valCol = "l_extendedprice",
         percentages = Seq(0.5, 0.95), accuracy = 10000, rankSlack = 0.005)
+    }),
+
+    // GOPHER-STYLE RULE FILTER (Rae et al. 2021 §A1.1, the public
+    // quality-rule battery every large text pipeline runs before
+    // training): word-count bounds, mean-word-length band, minimum
+    // distinct-stopword hits, and a repetition guard (type–token ratio —
+    // the duplicate-line surrogate for single-line docs). Every rule is a
+    // pure codegen column expression over one scan — no UDF, no shuffle,
+    // linear at 100 TB. Thresholds are parameters; the values here are
+    // tuned so each rule genuinely splits the synthetic corpus (probed:
+    // 331/249/317/219 of 500 pass the four rules respectively), so a
+    // broken rule can't hide behind an always-true battery. Emits per-doc
+    // measurements + per-rule flags + the composite verdict; the oracle
+    // recomputes all of it from the same rational arithmetic.
+    "q135_gopher_rules" -> ((s, dir) => {
+      val txt = col("text")
+      val nw = TextAnalysis.nTokens(txt)
+      val ml = TextAnalysis.meanWordLen(txt)
+      val stops = TextAnalysis.stopHitCount(txt, Seq("the", "a", "to", "of"))
+      val ttrC = TextAnalysis.typeTokenRatio(txt)
+      val wcOk = nw.between(40L, 100000L)
+      val mlOk = ml.between(3.0, 4.5)
+      val stopOk = stops >= 2L
+      val repOk = ttrC >= 0.5
+      t(s, dir, "documents").select(
+        col("doc_id"), nw.as("n_words"),
+        round(ml, 6).as("mean_word_len"),
+        stops.as("stop_hits"),
+        round(ttrC, 6).as("ttr"),
+        wcOk.as("wc_ok"), mlOk.as("ml_ok"),
+        stopOk.as("stop_ok"), repOk.as("rep_ok"),
+        (wcOk && mlOk && stopOk && repOk).as("passes"))
     })
   )
 
@@ -1025,6 +1057,28 @@ object LlmQueries {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id,
         |  o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
-        |FROM j WHERE rn = 1""".stripMargin
+        |FROM j WHERE rn = 1""".stripMargin,
+    // q135 recomputes the whole Gopher rule battery in DuckDB from the
+    // same exact-rational arithmetic (integer length sums divided once) —
+    // measurements, per-rule flags, and the composite verdict all ride
+    // the hash compare.
+    "q135_gopher_rules" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST($nTok AS BIGINT) AS n_words,
+         |  list_sum(list_transform($toks, w -> length(w)))::DOUBLE
+         |    / $nTok::DOUBLE AS ml,
+         |  CAST(len(list_intersect(list_distinct($toks),
+         |    ['the','a','to','of'])) AS BIGINT) AS stop_hits,
+         |  $ttr AS ttr
+         |FROM documents)
+         |SELECT doc_id, n_words,
+         |  round(ml, 6) AS mean_word_len, stop_hits, round(ttr, 6) AS ttr,
+         |  n_words BETWEEN 40 AND 100000 AS wc_ok,
+         |  ml BETWEEN 3.0 AND 4.5 AS ml_ok,
+         |  stop_hits >= 2 AS stop_ok,
+         |  ttr >= 0.5 AS rep_ok,
+         |  (n_words BETWEEN 40 AND 100000) AND (ml BETWEEN 3.0 AND 4.5)
+         |    AND stop_hits >= 2 AND ttr >= 0.5 AS passes
+         |FROM m""".stripMargin
   )
 }

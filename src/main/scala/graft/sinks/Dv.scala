@@ -268,4 +268,40 @@ object Dv {
       }
     MoRDeleteResult(committed, hitFiles.size.toLong, total, rowsDeleted, 0)
   }
+
+  /** PURGE deletion vectors (the Delta `REORG TABLE ... APPLY (PURGE)`
+    * shape): rewrite ONLY the masked files' LIVE rows into fresh clean
+    * files and commit a manifest where those rows reference the new files
+    * with no dv pointer; unmasked files are untouched, so the purge's
+    * cost tracks the MASKED set, not table size. Read-side economics:
+    * after a purge, scans pay no anti-join against sidecars — the purge
+    * is what converts MoR's cheap-write debt back into clean-read files
+    * once enough masks accumulate. Prior versions still MoR-read through
+    * their sidecars until [[Snapshots.vacuum]] expires them. Row-identical
+    * rewrite means the purge commit is INVISIBLE to the change feed —
+    * live(old masked files) and the new files annihilate in the multiset
+    * diff, the same pure-re-layout contract as compaction. */
+  final case class PurgeResult(version: Int, filesPurged: Long,
+                               filesTotal: Long, dataFilesWritten: Long)
+
+  def purgeDv(spark: SparkSession, path: String, manifestRoot: String,
+              cols: Seq[String]): PurgeResult = {
+    val v = Snapshots.latestVersion(spark, manifestRoot)
+    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
+      .localCheckpoint()
+    val total = manifest.count()
+    val masked = entries(manifest.filter(col("dv").isNotNull))
+    if (masked.isEmpty) return PurgeResult(v, 0, total, 0)
+    val staging = path + ".purge_staging"
+    readLive(spark, masked).write.mode("overwrite").parquet(staging)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep = manifest.filter(col("dv").isNull)
+    val next =
+      if (moved.isEmpty) keep // every masked file was fully dead
+      else keep.unionByName(
+        ensureDv(Layout.buildManifestFor(spark, moved, cols)),
+        allowMissingColumns = true)
+    PurgeResult(Snapshots.commit(spark, next, manifestRoot),
+      masked.size.toLong, total, moved.size.toLong)
+  }
 }

@@ -937,4 +937,57 @@ object Snapshots {
     }
     VacuumResult(dead.size.toLong + deadDv.size.toLong, drop.size.toLong)
   }
+
+  /** RESTORE to `toVersion` as a NEW head commit (the Delta `RESTORE
+    * TABLE ... TO VERSION AS OF` shape — north-star depth beyond the
+    * reference's overwrite loads, run_load.py:61): the restored manifest
+    * is the target version's
+    * manifest re-committed at the head — roll-FORWARD, so history between
+    * the target and the old head stays pinnable, and the bad commits can
+    * still be audited through the change feed. Zero data files are
+    * written, moved, or deleted: the commit re-references files every
+    * prior version already references (which is also why a restore is
+    * only valid while those versions survive [[vacuum]]). When the table
+    * carries a column mapping, the mapping IN FORCE AT THE TARGET is
+    * re-asserted on the restore commit — otherwise marker resolution
+    * (largest version ≤ head) would serve the abandoned head's schema
+    * over restored data. */
+  def restoreCommit(spark: SparkSession, manifestRoot: String,
+                    toVersion: Int): Int = {
+    val vs = versions(spark, manifestRoot)
+    require(vs.contains(toVersion),
+      s"restore: no version $toVersion under $manifestRoot (have $vs)")
+    val head = vs.last
+    val targetMap = columnMapping(spark, manifestRoot, toVersion)
+    val headMap = columnMapping(spark, manifestRoot, head)
+    val markers =
+      if (targetMap == headMap) Seq.empty
+      else Seq(cmapMarker(targetMap.getOrElse(
+        // the head mapped names but the target predates every mapping:
+        // the restore must re-expose raw physical names → identity map
+        tableAt(spark, manifestRoot, toVersion).columns
+          .map(c => c -> c).toMap)))
+    commit(spark, manifestAt(spark, manifestRoot, toVersion), manifestRoot,
+      markers = markers :+ s"_restore_$toVersion")
+  }
+
+  /** SHALLOW CLONE: initialize a fresh manifest root whose v=1 is the
+    * source's pinned manifest — zero data files copied; the clone
+    * references the source's files by the same absolute paths the source
+    * manifest carries. From that point the two logs evolve independently:
+    * commits on the clone (appends/deletes staged into the CLONE's data
+    * dir) are invisible to the source and vice versa, because immutable
+    * data files are only ever superseded by new manifests, never edited.
+    * The source's column mapping at the pinned version travels with the
+    * clone. Documented hazard (shared with every shallow-clone design):
+    * a [[vacuum]] on the SOURCE can reclaim files the clone still
+    * references — don't vacuum a cloned-from table, or deep-copy first. */
+  def cloneCommit(spark: SparkSession, srcRoot: String, dstRoot: String,
+                  version: Int): Int = {
+    require(versions(spark, dstRoot).isEmpty,
+      s"clone destination $dstRoot already has commits")
+    val markers = columnMapping(spark, srcRoot, version).map(cmapMarker).toSeq
+    commit(spark, manifestAt(spark, srcRoot, version), dstRoot,
+      markers = markers :+ s"_clone_v$version")
+  }
 }

@@ -192,4 +192,46 @@ class DvSpec extends SparkSpec {
     assert(feed.df.filter(col("change_type") =!= "insert").isEmpty)
     assert(feed.df.count() == 1000L)
   }
+
+  test("purgeDv rewrites only the masked files and clears every dv pointer") {
+    val (dir, _) = freshLayout()
+    val del = Dv.deleteWhereMoR(spark, s"$dir/z", s"$dir/m",
+      Seq(("x", 100.0, 199.0)))
+    val masked = Snapshots.manifestAt(spark, s"$dir/m", del.version)
+      .filter(col("dv").isNotNull).select("file").collect()
+      .map(r => Layout.fileName(r.getString(0))).toSet
+    assert(masked.nonEmpty && masked.size < 16)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/z")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamps(): Map[String, Long] =
+      fs.listStatus(p).filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = stamps()
+    val res = Dv.purgeDv(spark, s"$dir/z", s"$dir/m", Seq("x", "y"))
+    assert(res.filesPurged == masked.size)
+    assert(res.dataFilesWritten > 0)
+    // unmasked files byte-untouched (same mtime); purged head dv-free
+    val after = stamps()
+    assert(before.filterNot { case (n, _) => masked.contains(n) }
+      .forall { case (n, ts) => after.get(n).contains(ts) })
+    assert(Dv.ensureDv(Snapshots.manifestAt(spark, s"$dir/m", res.version))
+      .filter(col("dv").isNotNull).isEmpty)
+    // same rows as the MoR head: the purge is invisible to the feed
+    val expected = data.filter(!col("x").between(100, 199))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(Snapshots.tableAt(spark, s"$dir/m", res.version)
+      .select("id").collect().map(_.getLong(0)).toSet == expected)
+    assert(Snapshots.changesBetween(spark, s"$dir/m",
+      del.version, res.version).df.isEmpty)
+    // pinned pre-purge version still masks through its sidecar
+    assert(Snapshots.tableAt(spark, s"$dir/m", del.version)
+      .count() == expected.size.toLong)
+  }
+
+  test("purgeDv on a mask-free table is a no-op") {
+    val (dir, v1) = freshLayout()
+    val res = Dv.purgeDv(spark, s"$dir/z", s"$dir/m", Seq("x", "y"))
+    assert(res.version == v1 && res.filesPurged == 0 &&
+      res.dataFilesWritten == 0)
+  }
 }
