@@ -74,6 +74,51 @@ object Curation {
       f"$threshold%08x"
   }
 
+  /** Temperature-weighted (α = 1/2) multi-group sampling thresholds — the
+    * multilingual/multi-source mixing rule (sample group g with weight
+    * ∝ n_g^α, the XLM-R/mT5 α-sampling shape that up-weights low-resource
+    * groups relative to proportional sampling). The per-group keep rate is
+    *   rate_g = (targetNum/targetDen · Σn) · w_g / n_g,  w_g = ⌊√n_g⌋ / Σ⌊√n_t⌋
+    * computed ENTIRELY in integer arithmetic (⌊√n⌋ via correctly-rounded
+    * IEEE sqrt — exact for n < 2⁵²; BigInt products; one integer division
+    * into 2⁻³² threshold units), so an ANSI oracle with HUGEINT division
+    * reproduces every threshold bit-for-bit — no float summation whose
+    * association order could flip a boundary row. Group sizes are one
+    * small aggregate (group-count-bounded driver work, like every planner
+    * read here); the keep decision itself is [[hashSampleExpr]]'s
+    * row-property hash — stable under repartition/retry/append. */
+  def temperatureMixThresholds(df: DataFrame, groupCol: String,
+                               targetNum: Long, targetDen: Long): Map[String, BigInt] = {
+    val Unit32 = BigInt(4294967296L)
+    val sizes = df.groupBy(col(groupCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(sizes.nonEmpty, "temperature mix over an empty frame")
+    val sq = sizes.map { case (g, n) => g -> BigInt(math.sqrt(n.toDouble).toLong) }
+    val sumSq = sq.values.sum
+    val target = BigInt(sizes.values.sum) * targetNum / targetDen
+    sizes.map { case (g, n) =>
+      (g, (target * sq(g) * Unit32 / (sumSq * BigInt(n))).min(Unit32))
+    }
+  }
+
+  /** The keep predicate for [[temperatureMixThresholds]]: a CASE over the
+    * (few) groups comparing the row's salted hash against the group's
+    * exact threshold. Unknown groups (appeared after threshold planning)
+    * are dropped — re-plan to admit them. */
+  def temperatureMixKeep(group: Column, id: Column,
+                         thresholds: Map[String, BigInt],
+                         salt: String): Column = {
+    val hex = substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8)
+    thresholds.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (g, t)) =>
+        val cond =
+          if (t >= BigInt(4294967296L)) lit(true)
+          else if (t <= 0) lit(false)
+          else hex < f"${t.toLong}%08x"
+        when(group === g, cond).otherwise(acc)
+    }
+  }
+
   /** Near-dup-safe train/val/test assignment: every document gets the split
     * of its near-dup CLUSTER representative (min id via
     * [[Dedup.dedupByPairs]]), so two near-duplicates can never straddle

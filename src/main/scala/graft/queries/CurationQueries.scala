@@ -150,6 +150,37 @@ object CurationQueries {
         train = docs.filter(col("doc_id") % 50 =!= 0),
         bench = docs.filter(col("doc_id") % 50 === 0),
         idCol = "doc_id", textCol = "text", n = 8)
+    }),
+
+    // TEMPERATURE-WEIGHTED LANGUAGE MIXING (q140): the α = 1/2 sampling
+    // rule multilingual pipelines use to up-weight low-resource languages
+    // (weight ∝ n^α instead of ∝ n) at a 60% overall budget. Thresholds
+    // are computed in INTEGER arithmetic (⌊√n⌋ weights, BigInt division
+    // into 2⁻³² hash units) so the oracle reproduces every boundary
+    // bit-for-bit; the keep decision is the salted-md5 row property —
+    // stable under repartition and appends. The in-query gate asserts the
+    // semantic point: the minority languages' achieved keep RATE exceeds
+    // the majority language's (the up-weighting actually happened), which
+    // a proportional-sampling regression would fail.
+    "q140_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val th = Curation.temperatureMixThresholds(docs, "lang", 3, 5)
+      val kept = docs
+        .filter(Curation.temperatureMixKeep(col("lang"), col("doc_id"), th, "mix"))
+        .select(col("doc_id"), col("lang"))
+        .localCheckpoint() // sampled twice below (emit + gate)
+      val rates = kept.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes = docs.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val majority = sizes.maxBy(_._2)._1
+      val majRate = rates.getOrElse(majority, 0L).toDouble / sizes(majority)
+      val upweightedOk = sizes.keys.filter(_ != majority).forall { l =>
+        rates.getOrElse(l, 0L).toDouble / sizes(l) > majRate
+      }
+      require(upweightedOk,
+        s"q140 low-resource languages not up-weighted: rates=$rates sizes=$sizes")
+      kept.withColumn("upweighted_ok", lit(upweightedOk))
     })
   )
 
@@ -273,6 +304,24 @@ object CurationQueries {
         |SELECT s.doc_id, count(*) AS n_shared
         |FROM sh s JOIN bench b ON s.h = b.h
         |WHERE s.doc_id % 50 <> 0
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q140 recomputes the integer-exact α-sampling thresholds in HUGEINT
+    // arithmetic and replays the salted-md5 keep rule — every kept row
+    // must match bit-for-bit.
+    "q140_temperature_mix" ->
+      """WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, CAST(n AS HUGEINT) AS n,
+        |        CAST(floor(sqrt(n)) AS HUGEINT) AS sq FROM sz),
+        |tot AS (SELECT sum(n) AS total, sum(sq) AS sumsq FROM w),
+        |th AS (SELECT lang,
+        |        least((SELECT total FROM tot) * 3 // 5 * sq * 4294967296
+        |                // ((SELECT sumsq FROM tot) * n),
+        |              CAST(4294967296 AS HUGEINT)) AS t
+        |       FROM w)
+        |SELECT d.doc_id, d.lang, TRUE AS upweighted_ok
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE th.t >= 4294967296
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)
+        |        < printf('%08x', CAST(th.t AS BIGINT))""".stripMargin
   )
 }

@@ -1306,6 +1306,228 @@ object LakeQueries {
         .withColumn("targeted_ok", lit(targetedOk))
         .withColumn("clean_ok", lit(cleanOk))
         .withColumn("invisible_ok", lit(invisibleOk && pinnedOk))
+    }),
+
+    // FULL THREE-CLAUSE MERGE (q137): WHEN MATCHED UPDATE + WHEN NOT
+    // MATCHED INSERT + WHEN NOT MATCHED BY SOURCE DELETE — the clause
+    // that retires target rows an authoritative feed stopped sending,
+    // SCOPED to a stats box (the only 100 TB-honest form: unscoped, the
+    // clause must touch every file by definition). Source = the 1000–4000
+    // orderkey band with doubled prices (updates) + %97 keys shifted
+    // above the key space (inserts); delete box = orderkey 5000–9000, so
+    // unmatched rows there are retired. Gates in-query: the touch set is
+    // stats-pruned; updated/inserted/deleted counts equal the exact
+    // splits; and the merged head matches the expected key set in one
+    // sampled job. Emits the touched slices of the post-merge state:
+    // updated band, untouched gap, emptied delete box, inserts.
+    "q137_merge_full" -> ((s, dir) => {
+      val root = tmp("q137")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val updates = orders.filter(col("o_orderkey").between(1000, 4000))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val box = Seq(("o_orderkey", 5000.0, 9000.0))
+      val res = Snapshots.mergeCommitFull(s, updates.unionByName(inserts),
+        "o_orderkey", zcols, s"$root/z", s"$root/m", nFiles = 16, box)
+      val prunedOk = res.filesRewritten < res.filesTotal
+      require(prunedOk, s"q137 merge rewrote ${res.filesRewritten} of " +
+        s"${res.filesTotal} files — stats pruning bought nothing")
+      val nDel = orders.filter(col("o_orderkey").between(5000, 9000)).count()
+      require(nDel > 0, "q137 delete box empty — clause untested")
+      val countsOk = res.rowsUpdated == updates.count() &&
+        res.rowsInserted == inserts.count() && res.rowsDeleted == nDel
+      require(countsOk, s"q137 clause counts off: $res (expected del=$nDel)")
+      val expectedKeys = orders
+        .filter(!col("o_orderkey").between(5000, 9000))
+        .select(col("o_orderkey"))
+        .unionByName(inserts.select(col("o_orderkey")))
+      val headOk = RecallGate.equivalentSampled(
+        Snapshots.tableAt(s, s"$root/m", res.version)
+          .select(col("o_orderkey")),
+        expectedKeys, Seq("o_orderkey"), 8,
+        "q137 merged head key set vs expected")
+      Snapshots.tableAt(s, s"$root/m", res.version)
+        .filter(col("o_orderkey").between(1000, 9000) ||
+          col("o_orderkey") >= 10000000L)
+        .withColumn("merge_pruned_ok", lit(prunedOk))
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("head_ok", lit(headOk))
+    }),
+
+    // METADATA-ONLY AGGREGATES (q138): COUNT(*)/MIN/MAX answered from the
+    // manifest with zero data files opened — the planner fast path every
+    // table format serves, and at 100 TB the difference between a
+    // sub-second answer and a full scan. Gates in-query: the metadata
+    // answer equals a one-scan exact twin; a DV-masked manifest REFUSES
+    // loudly (footer row counts include masked rows — answering would be
+    // wrong); and after a purge the metadata path serves again, matching
+    // the post-delete scan count. Emits one row of the metadata-served
+    // aggregates; the oracle recomputes them all from the raw table.
+    "q138_stats_agg" -> ((s, dir) => {
+      import graft.sinks.Dv
+      val root = tmp("q138")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val meta = Snapshots.statsAggAt(s, s"$root/m", v1, zcols)
+      val scan = Snapshots.tableAt(s, s"$root/m", v1)
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).cast("double").as("loc"),
+          max(col("o_custkey")).cast("double").as("hic"),
+          min(col("o_totalprice")).cast("double").as("lop"),
+          max(col("o_totalprice")).cast("double").as("hip"))
+        .collect()(0)
+      val matchesScanOk = meta.rows == scan.getLong(0) &&
+        meta.mins("o_custkey") == scan.getDouble(1) &&
+        meta.maxs("o_custkey") == scan.getDouble(2) &&
+        meta.mins("o_totalprice") == scan.getDouble(3) &&
+        meta.maxs("o_totalprice") == scan.getDouble(4)
+      require(matchesScanOk, s"q138 metadata disagrees with scan: $meta")
+      val mor = Dv.deleteWhereMoR(s, s"$root/z", s"$root/m",
+        Seq(("o_custkey", 60.0, 90.0)))
+      require(mor.rowsDeleted > 0, "q138 MoR delete removed nothing")
+      val maskedRefusedOk =
+        try { Snapshots.statsAggAt(s, s"$root/m", mor.version, zcols); false }
+        catch { case _: IllegalArgumentException => true }
+      require(maskedRefusedOk, "q138 metadata count served over masked files")
+      val purge = Dv.purgeDv(s, s"$root/z", s"$root/m", zcols)
+      val meta2 = Snapshots.statsAggAt(s, s"$root/m", purge.version, zcols)
+      val purgedOk = meta2.rows ==
+        Snapshots.tableAt(s, s"$root/m", purge.version).count()
+      require(purgedOk, "q138 post-purge metadata count drifted from scan")
+      s.range(1).select(
+        lit(meta.rows).as("n_rows"),
+        lit(meta.mins("o_custkey")).as("min_cust"),
+        lit(meta.maxs("o_custkey")).as("max_cust"),
+        round(lit(meta.mins("o_totalprice")), 2).as("min_price"),
+        round(lit(meta.maxs("o_totalprice")), 2).as("max_price"),
+        lit(meta2.rows).as("rows_after_purge"),
+        lit(matchesScanOk).as("matches_scan_ok"),
+        lit(maskedRefusedOk).as("masked_refused_ok"),
+        lit(purgedOk).as("purged_ok"))
+    }),
+
+    // CHECK CONSTRAINT ON COMMIT (q139): the append path validates the
+    // batch BEFORE any staging — a violating batch raises and leaves the
+    // table byte-identical (no files, no version), the enforcement-point
+    // atomicity `ALTER TABLE ADD CONSTRAINT` systems guarantee. Gates
+    // in-query: the bad batch (negated prices) is rejected AND the data
+    // dir + version log are unchanged; the good batch then commits and
+    // the head serves base ∪ batch. Emits a pruned box read of the head
+    // — all orders — plus the rejection/atomicity booleans.
+    "q139_check_constraint" -> ((s, dir) => {
+      val root = tmp("q139")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 3 === 0)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      def files(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+      }
+      val constraint = col("o_totalprice") >= 0
+      val before = files()
+      val bad = batch.withColumn("o_totalprice", -col("o_totalprice") - 1)
+      val rejectedOk =
+        try {
+          Snapshots.appendCommitChecked(s, bad, zcols, s"$root/z",
+            s"$root/m", 8, constraint, "price_nonneg")
+          false
+        } catch { case _: Snapshots.ConstraintViolationException => true }
+      val atomicOk = files() == before &&
+        Snapshots.versions(s, s"$root/m") == Seq(v1)
+      require(rejectedOk && atomicOk,
+        "q139 violating batch was not rejected atomically")
+      val (v2, nApp) = Snapshots.appendCommitChecked(s, batch, zcols,
+        s"$root/z", s"$root/m", 8, constraint, "price_nonneg")
+      require(nApp > 0, "q139 good batch landed no files")
+      val pr = Snapshots.readAt(s, s"$root/m", v2,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("rejected_ok", lit(rejectedOk))
+        .withColumn("atomic_ok", lit(atomicOk))
+    }),
+
+    // CDC REPLICATION (q141): mirror a versioned table into another table
+    // by applying each commit's change feed as feed-sized DML — deletes
+    // as zero-data-file MoR masks, inserts as appends — never re-copying
+    // the table (the property that makes replication viable at 100 TB).
+    // The consumer cursor is DERIVED from cdc_<v> txn tags on the
+    // mirror's own log, so exactly-once resume falls out of tag
+    // resolution instead of separate state that can desync. Flow: mirror
+    // bootstraps from src v1 (full snapshot, tagged); src then takes an
+    // append and a band delete; an incremental sync applies both; a
+    // replayed sync (the crash/restart case) skips both without a single
+    // new mirror version. Gates in-query: incremental feed reads were
+    // touch-set-bounded; the replay applied nothing and committed
+    // nothing; the mirror head equals the source head in one sampled
+    // job. Emits a box read of the mirror head — orders minus the band.
+    "q141_cdc_replication" -> ((s, dir) => {
+      import graft.sinks.Cdc
+      val root = tmp("q141")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val statsCols = zcols :+ "o_orderkey" // key stats for the MoR planner
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      Layout.zorderWrite(base, zcols, s"$root/src/z", nFiles = 16)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/src/z", statsCols), s"$root/src/m")
+      val boot = Cdc.sync(s, s"$root/src/m", s"$root/mir/z", s"$root/mir/m",
+        "o_orderkey", statsCols)
+      require(boot.commitsApplied == 1 && boot.replaysSkipped == 0,
+        s"q141 bootstrap wrong: $boot")
+      Snapshots.appendCommit(s, batch, statsCols, s"$root/src/z",
+        s"$root/src/m", nFiles = 8)
+      Snapshots.deleteWhere(s, s"$root/src/z", s"$root/src/m", statsCols,
+        Seq(("o_custkey", 60.0, 90.0)))
+      val inc = Cdc.sync(s, s"$root/src/m", s"$root/mir/z", s"$root/mir/m",
+        "o_orderkey", statsCols)
+      val boundedOk = inc.commitsApplied == 2 &&
+        inc.feedFilesRead < inc.feedFilesTotal
+      require(boundedOk, s"q141 incremental sync unbounded: $inc")
+      val mirrorVersions = Snapshots.versions(s, s"$root/mir/m")
+      val replay = Cdc.sync(s, s"$root/src/m", s"$root/mir/z", s"$root/mir/m",
+        "o_orderkey", statsCols)
+      // the tag-derived cursor is already at the source head: a replayed
+      // sync applies nothing and commits nothing
+      val replayOk = replay.commitsApplied == 0 &&
+        replay.fromVersion == replay.toVersion &&
+        Snapshots.versions(s, s"$root/mir/m") == mirrorVersions
+      require(replayOk, s"q141 replay was not exactly-once: $replay")
+      val srcHead = Snapshots.latestVersion(s, s"$root/src/m")
+      val mirHead = Snapshots.latestVersion(s, s"$root/mir/m")
+      val syncedOk = RecallGate.equivalentSampled(
+        Snapshots.tableAt(s, s"$root/mir/m", mirHead)
+          .select(col("o_orderkey")),
+        Snapshots.tableAt(s, s"$root/src/m", srcHead)
+          .select(col("o_orderkey")),
+        Seq("o_orderkey"), 8, "q141 mirror head vs source head")
+      val pr = Snapshots.readAt(s, s"$root/mir/m", mirHead,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("bounded_ok", lit(boundedOk))
+        .withColumn("replay_ok", lit(replayOk))
+        .withColumn("synced_ok", lit(syncedOk))
     })
   )
 
@@ -1554,6 +1776,57 @@ object LakeQueries {
     "q136_dv_purge" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS targeted_ok, TRUE AS clean_ok, TRUE AS invisible_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120
+        |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin,
+    // q137 emits the touched slices of the three-clause merge: the
+    // updated 1000–4000 band (price doubled), the untouched 4000–5000
+    // gap, the EMPTIED 5000–9000 delete box (no rows — unmatched-by-
+    // source retired), and the shifted inserts. Booleans assert pruning,
+    // clause counts, and the head key-set equivalence.
+    "q137_merge_full" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(round(o_totalprice, 2) * 2, 2) AS o_totalprice,
+        |  TRUE AS merge_pruned_ok, TRUE AS counts_ok, TRUE AS head_ok
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE
+        |FROM orders WHERE o_orderkey > 4000 AND o_orderkey < 5000
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+    // q138 emits ONE row of manifest-served aggregates; the oracle
+    // recomputes every value from the raw table (the post-purge count is
+    // the table minus the MoR-deleted custkey band).
+    "q138_stats_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_cust,
+        |  CAST(max(o_custkey) AS DOUBLE) AS max_cust,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  (SELECT count(*) FROM orders
+        |     WHERE NOT (o_custkey BETWEEN 60 AND 90)) AS rows_after_purge,
+        |  TRUE AS matches_scan_ok, TRUE AS masked_refused_ok,
+        |  TRUE AS purged_ok
+        |FROM orders""".stripMargin,
+    // q139 emits the full custkey box over ALL orders — the violating
+    // batch must have been rejected without a trace and the clean batch
+    // committed, so base ∪ batch = the whole table.
+    "q139_check_constraint" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS rejected_ok, TRUE AS atomic_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q141 emits a box read of the MIRROR head after replicating a
+    // bootstrap + append + band delete through the change feed — the
+    // mirror must equal the source: all orders minus the band. Booleans
+    // assert touch-set-bounded feeds, exactly-once replay, and the
+    // sampled head equivalence.
+    "q141_cdc_replication" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS bounded_ok, TRUE AS replay_ok, TRUE AS synced_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 30 AND 120
         |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin

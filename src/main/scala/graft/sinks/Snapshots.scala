@@ -529,6 +529,74 @@ object Snapshots {
       updated, inserted)
   }
 
+  final case class MergeFullResult(version: Int, filesRewritten: Long,
+                                   filesTotal: Long, rowsUpdated: Long,
+                                   rowsInserted: Long, rowsDeleted: Long)
+
+  /** The COMPLETE three-clause MERGE matrix: WHEN MATCHED UPDATE (source
+    * row replaces the target row), WHEN NOT MATCHED INSERT, and WHEN NOT
+    * MATCHED BY SOURCE DELETE — the clause [[mergeCommit]] lacks, which is
+    * what sync-from-authoritative-feed pipelines use to retire rows the
+    * source stopped sending. The delete clause is SCOPED to `deleteBox`
+    * (stats ranges): an unscoped not-matched-by-source delete must touch
+    * every file of the table by definition — no stats can prune "rows
+    * whose key is absent from the source" — so the API makes the
+    * 100 TB-honest form (bound the clause to the slice the feed is
+    * authoritative for, the Delta guidance for the same clause) the only
+    * form. Touch set = key-range-hit files ∪ box-hit files; everything
+    * else is untouched. Within the touch set, live rows matched by source
+    * keys are replaced, unmatched rows inside the box are dropped, and
+    * unmatched rows outside it survive the rewrite. */
+  def mergeCommitFull(spark: SparkSession, source: DataFrame, key: String,
+                      cols: Seq[String], path: String, manifestRoot: String,
+                      nFiles: Int,
+                      deleteBox: Seq[(String, Double, Double)]): MergeFullResult = {
+    require(cols.contains(key),
+      s"merge key $key needs manifest stats — not in ${cols.mkString(",")}")
+    val manifest =
+      Dv.ensureDv(manifestAt(spark, manifestRoot,
+          latestVersion(spark, manifestRoot)))
+        .localCheckpoint()
+    val total = manifest.count()
+    val keyHit = source.select(col(key).cast("double").as("k")).distinct()
+      .join(broadcast(manifest.select(col("file"),
+          col(s"min_$key").cast("double").as("lo"),
+          col(s"max_$key").cast("double").as("hi"))),
+        col("k") >= col("lo") && col("k") <= col("hi"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val boxHit = manifest.filter(Layout.intersectsExpr(deleteBox))
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val hit = (keyHit ++ boxHit).toSeq
+    val srcKeys = source.select(col(key)).distinct()
+    val (survivors, updated, matchedSrc, deleted) =
+      if (hit.isEmpty) (None, 0L, 0L, 0L)
+      else {
+        val hitRows = Dv.readLive(spark,
+          Dv.entries(manifest.filter(col("file").isInCollection(hit))))
+          .localCheckpoint()
+        val hitKeys = hitRows.select(col(key)).distinct().localCheckpoint()
+        val unmatched = hitRows.join(srcKeys, Seq(key), "left_anti")
+        val kept = unmatched.filter(!Layout.inBoxExpr(deleteBox))
+        (Some(kept),
+          hitRows.join(srcKeys, Seq(key), "left_semi").count(),
+          source.join(hitKeys, Seq(key), "left_semi").count(),
+          unmatched.filter(Layout.inBoxExpr(deleteBox)).count())
+      }
+    val newData = survivors.map(_.unionByName(source)).getOrElse(source)
+    val inserted = source.count() - matchedSrc
+    val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(newData, cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep =
+      if (hit.isEmpty) manifest
+      else manifest.filter(!col("file").isInCollection(hit))
+    val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
+      allowMissingColumns = true)
+    MergeFullResult(commit(spark, next, manifestRoot), hit.size.toLong,
+      total, updated, inserted, deleted)
+  }
+
   /** Thrown when an optimistic transaction's read set was invalidated by a
     * commit that landed between its snapshot and its commit attempt — the
     * caller must re-plan against the current snapshot and retry. */
@@ -936,6 +1004,65 @@ object Snapshots {
       mfs.delete(new org.apache.hadoop.fs.Path(s"$manifestRoot/ckpt=$c"), true)
     }
     VacuumResult(dead.size.toLong + deadDv.size.toLong, drop.size.toLong)
+  }
+
+  /** Metadata-only aggregates: COUNT(*) and per-column MIN/MAX served
+    * entirely from the manifest — sum of per-file row counts, min of
+    * per-file mins, max of per-file maxes — with ZERO data files opened.
+    * This is the "SELECT count(*) answered from table metadata" fast path
+    * every table format serves; at 100 TB it is the difference between a
+    * sub-second planner read and a full scan. SOUNDNESS GUARD: a manifest
+    * carrying deletion-vector pointers cannot serve metadata counts (the
+    * footer row counts include masked rows) — this refuses LOUDLY rather
+    * than answer wrong; purge or compact first. MIN/MAX stay sound under
+    * DVs in general table formats only as bounds, not exact extremes, so
+    * they ride the same guard. */
+  final case class StatsAgg(rows: Long, mins: Map[String, Double],
+                            maxs: Map[String, Double])
+
+  def statsAggAt(spark: SparkSession, manifestRoot: String, version: Int,
+                 cols: Seq[String]): StatsAgg = {
+    val m = Dv.ensureDv(manifestAt(spark, manifestRoot, version))
+    require(m.filter(col("dv").isNotNull).isEmpty,
+      s"metadata-only aggregates are unsound over DV-masked files " +
+        s"(v$version of $manifestRoot carries masks) — purge or compact first")
+    cols.foreach { c =>
+      require(m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c"),
+        s"no manifest stats for '$c' — was it in the stats column list?")
+    }
+    val aggs = sum(col("rows")).as("_n") +:
+      cols.flatMap(c => Seq(
+        min(col(s"min_$c")).cast("double").as(s"_lo_$c"),
+        max(col(s"max_$c")).cast("double").as(s"_hi_$c")))
+    val r = m.agg(aggs.head, aggs.tail: _*).collect()(0)
+    StatsAgg(r.getLong(0),
+      cols.zipWithIndex.map { case (c, i) => c -> r.getDouble(1 + 2 * i) }.toMap,
+      cols.zipWithIndex.map { case (c, i) => c -> r.getDouble(2 + 2 * i) }.toMap)
+  }
+
+  /** Thrown by [[appendCommitChecked]] when a batch violates the table's
+    * CHECK constraint — nothing is staged, moved, or committed. */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** CHECK-constraint-enforced append (the Delta `ALTER TABLE ... ADD
+    * CONSTRAINT` enforcement point re-expressed on the version log): the
+    * batch is validated BEFORE any staging, in one counting pass; a
+    * violating batch raises [[ConstraintViolationException]] and leaves
+    * the table byte-identical — no data files, no version, the write-path
+    * atomicity every constraint system needs. SQL CHECK semantics: NULL
+    * passes, only an explicit FALSE violates. */
+  def appendCommitChecked(spark: SparkSession, batch: DataFrame,
+                          cols: Seq[String], path: String,
+                          manifestRoot: String, nFiles: Int,
+                          constraint: org.apache.spark.sql.Column,
+                          constraintName: String): (Int, Int) = {
+    val bad = batch.filter(!coalesce(constraint, lit(true))).count()
+    if (bad > 0)
+      throw new ConstraintViolationException(
+        s"CHECK constraint '$constraintName' violated by $bad rows — " +
+          "nothing committed")
+    appendCommit(spark, batch, cols, path, manifestRoot, nFiles)
   }
 
   /** RESTORE to `toVersion` as a NEW head commit (the Delta `RESTORE

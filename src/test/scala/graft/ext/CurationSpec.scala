@@ -68,4 +68,28 @@ class CurationSpec extends SparkSpec {
     assert(hits.keySet == Set(1L))
     assert(hits(1L) == 1L) // exactly one shared 8-gram window
   }
+
+  test("temperatureMixThresholds up-weights small groups, integer-exact") {
+    // 6400 'big' + 100 'small': α=1/2 weights ⌊√6400⌋=80 vs ⌊√100⌋=10
+    val df = spark.range(6500)
+      .select(col("id"), when(col("id") < 6400, "big").otherwise("small").as("g"))
+    val th = Curation.temperatureMixThresholds(df, "g", 1, 2) // 50% budget
+    // target=3250; rate_big = 3250*80/(90*6400) = 0.4514; rate_small =
+    // 3250*10/(90*100) = 3.61 → capped at 1.0
+    val unit = BigInt(4294967296L)
+    assert(th("small") == unit)
+    assert(th("big") == BigInt(3250) * 80 * unit / (BigInt(90) * 6400))
+    val kept = df.filter(
+        Curation.temperatureMixKeep(col("g"), col("id"), th, "t1"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(kept("small") == 100L) // rate 1.0 keeps every row
+    // big keeps ≈ 45.1% — hash sampling is ±few-% at n=6400
+    assert(kept("big") > 2600 && kept("big") < 3200)
+    // stability: the keep decision is a row property, not a partition one
+    val again = df.repartition(7)
+      .filter(Curation.temperatureMixKeep(col("g"), col("id"), th, "t1"))
+      .count()
+    assert(again == kept.values.sum)
+  }
 }
