@@ -183,6 +183,45 @@ object RecallGate {
     * one-sided rows. Replaces the two anti-join probes + two checkpoints
     * the gate used to run — same verdict, a quarter of the jobs, which is
     * what the lake-DDL queries' gate bills are made of. */
+  /** Several equivalence gates in ONE job via order-invariant MULTISET
+    * fingerprints: each side's key projection reduces to
+    * (count, Σ xxhash64(keys), Σ xxhash64(7, keys)) with exact
+    * decimal-128 accumulation — no join, no distinct, no wide shuffle
+    * (map-side partial aggregation carries one row per partition), and
+    * FULL coverage instead of [[equivalentAllSampled]]'s 1/mod slice.
+    * Equal fingerprints ⇒ equal multisets up to a ~2⁻¹²⁸ two-hash
+    * collision — the same epistemics as the driver's own hash-compare
+    * oracle, so this is the preferred gate wherever the subject is not
+    * fully covered by the emitted rows: stronger than the slice AND
+    * cheaper. Multiset semantics also catch a duplicated row, which the
+    * distinct-then-join slice would miss. */
+  def equivalentFingerprint(pairs: Seq[(DataFrame, DataFrame, String)],
+                            keys: Seq[String]): Boolean = {
+    require(pairs.nonEmpty, "need at least one gate pair")
+    def side(df: DataFrame, tag: String, marker: String): DataFrame =
+      df.select(
+        lit(tag).as("_tag"), lit(marker).as("_side"),
+        xxhash64(keys.map(col): _*).cast("decimal(38,0)").as("_h1"),
+        xxhash64(lit(7) +: keys.map(col): _*).cast("decimal(38,0)").as("_h2"))
+    val all = pairs.flatMap { case (a, b, tag) =>
+      Seq(side(a, tag, "l"), side(b, tag, "r")) }.reduce(_.unionByName(_))
+    val fp = all.groupBy(col("_tag"), col("_side"))
+      .agg(count(lit(1)).as("_n"), sum(col("_h1")).as("_s1"),
+        sum(col("_h2")).as("_s2"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3), r.getDecimal(4))).toMap
+    pairs.foreach { case (_, _, tag) =>
+      val l = fp.get((tag, "l")); val r = fp.get((tag, "r"))
+      require(l.nonEmpty && r.nonEmpty,
+        s"$tag: a side is empty — fingerprint gate vacuous")
+      require(l == r,
+        s"$tag: multiset fingerprints differ (${l.get} vs ${r.get}) — " +
+          "expected exact equivalence")
+    }
+    true
+  }
+
   private def diffCounts(a: DataFrame, b: DataFrame,
                          keys: Seq[String]): (Long, Long, Long) = {
     val ak = a.select(keys.map(col): _*).distinct().withColumn("_l", lit(1))

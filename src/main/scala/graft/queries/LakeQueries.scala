@@ -170,7 +170,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q109:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       Layout.buildManifest(s, s"$root/z", zcols)
         .write.mode("overwrite").parquet(s"$root/m")
       val res = Layout.deleteWhere(s, s"$root/z", s"$root/m", zcols,
@@ -211,7 +212,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q111:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
@@ -262,7 +264,8 @@ object LakeQueries {
       val base = orders.filter(col("o_orderkey") % 3 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 3 === 0)
         .withColumnRenamed("o_totalprice", "price") // the logical batch
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q129:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       def files(): Set[(String, Long, Long)] = {
@@ -330,7 +333,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q130:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
@@ -374,7 +378,8 @@ object LakeQueries {
       val zcols = Seq("o_custkey", "o_totalprice")
       val base = orders.filter(col("o_orderkey") % 4 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 4 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q113:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val (v2, nApp) = Snapshots.appendCommit(s, batch, zcols,
@@ -384,10 +389,11 @@ object LakeQueries {
         zcols, nFiles = 8)
       require(nOut < nIn,
         s"q113 compaction did not shrink the layout: $nIn -> $nOut files")
-      // all three snapshot-equivalence gates in ONE batched job (v1/v2
-      // files are still on disk here — the vacuum below is what reclaims
-      // them, so the pinned probes must run first)
-      val gatesOk = RecallGate.equivalentAllSampled(Seq(
+      // all three snapshot-equivalence gates in ONE batched job, at FULL
+      // coverage via multiset fingerprints (v1/v2 files are still on disk
+      // here — the vacuum below is what reclaims them, so the pinned
+      // probes must run first)
+      val gatesOk = RecallGate.equivalentFingerprint(Seq(
         (Snapshots.tableAt(s, s"$root/m", v1).select(col("o_orderkey")),
           base.select(col("o_orderkey")),
           "q113 v1-pinned read must exclude the appended batch"),
@@ -397,7 +403,7 @@ object LakeQueries {
         (Snapshots.tableAt(s, s"$root/m", v3).select(col("o_orderkey")),
           orders.select(col("o_orderkey")),
           "q113 post-compaction read vs all orders")),
-        Seq("o_orderkey"), 8)
+        Seq("o_orderkey"))
       val pinnedOk = gatesOk; val appendOk = gatesOk; val compactOk = gatesOk
       val vac = Snapshots.vacuum(s, s"$root/z", s"$root/m", retainLast = 1)
       val vacuumOk = vac.versionsDropped == 2 && vac.filesDeleted == nIn &&
@@ -433,7 +439,8 @@ object LakeQueries {
       val zcols = Seq("o_custkey", "o_totalprice")
       val base = orders.filter(col("o_orderkey") % 4 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 4 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q114:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val (v2, _) = Snapshots.appendCommit(s, batch, zcols,
@@ -447,12 +454,15 @@ object LakeQueries {
       val appendFeed = Snapshots.changesBetween(s, s"$root/m", v1, v2)
       val insertOk = appendFeed.df.filter(col("change_type") =!= "insert")
         .isEmpty &&
-        RecallGate.equivalentSampled(
-          appendFeed.df.select(col("o_orderkey")),
-          batch.select(col("o_orderkey")),
-          Seq("o_orderkey"), 8, "q114 append feed vs the appended batch")
-      val compactFeed = Snapshots.changesBetween(s, s"$root/m", v3, v4)
-      val compactInvisibleOk = compactFeed.df.isEmpty
+        RecallGate.equivalentFingerprint(Seq(
+          (appendFeed.df.select(col("o_orderkey")),
+            batch.select(col("o_orderkey")),
+            "q114 append feed vs the appended batch")),
+          Seq("o_orderkey"))
+      // invisibility proven by multiset fingerprints of the removed vs
+      // added file sets — no exceptAll materialization of an empty diff
+      val compactInvisibleOk =
+        Snapshots.relayoutInvisible(s, s"$root/m", v3, v4)
       require(compactInvisibleOk,
         "q114 compaction leaked into the change feed — not a pure re-layout")
       val deleteFeed = Snapshots.changesBetween(s, s"$root/m", v2, v3)
@@ -487,7 +497,8 @@ object LakeQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
       val zcols = Seq("o_orderkey", "o_custkey")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q115:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val updates = orders.filter(col("o_orderkey").between(1000, 4000))
@@ -504,22 +515,24 @@ object LakeQueries {
       val countsOk = res.rowsUpdated == nUpd && res.rowsInserted == nIns
       require(countsOk, s"q115 matched/inserted counts off: $res")
       val feed = Snapshots.changesBetween(s, s"$root/m", v1, res.version)
-      // snapshot-isolation probe + feed-delete identity in ONE batched job
-      val isolationOk = RecallGate.equivalentAllSampled(Seq(
+      val feedDf = feed.df.localCheckpoint() // exceptAll diff: compute once
+      // snapshot-isolation probe + feed-delete identity in ONE batched
+      // full-coverage fingerprint job
+      val isolationOk = RecallGate.equivalentFingerprint(Seq(
         (Snapshots.tableAt(s, s"$root/m", v1)
           .filter(col("o_orderkey").between(1000, 4000))
           .select(col("o_orderkey"), col("o_totalprice")),
           orders.filter(col("o_orderkey").between(1000, 4000))
             .select(col("o_orderkey"), col("o_totalprice")),
           "q115 v1 pinned read vs pre-merge"),
-        (feed.df.filter(col("change_type") === "delete")
+        (feedDf.filter(col("change_type") === "delete")
           .select(col("o_orderkey"), col("o_totalprice")),
           updates.select(col("o_orderkey"),
             (col("o_totalprice") / 2).as("o_totalprice")),
           "q115 feed deletes vs updated keys (pre-merge prices)")),
-        Seq("o_orderkey", "o_totalprice"), 4)
+        Seq("o_orderkey", "o_totalprice"))
       val feedOk = isolationOk &&
-        feed.df.filter(col("change_type") === "insert").count() == nUpd + nIns
+        feedDf.filter(col("change_type") === "insert").count() == nUpd + nIns
       Snapshots.tableAt(s, s"$root/m", res.version)
         .filter(col("o_orderkey").between(1000, 4000) ||
           col("o_orderkey") >= 10000000L) // orderkey 0 exists: >= keeps its insert
@@ -553,7 +566,8 @@ object LakeQueries {
         scan.df.withColumn("bucket", pmod(col("o_custkey"), lit(8)))
       val base = orders.filter(col("o_orderkey") % 5 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 5 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q116:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val view1 = gold(Snapshots.tableAt(s, s"$root/m", v1)).localCheckpoint()
@@ -605,7 +619,8 @@ object LakeQueries {
       val base = orders.filter(col("o_orderkey") % 4 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 4 === 0)
         .withColumn("o_score", col("o_custkey").cast("double") * lit(1.5))
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q118:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val (v2, _) = Snapshots.appendCommit(s, batch, zcols, s"$root/z",
@@ -656,7 +671,8 @@ object LakeQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
       val statsCols = zcols :+ "o_orderkey" // key stats for the key planner
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q119:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", statsCols), s"$root/m")
       def files(): Set[String] = {
@@ -679,26 +695,27 @@ object LakeQueries {
       require(targetedOk,
         s"q119 band mask untargeted: ${band.filesMasked}/${band.filesTotal}")
       val feed = Snapshots.changesBetween(s, s"$root/m", v1, band.version)
-      // pinned-band probe + feed-band identity in ONE batched job (mod 2:
-      // the band is a thin custkey slice, keep the gate well-populated)
-      val pinnedOk = RecallGate.equivalentAllSampled(Seq(
+      val feedDf = feed.df.localCheckpoint() // exceptAll diff: compute once
+      // pinned-band probe + feed-band identity in ONE batched
+      // full-coverage fingerprint job
+      val pinnedOk = RecallGate.equivalentFingerprint(Seq(
         (Snapshots.tableAt(s, s"$root/m", v1)
           .filter(col("o_custkey").between(60, 90)).select(col("o_orderkey")),
           orders.filter(col("o_custkey").between(60, 90))
             .select(col("o_orderkey")),
           "q119 v1 pinned read vs pre-delete band"),
-        (feed.df.select(col("o_orderkey")),
+        (feedDf.select(col("o_orderkey")),
           orders.filter(col("o_custkey").between(60, 90))
             .select(col("o_orderkey")),
           "q119 band feed vs the band")),
-        Seq("o_orderkey"), 2)
+        Seq("o_orderkey"))
       val feedOk = pinnedOk && feed.filesRead < feed.filesTotal &&
-        feed.df.filter(col("change_type") =!= "delete").isEmpty
+        feedDf.filter(col("change_type") =!= "delete").isEmpty
       val (vc, _, _) = Snapshots.compactCommit(s, s"$root/z", s"$root/m",
         statsCols, nFiles = 8)
       val foldOk = Dv.ensureDv(Snapshots.manifestAt(s, s"$root/m", vc))
         .filter(col("dv").isNotNull).isEmpty &&
-        Snapshots.changesBetween(s, s"$root/m", keyDel.version, vc).df.isEmpty
+        Snapshots.relayoutInvisible(s, s"$root/m", keyDel.version, vc)
       require(foldOk, "q119 compaction failed to fold the masks silently")
       Snapshots.tableAt(s, s"$root/m", vc)
         .withColumn("zero_rewrite_ok", lit(zeroRewriteOk))
@@ -732,7 +749,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
-      Layout.zorderWrite(orders, Seq("o_orderkey"), s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q120:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, Seq("o_orderkey"), d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", Seq("o_orderkey")), s"$root/m")
       val Seq(lo, hi) = orders.agg(min("o_orderkey"), max("o_orderkey"))
@@ -795,8 +813,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
-      Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
-        s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q121:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"), d, nFiles = 16))
       val files = s.read.parquet(s"$root/z")
         .select(col("_metadata.file_path")).distinct()
         .collect().map(_.getString(0)).toSeq
@@ -1138,7 +1156,8 @@ object LakeQueries {
       val zcols = Seq("o_custkey", "o_totalprice")
       val base = orders.filter(col("o_orderkey") % 4 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 4 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q133:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val (v2, _) = Snapshots.appendCommit(s, batch, zcols, s"$root/z",
@@ -1201,7 +1220,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/src/z", nFiles = 16)
+      FixtureCache.layout(s, s"q134:$dir", s"$root/src/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       val sv1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/src/z", zcols), s"$root/src/m")
       val cv1 = Snapshots.cloneCommit(s, s"$root/src/m", s"$root/clone/m", sv1)
@@ -1261,7 +1281,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q136:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       def files(): Map[String, Long] = {
@@ -1326,7 +1347,8 @@ object LakeQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
       val zcols = Seq("o_orderkey", "o_custkey")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q137:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val updates = orders.filter(col("o_orderkey").between(1000, 4000))
@@ -1377,7 +1399,8 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val zcols = Seq("o_custkey", "o_totalprice")
-      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q138:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       val meta = Snapshots.statsAggAt(s, s"$root/m", v1, zcols)
@@ -1433,7 +1456,8 @@ object LakeQueries {
       val zcols = Seq("o_custkey", "o_totalprice")
       val base = orders.filter(col("o_orderkey") % 3 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 3 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 16)
+      FixtureCache.layout(s, s"q139:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       val v1 = Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
       def files(): Set[String] = {
@@ -1488,7 +1512,8 @@ object LakeQueries {
       val statsCols = zcols :+ "o_orderkey" // key stats for the MoR planner
       val base = orders.filter(col("o_orderkey") % 4 =!= 0)
       val batch = orders.filter(col("o_orderkey") % 4 === 0)
-      Layout.zorderWrite(base, zcols, s"$root/src/z", nFiles = 16)
+      FixtureCache.layout(s, s"q141:$dir", s"$root/src/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
       Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/src/z", statsCols), s"$root/src/m")
       val boot = Cdc.sync(s, s"$root/src/m", s"$root/mir/z", s"$root/mir/m",

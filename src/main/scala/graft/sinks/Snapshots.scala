@@ -762,6 +762,38 @@ object Snapshots {
     ChangeScan(df, read, total)
   }
 
+  /** Prove a commit was a PURE RE-LAYOUT (compaction/purge: same rows,
+    * different files) without materializing the exceptAll diff: the
+    * removed and added file sets' live rows are each reduced to an
+    * order-invariant multiset fingerprint — (count, Σ xxhash64(row),
+    * Σ xxhash64(7, row)) with exact decimal accumulation, columns aligned
+    * by sorted name — and compared. One scan + one scalar aggregate per
+    * side, NO shuffle of rows, vs [[changesBetween]]'s two full exceptAll
+    * shuffles; equality is multiset equality up to a ~2⁻¹²⁸ two-hash
+    * collision, the driver's own hash-compare epistemics. Use for
+    * invisibility GATES; use [[changesBetween]] when a consumer needs the
+    * actual diff rows. */
+  def relayoutInvisible(spark: SparkSession, manifestRoot: String,
+                        vFrom: Int, vTo: Int): Boolean = {
+    def pairs(v: Int): Set[Dv.Entry] =
+      Dv.entries(manifestAt(spark, manifestRoot, v)).toSet
+    val from = pairs(vFrom)
+    val to = pairs(vTo)
+    val removed = (from -- to).toSeq
+    val added = (to -- from).toSeq
+    if (removed.isEmpty && added.isEmpty) return true
+    if (removed.isEmpty || added.isEmpty) return false
+    def fp(es: Seq[Dv.Entry]): Seq[Any] = {
+      val df = Dv.readLive(spark, es)
+      val cs = df.columns.sorted.map(col)
+      df.agg(count(lit(1)),
+          sum(xxhash64(cs: _*).cast("decimal(38,0)")),
+          sum(xxhash64((lit(7) +: cs): _*).cast("decimal(38,0)")))
+        .collect()(0).toSeq
+    }
+    fp(removed) == fp(added)
+  }
+
   // ------------------------------------------------------------------
   // COLUMN MAPPING — non-additive schema evolution (rename/drop) without
   // touching a single data file: the Iceberg/Delta "column mapping"

@@ -100,4 +100,46 @@ class RecallGateSpec extends SparkSpec {
           e.getMessage.contains("sets differ"))
     }
   }
+
+  test("equivalentFingerprint: equal multisets pass, a changed row fails") {
+    val a = spark.range(4000).select(col("id"), (col("id") * 3).as("v"))
+    assert(RecallGate.equivalentFingerprint(
+      Seq((a, a.repartition(7), "spec-fp-eq")), Seq("id", "v")))
+    // one changed value — full coverage, no slice to hide in
+    val b = a.withColumn("v",
+      when(col("id") === 1234, lit(-1L)).otherwise(col("v")))
+    val e = intercept[IllegalArgumentException] {
+      RecallGate.equivalentFingerprint(Seq((a, b, "spec-fp-neq")),
+        Seq("id", "v"))
+    }
+    assert(e.getMessage.contains("fingerprints differ"))
+  }
+
+  test("equivalentFingerprint: multiset semantics catch a duplicated row") {
+    val a = spark.range(100).select(col("id"))
+    // same SET of ids, but one row duplicated — a distinct-then-join slice
+    // gate would pass this; the multiset fingerprint must not
+    val dup = a.unionByName(a.filter(col("id") === 7))
+    val e = intercept[IllegalArgumentException] {
+      RecallGate.equivalentFingerprint(Seq((a, dup, "spec-fp-dup")),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("fingerprints differ"))
+  }
+
+  test("equivalentFingerprint: an empty side fails loudly as vacuous") {
+    val a = spark.range(10).select(col("id"))
+    val e = intercept[IllegalArgumentException] {
+      RecallGate.equivalentFingerprint(Seq((a, a.limit(0), "spec-fp-empty")),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("vacuous"))
+    // several gates batch into one job; the failing tag is named
+    val e2 = intercept[IllegalArgumentException] {
+      RecallGate.equivalentFingerprint(Seq(
+        (a, a, "spec-fp-good"),
+        (a, a.filter(col("id") =!= 3), "spec-fp-bad")), Seq("id"))
+    }
+    assert(e2.getMessage.contains("spec-fp-bad"))
+  }
 }

@@ -257,4 +257,19 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.latestVersion(spark, tmpDir("snap_empty") + "/m")
     }
   }
+
+  test("relayoutInvisible: true across a compaction, false across a delete") {
+    val (dir, v1) = freshLayout()
+    val (vc, nIn, nOut) = Snapshots.compactCommit(spark, s"$dir/z",
+      s"$dir/m", Seq("x", "y"), nFiles = 4)
+    assert(nOut < nIn)
+    assert(Snapshots.relayoutInvisible(spark, s"$dir/m", v1, vc))
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("x", "y"),
+      Seq(("x", 100.0, 199.0)))
+    val vd = Snapshots.latestVersion(spark, s"$dir/m")
+    // a delete moves rows out: the fingerprints must disagree
+    assert(!Snapshots.relayoutInvisible(spark, s"$dir/m", vc, vd))
+    // identical manifests (no file change at all) are trivially invisible
+    assert(Snapshots.relayoutInvisible(spark, s"$dir/m", vd, vd))
+  }
 }
