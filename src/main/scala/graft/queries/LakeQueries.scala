@@ -1553,6 +1553,88 @@ object LakeQueries {
         .withColumn("bounded_ok", lit(boundedOk))
         .withColumn("replay_ok", lit(replayOk))
         .withColumn("synced_ok", lit(syncedOk))
+    }),
+
+    // VACUUM BY RETENTION PERIOD (q142, the `VACUUM ... RETAIN n HOURS`
+    // form): versions older than a wall-clock cutoff expire; the oldest
+    // version at-or-before the cutoff SURVIVES so `AS OF <cutoff>` time
+    // travel keeps resolving — the retention contract users rely on.
+    // Script: v1 = base layout, v2 = compaction (supersedes every v1
+    // file), v3 = append; cutoff = v2's commit stamp. Gates in-query:
+    // exactly v1 dropped (v2/v3 retained); the reclaim deleted exactly
+    // v1's file count (v2 rewrote them all, so they die with v1); AS OF
+    // the cutoff still resolves to v2 and serves the base rows. Emits
+    // the head box read — all orders.
+    "q142_vacuum_retention" -> ((s, dir) => {
+      val root = tmp("q142")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      FixtureCache.layout(s, s"q142:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val (v2, nIn, _) = Snapshots.compactCommit(s, s"$root/z", s"$root/m",
+        zcols, nFiles = 8)
+      val (v3, _) = Snapshots.appendCommit(s, batch, zcols, s"$root/z",
+        s"$root/m", nFiles = 8)
+      val cutoff = Snapshots.commitTimestamp(s, s"$root/m", v2).get
+      val res = Snapshots.vacuumRetention(s, s"$root/z", s"$root/m", cutoff)
+      val retainOk = res.versionsDropped == 1 &&
+        Snapshots.versions(s, s"$root/m") == Seq(v2, v3)
+      require(retainOk, s"q142 retention dropped the wrong versions: $res")
+      val reclaimOk = res.filesDeleted == nIn
+      require(reclaimOk,
+        s"q142 reclaim wrong: ${res.filesDeleted} files (expected $nIn)")
+      val asOfV = Snapshots.versionAtTimestamp(s, s"$root/m", cutoff)
+      val asOfOk = asOfV == v2 && RecallGate.equivalentFingerprint(Seq(
+        (Snapshots.tableAt(s, s"$root/m", asOfV).select(col("o_orderkey")),
+          base.select(col("o_orderkey")),
+          "q142 AS OF cutoff vs base rows")), Seq("o_orderkey"))
+      val pr = Snapshots.readAt(s, s"$root/m", v3,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("retain_ok", lit(retainOk))
+        .withColumn("reclaim_ok", lit(reclaimOk))
+        .withColumn("asof_ok", lit(asOfOk))
+    }),
+
+    // DESCRIBE HISTORY (q143): the audit surface every table format
+    // serves — one row per commit with the OPERATION inferred from the
+    // log itself (markers for restore/schema commits; the (file, dv)
+    // pair diff + manifest row counts for everything else), so no writer
+    // cooperation or side state is needed and the listing is
+    // version × file-count-bounded planner work. The script exercises
+    // every classification branch: create, append, delete, relayout
+    // (compaction), restore, schema (rename). The oracle recomputes each
+    // row's expected operation and row count from the raw table — a
+    // misclassified commit or a wrong count hash-mismatches.
+    "q143_describe_history" -> ((s, dir) => {
+      val root = tmp("q143")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      FixtureCache.layout(s, s"q143:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      Snapshots.appendCommit(s, batch, zcols, s"$root/z", s"$root/m",
+        nFiles = 8)
+      Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 60.0, 90.0)))
+      val v3 = Snapshots.latestVersion(s, s"$root/m")
+      Snapshots.compactCommit(s, s"$root/z", s"$root/m", zcols, nFiles = 8)
+      Snapshots.restoreCommit(s, s"$root/m", v3)
+      Snapshots.renameColumn(s, s"$root/m", "o_totalprice", "price")
+      val h = Snapshots.history(s, s"$root/m")
+      import s.implicits._
+      h.map(e => (e.version, e.operation, e.rows))
+        .toDF("version", "operation", "n_rows")
     })
   )
 
@@ -1854,6 +1936,28 @@ object LakeQueries {
         |  TRUE AS bounded_ok, TRUE AS replay_ok, TRUE AS synced_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 30 AND 120
-        |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin
+        |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin,
+    // q142 emits the head box read after a retention vacuum (base ∪
+    // batch = all orders); booleans assert the exact version drop, exact
+    // file reclaim, and surviving AS-OF resolution.
+    "q142_vacuum_retention" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS retain_ok, TRUE AS reclaim_ok, TRUE AS asof_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q143 emits the whole inferred history; the oracle pins every
+    // commit's operation and row count from the raw table.
+    "q143_describe_history" ->
+      """SELECT CAST(1 AS INT) AS version, 'create' AS operation,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 <> 0) AS n_rows
+        |UNION ALL SELECT 2, 'append', (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 3, 'delete', (SELECT count(*) FROM orders
+        |  WHERE NOT (o_custkey BETWEEN 60 AND 90))
+        |UNION ALL SELECT 4, 'relayout', (SELECT count(*) FROM orders
+        |  WHERE NOT (o_custkey BETWEEN 60 AND 90))
+        |UNION ALL SELECT 5, 'restore', (SELECT count(*) FROM orders
+        |  WHERE NOT (o_custkey BETWEEN 60 AND 90))
+        |UNION ALL SELECT 6, 'schema', (SELECT count(*) FROM orders
+        |  WHERE NOT (o_custkey BETWEEN 60 AND 90))""".stripMargin
   )
 }

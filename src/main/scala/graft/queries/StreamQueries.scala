@@ -511,6 +511,71 @@ object StreamQueries {
             unix_micros(col("l.ts")).as("view_ts_us"),
             unix_micros(col("r.ts")).as("purchase_ts_us"))
       }.filter(col("user_id") >= 0)
+    }),
+
+    // STREAM THE VERSION LOG (q144): the lake table as a Structured
+    // Streaming SOURCE — a DataSource V2 MicroBatchStream whose offsets
+    // are VERSION numbers and whose rows are the data files each commit
+    // added (the metadata-only file-manifest bridge; the consumer reads
+    // the named files as a normal distributed parquet scan inside
+    // foreachBatch). Script: three append-only commits land BEFORE the
+    // stream starts; Trigger.AvailableNow drains them; gates in-query:
+    // the captured (version → file-set) map equals the manifest adds
+    // exactly (driver-side, file-count-bounded); a RESTARTED query on the
+    // same checkpoint re-emits NOTHING (exactly-once falls out of the
+    // offset contract). Emits a pruned box read over the files the stream
+    // delivered — which must reassemble the whole table.
+    "q144_stream_table_commits" -> ((s, dir) => {
+      val root = QueryTmp.dir("q144")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders.filter(col("o_orderkey") % 3 === 0),
+        zcols, s"$root/z", nFiles = 8)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      (1 to 2).foreach { d =>
+        Snapshots.appendCommit(s, orders.filter(col("o_orderkey") % 3 === d),
+          zcols, s"$root/z", s"$root/m", nFiles = 4)
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft.sources.v2.TableCommitsSource")
+          .option("manifestRoot", s"$root/m").load()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.coalesce(1).write.mode("append").parquet(s"$root/captured")
+            ()
+          }
+          .start()
+        require(q.awaitTermination(300000), s"q144 stream drain timed out")
+      }
+      drain()
+      val captured = s.read.parquet(s"$root/captured")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      val byVersion = captured.groupBy(_._1)
+        .map { case (v, rs) => v -> rs.map(_._2).toSet }
+      val adds = (1 to 3).map { v =>
+        def files(x: Int): Set[String] =
+          if (x < 1) Set.empty
+          else Snapshots.manifestAt(s, s"$root/m", x)
+            .select(col("file")).collect().map(_.getString(0)).toSet
+        v -> (files(v) -- files(v - 1))
+      }.toMap
+      val filesOk = byVersion == adds && adds.values.forall(_.nonEmpty)
+      require(filesOk, s"q144 streamed file sets diverge from manifest adds")
+      // restart on the same checkpoint: nothing re-emits
+      drain()
+      val resumeOk =
+        s.read.parquet(s"$root/captured").count() == captured.length.toLong
+      require(resumeOk, "q144 restarted stream re-emitted committed offsets")
+      s.read.parquet(captured.map(_._2).distinct: _*)
+        .filter(col("o_custkey").between(30, 120))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("files_ok", lit(filesOk))
+        .withColumn("resume_ok", lit(resumeOk))
     })
   )
 
@@ -615,6 +680,15 @@ object StreamQueries {
         |FULL JOIN (SELECT * FROM events
         |      WHERE event_type = 'purchase' AND event_id % 10 < 3) r
         |  ON l.user_id = r.user_id
-        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin,
+    // q144 reassembles the table from the streamed commit file-manifest:
+    // three append-only commits cover all orders, so the emitted box read
+    // is the full custkey box; the booleans assert manifest-exact file
+    // delivery and exactly-once restart.
+    "q144_stream_table_commits" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS files_ok, TRUE AS resume_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin
   )
 }

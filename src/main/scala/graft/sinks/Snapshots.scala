@@ -1097,6 +1097,70 @@ object Snapshots {
     appendCommit(spark, batch, cols, path, manifestRoot, nFiles)
   }
 
+  final case class HistoryEntry(version: Int, operation: String, rows: Long)
+
+  /** DESCRIBE HISTORY over the version log: one entry per commit with the
+    * OPERATION inferred from the log itself — no writer cooperation
+    * needed. Markers classify what manifests can't (`_restore_*`,
+    * column-mapping commits); everything else falls out of the
+    * (file, dv)-pair diff against the previous version plus the manifest
+    * row counts: adds-only ⇒ append, dv-pointer-only movement ⇒
+    * mor-delete, equal rows across a changed file set ⇒ relayout
+    * (compaction/purge), shrinking rows ⇒ delete, growing rows with
+    * rewrites ⇒ merge. Planner-side work, version × file-count bounded;
+    * `rows` is the manifest row count (for MoR versions that includes
+    * masked rows — the physical count, like the formats' own histories). */
+  def history(spark: SparkSession, manifestRoot: String): Seq[HistoryEntry] = {
+    val vs = versions(spark, manifestRoot)
+    val fs = hfs(spark, manifestRoot)
+    var prevEntries: Set[Dv.Entry] = Set.empty
+    var prevRows = 0L
+    vs.map { v =>
+      val m = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
+      val entries = Dv.entries(m).toSet
+      val rows = m.agg(sum(col("rows"))).collect()(0).getLong(0)
+      val markers = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+        .toSeq.map(_.getPath.getName)
+      val op =
+        if (markers.exists(_.startsWith("_restore_"))) "restore"
+        else if (v == vs.head) "create"
+        else if (markers.exists(_.startsWith(CmapPrefix))) "schema"
+        else {
+          val added = entries -- prevEntries
+          val removed = prevEntries -- entries
+          val sameFiles = entries.map(_.file) == prevEntries.map(_.file)
+          if (added.isEmpty && removed.isEmpty) "metadata"
+          else if (sameFiles) "mor-delete"
+          else if (removed.isEmpty) "append"
+          else if (rows == prevRows) "relayout"
+          else if (rows < prevRows) "delete"
+          else "merge"
+        }
+      prevEntries = entries; prevRows = rows
+      HistoryEntry(v, op, rows)
+    }
+  }
+
+  /** [[vacuum]] by RETENTION PERIOD (the `VACUUM ... RETAIN n HOURS`
+    * form): expires every version whose commit timestamp (q130's
+    * in-commit stamps) is strictly older than `cutoffMs`, always
+    * retaining at least the latest version — then reclaims files exactly
+    * as [[vacuum]] does. Resolution reuses [[versionAtTimestamp]]: the
+    * newest version at-or-before the cutoff is the oldest survivor
+    * (pinning it keeps `AS OF cutoff` time travel working — the retention
+    * contract users actually rely on). */
+  def vacuumRetention(spark: SparkSession, path: String, manifestRoot: String,
+                      cutoffMs: Long): VacuumResult = {
+    val vs = versions(spark, manifestRoot)
+    require(vs.nonEmpty, s"no committed versions under $manifestRoot")
+    val survivor =
+      try versionAtTimestamp(spark, manifestRoot, cutoffMs)
+      catch { case _: Exception => vs.head } // cutoff predates the log
+    val retain = vs.count(_ >= survivor).max(1)
+    vacuum(spark, path, manifestRoot, retainLast = retain)
+  }
+
   /** RESTORE to `toVersion` as a NEW head commit (the Delta `RESTORE
     * TABLE ... TO VERSION AS OF` shape — north-star depth beyond the
     * reference's overwrite loads, run_load.py:61): the restored manifest

@@ -258,6 +258,45 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("vacuumRetention keeps the AS-OF-cutoff survivor and later versions") {
+    val (dir, v1) = freshLayout()
+    val (v2, nIn, _) = Snapshots.compactCommit(spark, s"$dir/z", s"$dir/m",
+      Seq("x", "y"), nFiles = 4)
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("x", "y"),
+      Seq(("x", 100.0, 199.0)))
+    val cutoff = Snapshots.commitTimestamp(spark, s"$dir/m", v2).get
+    val res = Snapshots.vacuumRetention(spark, s"$dir/z", s"$dir/m", cutoff)
+    assert(res.versionsDropped == 1) // only v1 predates the cutoff survivor
+    assert(res.filesDeleted == nIn)  // v1's files died with it
+    assert(Snapshots.versions(spark, s"$dir/m") == Seq(2, 3))
+    assert(Snapshots.versionAtTimestamp(spark, s"$dir/m", cutoff) == v2)
+    assert(Snapshots.tableAt(spark, s"$dir/m", v2).count() == 10000L)
+    // a cutoff that predates the whole log retains everything
+    val res2 = Snapshots.vacuumRetention(spark, s"$dir/z", s"$dir/m", 1L)
+    assert(res2.versionsDropped == 0)
+    assert(v1 == 1) // fixture shape: the dropped version was the original
+  }
+
+  test("history classifies every commit kind from the log alone") {
+    val (dir, _) = freshLayout()
+    Snapshots.appendCommit(spark,
+      spark.range(10000, 11000).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y")),
+      Seq("x", "y"), s"$dir/z", s"$dir/m", nFiles = 2)
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("x", "y"),
+      Seq(("x", 100.0, 199.0)))
+    val v3 = Snapshots.latestVersion(spark, s"$dir/m")
+    Snapshots.compactCommit(spark, s"$dir/z", s"$dir/m", Seq("x", "y"),
+      nFiles = 4)
+    Dv.deleteWhereMoR(spark, s"$dir/z", s"$dir/m", Seq(("x", 300.0, 349.0)))
+    Snapshots.restoreCommit(spark, s"$dir/m", v3)
+    Snapshots.renameColumn(spark, s"$dir/m", "y", "y2")
+    val ops = Snapshots.history(spark, s"$dir/m").map(e => e.version -> e.operation)
+    assert(ops == Seq(1 -> "create", 2 -> "append", 3 -> "delete",
+      4 -> "relayout", 5 -> "mor-delete", 6 -> "restore", 7 -> "schema"))
+  }
+
   test("relayoutInvisible: true across a compaction, false across a delete") {
     val (dir, v1) = freshLayout()
     val (vc, nIn, nOut) = Snapshots.compactCommit(spark, s"$dir/z",
