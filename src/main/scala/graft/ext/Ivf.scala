@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,6 +283,15 @@ object Ivf {
       case Some(a) => corpus.join(a, corpusId)
       case None => corpus.join(assign(corpus, centroids, corpusId, vecCol), corpusId)
     }
+    searchLists(probes, lists, centroids, k, nProbe, probeId, corpusId, vecCol)
+  }
+
+  /** The shared probe-and-rank tail: visit each probe's `nProbe` closest
+    * cells, rank the union of their inverted lists exactly. */
+  private def searchLists(probes: DataFrame, lists: DataFrame,
+                          centroids: DataFrame, k: Int, nProbe: Int,
+                          probeId: String, corpusId: String,
+                          vecCol: String): DataFrame = {
     val probeCells = {
       val w = Window.partitionBy(col(probeId))
         .orderBy(col("cos").desc, col("centroid_id").asc)
@@ -307,4 +316,42 @@ object Ivf {
       .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** FILTERED ANN — the vector-store "search with metadata filter" staple:
+    * top-k among corpus vectors satisfying `pred`, served from the IVF
+    * index. The predicate is applied to the inverted lists BEFORE ranking
+    * (pre-filter), so the result is rank-exact within the probed cells of
+    * the FILTERED corpus — no over-fetch slack, and never silently fewer
+    * than k the way rank-then-filter degrades. A selective filter thins
+    * the probed cells, which costs recall exactly like a small `nProbe`
+    * does; the mitigation dial is the same (raise `nProbe`). Metadata
+    * columns come from `corpus` (the lists join back by id), so any
+    * attribute the corpus carries can filter. */
+  def ivfTopKFiltered(probes: DataFrame, corpus: DataFrame,
+                      centroids: DataFrame, pred: Column,
+                      k: Int, nProbe: Int = 2,
+                      probeId: String = "probe_id",
+                      corpusId: String = "vec_id",
+                      vecCol: String = "embedding",
+                      assignment: Option[DataFrame] = None): DataFrame = {
+    val assigned = assignment
+      .getOrElse(assign(corpus, centroids, corpusId, vecCol))
+      .select(col(corpusId), col("centroid_id"))
+    val lists = corpus.join(assigned, corpusId).filter(pred)
+    searchLists(probes, lists, centroids, k, nProbe, probeId, corpusId, vecCol)
+  }
+
+  /** INCREMENTAL index maintenance (the q127 bloom-append shape, for ANN):
+    * a new vector batch is assigned to the EXISTING centroids and its
+    * postings appended to the inverted lists — the indexed corpus is never
+    * re-read and existing postings are byte-untouched, so maintenance
+    * costs O(batch × C) instead of a rebuild. Centroids drift from the
+    * true cell means as batches accumulate — the accepted IVF practice;
+    * retrain when recall decays. */
+  def extendIndex(centroids: DataFrame, assignment: DataFrame,
+                  newVecs: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    assignment.unionByName(
+      assignCarry(newVecs, centroids, idCol, vecCol),
+      allowMissingColumns = true)
 }

@@ -619,6 +619,80 @@ object LlmQueries {
         wcOk.as("wc_ok"), mlOk.as("ml_ok"),
         stopOk.as("stop_ok"), repOk.as("rep_ok"),
         (wcOk && mlOk && stopOk && repOk).as("passes"))
+    }),
+
+    // FILTERED ANN (q145): the vector-store "search with metadata filter"
+    // staple — top-k restricted to corpus vectors whose label passes a
+    // predicate, served from the IVF index with the filter applied to the
+    // inverted lists BEFORE ranking (rank-exact within probed cells of
+    // the filtered corpus; never silently fewer than k the way
+    // rank-then-filter degrades). Recall-gated against the exact twin
+    // computed on the pre-filtered corpus.
+    "q145_ann_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val pred = col("label") % 3 === 0
+      val exact = Similarity.bruteForceTopK(probes, corpus.filter(pred),
+        k = 10)
+      val (centroids, assignment) = Ivf.buildIndex(corpus, c = 10, iters = 1)
+      val filtered = Ivf.ivfTopKFiltered(probes, corpus, centroids, pred,
+        k = 10, nProbe = 4, assignment = Some(assignment))
+      RecallGate.gate(exact, filtered, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.30, what = "q145 filtered ANN top-k",
+        requireExactPrecision = false)
+    }),
+
+    // ONE-PASS CORPUS PROFILE (q146): the per-language summary a pipeline
+    // operator reads before choosing mixing/filter thresholds — doc
+    // counts, token totals, mean quality, char-length extremes, and
+    // distinct-source counts, all in ONE scan + one hash aggregation
+    // (every measure is a codegen column expression; map-side partials
+    // carry one row per language per partition — profile cost is the scan,
+    // independent of group fan-out, at 100 TB as at 500 rows).
+    "q146_corpus_profile" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.nTokens(txt)).as("total_tokens"),
+          round(avg(TextAnalysis.qualityScore(txt)), 6).as("avg_quality"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
+
+    // INCREMENTAL IVF MAINTENANCE (q147, the q127 bloom-append shape for
+    // ANN): a new vector batch joins the index by assignment to the
+    // EXISTING centroids — postings appended, indexed corpus never
+    // re-read, existing postings byte-untouched (fingerprint-gated
+    // in-query). Search over the extended index is recall-gated against
+    // the exact twin over the FULL corpus, so a maintenance bug that
+    // dropped or mis-binned the batch fails the gate.
+    "q147_ann_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val old = corpus.filter(col("vec_id") % 4 =!= 0)
+      val batch = corpus.filter(col("vec_id") % 4 === 0)
+      val (centroids, assignment) = Ivf.buildIndex(old, c = 10, iters = 1)
+      val extended = Ivf.extendIndex(centroids, assignment,
+        batch.select(col("vec_id"), col("embedding"))).localCheckpoint()
+      val incrementalOk = RecallGate.equivalentFingerprint(Seq(
+        (extended.join(old.select(col("vec_id")), "vec_id")
+          .select(col("vec_id"), col("centroid_id")),
+          assignment.select(col("vec_id"), col("centroid_id")),
+          "q147 old postings must be untouched by the append")),
+        Seq("vec_id", "centroid_id"))
+      val exact = Similarity.bruteForceTopK(probes, corpus, k = 10)
+      val ivf = Ivf.ivfTopK(probes, corpus, centroids, k = 10, nProbe = 3,
+        assignment = Some(extended))
+      RecallGate.gate(exact, ivf, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.30, what = "q147 incrementally-maintained ANN",
+        requireExactPrecision = false)
+        .withColumn("incremental_ok", lit(incrementalOk))
     })
   )
 
@@ -1079,6 +1153,56 @@ object LlmQueries {
          |  ttr >= 0.5 AS rep_ok,
          |  (n_words BETWEEN 40 AND 100000) AND (ml BETWEEN 3.0 AND 4.5)
          |    AND stop_hits >= 2 AND ttr >= 0.5 AS passes
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+    // q145's exact twin: brute-force top-10 over ONLY label%3=0 corpus
+    // vectors (the metadata filter applied before ranking).
+    "q145_ann_filtered" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |keep AS (SELECT vec_id FROM embeddings
+        |         WHERE vec_id >= 5 AND label % 3 = 0),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |             sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id IN (SELECT vec_id FROM keep)
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok
+        |FROM s WHERE rank <= 10""".stripMargin,
+    // q146 recomputes the one-pass profile per language.
+    "q146_corpus_profile" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum($nTok) AS BIGINT) AS total_tokens,
+         |  round(avg($quality), 6) AS avg_quality,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM documents GROUP BY 1""".stripMargin,
+    // q147's exact twin is the full-corpus brute force (old ∪ appended
+    // batch = all vec_id >= 5), plus the postings-untouched boolean.
+    "q147_ann_incremental" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |             sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok, TRUE AS incremental_ok
+        |FROM s WHERE rank <= 10""".stripMargin
   )
 }

@@ -61,4 +61,41 @@ class IvfSpec extends SparkSpec {
       assert(brute(h.getAs[Long]("neighbor_id")) == h.getAs[Double]("cos_sim"))
     }
   }
+
+  test("ivfTopKFiltered ranks only predicate-passing vectors") {
+    val attrs = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val (cents, assignment) = Ivf.buildIndex(attrs, c = 2, iters = 1)
+    val probes = Seq((100L, Array(1f, 0.01f, 0f, 0f)))
+      .toDF("probe_id", "embedding")
+    val hits = Ivf.ivfTopKFiltered(probes, attrs, cents,
+      col("label") === 0, k = 5, nProbe = 1,
+      assignment = Some(assignment)).collect()
+    assert(hits.length == 5)
+    // every neighbor is an even id (label 0) from the dim0 cluster
+    assert(hits.forall(h => h.getAs[Long]("neighbor_id") % 2 == 0 &&
+      h.getAs[Long]("neighbor_id") < 20))
+  }
+
+  test("extendIndex appends postings without touching existing ones") {
+    val old = corpus.filter(col("vec_id") < 30)
+    val batch = corpus.filter(col("vec_id") >= 30)
+    val (cents, assignment) = Ivf.buildIndex(old, c = 2, iters = 1)
+    val extended = Ivf.extendIndex(cents, assignment, batch)
+    assert(extended.count() == 40L)
+    // old postings byte-identical
+    val before = assignment.select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1))).toSet
+    val after = extended.filter(col("vec_id") < 30)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1))).toSet
+    assert(after == before)
+    // appended dim1-cluster vectors are findable through the old centroids
+    // (all dim1 vectors are colinear with the probe — cos 1.0 — so the
+    // id-ascending tiebreak fills low ids first; k=15 must reach ≥30)
+    val probes = Seq((100L, Array(0f, 1f, 0f, 0f))).toDF("probe_id", "embedding")
+    val hits = Ivf.ivfTopK(probes, corpus, cents, k = 15, nProbe = 1,
+      assignment = Some(extended)).collect()
+    assert(hits.length == 15)
+    assert(hits.exists(_.getAs[Long]("neighbor_id") >= 30))
+  }
 }
