@@ -229,6 +229,84 @@ object AdvancedQueries {
           first(col("c_custkey")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
             .as("richest_custkey"))
+    }),
+
+    // TIME-SERIES RESAMPLE + FORWARD FILL (q148): per-user daily activity
+    // on a complete calendar grid, gaps carried forward — the shape every
+    // metrics/feature pipeline needs before a model can consume irregular
+    // events. Grid = per-user `sequence(lo, hi)` explode (shuffle-free
+    // generate, like chunking); fill = `last(_, ignoreNulls)` over an
+    // unbounded-preceding row frame — one window, no self-join, no
+    // driver loop. Days before a user's first activity stay NULL in both
+    // engines.
+    "q148_resample_ffill" -> ((s, dir) => {
+      val all = t(s, dir, "events")
+      val ev = all.filter(col("user_id") < 30)
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("day_value"))
+      val bounds = all.agg(to_date(min(col("ts"))).as("lo"),
+        to_date(max(col("ts"))).as("hi"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled"))
+    }),
+
+    // FUNNEL ANALYSIS (q149): the ordered-sequence product question —
+    // which users did view → click → purchase IN ORDER, completing
+    // within 7 days of the first view. Three conditional min-aggregations
+    // over one scan each stage (no per-user driver loops, no exploding
+    // self-joins): first view, first click strictly after it, first
+    // purchase strictly after that.
+    "q149_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), Seq("user_id"))
+        .filter(col("e.ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("e.ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), Seq("user_id"))
+        .filter(col("e.ts") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("e.ts")).as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          (col("purchase_ts").isNotNull &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 7 DAYS"))
+            .as("completed_7d"))
+    }),
+
+    // COHORT RETENTION (q150): users bucketed by first-activity week;
+    // for each (cohort week, week offset), how many distinct cohort
+    // members were active — the retention matrix. All week arithmetic is
+    // integer day-diffs from the global epoch (floor division — exact in
+    // both engines); two hash aggregations, one distinct count.
+    "q150_cohort_retention" -> ((s, dir) => {
+      val all = t(s, dir, "events")
+      val lo = all.agg(to_date(min(col("ts"))).as("lo"))
+      val days = all.select(col("user_id"), to_date(col("ts")).as("day"))
+        .crossJoin(broadcast(lo))
+        .select(col("user_id"),
+          floor(datediff(col("day"), col("lo")) / 7.0).cast("int").as("week"))
+        .distinct()
+      val cohort = days.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      days.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     })
   )
 
@@ -343,6 +421,50 @@ object AdvancedQueries {
         |    ORDER BY c_acctbal DESC, c_custkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_custkey
         |FROM customer
-        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "q148_resample_ffill" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo,
+        |                  CAST(max(ts) AS DATE) AS hi FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
+        |g AS (SELECT u.user_id,
+        |        CAST(unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+        |          CAST(b.hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM u, b),
+        |d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |        round(sum(value), 2) AS day_value
+        |      FROM events WHERE user_id < 30 GROUP BY 1, 2)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+    "q149_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+        |SELECT v.user_id,
+        |  epoch_us(CAST(view_ts AS TIMESTAMP)) AS view_us,
+        |  epoch_us(CAST(click_ts AS TIMESTAMP)) AS click_us,
+        |  epoch_us(CAST(purchase_ts AS TIMESTAMP)) AS purchase_us,
+        |  purchase_ts IS NOT NULL
+        |    AND purchase_ts <= view_ts + INTERVAL 7 DAY AS completed_7d
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q150_cohort_retention" ->
+      """WITH lo AS (SELECT CAST(min(ts) AS DATE) AS lo FROM events),
+        |wk AS (SELECT DISTINCT user_id,
+        |         CAST(floor(datediff('day', lo.lo, CAST(ts AS DATE)) / 7.0)
+        |           AS INT) AS week
+        |       FROM events, lo),
+        |coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM wk w JOIN coh c ON w.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1333,9 +1333,9 @@ object LakeQueries {
     // MATCHED INSERT + WHEN NOT MATCHED BY SOURCE DELETE — the clause
     // that retires target rows an authoritative feed stopped sending,
     // SCOPED to a stats box (the only 100 TB-honest form: unscoped, the
-    // clause must touch every file by definition). Source = the 1000–4000
+    // clause must touch every file by definition). Source = the 200–600
     // orderkey band with doubled prices (updates) + %97 keys shifted
-    // above the key space (inserts); delete box = orderkey 5000–9000, so
+    // above the key space (inserts); delete box = orderkey 800–1200, so
     // unmatched rows there are retired. Gates in-query: the touch set is
     // stats-pruned; updated/inserted/deleted counts equal the exact
     // splits; and the merged head matches the expected key set in one
@@ -1346,29 +1346,35 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
-      val zcols = Seq("o_orderkey", "o_custkey")
+      // cluster on the MERGE KEY alone: a key-scoped three-clause merge
+      // prunes by key ranges, and single-column clustering keeps each
+      // file a disjoint key slice — so the touch set is band-proportional
+      // at every sf (2-D interleave would smear key ranges across files)
+      val zcols = Seq("o_orderkey")
       FixtureCache.layout(s, s"q137:$dir", s"$root/z")(d =>
         Layout.zorderWrite(orders, zcols, d, nFiles = 16))
       Snapshots.commit(s,
         Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
-      val updates = orders.filter(col("o_orderkey").between(1000, 4000))
+      val updates = orders.filter(col("o_orderkey").between(200, 600))
         .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
       val inserts = orders.filter(col("o_orderkey") % 97 === 0)
         .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
           col("o_custkey"), col("o_totalprice"))
-      val box = Seq(("o_orderkey", 5000.0, 9000.0))
+      // bands sized to the SMALLEST sf's dense key space (0..1499) so the
+      // clause is non-vacuous at every scale the driver runs
+      val box = Seq(("o_orderkey", 800.0, 1200.0))
       val res = Snapshots.mergeCommitFull(s, updates.unionByName(inserts),
         "o_orderkey", zcols, s"$root/z", s"$root/m", nFiles = 16, box)
       val prunedOk = res.filesRewritten < res.filesTotal
       require(prunedOk, s"q137 merge rewrote ${res.filesRewritten} of " +
         s"${res.filesTotal} files — stats pruning bought nothing")
-      val nDel = orders.filter(col("o_orderkey").between(5000, 9000)).count()
+      val nDel = orders.filter(col("o_orderkey").between(800, 1200)).count()
       require(nDel > 0, "q137 delete box empty — clause untested")
       val countsOk = res.rowsUpdated == updates.count() &&
         res.rowsInserted == inserts.count() && res.rowsDeleted == nDel
       require(countsOk, s"q137 clause counts off: $res (expected del=$nDel)")
       val expectedKeys = orders
-        .filter(!col("o_orderkey").between(5000, 9000))
+        .filter(!col("o_orderkey").between(800, 1200))
         .select(col("o_orderkey"))
         .unionByName(inserts.select(col("o_orderkey")))
       val headOk = RecallGate.equivalentSampled(
@@ -1377,7 +1383,7 @@ object LakeQueries {
         expectedKeys, Seq("o_orderkey"), 8,
         "q137 merged head key set vs expected")
       Snapshots.tableAt(s, s"$root/m", res.version)
-        .filter(col("o_orderkey").between(1000, 9000) ||
+        .filter(col("o_orderkey").between(200, 1200) ||
           col("o_orderkey") >= 10000000L)
         .withColumn("merge_pruned_ok", lit(prunedOk))
         .withColumn("counts_ok", lit(countsOk))
@@ -1887,19 +1893,19 @@ object LakeQueries {
         |WHERE o_custkey BETWEEN 30 AND 120
         |  AND NOT (o_custkey BETWEEN 60 AND 90)""".stripMargin,
     // q137 emits the touched slices of the three-clause merge: the
-    // updated 1000–4000 band (price doubled), the untouched 4000–5000
-    // gap, the EMPTIED 5000–9000 delete box (no rows — unmatched-by-
+    // updated 200–600 band (price doubled), the untouched 600–800
+    // gap, the EMPTIED 800–1200 delete box (no rows — unmatched-by-
     // source retired), and the shifted inserts. Booleans assert pruning,
     // clause counts, and the head key-set equivalence.
     "q137_merge_full" ->
       """SELECT o_orderkey, o_custkey,
         |  round(round(o_totalprice, 2) * 2, 2) AS o_totalprice,
         |  TRUE AS merge_pruned_ok, TRUE AS counts_ok, TRUE AS head_ok
-        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
+        |FROM orders WHERE o_orderkey BETWEEN 200 AND 600
         |UNION ALL
         |SELECT o_orderkey, o_custkey, round(o_totalprice, 2),
         |  TRUE, TRUE, TRUE
-        |FROM orders WHERE o_orderkey > 4000 AND o_orderkey < 5000
+        |FROM orders WHERE o_orderkey > 600 AND o_orderkey < 800
         |UNION ALL
         |SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2),
         |  TRUE, TRUE, TRUE
