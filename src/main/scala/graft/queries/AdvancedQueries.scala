@@ -307,6 +307,49 @@ object AdvancedQueries {
         .groupBy(col("cohort_week"),
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ROLLING TIME-RANGE WINDOW (q151): per-customer 7-day rolling spend
+    // — a RANGE frame over event time (`RANGE BETWEEN INTERVAL 6 DAY
+    // PRECEDING AND CURRENT ROW`), the frame ROWS windows cannot express
+    // when a key has gaps or same-day ties. One window, one shuffle on
+    // the customer key; ties on (custkey, date) enter the frame
+    // identically in both engines by RANGE semantics.
+    "q151_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("long"))
+        .rangeBetween(-6L * 86400L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          round(sum(col("o_totalprice")).over(w), 2).as("rolling_7d"),
+          count(lit(1)).over(w).as("n_orders_7d"))
+    }),
+
+    // NESTED DOCUMENT MODELING (q152): lineitems collected into a sorted
+    // array-of-structs under their order (the document shape), written
+    // and re-read through parquet (nested IO, struct codegen), then
+    // flattened back — the oracle checks the round trip reproduces the
+    // flat relation exactly. Collect + explode are both shuffle-once,
+    // shuffle-free-generate shapes; `sort_array` pins the intra-document
+    // order so the nested form is deterministic.
+    "q152_nested_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      val nested = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")))).as("lines"))
+      val out = QueryTmp.dir("q152")
+      nested.write.mode("overwrite").parquet(s"$out/docs")
+      s.read.parquet(s"$out/docs")
+        .select(col("l_orderkey"), explode(col("lines")).as("ln"))
+        .select(col("l_orderkey"),
+          col("ln.l_linenumber").as("l_linenumber"),
+          col("ln.l_quantity").as("l_quantity"),
+          round(col("ln.l_extendedprice"), 2).as("l_extendedprice"))
     })
   )
 
@@ -465,6 +508,18 @@ object AdvancedQueries {
         |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM wk w JOIN coh c ON w.user_id = c.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q151_rolling_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  round(sum(o_totalprice) OVER w, 2) AS rolling_7d,
+        |  count(*) OVER w AS n_orders_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q152_nested_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(l_extendedprice, 2) AS l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin
   )
 }

@@ -1641,6 +1641,42 @@ object LakeQueries {
       import s.implicits._
       h.map(e => (e.version, e.operation, e.rows))
         .toDF("version", "operation", "n_rows")
+    }),
+
+    // STRING-STATS FILE SKIPPING (q153): data skipping on a CATEGORICAL
+    // column — the manifest's native lexical min/max (the scan-built
+    // stats path collects them; the parquet-footer fast path declines
+    // non-numerics and falls back to exactly that build) prunes a
+    // range-partitioned layout sorted on the string key, so a point
+    // lookup `o_orderpriority = '1-URGENT'` opens only the files whose
+    // lexical [min,max] straddles the value. Gates in-query: the point
+    // read opened strictly fewer files than the manifest lists, and its
+    // rows equal the direct filter in one fingerprint job. Emits the
+    // matching rows.
+    "q153_string_stats_skip" -> ((s, dir) => {
+      val root = tmp("q153")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      FixtureCache.layout(s, s"q153:$dir", s"$root/z")(d =>
+        Maintenance.writeSorted(orders, d, nFiles = 10,
+          col("o_orderpriority"), col("o_orderkey")))
+      val manifest = Layout.buildManifest(s, s"$root/z",
+        Seq("o_orderpriority")).localCheckpoint()
+      val pr = Layout.prunedReadStr(s, s"$root/z", manifest,
+        Seq(("o_orderpriority", "1-URGENT", "1-URGENT")))
+      val prunedOk = pr.filesRead < pr.filesTotal && pr.filesRead > 0
+      require(prunedOk,
+        s"q153 string stats pruned nothing: ${pr.filesRead}/${pr.filesTotal}")
+      val completeOk = RecallGate.equivalentFingerprint(Seq(
+          (pr.df.select(col("o_orderkey")),
+            orders.filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_orderkey")),
+            "q153 pruned point read vs direct filter")),
+        Seq("o_orderkey"))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("complete_ok", lit(completeOk))
     })
   )
 
@@ -1964,6 +2000,14 @@ object LakeQueries {
         |UNION ALL SELECT 5, 'restore', (SELECT count(*) FROM orders
         |  WHERE NOT (o_custkey BETWEEN 60 AND 90))
         |UNION ALL SELECT 6, 'schema', (SELECT count(*) FROM orders
-        |  WHERE NOT (o_custkey BETWEEN 60 AND 90))""".stripMargin
+        |  WHERE NOT (o_custkey BETWEEN 60 AND 90))""".stripMargin,
+    // q153 emits the rows the string-stats point read served; the
+    // booleans assert files were actually skipped and the read was
+    // loss-free.
+    "q153_string_stats_skip" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  TRUE AS pruned_ok, TRUE AS complete_ok
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin
   )
 }

@@ -511,4 +511,31 @@ object Layout {
       else spark.read.parquet(files: _*).filter(residual)
     PrunedScan(df, files.size.toLong, total)
   }
+
+  /** STRING-column twins of the stats predicates: categorical/lexical
+    * predicates prune on the manifest's native string min/max — the
+    * scan-built stats path already collects them (`min`/`max` are lexical
+    * on strings; the footer fast path declines non-numerics and falls
+    * back to exactly that scan build). Ranges are inclusive lexical
+    * bounds, so a point lookup on a categorical column is `(v, v)`. */
+  private[sinks] def intersectsStrExpr(box: Seq[(String, String, String)]): Column =
+    box.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+
+  private[sinks] def inBoxStrExpr(box: Seq[(String, String, String)]): Column =
+    box.map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
+      .reduce(_ && _)
+
+  /** [[prunedRead]] over lexical string ranges. */
+  def prunedReadStr(spark: SparkSession, path: String, manifest: DataFrame,
+                    ranges: Seq[(String, String, String)]): PrunedScan = {
+    val total = manifest.count()
+    val files = manifest.filter(intersectsStrExpr(ranges)).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(inBoxStrExpr(ranges))
+    PrunedScan(df, files.size.toLong, total)
+  }
 }
