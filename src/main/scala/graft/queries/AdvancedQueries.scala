@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.plans.MatView
 
 /** Typed row for the Dataset[T] query path (q48). */
 final case class LineitemSlim(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
@@ -350,6 +351,78 @@ object AdvancedQueries {
           col("ln.l_linenumber").as("l_linenumber"),
           col("ln.l_quantity").as("l_quantity"),
           round(col("ln.l_extendedprice"), 2).as("l_extendedprice"))
+    }),
+
+    // DYNAMIC PARTITION PRUNING (q154): the fact table is partitioned on
+    // the join key; the dimension's selective filter is on a DERIVED
+    // column (its leading-digit class), so no static partition filter
+    // exists — only Spark's runtime DPP subquery can prune, by executing
+    // the broadcast dim side first and injecting the surviving keys as a
+    // partition filter. The plan gate requires the `dynamicpruning`
+    // expression in the scan — at 100 TB this is reading one partition
+    // instead of the fact table. Emits the joined rows.
+    "q154_dynamic_partition_pruning" -> ((s, dir) => {
+      val root = QueryTmp.dir("q154")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+      orders.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$root/fact")
+      val fact = s.read.parquet(s"$root/fact")
+      val dim = orders.select(col("o_orderpriority").as("p")).distinct()
+        .withColumn("cls", substring(col("p"), 1, 1))
+      val q = fact
+        .join(dim.filter(col("cls") === "1").hint("broadcast"),
+          col("o_orderpriority") === col("p"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val plan = q.queryExecution.executedPlan.toString
+      val dppOk = plan.contains("dynamicpruning")
+      require(dppOk, s"q154 no dynamic partition pruning in the scan:\n$plan")
+      q.withColumn("dpp_ok", lit(dppOk))
+    }),
+
+    // MATERIALIZED-VIEW QUERY REWRITE (q155): a registered gold summary
+    // (per (returnflag, linestatus) partial sums + counts, materialized
+    // to parquet) transparently answers a coarser aggregation over the
+    // BASE scan via a custom `Rule[LogicalPlan]` — `sum(x) → sum(sum_x)`,
+    // `count(*) → sum(cnt)`, grouping subset checked, output attribute
+    // ids preserved (graft.plans.MatView). Gates in-query: the rewritten
+    // plan scans the SUMMARY path and not the base file; a NEGATIVE
+    // CONTROL with a row-level filter must NOT rewrite (the summary
+    // cannot replay predicates — semantics must never widen). The oracle
+    // recomputes from the raw table, so a wrong rewrite hash-mismatches.
+    "q155_matview_rewrite" -> ((s, dir) => {
+      val root = QueryTmp.dir("q155")
+      val base = s.read.parquet(s"$dir/lineitem.parquet")
+      base.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$root/summary")
+      val d = MatView.SummaryDef(s"$dir/lineitem.parquet",
+        s.read.parquet(s"$root/summary"),
+        dims = Seq("l_returnflag", "l_linestatus"),
+        sums = Map("l_quantity" -> "sum_qty"), cnt = "cnt")
+      MatView.withRewrite(s, d) {
+        val q = base.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), round(col("sum_qty"), 2).as("sum_qty"),
+            col("n_rows"))
+        val plan = q.queryExecution.executedPlan.toString
+        val rewrittenOk =
+          plan.contains(root) && !plan.contains("lineitem.parquet")
+        require(rewrittenOk,
+          s"q155 aggregation was not rewritten onto the summary:\n$plan")
+        val ctrl = base.filter(col("l_quantity") > 10)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val guardOk = ctrl.queryExecution.executedPlan.toString
+          .contains("lineitem.parquet")
+        require(guardOk,
+          "q155 rewrite fired through a filter — semantics widened")
+        q.withColumn("rewritten_ok", lit(rewrittenOk))
+          .withColumn("guard_ok", lit(guardOk))
+      }
     })
   )
 
@@ -520,6 +593,20 @@ object AdvancedQueries {
     "q152_nested_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  round(l_extendedprice, 2) AS l_extendedprice
-        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin,
+    // q154 emits the DPP-pruned join result: orders whose priority class
+    // is '1' (the fact partitions the runtime filter kept).
+    "q154_dynamic_partition_pruning" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  o_orderpriority, TRUE AS dpp_ok
+        |FROM orders
+        |WHERE substr(o_orderpriority, 1, 1) = '1'""".stripMargin,
+    // q155's oracle recomputes the aggregation from the RAW table — a
+    // rewrite that dropped rows, double-counted a partial, or matched
+    // the wrong grain hash-mismatches.
+    "q155_matview_rewrite" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows, TRUE AS rewritten_ok, TRUE AS guard_ok
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }
