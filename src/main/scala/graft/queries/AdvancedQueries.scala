@@ -423,6 +423,23 @@ object AdvancedQueries {
         q.withColumn("rewritten_ok", lit(rewrittenOk))
           .withColumn("guard_ok", lit(guardOk))
       }
+    }),
+
+    // GROUPING SETS + grouping_id (q158): the explicit multi-grain form
+    // rollup/cube compile to — three grains in ONE pass (Expand + single
+    // hash aggregate, not three scans), with the bitmask distinguishing
+    // which NULLs are structural. Both engines share the Postgres
+    // grouping_id bit convention (first column = MSB), which the hash
+    // compare pins.
+    "q158_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v158")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders_v158
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())""".stripMargin)
     })
   )
 
@@ -607,6 +624,13 @@ object AdvancedQueries {
     "q155_matview_rewrite" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_rows, TRUE AS rewritten_ok, TRUE AS guard_ok
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q158_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())""".stripMargin
   )
 }

@@ -1677,6 +1677,26 @@ object LakeQueries {
           col("o_orderpriority"))
         .withColumn("pruned_ok", lit(prunedOk))
         .withColumn("complete_ok", lit(completeOk))
+    }),
+
+    // ORC ROUND-TRIP (q157): the other columnar format Spark serves
+    // natively — a lineitem slice written as ORC, read back, and filtered
+    // with the predicate REACHING the ORC scan (plan-gated PushedFilters,
+    // same vectorized-reader economics as parquet). The oracle pins
+    // row-fidelity end-to-end.
+    "q157_orc_roundtrip" -> ((s, dir) => {
+      val root = tmp("q157")
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").orc(s"$root/orc")
+      val q = s.read.orc(s"$root/orc")
+        .filter(col("l_returnflag") === "R")
+      val plan = q.queryExecution.executedPlan.toString
+      val pushedOk = plan.contains("ORC") &&
+        plan.contains("EqualTo(l_returnflag,R)")
+      require(pushedOk, s"q157 predicate did not reach the ORC scan:\n$plan")
+      q.withColumn("pushed_ok", lit(pushedOk))
     })
   )
 
@@ -2008,6 +2028,11 @@ object LakeQueries {
       """SELECT o_orderkey, o_custkey, o_orderpriority,
         |  TRUE AS pruned_ok, TRUE AS complete_ok
         |FROM orders
-        |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q157_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  TRUE AS pushed_ok
+        |FROM lineitem
+        |WHERE l_orderkey % 13 = 0 AND l_returnflag = 'R'""".stripMargin
   )
 }

@@ -513,6 +513,26 @@ object StreamQueries {
       }.filter(col("user_id") >= 0)
     }),
 
+    // Stream-stream LEFT SEMI interval join (q156): "which views
+    // converted within 6 hours" — one row per converted view, emitted on
+    // its FIRST matching purchase and dropped from state immediately
+    // (the funnel-dedup shape without an extra dropDuplicates store over
+    // an inner join). Same landed replay + lateness discipline as q80;
+    // no sentinels needed — semi rows emit eagerly on match, and
+    // unconverted views simply never emit.
+    "q156_stream_semi_join" -> ((s, dir) => {
+      replayLanded(s, landedSubset(s, dir), QueryTmp.dir("q156")) { stream =>
+        val views = stream().filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+        Streaming.streamIntervalJoinSemi(views, purchases, key = "user_id",
+          interval = "6 hours", lateness = "3650 days")
+          .select(col("user_id"), col("view_id"),
+            unix_micros(col("ts")).as("view_ts_us"))
+      }
+    }),
+
     // STREAM THE VERSION LOG (q144): the lake table as a Structured
     // Streaming SOURCE — a DataSource V2 MicroBatchStream whose offsets
     // are VERSION numbers and whose rows are the data files each commit
@@ -681,6 +701,16 @@ object StreamQueries {
         |      WHERE event_type = 'purchase' AND event_id % 10 < 3) r
         |  ON l.user_id = r.user_id
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin,
+    // q156: the semi join emits each converted view exactly once —
+    // DISTINCT over the inner pairs projected to the left side.
+    "q156_stream_semi_join" ->
+      """SELECT DISTINCT l.user_id, l.event_id AS view_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS view_ts_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+        |WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+        |  AND l.event_id % 10 < 3 AND r.event_id % 10 < 3""".stripMargin,
     // q144 reassembles the table from the streamed commit file-manifest:
     // three append-only commits cover all orders, so the emitted box read
     // is the full custkey box; the booleans assert manifest-exact file

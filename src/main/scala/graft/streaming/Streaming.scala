@@ -141,6 +141,23 @@ object Streaming {
       "full_outer")
   }
 
+  /** [[streamIntervalJoin]]'s LEFT SEMI form — "which left events
+    * converted" without materializing the pairs: a left row emits AT MOST
+    * ONCE, as soon as its first in-interval right match arrives (Spark's
+    * stream-stream left-semi drops it from state immediately after — the
+    * state bound is the same as inner, the OUTPUT is one row per
+    * converted left event instead of one per pair). The deduplicating
+    * shape product funnels want, without an extra dropDuplicates state
+    * store on top of an inner join. */
+  def streamIntervalJoinSemi(left: DataFrame, right: DataFrame, key: String,
+                             interval: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).as("l")
+    val r = right.withWatermark("ts", lateness).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $interval"),
+      "left_semi")
+  }
+
   /** Streaming upsert: apply each micro-batch to a keyed target via the
     * lake-native MERGE ([[graft.ops.Upsert]]). This is the streaming form of
     * the reference's late-data story — re-pulled rows within the lateness
