@@ -1697,6 +1697,117 @@ object LakeQueries {
         plan.contains("EqualTo(l_returnflag,R)")
       require(pushedOk, s"q157 predicate did not reach the ORC scan:\n$plan")
       q.withColumn("pushed_ok", lit(pushedOk))
+    }),
+
+    // SIZE-POLICY COMPACTION (q159, the production OPTIMIZE shape): six
+    // tiny streaming-style appends fragment a healthy 4-file base;
+    // compactSmallCommit bin-packs ONLY the tail under half the largest
+    // file's size — the base files stay byte-untouched (mtime-gated), so
+    // the rewrite tracks the small-file DEBT, not table size. Gates
+    // in-query: exactly the tiny files compacted into one; the head
+    // equals all rows in one fingerprint job; the commit is invisible to
+    // the change feed (row-identical re-layout). Emits the head box read.
+    "q159_compact_small" -> ((s, dir) => {
+      val root = tmp("q159")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 8 =!= 0)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 4)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      (0 to 5).foreach { i =>
+        Snapshots.appendCommit(s,
+          orders.filter(col("o_orderkey") % 8 === 0 &&
+            col("o_orderkey") % 6 === i),
+          zcols, s"$root/z", s"$root/m", nFiles = 1)
+      }
+      val vPre = Snapshots.latestVersion(s, s"$root/m")
+      def stamps(): Map[String, Long] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      }
+      val sizes = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Snapshots.manifestAt(s, s"$root/m", vPre).select(col("file"))
+          .collect().map { r =>
+            val fp = new org.apache.hadoop.fs.Path(r.getString(0))
+            fp.getName -> fs.getFileStatus(fp).getLen
+          }.toMap
+      }
+      val threshold = sizes.values.max / 2 // SF-robust: tiny ≪ base
+      val bigNames = sizes.filter(_._2 >= threshold).keySet
+      val before = stamps()
+      val res = Snapshots.compactSmallCommit(s, s"$root/z", s"$root/m",
+        zcols, smallBytes = threshold, nFiles = 1)
+      val after = stamps()
+      val policyOk = res.filesCompacted == sizes.size - bigNames.size &&
+        res.filesSkipped == bigNames.size && res.filesOut == 1 &&
+        bigNames.forall(n => after.get(n) == before.get(n))
+      require(policyOk, s"q159 size policy misfired: $res " +
+        s"(expected ${sizes.size - bigNames.size} small, ${bigNames.size} big)")
+      val invisibleOk =
+        Snapshots.relayoutInvisible(s, s"$root/m", vPre, res.version)
+      require(invisibleOk, "q159 bin-pack changed rows — not a re-layout")
+      val completeOk = RecallGate.equivalentFingerprint(Seq(
+          (Snapshots.tableAt(s, s"$root/m", res.version)
+            .select(col("o_orderkey")),
+            orders.select(col("o_orderkey")),
+            "q159 post-compaction head vs all orders")),
+        Seq("o_orderkey"))
+      val pr = Snapshots.readAt(s, s"$root/m", res.version,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("policy_ok", lit(policyOk))
+        .withColumn("invisible_ok", lit(invisibleOk))
+        .withColumn("complete_ok", lit(completeOk))
+    }),
+
+    // MERGE WITH SCHEMA EVOLUTION (q160): the source batch carries a
+    // column the target lacks (`o_flag`); the merge commit extends the
+    // schema the q118 way — rewritten/inserted files carry the column,
+    // untouched files serve it as NULL through the footer-merge read,
+    // and a v1-pinned read never shows it. Gates in-query: pinned-schema
+    // isolation; the null set is EXACTLY the non-source rows. Emits the
+    // touched slices (updated band flagged 'upd', inserts flagged 'ins').
+    "q160_merge_schema_evolution" -> ((s, dir) => {
+      val root = tmp("q160")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q160:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      val updates = orders.filter(col("o_orderkey").between(200, 600))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+        .withColumn("o_flag", lit("upd"))
+      val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), lit("ins").as("o_flag"))
+      val res = Snapshots.mergeCommit(s, updates.unionByName(inserts),
+        "o_orderkey", zcols, s"$root/z", s"$root/m", nFiles = 16)
+      val head = Snapshots.tableAt(s, s"$root/m", res.version)
+      val pinnedOk =
+        !Snapshots.tableAt(s, s"$root/m", v1).columns.contains("o_flag")
+      require(pinnedOk, "q160 pinned pre-evolution read leaked the column")
+      val (nUpd, nIns) = (updates.count(), inserts.count())
+      val nullsOk = head.columns.contains("o_flag") &&
+        head.filter(col("o_flag").isNull).count() == orders.count() - nUpd &&
+        head.filter(col("o_flag").isNotNull).count() == nUpd + nIns
+      require(nullsOk, "q160 evolved null set wrong")
+      head.filter(col("o_flag").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_flag"))
+        .withColumn("pinned_ok", lit(pinnedOk))
+        .withColumn("nulls_ok", lit(nullsOk))
     })
   )
 
@@ -2033,6 +2144,27 @@ object LakeQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  TRUE AS pushed_ok
         |FROM lineitem
-        |WHERE l_orderkey % 13 = 0 AND l_returnflag = 'R'""".stripMargin
+        |WHERE l_orderkey % 13 = 0 AND l_returnflag = 'R'""".stripMargin,
+    // q159 emits the head box read after the size-policy bin-pack — all
+    // orders survive; booleans assert the policy targeted only the small
+    // tail, the re-layout's feed invisibility, and head completeness.
+    "q159_compact_small" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS policy_ok, TRUE AS invisible_ok, TRUE AS complete_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q160 emits the flagged slices of the evolving merge: the updated
+    // 200-600 band (doubled price, 'upd') and the shifted inserts
+    // ('ins'); booleans assert pinned-schema isolation and the exact
+    // null set on the evolved head.
+    "q160_merge_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(round(o_totalprice, 2) * 2, 2) AS o_totalprice,
+        |  'upd' AS o_flag, TRUE AS pinned_ok, TRUE AS nulls_ok
+        |FROM orders WHERE o_orderkey BETWEEN 200 AND 600
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2),
+        |  'ins', TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin
   )
 }

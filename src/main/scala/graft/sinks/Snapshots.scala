@@ -461,6 +461,43 @@ object Snapshots {
     (commit(spark, next, manifestRoot), entries.size, moved.size)
   }
 
+  final case class CompactSmallResult(version: Int, filesCompacted: Long,
+                                      filesSkipped: Long, filesOut: Long)
+
+  /** SIZE-POLICY COMPACTION — the production `OPTIMIZE` shape: bin-pack
+    * ONLY the files under `smallBytes` into `nFiles` fresh outputs and
+    * leave already-healthy files byte-untouched, so the rewrite cost
+    * tracks the SMALL-FILE DEBT, not table size (a full-rewrite
+    * [[compactCommit]] on a 100 TB table is a 100 TB job; this is a
+    * job over the tail the streaming appends actually fragmented).
+    * Reads the small files' LIVE rows (masks fold away exactly as in
+    * [[compactCommit]]); row-identical rewrite ⇒ invisible to the change
+    * feed. Returns the latest version unchanged when fewer than two
+    * small files exist (nothing to pack). File sizes come from the
+    * filesystem — one status call per file, file-count-bounded planner
+    * work like every manifest operation here. */
+  def compactSmallCommit(spark: SparkSession, path: String,
+                         manifestRoot: String, cols: Seq[String],
+                         smallBytes: Long, nFiles: Int): CompactSmallResult = {
+    val v = latestVersion(spark, manifestRoot)
+    val entries = Dv.entries(manifestAt(spark, manifestRoot, v))
+    val fs = hfs(spark, path)
+    val (small, big) = entries.partition { e =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(e.file)).getLen < smallBytes
+    }
+    if (small.size < 2)
+      return CompactSmallResult(v, 0, entries.size.toLong, 0)
+    val staging = path + ".compact_small_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(Dv.readLive(spark, small), cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep = manifestAt(spark, manifestRoot, v)
+      .filter(col("file").isInCollection(big.map(_.file)))
+    val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
+      allowMissingColumns = true)
+    CompactSmallResult(commit(spark, next, manifestRoot),
+      small.size.toLong, big.size.toLong, moved.size.toLong)
+  }
+
   final case class MergeResult(version: Int, filesRewritten: Long,
                                filesTotal: Long, rowsUpdated: Long,
                                rowsInserted: Long)
@@ -512,7 +549,12 @@ object Snapshots {
           Dv.entries(manifest.filter(col("file").isInCollection(hit))))
         val hitKeys = hitRows.select(col(key)).distinct().localCheckpoint()
         val survivors = hitRows.join(srcKeys, Seq(key), "left_anti")
-        (survivors.unionByName(source),
+        // allowMissingColumns = MERGE WITH SCHEMA EVOLUTION: a source
+        // column the target lacks null-fills the survivors (and the
+        // untouched files serve it as null through the footer-merge read,
+        // the q118 mechanics); a target column absent from the source
+        // null-fills the source rows
+        (survivors.unionByName(source, allowMissingColumns = true),
           hitRows.join(srcKeys, Seq(key), "left_semi").count(),
           source.join(hitKeys, Seq(key), "left_semi").count())
       }
@@ -583,7 +625,9 @@ object Snapshots {
           source.join(hitKeys, Seq(key), "left_semi").count(),
           unmatched.filter(Layout.inBoxExpr(deleteBox)).count())
       }
-    val newData = survivors.map(_.unionByName(source)).getOrElse(source)
+    val newData = survivors // schema evolution: see mergeCommit's note
+      .map(_.unionByName(source, allowMissingColumns = true))
+      .getOrElse(source)
     val inserted = source.count() - matchedSrc
     val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(newData, cols, staging, nFiles)

@@ -297,6 +297,53 @@ class SnapshotsSpec extends SparkSpec {
       4 -> "relayout", 5 -> "mor-delete", 6 -> "restore", 7 -> "schema"))
   }
 
+  test("compactSmallCommit packs only the small tail; big files untouched") {
+    val (dir, _) = freshLayout() // 16 healthy files
+    // fragment with 5 tiny appends
+    (0 until 5).foreach { i =>
+      Snapshots.appendCommit(spark,
+        spark.range(10000 + i * 10, 10010 + i * 10)
+          .select(col("id"), pmod(xxhash64(col("id")), lit(1000)).as("x"),
+            pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y")),
+        Seq("x", "y"), s"$dir/z", s"$dir/m", nFiles = 1)
+    }
+    val vPre = Snapshots.latestVersion(spark, s"$dir/m")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/z")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = Dv.entries(Snapshots.manifestAt(spark, s"$dir/m", vPre))
+      .map(e => e.file ->
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(e.file)).getLen).toMap
+    val threshold = sizes.values.max / 2
+    val res = Snapshots.compactSmallCommit(spark, s"$dir/z", s"$dir/m",
+      Seq("x", "y"), smallBytes = threshold, nFiles = 1)
+    assert(res.filesCompacted == 5 && res.filesSkipped == 16 &&
+      res.filesOut == 1)
+    assert(Snapshots.tableAt(spark, s"$dir/m", res.version).count() == 10050L)
+    assert(Snapshots.relayoutInvisible(spark, s"$dir/m", vPre, res.version))
+    // idempotence: a second pass finds at most one small file -> no-op
+    val again = Snapshots.compactSmallCommit(spark, s"$dir/z", s"$dir/m",
+      Seq("x", "y"), smallBytes = threshold, nFiles = 1)
+    assert(again.version == res.version && again.filesCompacted == 0)
+  }
+
+  test("mergeCommit evolves the schema when the source adds a column") {
+    val dir = tmpDir("snap_evo")
+    Layout.zorderWrite(data, Seq("id", "x"), s"$dir/z", nFiles = 16)
+    val v1 = Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id", "x")), s"$dir/m")
+    val src = spark.range(1000, 1500)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(1000)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"),
+        lit("tagged").as("tag"))
+    val res = Snapshots.mergeCommit(spark, src, "id", Seq("id", "x"),
+      s"$dir/z", s"$dir/m", nFiles = 8)
+    val head = Snapshots.tableAt(spark, s"$dir/m", res.version)
+    assert(head.columns.contains("tag"))
+    assert(head.filter(col("tag") === "tagged").count() == 500L)
+    assert(head.filter(col("tag").isNull).count() == 9500L)
+    assert(!Snapshots.tableAt(spark, s"$dir/m", v1).columns.contains("tag"))
+  }
+
   test("relayoutInvisible: true across a compaction, false across a delete") {
     val (dir, v1) = freshLayout()
     val (vc, nIn, nOut) = Snapshots.compactCommit(spark, s"$dir/z",
