@@ -183,7 +183,80 @@ object ScaleSmoke {
     if (args.headOption.contains("skew")) skewMain(args.drop(1))
     else if (args.headOption.contains("lake")) lakeMain(args.drop(1))
     else if (args.headOption.contains("dv")) dvMain(args.drop(1))
+    else if (args.headOption.contains("cdc")) cdcMain(args.drop(1))
     else growthMain(args)
+
+  /** CDC replication + size-policy compaction at 1× and `copies`× table
+    * size. The commits are CONSTANT-SIZE across scales (same appended
+    * batch rows, same 5-tiny-file fragmentation), so the claims under
+    * test are exactly the per-commit-cost ones: `Cdc.sync` applies a
+    * commit at feed cost (wall ~flat as the table grows 10×), and
+    * `compactSmallCommit` packs the small tail at tail cost (wall ~flat
+    * — the healthy files are never read, only status-probed). The mirror
+    * bootstrap (a full copy by design) is excluded from timing. */
+  private def cdcMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.sinks.{Cdc, Dv, Layout, Snapshots}
+    val zcols = Seq("o_custkey", "o_totalprice")
+    val statsCols = zcols :+ "o_orderkey"
+    def orders(dir: String) = graft.model.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val batchBase = orders(src).filter(col("o_orderkey") % 7 === 0)
+      .localCheckpoint()
+    def measure(label: String, df: DataFrame, nFiles: Int): Unit = {
+      val root = java.nio.file.Files.createTempDirectory("cdcgrowth").toString
+      Layout.zorderWrite(df, zcols, s"$root/src/z", nFiles)
+      Snapshots.commit(spark,
+        Layout.buildManifest(spark, s"$root/src/z", statsCols), s"$root/src/m")
+      // bootstrap = full copy by design; excluded from per-commit timing
+      Cdc.sync(spark, s"$root/src/m", s"$root/mir/z", s"$root/mir/m",
+        "o_orderkey", statsCols)
+      var shift = 0L
+      val tSync = median((1 to reps).map { _ =>
+        shift += 1
+        val b = batchBase.select(
+          (col("o_orderkey") + lit(90000000000L) + lit(shift * 1000000L))
+            .as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        Snapshots.appendCommit(spark, b, statsCols, s"$root/src/z",
+          s"$root/src/m", nFiles = 4)
+        timed(Cdc.sync(spark, s"$root/src/m", s"$root/mir/z", s"$root/mir/m",
+          "o_orderkey", statsCols))
+      })
+      def threshold(): Long = {
+        val v = Snapshots.latestVersion(spark, s"$root/src/m")
+        val fs = new org.apache.hadoop.fs.Path(s"$root/src/z")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Dv.entries(Snapshots.manifestAt(spark, s"$root/src/m", v))
+          .map(e => fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(e.file)).getLen).max / 2
+      }
+      val tPack = median((1 to reps).map { _ =>
+        (0 until 5).foreach { _ =>
+          shift += 1
+          val b = batchBase.limit(200).select(
+            (col("o_orderkey") + lit(95000000000L) + lit(shift * 1000000L))
+              .as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+          Snapshots.appendCommit(spark, b, statsCols, s"$root/src/z",
+            s"$root/src/m", nFiles = 1)
+        }
+        timed(Snapshots.compactSmallCommit(spark, s"$root/src/z",
+          s"$root/src/m", statsCols, smallBytes = threshold(), nFiles = 1))
+      })
+      println(f"""{"query":"cdc_growth","scale":"$label","sync_commit_sec":$tSync%.2f,"compact_small_sec":$tPack%.2f,"reps":$reps}""")
+    }
+    measure("1x", orders(src), nFiles = 32)
+    measure(s"${copies}x", orders(target),
+      nFiles = math.min(32 * copies, 2048))
+    spark.stop()
+  }
 
   /** Copy-on-write vs merge-on-read delete at 1× and `copies`× table
     * size. The bands/keys are FRACTIONS of the key domain, so each scale

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, AudioDedup, Dedup, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis, VideoDedup}
+import graft.ext.{AsofJoin, AudioDedup, Dedup, Fuzzy, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis, VideoDedup}
 import graft.model.Tables
 import graft.qc.{RecallGate, SketchGate}
 import graft.streaming.Streaming
@@ -693,6 +693,20 @@ object LlmQueries {
         recallFloor = 0.30, what = "q147 incrementally-maintained ANN",
         requireExactPrecision = false)
         .withColumn("incremental_ok", lit(incrementalOk))
+    }),
+
+    // FUZZY KEY JOIN (q161): one-typo entity resolution via SymSpell
+    // deletion neighborhoods — candidates come from a variant-bucket
+    // self-join (each string explodes into |s|+1 single-deletion
+    // variants; distance-1 pairs provably share one), verified by one
+    // exact levenshtein — banded like MinHash, never all-pairs. The
+    // oracle recomputes the full quadratic truth on the slice, so a
+    // missed bucket (recall) or an unverified candidate (precision)
+    // hash-mismatches.
+    "q161_fuzzy_join" -> ((s, dir) => {
+      Fuzzy.editDistance1Pairs(
+        t(s, dir, "customer").filter(col("c_custkey") <= 200),
+        "c_custkey", "c_name")
     })
   )
 
@@ -1203,6 +1217,14 @@ object LlmQueries {
         |             JOIN nrm y ON neighbor_id = y.vec_id)
         |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
         |  TRUE AS recall_ok, TRUE AS incremental_ok
-        |FROM s WHERE rank <= 10""".stripMargin
+        |FROM s WHERE rank <= 10""".stripMargin,
+    // q161: the quadratic ground truth on the slice — every pair within
+    // Levenshtein distance 1.
+    "q161_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 200 AND b.c_custkey <= 200
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
   )
 }
