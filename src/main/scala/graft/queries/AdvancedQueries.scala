@@ -425,6 +425,21 @@ object AdvancedQueries {
       }
     }),
 
+    // UNPIVOT (q162): the reshaping inverse of q39's pivot — the wide
+    // status columns melt back to (priority, status, total) rows via
+    // `stack` (a Generate node: shuffle-free, codegen'd, the same
+    // economics as explode). Null cells (status absent for a priority)
+    // drop, so pivot∘unpivot round-trips to the sparse grouped relation.
+    "q162_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+      wide.select(col("o_orderpriority"),
+          expr("stack(3, 'O', O, 'F', F, 'P', P) AS (o_orderstatus, total)"))
+        .filter(col("total").isNotNull)
+    }),
+
     // GROUPING SETS + grouping_id (q158): the explicit multi-grain form
     // rollup/cube compile to — three grains in ONE pass (Expand + single
     // hash aggregate, not three scans), with the bitmask distinguishing
@@ -631,6 +646,13 @@ object AdvancedQueries {
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-        |  (o_orderstatus), ())""".stripMargin
+        |  (o_orderstatus), ())""".stripMargin,
+    // q162: unpivot round-trips to the sparse grouped relation.
+    "q162_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderstatus IN ('O', 'F', 'P')
+        |GROUP BY 1, 2""".stripMargin
   )
 }

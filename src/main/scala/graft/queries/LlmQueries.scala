@@ -707,6 +707,38 @@ object LlmQueries {
       Fuzzy.editDistance1Pairs(
         t(s, dir, "customer").filter(col("c_custkey") <= 200),
         "c_custkey", "c_name")
+    }),
+
+    // PURE-SQL VECTOR MATH (q163): dot products and norms as
+    // `zip_with` + `aggregate` higher-order functions — the
+    // no-custom-Expression fallback every Spark shop can deploy (the
+    // codegen `cosine_sim` is the fast path; this is the portable one).
+    // Emits consecutive-id pair dots/norms/cosines; the in-query gate
+    // requires the SQL-computed cosine to equal the native expression's
+    // on every pair at 6 decimals, so the two implementations
+    // cross-validate.
+    "q163_sql_vector_math" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 60)
+      val pairs = emb.select(col("vec_id"), col("embedding").as("ea"))
+        .join(emb.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding").as("eb")), "vec_id")
+      val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> " +
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), " +
+        "(acc, v) -> acc + v)")
+      def norm(c: String) = expr(s"sqrt(aggregate($c, CAST(0 AS DOUBLE), " +
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+      val out = pairs.select(col("vec_id"),
+          round(dot, 6).as("dot"),
+          round(norm("ea"), 6).as("norm_a"),
+          round(norm("eb"), 6).as("norm_b"),
+          round(dot / (norm("ea") * norm("eb")), 6).as("cos"),
+          (round(dot / (norm("ea") * norm("eb")), 6) ===
+            round(Similarity.cosine(col("ea"), col("eb")), 6))
+            .as("native_matches_ok"))
+        .localCheckpoint()
+      require(out.filter(!col("native_matches_ok")).isEmpty,
+        "q163 SQL vector math diverges from the native cosine expression")
+      out
     })
   )
 
@@ -1225,6 +1257,21 @@ object LlmQueries {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE a.c_custkey <= 200 AND b.c_custkey <= 200
-        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // q163: dots/norms/cosines recomputed from unnested components.
+    "q163_sql_vector_math" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v
+        |           FROM embeddings WHERE vec_id < 60),
+        |d AS (SELECT a.vec_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND b.vec_id = a.vec_id + 1
+        |      GROUP BY 1),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1)
+        |SELECT d.vec_id, round(d.dot, 6) AS dot,
+        |  round(na.nrm, 6) AS norm_a, round(nb.nrm, 6) AS norm_b,
+        |  round(d.dot / (na.nrm * nb.nrm), 6) AS cos,
+        |  TRUE AS native_matches_ok
+        |FROM d JOIN n na ON d.vec_id = na.vec_id
+        |       JOIN n nb ON nb.vec_id = d.vec_id + 1""".stripMargin
   )
 }
