@@ -513,6 +513,44 @@ object StreamQueries {
       }.filter(col("user_id") >= 0)
     }),
 
+    // Stream-stream RIGHT OUTER interval join (q164): q124's mirror —
+    // every purchase appears once per claiming view, or once null-padded
+    // when NO view preceded it within 6 hours (the orphan-conversion
+    // audit). Same dual-sided-sentinel fixture as q124/q131; unmatched
+    // rights flush when the combined watermark passes their bound.
+    "q164_stream_right_outer_join" -> ((s, dir) => {
+      val in = q124In.computeIfAbsent(dir, _ => {
+        val d = QueryTmp.dir("q124in")
+        val sub = eventsSubset(s, dir)
+        sub.repartition(2).write.parquet(s"$d/in")
+        val dataNames = partNames(s, s"$d/in")
+        val mx = sub.agg(max(col("ts")).as("ts"))
+        def sentinel(id: Long, tpe: String) = mx.select(
+          lit(id).as("event_id"),
+          (col("ts") + expr("INTERVAL 7305 DAYS")).as("ts"),
+          lit(id).as("user_id"),
+          lit(tpe).as("event_type"),
+          lit(0.0).as("value"))
+        sentinel(-1L, "view").unionByName(sentinel(-2L, "purchase"))
+          .coalesce(1).write.mode("append").parquet(s"$d/in")
+        stampSentinelsLast(s, s"$d/in", dataNames)
+        s"$d/in"
+      })
+      replayLanded(s, in, QueryTmp.dir("q164")) { stream =>
+        val views = stream().filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+        Streaming.streamIntervalJoinRightOuter(
+          views, purchases, key = "user_id",
+          interval = "6 hours", lateness = "3650 days")
+          .select(col("r.user_id").as("user_id"),
+            col("view_id"), col("purchase_id"),
+            unix_micros(col("l.ts")).as("view_ts_us"),
+            unix_micros(col("r.ts")).as("purchase_ts_us"))
+      }.filter(col("user_id") >= 0)
+    }),
+
     // Stream-stream LEFT SEMI interval join (q156): "which views
     // converted within 6 hours" — one row per converted view, emitted on
     // its FIRST matching purchase and dropped from state immediately
@@ -698,6 +736,19 @@ object StreamQueries {
         |FROM (SELECT * FROM events
         |      WHERE event_type = 'view' AND event_id % 10 < 3) l
         |FULL JOIN (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND event_id % 10 < 3) r
+        |  ON l.user_id = r.user_id
+        | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin,
+    // q164: the right-outer mirror of q124 — all pairs plus orphan
+    // purchases with a null view side.
+    "q164_stream_right_outer_join" ->
+      """SELECT r.user_id AS user_id,
+        |  l.event_id AS view_id, r.event_id AS purchase_id,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS view_ts_us,
+        |  epoch_us(CAST(r.ts AS TIMESTAMP)) AS purchase_ts_us
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'view' AND event_id % 10 < 3) l
+        |RIGHT JOIN (SELECT * FROM events
         |      WHERE event_type = 'purchase' AND event_id % 10 < 3) r
         |  ON l.user_id = r.user_id
         | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin,

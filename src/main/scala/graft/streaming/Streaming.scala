@@ -141,6 +141,21 @@ object Streaming {
       "full_outer")
   }
 
+  /** [[streamIntervalJoinOuter]]'s RIGHT OUTER mirror — unmatched RIGHT
+    * events null-pad the left side once the combined watermark passes
+    * their state bound (the purchases-without-any-view audit shape).
+    * The q124 replay caveat applies to the right side's flush: trailing
+    * sentinels on both streams. */
+  def streamIntervalJoinRightOuter(left: DataFrame, right: DataFrame,
+                                   key: String, interval: String,
+                                   lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).as("l")
+    val r = right.withWatermark("ts", lateness).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $interval"),
+      "right_outer")
+  }
+
   /** [[streamIntervalJoin]]'s LEFT SEMI form — "which left events
     * converted" without materializing the pairs: a left row emits AT MOST
     * ONCE, as soon as its first in-interval right match arrives (Spark's
