@@ -1808,6 +1808,77 @@ object LakeQueries {
           col("o_flag"))
         .withColumn("pinned_ok", lit(pinnedOk))
         .withColumn("nulls_ok", lit(nullsOk))
+    }),
+
+    // WRITE–AUDIT–PUBLISH (q166, the Iceberg WAP / audit-branch
+    // governance workflow, composed from clone + commit): a batch lands
+    // on a SHALLOW CLONE of the main table (zero copy), quality checks
+    // run against the staged snapshot, and only a passing audit is
+    // PUBLISHED — one metadata commit adopting the audited manifest
+    // (the clone's data files by absolute path; nothing moves). A
+    // failing audit is simply abandoned: the main log never saw it.
+    // Gates in-query: the bad batch's audit fails AND main is
+    // byte-and-version untouched; the good batch's publish adds ONE
+    // main version whose head equals base ∪ batch (fingerprint); the
+    // publish wrote nothing under main's data dir.
+    "q166_write_audit_publish" -> ((s, dir) => {
+      val root = tmp("q166")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 4 === 0)
+      FixtureCache.layout(s, s"q166:$dir", s"$root/main/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/main/z", zcols), s"$root/main/m")
+      def mainFiles(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/main/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+      }
+      val before = mainFiles()
+      def stage(name: String, b: DataFrame): (String, Int) = {
+        Snapshots.cloneCommit(s, s"$root/main/m", s"$root/$name/m", v1)
+        new org.apache.hadoop.fs.Path(s"$root/$name/z")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(s"$root/$name/z"))
+        val (v, _) = Snapshots.appendCommit(s, b, zcols, s"$root/$name/z",
+          s"$root/$name/m", nFiles = 8)
+        (s"$root/$name/m", v)
+      }
+      def audit(mRoot: String, v: Int): Boolean =
+        Snapshots.tableAt(s, mRoot, v)
+          .filter(col("o_totalprice") < 0).isEmpty
+      // attempt 1: corrupted batch — audit must block it
+      val bad = batch.withColumn("o_totalprice", -col("o_totalprice") - 1)
+      val (m1, s1) = stage("audit1", bad)
+      val blockedOk = !audit(m1, s1)
+      require(blockedOk, "q166 audit passed a corrupted batch")
+      val isolatedOk =
+        Snapshots.versions(s, s"$root/main/m") == Seq(v1) &&
+          mainFiles() == before
+      require(isolatedOk, "q166 failed audit leaked into main")
+      // attempt 2: clean batch — audit passes, publish adopts it
+      val (m2, s2) = stage("audit2", batch)
+      require(audit(m2, s2), "q166 audit rejected the clean batch")
+      val vPub = Snapshots.commit(s, Snapshots.manifestAt(s, m2, s2),
+        s"$root/main/m", markers = Seq("_wap_published"))
+      val publishedOk = mainFiles() == before && // metadata-only adoption
+        Snapshots.versions(s, s"$root/main/m") == Seq(v1, vPub) &&
+        RecallGate.equivalentFingerprint(Seq(
+          (Snapshots.tableAt(s, s"$root/main/m", vPub)
+            .select(col("o_orderkey")),
+            orders.select(col("o_orderkey")),
+            "q166 published head vs base ∪ batch")),
+          Seq("o_orderkey"))
+      val pr = Snapshots.readAt(s, s"$root/main/m", vPub,
+        Seq(("o_custkey", 30.0, 120.0)))
+      pr.df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("blocked_ok", lit(blockedOk))
+        .withColumn("isolated_ok", lit(isolatedOk))
+        .withColumn("published_ok", lit(publishedOk))
     })
   )
 
@@ -2165,6 +2236,14 @@ object LakeQueries {
         |UNION ALL
         |SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2),
         |  'ins', TRUE, TRUE
-        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+    // q166 emits the published head's box read — base ∪ the audited
+    // batch = all orders; booleans assert the blocked bad batch, main's
+    // isolation during the audit, and the metadata-only publish.
+    "q166_write_audit_publish" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS blocked_ok, TRUE AS isolated_ok, TRUE AS published_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin
   )
 }

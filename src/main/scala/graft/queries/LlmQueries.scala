@@ -739,6 +739,29 @@ object LlmQueries {
       require(out.filter(!col("native_matches_ok")).isEmpty,
         "q163 SQL vector math diverges from the native cosine expression")
       out
+    }),
+
+    // CORPUS-STATISTICAL RARITY SCORE (q165): a count-based surprisal
+    // proxy with EXACT-RATIONAL arithmetic — per-document mean inverse
+    // character-bigram frequency against the corpus's own counts (rare
+    // character patterns score high: mojibake, ciphered junk, wrong-
+    // alphabet text — the signal an n-gram LM filter uses, minus the
+    // libm log whose rounding would break oracle parity). One explode +
+    // two hash aggregations + one broadcast join against the ~|Σ|² count
+    // table; linear in the scan at 100 TB.
+    "q165_bigram_rarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bg = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 1, 1)), " +
+          "i -> substring(text, i, 2))")).as("bg"))
+      val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val total = counts.agg(sum(col("n")).cast("double").as("total"))
+      bg.join(broadcast(counts), "bg")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(col("total") / col("n")), 6).as("rarity"),
+          count(lit(1)).as("n_bigrams"))
     })
   )
 
@@ -1272,6 +1295,19 @@ object LlmQueries {
         |  round(d.dot / (na.nrm * nb.nrm), 6) AS cos,
         |  TRUE AS native_matches_ok
         |FROM d JOIN n na ON d.vec_id = na.vec_id
-        |       JOIN n nb ON nb.vec_id = d.vec_id + 1""".stripMargin
+        |       JOIN n nb ON nb.vec_id = d.vec_id + 1""".stripMargin,
+    // q165: mean inverse bigram frequency recomputed from the same
+    // corpus counts.
+    "q165_bigram_rarity" ->
+      """WITH bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(length(text) - 1, 1) + 1),
+        |      i -> substr(text, CAST(i AS INT), 2))) AS bg
+        |  FROM documents),
+        |c AS (SELECT bg, count(*) AS n FROM bg GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS total FROM c)
+        |SELECT doc_id, round(avg(t.total / c.n), 6) AS rarity,
+        |  count(*) AS n_bigrams
+        |FROM bg JOIN c USING (bg), t
+        |GROUP BY 1""".stripMargin
   )
 }
