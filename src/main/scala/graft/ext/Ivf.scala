@@ -354,4 +354,16 @@ object Ivf {
     assignment.unionByName(
       assignCarry(newVecs, centroids, idCol, vecCol),
       allowMissingColumns = true)
+
+  /** DELETE vectors from the index — the other half of the maintenance
+    * lifecycle ([[extendIndex]] adds): an anti-join drops the tombstoned
+    * ids' postings, so a deleted vector can never be served again, the
+    * surviving postings are byte-identical, and the cost is one
+    * anti-join over the lists (broadcast when the tombstone set is
+    * small). Centroids are untouched — like [[extendIndex]]'s drift,
+    * the accepted IVF practice until a retrain. */
+  def removeFromIndex(assignment: DataFrame, deletedIds: DataFrame,
+                      idCol: String = "vec_id"): DataFrame =
+    assignment.join(deletedIds.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

@@ -762,6 +762,41 @@ object LlmQueries {
         .groupBy(col("doc_id"))
         .agg(round(avg(col("total") / col("n")), 6).as("rarity"),
           count(lit(1)).as("n_bigrams"))
+    }),
+
+    // TOMBSTONE-AWARE ANN (q167): deleting vectors from the live index —
+    // the maintenance half q147's append leaves open. An anti-join drops
+    // the tombstoned ids' postings (surviving postings fingerprint-
+    // proven untouched); search over the pruned index is recall-gated
+    // against the exact twin over the SURVIVOR corpus, and an in-query
+    // require proves no deleted id can ever be served.
+    "q167_ann_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val (centroids, assignment) = Ivf.buildIndex(corpus, c = 10, iters = 1)
+      val tombstones = corpus.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"))
+      val pruned = Ivf.removeFromIndex(assignment, tombstones)
+        .localCheckpoint()
+      val untouchedOk = RecallGate.equivalentFingerprint(Seq(
+          (pruned.select(col("vec_id"), col("centroid_id")),
+            assignment.join(tombstones, Seq("vec_id"), "left_anti")
+              .select(col("vec_id"), col("centroid_id")),
+            "q167 surviving postings must be byte-identical")),
+        Seq("vec_id", "centroid_id"))
+      val survivors = corpus.join(tombstones, Seq("vec_id"), "left_anti")
+      val exact = Similarity.bruteForceTopK(probes, survivors, k = 10)
+      val ivf = Ivf.ivfTopK(probes, corpus, centroids, k = 10, nProbe = 3,
+        assignment = Some(pruned))
+      val gated = RecallGate.gate(exact, ivf,
+        Seq("probe_id", "neighbor_id"), recallFloor = 0.30,
+        what = "q167 post-delete ANN", requireExactPrecision = false)
+      require(ivf.join(tombstones.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_semi").isEmpty,
+        "q167 a deleted vector was served from the index")
+      gated.withColumn("untouched_ok", lit(untouchedOk))
     })
   )
 
@@ -1308,6 +1343,28 @@ object LlmQueries {
         |SELECT doc_id, round(avg(t.total / c.n), 6) AS rarity,
         |  count(*) AS n_bigrams
         |FROM bg JOIN c USING (bg), t
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q167's exact twin: brute-force top-10 over the SURVIVOR corpus
+    // (tombstoned %5 ids removed).
+    "q167_ann_delete" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |keep AS (SELECT vec_id FROM embeddings
+        |         WHERE vec_id >= 5 AND vec_id % 5 <> 0),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |             sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id IN (SELECT vec_id FROM keep)
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok, TRUE AS untouched_ok
+        |FROM s WHERE rank <= 10""".stripMargin
   )
 }
