@@ -37,8 +37,14 @@ object FixtureCache {
     val srcP = new org.apache.hadoop.fs.Path(src)
     val dstP = new org.apache.hadoop.fs.Path(destDir)
     val fs = srcP.getFileSystem(conf)
+    val listing = fs.listStatus(srcP).toSeq
+    // a flat copy of a nested layout would silently hand out an
+    // incomplete fixture (the footerManifestFor lesson) — refuse loudly
+    require(!listing.exists(_.isDirectory),
+      s"fixture '$key' contains subdirectories — flat layouts only " +
+        s"(${listing.filter(_.isDirectory).map(_.getPath.getName).toList})")
     fs.mkdirs(dstP)
-    fs.listStatus(srcP).filter(_.isFile).foreach { st =>
+    listing.filter(_.isFile).foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new org.apache.hadoop.fs.Path(dstP, st.getPath.getName),
         false, conf)

@@ -1106,6 +1106,16 @@ object Snapshots {
       require(m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c"),
         s"no manifest stats for '$c' — was it in the stats column list?")
     }
+    // a manifest MIXING stats-bearing and stats-less rows (e.g. a
+    // generation committed without stats for a column) must not serve
+    // extremes computed over the subset that happens to carry them —
+    // min/max aggregates silently skip nulls, so guard loudly instead
+    val partial = cols.filter(c =>
+      !m.filter(col(s"min_$c").isNull || col(s"max_$c").isNull).isEmpty)
+    require(partial.isEmpty,
+      s"metadata-only extremes are unsound: manifest rows lack stats for " +
+        s"${partial.sorted.mkString(", ")} — rebuild the manifest with " +
+        "stats for every file, or aggregate by scan")
     val aggs = sum(col("rows")).as("_n") +:
       cols.flatMap(c => Seq(
         min(col(s"min_$c")).cast("double").as(s"_lo_$c"),

@@ -69,6 +69,30 @@ class MergeFullStatsSpec extends SparkSpec {
     assert(meta.mins("x") == r.getDouble(0) && meta.maxs("x") == r.getDouble(1))
   }
 
+  test("statsAggAt refuses a manifest with partially-missing stats") {
+    val (dir, v1) = freshLayout()
+    // append a generation whose manifest rows carry stats for a DIFFERENT
+    // column set: min_x/max_x exist, min_id/max_id are null on those rows
+    val batch = spark.range(20000, 20500)
+      .select(col("id"), lit(3L).as("x"), lit(4L).as("y"))
+    val staging = s"$dir/z.partial_staging"
+    batch.write.mode("overwrite").parquet(staging)
+    val moved = spark.read.parquet(staging)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val prev = Snapshots.manifestAt(spark, s"$dir/m", v1)
+    val next = prev.unionByName(
+      Layout.buildManifestFor(spark, moved, Seq("x")),
+      allowMissingColumns = true)
+    val v2 = Snapshots.commit(spark, next, s"$dir/m")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.statsAggAt(spark, s"$dir/m", v2, Seq("id", "x"))
+    }
+    assert(e.getMessage.contains("lack stats"))
+    // the fully-covered column set still serves
+    assert(Snapshots.statsAggAt(spark, s"$dir/m", v2, Seq("x")).rows > 0)
+  }
+
   test("statsAggAt refuses a DV-masked manifest, serves again after purge") {
     val (dir, _) = freshLayout()
     val mor = Dv.deleteWhereMoR(spark, s"$dir/z", s"$dir/m",
