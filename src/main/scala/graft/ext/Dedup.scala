@@ -698,4 +698,46 @@ object Dedup {
       .withColumn("recall_ok", lit(v.recallOk))
       .withColumn("pigeonhole_ok", lit(pigeonholeOk))
   }
+
+  /** PREFIX-FILTERED set-similarity join (the AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07 — public): EXACT word-set Jaccard ≥ t pairs
+    * without the all-pairs product OR the full inverted index. Each
+    * document's distinct tokens are ordered by ascending GLOBAL document
+    * frequency (rarest first, lexicographic tiebreak) and only its
+    * PREFIX — the first |S| − ⌈t·|S|⌉ + 1 tokens — enters the candidate
+    * join: two sets with Jaccard ≥ t provably share a prefix token (if
+    * the prefixes were disjoint, the overlap is confined to the suffixes
+    * and falls below the required ⌈t·|S|⌉). Candidates verify by exact
+    * intersection. Rarest-first ordering makes the candidate buckets the
+    * SMALLEST ones — at 100 TB the join volume tracks rare-token
+    * co-occurrence, not corpus². Contrast MinHash (probabilistic recall)
+    * — this is exact, the right tool when t is high and misses are
+    * unacceptable. Returns (doc_a < doc_b, jaccard). */
+  def prefixJaccardPairsWords(docs: DataFrame, idCol: String,
+                              textCol: String, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("s")).localCheckpoint()
+    val toks = sets.select(col("id"), explode(col("s")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)
+    val prefix = toks.join(freq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("tok"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cand.join(sets.select(col("id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -797,6 +797,26 @@ object LlmQueries {
           Seq("neighbor_id"), "left_semi").isEmpty,
         "q167 a deleted vector was served from the index")
       gated.withColumn("untouched_ok", lit(untouchedOk))
+    }),
+
+    // PREFIX-FILTERED SET-SIMILARITY JOIN (q168, the AllPairs/PPJoin
+    // family): EXACT word-set Jaccard ≥ 0.9 pairs — candidates come only
+    // from each document's rarest-token PREFIX (provably shared by any
+    // qualifying pair), verified by exact intersection. The oracle
+    // recomputes the full quadratic truth on the slice, so a prefix miss
+    // (broken frequency ordering, off-by-one prefix length) loses a pair
+    // and hash-mismatches — COMPLETENESS is the oracle's to catch; the
+    // in-query gate just pins that the threshold is selective here.
+    "q168_prefix_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+      val pairs = Dedup.prefixJaccardPairsWords(docs, "doc_id", "text",
+        threshold = 0.9).localCheckpoint()
+      val n = docs.count()
+      val selectiveOk = pairs.count() < n * (n - 1) / 2
+      require(selectiveOk, "q168 threshold admitted the whole pair space")
+      pairs.select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .withColumn("selective_ok", lit(selectiveOk))
     })
   )
 
@@ -1346,6 +1366,19 @@ object LlmQueries {
         |GROUP BY 1""".stripMargin,
     // q167's exact twin: brute-force top-10 over the SURVIVOR corpus
     // (tombstoned %5 ids removed).
+    // q168: the full quadratic word-Jaccard truth on the slice.
+    "q168_prefix_jaccard" ->
+      """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents WHERE doc_id < 150)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / (len(a.toks) + len(b.toks)
+        |       - len(list_intersect(a.toks, b.toks)))::DOUBLE, 6) AS jaccard,
+        |  TRUE AS selective_ok
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / (len(a.toks) + len(b.toks)
+        |       - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.9""".stripMargin,
     "q167_ann_delete" ->
       """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |                  unnest(embedding)::DOUBLE AS v FROM embeddings),

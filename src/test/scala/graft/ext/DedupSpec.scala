@@ -267,4 +267,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(viaStar == viaProp)
   }
+
+  test("prefix-filtered Jaccard join equals the brute-force truth") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),     // J(1,2)=4/6
+      (3L, "alpha beta gamma delta epsilon"),  // J(1,3)=1.0
+      (4L, "omega psi chi phi upsilon"),
+      (5L, "omega psi chi phi upsilon tau"),   // J(4,5)=5/6
+      (6L, "alpha omega")                      // low overlap with all
+    ).toDF("doc_id", "text")
+    def truth(t: Double): Set[(Long, Long)] = {
+      val sets = docs.collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (ia, ib)).toSet
+    }
+    for (t <- Seq(0.5, 0.8, 0.99)) {
+      val got = Dedup.prefixJaccardPairsWords(docs, "doc_id", "text", t)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth(t), s"threshold $t")
+    }
+  }
 }
