@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.sinks.{Layout, Snapshots}
+import graft.sql.LakeSql
+import graft.sql.LakeSql.LakeTableSpec
+
+/** SQL-TEXT consumption surface over the versioned lake (round-12 verdict
+  * lead item): the reference's entire downstream story is SQL — Power BI
+  * over Databricks SQL / Azure SQL (reference README.md:23-27), QBO's SQL
+  * query endpoint (endpoints.yml:49) — so the engine's snapshot tables get
+  * a SQL front door: time travel (`VERSION AS OF` / `TIMESTAMP AS OF`),
+  * `MERGE INTO`, and `DELETE FROM` as Spark-parsed SQL text routed through
+  * [[graft.sql.LakeSql]] onto the [[Snapshots]] commit machinery.
+  *
+  * Every query here drives the operator THROUGH the SQL text path and
+  * emits rows the DuckDB oracle recomputes from the raw tables, so a
+  * parser-routing bug, a mis-resolved version, or a DML that commits the
+  * wrong rows all hash-mismatch.
+  */
+object SqlQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmp(name: String): String = QueryTmp.dir(name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL TIME TRAVEL: v1 = committed z-layout of orders, v2 = band delete.
+    // `VERSION AS OF v1` must serve the COMPLETE pre-delete band through
+    // Spark's own parser; gates assert (a) the SQL plan IS the DataFrame
+    // plan (sameResult — the front door re-points the relation and lets
+    // stock Catalyst do everything else), (b) `TIMESTAMP AS OF` resolves
+    // both commit stamps to their versions, (c) a bare SELECT reads the
+    // post-delete latest.
+    "q169_sql_time_travel" -> ((s, dir) => {
+      val root = tmp("q169")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      FixtureCache.layout(s, s"q169:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake169",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols))
+      val del = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 55.0, 95.0)))
+      require(del.rowsDeleted > 0, "q169 delete removed nothing — gate vacuous")
+      val v2 = Snapshots.latestVersion(s, s"$root/m")
+      val planOk = LakeSql.sql(s,
+          s"SELECT * FROM orders_lake169 VERSION AS OF $v1")
+        .queryExecution.optimizedPlan.sameResult(
+          Snapshots.tableAt(s, s"$root/m", v1).queryExecution.optimizedPlan)
+      require(planOk, "q169 SQL plan diverged from the DataFrame plan")
+      def cnt(sqlText: String): Long =
+        LakeSql.sql(s, sqlText).head().getLong(0)
+      val ts1 = Snapshots.commitTimestamp(s, s"$root/m", v1).get
+      val ts2 = Snapshots.commitTimestamp(s, s"$root/m", v2).get
+      val iso1 = java.time.Instant.ofEpochMilli(ts1).toString
+      val iso2 = java.time.Instant.ofEpochMilli(ts2).toString
+      val full = Snapshots.tableAt(s, s"$root/m", v1).count()
+      val tsOk =
+        cnt(s"SELECT count(*) AS n FROM orders_lake169 TIMESTAMP AS OF '$iso1'") == full &&
+          cnt(s"SELECT count(*) AS n FROM orders_lake169 TIMESTAMP AS OF '$iso2'") ==
+            full - del.rowsDeleted
+      require(tsOk, "q169 TIMESTAMP AS OF resolved the wrong versions")
+      val latestOk =
+        cnt("SELECT count(*) AS n FROM orders_lake169") == full - del.rowsDeleted
+      require(latestOk, "q169 bare SELECT did not read the latest version")
+      LakeSql.sql(s,
+          s"""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders_lake169 VERSION AS OF $v1
+             |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("plan_ok", lit(planOk))
+        .withColumn("ts_ok", lit(tsOk))
+        .withColumn("latest_ok", lit(latestOk))
+    }),
+
+    // SQL MERGE: Spark-parsed `MERGE INTO … WHEN MATCHED THEN UPDATE SET *
+    // WHEN NOT MATCHED THEN INSERT *` routed onto the copy-on-write
+    // mergeCommit. The source is a temp VIEW (any SQL-addressable query
+    // works — the front door resolves it recursively). Gates: commit
+    // metrics exact (matched band count, insert count), stats pruning bit
+    // (files_rewritten < files_total), and `VERSION AS OF v1` still serves
+    // the pre-merge snapshot (isolation, read back through SQL).
+    "q170_sql_merge" -> ((s, dir) => {
+      val root = tmp("q170")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q170:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake170",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val updates = orders.filter(col("o_orderkey").between(500, 2500))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2))
+      val inserts = orders.filter(col("o_orderkey") % 89 === 0)
+        .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      updates.unionByName(inserts).createOrReplaceTempView("q170_src")
+      val m = LakeSql.sql(s,
+        """MERGE INTO orders_lake170 t USING q170_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val countsOk = m.getAs[Long]("rows_updated") == updates.count() &&
+        m.getAs[Long]("rows_inserted") == inserts.count()
+      require(countsOk, s"q170 merge metrics off: $m")
+      val prunedOk =
+        m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total")
+      require(prunedOk, "q170 merge rewrote every file — pruning bought nothing")
+      val isolationOk = LakeSql.sql(s,
+          s"SELECT count(*) AS n FROM orders_lake170 VERSION AS OF $v1")
+        .head().getLong(0) == orders.count()
+      require(isolationOk, "q170 v1 pinned read saw the merge")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake170
+            |WHERE o_orderkey BETWEEN 500 AND 2500
+            |   OR o_orderkey >= 20000000""".stripMargin)
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("isolation_ok", lit(isolationOk))
+    }),
+
+    // SQL DELETE: Spark-parsed `DELETE FROM … WHERE` with the conjunction
+    // compiled to the manifest-stats box — the delete's touch set stays
+    // file-pruned (gated), exactly what a 100 TB DELETE must do. Gates:
+    // deleted-row count matches the predicate's true cardinality, pruning
+    // bit, and time travel still serves the pre-delete snapshot.
+    "q171_sql_delete" -> ((s, dir) => {
+      val root = tmp("q171")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q171:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake171",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val expect = orders.filter(col("o_custkey").between(55, 85)).count()
+      val d = LakeSql.sql(s,
+        "DELETE FROM orders_lake171 WHERE o_custkey >= 55 AND o_custkey <= 85")
+        .head()
+      val deleteOk = d.getAs[Long]("rows_deleted") == expect && expect > 0
+      require(deleteOk, s"q171 delete count off: $d (expected $expect)")
+      val prunedOk =
+        d.getAs[Long]("files_rewritten") < d.getAs[Long]("files_total")
+      require(prunedOk, "q171 delete rewrote every file — box pruning dead")
+      val travelOk = LakeSql.sql(s,
+          s"SELECT count(*) AS n FROM orders_lake171 VERSION AS OF $v1")
+        .head().getLong(0) == orders.count()
+      require(travelOk, "q171 pre-delete snapshot lost after DELETE")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake171
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("delete_ok", lit(deleteOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("travel_ok", lit(travelOk))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // q169 emits the pre-delete band reached through `VERSION AS OF` —
+    // all orders in the band, regardless of the later delete.
+    "q169_sql_time_travel" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS plan_ok, TRUE AS ts_ok, TRUE AS latest_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q170 emits the post-merge touched slices: the tripled band plus the
+    // key-shifted inserts.
+    "q170_sql_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(round(o_totalprice, 2) * 3, 2) AS o_totalprice,
+        |  TRUE AS pruned_ok, TRUE AS counts_ok, TRUE AS isolation_ok
+        |FROM orders WHERE o_orderkey BETWEEN 500 AND 2500
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 89 = 0""".stripMargin,
+    // q171 emits the post-delete band: the band minus the deleted slice.
+    "q171_sql_delete" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS delete_ok, TRUE AS pruned_ok, TRUE AS travel_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130
+        |  AND o_custkey NOT BETWEEN 55 AND 85""".stripMargin,
+  )
+}

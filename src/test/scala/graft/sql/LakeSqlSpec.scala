@@ -1,0 +1,163 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sinks.{Layout, Snapshots}
+import graft.sql.LakeSql.LakeTableSpec
+
+class LakeSqlSpec extends SparkSpec {
+
+  private def data = spark.range(10000)
+    .select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"))
+
+  /** Fresh committed lake table registered as `name`; returns (dir, v1). */
+  private def freshLake(name: String): (String, Int) = {
+    val dir = tmpDir("lakesql")
+    Layout.zorderWrite(data, Seq("id", "x"), s"$dir/z", nFiles = 16)
+    val v1 = Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id", "x")), s"$dir/m")
+    LakeSql.register(name,
+      LakeTableSpec(s"$dir/z", s"$dir/m", Seq("id", "x"), nFiles = 8))
+    (dir, v1)
+  }
+
+  test("SELECT over a registered lake table reads the latest version") {
+    val (dir, _) = freshLake("t_sel")
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 0.0, 99.0)))
+    val n = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_sel").head().getLong(0)
+    assert(n == Snapshots.tableAt(spark, s"$dir/m", 2).count())
+    assert(n < 10000L)
+  }
+
+  test("VERSION AS OF pins the pre-delete snapshot; qualified refs resolve") {
+    val (dir, v1) = freshLake("t_ver")
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 0.0, 99.0)))
+    val pinned = LakeSql.sql(spark,
+      s"SELECT t_ver.id, t_ver.x FROM t_ver VERSION AS OF $v1 " +
+        "WHERE t_ver.x < 100")
+    assert(pinned.count() ==
+      data.filter(col("x") < 100).count())
+    // aliased form too
+    val aliased = LakeSql.sql(spark,
+      s"SELECT a.id FROM t_ver VERSION AS OF $v1 a WHERE a.x >= 900")
+    assert(aliased.count() == data.filter(col("x") >= 900).count())
+  }
+
+  test("TIMESTAMP AS OF resolves through versionAtTimestamp (string + millis)") {
+    val (dir, v1) = freshLake("t_ts")
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 0.0, 499.0)))
+    val ts1 = Snapshots.commitTimestamp(spark, s"$dir/m", v1).get
+    val iso = java.time.Instant.ofEpochMilli(ts1).toString
+    val viaIso = LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_ts TIMESTAMP AS OF '$iso'")
+      .head().getLong(0)
+    val viaMillis = LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_ts TIMESTAMP AS OF $ts1")
+      .head().getLong(0)
+    assert(viaIso == 10000L && viaMillis == 10000L)
+  }
+
+  test("SQL and DataFrame time-travel paths produce the same plan") {
+    val (dir, v1) = freshLake("t_plan")
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 0.0, 99.0)))
+    val sqlPlan = LakeSql.sql(spark,
+      s"SELECT * FROM t_plan VERSION AS OF $v1")
+      .queryExecution.optimizedPlan
+    val dfPlan = Snapshots.tableAt(spark, s"$dir/m", v1)
+      .queryExecution.optimizedPlan
+    assert(sqlPlan.sameResult(dfPlan),
+      s"SQL plan diverged from DataFrame plan:\n$sqlPlan\nvs\n$dfPlan")
+  }
+
+  test("MERGE INTO routes to mergeCommit: updates + inserts, stats-pruned") {
+    val (dir, _) = freshLake("t_merge")
+    val src = data.filter(col("id") < 500)
+      .withColumn("x", col("x") + 10000)
+      .unionByName(data.filter(col("id") % 1000 === 0)
+        .withColumn("id", col("id") + 1000000))
+    src.createOrReplaceTempView("merge_src")
+    val m = LakeSql.sql(spark,
+      "MERGE INTO t_merge t USING merge_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").head()
+    assert(m.getAs[Long]("rows_updated") == 500L)
+    assert(m.getAs[Long]("rows_inserted") == 10L)
+    assert(m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total"))
+    val after = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_merge WHERE x >= 10000").head().getLong(0)
+    assert(after == 500L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_merge")
+      .head().getLong(0) == 10010L)
+  }
+
+  test("MERGE with box-scoped NOT MATCHED BY SOURCE DELETE → mergeCommitFull") {
+    val (dir, _) = freshLake("t_merge3")
+    // source is authoritative for id < 1000: re-sends evens only
+    data.filter(col("id") < 1000 && col("id") % 2 === 0)
+      .createOrReplaceTempView("merge3_src")
+    val m = LakeSql.sql(spark,
+      "MERGE INTO t_merge3 t USING merge3_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id >= 0 AND t.id <= 999 " +
+        "THEN DELETE").head()
+    assert(m.getAs[Long]("rows_deleted") == 500L)
+    assert(m.getAs[Long]("rows_updated") == 500L)
+    assert(m.getAs[Long]("rows_inserted") == 0L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_merge3")
+      .head().getLong(0) == 9500L)
+  }
+
+  test("DELETE FROM compiles the WHERE conjunction to a stats box") {
+    val (dir, _) = freshLake("t_del")
+    val expect = data.filter(col("x") >= 100 && col("x") < 200 &&
+      col("id") > 5000).count()
+    val d = LakeSql.sql(spark,
+      "DELETE FROM t_del WHERE x >= 100 AND x < 200 AND id > 5000").head()
+    assert(d.getAs[Long]("rows_deleted") == expect)
+    assert(d.getAs[Long]("files_rewritten") < d.getAs[Long]("files_total"))
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_del")
+      .head().getLong(0) == 10000L - expect)
+  }
+
+  test("unprunable predicates and unscoped by-source deletes are rejected") {
+    freshLake("t_rej")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "DELETE FROM t_rej WHERE y = 5") // no stats on y
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "DELETE FROM t_rej WHERE x = 5 OR x = 7")
+    }
+    data.limit(1).createOrReplaceTempView("rej_src")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "MERGE INTO t_rej t USING rej_src s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT * " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+  }
+
+  test("unregistered relations pass through to the session catalog") {
+    data.createOrReplaceTempView("plain_view")
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM plain_view").head().getLong(0) == 10000L)
+  }
+
+  test("lake table composes with a temp view in one statement") {
+    val (dir, _) = freshLake("t_join")
+    data.filter(col("id") < 100).select(col("id"), col("y"))
+      .createOrReplaceTempView("join_dim")
+    val joined = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_join t JOIN join_dim d ON t.id = d.id")
+      .head().getLong(0)
+    assert(joined == 100L)
+  }
+}
