@@ -84,91 +84,6 @@ object RecallGate {
     * brute-force — pigeonhole says they must MATCH, not just overlap).
     * `require`s both directions empty and returns true (for riding emitted
     * rows as a constant gate boolean). */
-  /** [[equivalent]] restricted to a deterministic 1/`mod` slice of the key
-    * plane: rows with `xxhash64(keys) ≡ 0 (mod mod)`, the SAME slice on
-    * both sides. Set equivalence is a per-row property, so slice
-    * equivalence IS exact equivalence restricted to the slice (the q105
-    * image-dedup sampling argument). Use for in-query SELF-CHECK gates
-    * whose emitted rows the driver's oracle already hash-compares in full
-    * — the slice bounds the gate's own cost (distinct + two anti-joins
-    * shrink by `mod`), not the correctness surface: a violation confined
-    * to the slice's complement still fails the driver compare. */
-  def equivalentSampled(a: DataFrame, b: DataFrame, keys: Seq[String],
-                        mod: Int, what: String): Boolean = {
-    require(mod >= 1, s"$what: slice modulus must be >= 1")
-    def slice(df: DataFrame): DataFrame =
-      df.filter(pmod(xxhash64(keys.map(col): _*), lit(mod)) === 0)
-    val (onlyA, onlyB, total) = diffCounts(slice(a), slice(b), keys)
-    require(total > 0,
-      s"$what: 1/$mod slice hit no rows on either side — gate vacuous, " +
-        "lower the modulus")
-    require(onlyA == 0 && onlyB == 0,
-      s"$what [1/$mod slice]: sets differ ($onlyA rows only in left, " +
-        s"$onlyB only in right) — expected exact equivalence")
-    true
-  }
-
-  /** [[equivalentSampled]] plus a FULL row-count equality check. The slice
-    * bounds the per-row diff cost, but when the gate's subject is NOT
-    * covered by the driver's emitted/oracle-compared rows (q109/q111: the
-    * emitted surface is a pruned custkey box, the gate subject is the whole
-    * post-delete table), a bug confined to the slice's complement would
-    * pass silently. The count — one cheap key-projected aggregate over each
-    * full side, unioned into a single job — bounds that: off-slice
-    * divergence must now be exactly count-compensating to slip through. */
-  def equivalentSampledCounted(a: DataFrame, b: DataFrame, keys: Seq[String],
-                               mod: Int, what: String): Boolean = {
-    val counts = a.select(keys.map(col): _*).select(lit("l").as("_side"))
-      .unionByName(b.select(keys.map(col): _*).select(lit("r").as("_side")))
-      .groupBy(col("_side")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (ca, cb) = (counts.getOrElse("l", 0L), counts.getOrElse("r", 0L))
-    require(ca == cb,
-      s"$what: full row counts differ ($ca left vs $cb right) — " +
-        "divergence outside the sampled slice")
-    equivalentSampled(a, b, keys, mod, what)
-  }
-
-  /** Several [[equivalentSampled]] gates in ONE Spark job: each
-    * `(left, right, tag)` pair is sliced, tagged, unioned, and the whole
-    * batch diffed with a single full-outer join grouped by tag. The
-    * verdict is identical to running the gates one by one — every pair
-    * must be slice-non-vacuous and slice-equivalent or a require fires
-    * naming the offending tag — but a lake-DDL query's 2–3 gate probes
-    * collapse to one job's scheduling overhead, which on small-SF bench
-    * runs is most of what a gate costs. All pairs must share `keys`. */
-  def equivalentAllSampled(pairs: Seq[(DataFrame, DataFrame, String)],
-                           keys: Seq[String], mod: Int): Boolean = {
-    require(pairs.nonEmpty && mod >= 1, "need at least one pair, mod >= 1")
-    def slice(df: DataFrame): DataFrame =
-      df.filter(pmod(xxhash64(keys.map(col): _*), lit(mod)) === 0)
-    def side(dfs: Seq[(DataFrame, String)], marker: String): DataFrame =
-      dfs.map { case (df, tag) =>
-        slice(df).select(lit(tag).as("_tag") +: keys.map(col): _*)
-          .distinct().withColumn(marker, lit(1))
-      }.reduce(_.unionByName(_))
-    val l = side(pairs.map(p => (p._1, p._3)), "_l")
-    val r = side(pairs.map(p => (p._2, p._3)), "_r")
-    val byTag = l.join(r, "_tag" +: keys, "full_outer")
-      .groupBy(col("_tag"))
-      .agg(coalesce(sum(when(col("_r").isNull, 1L)), lit(0L)).as("onlyA"),
-        coalesce(sum(when(col("_l").isNull, 1L)), lit(0L)).as("onlyB"),
-        count(lit(1)).as("total"))
-      .collect()
-      .map(row => row.getString(0) ->
-        (row.getLong(1), row.getLong(2), row.getLong(3))).toMap
-    pairs.foreach { case (_, _, tag) =>
-      val (onlyA, onlyB, total) = byTag.getOrElse(tag, (0L, 0L, 0L))
-      require(total > 0,
-        s"$tag: 1/$mod slice hit no rows on either side — gate vacuous, " +
-          "lower the modulus")
-      require(onlyA == 0 && onlyB == 0,
-        s"$tag [1/$mod slice]: sets differ ($onlyA rows only in left, " +
-          s"$onlyB only in right) — expected exact equivalence")
-    }
-    true
-  }
-
   def equivalent(a: DataFrame, b: DataFrame, keys: Seq[String],
                  what: String): Boolean = {
     val (onlyA, onlyB, _) = diffCounts(a, b, keys)

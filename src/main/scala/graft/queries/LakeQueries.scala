@@ -184,10 +184,11 @@ object LakeQueries {
       val manifest = s.read.parquet(s"$root/m").localCheckpoint()
       val expectedSurvivors = orders.filter(
         !col("o_custkey").between(60, 90))
-      val completeOk = RecallGate.equivalentSampledCounted(
-        s.read.parquet(s"$root/z").select(col("o_orderkey")),
-        expectedSurvivors.select(col("o_orderkey")),
-        Seq("o_orderkey"), 8, "q109 post-delete table vs orders minus band")
+      val completeOk = RecallGate.equivalentFingerprint(Seq(
+        (s.read.parquet(s"$root/z").select(col("o_orderkey")),
+          expectedSurvivors.select(col("o_orderkey")),
+          "q109 post-delete table vs orders minus band")),
+        Seq("o_orderkey"))
       val pr = Layout.prunedRead(s, s"$root/z", manifest,
         Seq(("o_custkey", 30.0, 120.0)))
       pr.df.select(col("o_orderkey"), col("o_custkey"),
@@ -225,10 +226,13 @@ object LakeQueries {
       val asOfV1 = Snapshots.readAt(s, s"$root/m", v1,
         Seq(("o_custkey", 30.0, 120.0))).df.localCheckpoint()
       val survivors = orders.filter(!col("o_custkey").between(60, 90))
-      val postDeleteOk = RecallGate.equivalentSampledCounted(
-        Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
-        survivors.select(col("o_orderkey")),
-        Seq("o_orderkey"), 8, "q111 latest read vs orders minus band")
+      // two separate fingerprint jobs (not batched): this one must run
+      // BEFORE vacuum reclaims v1's files, the post-vacuum one after
+      val postDeleteOk = RecallGate.equivalentFingerprint(Seq(
+        (Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
+          survivors.select(col("o_orderkey")),
+          "q111 latest read vs orders minus band")),
+        Seq("o_orderkey"))
       val vac = Snapshots.vacuum(s, s"$root/z", s"$root/m", retainLast = 1)
       val vacuumOk = vac.versionsDropped == 1 &&
         vac.filesDeleted == res.filesRewritten &&
@@ -236,10 +240,11 @@ object LakeQueries {
       require(vacuumOk,
         s"vacuum reclaim wrong: dropped ${vac.versionsDropped} versions, " +
           s"deleted ${vac.filesDeleted} files (expected ${res.filesRewritten})")
-      val postVacuumOk = RecallGate.equivalentSampledCounted(
-        Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
-        survivors.select(col("o_orderkey")),
-        Seq("o_orderkey"), 8, "q111 post-vacuum latest read vs survivors")
+      val postVacuumOk = RecallGate.equivalentFingerprint(Seq(
+        (Snapshots.tableAt(s, s"$root/m", v2).select(col("o_orderkey")),
+          survivors.select(col("o_orderkey")),
+          "q111 post-vacuum latest read vs survivors")),
+        Seq("o_orderkey"))
       asOfV1.select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .withColumn("post_delete_ok", lit(postDeleteOk))
@@ -296,7 +301,7 @@ object LakeQueries {
         feed.df.filter(col("change_type") === "delete").count() == 0
       val pr = Snapshots.mappedReadAt(s, s"$root/m", v3,
         Seq(("o_custkey", 30.0, 120.0)))
-      val gatesOk = RecallGate.equivalentAllSampled(Seq(
+      val gatesOk = RecallGate.equivalentFingerprint(Seq(
           (feed.df.filter(col("change_type") === "insert")
             .select(col("o_orderkey")),
             batch.select(col("o_orderkey")),
@@ -305,7 +310,7 @@ object LakeQueries {
             orders.filter(col("o_custkey").between(30, 120))
               .select(col("o_orderkey")),
             "q129 mapped pruned box vs orders box")),
-        Seq("o_orderkey"), 4)
+        Seq("o_orderkey"))
       val beforeDrop = files() // post-append baseline: drop must not touch it
       val v4 = Snapshots.dropColumn(s, s"$root/m", "o_custkey")
       val dropOk =
@@ -1186,7 +1191,7 @@ object LakeQueries {
       val insertsOnly =
         feed.df.filter(col("change_type") =!= "insert").isEmpty
       // feed-inverse + restored-head equivalence in ONE batched job
-      val gatesOk = RecallGate.equivalentAllSampled(Seq(
+      val gatesOk = RecallGate.equivalentFingerprint(Seq(
           (feed.df.select(col("o_orderkey")),
             orders.filter(col("o_custkey").between(60, 90))
               .select(col("o_orderkey")),
@@ -1194,7 +1199,7 @@ object LakeQueries {
           (Snapshots.tableAt(s, s"$root/m", v4).select(col("o_orderkey")),
             orders.select(col("o_orderkey")),
             "q133 restored head vs all orders")),
-        Seq("o_orderkey"), 8)
+        Seq("o_orderkey"))
       val pr = Snapshots.readAt(s, s"$root/m", v4,
         Seq(("o_custkey", 30.0, 120.0)))
       pr.df.select(col("o_orderkey"), col("o_custkey"),
@@ -1244,7 +1249,7 @@ object LakeQueries {
           !Snapshots.readAt(s, s"$root/src/m", sv1,
             Seq(("o_custkey", 60.0, 90.0))).df.isEmpty
       require(srcIsolatedOk, "q134 clone DML leaked into the source")
-      val divergedOk = RecallGate.equivalentAllSampled(Seq(
+      val divergedOk = RecallGate.equivalentFingerprint(Seq(
           (Snapshots.tableAt(s, s"$root/clone/m", cv2)
             .select(col("o_orderkey")),
             orders.filter(!col("o_custkey").between(60, 90))
@@ -1254,7 +1259,7 @@ object LakeQueries {
             .select(col("o_orderkey")),
             orders.select(col("o_orderkey")),
             "q134 source head vs all orders")),
-        Seq("o_orderkey"), 8)
+        Seq("o_orderkey"))
       val pr = Snapshots.readAt(s, s"$root/clone/m", cv2,
         Seq(("o_custkey", 30.0, 120.0)))
       pr.df.select(col("o_orderkey"), col("o_custkey"),
@@ -1377,11 +1382,11 @@ object LakeQueries {
         .filter(!col("o_orderkey").between(800, 1200))
         .select(col("o_orderkey"))
         .unionByName(inserts.select(col("o_orderkey")))
-      val headOk = RecallGate.equivalentSampled(
-        Snapshots.tableAt(s, s"$root/m", res.version)
+      val headOk = RecallGate.equivalentFingerprint(Seq(
+        (Snapshots.tableAt(s, s"$root/m", res.version)
           .select(col("o_orderkey")),
-        expectedKeys, Seq("o_orderkey"), 8,
-        "q137 merged head key set vs expected")
+          expectedKeys, "q137 merged head key set vs expected")),
+        Seq("o_orderkey"))
       Snapshots.tableAt(s, s"$root/m", res.version)
         .filter(col("o_orderkey").between(200, 1200) ||
           col("o_orderkey") >= 10000000L)
@@ -1546,12 +1551,13 @@ object LakeQueries {
       require(replayOk, s"q141 replay was not exactly-once: $replay")
       val srcHead = Snapshots.latestVersion(s, s"$root/src/m")
       val mirHead = Snapshots.latestVersion(s, s"$root/mir/m")
-      val syncedOk = RecallGate.equivalentSampled(
-        Snapshots.tableAt(s, s"$root/mir/m", mirHead)
+      val syncedOk = RecallGate.equivalentFingerprint(Seq(
+        (Snapshots.tableAt(s, s"$root/mir/m", mirHead)
           .select(col("o_orderkey")),
-        Snapshots.tableAt(s, s"$root/src/m", srcHead)
-          .select(col("o_orderkey")),
-        Seq("o_orderkey"), 8, "q141 mirror head vs source head")
+          Snapshots.tableAt(s, s"$root/src/m", srcHead)
+            .select(col("o_orderkey")),
+          "q141 mirror head vs source head")),
+        Seq("o_orderkey"))
       val pr = Snapshots.readAt(s, s"$root/mir/m", mirHead,
         Seq(("o_custkey", 30.0, 120.0)))
       pr.df.select(col("o_orderkey"), col("o_custkey"),

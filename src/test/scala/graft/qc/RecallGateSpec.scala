@@ -72,35 +72,6 @@ class RecallGateSpec extends SparkSpec {
     assert(eB.getMessage.contains("sets differ"))
   }
 
-  test("equivalentSampled: catches an in-slice divergence (deliberate failure)") {
-    val a = spark.range(4000).select(col("id"))
-    // drop rows 0..99 — with mod=8 the slice holds ~500 ids, so some of the
-    // first hundred land in it whatever the hash family does
-    val b = a.filter(col("id") >= 100)
-    assert(RecallGate.equivalentSampled(a, a, Seq("id"), 8, "spec-seq"))
-    val e = intercept[IllegalArgumentException] {
-      RecallGate.equivalentSampled(a, b, Seq("id"), 8, "spec-sneq")
-    }
-    assert(e.getMessage.contains("sets differ"))
-    assert(e.getMessage.contains("slice"))
-  }
-
-  test("equivalentSampled: a vacuous slice fails loudly, never passes") {
-    val tiny = Seq(1L, 2L, 3L).toDF("id")
-    // mod far above the row count: overwhelmingly likely the slice is empty;
-    // if the hash happens to keep a row the gate is non-vacuous and passes —
-    // accept either outcome except a silent vacuous pass
-    try {
-      RecallGate.equivalentSampled(tiny, tiny.limit(0), Seq("id"),
-        1 << 20, "spec-vacuous")
-      fail("a 1-in-2^20 slice of 3 rows vs an empty side must not pass")
-    } catch {
-      case e: IllegalArgumentException =>
-        assert(e.getMessage.contains("vacuous") ||
-          e.getMessage.contains("sets differ"))
-    }
-  }
-
   test("equivalentFingerprint: equal multisets pass, a changed row fails") {
     val a = spark.range(4000).select(col("id"), (col("id") * 3).as("v"))
     assert(RecallGate.equivalentFingerprint(
