@@ -401,9 +401,9 @@ object Streaming {
     *
     * Scale shape is q102's at every trigger: the banded join is new×store
     * (never store×store — the corpus is never re-sketched), and the confirm
-    * leg reads the lake PRUNED to the candidate store ids (an In-filter
-    * pushed into the scan; semi-join fallback past the cap), so confirm
-    * cost tracks emitted pairs, not lake size. Replay idempotence as in
+    * leg reads the lake PRUNED to the candidate store ids (a broadcast
+    * semi-join, plan-guarded — never a driver-collected literal list), so
+    * confirm cost tracks emitted pairs, not lake size. Replay idempotence as in
     * [[exactScreenStream]]: verdicts, store, and lake all land as
     * `batch=<id>` overwrite-mode partition dirs, and reads see only
     * `batch < id`. Signature store AND text lake are [[GenStore]]s, folded
@@ -432,14 +432,16 @@ object Streaming {
             val cands = graft.ext.Dedup.incrementalNearDupPairs(
               sigs, store.drop("batch"), k, bands, threshold).localCheckpoint()
             val lake = priorBatches(s, lakeDir, id).get // committed with store
-            val candIds = cands.select(col("store_doc")).distinct()
-              .limit(100001).collect().map(_.getLong(0))
-            val lakeSlice =
-              if (candIds.length <= 100000)
-                lake.filter(col(idCol).isin(candIds.toIndexedSeq: _*))
-              else lake.join(
-                broadcast(cands.select(col("store_doc").as(idCol)).distinct()),
-                idCol)
+            // candidate-pruned lake read as a BROADCAST SEMI-JOIN at every
+            // size (round-12 advice: the former sub-cap arm collected the
+            // ids and planned a 100k-literal In expression — a plan/codegen
+            // size hazard; the semi-join is the right plan at ANY candidate
+            // count and keeps the driver out of the data path entirely)
+            val lakeSlice = lake.join(
+              broadcast(cands.select(col("store_doc").as(idCol)).distinct()),
+              Seq(idCol), "left_semi")
+            graft.plans.PlanGuard.requireInPlan(lakeSlice, "Broadcast",
+              "near-dup confirm leg must broadcast-prune the lake scan")
             val confirmed = cands
               .join(b.select(col(idCol).as("new_doc"),
                 col(textCol).as("nt")), "new_doc")
