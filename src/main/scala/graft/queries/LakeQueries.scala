@@ -1705,6 +1705,43 @@ object LakeQueries {
       q.withColumn("pushed_ok", lit(pushedOk))
     }),
 
+    // AVRO ROUND-TRIP (q172, round-12 verdict item: the format matrix's
+    // last gap next to parquet/ORC/CSV/JSON). The distribution ships the
+    // Avro libraries but not the spark-avro module, so this drives the
+    // engine's own container-file source/sink (sources/Avro.scala):
+    // executor-parallel write, sync-block-splittable Hadoop input format,
+    // and PROJECTED-READER-SCHEMA pruning — Avro's schema resolution
+    // decode-skips unrequested fields, the row-major analog of parquet
+    // column pruning. Gates: the reader schema is actually thinner than
+    // the writer's, and the projected read ≡ the full read's projection
+    // (full-coverage fingerprint) — a field-skew or resolution bug cannot
+    // slip through. The oracle pins end-to-end row fidelity, timestamp
+    // micros included.
+    "q172_avro_roundtrip" -> ((s, dir) => {
+      val root = tmp("q172")
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      graft.sources.Avro.write(orders, s"$root/avro")
+      val proj = graft.sources.Avro.read(s, s"$root/avro",
+        Some(Seq("o_orderkey", "o_totalprice", "o_orderdate")))
+      val prunedOk = proj.schema.fields.length == 3 &&
+        graft.sources.Avro.writerSchema(s, s"$root/avro").getFields.size == 5
+      require(prunedOk, "q172 projected reader schema did not prune")
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate")
+      val roundtripOk = RecallGate.equivalentFingerprint(Seq(
+        (proj,
+          graft.sources.Avro.read(s, s"$root/avro")
+            .select(cols.map(col): _*),
+          "q172 projected read vs full read's projection")),
+        cols)
+      proj.select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          unix_micros(col("o_orderdate")).as("od_us"))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("roundtrip_ok", lit(roundtripOk))
+    }),
+
     // SIZE-POLICY COMPACTION (q159, the production OPTIMIZE shape): six
     // tiny streaming-style appends fragment a healthy 4-file base;
     // compactSmallCommit bin-packs ONLY the tail under half the largest
@@ -2222,6 +2259,15 @@ object LakeQueries {
         |  TRUE AS pushed_ok
         |FROM lineitem
         |WHERE l_orderkey % 13 = 0 AND l_returnflag = 'R'""".stripMargin,
+    // q172 emits the projected Avro read — the %6 orders slice with
+    // timestamps as exact micros; the booleans assert reader-schema
+    // pruning and projected≡full fidelity.
+    "q172_avro_roundtrip" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us,
+        |  TRUE AS pruned_ok, TRUE AS roundtrip_ok
+        |FROM orders
+        |WHERE o_orderkey % 6 = 0""".stripMargin,
     // q159 emits the head box read after the size-policy bin-pack — all
     // orders survive; booleans assert the policy targeted only the small
     // tail, the re-layout's feed invisibility, and head completeness.
