@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{TableRef, Tables}
 import graft.ops.Ivm
-import graft.pipeline.Pipeline
+import graft.pipeline.{Catalog, Pipeline}
 import graft.plans.PlanGuard
 import graft.qc.RecallGate
 import graft.sinks.{Bucketing, Layout, Maintenance, Sinks, Snapshots}
@@ -1111,6 +1111,107 @@ object LakeQueries {
         .groupBy(col("name"))
         .agg(count(col("payment_id")).as("n_payments"),
           round(sum(col("amount")), 2).as("total_paid"))
+    }),
+
+    // CONFIG-DRIVEN PIPELINE ASSEMBLY (q173, round-12 verdict item 4):
+    // the whole run is assembled from a DECLARATIVE catalog + env/secret
+    // seam, nothing hardcoded — a real-YAML endpoints catalog (the
+    // reference's endpoints.yml shape) is parsed into typed EndpointSpecs
+    // (pagination, incremental, api-key auth resolved through the
+    // two-level env→secret indirection), the extract stage lands bronze
+    // JSONL per the parsed config (the fixture transport REJECTS requests
+    // whose auth header or updated_since param was mis-resolved — a
+    // config-plumbing bug kills the query), and the medallion transform
+    // runs over what the config landed. Emits the gold dim⋈fact report;
+    // the oracle recomputes it from the raw tables, so a dropped
+    // endpoint, a wrong page size, or a mis-parsed amount all surface.
+    "q173_config_pipeline" -> ((s, dir) => {
+      val root = tmp("q173")
+      val yamlCatalog =
+        """superoperator:
+          |  base_url_env: SO_BASE_URL
+          |  auth:
+          |    type: api_key_header
+          |    header_name: Authorization
+          |    header_template: "Bearer {api_key}"
+          |    api_key_secret_env: SO_API_KEY_SECRET_NAME
+          |  endpoints:
+          |    - name: customers
+          |      path: /customers
+          |      pagination:
+          |        type: page
+          |        page_param: page
+          |        page_size_param: per_page
+          |        page_size: 500
+          |    - name: payments
+          |      path: /payments
+          |      pagination:
+          |        type: page
+          |        page_size: 500
+          |      incremental:
+          |        type: updated_since
+          |        param: updated_since
+          |        from_days_ago: 7
+          |""".stripMargin
+      val env = Map(
+        "SO_BASE_URL" -> "https://api.example.invalid",
+        "SO_API_KEY_SECRET_NAME" -> "so-api-key",
+        "RUN_DATE" -> "2026-01-01", "LAKE_ROOT" -> root)
+      val secrets = Map("so-api-key" -> "sk-q173")
+      val rc = Catalog.runConfig(env)
+      val cfg = Pipeline.LakeConfig(rc.lakeRoot, rc.runDate)
+      val specs = Catalog.parse(yamlCatalog, env, secrets)
+      val so = specs.head
+      val configOk = specs.map(_.name) == Seq("superoperator") &&
+        so.endpoints.map(_.spec.name) == Seq("customers", "payments") &&
+        so.endpoints.last.spec.incremental.exists(_.fromDaysAgo == 7) &&
+        so.auth == Catalog.HeaderAuth("Authorization", "Bearer sk-q173")
+      require(configOk, s"q173 catalog parse wrong: $specs")
+      // fixture API: the raw shapes the reference's endpoints serve,
+      // derived from the test tables (driver-held mock of the remote API)
+      val custRows = t(s, dir, "customer").select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          lit("2024-02-01 00:00:00").as("created_at"),
+          concat(col("c_name"), lit("@example.com")).as("email"))
+        .toJSON.collect()
+      val payRows = t(s, dir, "orders").select(
+          col("o_orderkey").as("payment_id"),
+          col("o_custkey").as("customer_id"),
+          when(col("o_orderkey") % 17 === 0, lit("n/a"))
+            .otherwise(col("o_totalprice").cast("string")).as("amount"),
+          lit("2024-02-01 00:00:00").as("created_at"),
+          lit("2024-02-02 12:00:00").as("paid_at"))
+        .toJSON.collect()
+      val today = java.time.LocalDate.of(2026, 1, 8)
+      val transport: Catalog.Transport = (path, headers, params) => {
+        require(headers.get("Authorization").contains("Bearer sk-q173"),
+          s"q173 auth header mis-resolved: $headers")
+        val rows = path match {
+          case "/customers" => custRows
+          case "/payments" =>
+            require(params.get("updated_since").contains("2026-01-01"),
+              s"q173 incremental param mis-resolved: $params")
+            payRows
+          case other => throw new IllegalArgumentException(
+            s"q173 transport got unconfigured path $other")
+        }
+        val per = params("per_page").toInt
+        val page = params("page").toInt
+        rows.slice((page - 1) * per, page * per).toSeq
+      }
+      val landed = Catalog.extractRest(s, cfg, so, transport, today)
+      require(landed.map(_._1) == Seq("customers", "payments"),
+        s"q173 extract landed the wrong endpoints: $landed")
+      Pipeline.transformStage(s, cfg)
+      val dim = s.read.parquet(
+        Pipeline.goldRef("dim_customers").path(root, cfg.runDate))
+      val fact = s.read.parquet(
+        Pipeline.goldRef("fact_payments").path(root, cfg.runDate))
+      fact.join(dim, fact("customer_id") === dim("id"))
+        .groupBy(col("name"))
+        .agg(count(col("payment_id")).as("n_payments"),
+          round(sum(col("amount")), 2).as("total_paid"))
+        .withColumn("config_ok", lit(configOk))
     }),
 
     // S4 via the TRUE DataSource V2 path: page ranges become Spark
@@ -2259,6 +2360,16 @@ object LakeQueries {
         |  TRUE AS pushed_ok
         |FROM lineitem
         |WHERE l_orderkey % 13 = 0 AND l_returnflag = 'R'""".stripMargin,
+    // q173 emits the gold dim⋈fact report of the CONFIG-ASSEMBLED run:
+    // every payment joined to its customer, invalid (%17) amounts nulled
+    // by the silver try_cast; config_ok asserts the parsed catalog.
+    "q173_config_pipeline" ->
+      """SELECT c.c_name AS name, count(*) AS n_payments,
+        |  round(sum(CASE WHEN o.o_orderkey % 17 = 0 THEN NULL
+        |                 ELSE o.o_totalprice END), 2) AS total_paid,
+        |  TRUE AS config_ok
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     // q172 emits the projected Avro read — the %6 orders slice with
     // timestamps as exact micros; the booleans assert reader-schema
     // pruning and projected≡full fidelity.
