@@ -634,6 +634,43 @@ object StreamQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .withColumn("files_ok", lit(filesOk))
         .withColumn("resume_ok", lit(resumeOk))
+    }),
+
+    // STREAM-STATIC BROADCAST ENRICHMENT (q174, round-12 verdict item 7 —
+    // the simplest production streaming shape, previously uncovered): the
+    // watermarked event stream is joined to the static customer dim with
+    // the dim explicitly broadcast INSIDE the streaming plan (stateless
+    // per micro-batch: the stream side never shuffles for the join, the
+    // dim rides executor-resident), and each batch lands through the
+    // idempotent foreachBatch `batch=<id>` sink. The broadcast is
+    // asserted on the streaming query's OWN last executed plan (captured
+    // from q.explain after the drain), not a batch-mode twin. Inner
+    // stream-static joins are batch-order-invariant, so the replay is
+    // deterministic; the oracle is the plain events⋈customer join.
+    "q174_stream_static_join" -> ((s, dir) => {
+      val inDir = landedSubset(s, dir)
+      val tmp = QueryTmp.dir("q174")
+      val schema = s.read.parquet(inDir).schema
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .withWatermark("ts", "3650 days")
+      val joined = Streaming.enrichWithDim(stream, dim,
+        col("user_id") === col("c_custkey"))
+      val q = Streaming.landBatchesStream(joined, s"$tmp/out", s"$tmp/ckpt")
+        .start()
+      require(q.awaitTermination(300000), "q174 stream drain timed out")
+      val planBuf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(planBuf)) { q.explain() }
+      val broadcastOk = planBuf.toString.contains("BroadcastHashJoin")
+      require(broadcastOk,
+        s"q174 stream-static join did not broadcast the dim:\n$planBuf")
+      s.read.parquet(s"$tmp/out")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"),
+          col("c_name"), col("c_mktsegment"))
+        .withColumn("broadcast_ok", lit(broadcastOk))
     })
   )
 
@@ -770,6 +807,15 @@ object StreamQueries {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS files_ok, TRUE AS resume_ok
         |FROM orders
-        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q174 emits the enriched stream: every replayed event joined to its
+    // customer row — inner stream-static joins are batch-order-invariant,
+    // so the streamed result is exactly the batch join.
+    "q174_stream_static_join" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  user_id, event_type, value, c_name, c_mktsegment,
+        |  TRUE AS broadcast_ok
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE event_id % 10 < 3""".stripMargin
   )
 }

@@ -91,6 +91,31 @@ object Streaming {
       .format("parquet")
       .option("path", outDir)
 
+  /** STREAM-STATIC BROADCAST ENRICHMENT (the simplest production streaming
+    * shape): join a watermarked event stream to a static dimension with the
+    * dim explicitly broadcast — each micro-batch hash-joins against the
+    * executor-resident dim copy, no shuffle of the stream side, no state
+    * store (stream-static inner joins are stateless). At 100 TB/day of
+    * events the stream side never repartitions for the join; the dim ships
+    * once per executor per batch plan. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    joinExpr: org.apache.spark.sql.Column): DataFrame =
+    stream.join(broadcast(dim), joinExpr)
+
+  /** foreachBatch landing sink: each micro-batch lands as an
+    * overwrite-mode `batch=<id>` partition dir — the same exactly-once
+    * idempotence the screen streams use (a replayed batch rewrites
+    * identical bytes instead of duplicating). */
+  def landBatchesStream(df: DataFrame, outDir: String,
+                        checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+
   /** Watermarked stream-stream interval join: for each left event, right
     * events of the same key within `[left.ts, left.ts + interval]`. Both
     * sides carry watermarks and the join condition bounds event-time, so
