@@ -169,6 +169,104 @@ object SqlQueries {
         .withColumn("pruned_ok", lit(prunedOk))
         .withColumn("travel_ok", lit(travelOk))
     }),
+    // SQL INSERT: Spark-parsed `INSERT INTO … SELECT` routed onto the
+    // atomic appendCommit — the batch stages z-ordered OUTSIDE the table
+    // and lands as a new version; base files are never rescanned. Gates:
+    // a version was committed with files, the pinned pre-insert snapshot
+    // excludes the batch (append atomicity/isolation through SQL time
+    // travel), and INSERT OVERWRITE is refused (on a versioned table
+    // replace-all must be spelled out, not defaulted into).
+    "q175_sql_insert" -> ((s, dir) => {
+      val root = tmp("q175")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      val base = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 5 === 0)
+      FixtureCache.layout(s, s"q175:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(base, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake175",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols))
+      batch.createOrReplaceTempView("q175_batch")
+      val m = LakeSql.sql(s,
+        "INSERT INTO orders_lake175 SELECT * FROM q175_batch").head()
+      val appendOk = m.getAs[Long]("version") == v1 + 1 &&
+        m.getAs[Long]("files_appended") > 0
+      require(appendOk, s"q175 insert commit metrics off: $m")
+      val isolationOk = LakeSql.sql(s,
+          s"SELECT count(*) AS n FROM orders_lake175 VERSION AS OF $v1")
+        .head().getLong(0) == base.count()
+      require(isolationOk, "q175 pinned pre-insert read saw the batch")
+      val overwriteRejected =
+        try {
+          LakeSql.sql(s,
+            "INSERT OVERWRITE orders_lake175 SELECT * FROM q175_batch")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(overwriteRejected, "q175 INSERT OVERWRITE was not refused")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake175
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("append_ok", lit(appendOk))
+        .withColumn("isolation_ok", lit(isolationOk))
+        .withColumn("overwrite_rejected", lit(overwriteRejected))
+    }),
+    // SQL UPDATE: Spark-parsed `UPDATE … SET … WHERE` routed onto the
+    // targeted copy-on-write updateWhere — WHERE compiles to the
+    // manifest-stats box so the touch set stays file-pruned (gated), the
+    // assignment RHS evaluates against the pre-update row, and time
+    // travel still serves the pre-update snapshot. An unscoped UPDATE is
+    // refused (a full-table rewrite must be spelled out).
+    "q176_sql_update" -> ((s, dir) => {
+      val root = tmp("q176")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q176:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake176",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val expect = orders.filter(col("o_custkey").between(40, 70)).count()
+      val m = LakeSql.sql(s,
+        "UPDATE orders_lake176 " +
+          "SET o_totalprice = round(o_totalprice * 1.1, 2) " +
+          "WHERE o_custkey >= 40 AND o_custkey <= 70").head()
+      val updateOk = m.getAs[Long]("rows_updated") == expect && expect > 0
+      require(updateOk, s"q176 update metrics off: $m (expected $expect)")
+      val prunedOk =
+        m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total")
+      require(prunedOk, "q176 update rewrote every file — box pruning dead")
+      // per-row fingerprint, not a float-sum compare: exact at any size
+      val travelOk = graft.qc.RecallGate.equivalentFingerprint(Seq(
+        (LakeSql.sql(s,
+          s"""SELECT o_orderkey, o_totalprice
+             |FROM orders_lake176 VERSION AS OF $v1
+             |WHERE o_custkey BETWEEN 40 AND 70""".stripMargin),
+          orders.filter(col("o_custkey").between(40, 70))
+            .select(col("o_orderkey"), col("o_totalprice")),
+          "q176 pre-update snapshot vs original band")),
+        Seq("o_orderkey", "o_totalprice"))
+      require(travelOk, "q176 pre-update snapshot lost after UPDATE")
+      val rejectedOk =
+        try { LakeSql.sql(s, "UPDATE orders_lake176 SET o_totalprice = 0")
+          false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejectedOk, "q176 unscoped UPDATE was not refused")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake176
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("update_ok", lit(updateOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("travel_ok", lit(travelOk && rejectedOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,6 +288,24 @@ object SqlQueries {
         |SELECT o_orderkey + 20000000, o_custkey, round(o_totalprice, 2),
         |  TRUE, TRUE, TRUE
         |FROM orders WHERE o_orderkey % 89 = 0""".stripMargin,
+    // q175 emits the post-insert box: base ∪ batch = all orders in the
+    // band (the SQL append restored the full table).
+    "q175_sql_insert" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS append_ok, TRUE AS isolation_ok,
+        |  TRUE AS overwrite_rejected
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q176 emits the post-update box: prices bumped 10% inside the
+    // updated band, untouched outside it.
+    "q176_sql_update" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey BETWEEN 40 AND 70
+        |       THEN round(round(o_totalprice, 2) * 1.1, 2)
+        |       ELSE round(o_totalprice, 2) END AS o_totalprice,
+        |  TRUE AS update_ok, TRUE AS pruned_ok, TRUE AS travel_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

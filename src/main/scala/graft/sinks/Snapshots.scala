@@ -382,6 +382,58 @@ object Snapshots {
     Layout.DeleteResult(hit.size.toLong, total, deleted)
   }
 
+  final case class UpdateResult(filesRewritten: Long, filesTotal: Long,
+                                rowsUpdated: Long)
+
+  /** Targeted UPDATE as a version commit — the Delta `UPDATE … WHERE`
+    * shape completing the DML matrix next to [[deleteWhere]]/
+    * [[mergeCommit]]: the touch set is the manifest-∩-box files (stats
+    * pruning, never a table rewrite), their LIVE rows are rewritten with
+    * `assignments` applied to in-box rows — every right-hand side
+    * evaluates against the PRE-update row (one simultaneous projection,
+    * never sequential column mutation, the SQL UPDATE contract) — rows
+    * outside the box in touched files pass through unchanged, and
+    * vN+1 = (manifest − touched) ∪ new-file stats. A DV-masked touched
+    * file is rewritten from its live rows only (the mask folds away, no
+    * resurrection). Superseded files stay for pinned readers until
+    * [[vacuum]]. Stats columns MAY be assigned: the new files' manifest
+    * stats are recomputed from the rewritten rows. */
+  def updateWhere(spark: SparkSession, path: String, manifestRoot: String,
+                  cols: Seq[String], box: Seq[(String, Double, Double)],
+                  assignments: Map[String, org.apache.spark.sql.Column]): UpdateResult = {
+    require(assignments.nonEmpty, "UPDATE with no assignments")
+    val manifest =
+      Dv.ensureDv(manifestAt(spark, manifestRoot,
+          latestVersion(spark, manifestRoot)))
+        .localCheckpoint()
+    val total = manifest.count()
+    val hit = Dv.entries(manifest.filter(Layout.intersectsExpr(box)))
+    if (hit.isEmpty) return UpdateResult(0, total, 0)
+    val live = Dv.readLive(spark, hit)
+    val lower = assignments.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val unknown = lower.keySet.diff(
+      live.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    require(unknown.isEmpty,
+      s"UPDATE assigns unknown column(s) ${unknown.mkString(", ")} " +
+        s"(table has ${live.columns.mkString(", ")})")
+    val inBox = Layout.inBoxExpr(box)
+    val updated = live.filter(inBox).count()
+    val rewritten = live.select(live.columns.toIndexedSeq.map { c =>
+      lower.get(c.toLowerCase(java.util.Locale.ROOT))
+        .map(rhs => when(inBox, rhs).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    val staging = path + ".update_staging_" + java.util.UUID.randomUUID()
+    rewritten.write.mode("overwrite").parquet(staging)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep = manifest.filter(!col("file").isInCollection(hit.map(_.file)))
+    val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
+      allowMissingColumns = true)
+    commit(spark, next, manifestRoot)
+    UpdateResult(hit.size.toLong, total, updated)
+  }
+
   /** Z-ordered batch APPEND as a version commit — the versioned twin of
     * [[Layout.appendWithManifest]], closing the {append, delete, compact}
     * × versioned matrix. The batch is z-ordered by its own quantile bounds

@@ -9,7 +9,7 @@ import scala.util.Try
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,6 +44,12 @@ import graft.sinks.Snapshots
   *    MERGE-as-command. The source side may be ANY query (view, subquery,
   *    another lake table): it is recursively routed through the same read
   *    resolution.
+  *  - A root [[InsertIntoStatement]] maps onto [[Snapshots.appendCommit]]
+  *    (staged z-ordered batch + atomic version commit; INSERT OVERWRITE
+  *    rejected — on a versioned table replace-all must be spelled out).
+  *  - A root [[UpdateTable]] maps onto [[Snapshots.updateWhere]]: the
+  *    WHERE compiles to the stats box (file-pruned touch set), assignment
+  *    RHSs resolve against the live rows, all against the PRE-update row.
   *  - A root [[DeleteFromTable]] maps onto [[Snapshots.deleteWhere]]; the
   *    WHERE conjunction is compiled to the stats-box form, so the delete
   *    keeps the manifest-pruned touch set (files whose stats intersect the
@@ -81,6 +87,10 @@ object LakeSql {
         runDelete(spark, target, condition)
       case m: MergeIntoTable if isLake(m.targetTable) =>
         runMerge(spark, m)
+      case ins: InsertIntoStatement if isLake(ins.table) =>
+        runInsert(spark, ins)
+      case u: UpdateTable if isLake(u.table) =>
+        runUpdate(spark, u)
       case read =>
         PlanExec.ofRows(spark, resolveReads(spark, read))
     }
@@ -201,6 +211,54 @@ object LakeSql {
       case other => throw new IllegalArgumentException(
         s"unsupported not-matched-by-source clause: $other")
     }
+  }
+
+  /** `INSERT INTO t SELECT …` → [[Snapshots.appendCommit]]: the batch is
+    * z-ordered on the table's stats columns, staged OUTSIDE the table, and
+    * committed as a new version — base files never touched or rescanned,
+    * a crash leaves only unreferenced files (the atomic-append contract).
+    * `INSERT OVERWRITE` is rejected: on a versioned lake table the
+    * replace-everything semantic is a delete+insert the caller must spell
+    * out (an accidental OVERWRITE at 100 TB is not a typo to forgive). */
+  private def runInsert(spark: SparkSession,
+                        ins: InsertIntoStatement): DataFrame = {
+    val (_, spec) = lookup(ins.table).get
+    require(!ins.overwrite,
+      "INSERT OVERWRITE is not supported on a versioned lake table — " +
+        "spell out DELETE + INSERT (or use the DataFrame API)")
+    require(ins.partitionSpec.isEmpty && ins.userSpecifiedCols.isEmpty,
+      "supported form: INSERT INTO <table> <query> (no partition spec or " +
+        "column list)")
+    val batch = PlanExec.ofRows(spark, resolveReads(spark, ins.query))
+    val (version, files) = Snapshots.appendCommit(spark, batch, spec.cols,
+      spec.path, spec.manifestRoot, spec.nFiles)
+    metricsRow(spark,
+      Seq("version" -> version.toLong, "files_appended" -> files.toLong))
+  }
+
+  /** `UPDATE t SET c = expr, … WHERE <stats box>` →
+    * [[Snapshots.updateWhere]]: the WHERE compiles to the manifest-stats
+    * box (file-pruned touch set), assignment right-hand sides re-enter the
+    * DataFrame API as unresolved columns and resolve against the live
+    * rows. An UPDATE without WHERE is rejected — unscoped it is a
+    * full-table rewrite the caller must spell out via the DataFrame API. */
+  private def runUpdate(spark: SparkSession, u: UpdateTable): DataFrame = {
+    val (_, spec) = lookup(u.table).get
+    val cond = u.condition.getOrElse(throw new IllegalArgumentException(
+      "UPDATE needs a WHERE over stats columns — unscoped it must rewrite " +
+        "every file of the table"))
+    val assignments = u.assignments.map {
+      case Assignment(k: UnresolvedAttribute, v) =>
+        k.nameParts.last -> PlanExec.column(v)
+      case other => throw new IllegalArgumentException(
+        s"unsupported UPDATE assignment target: $other")
+    }.toMap
+    val r = Snapshots.updateWhere(spark, spec.path, spec.manifestRoot,
+      spec.cols, toBox(cond, spec), assignments)
+    metricsRow(spark,
+      Seq("files_rewritten" -> r.filesRewritten,
+        "files_total" -> r.filesTotal,
+        "rows_updated" -> r.rowsUpdated))
   }
 
   /** `ON t.k = s.k` → the shared column name `k`. */

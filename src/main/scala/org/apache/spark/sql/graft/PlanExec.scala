@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, ExpressionUtils, SparkSession => ClassicSession}
 
 /** The one `private[sql]` doorway the SQL front door needs: turn a Catalyst
   * [[LogicalPlan]] back into a [[DataFrame]] so a plan parsed from SQL text
@@ -20,4 +21,9 @@ object PlanExec {
   /** Analyze + wrap `plan` as a DataFrame on `spark`'s session state. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Wrap a parsed (unresolved) Catalyst expression as a [[Column]] — how
+    * SQL-text assignment right-hand sides re-enter the DataFrame API
+    * (resolution happens against whatever frame the column is applied to). */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -145,6 +145,58 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO appends a committed version; OVERWRITE is rejected") {
+    val (dir, v1) = freshLake("t_ins")
+    data.filter(col("id") < 50)
+      .withColumn("id", col("id") + 1000000)
+      .createOrReplaceTempView("ins_src")
+    val m = LakeSql.sql(spark,
+      "INSERT INTO t_ins SELECT * FROM ins_src").head()
+    assert(m.getAs[Long]("version") == v1 + 1)
+    assert(m.getAs[Long]("files_appended") > 0)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_ins")
+      .head().getLong(0) == 10050L)
+    // pinned pre-insert snapshot excludes the batch
+    assert(LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_ins VERSION AS OF $v1")
+      .head().getLong(0) == 10000L)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "INSERT OVERWRITE t_ins SELECT * FROM ins_src")
+    }
+  }
+
+  test("UPDATE compiles WHERE to a stats box; RHS sees the pre-update row") {
+    val (dir, v1) = freshLake("t_upd")
+    val expect = data.filter(col("x") >= 100 && col("x") <= 200).count()
+    // x and y swap-with-arithmetic: both RHS must read the ORIGINAL row
+    val m = LakeSql.sql(spark,
+      "UPDATE t_upd SET y = x + y, x = x + 1 " +
+        "WHERE x >= 100 AND x <= 200").head()
+    assert(m.getAs[Long]("rows_updated") == expect)
+    assert(m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total"))
+    // pre-update semantics: both RHS evaluated against the ORIGINAL row —
+    // exact multiset compare vs the batch-computed expectation
+    val inBox = col("x").between(100, 200)
+    val expected = data.select(col("id"),
+      when(inBox, col("x") + 1).otherwise(col("x")).as("x"),
+      when(inBox, col("x") + col("y")).otherwise(col("y")).as("y"))
+    assert(graft.qc.RecallGate.equivalentFingerprint(Seq(
+      (LakeSql.sql(spark, "SELECT id, x, y FROM t_upd"), expected,
+        "post-update table vs batch-computed expectation")),
+      Seq("id", "x", "y")))
+    // pinned snapshot unchanged
+    assert(LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_upd VERSION AS OF $v1 " +
+        "WHERE x >= 100 AND x <= 200").head().getLong(0) == expect)
+    // unscoped UPDATE and unknown assignment column are rejected
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "UPDATE t_upd SET x = 1")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "UPDATE t_upd SET nope = 1 WHERE x = 5")
+    }
+  }
+
   test("unregistered relations pass through to the session catalog") {
     data.createOrReplaceTempView("plain_view")
     assert(LakeSql.sql(spark,
