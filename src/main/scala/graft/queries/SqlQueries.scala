@@ -267,6 +267,54 @@ object SqlQueries {
         .withColumn("pruned_ok", lit(prunedOk))
         .withColumn("travel_ok", lit(travelOk && rejectedOk))
     }),
+    // SQL CTAS: `CREATE TABLE … TBLPROPERTIES('stats_cols'=…) AS SELECT`
+    // births a versioned lake table from SQL text alone — z-ordered on
+    // the declared stats columns, committed as v1, registered — and the
+    // SQL-born table immediately serves the rest of the surface: a
+    // box-pruned DELETE (pruning gated — proof the declared stats_cols
+    // became a working prune domain), time travel back to v1, and an
+    // IF NOT EXISTS no-op. The CTAS write is the operator under test, so
+    // nothing is fixture-cached.
+    "q177_sql_ctas" -> ((s, dir) => {
+      val root = tmp("q177")
+      LakeSql.setWarehouse(root)
+      LakeSql.unregister("sales177") // rep-safe: prior rep's registration
+      val slice = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      slice.createOrReplaceTempView("q177_src")
+      val m = LakeSql.sql(s,
+        "CREATE TABLE sales177 TBLPROPERTIES(" +
+          "'stats_cols'='o_orderkey,o_custkey', 'files'='16') " +
+          "AS SELECT * FROM q177_src").head()
+      val createOk = m.getAs[Long]("version") == 1L &&
+        LakeSql.sql(s, "SELECT count(*) AS n FROM sales177")
+          .head().getLong(0) == slice.count()
+      require(createOk, s"q177 CTAS landed the wrong table: $m")
+      val expect = slice.filter(col("o_custkey").between(65, 75)).count()
+      val d = LakeSql.sql(s,
+        "DELETE FROM sales177 WHERE o_custkey >= 65 AND o_custkey <= 75")
+        .head()
+      val dmlOk = d.getAs[Long]("rows_deleted") == expect && expect > 0 &&
+        d.getAs[Long]("files_rewritten") < d.getAs[Long]("files_total")
+      require(dmlOk, s"q177 DML on the SQL-born table off: $d ($expect)")
+      val travelOk = LakeSql.sql(s,
+          "SELECT count(*) AS n FROM sales177 VERSION AS OF 1")
+        .head().getLong(0) == slice.count()
+      require(travelOk, "q177 v1 travel on the SQL-born table broken")
+      val noopOk = LakeSql.sql(s,
+          "CREATE TABLE IF NOT EXISTS sales177 " +
+            "TBLPROPERTIES('stats_cols'='o_orderkey') " +
+            "AS SELECT * FROM q177_src").head().getAs[Long]("version") == 0L
+      require(noopOk, "q177 IF NOT EXISTS re-created an existing table")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM sales177
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("create_ok", lit(createOk))
+        .withColumn("dml_ok", lit(dmlOk))
+        .withColumn("travel_ok", lit(travelOk && noopOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,6 +354,15 @@ object SqlQueries {
         |  TRUE AS update_ok, TRUE AS pruned_ok, TRUE AS travel_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q177 emits the SQL-born table's box after the band delete: the %3
+    // slice in the band minus the deleted custkeys.
+    "q177_sql_ctas" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS create_ok, TRUE AS dml_ok, TRUE AS travel_ok
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |  AND o_custkey BETWEEN 20 AND 130
+        |  AND o_custkey NOT BETWEEN 65 AND 75""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

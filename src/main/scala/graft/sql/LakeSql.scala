@@ -7,14 +7,14 @@ import scala.collection.concurrent.TrieMap
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sinks.Snapshots
+import graft.sinks.{Layout, Snapshots}
 
 /** SQL-TEXT FRONT DOOR over the versioned lake tables (round-12 verdict lead
   * item): the reference's consumers speak SQL — Power BI over Databricks
@@ -50,6 +50,9 @@ import graft.sinks.Snapshots
   *  - A root [[UpdateTable]] maps onto [[Snapshots.updateWhere]]: the
   *    WHERE compiles to the stats box (file-pruned touch set), assignment
   *    RHSs resolve against the live rows, all against the PRE-update row.
+  *  - A root [[CreateTableAsSelect]] creates a NEW lake table: the query
+  *    result z-ordered on the `stats_cols` table property, committed as
+  *    v1, and registered — SQL-born tables serve every other statement.
   *  - A root [[DeleteFromTable]] maps onto [[Snapshots.deleteWhere]]; the
   *    WHERE conjunction is compiled to the stats-box form, so the delete
   *    keeps the manifest-pruned touch set (files whose stats intersect the
@@ -91,6 +94,8 @@ object LakeSql {
         runInsert(spark, ins)
       case u: UpdateTable if isLake(u.table) =>
         runUpdate(spark, u)
+      case cts: CreateTableAsSelect =>
+        runCtas(spark, cts)
       case read =>
         PlanExec.ofRows(spark, resolveReads(spark, read))
     }
@@ -234,6 +239,65 @@ object LakeSql {
       spec.path, spec.manifestRoot, spec.nFiles)
     metricsRow(spark,
       Seq("version" -> version.toLong, "files_appended" -> files.toLong))
+  }
+
+  private val warehouse =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  /** Root dir under which CTAS-created tables live (`<warehouse>/<name>`)
+    * unless the statement carries an explicit `LOCATION`. */
+  def setWarehouse(dir: String): Unit = warehouse.set(Some(dir))
+
+  /** `CREATE TABLE name [TBLPROPERTIES(...)] [LOCATION path] AS query` →
+    * a NEW versioned lake table: the query result is z-ordered on the
+    * `stats_cols` table property (REQUIRED — it is the table's prune/
+    * merge-key domain; a lake table without stats columns cannot serve
+    * pruned DML), committed as v1, and registered for every other
+    * statement. `IF NOT EXISTS` on an existing table is a no-op (version 0
+    * metrics row); a bare CREATE on an existing table is an error. */
+  private def runCtas(spark: SparkSession,
+                      cts: CreateTableAsSelect): DataFrame = {
+    val name = cts.name match {
+      case UnresolvedIdentifier(Seq(n), _) =>
+        n.toLowerCase(java.util.Locale.ROOT)
+      case other => throw new IllegalArgumentException(
+        s"CTAS wants a single-part table name, got $other")
+    }
+    require(cts.partitioning.isEmpty,
+      "CTAS with PARTITIONED BY is not supported — the lake layout is " +
+        "z-ordered on stats_cols instead")
+    val (props, location) = cts.tableSpec match {
+      case ts: UnresolvedTableSpec => (ts.properties, ts.location)
+      case other => throw new IllegalArgumentException(
+        s"unsupported CTAS table spec: $other")
+    }
+    val root = location.orElse(warehouse.get().map(w => s"$w/$name"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CTAS needs a LOCATION clause or LakeSql.setWarehouse(dir)"))
+    val spec = LakeTableSpec(s"$root/z", s"$root/m",
+      props.getOrElse("stats_cols", throw new IllegalArgumentException(
+        "CTAS needs TBLPROPERTIES('stats_cols'='c1,c2,...') — the " +
+          "table's prune/merge-key domain")).split(",").map(_.trim).toSeq,
+      props.get("files").map(_.toInt).getOrElse(8))
+    val exists = registry.contains(name) ||
+      Snapshots.versions(spark, spec.manifestRoot).nonEmpty
+    if (exists) {
+      if (cts.ignoreIfExists)
+        return metricsRow(spark, Seq("version" -> 0L, "files" -> 0L))
+      throw new IllegalArgumentException(
+        s"lake table '$name' already exists (use IF NOT EXISTS)")
+    }
+    val df = PlanExec.ofRows(spark, resolveReads(spark, cts.query))
+    val missing = spec.cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"stats_cols ${missing.mkString(", ")} not in the CTAS query's " +
+        s"columns (${df.columns.mkString(", ")})")
+    Layout.zorderWrite(df, spec.cols, spec.path, spec.nFiles)
+    val version = Snapshots.commit(spark,
+      Layout.buildManifest(spark, spec.path, spec.cols), spec.manifestRoot)
+    register(name, spec)
+    metricsRow(spark, Seq("version" -> version.toLong,
+      "files" -> spec.nFiles.toLong))
   }
 
   /** `UPDATE t SET c = expr, … WHERE <stats box>` →

@@ -197,6 +197,41 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("CTAS creates a registered lake table that serves SQL DML + travel") {
+    LakeSql.setWarehouse(tmpDir("lakesql_wh"))
+    data.filter(col("id") < 2000).createOrReplaceTempView("ctas_src")
+    val m = LakeSql.sql(spark,
+      "CREATE TABLE t_ctas TBLPROPERTIES('stats_cols'='id,x', 'files'='4') " +
+        "AS SELECT * FROM ctas_src").head()
+    assert(m.getAs[Long]("version") == 1L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_ctas")
+      .head().getLong(0) == 2000L)
+    // the SQL-born table serves DML: delete a band, travel back
+    val d = LakeSql.sql(spark,
+      "DELETE FROM t_ctas WHERE id >= 0 AND id <= 99").head()
+    assert(d.getAs[Long]("rows_deleted") == 100L)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_ctas VERSION AS OF 1")
+      .head().getLong(0) == 2000L)
+    // IF NOT EXISTS on an existing table is a no-op; bare CREATE errors
+    val noop = LakeSql.sql(spark,
+      "CREATE TABLE IF NOT EXISTS t_ctas " +
+        "TBLPROPERTIES('stats_cols'='id,x') AS SELECT * FROM ctas_src")
+      .head()
+    assert(noop.getAs[Long]("version") == 0L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_ctas")
+      .head().getLong(0) == 1900L) // unchanged by the no-op
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "CREATE TABLE t_ctas TBLPROPERTIES('stats_cols'='id,x') " +
+          "AS SELECT * FROM ctas_src")
+    }
+    // missing stats_cols is rejected
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "CREATE TABLE t_ctas2 AS SELECT * FROM ctas_src")
+    }
+  }
+
   test("unregistered relations pass through to the session catalog") {
     data.createOrReplaceTempView("plain_view")
     assert(LakeSql.sql(spark,
