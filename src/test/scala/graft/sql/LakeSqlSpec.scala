@@ -127,6 +127,20 @@ class LakeSqlSpec extends SparkSpec {
       .head().getLong(0) == 10000L - expect)
   }
 
+  test("DELETE box compiler handles mirrored operand order and equality") {
+    val (dir, _) = freshLake("t_del2")
+    val expect = data.filter(col("x") >= 100 && col("x") < 200 &&
+      col("id") > 5000).count()
+    // literal-first forms of the same predicate
+    val d = LakeSql.sql(spark,
+      "DELETE FROM t_del2 WHERE 100 <= x AND 200 > x AND 5000 < id").head()
+    assert(d.getAs[Long]("rows_deleted") == expect)
+    val dirB = freshLake("t_del3")._1
+    val one = data.filter(col("x") === 7).count()
+    val e = LakeSql.sql(spark, "DELETE FROM t_del3 WHERE 7 = x").head()
+    assert(e.getAs[Long]("rows_deleted") == one && one > 0)
+  }
+
   test("unprunable predicates and unscoped by-source deletes are rejected") {
     freshLake("t_rej")
     intercept[IllegalArgumentException] {
