@@ -173,4 +173,51 @@ object TextAnalysis {
         md5(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("m"))
       .groupBy(col(idCol), col("fp"))
       .agg(min(col("m")).as("min_shingle_fp"))
+
+  /** LINE-LEVEL BOILERPLATE REMOVAL — the CCNet/RefinedWeb web-corpus
+    * cleaning step: a line appearing (near-)verbatim in ≥
+    * `max(minDocs, ceil(minDocFrac × corpus))` DISTINCT documents is
+    * template chrome (cookie banners, nav bars, copyright footers), not
+    * content, and is stripped from every document while line order is
+    * preserved.
+    *
+    * Plan shape at 100 TB: posexplode lines → one hash-agg
+    * (line → distinct-doc count) → anti-join the lines against the
+    * boilerplate set → re-group per doc (collect_list of (pos, line),
+    * array_sort restores order). Two shuffles on line/doc keys, no
+    * driver data path (one scalar count() fixes the threshold), and the
+    * boilerplate set is frequency-bounded — only lines crossing the doc
+    * fraction survive the HAVING, so the anti-join's build side tracks
+    * template diversity, not corpus size. Documents whose every line is
+    * boilerplate are preserved as empty text (left join), never dropped
+    * silently.
+    *
+    * Returns (idCol, cleaned, n_lines, n_removed). */
+  def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             minDocFrac: Double,
+                             minDocs: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val threshold = math.max(minDocs,
+      math.ceil(minDocFrac * docs.count()).toLong)
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= threshold)
+      .select(col("line"))
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(pos, line))), x -> x.line)"), "\n").as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -611,6 +611,29 @@ object LlmQueries {
     // broken rule can't hide behind an always-true battery. Emits per-doc
     // measurements + per-rule flags + the composite verdict; the oracle
     // recomputes all of it from the same rational arithmetic.
+    // LINE-LEVEL BOILERPLATE REMOVAL (q178, CCNet/RefinedWeb cleaning):
+    // pages are built from the documents fixture with injected template
+    // chrome — a cookie banner on every %3 doc and a copyright footer on
+    // every %2 doc (both cross the 5% corpus-frequency threshold) around
+    // a unique title/ref and the unique body — and the operator strips
+    // exactly the chrome while preserving line order. Oracle = the same
+    // explode → frequency HAVING → anti-semijoin → ordered reassembly in
+    // DuckDB, so an off-by-one in the threshold, a dropped unique line,
+    // or a reordered reassembly all hash-mismatch.
+    "q178_boilerplate_lines" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0,
+            lit("COOKIE NOTICE: accept our cookies"))
+            .otherwise(concat(lit("Title "), col("doc_id").cast("string"))),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("(c) 2026 Example Corp"))
+            .otherwise(concat(lit("ref "), col("doc_id").cast("string"))))
+          .as("page"))
+      TextAnalysis.removeBoilerplateLines(pages, "doc_id", "page",
+        minDocFrac = 0.05)
+    }),
+
     "q135_gopher_rules" -> ((s, dir) => {
       val txt = col("text")
       val nw = TextAnalysis.nTokens(txt)
@@ -1269,6 +1292,31 @@ object LlmQueries {
     // q135 recomputes the whole Gopher rule battery in DuckDB from the
     // same exact-rational arithmetic (integer length sums divided once) —
     // measurements, per-rule flags, and the composite verdict all ride
+    // q178: the cleaned pages — chrome lines (≥ 5% of docs) stripped,
+    // unique title/ref/body lines kept in order.
+    "q178_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: accept our cookies'
+        |       ELSE 'Title ' || doc_id END
+        |  || chr(10) || text || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '(c) 2026 Example Corp'
+        |       ELSE 'ref ' || doc_id END AS page
+        |FROM documents),
+        |l AS (SELECT doc_id,
+        |  generate_subscripts(string_split(page, chr(10)), 1) AS pos,
+        |  unnest(string_split(page, chr(10))) AS ln
+        |FROM d),
+        |b AS (SELECT ln FROM l GROUP BY ln
+        |  HAVING count(DISTINCT doc_id) >=
+        |    greatest(2, ceil(0.05 * (SELECT count(*) FROM d)))),
+        |k AS (SELECT doc_id, pos, ln FROM l
+        |  WHERE ln NOT IN (SELECT ln FROM b))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.ln, chr(10) ORDER BY k.pos), '') AS cleaned,
+        |  len(string_split(d.page, chr(10))) AS n_lines,
+        |  len(string_split(d.page, chr(10))) - count(k.ln) AS n_removed
+        |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id, d.page""".stripMargin,
     // the hash compare.
     "q135_gopher_rules" ->
       s"""WITH m AS (SELECT doc_id,
