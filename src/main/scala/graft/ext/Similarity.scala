@@ -64,6 +64,49 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** ANCHOR-BASED CLUSTER-BALANCED CORESET — the diversity-balancing
+    * subset selector of a training-data pipeline (DataComp/DeepSeek-style
+    * cluster balancing, made deterministic): every corpus vector is
+    * assigned to its nearest ANCHOR by cosine (the anchor set is the
+    * caller's diversity frame — seed docs, per-domain exemplars — and is
+    * broadcast: one streaming pass over the corpus, no corpus shuffle for
+    * the assignment), then each cluster keeps only its `perCluster`
+    * highest-similarity members (window top-k per anchor). A dominant
+    * topic cannot flood the sample: its surplus falls off the per-cluster
+    * rank, while sparse clusters keep everything they have.
+    *
+    * Determinism contract matches [[bruteForceTopK]]: cosines round to 6
+    * decimals BEFORE both rankings, ties break on id, so the selection is
+    * stable under last-ulp summation differences and oracle-reproducible.
+    * Scale shape: corpus × broadcast(anchors) in codegen, one argmax
+    * window keyed by vector id, one top-k window keyed by anchor —
+    * shuffles track corpus size × 1, never corpus × anchors. */
+  def coresetByAnchors(corpus: DataFrame, anchors: DataFrame,
+                       perCluster: Int,
+                       corpusId: String = "vec_id",
+                       anchorId: String = "anchor_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(anchors.as("a")))
+      .select(
+        col(s"c.$corpusId").as("vec_id"),
+        col(s"a.$anchorId").as("anchor_id"),
+        round(cosine(col(s"c.$vecCol"), col(s"a.$vecCol")), 6).as("cos_sim"))
+    val nearest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("anchor_id").asc)
+    val assigned = scored
+      .withColumn("rn", row_number().over(nearest))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val quota = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    assigned
+      .withColumn("rank", row_number().over(quota))
+      .filter(col("rank") <= perCluster)
+      .select(col("anchor_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Exact near-duplicate pairs by cosine threshold — the VERIFY PRIMITIVE:
     * a non-equi pair join (BroadcastNestedLoop), O(n²) comparisons, for
     * bounded inputs only (probe batches, recall oracles, in-bucket

@@ -611,6 +611,23 @@ object LlmQueries {
     // broken rule can't hide behind an always-true battery. Emits per-doc
     // measurements + per-rule flags + the composite verdict; the oracle
     // recomputes all of it from the same rational arithmetic.
+    // CLUSTER-BALANCED CORESET SAMPLING (q179): the first 8 embeddings
+    // serve as diversity anchors; every other vector is assigned to its
+    // nearest anchor and each cluster keeps its 16 closest members — a
+    // dominant topic cannot flood the sample. Fully deterministic
+    // (6-decimal rounding before both rankings, id tie-breaks), so the
+    // DuckDB oracle recomputes the identical selection from raw arrays —
+    // an assignment flip, a quota off-by-one, or an unstable tie all
+    // hash-mismatch.
+    "q179_coreset_anchors" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.coresetByAnchors(
+        corpus = emb.filter(col("vec_id") >= 8),
+        anchors = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"), col("embedding")),
+        perCluster = 16)
+    }),
+
     // LINE-LEVEL BOILERPLATE REMOVAL (q178, CCNet/RefinedWeb cleaning):
     // pages are built from the documents fixture with injected template
     // chrome — a cookie banner on every %3 doc and a copyright footer on
@@ -1292,6 +1309,32 @@ object LlmQueries {
     // q135 recomputes the whole Gopher rule battery in DuckDB from the
     // same exact-rational arithmetic (integer length sums divided once) —
     // measurements, per-rule flags, and the composite verdict all ride
+    // q179: the balanced coreset — nearest-anchor assignment and the
+    // 16-per-cluster quota recomputed from raw arrays.
+    "q179_coreset_anchors" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        |a AS (SELECT vec_id AS anchor_id, embedding FROM embeddings
+        |      WHERE vec_id < 8),
+        |cu AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |              unnest(embedding)::DOUBLE AS v FROM c),
+        |au AS (SELECT anchor_id, generate_subscripts(embedding, 1) AS i,
+        |              unnest(embedding)::DOUBLE AS v FROM a),
+        |cn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM cu GROUP BY 1),
+        |an AS (SELECT anchor_id, sqrt(sum(v * v)) AS nrm FROM au GROUP BY 1),
+        |d AS (SELECT cu.vec_id, au.anchor_id, sum(cu.v * au.v) AS dot
+        |      FROM cu JOIN au ON cu.i = au.i GROUP BY 1, 2),
+        |s AS (SELECT d.vec_id, d.anchor_id,
+        |        round(dot / (cn.nrm * an.nrm), 6) AS cos_sim
+        |      FROM d JOIN cn ON d.vec_id = cn.vec_id
+        |             JOIN an ON d.anchor_id = an.anchor_id),
+        |nearest AS (SELECT vec_id, anchor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY cos_sim DESC, anchor_id) AS rn FROM s)
+        |SELECT anchor_id, vec_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+        |FROM nearest WHERE rn = 1
+        |QUALIFY rank <= 16""".stripMargin,
     // q178: the cleaned pages — chrome lines (≥ 5% of docs) stripped,
     // unique title/ref/body lines kept in order.
     "q178_boilerplate_lines" ->

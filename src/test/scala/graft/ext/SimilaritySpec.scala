@@ -44,6 +44,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coresetByAnchors: unique assignment, per-cluster quota, flood-proof") {
+    // 60 vectors clustered tightly around 3 axis anchors: vec i leans
+    // toward axis (i % 3) with a small unique perturbation
+    val corpus = (0 until 60).map { i =>
+      val base = Array.fill(3)(0.05f + 0.001f * i)
+      base(i % 3) = 1f
+      (i.toLong + 100, base)
+    }.toDF("vec_id", "embedding")
+    val anchors = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f))).toDF("anchor_id", "embedding")
+    val out = Similarity.coresetByAnchors(corpus, anchors, perCluster = 5)
+      .collect()
+    // quota: exactly 5 per cluster (each axis cluster has 20 candidates)
+    assert(out.groupBy(_.getAs[Long]("anchor_id")).forall(_._2.length == 5))
+    // a vector appears at most once (nearest-anchor assignment is unique)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length)
+    // assignment is to the true nearest axis
+    out.foreach { r =>
+      assert((r.getAs[Long]("vec_id") - 100) % 3 == r.getAs[Long]("anchor_id"))
+    }
+    // determinism: same selection on re-run
+    val again = Similarity.coresetByAnchors(corpus, anchors, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("lshBucket is deterministic and within [0, 2^planes)") {
     val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(-1f, -2f, -3f)))
       .toDF("vec_id", "embedding")
