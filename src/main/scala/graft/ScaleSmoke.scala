@@ -405,7 +405,15 @@ object ScaleSmoke {
         timed(Snapshots.mergeCommit(spark, updates.unionByName(inserts),
           "o_orderkey", zcols, s"$root/z", s"$root/m", nFiles = 8))
       })
-      println(f"""{"query":"lake_growth","scale":"$label","append_sec":$tAppend%.2f,"ivm_maintain_sec":$tIvm%.2f,"recompute_sec":$tRecompute%.2f,"merge_sec":$tMerge%.2f,"reps":$reps}""")
+      // constant custkey band: copies offset custkeys by 100M, so [40,70]
+      // lives entirely in copy 0 — the touch set must not grow with the
+      // table (updateWhere's whole claim)
+      val tUpdate = median((1 to reps).map { _ =>
+        timed(Snapshots.updateWhere(spark, s"$root/z", s"$root/m", zcols,
+          Seq(("o_custkey", 40.0, 70.0)),
+          Map("o_totalprice" -> (col("o_totalprice") * 1.01))))
+      })
+      println(f"""{"query":"lake_growth","scale":"$label","append_sec":$tAppend%.2f,"ivm_maintain_sec":$tIvm%.2f,"recompute_sec":$tRecompute%.2f,"merge_sec":$tMerge%.2f,"update_sec":$tUpdate%.2f,"reps":$reps}""")
     }
     measure("1x", orders(src), nFiles = 32)
     measure(s"${copies}x", orders(target),

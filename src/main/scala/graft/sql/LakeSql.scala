@@ -343,8 +343,8 @@ object LakeSql {
     * for every stored numeric. Anything non-compilable is rejected: a
     * predicate stats cannot prune would silently become a full-table
     * rewrite. */
-  private def toBox(cond: Expression,
-                    spec: LakeTableSpec): Seq[(String, Double, Double)] = {
+  private[graft] def toBox(cond: Expression,
+                           spec: LakeTableSpec): Seq[(String, Double, Double)] = {
     val bounds = collectBounds(cond)
     bounds.groupBy(_._1).map { case (col, bs) =>
       require(spec.cols.contains(col),
