@@ -315,6 +315,60 @@ object SqlQueries {
         .withColumn("dml_ok", lit(dmlOk))
         .withColumn("travel_ok", lit(travelOk && noopOk))
     }),
+    // SQL ALTER: `ALTER TABLE … RENAME COLUMN` routed onto the
+    // metadata-only column-mapping commit — the data directory is
+    // byte-untouched (listing-gated), the head serves the new logical
+    // name, the pinned pre-rename version keeps the old one, and DML on
+    // the renamed column translates logical→physical end-to-end (the
+    // UPDATE's predicate, target, and RHS all reference the new name
+    // while the lake's physical schema never changes).
+    "q180_sql_alter" -> ((s, dir) => {
+      val root = tmp("q180")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q180:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake180",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      def files(): Set[(String, Long, Long)] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(p).toSeq.filter(_.isFile)
+          .map(st => (st.getPath.getName, st.getLen,
+            st.getModificationTime)).toSet
+      }
+      val before = files()
+      LakeSql.sql(s,
+        "ALTER TABLE orders_lake180 RENAME COLUMN o_totalprice TO price")
+      val zeroWriteOk = files() == before
+      require(zeroWriteOk, "q180 rename touched data files")
+      val headCols = LakeSql.sql(s,
+        "SELECT * FROM orders_lake180").columns.toSet
+      val pinnedCols = LakeSql.sql(s,
+        s"SELECT * FROM orders_lake180 VERSION AS OF $v1").columns.toSet
+      val renameOk = headCols.contains("price") &&
+        !headCols.contains("o_totalprice") &&
+        pinnedCols.contains("o_totalprice") && !pinnedCols.contains("price")
+      require(renameOk, s"q180 name visibility wrong: $headCols / $pinnedCols")
+      val expect = orders.filter(col("o_custkey").between(45, 60)).count()
+      val u = LakeSql.sql(s,
+        "UPDATE orders_lake180 SET price = round(price * 2, 2) " +
+          "WHERE o_custkey >= 45 AND o_custkey <= 60").head()
+      val updateOk = u.getAs[Long]("rows_updated") == expect && expect > 0 &&
+        u.getAs[Long]("files_rewritten") < u.getAs[Long]("files_total")
+      require(updateOk, s"q180 post-rename UPDATE off: $u (expected $expect)")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, price
+            |FROM orders_lake180
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("zero_write_ok", lit(zeroWriteOk))
+        .withColumn("rename_ok", lit(renameOk))
+        .withColumn("update_ok", lit(updateOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -363,6 +417,16 @@ object SqlQueries {
         |WHERE o_orderkey % 3 = 0
         |  AND o_custkey BETWEEN 20 AND 130
         |  AND o_custkey NOT BETWEEN 65 AND 75""".stripMargin,
+    // q180 emits the post-rename box under the NEW logical name, prices
+    // doubled inside the updated band.
+    "q180_sql_alter" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey BETWEEN 45 AND 60
+        |       THEN round(round(o_totalprice, 2) * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS price,
+        |  TRUE AS zero_write_ok, TRUE AS rename_ok, TRUE AS update_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

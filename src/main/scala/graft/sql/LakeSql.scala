@@ -7,9 +7,9 @@ import scala.collection.concurrent.TrieMap
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,6 +53,13 @@ import graft.sinks.{Layout, Snapshots}
   *  - A root [[CreateTableAsSelect]] creates a NEW lake table: the query
   *    result z-ordered on the `stats_cols` table property, committed as
   *    v1, and registered — SQL-born tables serve every other statement.
+  *  - `ALTER TABLE … RENAME COLUMN / DROP COLUMN` map onto the
+  *    metadata-only column-mapping commits ([[Snapshots.renameColumn]]/
+  *    [[Snapshots.dropColumn]]); reads resolve through
+  *    [[Snapshots.mappedTableAt]] so renamed columns serve under their
+  *    logical names (pinned reads keep old names), and every DML
+  *    statement translates logical→physical through the head mapping —
+  *    predicates, merge keys, update targets and RHS, inserted frames.
   *  - A root [[DeleteFromTable]] maps onto [[Snapshots.deleteWhere]]; the
   *    WHERE conjunction is compiled to the stats-box form, so the delete
   *    keeps the manifest-pruned touch set (files whose stats intersect the
@@ -96,6 +103,17 @@ object LakeSql {
         runUpdate(spark, u)
       case cts: CreateTableAsSelect =>
         runCtas(spark, cts)
+      case rc: RenameColumn if isLake(rc.table) =>
+        val (_, spec) = lookup(rc.table).get
+        val v = Snapshots.renameColumn(spark, spec.manifestRoot,
+          rc.column.name.mkString("."), rc.newName)
+        metricsRow(spark, Seq("version" -> v.toLong))
+      case dc: DropColumns if isLake(dc.table) =>
+        val (_, spec) = lookup(dc.table).get
+        val v = dc.columnsToDrop.map(f =>
+          Snapshots.dropColumn(spark, spec.manifestRoot,
+            f.name.mkString("."))).last
+        metricsRow(spark, Seq("version" -> v.toLong))
       case read =>
         PlanExec.ofRows(spark, resolveReads(spark, read))
     }
@@ -127,9 +145,45 @@ object LakeSql {
 
   private def aliasedTableAt(spark: SparkSession, name: String,
                              spec: LakeTableSpec, version: Int): LogicalPlan =
+    // mappedTableAt = tableAt when no column mapping exists (identical
+    // plan, so the q169 sameResult gate holds); under a mapping it serves
+    // physical columns under the LOGICAL names in force AT `version` —
+    // SQL reads are rename-aware and pinned reads keep old names
     SubqueryAlias(name,
-      Snapshots.tableAt(spark, spec.manifestRoot, version)
+      Snapshots.mappedTableAt(spark, spec.manifestRoot, version)
         .queryExecution.logical)
+
+  /** The column mapping in force at the table's head (None before any
+    * ALTER) — the logical→physical indirection every DML statement must
+    * translate through. */
+  private def headMapping(spark: SparkSession,
+                          spec: LakeTableSpec): Option[Map[String, String]] =
+    Snapshots.columnMapping(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot))
+
+  private def physicalName(logical: String,
+                           mapping: Option[Map[String, String]],
+                           what: String): String = mapping match {
+    case None => logical
+    case Some(m) => m.getOrElse(logical, throw new IllegalArgumentException(
+      s"no visible column '$logical' ($what; visible: " +
+        s"${m.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  /** Rewrite every attribute of a parsed expression to physical names. */
+  private def toPhysicalExpr(e: Expression,
+                             m: Map[String, String]): Expression =
+    e.transform {
+      case a: UnresolvedAttribute =>
+        UnresolvedAttribute(Seq(
+          physicalName(a.nameParts.last, Some(m), "expression")))
+    }
+
+  /** Route a logical-schema source frame to physical names (identity when
+    * the table has no mapping). */
+  private def toPhysicalFrame(df: DataFrame,
+                              mapping: Option[Map[String, String]]): DataFrame =
+    mapping.fold(df)(m => Snapshots.toPhysical(df, m))
 
   /** `TIMESTAMP AS OF` operand → epoch millis. Accepts a timestamp/date
     * string literal (ISO instant, `yyyy-MM-dd HH:mm:ss[.SSS]`, or bare
@@ -157,7 +211,7 @@ object LakeSql {
   private def runDelete(spark: SparkSession, target: LogicalPlan,
                         condition: Expression): DataFrame = {
     val (_, spec) = lookup(target).get
-    val box = toBox(condition, spec)
+    val box = toBox(condition, spec, headMapping(spark, spec))
     val res = Snapshots.deleteWhere(spark, spec.path, spec.manifestRoot,
       spec.cols, box)
     metricsRow(spark,
@@ -168,8 +222,13 @@ object LakeSql {
 
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
     val (_, spec) = lookup(m.targetTable).get
-    val source = PlanExec.ofRows(spark, resolveReads(spark, m.sourceTable))
-    val key = equiJoinKey(m.mergeCondition)
+    val mapping = headMapping(spark, spec)
+    // the source arrives in the LOGICAL schema; the lake's rows are
+    // physical — route it through the mapping before the commit
+    val source = toPhysicalFrame(
+      PlanExec.ofRows(spark, resolveReads(spark, m.sourceTable)), mapping)
+    val key = physicalName(equiJoinKey(m.mergeCondition), mapping,
+      "MERGE key")
     require(spec.cols.contains(key),
       s"MERGE key '$key' must be a manifest stats column " +
         s"(${spec.cols.mkString(", ")}) — anything else cannot prune the " +
@@ -201,7 +260,8 @@ object LakeSql {
         // the three-clause matrix: the delete clause must be box-scoped —
         // same 100 TB honesty contract as Snapshots.mergeCommitFull
         val r = Snapshots.mergeCommitFull(spark, source, key, spec.cols,
-          spec.path, spec.manifestRoot, spec.nFiles, toBox(cond, spec))
+          spec.path, spec.manifestRoot, spec.nFiles,
+          toBox(cond, spec, mapping))
         metricsRow(spark,
           Seq("version" -> r.version.toLong,
             "files_rewritten" -> r.filesRewritten,
@@ -234,7 +294,9 @@ object LakeSql {
     require(ins.partitionSpec.isEmpty && ins.userSpecifiedCols.isEmpty,
       "supported form: INSERT INTO <table> <query> (no partition spec or " +
         "column list)")
-    val batch = PlanExec.ofRows(spark, resolveReads(spark, ins.query))
+    val batch = toPhysicalFrame(
+      PlanExec.ofRows(spark, resolveReads(spark, ins.query)),
+      headMapping(spark, spec))
     val (version, files) = Snapshots.appendCommit(spark, batch, spec.cols,
       spec.path, spec.manifestRoot, spec.nFiles)
     metricsRow(spark,
@@ -308,17 +370,23 @@ object LakeSql {
     * full-table rewrite the caller must spell out via the DataFrame API. */
   private def runUpdate(spark: SparkSession, u: UpdateTable): DataFrame = {
     val (_, spec) = lookup(u.table).get
+    val mapping = headMapping(spark, spec)
     val cond = u.condition.getOrElse(throw new IllegalArgumentException(
       "UPDATE needs a WHERE over stats columns — unscoped it must rewrite " +
         "every file of the table"))
     val assignments = u.assignments.map {
       case Assignment(k: UnresolvedAttribute, v) =>
-        k.nameParts.last -> PlanExec.column(v)
+        // assignment target AND every column its RHS reads are logical
+        // names — both sides route through the mapping (the RHS resolves
+        // against the PHYSICAL live rows)
+        physicalName(k.nameParts.last, mapping, "UPDATE target") ->
+          PlanExec.column(
+            mapping.fold(v)(m => toPhysicalExpr(v, m)))
       case other => throw new IllegalArgumentException(
         s"unsupported UPDATE assignment target: $other")
     }.toMap
     val r = Snapshots.updateWhere(spark, spec.path, spec.manifestRoot,
-      spec.cols, toBox(cond, spec), assignments)
+      spec.cols, toBox(cond, spec, mapping), assignments)
     metricsRow(spark,
       Seq("files_rewritten" -> r.filesRewritten,
         "files_total" -> r.filesTotal,
@@ -343,17 +411,18 @@ object LakeSql {
     * for every stored numeric. Anything non-compilable is rejected: a
     * predicate stats cannot prune would silently become a full-table
     * rewrite. */
-  private[graft] def toBox(cond: Expression,
-                           spec: LakeTableSpec): Seq[(String, Double, Double)] = {
+  private[graft] def toBox(cond: Expression, spec: LakeTableSpec,
+                           mapping: Option[Map[String, String]] = None): Seq[(String, Double, Double)] = {
     val bounds = collectBounds(cond)
-    bounds.groupBy(_._1).map { case (col, bs) =>
-      require(spec.cols.contains(col),
-        s"DELETE predicate column '$col' has no manifest stats " +
-          s"(stats cols: ${spec.cols.mkString(", ")})")
-      val lo = bs.map(_._2).max
-      val hi = bs.map(_._3).min
-      (col, lo, hi)
-    }.toSeq.sortBy(_._1)
+    bounds.groupBy(b => physicalName(b._1, mapping, "predicate column"))
+      .map { case (col, bs) =>
+        require(spec.cols.contains(col),
+          s"DML predicate column '$col' has no manifest stats " +
+            s"(stats cols: ${spec.cols.mkString(", ")})")
+        val lo = bs.map(_._2).max
+        val hi = bs.map(_._3).min
+        (col, lo, hi)
+      }.toSeq.sortBy(_._1)
   }
 
   private def collectBounds(e: Expression): Seq[(String, Double, Double)] =
@@ -408,14 +477,17 @@ object LakeSql {
     case other => other
   }
 
-  private def lookup(p: LogicalPlan): Option[(String, LakeTableSpec)] =
-    stripAlias(p) match {
-      case ur: UnresolvedRelation if ur.multipartIdentifier.size == 1 =>
-        val name = ur.multipartIdentifier.head
-          .toLowerCase(java.util.Locale.ROOT)
-        registry.get(name).map(name -> _)
+  private def lookup(p: LogicalPlan): Option[(String, LakeTableSpec)] = {
+    val parts = stripAlias(p) match {
+      case ur: UnresolvedRelation => Some(ur.multipartIdentifier)
+      case ut: UnresolvedTable => Some(ut.multipartIdentifier) // ALTER target
       case _ => None
     }
+    parts.collect { case Seq(n) =>
+      val name = n.toLowerCase(java.util.Locale.ROOT)
+      registry.get(name).map(name -> _)
+    }.flatten
+  }
 
   private def isLake(p: LogicalPlan): Boolean = lookup(p).isDefined
 

@@ -246,6 +246,45 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("ALTER RENAME/DROP COLUMN: metadata-only; reads and DML translate") {
+    val (dir, v1) = freshLake("t_alt")
+    val m = LakeSql.sql(spark,
+      "ALTER TABLE t_alt RENAME COLUMN x TO score").head()
+    assert(m.getAs[Long]("version") == v1 + 1)
+    // reads serve the logical name; the pinned version keeps the old one
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_alt WHERE score < 100")
+      .head().getLong(0) == data.filter(col("x") < 100).count())
+    assert(LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_alt VERSION AS OF $v1 WHERE x < 100")
+      .head().getLong(0) == data.filter(col("x") < 100).count())
+    // DML on the logical name: predicate, update target and RHS translate
+    val expectUpd = data.filter(col("x").between(100, 200)).count()
+    val u = LakeSql.sql(spark,
+      "UPDATE t_alt SET score = score + 1000 " +
+        "WHERE score >= 100 AND score <= 200").head()
+    assert(u.getAs[Long]("rows_updated") == expectUpd)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_alt WHERE score >= 1100")
+      .head().getLong(0) == expectUpd)
+    // INSERT routes the logical frame to physical names
+    LakeSql.sql(spark, "SELECT id, score, y FROM t_alt WHERE id < 10")
+      .createOrReplaceTempView("alt_src")
+    LakeSql.sql(spark,
+      "INSERT INTO t_alt SELECT id + 5000000 AS id, score, y FROM alt_src")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_alt")
+      .head().getLong(0) == 10010L)
+    // DROP hides the column at head, pinned reads still serve it
+    LakeSql.sql(spark, "ALTER TABLE t_alt DROP COLUMN y")
+    assert(!LakeSql.sql(spark, "SELECT * FROM t_alt").columns.contains("y"))
+    assert(LakeSql.sql(spark, s"SELECT * FROM t_alt VERSION AS OF $v1")
+      .columns.contains("y"))
+    // the old name is gone: a DELETE on it fails loudly
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "DELETE FROM t_alt WHERE x = 5")
+    }
+  }
+
   test("unregistered relations pass through to the session catalog") {
     data.createOrReplaceTempView("plain_view")
     assert(LakeSql.sql(spark,
