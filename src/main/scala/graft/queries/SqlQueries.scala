@@ -369,6 +369,49 @@ object SqlQueries {
         .withColumn("rename_ok", lit(renameOk))
         .withColumn("update_ok", lit(updateOk))
     }),
+    // SQL CDC + HISTORY TVFs: `table_changes('<t>', vFrom, vTo)` serves
+    // the change feed between two versions as an ordinary SQL relation
+    // (reads only the files the manifests disagree on — the q114
+    // machinery behind a Delta-idiom TVF), and `table_history('<t>')`
+    // serves the inferred DESCRIBE HISTORY. The emitted feed of a band
+    // delete is exactly the band as deletes; gates pin the history
+    // (create → delete with exact row counts) and the feed's purity.
+    "q181_sql_cdc" -> ((s, dir) => {
+      val root = tmp("q181")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      FixtureCache.layout(s, s"q181:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake181",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols))
+      val res = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 50.0, 80.0)))
+      require(res.rowsDeleted > 0, "q181 delete removed nothing")
+      val v2 = Snapshots.latestVersion(s, s"$root/m")
+      val total = orders.count()
+      val hist = LakeSql.sql(s,
+          "SELECT * FROM table_history('orders_lake181') ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val historyOk = hist.toSeq == Seq(
+        (v1.toLong, "create", total),
+        (v2.toLong, "delete", total - res.rowsDeleted))
+      require(historyOk, s"q181 history wrong: ${hist.toSeq}")
+      val pureOk = LakeSql.sql(s,
+          s"""SELECT count(*) AS n
+             |FROM table_changes('orders_lake181', $v1, $v2)
+             |WHERE change_type <> 'delete'""".stripMargin)
+        .head().getLong(0) == 0L
+      require(pureOk, "q181 band-delete feed carried non-deletes")
+      LakeSql.sql(s,
+          s"""SELECT o_orderkey, o_custkey, o_totalprice, change_type
+             |FROM table_changes('orders_lake181', $v1, $v2)""".stripMargin)
+        .withColumn("history_ok", lit(historyOk))
+        .withColumn("pure_ok", lit(pureOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -427,6 +470,13 @@ object SqlQueries {
         |  TRUE AS zero_write_ok, TRUE AS rename_ok, TRUE AS update_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q181 emits the SQL-served change feed of a band delete: exactly
+    // the band rows as deletes (survivor rewrites cancel in the diff).
+    "q181_sql_cdc" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  'delete' AS change_type, TRUE AS history_ok, TRUE AS pure_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 50 AND 80""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

@@ -4,10 +4,11 @@ import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
 
 import scala.annotation.tailrec
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
@@ -141,7 +142,50 @@ object LakeSql {
         val (name, spec) = lookup(ur).get
         aliasedTableAt(spark, name, spec,
           Snapshots.latestVersion(spark, spec.manifestRoot))
+      // table-valued functions over the version log — the Delta-idiom SQL
+      // surface for CDC and DESCRIBE HISTORY:
+      //   table_changes('<table>', vFrom, vTo)  → the change feed between
+      //     two versions (reads ONLY the files the manifests disagree on)
+      //   table_history('<table>')              → (version, operation,
+      //     rows) inferred from markers + manifest diffs
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.size == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") =>
+        (tvf.functionArgs match {
+          case Seq(Literal(t: UTF8String, StringType),
+              Literal(from: Int, IntegerType), Literal(to: Int, IntegerType)) =>
+            val spec = specByName(t.toString)
+            SubqueryAlias("table_changes",
+              Snapshots.changesBetween(spark, spec.manifestRoot, from, to)
+                .df.queryExecution.logical)
+          case other => throw new IllegalArgumentException(
+            "table_changes wants ('<lake table>', vFrom, vTo), got " +
+              other.mkString(", "))
+        }): LogicalPlan
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.size == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_history") =>
+        (tvf.functionArgs match {
+          case Seq(Literal(t: UTF8String, StringType)) =>
+            val spec = specByName(t.toString)
+            val rows = Snapshots.history(spark, spec.manifestRoot)
+              .map(h => Row(h.version.toLong, h.operation, h.rows))
+            SubqueryAlias("table_history",
+              spark.createDataFrame(rows.asJava, StructType(Seq(
+                  StructField("version", LongType, nullable = false),
+                  StructField("operation", StringType, nullable = false),
+                  StructField("rows", LongType, nullable = false))))
+                .queryExecution.logical)
+          case other => throw new IllegalArgumentException(
+            s"table_history wants ('<lake table>'), got ${other.mkString(", ")}")
+        }): LogicalPlan
     }
+
+  private def specByName(name: String): LakeTableSpec =
+    registry.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"'$name' is not a registered lake table " +
+          s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")})"))
 
   private def aliasedTableAt(spark: SparkSession, name: String,
                              spec: LakeTableSpec, version: Int): LogicalPlan =

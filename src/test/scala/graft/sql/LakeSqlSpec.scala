@@ -285,6 +285,29 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("table_changes / table_history TVFs read the version log via SQL") {
+    val (dir, v1) = freshLake("t_cdc")
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 0.0, 199.0)))
+    val band = data.filter(col("x") <= 199).count()
+    val feed = LakeSql.sql(spark,
+      "SELECT id, change_type FROM table_changes('t_cdc', 1, 2)")
+    assert(feed.count() == band)
+    assert(feed.filter(col("change_type") =!= "delete").isEmpty)
+    // composes with ordinary SQL
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM table_changes('t_cdc', 1, 2) " +
+        "WHERE change_type = 'delete'").head().getLong(0) == band)
+    val hist = LakeSql.sql(spark,
+      "SELECT * FROM table_history('t_cdc') ORDER BY version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "create"), (2L, "delete")))
+    assert(hist(0).getLong(2) == 10000L && hist(1).getLong(2) == 10000L - band)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT * FROM table_changes('nope', 1, 2)")
+    }
+  }
+
   test("unregistered relations pass through to the session catalog") {
     data.createOrReplaceTempView("plain_view")
     assert(LakeSql.sql(spark,
