@@ -412,6 +412,68 @@ object SqlQueries {
         .withColumn("history_ok", lit(historyOk))
         .withColumn("pure_ok", lit(pureOk))
     }),
+    // SQL MAINTENANCE: `OPTIMIZE … SMALLFILES` (size-policy bin-pack of
+    // only the small tail — healthy files byte-untouched) and
+    // `VACUUM … RETAIN n VERSIONS` (reclaim superseded files) as SQL
+    // statements, the Delta-extension grammar shape over the existing
+    // commit machinery. Fixture: a 4-file base fragmented by 4 tiny
+    // appends; gates pin the policy (exactly the tiny files compacted,
+    // big files' bytes untouched), row completeness across the re-layout,
+    // and the vacuum's exact reclaim.
+    "q182_sql_maintenance" -> ((s, dir) => {
+      val root = tmp("q182")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      val base = orders.filter(col("o_orderkey") % 7 =!= 0)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 4)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      (0 to 3).foreach { i =>
+        Snapshots.appendCommit(s,
+          orders.filter(col("o_orderkey") % 7 === 0 &&
+            col("o_orderkey") % 4 === i),
+          zcols, s"$root/z", s"$root/m", nFiles = 1)
+      }
+      LakeSql.register("orders_lake182",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols))
+      val p = new org.apache.hadoop.fs.Path(s"$root/z")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // data part files only — the _SUCCESS marker is not a manifest
+      // entry and must not skew the small/big split (the q159 idiom)
+      def stamps(): Map[String, (Long, Long)] =
+        fs.listStatus(p).toSeq.filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => st.getPath.getName ->
+            (st.getLen, st.getModificationTime)).toMap
+      val before = stamps()
+      val sizes = before.values.map(_._1)
+      val threshold = sizes.max / 2
+      val bigNames = before.filter(_._2._1 >= threshold).keySet
+      val m = LakeSql.sql(s,
+        s"OPTIMIZE orders_lake182 SMALLFILES $threshold").head()
+      val after = stamps()
+      val policyOk =
+        m.getAs[Long]("files_compacted") == before.size - bigNames.size &&
+          m.getAs[Long]("files_skipped") == bigNames.size &&
+          m.getAs[Long]("files_out") == 1L &&
+          bigNames.forall(n => after.get(n) == before.get(n))
+      require(policyOk, s"q182 size policy misfired: $m")
+      val nVersions = Snapshots.versions(s, s"$root/m").size
+      val vac = LakeSql.sql(s,
+        "VACUUM orders_lake182 RETAIN 1 VERSIONS").head()
+      val vacuumOk = vac.getAs[Long]("versions_dropped") == nVersions - 1L &&
+        Snapshots.versions(s, s"$root/m").size == 1
+      require(vacuumOk, s"q182 vacuum reclaim wrong: $vac")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake182
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("policy_ok", lit(policyOk))
+        .withColumn("vacuum_ok", lit(vacuumOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -477,6 +539,13 @@ object SqlQueries {
         |  'delete' AS change_type, TRUE AS history_ok, TRUE AS pure_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 50 AND 80""".stripMargin,
+    // q182 emits the box after SQL OPTIMIZE + VACUUM: all orders survive
+    // both maintenance commits (base ∪ appends = all).
+    "q182_sql_maintenance" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS policy_ok, TRUE AS vacuum_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

@@ -90,9 +90,54 @@ object LakeSql {
   def unregister(name: String): Unit =
     registry.remove(name.toLowerCase(java.util.Locale.ROOT)) : Unit
 
-  /** Parse + route one SQL statement. Reads return the query's rows; MERGE
-    * and DELETE execute the commit and return its metrics as one row. */
-  def sql(spark: SparkSession, text: String): DataFrame =
+  // Maintenance statements, the Delta-extension grammar shape — Spark's
+  // parser has no OPTIMIZE/VACUUM productions, so these dispatch on the
+  // statement head before the parser (exactly how Delta extends the SQL
+  // surface, minus the ANTLR ceremony for a two-statement grammar):
+  //   OPTIMIZE <t>                      → full re-layout compactCommit
+  //   OPTIMIZE <t> SMALLFILES <bytes>   → size-policy compactSmallCommit
+  //                                       (bin-pack only the small tail)
+  //   VACUUM <t> RETAIN <n> VERSIONS    → vacuum(retainLast = n)
+  //   VACUUM <t> RETAIN <n> HOURS       → vacuumRetention by commit stamp
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)(?:\s+SMALLFILES\s+(\d+))?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([A-Za-z0-9_]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*""".r
+
+  /** Parse + route one SQL statement. Reads return the query's rows; DML
+    * and maintenance statements execute the commit and return its metrics
+    * as one row. */
+  def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case OptimizeRe(name, small) =>
+      val spec = specByName(name)
+      if (small == null) {
+        val (version, nIn, nOut) = Snapshots.compactCommit(spark, spec.path,
+          spec.manifestRoot, spec.cols, spec.nFiles)
+        metricsRow(spark, Seq("version" -> version.toLong,
+          "files_in" -> nIn.toLong, "files_out" -> nOut.toLong))
+      } else {
+        val r = Snapshots.compactSmallCommit(spark, spec.path,
+          spec.manifestRoot, spec.cols, smallBytes = small.toLong,
+          nFiles = 1)
+        metricsRow(spark, Seq("version" -> r.version.toLong,
+          "files_compacted" -> r.filesCompacted,
+          "files_skipped" -> r.filesSkipped, "files_out" -> r.filesOut))
+      }
+    case VacuumRe(name, n, unit) =>
+      val spec = specByName(name)
+      val r =
+        if (unit.equalsIgnoreCase("VERSIONS"))
+          Snapshots.vacuum(spark, spec.path, spec.manifestRoot,
+            retainLast = n.toInt)
+        else
+          Snapshots.vacuumRetention(spark, spec.path, spec.manifestRoot,
+            cutoffMs = System.currentTimeMillis() - n.toLong * 3600000L)
+      metricsRow(spark, Seq("files_deleted" -> r.filesDeleted,
+        "versions_dropped" -> r.versionsDropped))
+    case _ => sqlParsed(spark, text)
+  }
+
+  private def sqlParsed(spark: SparkSession, text: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(text) match {
       case DeleteFromTable(target, condition) if isLake(target) =>
         runDelete(spark, target, condition)

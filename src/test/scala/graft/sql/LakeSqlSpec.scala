@@ -308,6 +308,29 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE and VACUUM maintenance statements commit via SQL") {
+    val (dir, v1) = freshLake("t_maint") // 16 files
+    val o = LakeSql.sql(spark, "OPTIMIZE t_maint").head()
+    assert(o.getAs[Long]("files_out") < o.getAs[Long]("files_in"))
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_maint")
+      .head().getLong(0) == 10000L)
+    // pinned pre-optimize version still serves until vacuumed
+    assert(LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_maint VERSION AS OF $v1")
+      .head().getLong(0) == 10000L)
+    val v = LakeSql.sql(spark, "VACUUM t_maint RETAIN 1 VERSIONS").head()
+    assert(v.getAs[Long]("versions_dropped") == 1L)
+    assert(v.getAs[Long]("files_deleted") == 16L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_maint")
+      .head().getLong(0) == 10000L)
+    // RETAIN ... HOURS keeps everything younger than the cutoff
+    val h = LakeSql.sql(spark, "VACUUM t_maint RETAIN 1 HOURS").head()
+    assert(h.getAs[Long]("versions_dropped") == 0L)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "OPTIMIZE no_such_table")
+    }
+  }
+
   test("unregistered relations pass through to the session catalog") {
     data.createOrReplaceTempView("plain_view")
     assert(LakeSql.sql(spark,
