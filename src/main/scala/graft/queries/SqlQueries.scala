@@ -474,6 +474,98 @@ object SqlQueries {
         .withColumn("policy_ok", lit(policyOk))
         .withColumn("vacuum_ok", lit(vacuumOk))
     }),
+
+    // TYPED SQL DML (q183, round-13 verdict lead item): DELETE/UPDATE
+    // whose WHERE predicates are STRING and TIMESTAMP typed — the most
+    // common real DML (delete by category, reprocess by date; the
+    // reference's whole cadence is run_date-keyed, config.py:28-32) —
+    // compiled to (manifest-prune, exact row predicate) pairs instead of
+    // the numeric-only stats box. Coverage in one query: string equality,
+    // IN list, prefix LIKE (each pruning on the manifest's lexical
+    // min/max — the q153 machinery), a non-stats residual conjunct riding
+    // alongside a pruning one, and a timestamp-range UPDATE pruning on
+    // native timestamp stats. Gates: per-statement deleted/updated row
+    // counts exact, and the files_rewritten < files_total pruning bit on
+    // the statements whose layout guarantees it.
+    "q183_sql_typed_dml" -> ((s, dir) => {
+      val root = tmp("q183")
+      val orders = t(s, dir, "orders")
+      // table A: string-keyed, sorted on priority so lexical stats prune
+      val a = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      FixtureCache.layout(s, s"q183a:$dir", s"$root/az")(d =>
+        graft.sinks.Maintenance.writeSorted(a, d, nFiles = 10,
+          col("o_orderpriority"), col("o_orderkey")))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/az", Seq("o_orderpriority")),
+        s"$root/am")
+      LakeSql.register("orders_lake183a",
+        LakeTableSpec(s"$root/az", s"$root/am", Seq("o_orderpriority")))
+      // table B: timestamp-keyed, sorted on order date
+      val b = orders.select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      FixtureCache.layout(s, s"q183b:$dir", s"$root/bz")(d =>
+        graft.sinks.Maintenance.writeSorted(b, d, nFiles = 10,
+          col("o_orderdate"), col("o_orderkey")))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/bz", Seq("o_orderdate")),
+        s"$root/bm")
+      LakeSql.register("orders_lake183b",
+        LakeTableSpec(s"$root/bz", s"$root/bm", Seq("o_orderdate")))
+      // s1: string equality + non-stats residual conjunct
+      val exp1 = a.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 2 === 0).count()
+      val d1 = LakeSql.sql(s,
+        """DELETE FROM orders_lake183a
+          |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0"""
+          .stripMargin).head()
+      val s1Ok = d1.getAs[Long]("rows_deleted") == exp1 &&
+        d1.getAs[Long]("files_rewritten") < d1.getAs[Long]("files_total") &&
+        d1.getAs[Long]("files_rewritten") > 0
+      require(s1Ok, s"q183 string-equality delete misfired: $d1")
+      // s2: IN list over the lexical stats
+      val exp2 = a.filter(col("o_orderpriority").isin("2-HIGH", "5-LOW") &&
+        !(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 2 === 0)).count()
+      val d2 = LakeSql.sql(s,
+        "DELETE FROM orders_lake183a " +
+          "WHERE o_orderpriority IN ('2-HIGH', '5-LOW')").head()
+      val s2Ok = d2.getAs[Long]("rows_deleted") == exp2 &&
+        d2.getAs[Long]("files_rewritten") < d2.getAs[Long]("files_total")
+      require(s2Ok, s"q183 IN-list delete misfired: $d2")
+      // s3: prefix LIKE ('4-%' = '4-NOT SPECIFIED')
+      val exp3 = a.filter(col("o_orderpriority").startsWith("4-")).count()
+      val d3 = LakeSql.sql(s,
+        "DELETE FROM orders_lake183a " +
+          "WHERE o_orderpriority LIKE '4-%'").head()
+      require(d3.getAs[Long]("rows_deleted") == exp3,
+        s"q183 prefix-LIKE delete misfired: $d3")
+      // s4: timestamp-range UPDATE with arithmetic SET
+      val expU = b.filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01")).count()
+      val u = LakeSql.sql(s,
+        """UPDATE orders_lake183b
+          |SET o_totalprice = round(o_totalprice * 2, 2)
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""
+          .stripMargin).head()
+      val s4Ok = u.getAs[Long]("rows_updated") == expU &&
+        u.getAs[Long]("files_rewritten") < u.getAs[Long]("files_total") &&
+        u.getAs[Long]("files_rewritten") > 0
+      require(s4Ok, s"q183 timestamp-range update misfired: $u")
+      val delRows = LakeSql.sql(s,
+        "SELECT o_orderkey, o_orderpriority AS tag, o_totalprice " +
+          "FROM orders_lake183a")
+        .withColumn("src", lit("delete"))
+      val updRows = LakeSql.sql(s,
+        "SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS tag, " +
+          "o_totalprice FROM orders_lake183b")
+        .withColumn("src", lit("update"))
+      delRows.unionByName(updRows)
+        .withColumn("s1_ok", lit(s1Ok))
+        .withColumn("s2_ok", lit(s2Ok))
+        .withColumn("s4_ok", lit(s4Ok))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -546,6 +638,25 @@ object SqlQueries {
         |  TRUE AS policy_ok, TRUE AS vacuum_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q183 emits both tables' final states: table A after the three
+    // typed deletes (string equality + residual, IN list, prefix LIKE),
+    // table B after the timestamp-range doubling update.
+    "q183_sql_typed_dml" ->
+      """SELECT o_orderkey, o_orderpriority AS tag,
+        |  round(o_totalprice, 2) AS o_totalprice, 'delete' AS src,
+        |  TRUE AS s1_ok, TRUE AS s2_ok, TRUE AS s4_ok
+        |FROM orders
+        |WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)
+        |  AND o_orderpriority NOT IN ('2-HIGH', '5-LOW')
+        |  AND o_orderpriority NOT LIKE '4-%'
+        |UNION ALL
+        |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS tag,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |       THEN round(round(o_totalprice, 2) * 2, 2)
+        |       ELSE round(o_totalprice, 2) END,
+        |  'update', TRUE, TRUE, TRUE
+        |FROM orders""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

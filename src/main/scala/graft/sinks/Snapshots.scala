@@ -356,22 +356,42 @@ object Snapshots {
     * keeps working until [[vacuum]] expires those versions. */
   def deleteWhere(spark: SparkSession, path: String, manifestRoot: String,
                   cols: Seq[String],
-                  box: Seq[(String, Double, Double)]): Layout.DeleteResult = {
+                  box: Seq[(String, Double, Double)]): Layout.DeleteResult =
+    deleteWherePred(spark, path, manifestRoot, cols,
+      Layout.intersectsExpr(box), Layout.inBoxExpr(box))
+
+  /** [[deleteWhere]] generalized from the numeric box to an arbitrary
+    * (prune, predicate) pair — the shape the SQL front door's TYPED
+    * predicate compiler targets (string equality, date ranges, IN lists):
+    * `prune` is a manifest-side expression over the `min_`/`max_` stats
+    * columns that must select a SUPERSET of the files containing matching
+    * rows (stats can only over-include; correctness never depends on
+    * them), and `pred` is the exact row predicate deciding which rows die.
+    * Same commit mechanics as the box form: touched files' LIVE rows are
+    * read (DV-masked rows stay dead and the mask folds away), survivors
+    * staged and moved in, vN+1 = (manifest − touched) ∪ survivor stats. */
+  def deleteWherePred(spark: SparkSession, path: String, manifestRoot: String,
+                      cols: Seq[String], prune: org.apache.spark.sql.Column,
+                      pred: org.apache.spark.sql.Column): Layout.DeleteResult = {
     val manifest =
       Dv.ensureDv(manifestAt(spark, manifestRoot,
           latestVersion(spark, manifestRoot)))
         .localCheckpoint()
     val total = manifest.count()
-    val hit = Dv.entries(manifest.filter(Layout.intersectsExpr(box)))
+    val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return Layout.DeleteResult(0, total, 0)
     // survivors come from the LIVE rows (existing deletion vectors
     // applied — a copy-on-write rewrite of a masked file must not
     // resurrect its masked rows); the rewrite also FOLDS the DV away: the
     // new files carry no mask
     val live = Dv.readLive(spark, hit)
-    val deleted = live.filter(Layout.inBoxExpr(box)).count()
+    val deleted = live.filter(pred).count()
     val staging = path + ".delete_staging"
-    live.filter(!Layout.inBoxExpr(box)).write.mode("overwrite").parquet(staging)
+    // survivors = NOT(pred), with null-match rows kept: a WHERE that
+    // evaluates to null on a row must not delete it (SQL three-valued
+    // logic — DELETE removes rows where the predicate is TRUE)
+    live.filter(!coalesce(pred, lit(false)))
+      .write.mode("overwrite").parquet(staging)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keep = manifest.filter(!col("file").isInCollection(hit.map(_.file)))
     val next =
@@ -400,14 +420,26 @@ object Snapshots {
     * stats are recomputed from the rewritten rows. */
   def updateWhere(spark: SparkSession, path: String, manifestRoot: String,
                   cols: Seq[String], box: Seq[(String, Double, Double)],
-                  assignments: Map[String, org.apache.spark.sql.Column]): UpdateResult = {
+                  assignments: Map[String, org.apache.spark.sql.Column]): UpdateResult =
+    updateWherePred(spark, path, manifestRoot, cols,
+      Layout.intersectsExpr(box), Layout.inBoxExpr(box), assignments)
+
+  /** [[updateWhere]] generalized to a (prune, predicate) pair — see
+    * [[deleteWherePred]] for the contract: `prune` over-selects touched
+    * files from manifest stats, `pred` is the exact row predicate gating
+    * each assignment (null-predicate rows pass through unchanged, the SQL
+    * three-valued UPDATE contract). */
+  def updateWherePred(spark: SparkSession, path: String, manifestRoot: String,
+                      cols: Seq[String], prune: org.apache.spark.sql.Column,
+                      pred: org.apache.spark.sql.Column,
+                      assignments: Map[String, org.apache.spark.sql.Column]): UpdateResult = {
     require(assignments.nonEmpty, "UPDATE with no assignments")
     val manifest =
       Dv.ensureDv(manifestAt(spark, manifestRoot,
           latestVersion(spark, manifestRoot)))
         .localCheckpoint()
     val total = manifest.count()
-    val hit = Dv.entries(manifest.filter(Layout.intersectsExpr(box)))
+    val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return UpdateResult(0, total, 0)
     val live = Dv.readLive(spark, hit)
     val lower = assignments.map { case (k, v) =>
@@ -417,11 +449,10 @@ object Snapshots {
     require(unknown.isEmpty,
       s"UPDATE assigns unknown column(s) ${unknown.mkString(", ")} " +
         s"(table has ${live.columns.mkString(", ")})")
-    val inBox = Layout.inBoxExpr(box)
-    val updated = live.filter(inBox).count()
+    val updated = live.filter(pred).count()
     val rewritten = live.select(live.columns.toIndexedSeq.map { c =>
       lower.get(c.toLowerCase(java.util.Locale.ROOT))
-        .map(rhs => when(inBox, rhs).otherwise(col(c)).as(c))
+        .map(rhs => when(coalesce(pred, lit(false)), rhs).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }: _*)
     val staging = path + ".update_staging_" + java.util.UUID.randomUUID()
@@ -644,7 +675,18 @@ object Snapshots {
   def mergeCommitFull(spark: SparkSession, source: DataFrame, key: String,
                       cols: Seq[String], path: String, manifestRoot: String,
                       nFiles: Int,
-                      deleteBox: Seq[(String, Double, Double)]): MergeFullResult = {
+                      deleteBox: Seq[(String, Double, Double)]): MergeFullResult =
+    mergeCommitFullPred(spark, source, key, cols, path, manifestRoot, nFiles,
+      Layout.intersectsExpr(deleteBox), Layout.inBoxExpr(deleteBox))
+
+  /** [[mergeCommitFull]] with the delete scope as a (prune, predicate)
+    * pair instead of the numeric box — see [[deleteWherePred]] for the
+    * contract. The SQL front door's typed WHERE compiler targets this
+    * form (string/date-scoped NOT MATCHED BY SOURCE DELETE). */
+  def mergeCommitFullPred(spark: SparkSession, source: DataFrame, key: String,
+                          cols: Seq[String], path: String, manifestRoot: String,
+                          nFiles: Int, deletePrune: org.apache.spark.sql.Column,
+                          deletePred: org.apache.spark.sql.Column): MergeFullResult = {
     require(cols.contains(key),
       s"merge key $key needs manifest stats — not in ${cols.mkString(",")}")
     val manifest =
@@ -659,7 +701,7 @@ object Snapshots {
         col("k") >= col("lo") && col("k") <= col("hi"))
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val boxHit = manifest.filter(Layout.intersectsExpr(deleteBox))
+    val boxHit = manifest.filter(deletePrune)
       .select(col("file")).collect().map(_.getString(0)).toSet
     val hit = (keyHit ++ boxHit).toSeq
     val srcKeys = source.select(col(key)).distinct()
@@ -671,11 +713,11 @@ object Snapshots {
           .localCheckpoint()
         val hitKeys = hitRows.select(col(key)).distinct().localCheckpoint()
         val unmatched = hitRows.join(srcKeys, Seq(key), "left_anti")
-        val kept = unmatched.filter(!Layout.inBoxExpr(deleteBox))
+        val kept = unmatched.filter(!coalesce(deletePred, lit(false)))
         (Some(kept),
           hitRows.join(srcKeys, Seq(key), "left_semi").count(),
           source.join(hitKeys, Seq(key), "left_semi").count(),
-          unmatched.filter(Layout.inBoxExpr(deleteBox)).count())
+          unmatched.filter(deletePred).count())
       }
     val newData = survivors // schema evolution: see mergeCommit's note
       .map(_.unionByName(source, allowMissingColumns = true))

@@ -7,9 +7,10 @@ import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableValuedFunction}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Like, Literal}
+import org.apache.spark.sql.functions.{col, lit, substring}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -300,9 +301,10 @@ object LakeSql {
   private def runDelete(spark: SparkSession, target: LogicalPlan,
                         condition: Expression): DataFrame = {
     val (_, spec) = lookup(target).get
-    val box = toBox(condition, spec, headMapping(spark, spec))
-    val res = Snapshots.deleteWhere(spark, spec.path, spec.manifestRoot,
-      spec.cols, box)
+    val (prune, pred) = compileWhere(condition, spec,
+      headMapping(spark, spec))
+    val res = Snapshots.deleteWherePred(spark, spec.path, spec.manifestRoot,
+      spec.cols, prune, pred)
     metricsRow(spark,
       Seq("files_rewritten" -> res.filesRewritten,
         "files_total" -> res.filesTotal,
@@ -346,11 +348,11 @@ object LakeSql {
             "rows_updated" -> r.rowsUpdated,
             "rows_inserted" -> r.rowsInserted))
       case Seq(DeleteAction(Some(cond))) =>
-        // the three-clause matrix: the delete clause must be box-scoped —
-        // same 100 TB honesty contract as Snapshots.mergeCommitFull
-        val r = Snapshots.mergeCommitFull(spark, source, key, spec.cols,
-          spec.path, spec.manifestRoot, spec.nFiles,
-          toBox(cond, spec, mapping))
+        // the three-clause matrix: the delete clause must be stats-scoped
+        // — same 100 TB honesty contract as Snapshots.mergeCommitFull
+        val (prune, pred) = compileWhere(cond, spec, mapping)
+        val r = Snapshots.mergeCommitFullPred(spark, source, key, spec.cols,
+          spec.path, spec.manifestRoot, spec.nFiles, prune, pred)
         metricsRow(spark,
           Seq("version" -> r.version.toLong,
             "files_rewritten" -> r.filesRewritten,
@@ -474,8 +476,9 @@ object LakeSql {
       case other => throw new IllegalArgumentException(
         s"unsupported UPDATE assignment target: $other")
     }.toMap
-    val r = Snapshots.updateWhere(spark, spec.path, spec.manifestRoot,
-      spec.cols, toBox(cond, spec, mapping), assignments)
+    val (prune, pred) = compileWhere(cond, spec, mapping)
+    val r = Snapshots.updateWherePred(spark, spec.path, spec.manifestRoot,
+      spec.cols, prune, pred, assignments)
     metricsRow(spark,
       Seq("files_rewritten" -> r.filesRewritten,
         "files_total" -> r.filesTotal,
@@ -492,71 +495,104 @@ object LakeSql {
         s"(got $other)")
   }
 
-  // ------------------------------------------------- predicate → stats box
+  // ------------------------------------------ predicate → (prune, residual)
 
-  /** Compile a WHERE conjunction of range/equality predicates over stats
-    * columns into the inclusive `(col, lo, hi)` box [[Snapshots.deleteWhere]]
-    * prunes with. Strict bounds nudge one double ulp inward, which is exact
-    * for every stored numeric. Anything non-compilable is rejected: a
-    * predicate stats cannot prune would silently become a full-table
-    * rewrite. */
-  private[graft] def toBox(cond: Expression, spec: LakeTableSpec,
-                           mapping: Option[Map[String, String]] = None): Seq[(String, Double, Double)] = {
-    val bounds = collectBounds(cond)
-    bounds.groupBy(b => physicalName(b._1, mapping, "predicate column"))
-      .map { case (col, bs) =>
-        require(spec.cols.contains(col),
-          s"DML predicate column '$col' has no manifest stats " +
-            s"(stats cols: ${spec.cols.mkString(", ")})")
-        val lo = bs.map(_._2).max
-        val hi = bs.map(_._3).min
-        (col, lo, hi)
-      }.toSeq.sortBy(_._1)
+  /** Compile a WHERE conjunction into the (manifest-prune, exact row
+    * predicate) pair [[Snapshots.deleteWherePred]]/[[Snapshots.updateWherePred]]
+    * execute: the prune expression over-selects touched files from the
+    * manifest's native-typed `min_`/`max_` stats (strings prune on lexical
+    * bounds — the q153 machinery; dates/timestamps natively; numerics in
+    * their OWN type, so a 64-bit key never round-trips through double),
+    * and the row predicate is the WHERE itself, re-entered through the
+    * DataFrame API — exact by construction, so pruning only has to be a
+    * superset. Pruning conjuncts: `col {=,<,<=,>,>=} literal` (either
+    * operand order), `col IN (literals)`, and prefix-only `col LIKE 'p%'`.
+    * Other conjuncts ride along as row-level residual — but at least ONE
+    * conjunct must prune, or the statement is rejected loudly: at 100 TB a
+    * DML no stats can prune is a full-table rewrite the caller must opt
+    * into via the DataFrame API. */
+  private[graft] def compileWhere(cond: Expression, spec: LakeTableSpec,
+                                  mapping: Option[Map[String, String]] = None): (Column, Column) = {
+    val prunes = splitAnd(cond).flatMap(c => pruneOf(c, spec, mapping))
+    require(prunes.nonEmpty,
+      "DML WHERE has no conjunct the manifest stats can prune (need " +
+        "<stats col> {=,<,<=,>,>=} <literal>, IN, or prefix LIKE over " +
+        s"stats cols ${spec.cols.mkString(", ")}) — unpruned it is a " +
+        s"full-table rewrite; use the DataFrame API to opt in. WHERE: $cond")
+    // row predicate: the WHERE itself, with attribute qualifiers stripped
+    // (it resolves against the bare live-rows frame, where `t.id` has no
+    // `t` to bind to) and logical names routed through the column mapping
+    val rowPred = PlanExec.column(cond.transform {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(
+        physicalName(a.nameParts.last, mapping, "predicate column")))
+    })
+    (prunes.reduce(_ && _), rowPred)
   }
 
-  private def collectBounds(e: Expression): Seq[(String, Double, Double)] =
-    e match {
-      case And(l, r) => collectBounds(l) ++ collectBounds(r)
-      case GreaterThanOrEqual(a: UnresolvedAttribute, Lit(v)) =>
-        Seq((colName(a), v, Double.PositiveInfinity))
-      case GreaterThan(a: UnresolvedAttribute, Lit(v)) =>
-        Seq((colName(a), Math.nextUp(v), Double.PositiveInfinity))
-      case LessThanOrEqual(a: UnresolvedAttribute, Lit(v)) =>
-        Seq((colName(a), Double.NegativeInfinity, v))
-      case LessThan(a: UnresolvedAttribute, Lit(v)) =>
-        Seq((colName(a), Double.NegativeInfinity, Math.nextDown(v)))
-      case EqualTo(a: UnresolvedAttribute, Lit(v)) =>
-        Seq((colName(a), v, v))
-      // mirrored operand order: 10 <= col etc.
-      case GreaterThanOrEqual(Lit(v), a: UnresolvedAttribute) =>
-        Seq((colName(a), Double.NegativeInfinity, v))
-      case GreaterThan(Lit(v), a: UnresolvedAttribute) =>
-        Seq((colName(a), Double.NegativeInfinity, Math.nextDown(v)))
-      case LessThanOrEqual(Lit(v), a: UnresolvedAttribute) =>
-        Seq((colName(a), v, Double.PositiveInfinity))
-      case LessThan(Lit(v), a: UnresolvedAttribute) =>
-        Seq((colName(a), Math.nextUp(v), Double.PositiveInfinity))
-      case EqualTo(Lit(v), a: UnresolvedAttribute) =>
-        Seq((colName(a), v, v))
-      case other => throw new IllegalArgumentException(
-        "DELETE WHERE must be a conjunction of <stats col> {=,<,<=,>,>=} " +
-          s"<numeric literal> predicates; cannot compile: $other")
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** The manifest-prune contribution of one conjunct, or None when it can
+    * only serve as row residual. Literals stay in their parsed Catalyst
+    * type ([[PlanExec.column]]), so the stats comparison coerces by
+    * Spark's own (monotone) rules — a file is pruned only when NO value
+    * in its [min,max] can satisfy the comparison. */
+  private def pruneOf(e: Expression, spec: LakeTableSpec,
+                      mapping: Option[Map[String, String]]): Option[Column] = {
+    // physical stats-column name, or None when the conjunct's column has
+    // no manifest stats (residual-only)
+    def stats(a: UnresolvedAttribute): Option[String] = {
+      val phys = physicalName(a.nameParts.last, mapping, "predicate column")
+      if (spec.cols.contains(phys)) Some(phys) else None
     }
-
-  private def colName(a: UnresolvedAttribute): String = a.nameParts.last
-
-  /** Numeric literal extractor (int/long/double/decimal → double). */
-  private object Lit {
-    def unapply(e: Expression): Option[Double] = e match {
-      case Literal(v: Int, _) => Some(v.toDouble)
-      case Literal(v: Long, _) => Some(v.toDouble)
-      case Literal(v: Double, _) => Some(v)
-      case Literal(v: Float, _) => Some(v.toDouble)
-      case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
-        Some(v.toDouble)
+    def l(v: Literal): Column = PlanExec.column(v)
+    e match {
+      case EqualTo(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v))
+      case EqualTo(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v))
+      case LessThan(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => col(s"min_$c") < l(v))
+      case GreaterThan(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => col(s"min_$c") < l(v))
+      case LessThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => col(s"min_$c") <= l(v))
+      case GreaterThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => col(s"min_$c") <= l(v))
+      case GreaterThan(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => col(s"max_$c") > l(v))
+      case LessThan(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => col(s"max_$c") > l(v))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => col(s"max_$c") >= l(v))
+      case LessThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => col(s"max_$c") >= l(v))
+      case In(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // per-value point intersects, OR'd: a file survives if ANY listed
+        // value falls inside its stats box (null list entries contribute
+        // null terms, which match no file on their own — sound, since a
+        // null never matches a row either)
+        stats(a).map(c => vs.map { case v: Literal =>
+          col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v)
+        }.reduce(_ || _))
+      case Like(a: UnresolvedAttribute, Literal(p: UTF8String, StringType), _)
+          if isPrefixPattern(p.toString) =>
+        // 'p%' — lexical prefix range: every match s has s >= p, and
+        // prefix-truncation is monotone, so substring(min, |p|) <= p
+        val prefix = p.toString.dropRight(1)
+        stats(a).map(c => col(s"max_$c") >= lit(prefix) &&
+          substring(col(s"min_$c"), 1, prefix.length) <= lit(prefix))
       case _ => None
     }
   }
+
+  /** literal-prefix-then-% patterns only (no mid-pattern wildcards). */
+  private def isPrefixPattern(p: String): Boolean =
+    p.nonEmpty && p.endsWith("%") &&
+      !p.dropRight(1).exists(ch => ch == '%' || ch == '_' || ch == '\\')
 
   // ------------------------------------------------------------- plumbing
 

@@ -8,64 +8,145 @@ import org.scalacheck.rng.Seed
 import graft.SparkSpec
 import graft.sql.LakeSql.LakeTableSpec
 
-/** Property check for the SQL-predicate → manifest-stats-box compiler:
-  * for ANY conjunction of comparison predicates over stats columns — both
-  * operand orders, strict and inclusive bounds, equalities, repeated
-  * columns — the compiled inclusive box must select EXACTLY the rows the
-  * SQL predicate selects on integer-valued data (the strict-bound
-  * one-ulp nudge is exact for every stored integer). A divergence here is
-  * a DELETE/UPDATE that silently touches the wrong rows. Generators use
-  * fixed seeds (the scalatest↔scalacheck bridge isn't available offline). */
+/** Property check for the TYPED SQL-predicate → (manifest-prune, row
+  * predicate) compiler: for ANY conjunction of comparison / IN /
+  * prefix-LIKE predicates over numeric AND string stats columns — both
+  * operand orders, strict and inclusive bounds, residual conjuncts on
+  * non-stats columns — the compiled row predicate must select EXACTLY the
+  * rows the SQL predicate selects, and the compiled prune expression must
+  * select a SUPERSET of the files containing matching rows (stats can
+  * over-include, never under-include — an under-inclusion is a
+  * DELETE/UPDATE that silently misses rows). Generators use fixed seeds
+  * (the scalatest↔scalacheck bridge isn't available offline). */
 class BoxCompilerPropertySpec extends SparkSpec {
 
-  private val spec = LakeTableSpec("/none", "/none", Seq("x", "y"))
+  private val spec = LakeTableSpec("/none", "/none", Seq("x", "y", "s", "d"))
 
-  /** The same inclusive-box membership deleteWhere/updateWhere filter on
-    * (Layout.inBoxExpr is private to the sinks package). */
-  private def inBox(box: Seq[(String, Double, Double)]) =
-    box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .reduce(_ && _)
-
+  // columns: x,y numeric stats; s string stats (20 categories c00..c19);
+  // d timestamp stats (100 distinct days from 1995-05-09); id non-stats
   private val data = spark.range(2000).select(
     col("id"),
     pmod(xxhash64(col("id")), lit(100)).as("x"),
-    pmod(xxhash64(col("id"), lit(1)), lit(100)).as("y")).localCheckpoint()
+    pmod(xxhash64(col("id"), lit(1)), lit(100)).as("y"),
+    concat(lit("c"), lpad(pmod(xxhash64(col("id"), lit(2)), lit(20))
+      .cast("string"), 2, "0")).as("s"),
+    timestamp_seconds(lit(800000000L) +
+      pmod(xxhash64(col("id"), lit(3)), lit(100)) * 86400).as("d"))
+    .withColumn("fid", (col("x") / 10).cast("int"))
+    .localCheckpoint()
 
-  private val predGen: Gen[String] = for {
-    colName <- Gen.oneOf("x", "y")
+  // simulated file manifest: files bucketed by x-range, native-typed
+  // min_/max_ stats per stats column (string boxes lexical, timestamp
+  // boxes native — exactly what the scan-built manifest collects)
+  private val manifest = data.groupBy(col("fid"))
+    .agg(min("x").as("min_x"), max("x").as("max_x"),
+      min("y").as("min_y"), max("y").as("max_y"),
+      min("s").as("min_s"), max("s").as("max_s"),
+      min("d").as("min_d"), max("d").as("max_d"))
+    .localCheckpoint()
+
+  private def compile(where: String) = {
+    val cond = spark.sessionState.sqlParser
+      .parsePlan(s"DELETE FROM t WHERE $where") match {
+        case DeleteFromTable(_, c) => c
+        case other => fail(s"unexpected parse: $other")
+      }
+    LakeSql.compileWhere(cond, spec)
+  }
+
+  private val numPred: Gen[String] = for {
+    c <- Gen.oneOf("x", "y")
     op <- Gen.oneOf("<", "<=", ">", ">=", "=")
     v <- Gen.choose(-5, 105)
     mirrored <- Gen.oneOf(true, false)
-  } yield if (mirrored) s"$v $op $colName" else s"$colName $op $v"
+  } yield if (mirrored) s"$v $op $c" else s"$c $op $v"
 
-  private val conjGen: Gen[List[String]] =
-    Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, predGen))
+  private val strPred: Gen[String] = Gen.oneOf(
+    for {
+      op <- Gen.oneOf("<", "<=", ">", ">=", "=")
+      v <- Gen.choose(-2, 21)
+      mirrored <- Gen.oneOf(true, false)
+    } yield {
+      val s = f"'c$v%02d'"
+      if (mirrored) s"$s $op s" else s"s $op $s"
+    },
+    Gen.oneOf("s LIKE 'c0%'", "s LIKE 'c1%'",
+      "s IN ('c03', 'c07', 'c11')", "s IN ('c00', 'c19', 'c42')"))
 
-  test("property: compiled box ≡ SQL predicate on integer data") {
-    (0 until 60).foreach { i =>
-      val preds = conjGen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+  private val resPred: Gen[String] =
+    Gen.oneOf("id % 3 = 0", "id % 2 = 1", "x % 5 < 3")
+
+  private val conjGen: Gen[List[String]] = for {
+    lead <- Gen.oneOf(numPred, strPred)
+    n <- Gen.choose(0, 3)
+    rest <- Gen.listOfN(n, Gen.frequency(
+      4 -> numPred, 3 -> strPred, 2 -> resPred))
+  } yield lead :: rest
+
+  test("property: row predicate ≡ SQL predicate; prune ⊇ matching files") {
+    (0 until 80).foreach { i =>
+      val preds = conjGen.pureApply(Gen.Parameters.default, Seed(2000L + i))
       val where = preds.mkString(" AND ")
-      val cond = spark.sessionState.sqlParser
-        .parsePlan(s"DELETE FROM t WHERE $where") match {
-          case DeleteFromTable(_, c) => c
-          case other => fail(s"unexpected parse: $other")
-        }
-      val box = LakeSql.toBox(cond, spec)
-      val viaBox = data.filter(inBox(box))
+      val (prune, pred) = compile(where)
+      val viaPred = data.filter(pred)
         .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
       val viaSql = data.filter(expr(where))
         .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head()
-      assert(viaBox == viaSql,
-        s"box diverges from predicate for: $where (box=$box)")
+      assert(viaPred == viaSql,
+        s"row predicate diverges from SQL for: $where")
+      val matchFiles = data.filter(expr(where)).select(col("fid"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val prunedFiles = manifest.filter(prune).select(col("fid"))
+        .collect().map(_.getInt(0)).toSet
+      assert(matchFiles.subsetOf(prunedFiles),
+        s"prune under-included for: $where — matching files " +
+          s"${matchFiles -- prunedFiles} not selected")
     }
   }
 
-  test("property: a contradictory conjunction compiles to an empty box") {
-    val cond = spark.sessionState.sqlParser
-      .parsePlan("DELETE FROM t WHERE x > 50 AND x < 40") match {
-        case DeleteFromTable(_, c) => c
-      }
-    val box = LakeSql.toBox(cond, spec)
-    assert(data.filter(inBox(box)).isEmpty)
+  test("64-bit keys never round-trip through double (2^53 + 1 is exact)") {
+    val big = spark.range(2).select(
+      (lit(9007199254740992L) + col("id")).as("x"), // 2^53, 2^53+1
+      col("id"), lit("c00").as("s"),
+      timestamp_seconds(lit(800000000L)).as("d"))
+      .withColumn("y", col("x"))
+    val (prune, pred) = compile("x = 9007199254740993")
+    assert(big.filter(pred).count() == 1L,
+      "pred must match exactly the 2^53+1 row, not its double-collapsed twin")
+    val m = big.agg(min("x").as("min_x"), max("x").as("max_x"))
+    assert(m.filter(prune).count() == 1L, "stats box must intersect")
+  }
+
+  test("timestamp range WHERE compiles typed and prunes soundly") {
+    val where =
+      "d >= TIMESTAMP '1995-06-01 00:00:00' AND d < TIMESTAMP '1995-07-01 00:00:00'"
+    val (prune, pred) = compile(where)
+    val exact = data.filter(expr(where)).select(col("id"))
+    val viaPred = data.filter(pred).select(col("id"))
+    assert(exact.exceptAll(viaPred).isEmpty && viaPred.exceptAll(exact).isEmpty)
+    val matchFiles = data.filter(expr(where)).select(col("fid"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val prunedFiles = manifest.filter(prune).select(col("fid"))
+      .collect().map(_.getInt(0)).toSet
+    assert(matchFiles.subsetOf(prunedFiles))
+  }
+
+  test("a contradictory conjunction selects no rows") {
+    val (_, pred) = compile("x > 50 AND x < 40")
+    assert(data.filter(pred).isEmpty)
+  }
+
+  test("residual-only WHERE (nothing prunable) is rejected loudly") {
+    val e1 = intercept[IllegalArgumentException](compile("id = 3"))
+    assert(e1.getMessage.contains("prune"))
+    val e2 = intercept[IllegalArgumentException](compile("x % 2 = 0"))
+    assert(e2.getMessage.contains("prune"))
+  }
+
+  test("LIKE prunes only on literal-prefix patterns") {
+    // prefix form prunes; mid-pattern wildcard must NOT count as pruning
+    val (_, _) = compile("s LIKE 'c1%'")
+    val e = intercept[IllegalArgumentException](compile("s LIKE '%c1'"))
+    assert(e.getMessage.contains("prune"))
   }
 }
