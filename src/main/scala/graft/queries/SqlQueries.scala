@@ -566,6 +566,70 @@ object SqlQueries {
         .withColumn("s2_ok", lit(s2Ok))
         .withColumn("s4_ok", lit(s4Ok))
     }),
+
+    // SQL MERGE CLAUSE MATRIX (q184, round-13 verdict item 2): composite
+    // ON key (t.o_orderkey AND t.o_custkey), conditional WHEN MATCHED
+    // with explicit SET assignments reading BOTH sides, an unconditional
+    // matched DELETE behind it (first-match-wins: rows satisfying the
+    // update condition must take the update, not the delete), and a
+    // conditional explicit-VALUES INSERT — the standard Databricks MERGE
+    // forms the star-only path lacked; the reference's own MERGE is
+    // multi-key (run_load.py:76). Gates: per-clause row counts exact and
+    // the composite-key touch set still prunes (files_rewritten <
+    // files_total).
+    "q184_sql_merge_matrix" -> ((s, dir) => {
+      val root = tmp("q184")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q184:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake184",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      // band A (tripled price → update fires), band B (zero price →
+      // falls through to the delete), shifted keys (insert candidates)
+      val bandA = orders.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      val bandB = orders.filter(col("o_orderkey").between(1501, 2500))
+        .withColumn("o_totalprice", lit(0.0))
+      val fresh = orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(30000000L))
+      bandA.unionByName(bandB).unionByName(fresh)
+        .createOrReplaceTempView("q184_src")
+      val m = LakeSql.sql(s,
+        """MERGE INTO orders_lake184 t USING q184_src s
+          |ON t.o_orderkey = s.o_orderkey AND t.o_custkey = s.o_custkey
+          |WHEN MATCHED AND s.o_totalprice > t.o_totalprice
+          |  THEN UPDATE SET o_totalprice = round(s.o_totalprice, 2),
+          |                  o_orderpriority = 'BUMPED'
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED AND s.o_custkey % 2 = 0
+          |  THEN INSERT (o_orderkey, o_custkey, o_totalprice,
+          |               o_orderpriority)
+          |       VALUES (s.o_orderkey, s.o_custkey,
+          |               round(s.o_totalprice, 2), 'NEW')
+          |""".stripMargin).head()
+      val expUpd = bandA.count()
+      val expDel = bandB.count()
+      val expIns = fresh.filter(col("o_custkey") % 2 === 0).count()
+      val countsOk = m.getAs[Long]("rows_updated") == expUpd &&
+        m.getAs[Long]("rows_deleted") == expDel &&
+        m.getAs[Long]("rows_inserted") == expIns
+      require(countsOk, s"q184 clause metrics off: $m " +
+        s"(want upd=$expUpd del=$expDel ins=$expIns)")
+      val prunedOk =
+        m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total")
+      require(prunedOk, "q184 composite-key merge rewrote every file")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            |FROM orders_lake184""".stripMargin)
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -657,6 +721,24 @@ object SqlQueries {
         |       ELSE round(o_totalprice, 2) END,
         |  'update', TRUE, TRUE, TRUE
         |FROM orders""".stripMargin,
+    // q184 emits the full post-merge table: band A updated (tripled then
+    // rounded, 'BUMPED'), band B deleted, even-custkey shifted keys
+    // inserted as 'NEW', everything else untouched.
+    "q184_sql_merge_matrix" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 1500
+        |       THEN round(round(o_totalprice, 2) * 3, 2)
+        |       ELSE round(o_totalprice, 2) END AS o_totalprice,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 1500 THEN 'BUMPED'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  TRUE AS counts_ok, TRUE AS pruned_ok
+        |FROM orders
+        |WHERE NOT (o_orderkey BETWEEN 1501 AND 2500)
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, o_custkey, round(o_totalprice, 2),
+        |  'NEW', TRUE, TRUE
+        |FROM orders
+        |WHERE o_orderkey % 89 = 0 AND o_custkey % 2 = 0""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

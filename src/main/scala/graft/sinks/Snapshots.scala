@@ -658,6 +658,176 @@ object Snapshots {
                                    filesTotal: Long, rowsUpdated: Long,
                                    rowsInserted: Long, rowsDeleted: Long)
 
+  /** One `WHEN MATCHED` clause of the general MERGE matrix. Expressions
+    * (conditions, assignment right-hand sides) evaluate over the joined
+    * (target, source) pair: target columns under their own names, source
+    * columns under the [[Snapshots.srcCol]] `_s_` prefix. `cond = None`
+    * means unconditional. */
+  sealed trait WhenMatched { def cond: Option[org.apache.spark.sql.Column] }
+  /** `UPDATE SET col = expr, …` — unassigned target columns keep their
+    * target value. */
+  final case class MatchedUpdateSet(cond: Option[org.apache.spark.sql.Column],
+                                    set: Map[String, org.apache.spark.sql.Column])
+    extends WhenMatched
+  /** `UPDATE SET *` — the source row replaces the target row by name. */
+  final case class MatchedUpdateStar(cond: Option[org.apache.spark.sql.Column])
+    extends WhenMatched
+  /** `DELETE` — the matched target row is dropped. */
+  final case class MatchedDelete(cond: Option[org.apache.spark.sql.Column])
+    extends WhenMatched
+
+  /** One `WHEN NOT MATCHED` clause: expressions evaluate over the SOURCE
+    * row alone (plain source column names — there is no target side). */
+  sealed trait WhenNotMatched { def cond: Option[org.apache.spark.sql.Column] }
+  /** `INSERT *` — the source row inserts by name. */
+  final case class InsertStar(cond: Option[org.apache.spark.sql.Column])
+    extends WhenNotMatched
+  /** `INSERT (cols) VALUES (exprs)` — unassigned target columns null. */
+  final case class InsertValues(cond: Option[org.apache.spark.sql.Column],
+                                values: Map[String, org.apache.spark.sql.Column])
+    extends WhenNotMatched
+
+  /** Source-column reference inside a [[WhenMatched]] expression — the
+    * joined pair carries source columns under this prefix so `t.x` and
+    * `s.x` stay distinguishable after the join. */
+  def srcCol(name: String): org.apache.spark.sql.Column = col(s"_s_$name")
+
+  /** The FULL MERGE clause matrix over a composite equi-key — explicit
+    * `SET col = expr` assignments, conditional `WHEN MATCHED AND cond`
+    * clauses (first applicable clause wins, the SQL MERGE contract),
+    * matched DELETE, conditional/explicit inserts, any number of key
+    * columns. Generalizes [[mergeCommit]] (which stays as the lean
+    * star-clause fast path).
+    *
+    * Scale shape is unchanged from [[mergeCommit]]: the touch set is the
+    * files whose per-key stats boxes admit at least one source key TUPLE
+    * (distinct source tuples × BROADCAST manifest, file-count-bounded),
+    * matched pairs come from ONE shuffle join of touched live rows ×
+    * source on the composite key, and the clause cascade compiles to a
+    * single codegen'd CASE projection — never a per-clause pass. The
+    * rewrite is (unmatched touched rows) ∪ (clause-projected matched
+    * rows minus deletes) ∪ (clause-projected unmatched source rows),
+    * z-ordered, staged outside the table, committed as vN+1.
+    *
+    * Source keys must be UNIQUE on the composite key: a target row
+    * matched by two source rows has no deterministic outcome (the SQL
+    * cardinality-violation error, checked here with one count). */
+  def mergeCommitClauses(spark: SparkSession, source: DataFrame,
+                         keys: Seq[String], cols: Seq[String], path: String,
+                         manifestRoot: String, nFiles: Int,
+                         matched: Seq[WhenMatched],
+                         notMatched: Seq[WhenNotMatched]): MergeFullResult = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    keys.foreach(k => require(cols.contains(k),
+      s"merge key $k needs manifest stats — not in ${cols.mkString(",")}"))
+    val dup = source.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has duplicate key tuples (e.g. ${dup.headOption}) — " +
+        "a target row matched twice has no deterministic outcome")
+    val manifest =
+      Dv.ensureDv(manifestAt(spark, manifestRoot,
+          latestVersion(spark, manifestRoot)))
+        .localCheckpoint()
+    val total = manifest.count()
+    // touch set: distinct source key tuples × broadcast manifest, file
+    // hit iff the tuple sits inside the file's stats box on EVERY key
+    val keyTuples = source.select(keys.map(k => col(k).as(s"_k_$k")): _*)
+      .distinct()
+    val hit = keyTuples
+      .join(broadcast(manifest.select(col("file") +:
+          keys.flatMap(k => Seq(col(s"min_$k"), col(s"max_$k"))): _*)),
+        keys.map(k => col(s"_k_$k") >= col(s"min_$k") &&
+          col(s"_k_$k") <= col(s"max_$k")).reduce(_ && _))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val hitRows =
+      if (hit.isEmpty) None
+      else Some(Dv.readLive(spark,
+          Dv.entries(manifest.filter(col("file").isInCollection(hit))))
+        .localCheckpoint())
+    val targetSchema = hitRows.map(_.schema).getOrElse(
+      tableAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot)).schema)
+    val targetCols = targetSchema.fieldNames.toSeq
+    // clause cascade → one integer action column: first applicable wins
+    def actionOf(conds: Seq[Option[org.apache.spark.sql.Column]]) =
+      conds.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case ((c, i), els) => when(c.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val delIdx = matched.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => i }
+    val (matchedKept, updated, deleted, matchedSrcKeys) = hitRows match {
+      case None => (None, 0L, 0L, srcKeys.limit(0))
+      case Some(rows) =>
+        val srcRenamed = source.select(
+          source.columns.toIndexedSeq.map(c => col(c).as(s"_s_$c")): _*)
+        val withAction = rows.join(srcRenamed,
+            keys.map(k => col(k) === col(s"_s_$k")).reduce(_ && _), "inner")
+          .withColumn("__action", actionOf(matched.map(_.cond)))
+          .localCheckpoint()
+        val isDel =
+          if (delIdx.isEmpty) lit(false)
+          else col("__action").isInCollection(delIdx)
+        val counts = withAction.agg(
+          sum(when(col("__action") >= 0 && !isDel, 1L).otherwise(0L)).as("upd"),
+          sum(when(isDel, 1L).otherwise(0L)).as("del")).head()
+        // projected matched rows: per target column, a CASE over the
+        // action index picking that clause's value (codegen'd, one pass)
+        val projected = withAction.filter(!isDel).select(targetCols.map { c =>
+          matched.zipWithIndex.foldRight(col(c)) {
+            case ((MatchedUpdateSet(_, set), i), els) =>
+              set.get(c).map(v => when(col("__action") === i, v)
+                .otherwise(els)).getOrElse(els)
+            case ((MatchedUpdateStar(_), i), els) =>
+              when(col("__action") === i, col(s"_s_$c")).otherwise(els)
+            case ((_: MatchedDelete, _), els) => els
+          }.as(c)
+        }: _*)
+        (Some(projected),
+          if (counts.isNullAt(0)) 0L else counts.getLong(0),
+          if (counts.isNullAt(1)) 0L else counts.getLong(1),
+          withAction.select(keys.map(k => col(s"_s_$k").as(k)): _*).distinct())
+    }
+    // inserts: source rows whose key tuple matched no touched row —
+    // complete because any table row sharing a tuple lives in a touched
+    // file (the stats-interval argument, per key column)
+    val unmatchedSrc = source.join(matchedSrcKeys, keys, "left_anti")
+    val insActioned = unmatchedSrc
+      .withColumn("__action", actionOf(notMatched.map(_.cond)))
+      .filter(col("__action") >= 0)
+      .localCheckpoint()
+    val insRows = insActioned.select(targetCols.map { c =>
+      val absent: org.apache.spark.sql.Column =
+        lit(null).cast(targetSchema(c).dataType)
+      notMatched.zipWithIndex.foldRight(absent) {
+        case ((InsertStar(_), i), els) =>
+          if (unmatchedSrc.columns.contains(c))
+            when(col("__action") === i, col(c)).otherwise(els)
+          else els
+        case ((InsertValues(_, values), i), els) =>
+          values.get(c).map(v => when(col("__action") === i, v)
+            .otherwise(els)).getOrElse(els)
+      }.as(c)
+    }: _*)
+    val inserted = insActioned.count()
+    val survivors = hitRows.map(_.join(srcKeys, keys, "left_anti"))
+    val pieces = survivors.toSeq ++ matchedKept.toSeq ++ Seq(insRows)
+    val newData = pieces.reduce(
+      _.unionByName(_, allowMissingColumns = true))
+    val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(newData, cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep =
+      if (hit.isEmpty) manifest
+      else manifest.filter(!col("file").isInCollection(hit))
+    val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
+      allowMissingColumns = true)
+    MergeFullResult(commit(spark, next, manifestRoot), hit.size.toLong,
+      total, updated, inserted, deleted)
+  }
+
   /** The COMPLETE three-clause MERGE matrix: WHEN MATCHED UPDATE (source
     * row replaces the target row), WHEN NOT MATCHED INSERT, and WHEN NOT
     * MATCHED BY SOURCE DELETE — the clause [[mergeCommit]] lacks, which is

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Like, Literal}
 import org.apache.spark.sql.functions.{col, lit, substring}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -312,34 +312,25 @@ object LakeSql {
   }
 
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
-    val (_, spec) = lookup(m.targetTable).get
+    val (tname, spec) = lookup(m.targetTable).get
     val mapping = headMapping(spark, spec)
     // the source arrives in the LOGICAL schema; the lake's rows are
     // physical — route it through the mapping before the commit
     val source = toPhysicalFrame(
       PlanExec.ofRows(spark, resolveReads(spark, m.sourceTable)), mapping)
-    val key = physicalName(equiJoinKey(m.mergeCondition), mapping,
-      "MERGE key")
-    require(spec.cols.contains(key),
+    val keys = equiJoinKeys(m.mergeCondition)
+      .map(k => physicalName(k, mapping, "MERGE key"))
+    keys.foreach(key => require(spec.cols.contains(key),
       s"MERGE key '$key' must be a manifest stats column " +
         s"(${spec.cols.mkString(", ")}) — anything else cannot prune the " +
-        "touch set and degenerates to a full-table rewrite")
-    val updateStar = m.matchedActions match {
-      case Seq(UpdateStarAction(None)) => true
-      case other => throw new IllegalArgumentException(
-        "supported MERGE matched clause: WHEN MATCHED THEN UPDATE SET * " +
-          s"(got $other)")
-    }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
-      case other => throw new IllegalArgumentException(
-        "supported MERGE not-matched clause: WHEN NOT MATCHED THEN " +
-          s"INSERT * (got $other)")
-    }
-    require(updateStar, "unreachable")
-    m.notMatchedBySourceActions match {
-      case Seq() =>
-        val r = Snapshots.mergeCommit(spark, source, key, spec.cols,
+        "touch set and degenerates to a full-table rewrite"))
+    (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+      // star fast paths (single key, unconditional SET */INSERT *) keep
+      // the lean mergeCommit/mergeCommitFull plans
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq())
+          if keys.sizeIs == 1 =>
+        val r = Snapshots.mergeCommit(spark, source, keys.head, spec.cols,
           spec.path, spec.manifestRoot, spec.nFiles)
         metricsRow(spark,
           Seq("version" -> r.version.toLong,
@@ -347,12 +338,13 @@ object LakeSql {
             "files_total" -> r.filesTotal,
             "rows_updated" -> r.rowsUpdated,
             "rows_inserted" -> r.rowsInserted))
-      case Seq(DeleteAction(Some(cond))) =>
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+          Seq(DeleteAction(Some(cond)))) if keys.sizeIs == 1 =>
         // the three-clause matrix: the delete clause must be stats-scoped
         // — same 100 TB honesty contract as Snapshots.mergeCommitFull
         val (prune, pred) = compileWhere(cond, spec, mapping)
-        val r = Snapshots.mergeCommitFullPred(spark, source, key, spec.cols,
-          spec.path, spec.manifestRoot, spec.nFiles, prune, pred)
+        val r = Snapshots.mergeCommitFullPred(spark, source, keys.head,
+          spec.cols, spec.path, spec.manifestRoot, spec.nFiles, prune, pred)
         metricsRow(spark,
           Seq("version" -> r.version.toLong,
             "files_rewritten" -> r.filesRewritten,
@@ -360,14 +352,129 @@ object LakeSql {
             "rows_updated" -> r.rowsUpdated,
             "rows_inserted" -> r.rowsInserted,
             "rows_deleted" -> r.rowsDeleted))
-      case Seq(DeleteAction(None)) => throw new IllegalArgumentException(
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE needs a scoping condition " +
-          "(a stats-column range): unscoped it must touch every file of " +
-          "the table — no stats can prune 'rows whose key is absent'")
-      case other => throw new IllegalArgumentException(
-        s"unsupported not-matched-by-source clause: $other")
+      case (_, _, Seq(DeleteAction(None))) =>
+        throw new IllegalArgumentException(
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE needs a scoping " +
+            "condition (a stats-column range): unscoped it must touch " +
+            "every file of the table — no stats can prune 'rows whose " +
+            "key is absent'")
+      case (matchedActs, notMatchedActs, Seq()) =>
+        // the GENERAL clause matrix: conditional clauses, explicit SET
+        // assignments and INSERT values, composite keys, matched DELETE
+        val rw = new MergeRewriter(spark, m, tname, spec, mapping,
+          source.columns.toSet)
+        val matched = matchedActs.map {
+          case UpdateStarAction(c) =>
+            Snapshots.MatchedUpdateStar(c.map(rw.pairExpr))
+          case UpdateAction(c, assigns, _) =>
+            Snapshots.MatchedUpdateSet(c.map(rw.pairExpr),
+              assigns.map(a => rw.assignTarget(a) -> rw.pairExpr(a.value))
+                .toMap)
+          case DeleteAction(c) => Snapshots.MatchedDelete(c.map(rw.pairExpr))
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE matched clause: $other")
+        }
+        val notMatched = notMatchedActs.map {
+          case InsertStarAction(c) => Snapshots.InsertStar(c.map(rw.srcExpr))
+          case InsertAction(c, assigns) =>
+            Snapshots.InsertValues(c.map(rw.srcExpr),
+              assigns.map(a => rw.assignTarget(a) -> rw.srcExpr(a.value))
+                .toMap)
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE not-matched clause: $other")
+        }
+        val r = Snapshots.mergeCommitClauses(spark, source, keys, spec.cols,
+          spec.path, spec.manifestRoot, spec.nFiles, matched, notMatched)
+        metricsRow(spark,
+          Seq("version" -> r.version.toLong,
+            "files_rewritten" -> r.filesRewritten,
+            "files_total" -> r.filesTotal,
+            "rows_updated" -> r.rowsUpdated,
+            "rows_inserted" -> r.rowsInserted,
+            "rows_deleted" -> r.rowsDeleted))
+      case (_, _, other) => throw new IllegalArgumentException(
+        "NOT MATCHED BY SOURCE clauses combine only with the " +
+          s"unconditional star form (got $other with explicit clauses)")
     }
   }
+
+  /** Rewrites parsed MERGE clause expressions onto the frames
+    * [[Snapshots.mergeCommitClauses]] evaluates them over: matched-clause
+    * expressions see the joined (target, source) pair — target columns
+    * under their physical names, source columns under the `_s_` prefix —
+    * and insert-clause expressions see the bare source frame. Qualifier
+    * resolution: the source alias wins its qualified refs, the target
+    * alias (or table name) wins its own; unqualified refs resolve
+    * target-first (matched context) / source-only (insert context). */
+  private final class MergeRewriter(spark: SparkSession, m: MergeIntoTable,
+                                    tname: String, spec: LakeTableSpec,
+                                    mapping: Option[Map[String, String]],
+                                    sourceCols: Set[String]) {
+    private def aliasOf(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    private val tgtAlias = aliasOf(m.targetTable).getOrElse(tname)
+    private val srcAlias = aliasOf(m.sourceTable)
+    // visible LOGICAL target columns: the mapping's keys when one exists,
+    // else the table's physical schema (plan-only read, no job)
+    private val targetLogical: Set[String] = mapping match {
+      case Some(mp) => mp.keySet
+      case None => Snapshots.tableAt(spark, spec.manifestRoot,
+        Snapshots.latestVersion(spark, spec.manifestRoot)).columns.toSet
+    }
+    private val srcLower = sourceCols.map(_.toLowerCase(java.util.Locale.ROOT))
+
+    private def isSrcQ(q: String) = srcAlias.exists(_.equalsIgnoreCase(q))
+    private def isTgtQ(q: String) = tgtAlias.equalsIgnoreCase(q)
+    private def phys(n: String) = physicalName(n, mapping, "MERGE expression")
+    private def inSource(physical: String) =
+      srcLower.contains(physical.toLowerCase(java.util.Locale.ROOT))
+
+    /** matched-clause context: joined (target, source) pair. */
+    def pairExpr(e: Expression): Column = PlanExec.column(e.transform {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, n) if isSrcQ(q) => UnresolvedAttribute(Seq("_s_" + phys(n)))
+        case Seq(q, n) if isTgtQ(q) => UnresolvedAttribute(Seq(phys(n)))
+        case Seq(n) if targetLogical.exists(_.equalsIgnoreCase(n)) =>
+          UnresolvedAttribute(Seq(phys(n)))
+        case Seq(n) if inSource(phys(n)) =>
+          UnresolvedAttribute(Seq("_s_" + phys(n)))
+        case parts => throw new IllegalArgumentException(
+          s"cannot resolve MERGE reference ${parts.mkString(".")} against " +
+            s"target '$tgtAlias' or source ${srcAlias.getOrElse("<unaliased>")}")
+      }
+    })
+
+    /** insert-clause context: the bare source frame. */
+    def srcExpr(e: Expression): Column = PlanExec.column(e.transform {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, n) if isSrcQ(q) => UnresolvedAttribute(Seq(phys(n)))
+        case Seq(n) => UnresolvedAttribute(Seq(phys(n)))
+        case parts => throw new IllegalArgumentException(
+          s"INSERT clause reference ${parts.mkString(".")} must name a " +
+            "source column")
+      }
+    })
+
+    /** assignment target (SET k = … / INSERT (k) …) → physical name. */
+    def assignTarget(a: Assignment): String = a.key match {
+      case k: UnresolvedAttribute => phys(k.nameParts.last)
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE assignment target: $other")
+    }
+  }
+
+  /** `ON t.k = s.k` → the shared column name `k`. */
+  private def equiJoinKeys(cond: Expression): Seq[String] =
+    splitAnd(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "supported MERGE condition: a conjunction of target.<key> = " +
+          s"source.<key> same-name equalities (got $other)")
+    }
 
   /** `INSERT INTO t SELECT …` → [[Snapshots.appendCommit]]: the batch is
     * z-ordered on the table's stats columns, staged OUTSIDE the table, and
@@ -483,16 +590,6 @@ object LakeSql {
       Seq("files_rewritten" -> r.filesRewritten,
         "files_total" -> r.filesTotal,
         "rows_updated" -> r.rowsUpdated))
-  }
-
-  /** `ON t.k = s.k` → the shared column name `k`. */
-  private def equiJoinKey(cond: Expression): String = cond match {
-    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-      a.nameParts.last
-    case other => throw new IllegalArgumentException(
-      "supported MERGE condition: target.<key> = source.<key> " +
-        s"(got $other)")
   }
 
   // ------------------------------------------ predicate → (prune, residual)
