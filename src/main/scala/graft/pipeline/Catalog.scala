@@ -32,14 +32,24 @@ object Catalog {
   // ------------------------------------------------------------- model
 
   sealed trait ResolvedAuth
-  /** `api_key_header`: resolved to the literal header to send. */
-  final case class HeaderAuth(name: String, value: String) extends ResolvedAuth
+  /** `api_key_header`: resolved to the literal header to send. The
+    * resolved VALUE is a secret — `toString` redacts it, so assertion
+    * and `require` messages interpolating a spec can never leak a key
+    * into logs. */
+  final case class HeaderAuth(name: String, value: String) extends ResolvedAuth {
+    override def toString: String = s"HeaderAuth($name, ****)"
+  }
   /** `oauth2_refresh_token`: resolved credentials for an
-    * [[graft.sources.AuthRetryPolicy]]-driven exchange. */
+    * [[graft.sources.AuthRetryPolicy]]-driven exchange. `toString`
+    * redacts the client secret and refresh token (log-leak guard, as
+    * [[HeaderAuth]]). */
   final case class OAuthConfig(tokenUrl: String, companyId: String,
                                environment: String, clientId: String,
                                clientSecret: String,
-                               refreshToken: String) extends ResolvedAuth
+                               refreshToken: String) extends ResolvedAuth {
+    override def toString: String =
+      s"OAuthConfig($tokenUrl, $companyId, $environment, $clientId, ****, ****)"
+  }
   case object NoAuth extends ResolvedAuth
 
   /** A paginated REST endpoint: the typed spec plus its URL path. */

@@ -169,8 +169,23 @@ object LakeSql {
 
   /** Re-point every registered lake relation in a read plan. Top-down so a
     * [[RelationTimeTravel]] is resolved as a unit (bottom-up would rewrite
-    * its child [[UnresolvedRelation]] first and orphan the travel spec). */
-  private def resolveReads(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    * its child [[UnresolvedRelation]] first and orphan the travel spec).
+    *
+    * PRECEDENCE: Spark's normal resolution order — temp views and CTEs
+    * win over catalog tables — is preserved: a bare relation whose name
+    * is defined as a CTE in this statement or registered as a (local or
+    * global) temp view is left for Spark's own resolver, even when a
+    * lake table shares the name. Explicit `VERSION/TIMESTAMP AS OF` still
+    * binds to the lake table — time travel is a lake-only capability, so
+    * the travel clause IS the disambiguation. */
+  private def resolveReads(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val cteNames = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    def shadowed(name: String): Boolean =
+      cteNames.contains(name) ||
+        spark.sessionState.catalog.isTempView(Seq(name))
     plan.transformDown {
       case rtt: RelationTimeTravel if isLake(rtt.relation) =>
         val (name, spec) = lookup(rtt.relation).get
@@ -184,7 +199,8 @@ object LakeSql {
           case _ => Snapshots.latestVersion(spark, spec.manifestRoot)
         }
         aliasedTableAt(spark, name, spec, version)
-      case ur: UnresolvedRelation if isLake(ur) =>
+      case ur: UnresolvedRelation
+          if isLake(ur) && !shadowed(lookup(ur).get._1) =>
         val (name, spec) = lookup(ur).get
         aliasedTableAt(spark, name, spec,
           Snapshots.latestVersion(spark, spec.manifestRoot))
@@ -226,6 +242,7 @@ object LakeSql {
             s"table_history wants ('<lake table>'), got ${other.mkString(", ")}")
         }): LogicalPlan
     }
+  }
 
   private def specByName(name: String): LakeTableSpec =
     registry.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
@@ -495,7 +512,39 @@ object LakeSql {
     val batch = toPhysicalFrame(
       PlanExec.ofRows(spark, resolveReads(spark, ins.query)),
       headMapping(spark, spec))
-    val (version, files) = Snapshots.appendCommit(spark, batch, spec.cols,
+    // SCHEMA-ON-WRITE (the Delta contract): the batch must match the
+    // table's current physical schema — extra, missing, or incompatibly
+    // typed columns are rejected BEFORE staging (validate-before-stage,
+    // the appendCommitChecked shape), because a drifted batch would
+    // otherwise commit silently and later reads would null-fill or drop
+    // columns depending on parquet footer order. Safe upcasts are
+    // aligned in place; the projection also fixes column ORDER to the
+    // table's, so footer order never varies by writer.
+    val expect = Snapshots.tableAt(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot)).schema
+    val bFields = batch.schema.fields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    val eNames = expect.fields
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    val missing = eNames -- bFields.keySet
+    val extra = bFields.keySet -- eNames
+    require(missing.isEmpty && extra.isEmpty,
+      s"INSERT batch schema drift: missing [${missing.mkString(", ")}], " +
+        s"unexpected [${extra.mkString(", ")}] vs table schema " +
+        s"[${expect.fieldNames.mkString(", ")}] — nothing committed " +
+        "(evolve the schema through the DataFrame API explicitly)")
+    val aligned = batch.select(expect.fields.toIndexedSeq.map { f =>
+      val bf = bFields(f.name.toLowerCase(java.util.Locale.ROOT))
+      if (bf.dataType == f.dataType) col(bf.name).as(f.name)
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(bf.dataType, f.dataType))
+        col(bf.name).cast(f.dataType).as(f.name)
+      else throw new IllegalArgumentException(
+        s"INSERT column '${f.name}' arrives as ${bf.dataType.sql} but the " +
+          s"table stores ${f.dataType.sql} and the cast is not a safe " +
+          "upcast — nothing committed")
+    }: _*)
+    val (version, files) = Snapshots.appendCommit(spark, aligned, spec.cols,
       spec.path, spec.manifestRoot, spec.nFiles)
     metricsRow(spark,
       Seq("version" -> version.toLong, "files_appended" -> files.toLong))

@@ -86,6 +86,19 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("resolved auth never leaks secrets through toString") {
+    val specs = parse(yaml, env, secrets)
+    val rendered = specs.mkString("; ")
+    // the resolved api key, client secret, and refresh token must be
+    // redacted — require()/assert failure messages interpolate specs
+    assert(!rendered.contains("sk-test-123"))
+    assert(!rendered.contains("csecret"))
+    assert(!rendered.contains("rtok"))
+    // non-secret routing fields stay visible for diagnostics
+    assert(rendered.contains("Authorization"))
+    assert(rendered.contains("cid"))
+  }
+
   test("unknown keys fail loudly naming the offender") {
     val bad = yaml.replace("        page_size: 500",
       "        page_size: 500\n        page_sise: 9")

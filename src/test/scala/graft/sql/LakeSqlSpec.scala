@@ -346,4 +346,59 @@ class LakeSqlSpec extends SparkSpec {
       .head().getLong(0)
     assert(joined == 100L)
   }
+
+  test("temp views and CTEs shadow a same-named lake table (Spark precedence)") {
+    freshLake("t_shadow")
+    try {
+      // temp view with the SAME name: Spark's resolution order (temp
+      // views win) must be preserved — 5 rows, not the lake's 10000
+      data.filter(col("id") < 5).createOrReplaceTempView("t_shadow")
+      assert(LakeSql.sql(spark,
+        "SELECT count(*) AS n FROM t_shadow").head().getLong(0) == 5L)
+      // explicit time travel is lake-only, so it still binds to the lake
+      assert(LakeSql.sql(spark,
+        "SELECT count(*) AS n FROM t_shadow VERSION AS OF 1")
+        .head().getLong(0) == 10000L)
+    } finally spark.catalog.dropTempView("t_shadow")
+    // CTE with the lake table's name wins inside its statement
+    assert(LakeSql.sql(spark,
+      "WITH t_shadow AS (SELECT 1 AS one) SELECT count(*) AS n FROM t_shadow")
+      .head().getLong(0) == 1L)
+    // and without the shadow, the lake serves again
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_shadow").head().getLong(0) == 10000L)
+  }
+
+  test("INSERT schema-on-write: drift rejected before staging, upcasts aligned") {
+    val (dir, _) = freshLake("t_sow")
+    // extra column → rejected, nothing committed
+    data.withColumn("zz", lit(1)).createOrReplaceTempView("sow_extra")
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "INSERT INTO t_sow SELECT * FROM sow_extra")
+    }
+    assert(e1.getMessage.contains("zz"))
+    // missing column → rejected
+    data.select(col("id"), col("x")).createOrReplaceTempView("sow_miss")
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "INSERT INTO t_sow SELECT * FROM sow_miss")
+    }
+    assert(e2.getMessage.contains("y"))
+    // incompatible retype (long stored, string arriving) → rejected
+    data.withColumn("y", lit("oops")).createOrReplaceTempView("sow_retype")
+    val e3 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "INSERT INTO t_sow SELECT * FROM sow_retype")
+    }
+    assert(e3.getMessage.contains("upcast"))
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == 1,
+      "a rejected INSERT must leave no version behind")
+    // safe upcast (int → long) + shuffled column order: aligned in place
+    spark.range(3).select(col("id").cast("int").as("y"),
+        (col("id") + 20000).as("id"), col("id").cast("int").as("x"))
+      .createOrReplaceTempView("sow_up")
+    val ok = LakeSql.sql(spark,
+      "INSERT INTO t_sow SELECT * FROM sow_up").head()
+    assert(ok.getAs[Long]("version") == 2L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_sow")
+      .head().getLong(0) == 10003L)
+  }
 }
