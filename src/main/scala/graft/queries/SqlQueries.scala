@@ -630,6 +630,77 @@ object SqlQueries {
         .withColumn("counts_ok", lit(countsOk))
         .withColumn("pruned_ok", lit(prunedOk))
     }),
+
+    // SQL DDL COMPLETION (q185, round-13 verdict item 4): `ALTER TABLE
+    // ADD COLUMN` as a metadata-only commit (zero data files written —
+    // listing-gated) that serves the new column as typed nulls at head
+    // while a pinned read keeps the old schema; an INSERT then
+    // materializes real values (the q118 footer-merge mechanics under a
+    // SQL surface); SHOW TABLES / DESCRIBE serve the registry and the
+    // evolved schema; DROP TABLE … PURGE retires a CTAS-born table and
+    // reclaims its dirs.
+    "q185_sql_ddl" -> ((s, dir) => {
+      val root = tmp("q185")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q185:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake185",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      def dataFiles(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+      }
+      val before = dataFiles()
+      LakeSql.sql(s, "ALTER TABLE orders_lake185 ADD COLUMN o_flag STRING")
+      val zeroWriteOk = dataFiles() == before
+      require(zeroWriteOk, "q185 ADD COLUMN wrote data files")
+      val head = LakeSql.sql(s, "SELECT * FROM orders_lake185")
+      val addOk = head.columns.contains("o_flag") &&
+        head.filter(col("o_flag").isNotNull).isEmpty &&
+        !LakeSql.sql(s,
+            s"SELECT * FROM orders_lake185 VERSION AS OF $v1")
+          .columns.contains("o_flag")
+      require(addOk, "q185 ADD COLUMN visibility wrong")
+      // materialize: insert shifted keys carrying the new column
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .select((col("o_orderkey") + lit(40000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), lit("L").as("o_flag"))
+        .createOrReplaceTempView("q185_batch")
+      LakeSql.sql(s, "INSERT INTO orders_lake185 SELECT * FROM q185_batch")
+      val descr = LakeSql.sql(s, "DESCRIBE orders_lake185").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val showOk = LakeSql.sql(s, "SHOW TABLES LIKE 'orders_lake185'")
+        .count() == 1L && descr.get("o_flag").contains("string")
+      require(showOk, s"q185 SHOW/DESCRIBE wrong: $descr")
+      // CTAS-born table, then DROP … PURGE reclaims its dirs
+      LakeSql.unregister("q185_tmp")
+      LakeSql.setWarehouse(s"$root/wh")
+      LakeSql.sql(s,
+        """CREATE TABLE q185_tmp TBLPROPERTIES('stats_cols'='o_orderkey')
+          |AS SELECT o_orderkey FROM orders_lake185 VERSION AS OF 1
+          |WHERE o_orderkey <= 100""".stripMargin)
+      val dropped = LakeSql.sql(s, "DROP TABLE q185_tmp PURGE")
+        .head().getAs[Long]("dropped") == 1L
+      val fsW = new org.apache.hadoop.fs.Path(s"$root/wh")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dropOk = dropped &&
+        !fsW.exists(new org.apache.hadoop.fs.Path(s"$root/wh/q185_tmp/z")) &&
+        !fsW.exists(new org.apache.hadoop.fs.Path(s"$root/wh/q185_tmp/m"))
+      require(dropOk, "q185 DROP TABLE PURGE left state behind")
+      LakeSql.sql(s,
+          "SELECT o_orderkey, o_custkey, o_totalprice, o_flag " +
+            "FROM orders_lake185")
+        .withColumn("zero_write_ok", lit(zeroWriteOk))
+        .withColumn("add_ok", lit(addOk))
+        .withColumn("show_ok", lit(showOk))
+        .withColumn("drop_ok", lit(dropOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -739,6 +810,17 @@ object SqlQueries {
         |  'NEW', TRUE, TRUE
         |FROM orders
         |WHERE o_orderkey % 89 = 0 AND o_custkey % 2 = 0""".stripMargin,
+    // q185 emits the evolved table: original rows serve the added column
+    // as NULL, the inserted shifted-key rows carry 'L'.
+    "q185_sql_ddl" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_flag, TRUE AS zero_write_ok,
+        |  TRUE AS add_ok, TRUE AS show_ok, TRUE AS drop_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 40000000, o_custkey, round(o_totalprice, 2),
+        |  'L', TRUE, TRUE, TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

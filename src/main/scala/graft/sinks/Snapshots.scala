@@ -49,6 +49,7 @@ object Snapshots {
   private val ActionCol = "action"
   private val TsPrefix = "_ts_"
   private val CmapPrefix = "_cmap_"
+  private val AddColPrefix = "_addcol_"
 
   /** Committed version numbers, ascending (empty for a fresh root). */
   def versions(spark: SparkSession, manifestRoot: String): Seq[Int] = {
@@ -1212,6 +1213,51 @@ object Snapshots {
       manifestRoot, markers = Seq(cmapMarker(cur + (logical -> phys))))
   }
 
+  /** ALTER TABLE ADD COLUMN — ONE metadata-only commit that (a) extends
+    * the mapping with the new logical column and (b) declares its TYPE in
+    * a companion marker, so the column is visible IMMEDIATELY as typed
+    * nulls (the Delta ADD COLUMN contract) instead of waiting for the
+    * first batch that materializes it. No data file is written; pinned
+    * reads below the commit keep the old schema. Appended batches carry
+    * the column physically from then on (the q118 footer-merge
+    * mechanics), at which point the real values shadow the null fill. */
+  def addColumn(spark: SparkSession, manifestRoot: String, logical: String,
+                dataType: org.apache.spark.sql.types.DataType): Int = {
+    val cur = currentMapping(spark, manifestRoot)
+    require(!cur.contains(logical), s"add: '$logical' already visible")
+    require(!cur.values.exists(_ == logical),
+      s"add: physical '$logical' already exists")
+    commit(spark,
+      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot)),
+      manifestRoot,
+      markers = Seq(cmapMarker(cur + (logical -> logical)),
+        addColMarker(logical, dataType)))
+  }
+
+  private def addColMarker(physical: String,
+                           dt: org.apache.spark.sql.types.DataType): String =
+    AddColPrefix + java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s"$physical:${dt.catalogString}".getBytes("UTF-8"))
+
+  /** Declared (physical name → type) of every ADD COLUMN commit at or
+    * below `version` — the types [[mappedTableAt]] null-fills with until
+    * data materializes the column. Version × marker-count bounded
+    * planner work, like [[columnMapping]]. */
+  private def declaredTypes(spark: SparkSession, manifestRoot: String,
+                            version: Int): Map[String, org.apache.spark.sql.types.DataType] = {
+    val fs = hfs(spark, manifestRoot)
+    versions(spark, manifestRoot).filter(_ <= version).flatMap { v =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+        .toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(AddColPrefix) =>
+          val decoded = new String(java.util.Base64.getUrlDecoder
+            .decode(n.stripPrefix(AddColPrefix)), "UTF-8")
+          val Array(p, ddl) = decoded.split(":", 2)
+          p -> org.apache.spark.sql.types.DataType.fromDDL(ddl)
+        }
+    }.toMap
+  }
+
   /** Route a LOGICAL-schema batch to PHYSICAL names for writing — what an
     * appender uses after a rename so every data file keeps the one
     * physical schema. Columns outside the mapping are rejected (a writer
@@ -1225,21 +1271,29 @@ object Snapshots {
 
   /** [[tableAt]] through the mapping in force at `version`: physical
     * columns served under their logical names, in physical-schema order;
-    * unmapped physical columns (dropped, or never mapped) are invisible. */
+    * unmapped physical columns (dropped, or never mapped) are invisible.
+    * A mapped column declared by [[addColumn]] but not yet materialized
+    * by any data file serves as typed nulls (appended last, in logical
+    * name order). */
   def mappedTableAt(spark: SparkSession, manifestRoot: String,
                     version: Int): DataFrame = {
     val t = tableAt(spark, manifestRoot, version)
     columnMapping(spark, manifestRoot, version) match {
       case None => t
       case Some(m) =>
+        val declared = declaredTypes(spark, manifestRoot, version)
         val order = t.columns.zipWithIndex.toMap
         val cols = m.toSeq
           .filter { case (_, p) => order.contains(p) }
           .sortBy { case (_, p) => order(p) }
           .map { case (l, p) => col(p).as(l) }
+        val synthesized = m.toSeq
+          .filter { case (_, p) => !order.contains(p) && declared.contains(p) }
+          .sortBy(_._1)
+          .map { case (l, p) => lit(null).cast(declared(p)).as(l) }
         require(cols.nonEmpty,
           s"mapping at v$version matches no physical column of the snapshot")
-        t.select(cols: _*)
+        t.select(cols ++ synthesized: _*)
     }
   }
 

@@ -8,10 +8,10 @@ import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Like, Literal}
 import org.apache.spark.sql.functions.{col, lit, substring}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -161,6 +161,81 @@ object LakeSql {
           Snapshots.dropColumn(spark, spec.manifestRoot,
             f.name.mkString("."))).last
         metricsRow(spark, Seq("version" -> v.toLong))
+      // ALTER TABLE … ADD COLUMN(S): one metadata-only commit per column
+      // (mapping extension + declared type) — the column is immediately
+      // visible as typed nulls, pinned reads keep the old schema, and
+      // later appends materialize it (the q118 footer-merge mechanics)
+      case ac: AddColumns if isLake(ac.table) =>
+        val (_, spec) = lookup(ac.table).get
+        val v = ac.columnsToAdd.map { qct =>
+          require(qct.path.isEmpty,
+            "nested ADD COLUMN is not supported (top-level columns only)")
+          require(qct.position.isEmpty,
+            "ADD COLUMN FIRST/AFTER is not supported — added columns " +
+              "append last")
+          require(qct.default.isEmpty,
+            "ADD COLUMN DEFAULT is not supported — added columns " +
+              "null-fill until data arrives")
+          Snapshots.addColumn(spark, spec.manifestRoot, qct.colName,
+            qct.dataType)
+        }.last
+        metricsRow(spark, Seq("version" -> v.toLong,
+          "columns_added" -> ac.columnsToAdd.size.toLong))
+      // DROP TABLE: unregisters the name; PURGE also deletes the data
+      // and manifest dirs (without it, files stay — the external-table
+      // contract). Non-lake names fall through to Spark's own DDL.
+      case DropTable(child, ifExists, purge)
+          if isLake(child) || (ifExists && singlePartName(child).isDefined) =>
+        lookup(child) match {
+          case Some((name, spec)) =>
+            unregister(name)
+            if (purge) {
+              val conf = spark.sparkContext.hadoopConfiguration
+              Seq(spec.path, spec.manifestRoot).foreach { d =>
+                val p = new org.apache.hadoop.fs.Path(d)
+                p.getFileSystem(conf).delete(p, true) : Unit
+              }
+            }
+            metricsRow(spark, Seq("dropped" -> 1L))
+          case None =>
+            require(ifExists, "unreachable: guarded by isLake")
+            metricsRow(spark, Seq("dropped" -> 0L))
+        }
+      // SHOW TABLES: the lake registry (name, path, stats_cols), LIKE
+      // pattern honored with the usual * wildcard
+      case ShowTables(_, pattern, _) =>
+        val re = pattern.map(p =>
+          ("(?i)" + p.replace("*", ".*").replace("|", ".*")).r)
+        val rows = registry.toSeq.sortBy(_._1)
+          .filter { case (n, _) => re.forall(_.matches(n)) }
+          .map { case (n, spec) =>
+            Row(n, spec.path, spec.cols.mkString(",")) }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("table_name", StringType, nullable = false),
+          StructField("path", StringType, nullable = false),
+          StructField("stats_cols", StringType, nullable = false))))
+      // DESCRIBE <lake table>: the visible (mapped) schema at head; the
+      // extended form appends the # Detailed Table Information block
+      case DescribeRelation(rel, _, isExtended, _) if isLake(rel) =>
+        val (name, spec) = lookup(rel).get
+        val head = Snapshots.latestVersion(spark, spec.manifestRoot)
+        val schema = Snapshots.mappedTableAt(spark, spec.manifestRoot, head)
+          .schema
+        val colRows = schema.fields.toSeq.map(f =>
+          Row(f.name, f.dataType.catalogString, ""))
+        val extra =
+          if (!isExtended) Seq.empty
+          else Seq(
+            Row("", "", ""),
+            Row("# Detailed Table Information", "", ""),
+            Row("Name", name, ""),
+            Row("Location", spec.path, ""),
+            Row("Stats Columns", spec.cols.mkString(","), ""),
+            Row("Version", head.toString, ""))
+        spark.createDataFrame((colRows ++ extra).asJava, StructType(Seq(
+          StructField("col_name", StringType, nullable = false),
+          StructField("data_type", StringType, nullable = false),
+          StructField("comment", StringType, nullable = false))))
       case read =>
         PlanExec.ofRows(spark, resolveReads(spark, read))
     }
@@ -520,8 +595,14 @@ object LakeSql {
     // columns depending on parquet footer order. Safe upcasts are
     // aligned in place; the projection also fixes column ORDER to the
     // table's, so footer order never varies by writer.
-    val expect = Snapshots.tableAt(spark, spec.manifestRoot,
+    val headMap = headMapping(spark, spec)
+    val visible = Snapshots.mappedTableAt(spark, spec.manifestRoot,
       Snapshots.latestVersion(spark, spec.manifestRoot)).schema
+    // the batch is already physical; compare against the VISIBLE schema
+    // translated to physical names (covers ADD-COLUMN-declared columns
+    // the data files don't carry yet)
+    val expect = org.apache.spark.sql.types.StructType(visible.fields.map(
+      f => f.copy(name = headMap.fold(f.name)(m => m(f.name)))))
     val bFields = batch.schema.fields.map(f =>
       f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     val eNames = expect.fields
@@ -748,17 +829,20 @@ object LakeSql {
     case other => other
   }
 
-  private def lookup(p: LogicalPlan): Option[(String, LakeTableSpec)] = {
+  /** Single-part identifier of a relation-naming node, if it is one. */
+  private def singlePartName(p: LogicalPlan): Option[String] = {
     val parts = stripAlias(p) match {
       case ur: UnresolvedRelation => Some(ur.multipartIdentifier)
       case ut: UnresolvedTable => Some(ut.multipartIdentifier) // ALTER target
+      case ui: UnresolvedIdentifier => Some(ui.nameParts) // DROP TABLE target
+      case utv: UnresolvedTableOrView => Some(utv.multipartIdentifier) // DESCRIBE
       case _ => None
     }
-    parts.collect { case Seq(n) =>
-      val name = n.toLowerCase(java.util.Locale.ROOT)
-      registry.get(name).map(name -> _)
-    }.flatten
+    parts.collect { case Seq(n) => n.toLowerCase(java.util.Locale.ROOT) }
   }
+
+  private def lookup(p: LogicalPlan): Option[(String, LakeTableSpec)] =
+    singlePartName(p).flatMap(name => registry.get(name).map(name -> _))
 
   private def isLake(p: LogicalPlan): Boolean = lookup(p).isDefined
 

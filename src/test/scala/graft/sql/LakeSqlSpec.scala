@@ -401,4 +401,64 @@ class LakeSqlSpec extends SparkSpec {
     assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_sow")
       .head().getLong(0) == 10003L)
   }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only, typed nulls, appends materialize") {
+    val (_, v1) = freshLake("t_addcol")
+    val m = LakeSql.sql(spark,
+      "ALTER TABLE t_addcol ADD COLUMN score DOUBLE").head()
+    assert(m.getAs[Long]("columns_added") == 1L)
+    // immediately visible as typed nulls (no data file written)
+    val now = LakeSql.sql(spark, "SELECT * FROM t_addcol")
+    assert(now.columns.contains("score"))
+    assert(now.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(now.filter(col("score").isNotNull).isEmpty)
+    // pinned pre-alter read keeps the old schema
+    assert(!LakeSql.sql(spark,
+      s"SELECT * FROM t_addcol VERSION AS OF $v1").columns.contains("score"))
+    // an INSERT carrying the column materializes real values; old rows null
+    spark.range(5).select((col("id") + 50000).as("id"), col("id").as("x"),
+        col("id").as("y"), lit(1.5).as("score"))
+      .createOrReplaceTempView("addcol_batch")
+    LakeSql.sql(spark, "INSERT INTO t_addcol SELECT * FROM addcol_batch")
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_addcol WHERE score = 1.5")
+      .head().getLong(0) == 5L)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_addcol WHERE score IS NULL")
+      .head().getLong(0) == 10000L)
+    // DESCRIBE serves the evolved schema
+    val desc = LakeSql.sql(spark, "DESCRIBE t_addcol").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("score") == "double" && desc("id") == "bigint")
+    // DESCRIBE EXTENDED appends the detail block
+    val ext = LakeSql.sql(spark, "DESCRIBE EXTENDED t_addcol").collect()
+      .map(_.getString(0))
+    assert(ext.contains("# Detailed Table Information"))
+  }
+
+  test("DROP TABLE and SHOW TABLES over the lake registry") {
+    val (dir1, _) = freshLake("t_drop1")
+    freshLake("t_drop2")
+    def listed(): Set[String] =
+      LakeSql.sql(spark, "SHOW TABLES LIKE 't_drop*'").collect()
+        .map(_.getString(0)).toSet
+    assert(listed() == Set("t_drop1", "t_drop2"))
+    assert(LakeSql.sql(spark, "DROP TABLE t_drop2")
+      .head().getAs[Long]("dropped") == 1L)
+    assert(listed() == Set("t_drop1"))
+    // dropped name no longer resolves
+    intercept[Exception](
+      LakeSql.sql(spark, "SELECT count(*) AS n FROM t_drop2").head())
+    // IF EXISTS on a missing table is a quiet no-op
+    assert(LakeSql.sql(spark, "DROP TABLE IF EXISTS t_drop2")
+      .head().getAs[Long]("dropped") == 0L)
+    // PURGE reclaims the data and manifest dirs
+    val p = new org.apache.hadoop.fs.Path(s"$dir1/z")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p))
+    LakeSql.sql(spark, "DROP TABLE t_drop1 PURGE").head()
+    assert(!fs.exists(p))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir1/m")))
+  }
 }
