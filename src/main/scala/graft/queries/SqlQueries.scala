@@ -701,6 +701,54 @@ object SqlQueries {
         .withColumn("show_ok", lit(showOk))
         .withColumn("drop_ok", lit(dropOk))
     }),
+
+    // SESSION-CATALOG INTEGRATION (q186, round-13 verdict item 3): PLAIN
+    // `spark.sql` — no LakeSql.sql wrapper — resolves lake tables, time
+    // travel, and the version-log TVFs, via the GraftSparkExtensions
+    // analyzer rule + injected table functions (the Delta integration
+    // shape). Gates: (a) spark.sql's optimized plan IS the LakeSql.sql
+    // plan for the same text (sameResult — the injected rule is the
+    // front door's own substitution block), (b) VERSION AS OF through
+    // spark.sql serves the pre-delete snapshot, (c) table_history
+    // resolves as a genuine session TVF.
+    "q186_spark_sql_catalog" -> ((s, dir) => {
+      val root = tmp("q186")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      FixtureCache.layout(s, s"q186:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake186",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols))
+      val del = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 55.0, 95.0)))
+      require(del.rowsDeleted > 0, "q186 delete removed nothing")
+      val text = """SELECT o_orderkey, o_custkey, o_totalprice
+                   |FROM orders_lake186
+                   |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin
+      val planOk = s.sql(text).queryExecution.optimizedPlan.sameResult(
+        LakeSql.sql(s, text).queryExecution.optimizedPlan)
+      require(planOk, "q186 spark.sql plan diverged from LakeSql.sql")
+      val full = Snapshots.tableAt(s, s"$root/m", v1).count()
+      val travelOk = s.sql(
+          s"SELECT count(*) AS n FROM orders_lake186 VERSION AS OF $v1")
+        .head().getLong(0) == full &&
+        s.sql("SELECT count(*) AS n FROM orders_lake186")
+          .head().getLong(0) == full - del.rowsDeleted
+      require(travelOk, "q186 time travel through spark.sql wrong")
+      val tvfOk = s.sql(
+          "SELECT operation FROM table_history('orders_lake186') " +
+            "ORDER BY version").collect().map(_.getString(0)).toSeq ==
+        Seq("create", "delete")
+      require(tvfOk, "q186 table_history TVF through spark.sql wrong")
+      s.sql(text)
+        .withColumn("plan_ok", lit(planOk))
+        .withColumn("travel_ok", lit(travelOk))
+        .withColumn("tvf_ok", lit(tvfOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -821,6 +869,14 @@ object SqlQueries {
         |SELECT o_orderkey + 40000000, o_custkey, round(o_totalprice, 2),
         |  'L', TRUE, TRUE, TRUE, TRUE
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    // q186 emits the post-delete band read through PLAIN spark.sql: the
+    // band minus the deleted custkey slice.
+    "q186_spark_sql_catalog" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS plan_ok, TRUE AS travel_ok, TRUE AS tvf_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130
+        |  AND o_custkey NOT BETWEEN 55 AND 95""".stripMargin,
     // q171 emits the post-delete band: the band minus the deleted slice.
     "q171_sql_delete" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,

@@ -261,7 +261,17 @@ object LakeSql {
     def shadowed(name: String): Boolean =
       cteNames.contains(name) ||
         spark.sessionState.catalog.isTempView(Seq(name))
-    plan.transformDown {
+    plan.transformDown(substitutions(spark, shadowed))
+  }
+
+  /** The relation-substitution cases themselves — shared between
+    * [[resolveReads]] (the `LakeSql.sql` front door, which also handles
+    * CTE/temp-view shadowing) and [[ResolveLakeTables]] (the injected
+    * analyzer rule behind plain `spark.sql`, where Spark's own
+    * substitution/resolution rules have already consumed CTEs and temp
+    * views by the time an [[UnresolvedRelation]] reaches us). */
+  private[sql] def substitutions(spark: SparkSession,
+                                 shadowed: String => Boolean): PartialFunction[LogicalPlan, LogicalPlan] = {
       case rtt: RelationTimeTravel if isLake(rtt.relation) =>
         val (name, spec) = lookup(rtt.relation).get
         val version = (rtt.version, rtt.timestamp) match {
@@ -288,36 +298,49 @@ object LakeSql {
       case tvf: UnresolvedTableValuedFunction
           if tvf.name.size == 1 &&
             tvf.name.head.equalsIgnoreCase("table_changes") =>
-        (tvf.functionArgs match {
-          case Seq(Literal(t: UTF8String, StringType),
-              Literal(from: Int, IntegerType), Literal(to: Int, IntegerType)) =>
-            val spec = specByName(t.toString)
-            SubqueryAlias("table_changes",
-              Snapshots.changesBetween(spark, spec.manifestRoot, from, to)
-                .df.queryExecution.logical)
-          case other => throw new IllegalArgumentException(
-            "table_changes wants ('<lake table>', vFrom, vTo), got " +
-              other.mkString(", "))
-        }): LogicalPlan
+        tableChangesPlan(spark, tvf.functionArgs)
       case tvf: UnresolvedTableValuedFunction
           if tvf.name.size == 1 &&
             tvf.name.head.equalsIgnoreCase("table_history") =>
-        (tvf.functionArgs match {
-          case Seq(Literal(t: UTF8String, StringType)) =>
-            val spec = specByName(t.toString)
-            val rows = Snapshots.history(spark, spec.manifestRoot)
-              .map(h => Row(h.version.toLong, h.operation, h.rows))
-            SubqueryAlias("table_history",
-              spark.createDataFrame(rows.asJava, StructType(Seq(
-                  StructField("version", LongType, nullable = false),
-                  StructField("operation", StringType, nullable = false),
-                  StructField("rows", LongType, nullable = false))))
-                .queryExecution.logical)
-          case other => throw new IllegalArgumentException(
-            s"table_history wants ('<lake table>'), got ${other.mkString(", ")}")
-        }): LogicalPlan
-    }
+        tableHistoryPlan(spark, tvf.functionArgs)
   }
+
+  /** `table_changes('<table>', vFrom, vTo)` → the change feed between two
+    * versions (reads ONLY the files the manifests disagree on). Shared by
+    * the front door's substitution arm and the session-registered TVF
+    * ([[GraftSparkExtensions]]). */
+  private[sql] def tableChangesPlan(spark: SparkSession,
+                                    args: Seq[Expression]): LogicalPlan =
+    args match {
+      case Seq(Literal(t: UTF8String, StringType),
+          Literal(from: Int, IntegerType), Literal(to: Int, IntegerType)) =>
+        val spec = specByName(t.toString)
+        SubqueryAlias("table_changes",
+          Snapshots.changesBetween(spark, spec.manifestRoot, from, to)
+            .df.queryExecution.logical)
+      case other => throw new IllegalArgumentException(
+        "table_changes wants ('<lake table>', vFrom, vTo), got " +
+          other.mkString(", "))
+    }
+
+  /** `table_history('<table>')` → (version, operation, rows) inferred
+    * from markers + manifest diffs. */
+  private[sql] def tableHistoryPlan(spark: SparkSession,
+                                    args: Seq[Expression]): LogicalPlan =
+    args match {
+      case Seq(Literal(t: UTF8String, StringType)) =>
+        val spec = specByName(t.toString)
+        val rows = Snapshots.history(spark, spec.manifestRoot)
+          .map(h => Row(h.version.toLong, h.operation, h.rows))
+        SubqueryAlias("table_history",
+          spark.createDataFrame(rows.asJava, StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("operation", StringType, nullable = false),
+              StructField("rows", LongType, nullable = false))))
+            .queryExecution.logical)
+      case other => throw new IllegalArgumentException(
+        s"table_history wants ('<lake table>'), got ${other.mkString(", ")}")
+    }
 
   private def specByName(name: String): LakeTableSpec =
     registry.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
