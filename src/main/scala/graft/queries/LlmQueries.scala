@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, AudioDedup, Dedup, Fuzzy, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis, VideoDedup}
+import graft.ext.{AsofJoin, AudioDedup, Dedup, ExactSubstr, Fuzzy, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis, VideoDedup}
 import graft.model.Tables
 import graft.qc.{RecallGate, SketchGate}
 import graft.streaming.Streaming
@@ -626,6 +626,22 @@ object LlmQueries {
         anchors = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("anchor_id"), col("embedding")),
         perCluster = 16)
+    }),
+
+    // EXACT SUBSTRING DEDUP (q187, the ExactSubstr half of Lee et al.
+    // 2022 — the standard companion to the q27 MinHash screen): per
+    // document, the MAXIMAL token spans whose every 15-token window
+    // occurs verbatim >= 2 times anywhere in the corpus (cross-doc or
+    // self-repeat). Distributed suffix-array equivalence: stride-1
+    // fixed-width fingerprints sort-shuffled by value reproduce exactly
+    // the >=L duplicated-span coverage — O(corpus tokens) rows, never
+    // all-pairs (spec-guarded: no cartesian in the plan). Oracle = the
+    // same windows/HAVING/semi-join/gaps-and-islands in DuckDB with
+    // identical md5 fingerprints, so a missed span, a wrong merge, or an
+    // off-by-one boundary all hash-mismatch.
+    "q187_exact_substr" -> ((s, dir) => {
+      ExactSubstr.duplicatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 15)
     }),
 
     // LINE-LEVEL BOILERPLATE REMOVAL (q178, CCNet/RefinedWeb cleaning):
@@ -1309,6 +1325,29 @@ object LlmQueries {
     // q135 recomputes the whole Gopher rule battery in DuckDB from the
     // same exact-rational arithmetic (integer length sums divided once) —
     // measurements, per-rule flags, and the composite verdict all ride
+    // q187: the ExactSubstr spans — identical md5 window fingerprints,
+    // the >=2 occurrence HAVING, and the lag-based interval merge, all
+    // recomputed in DuckDB.
+    "q187_exact_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, unnest(generate_series(1, len(w) - 14, 1)) AS i, w
+        |      FROM t WHERE len(w) >= 15),
+        |k AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(array_to_string(w[i:i+14], ' ')) AS wkey FROM i),
+        |d AS (SELECT wkey FROM k GROUP BY wkey HAVING count(*) >= 2),
+        |p AS (SELECT k.doc_id, k.pos FROM k JOIN d USING (wkey)),
+        |g AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL THEN 1
+        |             WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) > 15 THEN 1 ELSE 0 END AS ns
+        |      FROM p),
+        |s AS (SELECT doc_id, pos,
+        |        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        |      FROM g)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end,
+        |  max(pos) + 15 - min(pos) AS span_tokens
+        |FROM s GROUP BY doc_id, sid""".stripMargin,
     // q179: the balanced coreset — nearest-anchor assignment and the
     // 16-per-cluster quota recomputed from raw arrays.
     "q179_coreset_anchors" ->
