@@ -702,6 +702,70 @@ object SqlQueries {
         .withColumn("drop_ok", lit(dropOk))
     }),
 
+    // SQL RESTORE + SHALLOW CLONE (q188, the Delta table-lifecycle
+    // statements): a fat-finger DELETE is rolled back with
+    // `RESTORE TABLE … TO VERSION AS OF` — ONE metadata-only roll-forward
+    // commit (gated: the restored head references the IDENTICAL file set
+    // as the target version — zero data files written — and history
+    // classifies the commit as 'restore') — then the pre-delete version
+    // is forked with `CREATE TABLE … SHALLOW CLONE … VERSION AS OF`
+    // (gated: the clone's v=1 shares the source's files byte-for-byte,
+    // zero copied) and a clone-side DELETE diverges the fork without
+    // touching the source (gated both directions).
+    "q188_sql_restore_clone" -> ((s, dir) => {
+      val root = tmp("q188")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q188:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.unregister("orders_lake188")
+      LakeSql.unregister("orders_clone188")
+      LakeSql.register("orders_lake188",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val total = orders.count()
+      LakeSql.sql(s,
+        "DELETE FROM orders_lake188 WHERE o_custkey >= 40 AND o_custkey <= 90")
+      val r = LakeSql.sql(s,
+        s"RESTORE TABLE orders_lake188 TO VERSION AS OF $v1").head()
+      def files(mRoot: String, v: Int): Set[String] =
+        Snapshots.manifestAt(s, mRoot, v).select("file")
+          .collect().map(_.getString(0)).toSet
+      val restoreOk = LakeSql.sql(s,
+          "SELECT count(*) AS n FROM orders_lake188").head().getLong(0) ==
+        total &&
+        files(s"$root/m", r.getAs[Long]("version").toInt) ==
+          files(s"$root/m", v1)
+      require(restoreOk, "q188 restore did not roll back to v1 zero-copy")
+      val histOk = Snapshots.history(s, s"$root/m").map(_.operation) ==
+        Seq("create", "delete", "restore")
+      require(histOk, "q188 history did not classify the restore")
+      LakeSql.sql(s, s"CREATE TABLE orders_clone188 SHALLOW CLONE " +
+        s"orders_lake188 VERSION AS OF $v1 LOCATION '$root/clone'")
+      val cloneOk = files(s"$root/clone/m", 1) == files(s"$root/m", v1)
+      require(cloneOk, "q188 clone v=1 is not the source's pinned manifest")
+      LakeSql.sql(s,
+        "DELETE FROM orders_clone188 WHERE o_custkey >= 10 AND o_custkey <= 60")
+      val divergeOk = LakeSql.sql(s,
+          "SELECT count(*) AS n FROM orders_lake188").head().getLong(0) ==
+        total &&
+        LakeSql.sql(s, "SELECT count(*) AS n FROM orders_clone188")
+          .head().getLong(0) ==
+          orders.filter(!col("o_custkey").between(10, 60)).count()
+      require(divergeOk, "q188 clone-side delete leaked across the fork")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake188
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("restore_ok", lit(restoreOk))
+        .withColumn("hist_ok", lit(histOk))
+        .withColumn("clone_ok", lit(cloneOk))
+        .withColumn("diverge_ok", lit(divergeOk))
+    }),
+
     // SESSION-CATALOG INTEGRATION (q186, round-13 verdict item 3): PLAIN
     // `spark.sql` — no LakeSql.sql wrapper — resolves lake tables, time
     // travel, and the version-log TVFs, via the GraftSparkExtensions
@@ -869,6 +933,14 @@ object SqlQueries {
         |SELECT o_orderkey + 40000000, o_custkey, round(o_totalprice, 2),
         |  'L', TRUE, TRUE, TRUE, TRUE
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    // q188 emits the band from the RESTORED source — the fat-finger
+    // delete rolled back, so the full band.
+    "q188_sql_restore_clone" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS restore_ok, TRUE AS hist_ok, TRUE AS clone_ok,
+        |  TRUE AS diverge_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
     // q186 emits the post-delete band read through PLAIN spark.sql: the
     // band minus the deleted custkey slice.
     "q186_spark_sql_catalog" ->

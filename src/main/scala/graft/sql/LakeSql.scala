@@ -104,6 +104,16 @@ object LakeSql {
     """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)(?:\s+SMALLFILES\s+(\d+))?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z0-9_]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*""".r
+  //   RESTORE TABLE <t> TO VERSION AS OF <n>      → roll-forward commit
+  //   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>' → ditto, stamp-resolved
+  //   CREATE TABLE <dst> SHALLOW CLONE <src>
+  //     [VERSION AS OF <n>] [LOCATION '<dir>']    → zero-copy fork
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s+SHALLOW\s+CLONE\s+([A-Za-z0-9_]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
 
   /** Parse + route one SQL statement. Reads return the query's rows; DML
     * and maintenance statements execute the commit and return its metrics
@@ -135,6 +145,47 @@ object LakeSql {
             cutoffMs = System.currentTimeMillis() - n.toLong * 3600000L)
       metricsRow(spark, Seq("files_deleted" -> r.filesDeleted,
         "versions_dropped" -> r.versionsDropped))
+    // RESTORE TABLE (the Delta RESTORE statement): ONE metadata-only
+    // roll-FORWARD commit re-referencing the target version's files —
+    // zero data files written, history above the target stays pinnable
+    // (Snapshots.restoreCommit re-asserts the target's column mapping).
+    case RestoreRe(name, v) =>
+      val spec = specByName(name)
+      val nv = Snapshots.restoreCommit(spark, spec.manifestRoot, v.toInt)
+      metricsRow(spark, Seq("version" -> nv.toLong,
+        "restored_to" -> v.toLong))
+    case RestoreTsRe(name, ts) =>
+      val spec = specByName(name)
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val ms = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+        .atZone(zone).toInstant.toEpochMilli
+      val target = Snapshots.versionAtTimestamp(spark, spec.manifestRoot, ms)
+      val nv = Snapshots.restoreCommit(spark, spec.manifestRoot, target)
+      metricsRow(spark, Seq("version" -> nv.toLong,
+        "restored_to" -> target.toLong))
+    // CREATE TABLE … SHALLOW CLONE (the Delta CLONE statement): the
+    // clone's v=1 IS the source's pinned manifest — zero data files
+    // copied; both logs evolve independently from there (clone-side DML
+    // stages into the CLONE's data dir). Same documented hazard as every
+    // shallow clone: don't vacuum the source while clones reference it.
+    case CloneRe(dst, src, ver, loc) =>
+      val dstName = dst.toLowerCase(java.util.Locale.ROOT)
+      val srcSpec = specByName(src)
+      require(!registry.contains(dstName),
+        s"lake table '$dstName' already exists")
+      val version =
+        if (ver == null) Snapshots.latestVersion(spark, srcSpec.manifestRoot)
+        else ver.toInt
+      val root = Option(loc).orElse(warehouse.get().map(w => s"$w/$dstName"))
+        .getOrElse(throw new IllegalArgumentException(
+          "SHALLOW CLONE needs a LOCATION clause or LakeSql.setWarehouse"))
+      val v = Snapshots.cloneCommit(spark, srcSpec.manifestRoot,
+        s"$root/m", version)
+      register(dstName, LakeTableSpec(s"$root/z", s"$root/m",
+        srcSpec.cols, srcSpec.nFiles))
+      metricsRow(spark, Seq("version" -> v.toLong,
+        "cloned_from" -> version.toLong))
     case _ => sqlParsed(spark, text)
   }
 

@@ -461,4 +461,65 @@ class LakeSqlSpec extends SparkSpec {
     assert(!fs.exists(p))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir1/m")))
   }
+
+  test("RESTORE TABLE rolls forward; TIMESTAMP form resolves the stamp") {
+    val (dir, v1) = freshLake("t_rst")
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 0.0, 499.0)))
+    val r = LakeSql.sql(spark,
+      s"RESTORE TABLE t_rst TO VERSION AS OF $v1").head()
+    assert(r.getAs[Long]("restored_to") == v1.toLong)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_rst")
+      .head().getLong(0) == 10000L)
+    // the roll-forward keeps the bad version pinnable
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_rst VERSION AS OF 2")
+      .head().getLong(0) < 10000L)
+    // TIMESTAMP form: restore to the stamp of the delete (version 2)
+    val ts = java.time.Instant
+      .ofEpochMilli(Snapshots.commitTimestamp(spark, s"$dir/m", 2).get)
+      .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val r2 = LakeSql.sql(spark,
+      s"RESTORE TABLE t_rst TO TIMESTAMP AS OF '$ts'").head()
+    assert(r2.getAs[Long]("restored_to") == 2L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_rst")
+      .head().getLong(0) < 10000L)
+    // unknown target version fails loudly
+    intercept[Exception](
+      LakeSql.sql(spark, "RESTORE TABLE t_rst TO VERSION AS OF 99"))
+  }
+
+  test("SHALLOW CLONE defaults to the head version and refuses name reuse") {
+    val (dir, v1) = freshLake("t_cln")
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 0.0, 499.0)))
+    val headRows = LakeSql.sql(spark, "SELECT count(*) AS n FROM t_cln")
+      .head().getLong(0)
+    LakeSql.unregister("t_cln_fork")
+    val c = LakeSql.sql(spark, "CREATE TABLE t_cln_fork SHALLOW CLONE " +
+      s"t_cln LOCATION '$dir/fork'").head()
+    // no VERSION AS OF → the clone pins the source HEAD (post-delete)
+    assert(c.getAs[Long]("cloned_from") == 2L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_cln_fork")
+      .head().getLong(0) == headRows)
+    // a second clone onto the same name is refused
+    val e = intercept[IllegalArgumentException](
+      LakeSql.sql(spark, "CREATE TABLE t_cln_fork SHALLOW CLONE t_cln " +
+        s"LOCATION '$dir/fork2'"))
+    assert(e.getMessage.contains("already exists"))
+    // source-side DML after the fork is invisible to the clone
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("x", 500.0, 749.0)))
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_cln_fork")
+      .head().getLong(0) == headRows)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_cln")
+      .head().getLong(0) < headRows)
+    // clone at a pinned version: v1 serves the full pre-delete table
+    LakeSql.unregister("t_cln_fork1")
+    LakeSql.sql(spark, "CREATE TABLE t_cln_fork1 SHALLOW CLONE t_cln " +
+      s"VERSION AS OF $v1 LOCATION '$dir/fork1'")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_cln_fork1")
+      .head().getLong(0) == 10000L)
+  }
 }
