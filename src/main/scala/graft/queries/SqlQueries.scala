@@ -702,6 +702,75 @@ object SqlQueries {
         .withColumn("drop_ok", lit(dropOk))
     }),
 
+    // DML THROUGH PLAIN spark.sql (q189, the full Delta integration
+    // shape): DELETE, UPDATE, MERGE, and INSERT against a lake table all
+    // issued via `spark.sql(...)` — no front-door wrapper — through the
+    // GraftSparkExtensions analyzer rule that rewrites DML roots into
+    // runnable commands executing the front door's OWN handlers (commit
+    // parity by construction; analysis never side-effects — the commit
+    // happens exactly once at command run). Disjoint custkey bands per
+    // statement keep the oracle a segment-wise reconstruction. Gates:
+    // per-statement metric counts and one version per statement.
+    "q189_spark_sql_dml" -> ((s, dir) => {
+      val root = tmp("q189")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q189:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.unregister("orders_lake189")
+      LakeSql.register("orders_lake189",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      def band(lo: Int, hi: Int) = col("o_custkey").between(lo, hi)
+      val d = s.sql(
+        "DELETE FROM orders_lake189 WHERE o_custkey >= 10 AND o_custkey <= 30")
+        .head()
+      val delOk = d.getAs[Long]("rows_deleted") ==
+        orders.filter(band(10, 30)).count()
+      require(delOk, "q189 spark.sql DELETE count off")
+      val u = s.sql(
+        """UPDATE orders_lake189 SET o_totalprice = o_totalprice + 1
+          |WHERE o_custkey >= 40 AND o_custkey <= 60""".stripMargin).head()
+      val updOk = u.getAs[Long]("rows_updated") ==
+        orders.filter(band(40, 60)).count()
+      require(updOk, "q189 spark.sql UPDATE count off")
+      orders.filter(band(70, 90))
+        .withColumn("o_totalprice", round(col("o_totalprice") + 100, 2))
+        .unionByName(orders.filter(band(100, 120))
+          .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+            col("o_custkey"),
+            round(col("o_totalprice") + 1000, 2).as("o_totalprice")))
+        .createOrReplaceTempView("q189_src")
+      val m = s.sql(
+        """MERGE INTO orders_lake189 t USING q189_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val mrgOk = m.getAs[Long]("rows_updated") ==
+          orders.filter(band(70, 90)).count() &&
+        m.getAs[Long]("rows_inserted") ==
+          orders.filter(band(100, 120)).count()
+      require(mrgOk, "q189 spark.sql MERGE counts off")
+      val i = s.sql(
+        """INSERT INTO orders_lake189
+          |SELECT o_orderkey + 60000000 AS o_orderkey, o_custkey, o_totalprice
+          |FROM orders_lake189 VERSION AS OF 1
+          |WHERE o_custkey >= 130 AND o_custkey <= 150""".stripMargin).head()
+      val insOk = i.getAs[Long]("version") == v1 + 4
+      require(insOk, "q189 spark.sql INSERT did not commit 4th version")
+      s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake189
+            |WHERE o_custkey BETWEEN 0 AND 160""".stripMargin)
+        .withColumn("del_ok", lit(delOk))
+        .withColumn("upd_ok", lit(updOk))
+        .withColumn("mrg_ok", lit(mrgOk))
+        .withColumn("ins_ok", lit(insOk))
+    }),
+
     // SQL RESTORE + SHALLOW CLONE (q188, the Delta table-lifecycle
     // statements): a fat-finger DELETE is rolled back with
     // `RESTORE TABLE … TO VERSION AS OF` — ONE metadata-only roll-forward
@@ -933,6 +1002,29 @@ object SqlQueries {
         |SELECT o_orderkey + 40000000, o_custkey, round(o_totalprice, 2),
         |  'L', TRUE, TRUE, TRUE, TRUE
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    // q189 reconstructs the final lake state segment-wise: the deleted
+    // band gone, the updated/merged bands transformed, the two insert
+    // batches appended.
+    "q189_spark_sql_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS p
+        |  FROM orders),
+        |live AS (SELECT * FROM base WHERE o_custkey NOT BETWEEN 10 AND 30),
+        |st AS (SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_custkey BETWEEN 40 AND 60 THEN p + 1
+        |              WHEN o_custkey BETWEEN 70 AND 90 THEN round(p + 100, 2)
+        |              ELSE p END AS p
+        |       FROM live),
+        |ins1 AS (SELECT o_orderkey + 50000000 AS o_orderkey, o_custkey,
+        |           round(p + 1000, 2) AS p
+        |         FROM base WHERE o_custkey BETWEEN 100 AND 120),
+        |ins2 AS (SELECT o_orderkey + 60000000 AS o_orderkey, o_custkey, p
+        |         FROM base WHERE o_custkey BETWEEN 130 AND 150),
+        |fin AS (SELECT * FROM st UNION ALL SELECT * FROM ins1
+        |        UNION ALL SELECT * FROM ins2)
+        |SELECT o_orderkey, o_custkey, p AS o_totalprice,
+        |  TRUE AS del_ok, TRUE AS upd_ok, TRUE AS mrg_ok, TRUE AS ins_ok
+        |FROM fin WHERE o_custkey BETWEEN 0 AND 160""".stripMargin,
     // q188 emits the band from the RESTORED source — the fat-finger
     // delete rolled back, so the full band.
     "q188_sql_restore_clone" ->

@@ -1,10 +1,12 @@
 package graft.sql
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
 
 /** SESSION-CATALOG INTEGRATION (round-13 verdict item 3): plain
   * `spark.sql(...)` resolves lake tables, time travel, and the
@@ -27,10 +29,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * are substituted before resolution ever starts. Only still-unresolved
   * relations over registered lake names are re-pointed.
   *
-  * DML statements (`MERGE`/`DELETE`/`UPDATE`/DDL) keep going through
-  * [[LakeSql.sql]] — they execute as commits against the version log,
-  * not as Catalyst plans, so there is nothing for an analyzer rule to
-  * re-point.
+  * DML works through plain `spark.sql` too, the way Delta does it: the
+  * rule rewrites a root `DELETE`/`UPDATE`/`MERGE`/`INSERT` against a
+  * lake table into a [[LakeDmlCommand]] — a runnable command that
+  * executes the SAME front-door handler (so spark.sql and LakeSql.sql
+  * produce the same commit and the same metric row), deferred to
+  * command run time so analysis never side-effects. Only the DDL and
+  * maintenance statements (CTAS, ALTER, OPTIMIZE, VACUUM, RESTORE,
+  * CLONE) remain front-door-only.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -59,5 +65,32 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 final case class ResolveLakeTables(spark: SparkSession)
   extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsDown(LakeSql.substitutions(spark, _ => false))
+    // DML roots are claimed BEFORE relation substitution would rewrite
+    // their target out from under them; everything else gets the read
+    // substitutions
+    LakeSql.dmlCommand(plan) match {
+      case Some((names, exec)) => LakeDmlCommand(names, exec)
+      case None =>
+        plan.resolveOperatorsDown(LakeSql.substitutions(spark, _ => false))
+    }
+}
+
+/** DML-as-command (the Delta DeleteCommand/UpdateCommand shape): carries
+  * the front-door executor for one parsed DML statement; `spark.sql`
+  * executes it eagerly exactly once, and the commit happens in [[run]],
+  * never during analysis. Output is the front door's metric row for the
+  * statement kind (declared up front — commands must know their schema
+  * before running); MERGE clause shapes that report fewer metrics
+  * zero-fill the rest. */
+final case class LakeDmlCommand(names: Seq[String],
+                                exec: SparkSession => DataFrame)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    names.map(n => AttributeReference(n, LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val metrics = exec(session)
+    val have = metrics.columns.toSet
+    val row = metrics.head()
+    Seq(Row(names.map(n => if (have(n)) row.getAs[Long](n) else 0L): _*))
+  }
 }

@@ -920,6 +920,32 @@ object LakeSql {
 
   private def isLake(p: LogicalPlan): Boolean = lookup(p).isDefined
 
+  /** spark.sql DML routing ([[GraftSparkExtensions]]): when a parsed
+    * statement root is DML against a registered lake table, return the
+    * (fixed metric schema, executor) pair the injected analyzer rule
+    * wraps into a runnable command — execution is DEFERRED to command
+    * run time, never performed during analysis (analysis may run many
+    * times; a commit must happen exactly once, when `spark.sql`
+    * eagerly executes the command). The schemas are the front door's
+    * own metric rows; MERGE declares the superset (run() zero-fills the
+    * clause shapes that report fewer). */
+  private[sql] def dmlCommand(plan: LogicalPlan)
+      : Option[(Seq[String], SparkSession => DataFrame)] = plan match {
+    case DeleteFromTable(t, c) if isLake(t) =>
+      Some((Seq("files_rewritten", "files_total", "rows_deleted"),
+        s => runDelete(s, t, c)))
+    case u: UpdateTable if isLake(u.table) =>
+      Some((Seq("files_rewritten", "files_total", "rows_updated"),
+        s => runUpdate(s, u)))
+    case m: MergeIntoTable if isLake(m.targetTable) =>
+      Some((Seq("version", "files_rewritten", "files_total",
+        "rows_updated", "rows_inserted", "rows_deleted"),
+        s => runMerge(s, m)))
+    case i: InsertIntoStatement if isLake(i.table) =>
+      Some((Seq("version", "files_appended"), s => runInsert(s, i)))
+    case _ => None
+  }
+
   private def metricsRow(spark: SparkSession,
                          fields: Seq[(String, Long)]): DataFrame =
     spark.createDataFrame(

@@ -76,4 +76,57 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT count(*) AS n FROM t_ext4 t JOIN ext4_dim d ON t.id = d.id")
       .head().getLong(0) == 80L)
   }
+
+  test("DELETE and UPDATE through plain spark.sql commit exactly once") {
+    val (dir, v1) = freshLake("t_ext5")
+    val expect = data.filter(col("x").between(0, 99)).count()
+    val d = spark.sql(
+      "DELETE FROM t_ext5 WHERE x >= 0 AND x <= 99").head()
+    assert(d.getAs[Long]("rows_deleted") == expect && expect > 0)
+    // pruned, not a full rewrite — the front-door contract holds here too
+    assert(d.getAs[Long]("files_rewritten") < d.getAs[Long]("files_total"))
+    // exactly one commit happened
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1 + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM t_ext5")
+      .head().getLong(0) == 8000L - expect)
+    val u = spark.sql(
+      "UPDATE t_ext5 SET x = x + 1000 WHERE x >= 100 AND x <= 149").head()
+    assert(u.getAs[Long]("rows_updated") ==
+      data.filter(col("x").between(100, 149)).count())
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1 + 2)
+    assert(spark.sql("SELECT count(*) AS n FROM t_ext5 WHERE x >= 1100")
+      .head().getLong(0) == u.getAs[Long]("rows_updated"))
+  }
+
+  test("MERGE and INSERT through plain spark.sql route to the commits") {
+    val (dir, v1) = freshLake("t_ext6")
+    data.filter(col("id") < 100)
+      .select(col("id"), (col("x") + 5000).as("x"))
+      .unionByName(spark.range(8000, 8100)
+        .select(col("id"), lit(7777L).as("x")))
+      .createOrReplaceTempView("ext6_src")
+    val m = spark.sql(
+      """MERGE INTO t_ext6 t USING ext6_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(m.getAs[Long]("rows_updated") == 100L)
+    assert(m.getAs[Long]("rows_inserted") == 100L)
+    assert(m.getAs[Long]("rows_deleted") == 0L) // zero-filled superset slot
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1 + 1)
+    val i = spark.sql(
+      "INSERT INTO t_ext6 SELECT id, 9999 AS x FROM range(9000, 9050)")
+      .head()
+    assert(i.getAs[Long]("version") == v1 + 2)
+    assert(spark.sql("SELECT count(*) AS n FROM t_ext6")
+      .head().getLong(0) == 8000L + 100L + 50L)
+    // spark.sql DML and the front door produce the same metric row shape
+    val viaDoor = LakeSql.sql(spark,
+      "DELETE FROM t_ext6 WHERE x = 7777").head()
+    val viaSpark = spark.sql(
+      "DELETE FROM t_ext6 WHERE x = 9999").head()
+    assert(viaDoor.schema.fieldNames.toSeq ==
+      viaSpark.schema.fieldNames.toSeq)
+    assert(viaDoor.getAs[Long]("rows_deleted") == 100L)
+    assert(viaSpark.getAs[Long]("rows_deleted") == 50L)
+  }
 }
