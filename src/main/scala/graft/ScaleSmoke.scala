@@ -68,6 +68,10 @@ object ScaleSmoke {
     // measured separately by [[q103BandedGrowth]]), incremental exact screen
     "q101_stream_warehouse", "q102_incremental_neardup", "q103_semantic_dedup",
     "q104_incremental_exact_screen",
+    // round-14: ExactSubstr — O(corpus tokens) through one fingerprint
+    // sort-shuffle; expected growth is ≈linear-in-corpus (the honest
+    // suffix-array-equivalent cost), never super-linear
+    "q187_exact_substr",
     // round-9 additions: image near-dup (collapse-bounded gates — copies
     // share text ⇒ identical images, so the rep plane stays sf-sized), the
     // z-order layout write + manifest-pruned 2-D scan, the streaming
