@@ -45,11 +45,11 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstr {
 
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      minLen: Int = 50): DataFrame = {
+  /** One row per stride-1 window: (doc, pos, fingerprint). */
+  private def windows(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    // one row per stride-1 window: (doc, pos, fingerprint)
-    val wins = docs
+    docs
       .select(col(idCol).as("doc"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= minLen)
       .select(col("doc"),
@@ -59,6 +59,11 @@ object ExactSubstr {
       .select(col("doc"), (col("i") - 1).cast("long").as("pos"),
         md5(array_join(slice(col("w"), col("i"), lit(minLen)), " "))
           .as("wkey"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 50): DataFrame = {
+    val wins = windows(docs, idCol, textCol, minLen)
     // fingerprints seen >= 2 times anywhere in the corpus (map-side
     // combine makes the hot boilerplate keys cheap)
     val dupKeys = wins.groupBy(col("wkey"))
@@ -83,5 +88,60 @@ object ExactSubstr {
         (max("pos") + minLen).as("span_end"))
       .select(col("doc").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** The REMOVAL half of ExactSubstr (Lee et al. 2022 keep-one policy):
+    * strip every duplicated-window occurrence EXCEPT its corpus-wide
+    * canonical one — the lexicographically-first (doc, pos) per
+    * fingerprint — and reassemble each document's surviving tokens in
+    * order. Exactly one copy of every duplicated `minLen`-window
+    * survives (at its canonical site; overlapping windows can force
+    * additional removal around it, the inherent span-union semantics).
+    * Documents stripped to nothing survive as EMPTY text — dropping
+    * them is a separate curation decision ([[TextAnalysis]] precedent).
+    *
+    * Scale shape: the canonical pick is ONE partial-aggregating
+    * `min(struct(doc, pos))` per fingerprint (hot boilerplate keys
+    * combine map-side); the non-canonical occurrences expand to covered
+    * token indexes (≤ occurrences × minLen rows — bounded by corpus
+    * tokens) and anti-join the exploded token stream; reassembly is the
+    * boilerplate remover's order-preserving collect_list + array_sort.
+    * Everything shuffles by (doc) or (wkey) — never all-pairs.
+    *
+    * Output: (idCol, clean_text, n_tokens, n_removed).
+    */
+  def removeDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 50): DataFrame = {
+    val wins = windows(docs, idCol, textCol, minLen)
+    val canon = wins.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc"), col("pos"))).as("canon"))
+      .filter(col("occ") >= 2)
+      .select(col("wkey"),
+        col("canon.doc").as("cdoc"), col("canon.pos").as("cpos"))
+    val badTokens = wins.join(canon, Seq("wkey"))
+      .filter(!(col("doc") === col("cdoc") && col("pos") === col("cpos")))
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("ti"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("ti", "tok")))
+      .select(col("doc"), col("ti").cast("long").as("ti"), col("tok"))
+    val kept = toks.join(badTokens, Seq("doc", "ti"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(ti, tok))), x -> x.tok)"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("doc"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
   }
 }

@@ -644,6 +644,19 @@ object LlmQueries {
         "doc_id", "text", minLen = 15)
     }),
 
+    // EXACT SUBSTRING REMOVAL (q190, the keep-one half of Lee et al.
+    // 2022): every duplicated 15-token window occurrence is stripped
+    // EXCEPT its corpus-wide canonical site (lexicographically-first
+    // (doc, pos) per fingerprint — deterministic, so the DuckDB oracle
+    // recomputes the identical canonical pick via row_number) and the
+    // surviving tokens reassemble in order; all-duplicate docs survive
+    // as empty text. A wrong canonical, an off-by-one coverage bound,
+    // or a reordered reassembly all hash-mismatch.
+    "q190_exact_substr_removal" -> ((s, dir) => {
+      ExactSubstr.removeDuplicates(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 15)
+    }),
+
     // LINE-LEVEL BOILERPLATE REMOVAL (q178, CCNet/RefinedWeb cleaning):
     // pages are built from the documents fixture with injected template
     // chrome — a cookie banner on every %3 doc and a copyright footer on
@@ -1348,6 +1361,39 @@ object LlmQueries {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end,
         |  max(pos) + 15 - min(pos) AS span_tokens
         |FROM s GROUP BY doc_id, sid""".stripMargin,
+    // q190: keep-one removal — canonical site via row_number over the
+    // same fingerprints, coverage expansion, anti-join, ordered
+    // string_agg reassembly.
+    "q190_exact_substr_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, unnest(generate_series(1, len(w) - 14, 1)) AS i, w
+        |      FROM t WHERE len(w) >= 15),
+        |k AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(array_to_string(w[i:i+14], ' ')) AS wkey FROM i),
+        |o AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY wkey) AS occ,
+        |        row_number() OVER (PARTITION BY wkey
+        |          ORDER BY doc_id, pos) AS rn
+        |      FROM k),
+        |bad AS (SELECT DISTINCT doc_id, ti FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 14)) AS ti
+        |  FROM o WHERE occ >= 2 AND rn > 1)),
+        |toks AS (SELECT doc_id, ii - 1 AS ti, w[ii] AS tok
+        |         FROM (SELECT doc_id, w,
+        |                 unnest(generate_series(1, len(w), 1)) AS ii
+        |               FROM t)),
+        |kept AS (SELECT toks.doc_id, toks.ti, toks.tok FROM toks
+        |         LEFT JOIN bad ON toks.doc_id = bad.doc_id
+        |                      AND toks.ti = bad.ti
+        |         WHERE bad.ti IS NULL),
+        |agg AS (SELECT doc_id,
+        |          string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
     // q179: the balanced coreset — nearest-anchor assignment and the
     // 16-per-cluster quota recomputed from raw arrays.
     "q179_coreset_anchors" ->

@@ -60,6 +60,29 @@ class ExactSubstrSpec extends SparkSpec {
     assert(spans().filter($"doc_id" === 4L || $"doc_id" === 5L).count() == 0)
   }
 
+  test("removeDuplicates keeps exactly the canonical occurrence") {
+    val cleaned = ExactSubstr.removeDuplicates(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 owns the canonical "c d e f g" windows (min doc) — untouched
+    assert(cleaned(1L) == (("a b c d e f g h", 8L, 0L)))
+    // doc 2 loses the duplicated run, keeps its unique tail
+    assert(cleaned(2L) == (("x y z", 8L, 5L)))
+    // doc 3's self-repeat at pos 4 is non-canonical — stripped
+    assert(cleaned(3L) == (("p q r s t", 8L, 3L)))
+    // doc 4 shares nothing; doc 5 is below minLen — both pass through
+    assert(cleaned(4L)._3 == 0L && cleaned(5L) == (("a b", 2L, 0L)))
+  }
+
+  test("a fully-duplicated non-canonical doc survives as empty text") {
+    val cleaned = ExactSubstr.removeDuplicates(
+      Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "a b c d" && cleaned(2L) == "")
+  }
+
   test("plan is shuffle-sort on the fingerprint, never all-pairs") {
     val df = spans()
     PlanGuard.requireNotInPlan(df, "CartesianProduct",
