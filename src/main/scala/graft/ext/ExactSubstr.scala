@@ -61,20 +61,11 @@ object ExactSubstr {
           .as("wkey"))
   }
 
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      minLen: Int = 50): DataFrame = {
-    val wins = windows(docs, idCol, textCol, minLen)
-    // fingerprints seen >= 2 times anywhere in the corpus (map-side
-    // combine makes the hot boilerplate keys cheap)
-    val dupKeys = wins.groupBy(col("wkey"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-      .select("wkey")
-    val dupPos = wins.join(dupKeys, Seq("wkey"), "left_semi")
-      .select("doc", "pos")
-    // merge covered intervals [pos, pos+minLen) into maximal spans:
-    // windows are fixed-width and sorted by start, so the running
-    // coverage end is simply lag(pos) + minLen — a gap starts a new span
+  /** Merge covered intervals [pos, pos+minLen) into maximal spans:
+    * windows are fixed-width and sorted by start, so the running coverage
+    * end is simply lag(pos) + minLen — a gap starts a new span. */
+  private def mergeSpans(dupPos: DataFrame, idCol: String,
+                         minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc").orderBy("pos")
     dupPos
       .withColumn("gap",
@@ -88,6 +79,47 @@ object ExactSubstr {
         (max("pos") + minLen).as("span_end"))
       .select(col("doc").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 50): DataFrame = {
+    val wins = windows(docs, idCol, textCol, minLen)
+    // fingerprints seen >= 2 times anywhere in the corpus (map-side
+    // combine makes the hot boilerplate keys cheap)
+    val dupKeys = wins.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("wkey")
+    val dupPos = wins.join(dupKeys, Seq("wkey"), "left_semi")
+      .select("doc", "pos")
+    mergeSpans(dupPos, idCol, minLen)
+  }
+
+  /** The once-per-corpus ingest artifact for the incremental screen: the
+    * corpus's DISTINCT window fingerprints (one string column `wkey`) —
+    * persist it once, probe it every batch. */
+  def windowStore(corpus: DataFrame, idCol: String, textCol: String,
+                  minLen: Int = 50): DataFrame =
+    windows(corpus, idCol, textCol, minLen).select("wkey").distinct()
+
+  /** INCREMENTAL ExactSubstr screen (the daily-cadence shape, q102/q104's
+    * contract applied to substrings): today's batch is screened for token
+    * spans that already appear VERBATIM in the persisted corpus — the
+    * corpus is never re-tokenized, never re-fingerprinted, and never
+    * shuffled. The batch's distinct fingerprints broadcast INTO the store
+    * scan (batch-bounded by construction), the matched keys broadcast back
+    * onto the batch's positions, and span assembly is per-batch-doc window
+    * work. At 100 TB of corpus the store contributes exactly one
+    * column-pruned parquet scan. Output: the batch's contaminated spans,
+    * same schema as [[duplicatedSpans]]. */
+  def spansAgainstStore(batch: DataFrame, store: DataFrame, idCol: String,
+                        textCol: String, minLen: Int = 50): DataFrame = {
+    val wins = windows(batch, idCol, textCol, minLen)
+    val hits = store.join(broadcast(wins.select("wkey").distinct()),
+      Seq("wkey")).select("wkey")
+    val dupPos = wins.join(broadcast(hits), Seq("wkey"))
+      .select("doc", "pos")
+    mergeSpans(dupPos, idCol, minLen)
   }
 
   /** The REMOVAL half of ExactSubstr (Lee et al. 2022 keep-one policy):

@@ -657,6 +657,33 @@ object LlmQueries {
         "doc_id", "text", minLen = 15)
     }),
 
+    // INCREMENTAL ExactSubstr SCREEN (q191, the daily-cadence shape of
+    // q102/q104 applied to substrings): the corpus's distinct window
+    // fingerprints persist ONCE as a parquet store; today's batch —
+    // verbatim re-fetches of every %5 doc plus %7==3 docs with a novel
+    // suffix — probes it for spans already present verbatim in the
+    // corpus. Re-fetched docs surface whole-doc spans; suffixed docs
+    // surface their PREFIX spans (the suffix windows are novel) —
+    // partial contamination found, not just whole-document. The store
+    // is never re-tokenized and never shuffled (final-plan-guarded: no
+    // SortMergeJoin — batch fingerprints broadcast into the store scan).
+    "q191_incremental_exact_substr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = QueryTmp.dir("q191")
+      ExactSubstr.windowStore(docs, "doc_id", "text", minLen = 15)
+        .write.mode("overwrite").parquet(s"$tmp/wstore")
+      val store = s.read.parquet(s"$tmp/wstore")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(col("text"), lit(" q191novel"), col("doc_id")).as("text")))
+      val spans = ExactSubstr.spansAgainstStore(batch, store,
+        "doc_id", "text", minLen = 15)
+      graft.plans.PlanGuard.requireNotInFinalPlan(spans, "SortMergeJoin",
+        "q191 screen must never shuffle the window store")
+    }),
+
     // LINE-LEVEL BOILERPLATE REMOVAL (q178, CCNet/RefinedWeb cleaning):
     // pages are built from the documents fixture with injected template
     // chrome — a cookie banner on every %3 doc and a copyright footer on
@@ -1349,6 +1376,39 @@ object LlmQueries {
         |        md5(array_to_string(w[i:i+14], ' ')) AS wkey FROM i),
         |d AS (SELECT wkey FROM k GROUP BY wkey HAVING count(*) >= 2),
         |p AS (SELECT k.doc_id, k.pos FROM k JOIN d USING (wkey)),
+        |g AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL THEN 1
+        |             WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |               ORDER BY pos) > 15 THEN 1 ELSE 0 END AS ns
+        |      FROM p),
+        |s AS (SELECT doc_id, pos,
+        |        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        |      FROM g)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end,
+        |  max(pos) + 15 - min(pos) AS span_tokens
+        |FROM s GROUP BY doc_id, sid""".stripMargin,
+    // q191: the incremental screen — corpus fingerprints, the same batch
+    // construction, the store join, and the span merge all recomputed.
+    "q191_incremental_exact_substr" ->
+      """WITH corpus AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |ci AS (SELECT unnest(generate_series(1, len(w) - 14, 1)) AS i, w
+        |       FROM corpus WHERE len(w) >= 15),
+        |ck AS (SELECT DISTINCT md5(array_to_string(w[i:i+14], ' ')) AS wkey
+        |       FROM ci),
+        |batch AS (
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id,
+        |    text || ' q191novel' || doc_id AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |bt AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+        |bi AS (SELECT doc_id, unnest(generate_series(1, len(w) - 14, 1)) AS i, w
+        |       FROM bt WHERE len(w) >= 15),
+        |bk AS (SELECT doc_id, i - 1 AS pos,
+        |         md5(array_to_string(w[i:i+14], ' ')) AS wkey FROM bi),
+        |p AS (SELECT bk.doc_id, bk.pos FROM bk JOIN ck USING (wkey)),
         |g AS (SELECT doc_id, pos,
         |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
         |               IS NULL THEN 1

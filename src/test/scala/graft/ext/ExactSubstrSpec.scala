@@ -83,6 +83,23 @@ class ExactSubstrSpec extends SparkSpec {
     assert(cleaned(1L) == "a b c d" && cleaned(2L) == "")
   }
 
+  test("spansAgainstStore finds prefix contamination without store shuffle") {
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val store = ExactSubstr.windowStore(corpus, "doc_id", "text", minLen = 3)
+    // batch doc 10 = corpus prefix "a b c d" + a novel tail: the prefix
+    // windows hit the store, the tail's do not → one span [0,4)
+    val batch = Seq(
+      (10L, "a b c d NOVEL1 NOVEL2 NOVEL3"),
+      (11L, "entirely new words only here")).toDF("doc_id", "text")
+    val spans = ExactSubstr.spansAgainstStore(batch, store,
+      "doc_id", "text", minLen = 3)
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 0L, 4L)))
+    PlanGuard.requireNotInFinalPlan(spans, "SortMergeJoin",
+      "the window store must be scan-only, never shuffled")
+  }
+
   test("plan is shuffle-sort on the fingerprint, never all-pairs") {
     val df = spans()
     PlanGuard.requireNotInPlan(df, "CartesianProduct",
