@@ -68,7 +68,8 @@ final case class ResolveLakeTables(spark: SparkSession)
     // DML roots are claimed BEFORE relation substitution would rewrite
     // their target out from under them; everything else gets the read
     // substitutions
-    LakeSql.dmlCommand(plan) match {
+    LakeSql.dmlCommand(plan,
+      n => spark.sessionState.catalog.isTempView(Seq(n))) match {
       case Some((names, exec)) => LakeDmlCommand(names, exec)
       case None =>
         plan.resolveOperatorsDown(LakeSql.substitutions(spark, _ => false))

@@ -158,8 +158,12 @@ object LakeSql {
       val spec = specByName(name)
       val zone = java.time.ZoneId.of(
         spark.sessionState.conf.sessionLocalTimeZone)
-      val ms = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
-        .atZone(zone).toInstant.toEpochMilli
+      val raw = ts.trim
+      val ldt =
+        if (raw.contains(' ') || raw.contains('T'))
+          java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+        else java.time.LocalDate.parse(raw).atStartOfDay()
+      val ms = ldt.atZone(zone).toInstant.toEpochMilli
       val target = Snapshots.versionAtTimestamp(spark, spec.manifestRoot, ms)
       val nv = Snapshots.restoreCommit(spark, spec.manifestRoot, target)
       metricsRow(spark, Seq("version" -> nv.toLong,
@@ -929,21 +933,41 @@ object LakeSql {
     * eagerly executes the command). The schemas are the front door's
     * own metric rows; MERGE declares the superset (run() zero-fills the
     * clause shapes that report fewer). */
-  private[sql] def dmlCommand(plan: LogicalPlan)
-      : Option[(Seq[String], SparkSession => DataFrame)] = plan match {
-    case DeleteFromTable(t, c) if isLake(t) =>
-      Some((Seq("files_rewritten", "files_total", "rows_deleted"),
-        s => runDelete(s, t, c)))
-    case u: UpdateTable if isLake(u.table) =>
-      Some((Seq("files_rewritten", "files_total", "rows_updated"),
-        s => runUpdate(s, u)))
-    case m: MergeIntoTable if isLake(m.targetTable) =>
-      Some((Seq("version", "files_rewritten", "files_total",
-        "rows_updated", "rows_inserted", "rows_deleted"),
-        s => runMerge(s, m)))
-    case i: InsertIntoStatement if isLake(i.table) =>
-      Some((Seq("version", "files_appended"), s => runInsert(s, i)))
-    case _ => None
+  private[sql] def dmlCommand(plan: LogicalPlan,
+                              shadowed: String => Boolean)
+      : Option[(Seq[String], SparkSession => DataFrame)] = {
+    // a lake DML target SHADOWED by a temp view must fail loudly: the
+    // session's reads resolve the view (Spark precedence), so silently
+    // committing DML against the lake table would split one name across
+    // two tables — the round-13 resolution-precedence contract. (In the
+    // spark.sql path Spark's own view substitution claims the name before
+    // the injected rule runs and rejects delete-on-a-view itself; this
+    // guard is the backstop for any caller handing us a still-unresolved
+    // shadowed target.)
+    def claim(target: LogicalPlan): Boolean = lookup(target) match {
+      case Some((name, _)) =>
+        if (shadowed(name)) throw new IllegalArgumentException(
+          s"DML target '$name' names BOTH a temp view (which reads " +
+            "resolve to) and a registered lake table — drop the view or " +
+            "rename one of them")
+        true
+      case None => false
+    }
+    plan match {
+      case DeleteFromTable(t, c) if claim(t) =>
+        Some((Seq("files_rewritten", "files_total", "rows_deleted"),
+          s => runDelete(s, t, c)))
+      case u: UpdateTable if claim(u.table) =>
+        Some((Seq("files_rewritten", "files_total", "rows_updated"),
+          s => runUpdate(s, u)))
+      case m: MergeIntoTable if claim(m.targetTable) =>
+        Some((Seq("version", "files_rewritten", "files_total",
+          "rows_updated", "rows_inserted", "rows_deleted"),
+          s => runMerge(s, m)))
+      case i: InsertIntoStatement if claim(i.table) =>
+        Some((Seq("version", "files_appended"), s => runInsert(s, i)))
+      case _ => None
+    }
   }
 
   private def metricsRow(spark: SparkSession,

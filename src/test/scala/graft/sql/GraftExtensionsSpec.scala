@@ -98,6 +98,25 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getLong(0) == u.getAs[Long]("rows_updated"))
   }
 
+  test("spark.sql DML on a temp-view-shadowed lake name fails loudly") {
+    val (dir, _) = freshLake("t_ext7")
+    try {
+      data.filter(col("id") < 5).createOrReplaceTempView("t_ext7")
+      // reads resolve the view (Spark precedence) — so DML under the
+      // same name must fail, and above all must NOT commit against the
+      // lake table. Spark's own view substitution claims the name before
+      // the injected rule runs, so the failure is Spark's
+      // delete-on-a-view rejection; LakeSql.dmlCommand's shadow guard is
+      // the backstop for any path that reaches it unresolved.
+      intercept[Exception](
+        spark.sql("DELETE FROM t_ext7 WHERE x >= 0 AND x <= 9"))
+      assert(Snapshots.latestVersion(spark, s"$dir/m") == 1)
+    } finally spark.catalog.dropTempView("t_ext7")
+    // view gone → the same statement commits against the lake table
+    assert(spark.sql("DELETE FROM t_ext7 WHERE x >= 0 AND x <= 9")
+      .head().getAs[Long]("rows_deleted") > 0L)
+  }
+
   test("MERGE and INSERT through plain spark.sql route to the commits") {
     val (dir, v1) = freshLake("t_ext6")
     data.filter(col("id") < 100)
