@@ -844,6 +844,289 @@ object SqlQueries {
     // front door's own substitution block), (b) VERSION AS OF through
     // spark.sql serves the pre-delete snapshot, (c) table_history
     // resolves as a genuine session TVF.
+    // SQL REPLACE WHERE: the scoped ATOMIC overwrite (the Delta
+    // replaceWhere shape) — ONE commit deletes exactly the predicate's
+    // rows and lands the recomputed batch; the reference's whole cadence
+    // is this statement (daily run_date-keyed reprocessing, reference
+    // config.py:28-32: "recompute this day's slice" is a scoped overwrite,
+    // and doing it as DELETE;INSERT opens a window where the day is
+    // missing). Gates: single-version atomicity, deleted-row count,
+    // file pruning, out-of-scope batch rejected with the table
+    // byte-identical, pre-replace snapshot pinned.
+    "q192_sql_replace_where" -> ((s, dir) => {
+      val root = tmp("q192")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q192:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake192",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val batch = orders.filter(col("o_custkey").between(40, 70))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      batch.createOrReplaceTempView("q192_batch")
+      val m = LakeSql.sql(s,
+        """INSERT INTO orders_lake192
+          |REPLACE WHERE o_custkey >= 40 AND o_custkey <= 70
+          |SELECT * FROM q192_batch""".stripMargin).head()
+      val atomicOk = m.getAs[Long]("version") == v1 + 1 &&
+        Snapshots.latestVersion(s, s"$root/m") == v1 + 1
+      require(atomicOk, s"q192 replace was not ONE commit: $m")
+      val countOk = m.getAs[Long]("rows_deleted") ==
+        orders.filter(col("o_custkey").between(40, 70)).count() &&
+        m.getAs[Long]("files_appended") > 0
+      require(countOk, s"q192 replace metrics off: $m")
+      val prunedOk =
+        m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total")
+      require(prunedOk, "q192 replace rewrote every file — pruning dead")
+      // a batch with rows OUTSIDE the scope must be rejected whole, with
+      // the table byte-identical (no version, no files)
+      val escape = orders.filter(col("o_custkey") === 80).limit(1)
+      require(escape.count() == 1, "q192 escape fixture empty — gate vacuous")
+      escape.createOrReplaceTempView("q192_escape")
+      val escapeRejected =
+        try {
+          LakeSql.sql(s,
+            """INSERT INTO orders_lake192
+              |REPLACE WHERE o_custkey >= 40 AND o_custkey <= 70
+              |SELECT * FROM q192_escape""".stripMargin)
+          false
+        } catch { case _: IllegalArgumentException =>
+          Snapshots.latestVersion(s, s"$root/m") == v1 + 1 }
+      require(escapeRejected, "q192 out-of-scope batch was not rejected")
+      val isolationOk = LakeSql.sql(s,
+          s"SELECT count(*) AS n FROM orders_lake192 VERSION AS OF $v1")
+        .head().getLong(0) == orders.count()
+      require(isolationOk, "q192 pinned pre-replace read saw the overwrite")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake192
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("atomic_ok", lit(atomicOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("escape_rejected", lit(escapeRejected))
+        .withColumn("isolation_ok", lit(isolationOk))
+    }),
+
+    // SQL CHECK CONSTRAINTS: `ALTER TABLE ADD CONSTRAINT … CHECK` persists
+    // a write-path contract in the version log (metadata-only commit,
+    // existing rows validated first — the Delta constraint shape); EVERY
+    // later write validates its staged rows in one fused pass and aborts
+    // BEFORE anything becomes visible. Gates: add-on-violating-existing
+    // refused, violating INSERT refused with the version log unmoved,
+    // clean INSERT lands, DROP CONSTRAINT lifts enforcement.
+    "q193_sql_constraints" -> ((s, dir) => {
+      val root = tmp("q193")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q193:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake193",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      LakeSql.sql(s,
+        "ALTER TABLE orders_lake193 ADD CONSTRAINT price_pos " +
+          "CHECK (o_totalprice > 0)")
+      val addOk = Snapshots.checkConstraints(s, s"$root/m",
+        Snapshots.latestVersion(s, s"$root/m")).contains("price_pos")
+      require(addOk, "q193 constraint did not persist")
+      // a constraint existing rows already violate must be refused
+      val preRejected =
+        try {
+          LakeSql.sql(s,
+            "ALTER TABLE orders_lake193 ADD CONSTRAINT key_small " +
+              "CHECK (o_orderkey < 1000)")
+          false
+        } catch { case _: Snapshots.ConstraintViolationException => true }
+      require(preRejected, "q193 already-violated ADD CONSTRAINT accepted")
+      // violating INSERT: rejected whole, version log unmoved
+      val slice = orders.filter(col("o_orderkey") % 7 === 0)
+      val vBefore = Snapshots.latestVersion(s, s"$root/m")
+      slice.select((col("o_orderkey") + 70000000L).as("o_orderkey"),
+          col("o_custkey"), (-col("o_totalprice")).as("o_totalprice"))
+        .createOrReplaceTempView("q193_bad")
+      val insRejected =
+        try {
+          LakeSql.sql(s, "INSERT INTO orders_lake193 SELECT * FROM q193_bad")
+          false
+        } catch { case _: Snapshots.ConstraintViolationException =>
+          Snapshots.latestVersion(s, s"$root/m") == vBefore }
+      require(insRejected, "q193 violating INSERT was not rejected cleanly")
+      // clean INSERT lands under the constraint
+      slice.select((col("o_orderkey") + 70000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q193_good")
+      LakeSql.sql(s, "INSERT INTO orders_lake193 SELECT * FROM q193_good")
+      // DROP CONSTRAINT: the violating shape now lands
+      LakeSql.sql(s, "ALTER TABLE orders_lake193 DROP CONSTRAINT price_pos")
+      slice.select((col("o_orderkey") + 80000000L).as("o_orderkey"),
+          col("o_custkey"), (-col("o_totalprice")).as("o_totalprice"))
+        .createOrReplaceTempView("q193_bad2")
+      LakeSql.sql(s, "INSERT INTO orders_lake193 SELECT * FROM q193_bad2")
+      val dropOk = !Snapshots.checkConstraints(s, s"$root/m",
+        Snapshots.latestVersion(s, s"$root/m")).contains("price_pos")
+      require(dropOk, "q193 DROP CONSTRAINT left the constraint in force")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake193
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("add_ok", lit(addOk))
+        .withColumn("pre_rejected", lit(preRejected))
+        .withColumn("ins_rejected", lit(insRejected))
+        .withColumn("drop_ok", lit(dropOk))
+    }),
+
+    // SQL OPTIMIZE … ZORDER BY: re-cluster the table on the workload's
+    // hot predicate column — the statement a consumer runs when the scan
+    // profile shifts (loaded clustered by key, queried by customer). The
+    // manifest keeps stats for every stats column (sound bounds under any
+    // order), so the commit changes pruning TIGHTNESS only: gated that
+    // the same customer box reads STRICTLY fewer files after, and that
+    // the re-layout is row-pure (its change feed is empty).
+    "q194_sql_zorder" -> ((s, dir) => {
+      val root = tmp("q194")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      // clustered on the KEY only: customer values scatter across every
+      // file, so a customer box prunes nothing — the workload-shift setup
+      FixtureCache.layout(s, s"q194:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, Seq("o_orderkey"), d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake194",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      def filesForBox(): Long =
+        Snapshots.readAt(s, s"$root/m",
+          Snapshots.latestVersion(s, s"$root/m"),
+          Seq(("o_custkey", 60.0, 75.0))).filesRead
+      val hitBefore = filesForBox()
+      val m = LakeSql.sql(s,
+        "OPTIMIZE orders_lake194 ZORDER BY (o_custkey)").head()
+      require(m.getAs[Long]("version") == v1 + 1, s"q194 no commit: $m")
+      val hitAfter = filesForBox()
+      val zorderOk = hitAfter < hitBefore
+      require(zorderOk,
+        s"q194 re-cluster did not tighten pruning ($hitBefore -> $hitAfter)")
+      val pureOk = Snapshots.changesBetween(s, s"$root/m", v1, v1 + 1)
+        .df.isEmpty
+      require(pureOk, "q194 ZORDER re-layout leaked into the change feed")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake194
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("zorder_ok", lit(zorderOk))
+        .withColumn("pure_ok", lit(pureOk))
+    }),
+
+    // SQL CONVERT TO LAKE: adopt an EXISTING plain-parquet directory as a
+    // versioned lake table IN PLACE (the Delta CONVERT TO DELTA shape) —
+    // v1 is a manifest over the directory's current files, built from
+    // parquet FOOTER stats when the stats columns allow it; zero data
+    // files written, moved, or rewritten (gated byte-identical listing).
+    // At 100 TB this is THE migration path: importing a warehouse into
+    // the versioned surface costs metadata, not a table rewrite. Gated
+    // that the converted table then serves the full surface: DML with
+    // pruning, and time travel back to the adopted v1.
+    "q195_sql_convert" -> ((s, dir) => {
+      val root = tmp("q195")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      FixtureCache.layout(s, s"q195:$dir", s"$root/p")(d =>
+        orders.repartition(12).write.mode("overwrite").parquet(d))
+      def listing(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/p")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .map(st => st.getPath.getName + ":" + st.getLen).toSet
+      }
+      val before = listing()
+      val m = LakeSql.sql(s,
+        s"CONVERT TO LAKE orders_lake195 FROM '$root/p' " +
+          "STATS COLS (o_orderkey, o_custkey) FILES 16").head()
+      val convertOk = m.getAs[Long]("version") == 1L &&
+        m.getAs[Long]("files_converted") == 12L
+      require(convertOk, s"q195 convert metrics off: $m")
+      val inplaceOk = listing() == before
+      require(inplaceOk, "q195 convert touched data files — not in place")
+      val d = LakeSql.sql(s,
+        "DELETE FROM orders_lake195 WHERE o_custkey >= 55 AND o_custkey <= 85")
+        .head()
+      val deleteOk = d.getAs[Long]("rows_deleted") ==
+        orders.filter(col("o_custkey").between(55, 85)).count() &&
+        d.getAs[Long]("rows_deleted") > 0
+      require(deleteOk, s"q195 post-convert delete off: $d")
+      val travelOk = LakeSql.sql(s,
+          "SELECT count(*) AS n FROM orders_lake195 VERSION AS OF 1")
+        .head().getLong(0) == orders.count()
+      require(travelOk, "q195 adopted v1 not pinnable after DML")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake195
+            |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin)
+        .withColumn("convert_ok", lit(convertOk))
+        .withColumn("inplace_ok", lit(inplaceOk))
+        .withColumn("travel_ok", lit(travelOk))
+    }),
+
+    // PLAIN spark.sql over the EXTENSION grammar (the injected
+    // GraftSqlParser — the DeltaSqlParser integration shape): OPTIMIZE
+    // ZORDER BY, REPLACE WHERE, and VACUUM all run through
+    // spark.sql(...) with no front-door wrapper — the statements Spark's
+    // own ANTLR grammar has no productions for. Gates: each statement
+    // commits with the right metrics, and the final SELECT through plain
+    // spark.sql plans sameResult-identical to the LakeSql front door.
+    "q196_spark_sql_grammar" -> ((s, dir) => {
+      val root = tmp("q196")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q196:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, Seq("o_orderkey"), d, nFiles = 16))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake196",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val o = s.sql("OPTIMIZE orders_lake196 ZORDER BY (o_custkey)").head()
+      val zorderOk = o.getAs[Long]("version") == v1 + 1 &&
+        o.getAs[Long]("files_out") > 0
+      require(zorderOk, s"q196 spark.sql OPTIMIZE ZORDER failed: $o")
+      orders.filter(col("o_custkey").between(40, 70))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2))
+        .createOrReplaceTempView("q196_batch")
+      val r = s.sql(
+        """INSERT INTO orders_lake196
+          |REPLACE WHERE o_custkey >= 40 AND o_custkey <= 70
+          |SELECT * FROM q196_batch""".stripMargin).head()
+      val replaceOk = r.getAs[Long]("version") == v1 + 2 &&
+        r.getAs[Long]("rows_deleted") ==
+          orders.filter(col("o_custkey").between(40, 70)).count()
+      require(replaceOk, s"q196 spark.sql REPLACE WHERE failed: $r")
+      val vac = s.sql("VACUUM orders_lake196 RETAIN 1 VERSIONS").head()
+      val vacuumOk = vac.getAs[Long]("versions_dropped") >= 2L
+      require(vacuumOk, s"q196 spark.sql VACUUM dropped nothing: $vac")
+      val sel = """SELECT o_orderkey, o_custkey, o_totalprice
+                  |FROM orders_lake196
+                  |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin
+      val parityOk = s.sql(sel).queryExecution.optimizedPlan.sameResult(
+        LakeSql.sql(s, sel).queryExecution.optimizedPlan)
+      require(parityOk, "q196 spark.sql and LakeSql.sql plans diverged")
+      s.sql(sel)
+        .withColumn("zorder_ok", lit(zorderOk))
+        .withColumn("replace_ok", lit(replaceOk))
+        .withColumn("vacuum_ok", lit(vacuumOk))
+        .withColumn("parity_ok", lit(parityOk))
+    }),
+
     "q186_spark_sql_catalog" -> ((s, dir) => {
       val root = tmp("q186")
       val orders = t(s, dir, "orders")
@@ -881,6 +1164,63 @@ object SqlQueries {
         .withColumn("plan_ok", lit(planOk))
         .withColumn("travel_ok", lit(travelOk))
         .withColumn("tvf_ok", lit(tvfOk))
+    }),
+
+    // MERGE NOT MATCHED BY SOURCE matrix (q198): the
+    // sync-from-authoritative-feed shape — the feed carries keys
+    // [500,1500] and is AUTHORITATIVE for [500,3000]: matched rows take
+    // the feed's price, absent in-scope rows are marked STALE (custkey
+    // < 50) or retired (first-match-wins cascade), out-of-scope rows and
+    // files are provably untouched (the by-source clauses' stats scopes
+    // widen the pruned touch set — files_rewritten < files_total gated).
+    "q198_sql_merge_by_source" -> ((s, dir) => {
+      val root = tmp("q198")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q198:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake198",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val feed = orders.filter(col("o_orderkey").between(500, 1500))
+      val fresh = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(30000000L))
+      feed.unionByName(fresh).createOrReplaceTempView("q198_src")
+      val m = LakeSql.sql(s,
+        """MERGE INTO orders_lake198 t USING q198_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED
+          |  THEN UPDATE SET o_totalprice = round(s.o_totalprice * 2, 2)
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE
+          |    AND t.o_orderkey >= 500 AND t.o_orderkey <= 3000
+          |    AND t.o_custkey < 50
+          |  THEN UPDATE SET o_orderpriority = 'STALE'
+          |WHEN NOT MATCHED BY SOURCE
+          |    AND t.o_orderkey >= 500 AND t.o_orderkey <= 3000
+          |  THEN DELETE
+          |""".stripMargin).head()
+      val scope = orders.filter(col("o_orderkey").between(1501, 3000))
+      val expStale = scope.filter(col("o_custkey") < 50).count()
+      val expDel = scope.filter(col("o_custkey") >= 50).count()
+      val countsOk =
+        m.getAs[Long]("rows_updated") == feed.count() + expStale &&
+        m.getAs[Long]("rows_deleted") == expDel &&
+        m.getAs[Long]("rows_inserted") == fresh.count()
+      require(countsOk, s"q198 clause metrics off: $m (want " +
+        s"upd=${feed.count() + expStale} del=$expDel ins=${fresh.count()})")
+      val prunedOk =
+        m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total")
+      require(prunedOk, "q198 by-source merge rewrote every file")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            |FROM orders_lake198""".stripMargin)
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("pruned_ok", lit(prunedOk))
     }),
   )
 
@@ -1048,5 +1388,78 @@ object SqlQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 20 AND 130
         |  AND o_custkey NOT BETWEEN 55 AND 85""".stripMargin,
+    // q192 emits the post-replace band: the replaced slice carries the
+    // recomputed (doubled) prices, everything else untouched.
+    "q192_sql_replace_where" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey BETWEEN 40 AND 70
+        |       THEN round(round(o_totalprice, 2) * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS o_totalprice,
+        |  TRUE AS atomic_ok, TRUE AS pruned_ok, TRUE AS escape_rejected,
+        |  TRUE AS isolation_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q193 emits the band after the constraint lifecycle: original rows,
+    // the clean insert (+70M keys), and the post-DROP negative-price
+    // insert (+80M keys); the rejected batch left nothing.
+    "q193_sql_constraints" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS add_ok, TRUE AS pre_rejected, TRUE AS ins_rejected,
+        |  TRUE AS drop_ok
+        |FROM orders WHERE o_custkey BETWEEN 20 AND 130
+        |UNION ALL
+        |SELECT o_orderkey + 70000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE, TRUE
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130 AND o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 80000000, o_custkey, -round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE, TRUE
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130 AND o_orderkey % 7 = 0""".stripMargin,
+    // q194 emits the band unchanged — OPTIMIZE ZORDER BY is a pure
+    // re-layout (the pruning improvement is gated in-query).
+    "q194_sql_zorder" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS zorder_ok, TRUE AS pure_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q195 emits the band after converting the plain directory and
+    // deleting the custkey slice through SQL DML.
+    "q195_sql_convert" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS convert_ok, TRUE AS inplace_ok, TRUE AS travel_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130
+        |  AND o_custkey NOT BETWEEN 55 AND 85""".stripMargin,
+    // q196 emits the band after the spark.sql-driven re-cluster (row-pure)
+    // and scoped overwrite (tripled prices in the replaced slice).
+    "q196_spark_sql_grammar" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey BETWEEN 40 AND 70
+        |       THEN round(round(o_totalprice, 2) * 3, 2)
+        |       ELSE round(o_totalprice, 2) END AS o_totalprice,
+        |  TRUE AS zorder_ok, TRUE AS replace_ok, TRUE AS vacuum_ok,
+        |  TRUE AS parity_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q198 reconstructs the post-merge state segment-wise: the feed band
+    // doubled, the absent in-scope rows STALE-marked (custkey < 50) or
+    // gone (custkey >= 50), everything else untouched, plus the shifted
+    // %97 inserts.
+    "q198_sql_merge_by_source" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 1500
+        |       THEN round(round(o_totalprice, 2) * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS o_totalprice,
+        |  CASE WHEN o_orderkey BETWEEN 1501 AND 3000 AND o_custkey < 50
+        |       THEN 'STALE' ELSE o_orderpriority END AS o_orderpriority,
+        |  TRUE AS counts_ok, TRUE AS pruned_ok
+        |FROM orders
+        |WHERE NOT (o_orderkey BETWEEN 1501 AND 3000 AND o_custkey >= 50)
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, o_custkey, round(o_totalprice, 2),
+        |  o_orderpriority, TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
   )
 }

@@ -50,6 +50,7 @@ object Snapshots {
   private val TsPrefix = "_ts_"
   private val CmapPrefix = "_cmap_"
   private val AddColPrefix = "_addcol_"
+  private val CkPrefix = "_ck_"
 
   /** Committed version numbers, ascending (empty for a fresh root). */
   def versions(spark: SparkSession, manifestRoot: String): Seq[Int] = {
@@ -458,6 +459,7 @@ object Snapshots {
     }: _*)
     val staging = path + ".update_staging_" + java.util.UUID.randomUUID()
     rewritten.write.mode("overwrite").parquet(staging)
+    enforceStagedConstraints(spark, manifestRoot, staging)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keep = manifest.filter(!col("file").isInCollection(hit.map(_.file)))
     val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
@@ -486,6 +488,7 @@ object Snapshots {
         .localCheckpoint()
     val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(batch, cols, staging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, staging)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols),
       allowMissingColumns = true)
@@ -511,6 +514,7 @@ object Snapshots {
                         checkpointEvery: Int = 0): (Int, Int) = {
     val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(batch, cols, staging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, staging)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val v = commitDelta(spark, manifestRoot,
       Some(Layout.buildManifestFor(spark, moved, cols)), tag = tag)
@@ -530,16 +534,25 @@ object Snapshots {
     * their versions expire — compaction under versioning is a pure
     * re-layout, never a destructive swap (contrast
     * [[Maintenance]]'s flat-table compaction, which deletes its inputs).
-    * Returns (version, input file count, output file count). */
+    * Returns (version, input file count, output file count).
+    *
+    * `zorderCols` re-clusters on a DIFFERENT column set than the manifest
+    * stats (the `OPTIMIZE … ZORDER BY (…)` statement): the interleave —
+    * and therefore which files a range predicate can prune — follows the
+    * named columns, while the manifest keeps stats for every `cols` column
+    * so existing pruned-read paths stay valid (stats are sound bounds
+    * under ANY row order; clustering only changes how TIGHT they are). */
   def compactCommit(spark: SparkSession, path: String, manifestRoot: String,
-                    cols: Seq[String], nFiles: Int): (Int, Int, Int) = {
+                    cols: Seq[String], nFiles: Int,
+                    zorderCols: Option[Seq[String]] = None): (Int, Int, Int) = {
     val v = latestVersion(spark, manifestRoot)
     val entries = Dv.entries(manifestAt(spark, manifestRoot, v))
     val staging = path + ".compact_staging_" + java.util.UUID.randomUUID()
     // compaction reads LIVE rows: it is also the fold point for deletion
     // vectors — the rewritten files carry no mask, and the superseded
     // sidecars expire with the versions that referenced them
-    Layout.zorderWrite(Dv.readLive(spark, entries), cols, staging, nFiles)
+    Layout.zorderWrite(Dv.readLive(spark, entries),
+      zorderCols.getOrElse(cols), staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = Layout.buildManifestFor(spark, moved, cols)
     (commit(spark, next, manifestRoot), entries.size, moved.size)
@@ -645,6 +658,7 @@ object Snapshots {
     val inserted = source.count() - matchedSrc
     val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(newData, cols, staging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, staging)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keep =
       if (hit.isEmpty) manifest
@@ -693,6 +707,25 @@ object Snapshots {
     * `s.x` stay distinguishable after the join. */
   def srcCol(name: String): org.apache.spark.sql.Column = col(s"_s_$name")
 
+  /** One `WHEN NOT MATCHED BY SOURCE` clause: expressions evaluate over
+    * the TARGET row alone (there is no source side — the row's key is
+    * absent from the source). Because "key absent from the source" is a
+    * predicate no file stats can prune, every clause must be SCOPED: the
+    * caller passes the manifest-prune expression covering all clause
+    * conditions (`bySourcePrune`), and each clause's `cond` must imply it
+    * row-wise — the same 100 TB honesty contract as [[mergeCommitFull]]. */
+  sealed trait WhenNotMatchedBySource {
+    def cond: Option[org.apache.spark.sql.Column]
+  }
+  /** `UPDATE SET col = expr, …` over the target row (Delta's
+    * sync-from-authoritative-feed "mark retired rows" clause). */
+  final case class BySourceUpdateSet(cond: Option[org.apache.spark.sql.Column],
+                                     set: Map[String, org.apache.spark.sql.Column])
+    extends WhenNotMatchedBySource
+  /** `DELETE` — the unmatched target row is dropped. */
+  final case class BySourceDelete(cond: Option[org.apache.spark.sql.Column])
+    extends WhenNotMatchedBySource
+
   /** The FULL MERGE clause matrix over a composite equi-key — explicit
     * `SET col = expr` assignments, conditional `WHEN MATCHED AND cond`
     * clauses (first applicable clause wins, the SQL MERGE contract),
@@ -717,10 +750,17 @@ object Snapshots {
                          keys: Seq[String], cols: Seq[String], path: String,
                          manifestRoot: String, nFiles: Int,
                          matched: Seq[WhenMatched],
-                         notMatched: Seq[WhenNotMatched]): MergeFullResult = {
+                         notMatched: Seq[WhenNotMatched],
+                         bySource: Seq[WhenNotMatchedBySource] = Seq.empty,
+                         bySourcePrune: Option[org.apache.spark.sql.Column] = None)
+      : MergeFullResult = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     keys.foreach(k => require(cols.contains(k),
       s"merge key $k needs manifest stats — not in ${cols.mkString(",")}"))
+    require(bySource.isEmpty || bySourcePrune.isDefined,
+      "NOT MATCHED BY SOURCE clauses need a manifest-prune scope — " +
+        "unscoped, 'rows whose key is absent from the source' touches " +
+        "every file of the table")
     val dup = source.groupBy(keys.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -735,13 +775,23 @@ object Snapshots {
     // hit iff the tuple sits inside the file's stats box on EVERY key
     val keyTuples = source.select(keys.map(k => col(k).as(s"_k_$k")): _*)
       .distinct()
-    val hit = keyTuples
+    val keyHit = keyTuples
       .join(broadcast(manifest.select(col("file") +:
           keys.flatMap(k => Seq(col(s"min_$k"), col(s"max_$k"))): _*)),
         keys.map(k => col(s"_k_$k") >= col(s"min_$k") &&
           col(s"_k_$k") <= col(s"max_$k")).reduce(_ && _))
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
+    // by-source clauses widen the touch set by their stats scope: a row
+    // they may act on lives in a scope-hit file (pred ⊆ prune), so files
+    // outside both hit sets are provably untouched
+    val bsHit = bySourcePrune match {
+      case Some(p) if bySource.nonEmpty =>
+        manifest.filter(p).select(col("file"))
+          .collect().map(_.getString(0)).toSeq
+      case _ => Seq.empty[String]
+    }
+    val hit = (keyHit ++ bsHit).distinct
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val hitRows =
       if (hit.isEmpty) None
@@ -813,12 +863,42 @@ object Snapshots {
       }.as(c)
     }: _*)
     val inserted = insActioned.count()
-    val survivors = hitRows.map(_.join(srcKeys, keys, "left_anti"))
+    // unmatched touched target rows: by default they survive unchanged;
+    // with BY SOURCE clauses they run their own cascade (same codegen'd
+    // CASE shape as the matched side, over the bare target frame)
+    val rawSurvivors = hitRows.map(_.join(srcKeys, keys, "left_anti"))
+    val bsDelIdx = bySource.zipWithIndex.collect {
+      case (_: BySourceDelete, i) => i }
+    val (survivors, bsUpdated, bsDeleted) = rawSurvivors match {
+      case Some(rows) if bySource.nonEmpty =>
+        val withBs = rows
+          .withColumn("__action", actionOf(bySource.map(_.cond)))
+          .localCheckpoint()
+        val isDel =
+          if (bsDelIdx.isEmpty) lit(false)
+          else col("__action").isInCollection(bsDelIdx)
+        val counts = withBs.agg(
+          sum(when(col("__action") >= 0 && !isDel, 1L).otherwise(0L)).as("upd"),
+          sum(when(isDel, 1L).otherwise(0L)).as("del")).head()
+        val projected = withBs.filter(!isDel).select(targetCols.map { c =>
+          bySource.zipWithIndex.foldRight(col(c)) {
+            case ((BySourceUpdateSet(_, set), i), els) =>
+              set.get(c).map(v => when(col("__action") === i, v)
+                .otherwise(els)).getOrElse(els)
+            case ((_: BySourceDelete, _), els) => els
+          }.as(c)
+        }: _*)
+        (Some(projected),
+          if (counts.isNullAt(0)) 0L else counts.getLong(0),
+          if (counts.isNullAt(1)) 0L else counts.getLong(1))
+      case other => (other, 0L, 0L)
+    }
     val pieces = survivors.toSeq ++ matchedKept.toSeq ++ Seq(insRows)
     val newData = pieces.reduce(
       _.unionByName(_, allowMissingColumns = true))
     val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(newData, cols, staging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, staging)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keep =
       if (hit.isEmpty) manifest
@@ -826,7 +906,7 @@ object Snapshots {
     val next = keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
       allowMissingColumns = true)
     MergeFullResult(commit(spark, next, manifestRoot), hit.size.toLong,
-      total, updated, inserted, deleted)
+      total, updated + bsUpdated, inserted, deleted + bsDeleted)
   }
 
   /** The COMPLETE three-clause MERGE matrix: WHEN MATCHED UPDATE (source
@@ -896,6 +976,7 @@ object Snapshots {
     val inserted = source.count() - matchedSrc
     val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(newData, cols, staging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, staging)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keep =
       if (hit.isEmpty) manifest
@@ -1387,6 +1468,10 @@ object Snapshots {
         }
       }
     deadDv.foreach(st => fs.delete(st.getPath, true))
+    // a marker commit (column mapping / declared column types / constraint
+    // set) governs every LATER version until superseded — dropping its dir
+    // must not lose the table's schema indirection or write contracts
+    preserveMarkers(spark, manifestRoot, drop, cut)
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"), true)
     }
@@ -1469,6 +1554,209 @@ object Snapshots {
     appendCommit(spark, batch, cols, path, manifestRoot, nFiles)
   }
 
+  // ------------------------------------------------------------------
+  // PERSISTED CHECK CONSTRAINTS — the Delta `ALTER TABLE ADD CONSTRAINT`
+  // table property, re-expressed on the version log: the constraint SET
+  // (name → SQL condition over PHYSICAL column names) rides a commit as an
+  // underscore-prefixed marker, exactly like the column mapping — visible
+  // in the same atomic rename as the manifest, superseding-set semantics
+  // (the marker at the largest version ≤ v is the set in force at v).
+  // Enforcement is at the staged-files seam every write path already
+  // passes through ([[enforceStagedConstraints]]): the about-to-be-moved
+  // staging dir is validated in ONE fused counting pass, and a violation
+  // drops the staging and aborts BEFORE the move — no data file is ever
+  // referenced, the table stays byte-identical (the same validate-before-
+  // visibility contract as [[appendCommitChecked]], but persisted and
+  // writer-independent: ANY committer against the log obeys it).
+  // ------------------------------------------------------------------
+
+  private def ckMarker(cs: Map[String, String]): String = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+    CkPrefix + cs.toSeq.sorted.map { case (n, c) =>
+      enc.encodeToString(n.getBytes("UTF-8")) + "." +
+        enc.encodeToString(c.getBytes("UTF-8"))
+    }.mkString(",")
+  }
+
+  private def parseCk(name: String): Map[String, String] = {
+    val dec = java.util.Base64.getUrlDecoder
+    val body = name.stripPrefix(CkPrefix)
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val Array(n, c) = kv.split("\\.", 2)
+      new String(dec.decode(n), "UTF-8") -> new String(dec.decode(c), "UTF-8")
+    }.toMap
+  }
+
+  // marker-version memo per manifest root: (highest version scanned, ck
+  // markers found so far, DESCENDING by version). Sound because committed
+  // version dirs are immutable (markers ride the commit's atomic rename;
+  // vacuum's re-homing only duplicates an already-known set), so only the
+  // (scanned, head] tail ever needs listing — the write-path constraint
+  // probe costs O(new commits), not O(log length), per call. The memo is
+  // per-JVM; a fresh process pays one backward scan to the newest marker.
+  private val ckScan = scala.collection.concurrent.TrieMap
+    .empty[String, (Int, List[(Int, Map[String, String])])]
+
+  /** Test hook: drop the marker memo so the next [[checkConstraints]]
+    * re-reads the log from disk (what a fresh JVM would see). */
+  private[graft] def resetConstraintMemo(): Unit = ckScan.clear()
+
+  /** The CHECK-constraint set in force at `version`: the marker of the
+    * largest version at or below it carrying one (a set, once committed,
+    * governs every later version until superseded). Conditions are SQL
+    * expression text over PHYSICAL column names. */
+  def checkConstraints(spark: SparkSession, manifestRoot: String,
+                       version: Int): Map[String, String] = {
+    val fs = hfs(spark, manifestRoot)
+    val vs = versions(spark, manifestRoot)
+    val (scanned0, known0) = ckScan.getOrElse(manifestRoot, (0, Nil))
+    // a log whose head went BACKWARDS was deleted and recreated at the
+    // same path (DROP PURGE + CREATE) — the memo describes the old log
+    val (scanned, known) =
+      if (vs.isEmpty || vs.last < scanned0) (0, Nil) else (scanned0, known0)
+    val fresh = vs.filter(_ > scanned).sorted.reverse.flatMap { v =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+        .toSeq.map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith(CkPrefix) => v -> parseCk(n) }
+    }
+    val all = fresh.toList ++ known
+    if (vs.nonEmpty && vs.last > scanned)
+      ckScan.put(manifestRoot, (vs.last, all)) : Unit
+    all.collectFirst { case (v, m) if v <= version => m }
+      .getOrElse(Map.empty)
+  }
+
+  /** ADD a named CHECK constraint — ONE metadata-only commit after
+    * validating that every EXISTING live row satisfies it (the Delta ADD
+    * CONSTRAINT contract: a constraint that is already false cannot be
+    * declared; one O(live-rows) counting pass, the unavoidable cost).
+    * From this commit on, every write path refuses staged batches that
+    * violate it. NULL passes; only explicit FALSE violates (SQL CHECK
+    * three-valued semantics). */
+  def addConstraint(spark: SparkSession, manifestRoot: String,
+                    name: String, condition: String): Int = {
+    require(name != null && name.nonEmpty, "constraint needs a name")
+    val v = latestVersion(spark, manifestRoot)
+    val cur = checkConstraints(spark, manifestRoot, v)
+    require(!cur.contains(name),
+      s"constraint '$name' already exists (${cur(name)})")
+    val live = Dv.readLive(spark,
+      Dv.entries(Dv.ensureDv(manifestAt(spark, manifestRoot, v))))
+    val bad = live.filter(!coalesce(expr(condition), lit(true))).count()
+    if (bad > 0)
+      throw new ConstraintViolationException(
+        s"cannot ADD CONSTRAINT '$name' CHECK ($condition): $bad existing " +
+          "rows violate it — nothing committed")
+    commit(spark, manifestAt(spark, manifestRoot, v), manifestRoot,
+      markers = Seq(ckMarker(cur + (name -> condition))))
+  }
+
+  /** DROP a named CHECK constraint — metadata-only commit superseding the
+    * set without it; later writes stop enforcing it, pinned reads below
+    * the commit are unaffected (constraints gate writes, not reads). */
+  def dropConstraint(spark: SparkSession, manifestRoot: String,
+                     name: String, ifExists: Boolean = false): Int = {
+    val v = latestVersion(spark, manifestRoot)
+    val cur = checkConstraints(spark, manifestRoot, v)
+    if (!cur.contains(name)) {
+      require(ifExists,
+        s"no constraint '$name' (have ${cur.keys.toSeq.sorted.mkString(", ")})")
+      return v
+    }
+    commit(spark, manifestAt(spark, manifestRoot, v), manifestRoot,
+      markers = Seq(ckMarker(cur - name)))
+  }
+
+  /** The write-path enforcement seam: validate a finished staging dir
+    * against the constraint set in force, in ONE fused counting pass over
+    * the staged bytes (zero extra compute of the input frame — the rows
+    * were just written; reading them back costs one local columnar scan).
+    * A violation deletes the staging dir and aborts: nothing was moved or
+    * referenced, so the table stays byte-identical. No-op (and no read)
+    * when the table has no constraints. */
+  private def enforceStagedConstraints(spark: SparkSession,
+                                       manifestRoot: String,
+                                       staging: String): Unit = {
+    val cs = checkConstraints(spark, manifestRoot,
+      latestVersion(spark, manifestRoot)).toSeq.sorted
+    if (cs.isEmpty) return
+    val df = spark.read.parquet(staging)
+    val aggs = cs.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(!coalesce(expr(c), lit(true)), 1L).otherwise(0L)).as(s"_c$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, c), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) {
+        val p = new org.apache.hadoop.fs.Path(staging)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true) : Unit
+        throw new ConstraintViolationException(
+          s"CHECK constraint '$n' ($c) violated by $bad staged rows — " +
+            "staging dropped, nothing committed")
+      }
+    }
+  }
+
+  final case class ReplaceResult(version: Int, filesRewritten: Long,
+                                 filesTotal: Long, rowsDeleted: Long,
+                                 filesAppended: Long)
+
+  /** Scoped atomic OVERWRITE — the Delta `replaceWhere` shape: ONE commit
+    * replaces exactly the predicate's rows with `batch`. Files whose stats
+    * intersect `prune` are rewritten to their surviving (non-matching LIVE)
+    * rows, the batch stages z-ordered, and vN+1 = (manifest − touched) ∪
+    * survivors ∪ batch lands in a single manifest swap — a reader sees the
+    * old state or the new, never the gap a separate DELETE + INSERT would
+    * open. Untouched files are never read (the deleteWhere pruning
+    * economics). Every batch row must satisfy `pred` — an overwrite scoped
+    * to a slice must not smuggle rows outside it (checked FIRST, before
+    * any staging; the Delta replaceWhere contract) — and the batch passes
+    * the table's CHECK constraints like every other write. A crash at any
+    * point pre-commit leaves only unreferenced files. */
+  def replaceWhereCommit(spark: SparkSession, batch: DataFrame,
+                         cols: Seq[String], path: String, manifestRoot: String,
+                         nFiles: Int, prune: org.apache.spark.sql.Column,
+                         pred: org.apache.spark.sql.Column): ReplaceResult = {
+    val escaped = batch.filter(!coalesce(pred, lit(false))).count()
+    require(escaped == 0,
+      s"REPLACE WHERE batch has $escaped rows OUTSIDE the replaced " +
+        "predicate — a scoped overwrite cannot smuggle rows past its " +
+        "scope; nothing committed")
+    val manifest =
+      Dv.ensureDv(manifestAt(spark, manifestRoot,
+          latestVersion(spark, manifestRoot)))
+        .localCheckpoint()
+    val total = manifest.count()
+    val hit = Dv.entries(manifest.filter(prune))
+    // batch stages (and constraint-checks) FIRST: a rejected batch aborts
+    // before any survivor rewrite work is spent or moved
+    val bStaging = path + ".replace_batch_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(batch, cols, bStaging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, bStaging)
+    val (survivorFiles, deleted) =
+      if (hit.isEmpty) (Seq.empty[String], 0L)
+      else {
+        val live = Dv.readLive(spark, hit)
+        val del = live.filter(pred).count()
+        val sStaging = path + ".replace_surv_" + java.util.UUID.randomUUID()
+        live.filter(!coalesce(pred, lit(false)))
+          .write.mode("overwrite").parquet(sStaging)
+        (Layout.moveStagedIn(spark, sStaging, path), del)
+      }
+    val bMoved = Layout.moveStagedIn(spark, bStaging, path)
+    val keep =
+      if (hit.isEmpty) manifest
+      else manifest.filter(!col("file").isInCollection(hit.map(_.file)))
+    val adds = survivorFiles ++ bMoved
+    val next =
+      if (adds.isEmpty) keep
+      else keep.unionByName(Layout.buildManifestFor(spark, adds, cols),
+        allowMissingColumns = true)
+    ReplaceResult(commit(spark, next, manifestRoot), hit.size.toLong, total,
+      deleted, bMoved.size.toLong)
+  }
+
   final case class HistoryEntry(version: Int, operation: String, rows: Long)
 
   /** DESCRIBE HISTORY over the version log: one entry per commit with the
@@ -1512,6 +1800,43 @@ object Snapshots {
       prevEntries = entries; prevRows = rows
       HistoryEntry(v, op, rows)
     }
+  }
+
+  /** Re-home governing markers out of about-to-drop version dirs (markers
+    * are empty files whose NAME carries the payload, so "copy" = create
+    * the same name in the oldest RETAINED version's dir):
+    *  - the newest column-mapping / constraint-set marker at-or-below the
+    *    cut is the one in force for every retained version — if it lives
+    *    in a dropped dir, recreate it at the cut (superseding-set
+    *    semantics at every surviving version are unchanged; history below
+    *    the cut is gone anyway);
+    *  - ADD COLUMN type markers ACCUMULATE (declaredTypes unions all ≤ v),
+    *    so every one in a dropped dir moves to the cut.
+    * Without this, a vacuum reaching past the last schema/constraint
+    * commit would silently strip the table of its renames, declared
+    * columns, or write contracts. */
+  private def preserveMarkers(spark: SparkSession, manifestRoot: String,
+                              drop: Seq[Int], cut: Int): Unit = {
+    if (drop.isEmpty) return
+    val fs = hfs(spark, manifestRoot)
+    val dropSet = drop.toSet
+    def names(v: Int): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+        .toSeq.map(_.getPath.getName)
+    def rehome(marker: String): Unit =
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$manifestRoot/v=$cut/$marker"), true).close()
+    val below = versions(spark, manifestRoot).filter(_ <= cut).sorted.reverse
+    for (prefix <- Seq(CmapPrefix, CkPrefix)) {
+      below.iterator
+        .map(v => names(v).collectFirst {
+          case n if n.startsWith(prefix) => (v, n) })
+        .collectFirst { case Some(hit) => hit }
+        .foreach { case (v, marker) =>
+          if (dropSet.contains(v)) rehome(marker) }
+    }
+    drop.foreach(v => names(v).filter(_.startsWith(AddColPrefix))
+      .foreach(rehome))
   }
 
   /** [[vacuum]] by RETENTION PERIOD (the `VACUUM ... RETAIN n HOURS`

@@ -1,12 +1,13 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExpressionInfo}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** SESSION-CATALOG INTEGRATION (round-13 verdict item 3): plain
   * `spark.sql(...)` resolves lake tables, time travel, and the
@@ -34,13 +35,23 @@ import org.apache.spark.sql.types.LongType
   * lake table into a [[LakeDmlCommand]] — a runnable command that
   * executes the SAME front-door handler (so spark.sql and LakeSql.sql
   * produce the same commit and the same metric row), deferred to
-  * command run time so analysis never side-effects. Only the DDL and
-  * maintenance statements (CTAS, ALTER, OPTIMIZE, VACUUM, RESTORE,
-  * CLONE) remain front-door-only.
+  * command run time so analysis never side-effects. The EXTENSION
+  * grammar (OPTIMIZE, VACUUM, RESTORE, SHALLOW CLONE, REPLACE WHERE,
+  * CONVERT TO LAKE) reaches plain spark.sql through the injected
+  * [[GraftSqlParser]] (the DeltaSqlParser shape). Only the
+  * Catalyst-parsed DDL (CTAS, ALTER) remains front-door-only.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(ResolveLakeTables)
+    // EXTENSION GRAMMAR through plain spark.sql — the DeltaSqlParser
+    // shape: a delegating parser intercepts the statements Spark's ANTLR
+    // grammar has no productions for (OPTIMIZE, VACUUM, RESTORE, SHALLOW
+    // CLONE, INSERT … REPLACE WHERE, CONVERT TO LAKE) and wraps each into
+    // a runnable command executing the front door's own handler — same
+    // commit, same metric row, deferred to command run time. Everything
+    // else delegates to Spark's parser untouched.
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // the version-log TVFs register as REAL session table functions —
     // an appended resolution rule cannot serve them, because Spark's own
     // ResolveFunctions raises UNRESOLVABLE_TABLE_VALUED_FUNCTION earlier
@@ -94,4 +105,39 @@ final case class LakeDmlCommand(names: Seq[String],
     val row = metrics.head()
     Seq(Row(names.map(n => if (have(n)) row.getAs[Long](n) else 0L): _*))
   }
+}
+
+/** Delegating session parser (the DeltaSqlParser integration shape): an
+  * extension-grammar statement — recognized by [[LakeSql.extendedStatement]],
+  * which also declares its metric-row schema — parses to a
+  * [[LakeDmlCommand]] running the front door's own dispatcher, so plain
+  * `spark.sql("OPTIMIZE t ZORDER BY (c)")` and `LakeSql.sql` are the same
+  * code path; every other string delegates to Spark's parser verbatim. */
+final class GraftSqlParser(delegate: ParserInterface)
+  extends ParserInterface {
+  override def parsePlan(text: String): LogicalPlan =
+    LakeSql.extendedStatement(text) match {
+      case Some(names) => LakeDmlCommand(names, s => LakeSql.sql(s, text))
+      case None => delegate.parsePlan(text)
+    }
+  override def parsePlanWithParameters(text: String,
+                                       ctx: ParameterContext): LogicalPlan =
+    LakeSql.extendedStatement(text) match {
+      case Some(names) => LakeDmlCommand(names, s => LakeSql.sql(s, text))
+      case None => delegate.parsePlanWithParameters(text, ctx)
+    }
+  override def parseExpression(t: String): Expression =
+    delegate.parseExpression(t)
+  override def parseTableIdentifier(t: String): TableIdentifier =
+    delegate.parseTableIdentifier(t)
+  override def parseFunctionIdentifier(t: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(t)
+  override def parseMultipartIdentifier(t: String): Seq[String] =
+    delegate.parseMultipartIdentifier(t)
+  override def parseQuery(t: String): LogicalPlan = delegate.parseQuery(t)
+  override def parseRoutineParam(t: String): StructType =
+    delegate.parseRoutineParam(t)
+  override def parseTableSchema(t: String): StructType =
+    delegate.parseTableSchema(t)
+  override def parseDataType(t: String): DataType = delegate.parseDataType(t)
 }

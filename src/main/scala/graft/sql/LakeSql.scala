@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Like, Literal}
 import org.apache.spark.sql.functions.{col, lit, substring}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -114,11 +114,76 @@ object LakeSql {
     """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s+SHALLOW\s+CLONE\s+([A-Za-z0-9_]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
+  //   OPTIMIZE <t> ZORDER BY (c1, c2)  → full re-layout RE-CLUSTERED on
+  //     the named columns (manifest keeps stats for ALL the table's stats
+  //     columns — clustering changes how tight they are, never soundness)
+  private val OptimizeZRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)\s+ZORDER\s+BY\s*\(([^)]*)\)\s*""".r
+  //   INSERT INTO <t> REPLACE WHERE <cond> <query>  → scoped ATOMIC
+  //     overwrite (the Delta replaceWhere): one commit = delete the
+  //     predicate's rows + append the batch; every batch row must satisfy
+  //     the predicate. Spark's parser has no REPLACE WHERE production, so
+  //     this dispatches on the statement head like OPTIMIZE/VACUUM; the
+  //     condition and query halves re-enter Spark's own parser.
+  private val InsertReplaceRe =
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z0-9_]+)\s+REPLACE\s+WHERE\s+(.*?)\s+((?:SELECT|WITH|VALUES|TABLE|FROM)\b.*)""".r
+  //   CONVERT TO LAKE <name> FROM '<dir>' STATS COLS (c1, c2) [FILES n]
+  //     → adopt an EXISTING parquet directory as a lake table IN PLACE
+  //     (the Delta CONVERT TO DELTA shape): v1 is a manifest built over
+  //     the directory's files — footer stats when the columns allow it,
+  //     zero data files written or moved either way.
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+LAKE\s+([A-Za-z0-9_]+)\s+FROM\s+'([^']+)'\s+STATS\s+COLS\s*\(([^)]*)\)(?:\s+FILES\s+(\d+))?\s*""".r
+
+  /** The metric-row column names of an EXTENSION-GRAMMAR statement (the
+    * regex-dispatched surface Spark's parser has no productions for:
+    * OPTIMIZE/VACUUM/RESTORE/CLONE/REPLACE WHERE/CONVERT), when `text` is
+    * one — [[GraftSqlParser]] wraps the match into a runnable command with
+    * this declared schema so plain `spark.sql` serves the same statements
+    * (the DeltaSqlParser shape). None ⇒ not ours, delegate. */
+  private[sql] def extendedStatement(text: String): Option[Seq[String]] =
+    text match {
+      case OptimizeZRe(_, _) => Some(Seq("version", "files_in", "files_out"))
+      case OptimizeRe(_, small) =>
+        Some(if (small == null) Seq("version", "files_in", "files_out")
+        else Seq("version", "files_compacted", "files_skipped", "files_out"))
+      case VacuumRe(_, _, _) => Some(Seq("files_deleted", "versions_dropped"))
+      case RestoreRe(_, _) => Some(Seq("version", "restored_to"))
+      case RestoreTsRe(_, _) => Some(Seq("version", "restored_to"))
+      case CloneRe(_, _, _, _) => Some(Seq("version", "cloned_from"))
+      case InsertReplaceRe(_, _, _) =>
+        Some(Seq("version", "files_rewritten", "files_total",
+          "rows_deleted", "files_appended"))
+      case ConvertRe(_, _, _, _) => Some(Seq("version", "files_converted"))
+      case _ => None
+    }
 
   /** Parse + route one SQL statement. Reads return the query's rows; DML
     * and maintenance statements execute the commit and return its metrics
     * as one row. */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    // OPTIMIZE … ZORDER BY: re-layout the latest snapshot CLUSTERED on the
+    // named columns — the statement a consumer runs when the query
+    // workload's hot predicate column isn't the one the table was loaded
+    // clustered by. The manifest still records stats for every stats
+    // column (sound bounds under any order), so this changes PRUNING
+    // TIGHTNESS, not correctness — and it is a pure re-layout: the change
+    // feed across the commit is empty.
+    case OptimizeZRe(name, colList) =>
+      val spec = specByName(name)
+      val mapping = headMapping(spark, spec)
+      val zcols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map(c => physicalName(c, mapping, "ZORDER BY column"))
+      require(zcols.nonEmpty, "ZORDER BY needs at least one column")
+      val missing = zcols.filterNot(spec.cols.contains)
+      require(missing.isEmpty,
+        s"ZORDER BY columns must carry manifest stats (have " +
+          s"${spec.cols.mkString(", ")}; missing ${missing.mkString(", ")}) " +
+          "— clustering a column no stats can prune buys nothing")
+      val (version, nIn, nOut) = Snapshots.compactCommit(spark, spec.path,
+        spec.manifestRoot, spec.cols, spec.nFiles, zorderCols = Some(zcols))
+      metricsRow(spark, Seq("version" -> version.toLong,
+        "files_in" -> nIn.toLong, "files_out" -> nOut.toLong))
     case OptimizeRe(name, small) =>
       val spec = specByName(name)
       if (small == null) {
@@ -190,6 +255,52 @@ object LakeSql {
         srcSpec.cols, srcSpec.nFiles))
       metricsRow(spark, Seq("version" -> v.toLong,
         "cloned_from" -> version.toLong))
+    // INSERT INTO … REPLACE WHERE: scoped ATOMIC overwrite — one commit
+    // deletes exactly the predicate's rows and lands the batch; a reader
+    // sees the old slice or the new, never the gap a DELETE;INSERT pair
+    // opens. The predicate compiles through the same typed stats-box
+    // compiler as DELETE/UPDATE (file-pruned touch set, loud rejection
+    // when nothing prunes), the batch passes the same schema-on-write
+    // alignment as INSERT INTO, and every batch row must satisfy the
+    // predicate (a scoped overwrite cannot smuggle rows past its scope).
+    case InsertReplaceRe(name, condText, queryText) =>
+      val spec = specByName(name)
+      val mapping = headMapping(spark, spec)
+      val cond = spark.sessionState.sqlParser.parseExpression(condText)
+      val (prune, pred) = compileWhere(cond, spec, mapping)
+      val batch = alignedPhysicalBatch(spark, spec,
+        spark.sessionState.sqlParser.parsePlan(queryText))
+      val r = Snapshots.replaceWhereCommit(spark, batch, spec.cols,
+        spec.path, spec.manifestRoot, spec.nFiles, prune, pred)
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "files_rewritten" -> r.filesRewritten,
+        "files_total" -> r.filesTotal,
+        "rows_deleted" -> r.rowsDeleted,
+        "files_appended" -> r.filesAppended))
+    // CONVERT TO LAKE: adopt an existing parquet directory IN PLACE — v1
+    // is a manifest over the directory's current files (footer stats when
+    // every stats column is plain numeric — a metadata-only read; one
+    // column-pruned scan otherwise), no data file written, moved, or
+    // rewritten. From v1 on the directory serves the whole surface:
+    // time travel, DML, OPTIMIZE, constraints. The manifest lives INSIDE
+    // the directory under an underscore-prefixed subdir, so plain
+    // spark.read.parquet over the dir keeps working untouched.
+    case ConvertRe(name, dir, colList, nf) =>
+      val lname = name.toLowerCase(java.util.Locale.ROOT)
+      require(!registry.contains(lname),
+        s"lake table '$lname' already exists")
+      val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "CONVERT needs at least one stats column")
+      val manifestRoot = s"$dir/_lake_manifest"
+      require(Snapshots.versions(spark, manifestRoot).isEmpty,
+        s"$dir is already a lake table (manifest exists)")
+      val manifest = Layout.buildManifest(spark, dir, cols)
+      val version = Snapshots.commit(spark, manifest, manifestRoot)
+      val spec = LakeTableSpec(dir, manifestRoot, cols,
+        Option(nf).map(_.toInt).getOrElse(8))
+      register(lname, spec)
+      metricsRow(spark, Seq("version" -> version.toLong,
+        "files_converted" -> manifest.count()))
     case _ => sqlParsed(spark, text)
   }
 
@@ -236,6 +347,35 @@ object LakeSql {
         }.last
         metricsRow(spark, Seq("version" -> v.toLong,
           "columns_added" -> ac.columnsToAdd.size.toLong))
+      // ALTER TABLE … ADD CONSTRAINT <n> CHECK (<cond>): a PERSISTED
+      // write-path contract — one metadata-only commit after validating
+      // every existing live row (the Delta ADD CONSTRAINT shape); from
+      // then on EVERY write path (INSERT, UPDATE, MERGE, REPLACE WHERE,
+      // Scala API appends) validates its staged rows and aborts loudly
+      // before anything becomes visible. Stored over PHYSICAL names so
+      // later renames don't orphan it mid-flight (renaming a constrained
+      // column keeps the constraint's semantics pinned to the data).
+      // the parser encodes the target as Filter(NOT cond, relation) — the
+      // "find violating rows" plan — so the table is the Filter's child
+      case acc: AddCheckConstraint if isLake(constraintTarget(acc)) =>
+        val (_, spec) = lookup(constraintTarget(acc)).get
+        val cc = acc.checkConstraint
+        val name = Option(cc.userProvidedName).getOrElse(
+          throw new IllegalArgumentException(
+            "ADD CONSTRAINT needs an explicit name (generated names are " +
+              "not stable across sessions)"))
+        val condition = headMapping(spark, spec) match {
+          case None => cc.condition
+          case Some(m) => toPhysicalExpr(cc.child, m).sql
+        }
+        val v = Snapshots.addConstraint(spark, spec.manifestRoot, name,
+          condition)
+        metricsRow(spark, Seq("version" -> v.toLong))
+      case dcn: DropConstraint if isLake(dcn.table) =>
+        val (_, spec) = lookup(dcn.table).get
+        val v = Snapshots.dropConstraint(spark, spec.manifestRoot,
+          dcn.name, dcn.ifExists)
+        metricsRow(spark, Seq("version" -> v.toLong))
       // DROP TABLE: unregisters the name; PURGE also deletes the data
       // and manifest dirs (without it, files stay — the external-table
       // contract). Non-lake names fall through to Spark's own DDL.
@@ -528,9 +668,10 @@ object LakeSql {
             "condition (a stats-column range): unscoped it must touch " +
             "every file of the table — no stats can prune 'rows whose " +
             "key is absent'")
-      case (matchedActs, notMatchedActs, Seq()) =>
+      case (matchedActs, notMatchedActs, bySrcActs) =>
         // the GENERAL clause matrix: conditional clauses, explicit SET
-        // assignments and INSERT values, composite keys, matched DELETE
+        // assignments and INSERT values, composite keys, matched DELETE,
+        // and stats-scoped NOT MATCHED BY SOURCE UPDATE/DELETE
         val rw = new MergeRewriter(spark, m, tname, spec, mapping,
           source.columns.toSet)
         val matched = matchedActs.map {
@@ -553,8 +694,33 @@ object LakeSql {
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE not-matched clause: $other")
         }
+        // BY SOURCE clauses: each condition compiles through the typed
+        // WHERE compiler — its prune half scopes the touch set, its row
+        // half becomes the cascade condition over the bare target frame.
+        // An unconditioned clause is rejected: no stats can prune "rows
+        // whose key is absent from the source".
+        val scopeErr = "WHEN NOT MATCHED BY SOURCE needs a scoping " +
+          "condition (a stats-column range): unscoped it must touch " +
+          "every file of the table — no stats can prune 'rows whose " +
+          "key is absent'"
+        val compiledBySrc = bySrcActs.map {
+          case DeleteAction(Some(c)) =>
+            val (prune, pred) = compileWhere(c, spec, mapping)
+            (prune, Snapshots.BySourceDelete(Some(pred)))
+          case UpdateAction(Some(c), assigns, _) =>
+            val (prune, pred) = compileWhere(c, spec, mapping)
+            (prune, Snapshots.BySourceUpdateSet(Some(pred),
+              assigns.map(a => rw.assignTarget(a) -> rw.tgtExpr(a.value))
+                .toMap))
+          case DeleteAction(None) | UpdateAction(None, _, _) =>
+            throw new IllegalArgumentException(scopeErr)
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE not-matched-by-source clause: $other")
+        }
         val r = Snapshots.mergeCommitClauses(spark, source, keys, spec.cols,
-          spec.path, spec.manifestRoot, spec.nFiles, matched, notMatched)
+          spec.path, spec.manifestRoot, spec.nFiles, matched, notMatched,
+          compiledBySrc.map(_._2),
+          compiledBySrc.map(_._1).reduceOption(_ || _))
         metricsRow(spark,
           Seq("version" -> r.version.toLong,
             "files_rewritten" -> r.filesRewritten,
@@ -562,9 +728,6 @@ object LakeSql {
             "rows_updated" -> r.rowsUpdated,
             "rows_inserted" -> r.rowsInserted,
             "rows_deleted" -> r.rowsDeleted))
-      case (_, _, other) => throw new IllegalArgumentException(
-        "NOT MATCHED BY SOURCE clauses combine only with the " +
-          s"unconditional star form (got $other with explicit clauses)")
     }
   }
 
@@ -627,6 +790,19 @@ object LakeSql {
       }
     })
 
+    /** by-source clause context: the bare TARGET frame — there is no
+      * source row to reference ("key absent from source"). */
+    def tgtExpr(e: Expression): Column = PlanExec.column(e.transform {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, n) if isTgtQ(q) => UnresolvedAttribute(Seq(phys(n)))
+        case Seq(n) if targetLogical.exists(_.equalsIgnoreCase(n)) =>
+          UnresolvedAttribute(Seq(phys(n)))
+        case parts => throw new IllegalArgumentException(
+          "NOT MATCHED BY SOURCE expressions see only the target row; " +
+            s"cannot resolve ${parts.mkString(".")} against '$tgtAlias'")
+      }
+    })
+
     /** assignment target (SET k = … / INSERT (k) …) → physical name. */
     def assignTarget(a: Assignment): String = a.key match {
       case k: UnresolvedAttribute => phys(k.nameParts.last)
@@ -634,6 +810,14 @@ object LakeSql {
         s"unsupported MERGE assignment target: $other")
     }
   }
+
+  /** ADD CONSTRAINT's table node: the parser wraps it as
+    * `Filter(NOT condition, relation)` (the violating-rows plan). */
+  private def constraintTarget(acc: AddCheckConstraint): LogicalPlan =
+    acc.child match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.child
+      case other => other
+    }
 
   /** `ON t.k = s.k` → the shared column name `k`. */
   private def equiJoinKeys(cond: Expression): Seq[String] =
@@ -662,18 +846,27 @@ object LakeSql {
     require(ins.partitionSpec.isEmpty && ins.userSpecifiedCols.isEmpty,
       "supported form: INSERT INTO <table> <query> (no partition spec or " +
         "column list)")
-    val batch = toPhysicalFrame(
-      PlanExec.ofRows(spark, resolveReads(spark, ins.query)),
-      headMapping(spark, spec))
-    // SCHEMA-ON-WRITE (the Delta contract): the batch must match the
-    // table's current physical schema — extra, missing, or incompatibly
-    // typed columns are rejected BEFORE staging (validate-before-stage,
-    // the appendCommitChecked shape), because a drifted batch would
-    // otherwise commit silently and later reads would null-fill or drop
-    // columns depending on parquet footer order. Safe upcasts are
-    // aligned in place; the projection also fixes column ORDER to the
-    // table's, so footer order never varies by writer.
+    val aligned = alignedPhysicalBatch(spark, spec, ins.query)
+    val (version, files) = Snapshots.appendCommit(spark, aligned, spec.cols,
+      spec.path, spec.manifestRoot, spec.nFiles)
+    metricsRow(spark,
+      Seq("version" -> version.toLong, "files_appended" -> files.toLong))
+  }
+
+  /** Resolve an INSERT-shaped source query and align it to the table's
+    * physical schema — the SCHEMA-ON-WRITE gate (the Delta contract):
+    * extra, missing, or incompatibly typed columns are rejected BEFORE
+    * staging (validate-before-stage, the appendCommitChecked shape),
+    * because a drifted batch would otherwise commit silently and later
+    * reads would null-fill or drop columns depending on parquet footer
+    * order. Safe upcasts are aligned in place; the projection also fixes
+    * column ORDER to the table's, so footer order never varies by writer.
+    * Shared by INSERT INTO and INSERT INTO … REPLACE WHERE. */
+  private def alignedPhysicalBatch(spark: SparkSession, spec: LakeTableSpec,
+                                   query: LogicalPlan): DataFrame = {
     val headMap = headMapping(spark, spec)
+    val batch = toPhysicalFrame(
+      PlanExec.ofRows(spark, resolveReads(spark, query)), headMap)
     val visible = Snapshots.mappedTableAt(spark, spec.manifestRoot,
       Snapshots.latestVersion(spark, spec.manifestRoot)).schema
     // the batch is already physical; compare against the VISIBLE schema
@@ -692,7 +885,7 @@ object LakeSql {
         s"unexpected [${extra.mkString(", ")}] vs table schema " +
         s"[${expect.fieldNames.mkString(", ")}] — nothing committed " +
         "(evolve the schema through the DataFrame API explicitly)")
-    val aligned = batch.select(expect.fields.toIndexedSeq.map { f =>
+    batch.select(expect.fields.toIndexedSeq.map { f =>
       val bf = bFields(f.name.toLowerCase(java.util.Locale.ROOT))
       if (bf.dataType == f.dataType) col(bf.name).as(f.name)
       else if (org.apache.spark.sql.catalyst.expressions.Cast
@@ -703,10 +896,6 @@ object LakeSql {
           s"table stores ${f.dataType.sql} and the cast is not a safe " +
           "upcast — nothing committed")
     }: _*)
-    val (version, files) = Snapshots.appendCommit(spark, aligned, spec.cols,
-      spec.path, spec.manifestRoot, spec.nFiles)
-    metricsRow(spark,
-      Seq("version" -> version.toLong, "files_appended" -> files.toLong))
   }
 
   private val warehouse =

@@ -1,0 +1,332 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sinks.{Layout, Snapshots}
+import graft.sql.LakeSql.LakeTableSpec
+
+/** Round-14 SQL-surface additions: REPLACE WHERE (scoped atomic overwrite),
+  * persisted CHECK constraints, OPTIMIZE … ZORDER BY re-clustering, and
+  * CONVERT TO LAKE in-place adoption. */
+class LakeSurfaceR14Spec extends SparkSpec {
+
+  private def data = spark.range(10000)
+    .select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("y"))
+
+  private def freshLake(name: String): (String, Int) = {
+    val dir = tmpDir("laker14")
+    Layout.zorderWrite(data, Seq("id", "x"), s"$dir/z", nFiles = 16)
+    val v1 = Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id", "x")), s"$dir/m")
+    LakeSql.register(name,
+      LakeTableSpec(s"$dir/z", s"$dir/m", Seq("id", "x"), nFiles = 8))
+    (dir, v1)
+  }
+
+  private def dataFiles(dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(s => s.getPath.getName + ":" + s.getLen).toSet
+  }
+
+  // ---------------------------------------------------------- REPLACE WHERE
+
+  test("REPLACE WHERE lands delete+insert as ONE commit, pruned") {
+    val (dir, v1) = freshLake("t_rw")
+    val batch = data.filter(col("x").between(100, 199))
+      .withColumn("y", col("y") + 5000)
+    batch.createOrReplaceTempView("rw_batch")
+    val m = LakeSql.sql(spark,
+      "INSERT INTO t_rw REPLACE WHERE x >= 100 AND x <= 199 " +
+        "SELECT * FROM rw_batch").head()
+    // ONE version: atomicity — no intermediate delete-only state exists
+    assert(m.getAs[Long]("version") == v1 + 1)
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1 + 1)
+    assert(m.getAs[Long]("rows_deleted") ==
+      data.filter(col("x").between(100, 199)).count())
+    assert(m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total"))
+    // final state: out-of-scope rows untouched, in-scope rows replaced
+    val got = LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_rw")
+      .head().getLong(0)
+    val want = data.filter(!col("x").between(100, 199))
+      .unionByName(batch)
+      .agg(sum("y")).head().getLong(0)
+    assert(got == want)
+    // pinned pre-replace read intact
+    assert(LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_rw VERSION AS OF $v1")
+      .head().getLong(0) == 10000L)
+  }
+
+  test("REPLACE WHERE rejects a batch with rows outside the scope") {
+    val (dir, v1) = freshLake("t_rw_esc")
+    data.filter(col("x").between(100, 220)) // 200..220 escape the scope
+      .createOrReplaceTempView("rw_esc_batch")
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "INSERT INTO t_rw_esc REPLACE WHERE x >= 100 AND x <= 199 " +
+          "SELECT * FROM rw_esc_batch")
+    }
+    assert(e.getMessage.contains("OUTSIDE"))
+    // nothing committed, table byte-identical
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_rw_esc")
+      .head().getLong(0) == 10000L)
+  }
+
+  test("REPLACE WHERE with an unprunable predicate is rejected loudly") {
+    freshLake("t_rw_unp")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "INSERT INTO t_rw_unp REPLACE WHERE y >= 0 SELECT * FROM t_rw_unp")
+    }
+  }
+
+  // ------------------------------------------ MERGE NOT MATCHED BY SOURCE
+
+  test("MERGE BY SOURCE cascade: scoped UPDATE then DELETE, pruned") {
+    val (_, _) = freshLake("t_bs")
+    // feed carries ids 1000..1999 (bumped y) and is authoritative for
+    // id < 3000: absent in-scope rows are marked (x < 500) or retired
+    val feed = data.filter(col("id").between(1000, 1999))
+      .withColumn("y", col("y") + 100000)
+    feed.createOrReplaceTempView("bs_feed")
+    val m = LakeSql.sql(spark,
+      """MERGE INTO t_bs t USING bs_feed s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET y = s.y
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 3000 AND t.x < 500
+        |  THEN UPDATE SET y = -1
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 3000 THEN DELETE
+        |""".stripMargin).head()
+    val scope = data.filter(col("id") < 3000 && !col("id").between(1000, 1999))
+    val expStale = scope.filter(col("x") < 500).count()
+    val expDel = scope.filter(col("x") >= 500).count()
+    assert(m.getAs[Long]("rows_updated") == 1000L + expStale,
+      s"updated=${m.getAs[Long]("rows_updated")} want ${1000L + expStale}")
+    assert(m.getAs[Long]("rows_deleted") == expDel)
+    assert(m.getAs[Long]("rows_inserted") == 0L)
+    assert(m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total"),
+      "by-source merge must stay file-pruned")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_bs")
+      .head().getLong(0) == 10000L - expDel)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_bs WHERE y = -1")
+      .head().getLong(0) == expStale)
+    // out-of-scope rows byte-identical (no -1, no deletion, no bump)
+    val out = LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_bs WHERE id >= 3000").head().getLong(0)
+    assert(out == data.filter(col("id") >= 3000).count())
+  }
+
+  test("MERGE BY SOURCE without a scoping condition is rejected") {
+    freshLake("t_bs_unscoped")
+    data.limit(5).createOrReplaceTempView("bs_unscoped_feed")
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        """MERGE INTO t_bs_unscoped t USING bs_unscoped_feed s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET y = 0
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("scoping"))
+  }
+
+  // ---------------------------------------------------- CHECK constraints
+
+  test("ADD CONSTRAINT validates existing rows; writes then enforce it") {
+    val (dir, _) = freshLake("t_ck")
+    // existing rows all satisfy x >= 0
+    LakeSql.sql(spark,
+      "ALTER TABLE t_ck ADD CONSTRAINT x_nonneg CHECK (x >= 0)")
+    assert(Snapshots.checkConstraints(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m")).contains("x_nonneg"))
+    // a violating INSERT aborts before anything becomes visible
+    val vBefore = Snapshots.latestVersion(spark, s"$dir/m")
+    val before = dataFiles(s"$dir/z")
+    data.limit(100).withColumn("x", lit(-1L))
+      .createOrReplaceTempView("ck_bad")
+    val e = intercept[Snapshots.ConstraintViolationException] {
+      LakeSql.sql(spark, "INSERT INTO t_ck SELECT * FROM ck_bad")
+    }
+    assert(e.getMessage.contains("x_nonneg"))
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == vBefore)
+    assert(dataFiles(s"$dir/z") == before, "staged files leaked into the table")
+    // a clean INSERT still lands
+    data.limit(100).withColumn("id", col("id") + 100000)
+      .createOrReplaceTempView("ck_good")
+    LakeSql.sql(spark, "INSERT INTO t_ck SELECT * FROM ck_good")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_ck")
+      .head().getLong(0) == 10100L)
+  }
+
+  test("ADD CONSTRAINT already violated by existing rows is refused") {
+    val (dir, v1) = freshLake("t_ck_pre")
+    intercept[Snapshots.ConstraintViolationException] {
+      LakeSql.sql(spark,
+        "ALTER TABLE t_ck_pre ADD CONSTRAINT x_big CHECK (x >= 500)")
+    }
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1)
+    assert(Snapshots.checkConstraints(spark, s"$dir/m", v1).isEmpty)
+  }
+
+  test("constraints gate UPDATE and MERGE staging; DROP CONSTRAINT lifts") {
+    val (dir, _) = freshLake("t_ck_dml")
+    LakeSql.sql(spark,
+      "ALTER TABLE t_ck_dml ADD CONSTRAINT y_cap CHECK (y < 100000)")
+    // UPDATE pushing y over the cap must abort with nothing committed
+    val vBefore = Snapshots.latestVersion(spark, s"$dir/m")
+    intercept[Snapshots.ConstraintViolationException] {
+      LakeSql.sql(spark,
+        "UPDATE t_ck_dml SET y = y + 200000 WHERE x >= 100 AND x <= 150")
+    }
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == vBefore)
+    // MERGE inserting violating rows must abort too
+    data.limit(50).select((col("id") + 500000).as("id"), col("x"),
+      (col("y") + 200000).as("y")).createOrReplaceTempView("ck_dml_src")
+    intercept[Snapshots.ConstraintViolationException] {
+      LakeSql.sql(spark,
+        """MERGE INTO t_ck_dml t USING ck_dml_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == vBefore)
+    // DROP CONSTRAINT: the same UPDATE now lands
+    LakeSql.sql(spark, "ALTER TABLE t_ck_dml DROP CONSTRAINT y_cap")
+    val m = LakeSql.sql(spark,
+      "UPDATE t_ck_dml SET y = y + 200000 WHERE x >= 100 AND x <= 150")
+      .head()
+    assert(m.getAs[Long]("rows_updated") ==
+      data.filter(col("x").between(100, 150)).count())
+  }
+
+  test("constraint set supersedes like the column mapping; history=metadata") {
+    val (dir, _) = freshLake("t_ck_meta")
+    LakeSql.sql(spark,
+      "ALTER TABLE t_ck_meta ADD CONSTRAINT a CHECK (x >= 0)")
+    LakeSql.sql(spark,
+      "ALTER TABLE t_ck_meta ADD CONSTRAINT b CHECK (y >= 0)")
+    val head = Snapshots.latestVersion(spark, s"$dir/m")
+    assert(Snapshots.checkConstraints(spark, s"$dir/m", head).keySet ==
+      Set("a", "b"))
+    // below the first constraint commit: none in force
+    assert(Snapshots.checkConstraints(spark, s"$dir/m", 1).isEmpty)
+    LakeSql.sql(spark, "ALTER TABLE t_ck_meta DROP CONSTRAINT a")
+    assert(Snapshots.checkConstraints(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m")).keySet == Set("b"))
+    // the constraint commits are metadata-only in the history
+    val ops = Snapshots.history(spark, s"$dir/m").map(_.operation)
+    assert(ops.count(_ == "metadata") >= 3)
+  }
+
+  test("vacuum re-homes governing markers: constraint + rename survive") {
+    val (dir, _) = freshLake("t_ck_vac")
+    LakeSql.sql(spark,
+      "ALTER TABLE t_ck_vac ADD CONSTRAINT x_nonneg CHECK (x >= 0)") // v2
+    LakeSql.sql(spark,
+      "ALTER TABLE t_ck_vac RENAME COLUMN y TO y2") // v3
+    // three marker-less commits push the markers deep into the droppable
+    // prefix
+    (1 to 3).foreach { i =>
+      // batches speak the LOGICAL schema (y2 after the rename)
+      data.limit(10).withColumn("id", col("id") + i * 1000000)
+        .withColumnRenamed("y", "y2")
+        .createOrReplaceTempView("vac_b")
+      LakeSql.sql(spark, "INSERT INTO t_ck_vac SELECT * FROM vac_b")
+    }
+    Snapshots.vacuum(spark, s"$dir/z", s"$dir/m", retainLast = 2)
+    // fresh-JVM view: the memo cleared, the set must come from DISK
+    Snapshots.resetConstraintMemo()
+    val head = Snapshots.latestVersion(spark, s"$dir/m")
+    assert(Snapshots.checkConstraints(spark, s"$dir/m", head)
+      .contains("x_nonneg"),
+      "vacuum dropped the constraint marker with its version dir")
+    assert(Snapshots.columnMapping(spark, s"$dir/m", head)
+      .exists(_.contains("y2")),
+      "vacuum dropped the column-mapping marker with its version dir")
+    // and the constraint still ENFORCES from disk state
+    data.limit(5).withColumn("x", lit(-2L))
+      .withColumnRenamed("y", "y2")
+      .createOrReplaceTempView("vac_bad")
+    intercept[Snapshots.ConstraintViolationException] {
+      LakeSql.sql(spark, "INSERT INTO t_ck_vac SELECT * FROM vac_bad")
+    }
+  }
+
+  // ---------------------------------------------------- OPTIMIZE ZORDER BY
+
+  test("OPTIMIZE ZORDER BY re-clusters: y-box prunes strictly better") {
+    val (dir, _) = freshLake("t_zo") // clustered on (id, x); y is scattered
+    // y needs manifest stats to be a legal ZORDER BY target — re-register
+    // with y in the stats set and rebuild the manifest accordingly
+    LakeSql.register("t_zo",
+      LakeTableSpec(s"$dir/z", s"$dir/m", Seq("id", "x", "y"), nFiles = 16))
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id", "x", "y")), s"$dir/m")
+    def filesHitForYBox(): Long = {
+      val v = Snapshots.latestVersion(spark, s"$dir/m")
+      Snapshots.readAt(spark, s"$dir/m", v, Seq(("y", 100.0, 149.0))).filesRead
+    }
+    val hitBefore = filesHitForYBox()
+    val vPre = Snapshots.latestVersion(spark, s"$dir/m")
+    val m = LakeSql.sql(spark, "OPTIMIZE t_zo ZORDER BY (y)").head()
+    assert(m.getAs[Long]("version") == vPre + 1)
+    val hitAfter = filesHitForYBox()
+    assert(hitAfter < hitBefore,
+      s"re-cluster on y did not tighten pruning ($hitBefore -> $hitAfter)")
+    // pure re-layout: row-identical across the commit
+    val feed = Snapshots.changesBetween(spark, s"$dir/m", vPre, vPre + 1)
+    assert(feed.df.count() == 0, "ZORDER re-layout leaked into the change feed")
+  }
+
+  test("OPTIMIZE ZORDER BY rejects a column without manifest stats") {
+    freshLake("t_zo_bad")
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "OPTIMIZE t_zo_bad ZORDER BY (y)")
+    }
+    assert(e.getMessage.contains("manifest stats"))
+  }
+
+  // ------------------------------------------------------- CONVERT TO LAKE
+
+  test("CONVERT TO LAKE adopts a parquet dir in place; DML works after") {
+    val dir = tmpDir("convert") + "/p"
+    data.repartition(8).write.parquet(dir)
+    val before = dataFiles(dir)
+    val m = LakeSql.sql(spark,
+      s"CONVERT TO LAKE t_conv FROM '$dir' STATS COLS (id, x)").head()
+    assert(m.getAs[Long]("version") == 1L)
+    assert(m.getAs[Long]("files_converted") == 8L)
+    // metadata-only: not one data file written, moved, or rewritten
+    assert(dataFiles(dir) == before)
+    // reads serve the original rows
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_conv")
+      .head().getLong(0) == 10000L)
+    // plain directory read still works (manifest is underscore-hidden)
+    assert(spark.read.parquet(dir).count() == 10000L)
+    // the converted table serves DML + time travel like any lake table
+    val d = LakeSql.sql(spark,
+      "DELETE FROM t_conv WHERE x >= 0 AND x <= 99").head()
+    assert(d.getAs[Long]("rows_deleted") ==
+      data.filter(col("x").between(0, 99)).count())
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_conv VERSION AS OF 1")
+      .head().getLong(0) == 10000L)
+  }
+
+  test("CONVERT refuses an already-converted directory") {
+    val dir = tmpDir("convert2") + "/p"
+    data.limit(100).write.parquet(dir)
+    LakeSql.sql(spark,
+      s"CONVERT TO LAKE t_conv2 FROM '$dir' STATS COLS (id)")
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        s"CONVERT TO LAKE t_conv2b FROM '$dir' STATS COLS (id)")
+    }
+    assert(e.getMessage.contains("already"))
+  }
+}
