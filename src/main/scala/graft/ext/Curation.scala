@@ -315,4 +315,55 @@ object Curation {
       .groupBy(col(idCol))
       .agg(countDistinct(col("h")).as("n_shared"))
   }
+
+  /** Importance-resampling weights over hashed n-gram features — the DSIR
+    * shape (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by how much more
+    * likely its hashed-unigram bag is under the TARGET domain's feature
+    * distribution than under the raw corpus's, then keep the top-k.
+    *
+    * Features are word unigrams hashed into 256 buckets by the first two
+    * hex chars of md5 (the same engine-portable trick as [[splitAssign]]).
+    * Bucket distributions use add-one smoothing; the per-doc weight is
+    *   w(d) = Σ_b n_b(d) · [ ln((ct_b+1)/(T_t+256)) − ln((cr_b+1)/(T_r+256)) ]
+    * i.e. the log-likelihood ratio of the doc's bag under target vs raw.
+    *
+    * Shuffle shape at 100 TB: ONE shuffle on (id, bucket) with map-side
+    * partial counts (doc × ≤256 rows, bounded regardless of doc length);
+    * the bucket distribution table is ≤256 rows — computed in the same
+    * pass and broadcast back, never a shuffle of the corpus side; the
+    * final top-k is TakeOrderedAndProject (k-bounded driver work). The
+    * weight is rounded to 6 decimals BEFORE ranking and tie-broken on id,
+    * so selection is deterministic and engine-portable. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val buckets = 256
+    val toks = docs
+      .select(col(idCol), isTarget.as("is_target"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol), col("is_target"),
+        substring(md5(col("tok")), 1, 2).as("bucket"))
+    // Per-(doc, bucket) counts: the one corpus-proportional shuffle, with
+    // map-side combine; carries is_target along (constant per doc).
+    val docBucket = toks.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), first(col("is_target")).as("is_target"))
+      .localCheckpoint()
+    // Bucket totals for the two distributions: ≤256 rows, derived from the
+    // already-aggregated per-doc counts (no second pass over the corpus).
+    val bucketStats = docBucket.groupBy(col("bucket"))
+      .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("ct"),
+        sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("cr"))
+    val totals = bucketStats.agg(
+      sum(col("ct")).cast("double").as("tt"),
+      sum(col("cr")).cast("double").as("tr"))
+    docBucket.filter(!col("is_target"))
+      .join(broadcast(bucketStats), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("n") *
+        (log((col("ct") + 1) / (col("tt") + buckets)) -
+          log((col("cr") + 1) / (col("tr") + buckets)))), 6)
+        .as("dsir_weight"))
+  }
 }

@@ -181,6 +181,21 @@ object CurationQueries {
       require(upweightedOk,
         s"q140 low-resource languages not up-weighted: rates=$rates sizes=$sizes")
       kept.withColumn("upweighted_ok", lit(upweightedOk))
+    }),
+
+    // DSIR-SHAPE IMPORTANCE SELECTION (q197): score every raw doc by the
+    // log-likelihood ratio of its hashed-unigram bag under the target
+    // domain (source='src0') vs the raw pool, keep the top-100. One
+    // corpus-proportional shuffle on (doc, bucket) with map-side combine;
+    // the 256-row bucket distribution broadcasts back; top-k is
+    // TakeOrderedAndProject. Weights round-6 + doc_id tie-break so the
+    // selection is deterministic and engine-portable.
+    "q197_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.dsirWeights(docs, "doc_id", "text",
+          col("source") === "src0")
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+        .limit(100)
     })
   )
 
@@ -322,6 +337,33 @@ object CurationQueries {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE th.t >= 4294967296
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)
-        |        < printf('%08x', CAST(th.t AS BIGINT))""".stripMargin
+        |        < printf('%08x', CAST(th.t AS BIGINT))""".stripMargin,
+    // q197 recomputes the DSIR log-likelihood-ratio weights from the same
+    // hashed-unigram bucket distributions (add-one smoothing, 256 buckets)
+    // and replays the round-6 + doc_id-tie-break top-100.
+    "q197_dsir_select" ->
+      """WITH b AS (
+        |  SELECT doc_id, is_target, substr(md5(tok), 1, 2) AS bucket
+        |  FROM (SELECT doc_id, source = 'src0' AS is_target,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''),
+        |db AS (SELECT doc_id, bucket, any_value(is_target) AS is_target,
+        |         count(*) AS n
+        |       FROM b GROUP BY 1, 2),
+        |bs AS (SELECT bucket,
+        |         sum(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+        |         sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS cr
+        |       FROM db GROUP BY 1),
+        |tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM bs)
+        |SELECT db.doc_id,
+        |  round(sum(db.n * (ln((bs.ct + 1) / (tot.tt + 256)) -
+        |                    ln((bs.cr + 1) / (tot.tr + 256)))), 6)
+        |    AS dsir_weight
+        |FROM db JOIN bs USING (bucket), tot
+        |WHERE NOT db.is_target
+        |GROUP BY 1
+        |ORDER BY dsir_weight DESC, doc_id
+        |LIMIT 100""".stripMargin
   )
 }

@@ -69,6 +69,28 @@ class CurationSpec extends SparkSpec {
     assert(hits(1L) == 1L) // exactly one shared 8-gram window
   }
 
+  test("dsirWeights ranks target-like raw docs above off-domain ones") {
+    // target docs speak "alpha"; raw docs 10/11 speak alpha too, 12/13
+    // speak "zeta" — the alpha-speaking raw docs must score higher.
+    val df = Seq(
+      (1L, "alpha beta alpha gamma", true),
+      (2L, "alpha alpha beta beta", true),
+      (10L, "alpha beta alpha beta", false),
+      (11L, "alpha gamma beta alpha", false),
+      (12L, "zeta eta theta zeta", false),
+      (13L, "zeta zeta eta iota", false))
+      .toDF("id", "text", "tgt")
+    val w = Curation.dsirWeights(df, "id", "text", $"tgt")
+      .as[(Long, Double)].collect().toMap
+    // only raw docs are scored
+    assert(w.keySet == Set(10L, 11L, 12L, 13L), w)
+    assert(math.min(w(10L), w(11L)) > math.max(w(12L), w(13L)), w)
+    // deterministic under repartitioning (round-6 fixed point)
+    val again = Curation.dsirWeights(df.repartition(7), "id", "text", $"tgt")
+      .as[(Long, Double)].collect().toMap
+    assert(again == w)
+  }
+
   test("temperatureMixThresholds up-weights small groups, integer-exact") {
     // 6400 'big' + 100 'small': α=1/2 weights ⌊√6400⌋=80 vs ⌊√100⌋=10
     val df = spark.range(6500)
