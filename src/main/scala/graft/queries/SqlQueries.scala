@@ -1222,6 +1222,61 @@ object SqlQueries {
         .withColumn("counts_ok", lit(countsOk))
         .withColumn("pruned_ok", lit(prunedOk))
     }),
+
+    // DML SUBQUERY PREDICATES (q199): the two shapes a date/dimension-
+    // keyed pipeline actually writes — `DELETE … WHERE key IN (SELECT …)`
+    // (the dimension-driven retention delete; prunes on the subquery's
+    // [min,max] interval, rows semi-joined — the key list NEVER collects
+    // to the driver) and `UPDATE … WHERE col > (SELECT max(…) - n …)`
+    // (the watermark shape; the uncorrelated scalar folds to a literal
+    // ONCE so prune and row predicate see the same value).
+    "q199_sql_dml_subquery" -> ((s, dir) => {
+      val root = tmp("q199")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q199:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake199",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val cust = t(s, dir, "customer")
+      cust.createOrReplaceTempView("q199_cust")
+      orders.createOrReplaceTempView("q199_ord")
+      val delKeys = cust.filter(col("c_acctbal") < 0 &&
+        col("c_custkey").between(50, 100)).select(col("c_custkey"))
+      val expDel = orders.join(delKeys,
+        orders("o_custkey") === delKeys("c_custkey"), "left_semi").count()
+      val d = LakeSql.sql(s,
+        """DELETE FROM orders_lake199
+          |WHERE o_custkey IN (SELECT c_custkey FROM q199_cust
+          |                    WHERE c_acctbal < 0
+          |                      AND c_custkey BETWEEN 50 AND 100)
+          |""".stripMargin).head()
+      val prunedOk =
+        d.getAs[Long]("files_rewritten") < d.getAs[Long]("files_total")
+      require(prunedOk, "q199 IN-subquery delete rewrote every file")
+      val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val u = LakeSql.sql(s,
+        """UPDATE orders_lake199 SET o_orderpriority = 'TAIL'
+          |WHERE o_orderkey > (SELECT max(o_orderkey) - 3000 FROM q199_ord)
+          |""".stripMargin).head()
+      val expUpd = orders.filter(col("o_orderkey") > maxK - 3000)
+        .join(delKeys, orders("o_custkey") === delKeys("c_custkey"),
+          "left_anti").count()
+      val countsOk = d.getAs[Long]("rows_deleted") == expDel &&
+        u.getAs[Long]("rows_updated") == expUpd
+      require(countsOk, s"q199 subquery DML metrics off: del=$d upd=$u " +
+        s"(want del=$expDel upd=$expUpd)")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            |FROM orders_lake199""".stripMargin)
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1461,5 +1516,17 @@ object SqlQueries {
         |SELECT o_orderkey + 30000000, o_custkey, round(o_totalprice, 2),
         |  o_orderpriority, TRUE, TRUE
         |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+    // q199 replays both subquery statements over the raw tables: the
+    // dimension-driven delete, then the watermark-tail update.
+    "q199_sql_dml_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  CASE WHEN o_orderkey >
+        |            (SELECT max(o_orderkey) - 3000 FROM orders)
+        |       THEN 'TAIL' ELSE o_orderpriority END AS o_orderpriority,
+        |  TRUE AS counts_ok, TRUE AS pruned_ok
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_acctbal < 0
+        |                          AND c_custkey BETWEEN 50 AND 100)""".stripMargin,
   )
 }

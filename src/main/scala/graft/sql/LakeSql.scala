@@ -9,8 +9,8 @@ import scala.util.Try
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Like, Literal}
-import org.apache.spark.sql.functions.{col, lit, substring}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, Like, ListQuery, Literal, ScalarSubquery}
+import org.apache.spark.sql.functions.{col, lit, max, min, substring}
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -267,7 +267,7 @@ object LakeSql {
       val spec = specByName(name)
       val mapping = headMapping(spark, spec)
       val cond = spark.sessionState.sqlParser.parseExpression(condText)
-      val (prune, pred) = compileWhere(cond, spec, mapping)
+      val (prune, pred) = compileWhere(cond, spec, mapping, Some(spark))
       val batch = alignedPhysicalBatch(spark, spec,
         spark.sessionState.sqlParser.parsePlan(queryText))
       val r = Snapshots.replaceWhereCommit(spark, batch, spec.cols,
@@ -612,7 +612,7 @@ object LakeSql {
                         condition: Expression): DataFrame = {
     val (_, spec) = lookup(target).get
     val (prune, pred) = compileWhere(condition, spec,
-      headMapping(spark, spec))
+      headMapping(spark, spec), Some(spark))
     val res = Snapshots.deleteWherePred(spark, spec.path, spec.manifestRoot,
       spec.cols, prune, pred)
     metricsRow(spark,
@@ -652,7 +652,7 @@ object LakeSql {
           Seq(DeleteAction(Some(cond)))) if keys.sizeIs == 1 =>
         // the three-clause matrix: the delete clause must be stats-scoped
         // — same 100 TB honesty contract as Snapshots.mergeCommitFull
-        val (prune, pred) = compileWhere(cond, spec, mapping)
+        val (prune, pred) = compileWhere(cond, spec, mapping, Some(spark))
         val r = Snapshots.mergeCommitFullPred(spark, source, keys.head,
           spec.cols, spec.path, spec.manifestRoot, spec.nFiles, prune, pred)
         metricsRow(spark,
@@ -705,10 +705,10 @@ object LakeSql {
           "key is absent'"
         val compiledBySrc = bySrcActs.map {
           case DeleteAction(Some(c)) =>
-            val (prune, pred) = compileWhere(c, spec, mapping)
+            val (prune, pred) = compileWhere(c, spec, mapping, Some(spark))
             (prune, Snapshots.BySourceDelete(Some(pred)))
           case UpdateAction(Some(c), assigns, _) =>
-            val (prune, pred) = compileWhere(c, spec, mapping)
+            val (prune, pred) = compileWhere(c, spec, mapping, Some(spark))
             (prune, Snapshots.BySourceUpdateSet(Some(pred),
               assigns.map(a => rw.assignTarget(a) -> rw.tgtExpr(a.value))
                 .toMap))
@@ -980,7 +980,7 @@ object LakeSql {
       case other => throw new IllegalArgumentException(
         s"unsupported UPDATE assignment target: $other")
     }.toMap
-    val (prune, pred) = compileWhere(cond, spec, mapping)
+    val (prune, pred) = compileWhere(cond, spec, mapping, Some(spark))
     val r = Snapshots.updateWherePred(spark, spec.path, spec.manifestRoot,
       spec.cols, prune, pred, assignments)
     metricsRow(spark,
@@ -1004,21 +1004,62 @@ object LakeSql {
     * Other conjuncts ride along as row-level residual — but at least ONE
     * conjunct must prune, or the statement is rejected loudly: at 100 TB a
     * DML no stats can prune is a full-table rewrite the caller must opt
-    * into via the DataFrame API. */
+    * into via the DataFrame API.
+    *
+    * SUBQUERY predicates (when `subEval` carries the session): an
+    * uncorrelated scalar subquery folds to a literal ONCE (so the prune
+    * and the row predicate see the same value — the watermark-delete
+    * shape `WHERE d > (SELECT max(d) FROM w)`); `col IN (SELECT …)`
+    * prunes on the subquery's [min, max] bounds (one 2-scalar agg —
+    * any matching row's stats box must intersect that interval) and the
+    * row side stays the subquery itself, which Catalyst rewrites into a
+    * semi-join on the touched rows — the key-list never collects to the
+    * driver. NOT IN / EXISTS ride as residuals (no interval can bound
+    * "absent" or a correlated condition) and need a prunable companion
+    * conjunct, same contract as any residual. */
   private[graft] def compileWhere(cond: Expression, spec: LakeTableSpec,
-                                  mapping: Option[Map[String, String]] = None): (Column, Column) = {
-    val prunes = splitAnd(cond).flatMap(c => pruneOf(c, spec, mapping))
+                                  mapping: Option[Map[String, String]] = None,
+                                  subEval: Option[SparkSession] = None): (Column, Column) = {
+    // fold uncorrelated scalar subqueries to literals ONCE, before the
+    // prune/residual split, so both halves see the identical value
+    val folded = subEval match {
+      case Some(s) => cond.transformUp {
+        case sq: ScalarSubquery =>
+          val df = PlanExec.ofRows(s, resolveReads(s, sq.plan))
+          require(df.columns.length == 1,
+            s"scalar subquery must return ONE column, got " +
+              df.columns.mkString(", "))
+          val rows = df.limit(2).collect()
+          require(rows.length <= 1,
+            "scalar subquery returned more than one row")
+          Literal.create(if (rows.isEmpty) null else rows(0).get(0),
+            df.schema.fields(0).dataType)
+      }
+      case None => cond
+    }
+    val prunes = splitAnd(folded).flatMap(c =>
+      pruneOf(c, spec, mapping, subEval))
     require(prunes.nonEmpty,
       "DML WHERE has no conjunct the manifest stats can prune (need " +
-        "<stats col> {=,<,<=,>,>=} <literal>, IN, or prefix LIKE over " +
+        "<stats col> {=,<,<=,>,>=} <literal>, IN (literals or subquery), " +
+        "or prefix LIKE over " +
         s"stats cols ${spec.cols.mkString(", ")}) — unpruned it is a " +
         s"full-table rewrite; use the DataFrame API to opt in. WHERE: $cond")
     // row predicate: the WHERE itself, with attribute qualifiers stripped
     // (it resolves against the bare live-rows frame, where `t.id` has no
-    // `t` to bind to) and logical names routed through the column mapping
-    val rowPred = PlanExec.column(cond.transform {
+    // `t` to bind to) and logical names routed through the column mapping.
+    // Subquery plans resolve their lake reads here; expression transform
+    // does NOT descend into them, so inner attributes stay untouched.
+    val mapped = folded.transform {
       case a: UnresolvedAttribute => UnresolvedAttribute(Seq(
         physicalName(a.nameParts.last, mapping, "predicate column")))
+    }
+    val rowPred = PlanExec.column(subEval match {
+      case Some(s) => mapped.transform {
+        case q: ListQuery => q.copy(plan = resolveReads(s, q.plan))
+        case e: Exists => e.copy(plan = resolveReads(s, e.plan))
+      }
+      case None => mapped
     })
     (prunes.reduce(_ && _), rowPred)
   }
@@ -1034,7 +1075,8 @@ object LakeSql {
     * Spark's own (monotone) rules — a file is pruned only when NO value
     * in its [min,max] can satisfy the comparison. */
   private def pruneOf(e: Expression, spec: LakeTableSpec,
-                      mapping: Option[Map[String, String]]): Option[Column] = {
+                      mapping: Option[Map[String, String]],
+                      subEval: Option[SparkSession] = None): Option[Column] = {
     // physical stats-column name, or None when the conjunct's column has
     // no manifest stats (residual-only)
     def stats(a: UnresolvedAttribute): Option[String] = {
@@ -1079,6 +1121,25 @@ object LakeSql {
         val prefix = p.toString.dropRight(1)
         stats(a).map(c => col(s"max_$c") >= lit(prefix) &&
           substring(col(s"min_$c"), 1, prefix.length) <= lit(prefix))
+      case InSubquery(Seq(a: UnresolvedAttribute), q: ListQuery) =>
+        // interval prune: any row matching the IN lives inside the
+        // subquery's [min, max], so a file whose stats box misses that
+        // interval is provably untouched. ONE 2-scalar agg over the
+        // subquery — the key list itself never reaches the driver; the
+        // row side keeps the subquery (Catalyst semi-join rewrite).
+        (stats(a), subEval) match {
+          case (Some(c), Some(s)) =>
+            val sub = PlanExec.ofRows(s, resolveReads(s, q.plan))
+            require(sub.columns.length == 1,
+              s"IN subquery must return ONE column, got " +
+                sub.columns.mkString(", "))
+            val mm = sub.agg(min(col(sub.columns(0))).as("lo"),
+              max(col(sub.columns(0))).as("hi")).head()
+            if (mm.isNullAt(0)) Some(lit(false)) // empty list matches nothing
+            else Some(col(s"min_$c") <= lit(mm.get(1)) &&
+              col(s"max_$c") >= lit(mm.get(0)))
+          case _ => None
+        }
       case _ => None
     }
   }

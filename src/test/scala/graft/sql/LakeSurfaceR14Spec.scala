@@ -85,6 +85,66 @@ class LakeSurfaceR14Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------- DML subquery predicates
+
+  test("DELETE WHERE id IN (SELECT ...) prunes on subquery bounds") {
+    val (dir, v1) = freshLake("t_insub")
+    // victim keys: a narrow id slice published by another frame
+    spark.range(2000, 2500).toDF("vid").createOrReplaceTempView("insub_keys")
+    val m = LakeSql.sql(spark,
+      "DELETE FROM t_insub WHERE id IN (SELECT vid FROM insub_keys)").head()
+    assert(m.getAs[Long]("rows_deleted") == 500L)
+    assert(m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total"),
+      "IN-subquery delete must prune on the subquery's [min,max]")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_insub")
+      .head().getLong(0) == 9500L)
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1 + 1)
+  }
+
+  test("DELETE WHERE col > (SELECT max ...) folds the scalar once") {
+    val (_, _) = freshLake("t_scsub")
+    // watermark-delete shape: drop everything above another table's max
+    spark.range(9900, 10000).toDF("w").createOrReplaceTempView("scsub_wm")
+    val m = LakeSql.sql(spark,
+      "DELETE FROM t_scsub WHERE id >= (SELECT min(w) FROM scsub_wm)")
+      .head()
+    assert(m.getAs[Long]("rows_deleted") == 100L)
+    assert(m.getAs[Long]("files_rewritten") < m.getAs[Long]("files_total"))
+    assert(LakeSql.sql(spark, "SELECT max(id) AS m FROM t_scsub")
+      .head().getLong(0) == 9899L)
+  }
+
+  test("NOT IN subquery is residual-only: needs a prunable companion") {
+    freshLake("t_notin")
+    spark.range(100, 110).toDF("vid").createOrReplaceTempView("notin_keys")
+    // alone: rejected (no interval can bound 'absent')
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "DELETE FROM t_notin WHERE id NOT IN (SELECT vid FROM notin_keys)")
+    }
+    // with a prunable companion conjunct: executes, residual applied
+    val m = LakeSql.sql(spark,
+      "DELETE FROM t_notin WHERE id >= 100 AND id < 120 " +
+        "AND id NOT IN (SELECT vid FROM notin_keys)").head()
+    assert(m.getAs[Long]("rows_deleted") == 10L)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_notin WHERE id >= 100 AND id < 120")
+      .head().getLong(0) == 10L)
+  }
+
+  test("UPDATE with IN-subquery WHERE routes through the same compiler") {
+    val (_, _) = freshLake("t_updsub")
+    spark.range(0, 50).select((col("id") * 100).as("vid"))
+      .createOrReplaceTempView("updsub_keys")
+    val m = LakeSql.sql(spark,
+      "UPDATE t_updsub SET y = -7 " +
+        "WHERE id IN (SELECT vid FROM updsub_keys) AND id < 2000").head()
+    // keys 0,100,...,1900 → 20 rows
+    assert(m.getAs[Long]("rows_updated") == 20L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_updsub WHERE y = -7")
+      .head().getLong(0) == 20L)
+  }
+
   // ------------------------------------------ MERGE NOT MATCHED BY SOURCE
 
   test("MERGE BY SOURCE cascade: scoped UPDATE then DELETE, pruned") {
