@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * run inside whole-stage codegen and scale linearly with the scan: at 100 TB
   * each executor computes its partition's stats with zero data movement.
   *
-  * Determinism/parity: every function here avoids libm-dependent transcendental
-  * math (no log/exp) so results are bit-identical to an ANSI-SQL oracle
-  * computing the same rational arithmetic.
+  * Determinism/parity: the column-expression functions avoid libm-dependent
+  * transcendental math (no log/exp) so results are bit-identical to an
+  * ANSI-SQL oracle computing the same rational arithmetic. The one
+  * exception is [[lmScore]] (cross-entropy is a log by definition), which
+  * rounds its per-doc sum to 6 decimals — the established tolerance for
+  * summation-order ulp noise — before emitting.
   */
 object TextAnalysis {
 
@@ -219,5 +222,54 @@ object TextAnalysis {
         coalesce(col("cleaned"), lit("")).as("cleaned"),
         col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Target-trained language-model quality score — the CCNet shape
+    * (Wenzek et al. 2020: score every raw document by the perplexity of a
+    * small LM trained on the target domain; low-score ≈ target-like).
+    * The LM is a Jelinek-Mercer-interpolated bigram model over the
+    * `isTrain` documents:
+    *   p(w2 | w1) = 0.9·c2(w1,w2)/c1(w1) + 0.1·(c1(w2)+1)/(T+V)
+    * (unseen-context first term drops to 0; the add-one unigram back-off
+    * keeps p > 0 for OOV tokens). Returned per doc with ≥ 2 tokens:
+    * `lm_score` = round(−Σ ln p / n, 6) — cross-entropy in nats, the
+    * perplexity's log (monotone-equivalent, avoids exp divergence).
+    *
+    * Scale shape: bigram/unigram count tables come from one hash-agg
+    * each with map-side combine; scoring is two shuffle joins keyed on
+    * the token n-grams (NOT broadcast — at 100 TB the LM tables are
+    * corpus-vocabulary-sized; CCNet prunes its LM, here AQE handles the
+    * skewed head tokens) plus a broadcast of the 2-scalar totals; the
+    * per-doc reduce is one more hash-agg. Round-6 before emitting keeps
+    * the score engine-portable under summation-order ulp noise. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, isTrain: Column): org.apache.spark.sql.DataFrame = {
+    val w = docs.select(col(idCol), isTrain.as("tr"),
+      split(col(textCol), " ").as("ws"))
+    val bg = w.filter(size(col("ws")) >= 2)
+      .select(col(idCol), col("tr"),
+        explode(expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("p"))
+      .select(col(idCol), col("tr"), col("p.w1"), col("p.w2"))
+    val c2 = bg.filter(col("tr")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n2"))
+    val c1 = w.filter(col("tr")).select(explode(col("ws")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("n1"))
+      .localCheckpoint() // joined twice (context + back-off legs)
+    val tot = c1.agg(sum(col("n1")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    bg.join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("tk").as("w1"), col("n1").as("n1a")),
+        Seq("w1"), "left")
+      .join(c1.select(col("tk").as("w2"), col("n1").as("n1b")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        coalesce(lit(0.9) * (col("n2") / col("n1a")), lit(0.0)) +
+          lit(0.1) * ((coalesce(col("n1b"), lit(0L)) + 1) /
+            (col("t") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(round(-sum(log(col("p"))) / count(lit(1)), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
   }
 }

@@ -707,6 +707,20 @@ object LlmQueries {
         minDocFrac = 0.05)
     }),
 
+    // TARGET-TRAINED LM QUALITY SCORE (q200, the CCNet shape — Wenzek et
+    // al. 2020): a Jelinek-Mercer bigram LM trained on the src0 slice
+    // scores EVERY doc's cross-entropy; low = target-like. Counts are
+    // hash-aggs with map-side combine; scoring is shuffle joins on the
+    // token keys (LM tables are vocabulary-sized — never broadcast at
+    // 100 TB) + a broadcast 2-scalar totals row; round-6 keeps the score
+    // engine-portable.
+    "q200_lm_perplexity" -> ((s, dir) => {
+      TextAnalysis.lmScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("source")),
+        "doc_id", "text", col("source") === "src0")
+    }),
+
     "q135_gopher_rules" -> ((s, dir) => {
       val txt = col("text")
       val nw = TextAnalysis.nTokens(txt)
@@ -1505,6 +1519,31 @@ object LlmQueries {
         |  len(string_split(d.page, chr(10))) - count(k.ln) AS n_removed
         |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id, d.page""".stripMargin,
+    // q200 retrains the identical Jelinek-Mercer bigram LM on the src0
+    // slice and rescores every doc: p = 0.9·c2/c1 + 0.1·(c1(w2)+1)/(T+V),
+    // cross-entropy round-6. DuckDB lists are 1-based (Spark arrays
+    // 0-based): pairs are (ws[i], ws[i+1]) for i = 1..len-1.
+    "q200_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id, source = 'src0' AS tr,
+        |             string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, tr,
+        |         ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        |       FROM w, unnest(range(1, len(ws))) AS u(i)
+        |       WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg WHERE tr GROUP BY 1, 2),
+        |c1 AS (SELECT tk, count(*) AS n1
+        |       FROM (SELECT unnest(ws) AS tk FROM w WHERE tr) GROUP BY 1),
+        |tot AS (SELECT sum(n1)::DOUBLE AS t, count(*)::DOUBLE AS v FROM c1)
+        |SELECT bg.doc_id,
+        |  round(-sum(ln(coalesce(0.9 * (c2.n2 / c1a.n1), 0.0) +
+        |                0.1 * ((coalesce(c1b.n1, 0) + 1) /
+        |                       (tot.t + tot.v)))) / count(*), 6)
+        |    AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM bg LEFT JOIN c2 USING (w1, w2)
+        |        LEFT JOIN c1 c1a ON bg.w1 = c1a.tk
+        |        LEFT JOIN c1 c1b ON bg.w2 = c1b.tk, tot
+        |GROUP BY 1""".stripMargin,
     // the hash compare.
     "q135_gopher_rules" ->
       s"""WITH m AS (SELECT doc_id,
