@@ -1277,6 +1277,53 @@ object SqlQueries {
         .withColumn("counts_ok", lit(countsOk))
         .withColumn("pruned_ok", lit(prunedOk))
     }),
+
+    // SQL SEMANTIC LAYER (q201): persisted catalog VIEWS over lake
+    // tables through plain spark.sql — the BI-consumer pattern (the
+    // reference's Power BI layer sits on exactly such views,
+    // `README.md:23-27`). Views store TEXT and re-analyze per read, so
+    // the injected resolution rule re-points the lake relation at READ
+    // time: the layer is LIVE — base-table DML flows through view-over-
+    // view with no re-creation, while pinned reads underneath still
+    // time-travel. Plan equality with the inlined query is gated
+    // (sameResult), so the layer adds zero execution cost.
+    "q201_sql_views" -> ((s, dir) => {
+      val root = tmp("q201")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      FixtureCache.layout(s, s"q201:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake201",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      s.sql("CREATE OR REPLACE VIEW q201_base AS " +
+        "SELECT o_custkey, o_totalprice FROM orders_lake201 " +
+        "WHERE o_custkey BETWEEN 20 AND 130")
+      s.sql("CREATE OR REPLACE VIEW q201_agg AS " +
+        "SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, " +
+        "count(*) AS n_orders FROM q201_base GROUP BY o_custkey")
+      val planOk = s.sql("SELECT o_custkey, spend, n_orders FROM q201_agg")
+        .queryExecution.optimizedPlan.sameResult(
+          s.sql("SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, " +
+            "count(*) AS n_orders FROM orders_lake201 " +
+            "WHERE o_custkey BETWEEN 20 AND 130 GROUP BY o_custkey")
+            .queryExecution.optimizedPlan)
+      require(planOk, "q201 view layer does not plan as the inlined query")
+      // base-table DML: the semantic layer follows with no re-creation
+      val d1 = s.sql(
+        "DELETE FROM orders_lake201 WHERE o_custkey >= 55 AND o_custkey <= 95")
+        .head()
+      val liveOk = d1.getAs[Long]("rows_deleted") > 0 &&
+        s.sql("SELECT count(*) AS n FROM q201_base " +
+          "WHERE o_custkey BETWEEN 55 AND 95").head().getLong(0) == 0L
+      require(liveOk, "q201 view did not track the base-table delete")
+      s.sql("SELECT o_custkey, spend, n_orders FROM q201_agg")
+        .withColumn("plan_ok", lit(planOk))
+        .withColumn("live_ok", lit(liveOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1528,5 +1575,14 @@ object SqlQueries {
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
         |                        WHERE c_acctbal < 0
         |                          AND c_custkey BETWEEN 50 AND 100)""".stripMargin,
+    // q201 rebuilds the semantic layer's aggregate over the surviving
+    // band (the DML'd custkeys gone).
+    "q201_sql_views" ->
+      """SELECT o_custkey, round(sum(round(o_totalprice, 2)), 2) AS spend,
+        |  count(*) AS n_orders, TRUE AS plan_ok, TRUE AS live_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130
+        |  AND o_custkey NOT BETWEEN 55 AND 95
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -57,6 +57,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(feed == 8000L - latest)
   }
 
+  test("catalog views over lake tables are LIVE: they track table DML") {
+    val (dir, v1) = freshLake("t_extv")
+    // a PERSISTED catalog view (not temp): stores the SQL text, re-parsed
+    // and re-analyzed per read — so the injected rule re-points the lake
+    // relation at READ time and the view tracks the live snapshot
+    spark.sql("CREATE OR REPLACE VIEW v_extv AS " +
+      "SELECT x, count(*) AS n FROM t_extv WHERE x < 200 GROUP BY x")
+    val before = spark.sql("SELECT sum(n) AS s FROM v_extv").head().getLong(0)
+    assert(before == data.filter(col("x") < 200).count())
+    // view body plans identically to the inlined query
+    assert(spark.sql("SELECT x, n FROM v_extv").queryExecution.optimizedPlan
+      .sameResult(LakeSql.sql(spark,
+        "SELECT x, count(*) AS n FROM t_extv WHERE x < 200 GROUP BY x")
+        .queryExecution.optimizedPlan))
+    // DML on the base table: the view follows, no re-creation needed
+    spark.sql("DELETE FROM t_extv WHERE x >= 0 AND x < 100")
+    val after = spark.sql("SELECT sum(n) AS s FROM v_extv").head().getLong(0)
+    assert(after == data.filter(col("x") >= 100 && col("x") < 200).count())
+    // pinned reads still serve the pre-delete state underneath the view's
+    // live semantics
+    assert(spark.sql(s"SELECT count(*) AS n FROM t_extv VERSION AS OF $v1")
+      .head().getLong(0) == 8000L)
+    spark.sql("DROP VIEW v_extv")
+  }
+
   test("temp views keep precedence over same-named lake tables in spark.sql") {
     freshLake("t_ext3")
     try {
