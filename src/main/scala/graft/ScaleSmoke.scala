@@ -72,6 +72,10 @@ object ScaleSmoke {
     // sort-shuffle; expected growth is ≈linear-in-corpus (the honest
     // suffix-array-equivalent cost), never super-linear
     "q187_exact_substr",
+    // round-14: DSIR importance selection (one (doc,bucket) shuffle +
+    // 256-row broadcast + top-k) and the CCNet LM score (count hash-aggs
+    // + token-keyed shuffle joins) — both honestly linear-in-corpus
+    "q197_dsir_select", "q200_lm_perplexity",
     // round-9 additions: image near-dup (collapse-bounded gates — copies
     // share text ⇒ identical images, so the rep plane stays sf-sized), the
     // z-order layout write + manifest-pruned 2-D scan, the streaming
