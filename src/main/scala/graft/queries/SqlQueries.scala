@@ -1324,6 +1324,59 @@ object SqlQueries {
         .withColumn("plan_ok", lit(planOk))
         .withColumn("live_ok", lit(liveOk))
     }),
+
+    // COPY INTO (q202): the reference's daily-cadence ingest as the
+    // idempotent file-tracking statement (Databricks COPY INTO shape) —
+    // loaded file keys ride the append's atomic rename, so a re-run
+    // loads NOTHING (and commits nothing), a later-arriving file loads
+    // alone, and a crash can never double-load. The data path is the
+    // ordinary staged z-ordered append: ingest cost is the new files'
+    // bytes, never the table's.
+    "q202_sql_copy_into" -> ((s, dir) => {
+      val root = tmp("q202")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q202:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake202",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val incoming = s"$root/incoming"
+      def shifted(mod: Int, off: Long) =
+        orders.filter(col("o_orderkey") % mod === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(off))
+      shifted(7, 40000000L).coalesce(1)
+        .write.mode("append").parquet(incoming)
+      shifted(11, 50000000L).coalesce(1)
+        .write.mode("append").parquet(incoming)
+      val m1 = LakeSql.sql(s,
+        s"COPY INTO orders_lake202 FROM '$incoming'").head()
+      val m2 = LakeSql.sql(s,
+        s"COPY INTO orders_lake202 FROM '$incoming'").head()
+      val idempotentOk = m2.getAs[Long]("files_loaded") == 0L &&
+        m2.getAs[Long]("files_skipped") == 2L &&
+        m2.getAs[Long]("version") == m1.getAs[Long]("version")
+      require(idempotentOk, s"q202 re-run was not a no-op: $m2")
+      shifted(13, 60000000L).coalesce(1)
+        .write.mode("append").parquet(incoming)
+      val m3 = LakeSql.sql(s,
+        s"COPY INTO orders_lake202 FROM '$incoming'").head()
+      val pickupOk = m3.getAs[Long]("files_loaded") == 1L &&
+        m3.getAs[Long]("files_skipped") == 2L &&
+        m3.getAs[Long]("rows_loaded") == shifted(13, 0L).count()
+      require(pickupOk, s"q202 late file not picked up alone: $m3")
+      val countsOk = m1.getAs[Long]("rows_loaded") ==
+        shifted(7, 0L).count() + shifted(11, 0L).count()
+      require(countsOk, s"q202 first-load row count off: $m1")
+      LakeSql.sql(s,
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_lake202")
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("idempotent_ok", lit(idempotentOk))
+        .withColumn("pickup_ok", lit(pickupOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1584,5 +1637,20 @@ object SqlQueries {
         |WHERE o_custkey BETWEEN 20 AND 130
         |  AND o_custkey NOT BETWEEN 55 AND 95
         |GROUP BY 1""".stripMargin,
+    // q202 = base table ∪ the three ingested fragments, each loaded
+    // exactly once.
+    "q202_sql_copy_into" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS counts_ok, TRUE AS idempotent_ok, TRUE AS pickup_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 40000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 50000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 60000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
   )
 }

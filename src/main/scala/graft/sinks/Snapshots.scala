@@ -51,6 +51,7 @@ object Snapshots {
   private val CmapPrefix = "_cmap_"
   private val AddColPrefix = "_addcol_"
   private val CkPrefix = "_ck_"
+  private val CopyPrefix = "_copy_"
 
   /** Committed version numbers, ascending (empty for a fresh root). */
   def versions(spark: SparkSession, manifestRoot: String): Seq[Int] = {
@@ -482,7 +483,8 @@ object Snapshots {
     * appended file count). */
   def appendCommit(spark: SparkSession, batch: DataFrame, cols: Seq[String],
                    path: String, manifestRoot: String, nFiles: Int,
-                   tag: Option[String] = None): (Int, Int) = {
+                   tag: Option[String] = None,
+                   markers: Seq[String] = Seq.empty): (Int, Int) = {
     val prev =
       manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
         .localCheckpoint()
@@ -492,7 +494,7 @@ object Snapshots {
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols),
       allowMissingColumns = true)
-    (commit(spark, next, manifestRoot, tag), moved.size)
+    (commit(spark, next, manifestRoot, tag, markers), moved.size)
   }
 
   /** [[appendCommit]] in LOG-STRUCTURED form: the batch is staged and moved
@@ -1600,7 +1602,68 @@ object Snapshots {
 
   /** Test hook: drop the marker memo so the next [[checkConstraints]]
     * re-reads the log from disk (what a fresh JVM would see). */
-  private[graft] def resetConstraintMemo(): Unit = ckScan.clear()
+  private[graft] def resetConstraintMemo(): Unit = { ckScan.clear(); cpScan.clear() }
+
+  // COPY INTO idempotency ledger: loaded-source-file keys ride the
+  // append's atomic rename as `_copy_<key>` markers and ACCUMULATE across
+  // versions (like ADD COLUMN markers — vacuum re-homes them). Same
+  // monotone memo shape as [[ckScan]].
+  private val cpScan = scala.collection.concurrent.TrieMap
+    .empty[String, (Int, Set[String])]
+
+  /** Every source-file key ever loaded by [[copyIntoCommit]] (union over
+    * all committed versions). O(new commits) FS listings per call. */
+  def copiedKeys(spark: SparkSession, manifestRoot: String): Set[String] = {
+    val fs = hfs(spark, manifestRoot)
+    val vs = versions(spark, manifestRoot)
+    val (scanned0, known0) = cpScan.getOrElse(manifestRoot, (0, Set.empty[String]))
+    val (scanned, known) =
+      if (vs.isEmpty || vs.last < scanned0) (0, Set.empty[String])
+      else (scanned0, known0)
+    val fresh = vs.filter(_ > scanned).flatMap { v =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+        .toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(CopyPrefix) =>
+          n.stripPrefix(CopyPrefix) }
+    }
+    val all = known ++ fresh
+    if (vs.nonEmpty && vs.last > scanned)
+      cpScan.put(manifestRoot, (vs.last, all)) : Unit
+    all
+  }
+
+  final case class CopyResult(version: Int, filesLoaded: Long,
+                              rowsLoaded: Long, filesSkipped: Long)
+
+  /** Idempotent file-tracking ingest — the Databricks `COPY INTO` shape:
+    * `srcFiles` are (absolute path, idempotency key) pairs for the source
+    * directory's data files; files whose key the ledger already carries
+    * are SKIPPED, the rest are read by `read`, staged z-ordered, and
+    * committed as ONE append whose version dir also records the new keys
+    * (marker + data land in the same atomic rename — a crash can lose the
+    * whole commit but never double-load, and a re-run after success loads
+    * nothing). Zero new files → metadata no-op: NO version committed.
+    *
+    * Scale shape: the ledger scan is O(new commits) FS listings
+    * (memoized); skip/load partitioning is file-count-bounded driver
+    * work; the data path is the ordinary staged z-ordered append — the
+    * daily-ingest cadence cost is the new files' bytes, never the
+    * table's. */
+  def copyIntoCommit(spark: SparkSession, path: String, manifestRoot: String,
+                     cols: Seq[String], nFiles: Int,
+                     srcFiles: Seq[(String, String)],
+                     read: Seq[String] => DataFrame): CopyResult = {
+    val loaded = copiedKeys(spark, manifestRoot)
+    val (skip, fresh) = srcFiles.partition(f => loaded.contains(f._2))
+    if (fresh.isEmpty)
+      return CopyResult(latestVersion(spark, manifestRoot), 0L, 0L,
+        skip.size.toLong)
+    val batch = read(fresh.map(_._1)).localCheckpoint()
+    val rows = batch.count()
+    val (version, _) = appendCommit(spark, batch, cols, path, manifestRoot,
+      nFiles, markers = fresh.map(f => CopyPrefix + f._2))
+    CopyResult(version, fresh.size.toLong, rows, skip.size.toLong)
+  }
 
   /** The CHECK-constraint set in force at `version`: the marker of the
     * largest version at or below it carrying one (a set, once committed,
@@ -1835,7 +1898,8 @@ object Snapshots {
         .foreach { case (v, marker) =>
           if (dropSet.contains(v)) rehome(marker) }
     }
-    drop.foreach(v => names(v).filter(_.startsWith(AddColPrefix))
+    drop.foreach(v => names(v).filter(n =>
+        n.startsWith(AddColPrefix) || n.startsWith(CopyPrefix))
       .foreach(rehome))
   }
 

@@ -134,6 +134,15 @@ object LakeSql {
   //     zero data files written or moved either way.
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+LAKE\s+([A-Za-z0-9_]+)\s+FROM\s+'([^']+)'\s+STATS\s+COLS\s*\(([^)]*)\)(?:\s+FILES\s+(\d+))?\s*""".r
+  //   COPY INTO <t> FROM '<dir>' [FILEFORMAT = PARQUET|JSON]
+  //     → idempotent file-tracking ingest (the Databricks COPY INTO
+  //     shape): source files whose (name:size) key the version log
+  //     already records are SKIPPED; the rest land as ONE staged
+  //     z-ordered append whose commit also records their keys (marker +
+  //     data in the same atomic rename — re-runs load nothing, a crash
+  //     never double-loads). Zero new files → NO commit.
+  private val CopyIntoRe =
+    """(?is)\s*COPY\s+INTO\s+([A-Za-z0-9_]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(PARQUET|JSON))?\s*""".r
 
   /** The metric-row column names of an EXTENSION-GRAMMAR statement (the
     * regex-dispatched surface Spark's parser has no productions for:
@@ -155,6 +164,8 @@ object LakeSql {
         Some(Seq("version", "files_rewritten", "files_total",
           "rows_deleted", "files_appended"))
       case ConvertRe(_, _, _, _) => Some(Seq("version", "files_converted"))
+      case CopyIntoRe(_, _, _) =>
+        Some(Seq("version", "files_loaded", "rows_loaded", "files_skipped"))
       case _ => None
     }
 
@@ -301,6 +312,41 @@ object LakeSql {
       register(lname, spec)
       metricsRow(spark, Seq("version" -> version.toLong,
         "files_converted" -> manifest.count()))
+    // COPY INTO: idempotent file-tracking ingest. Keys are name:size of
+    // each visible source data file; the batch passes the same
+    // schema-on-write gate as INSERT (mapping-aware), then lands as one
+    // marker-carrying append. JSON reads use the table's LOGICAL schema
+    // (no inference — drifted files fail the gate loudly, never null-fill).
+    case CopyIntoRe(name, dir, fmtOrNull) =>
+      val spec = specByName(name)
+      val fmt = Option(fmtOrNull).map(_.toUpperCase(java.util.Locale.ROOT))
+        .getOrElse("PARQUET")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(p), s"COPY INTO source '$dir' does not exist")
+      val files = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => (st.getPath.toString,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${st.getPath.getName}:${st.getLen}"
+              .getBytes("UTF-8")).map("%02x".format(_)).mkString))
+      val mapping = headMapping(spark, spec)
+      val logicalSchema = Snapshots.mappedTableAt(spark, spec.manifestRoot,
+        Snapshots.latestVersion(spark, spec.manifestRoot)).schema
+      def read(paths: Seq[String]): DataFrame = {
+        val raw = fmt match {
+          case "PARQUET" => spark.read.parquet(paths: _*)
+          case "JSON" => spark.read.schema(logicalSchema).json(paths: _*)
+        }
+        alignedPhysicalFrame(spark, spec, toPhysicalFrame(raw, mapping))
+      }
+      val r = Snapshots.copyIntoCommit(spark, spec.path, spec.manifestRoot,
+        spec.cols, spec.nFiles, files, read)
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "files_loaded" -> r.filesLoaded,
+        "rows_loaded" -> r.rowsLoaded,
+        "files_skipped" -> r.filesSkipped))
     case _ => sqlParsed(spark, text)
   }
 
@@ -863,10 +909,16 @@ object LakeSql {
     * column ORDER to the table's, so footer order never varies by writer.
     * Shared by INSERT INTO and INSERT INTO … REPLACE WHERE. */
   private def alignedPhysicalBatch(spark: SparkSession, spec: LakeTableSpec,
-                                   query: LogicalPlan): DataFrame = {
+                                   query: LogicalPlan): DataFrame =
+    alignedPhysicalFrame(spark, spec, toPhysicalFrame(
+      PlanExec.ofRows(spark, resolveReads(spark, query)),
+      headMapping(spark, spec)))
+
+  /** Frame-level half of [[alignedPhysicalBatch]] — the batch is already
+    * in PHYSICAL names; shared with COPY INTO. */
+  private def alignedPhysicalFrame(spark: SparkSession, spec: LakeTableSpec,
+                                   batch: DataFrame): DataFrame = {
     val headMap = headMapping(spark, spec)
-    val batch = toPhysicalFrame(
-      PlanExec.ofRows(spark, resolveReads(spark, query)), headMap)
     val visible = Snapshots.mappedTableAt(spark, spec.manifestRoot,
       Snapshots.latestVersion(spark, spec.manifestRoot)).schema
     // the batch is already physical; compare against the VISIBLE schema

@@ -85,6 +85,72 @@ class LakeSurfaceR14Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ COPY INTO
+
+  test("COPY INTO loads once, skips on re-run, picks up only new files") {
+    val (dir, v1) = freshLake("t_copy")
+    val srcDir = tmpDir("copysrc")
+    // two source parquet files (one per write)
+    data.filter(col("id") < 100)
+      .withColumn("id", col("id") + 100000)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    data.filter(col("id") >= 100 && col("id") < 150)
+      .withColumn("id", col("id") + 100000)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val m1 = LakeSql.sql(spark, s"COPY INTO t_copy FROM '$srcDir'").head()
+    assert(m1.getAs[Long]("files_loaded") == 2L)
+    assert(m1.getAs[Long]("rows_loaded") == 150L)
+    assert(m1.getAs[Long]("files_skipped") == 0L)
+    assert(m1.getAs[Long]("version") == v1 + 1)
+    // re-run: pure no-op — no commit, everything skipped
+    val m2 = LakeSql.sql(spark, s"COPY INTO t_copy FROM '$srcDir'").head()
+    assert(m2.getAs[Long]("files_loaded") == 0L)
+    assert(m2.getAs[Long]("files_skipped") == 2L)
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1 + 1)
+    // a third file lands: only IT is loaded
+    data.filter(col("id") >= 150 && col("id") < 170)
+      .withColumn("id", col("id") + 100000)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val m3 = LakeSql.sql(spark, s"COPY INTO t_copy FROM '$srcDir'").head()
+    assert(m3.getAs[Long]("files_loaded") == 1L)
+    assert(m3.getAs[Long]("rows_loaded") == 20L)
+    assert(m3.getAs[Long]("files_skipped") == 2L)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_copy")
+      .head().getLong(0) == 10000L + 170L)
+    // the ledger survives a fresh JVM (memo reset = disk truth)
+    Snapshots.resetConstraintMemo()
+    val m4 = LakeSql.sql(spark, s"COPY INTO t_copy FROM '$srcDir'").head()
+    assert(m4.getAs[Long]("files_loaded") == 0L)
+    assert(m4.getAs[Long]("files_skipped") == 3L)
+  }
+
+  test("COPY INTO rejects schema drift before staging") {
+    val (dir, v1) = freshLake("t_copy_drift")
+    val srcDir = tmpDir("copydrift")
+    data.limit(10).withColumn("extra", lit("boom"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"COPY INTO t_copy_drift FROM '$srcDir'")
+    }
+    assert(e.getMessage.contains("drift"))
+    // nothing committed, NOT marked loaded — a fixed file re-loads
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v1)
+    assert(Snapshots.copiedKeys(spark, s"$dir/m").isEmpty)
+  }
+
+  test("COPY INTO FILEFORMAT = JSON reads with the table schema") {
+    val (_, _) = freshLake("t_copy_json")
+    val srcDir = tmpDir("copyjson")
+    data.filter(col("id") < 25).withColumn("id", col("id") + 200000)
+      .coalesce(1).write.mode("append").json(srcDir)
+    val m = LakeSql.sql(spark,
+      s"COPY INTO t_copy_json FROM '$srcDir' FILEFORMAT = JSON").head()
+    assert(m.getAs[Long]("rows_loaded") == 25L)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_copy_json WHERE id >= 200000")
+      .head().getLong(0) == 25L)
+  }
+
   // ------------------------------------------- DML subquery predicates
 
   test("DELETE WHERE id IN (SELECT ...) prunes on subquery bounds") {
