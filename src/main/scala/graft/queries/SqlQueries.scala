@@ -1377,6 +1377,54 @@ object SqlQueries {
         .withColumn("idempotent_ok", lit(idempotentOk))
         .withColumn("pickup_ok", lit(pickupOk))
     }),
+
+    // MERGE WITH SCHEMA EVOLUTION (q203): the feed grows a column the
+    // table lacks. Without the clause the merge is REJECTED loudly (the
+    // schema-on-write default — extra columns are never silently dropped
+    // OR silently evolved); with it, the new column is DECLARED first
+    // (metadata-only ADD COLUMN commits — old rows serve typed nulls,
+    // pinned reads keep the old schema) and SET * / INSERT * carry it.
+    "q203_sql_merge_evolution" -> ((s, dir) => {
+      val root = tmp("q203")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      FixtureCache.layout(s, s"q203:$dir", s"$root/z")(d =>
+        Layout.zorderWrite(orders, zcols, d, nFiles = 16))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake203",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 16))
+      val channel = concat(lit("ch"), (col("o_custkey") % 3).cast("string"))
+      val band = orders.filter(col("o_orderkey").between(500, 1500))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+        .withColumn("o_channel", channel)
+      val fresh = orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(70000000L))
+        .withColumn("o_channel", channel)
+      band.unionByName(fresh).createOrReplaceTempView("q203_src")
+      val mergeBody =
+        """INTO orders_lake203 t USING q203_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      val rejectOk =
+        try { LakeSql.sql(s, s"MERGE $mergeBody"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("SCHEMA EVOLUTION") }
+      require(rejectOk, "q203 drifted MERGE without the clause must reject")
+      val m = LakeSql.sql(s,
+        s"MERGE WITH SCHEMA EVOLUTION $mergeBody").head()
+      val countsOk = m.getAs[Long]("rows_updated") == band.count() &&
+        m.getAs[Long]("rows_inserted") == fresh.count()
+      require(countsOk, s"q203 clause metrics off: $m")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice, o_channel
+            |FROM orders_lake203""".stripMargin)
+        .withColumn("reject_ok", lit(rejectOk))
+        .withColumn("counts_ok", lit(countsOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1652,5 +1700,21 @@ object SqlQueries {
         |UNION ALL
         |SELECT o_orderkey + 60000000, o_custkey, round(o_totalprice, 2),
         |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
+    // q203: matched band doubled and channel-tagged; untouched rows NULL
+    // channel; shifted inserts carry it.
+    "q203_sql_merge_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 1500
+        |       THEN round(round(o_totalprice, 2) * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS o_totalprice,
+        |  CASE WHEN o_orderkey BETWEEN 500 AND 1500
+        |       THEN 'ch' || CAST(o_custkey % 3 AS VARCHAR)
+        |       ELSE CAST(NULL AS VARCHAR) END AS o_channel,
+        |  TRUE AS reject_ok, TRUE AS counts_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 70000000, o_custkey, round(o_totalprice, 2),
+        |  'ch' || CAST(o_custkey % 3 AS VARCHAR), TRUE, TRUE
+        |FROM orders WHERE o_orderkey % 89 = 0""".stripMargin,
   )
 }

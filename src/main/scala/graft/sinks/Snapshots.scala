@@ -754,7 +754,8 @@ object Snapshots {
                          matched: Seq[WhenMatched],
                          notMatched: Seq[WhenNotMatched],
                          bySource: Seq[WhenNotMatchedBySource] = Seq.empty,
-                         bySourcePrune: Option[org.apache.spark.sql.Column] = None)
+                         bySourcePrune: Option[org.apache.spark.sql.Column] = None,
+                         targetSchemaHint: Option[org.apache.spark.sql.types.StructType] = None)
       : MergeFullResult = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     keys.foreach(k => require(cols.contains(k),
@@ -795,14 +796,26 @@ object Snapshots {
     }
     val hit = (keyHit ++ bsHit).distinct
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val hitRows =
+    // the target schema: the caller's hint (the head VISIBLE schema in
+    // physical names — carries declared-but-unmaterialized ADD COLUMN /
+    // schema-evolution columns the raw files lack), else the read schema
+    val rawHitRows =
       if (hit.isEmpty) None
       else Some(Dv.readLive(spark,
-          Dv.entries(manifest.filter(col("file").isInCollection(hit))))
-        .localCheckpoint())
-    val targetSchema = hitRows.map(_.schema).getOrElse(
-      tableAt(spark, manifestRoot,
-        latestVersion(spark, manifestRoot)).schema)
+          Dv.entries(manifest.filter(col("file").isInCollection(hit)))))
+    val targetSchema = targetSchemaHint.getOrElse(
+      rawHitRows.map(_.schema).getOrElse(
+        tableAt(spark, manifestRoot,
+          latestVersion(spark, manifestRoot)).schema))
+    // align touched rows to the target schema: declared columns the data
+    // files don't carry yet serve as typed nulls (the footer-merge
+    // null-fill, applied to the rewrite input)
+    val hitRows = rawHitRows.map { rows =>
+      targetSchema.fields.foldLeft(rows) { (df, f) =>
+        if (df.columns.exists(_.equalsIgnoreCase(f.name))) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.localCheckpoint()
+    }
     val targetCols = targetSchema.fieldNames.toSeq
     // clause cascade → one integer action column: first applicable wins
     def actionOf(conds: Seq[Option[org.apache.spark.sql.Column]]) =

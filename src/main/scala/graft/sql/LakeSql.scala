@@ -669,11 +669,39 @@ object LakeSql {
 
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
     val (tname, spec) = lookup(m.targetTable).get
-    val mapping = headMapping(spark, spec)
+    val mapping0 = headMapping(spark, spec)
     // the source arrives in the LOGICAL schema; the lake's rows are
     // physical — route it through the mapping before the commit
     val source = toPhysicalFrame(
-      PlanExec.ofRows(spark, resolveReads(spark, m.sourceTable)), mapping)
+      PlanExec.ofRows(spark, resolveReads(spark, m.sourceTable)), mapping0)
+    // WITH SCHEMA EVOLUTION (the Delta clause, parsed natively by Spark):
+    // source columns absent from the table's visible schema are DECLARED
+    // first — metadata-only ADD COLUMN commits, old rows serve typed
+    // nulls — and the merge then proceeds against the evolved schema, so
+    // SET * / INSERT * carry the new columns. WITHOUT the clause, extra
+    // source columns are REJECTED loudly (the schema-on-write default) —
+    // never silently dropped, never silently evolved.
+    val visible0 = mappedTableSchema(spark, spec).fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val extras = source.schema.fields.toSeq.filterNot(f =>
+      visible0.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+    if (extras.nonEmpty) {
+      require(m.withSchemaEvolution,
+        s"MERGE source carries columns the table lacks " +
+          s"[${extras.map(_.name).mkString(", ")}] — nothing committed; " +
+          "add WITH SCHEMA EVOLUTION to declare them, or drop them from " +
+          "the source")
+      extras.foreach(f =>
+        Snapshots.addColumn(spark, spec.manifestRoot, f.name, f.dataType))
+    }
+    val mapping = if (extras.isEmpty) mapping0 else headMapping(spark, spec)
+    // the head VISIBLE schema in physical names — the merge's write
+    // schema (carries declared-but-unmaterialized columns)
+    val expectPhysical = {
+      val vis = mappedTableSchema(spark, spec)
+      org.apache.spark.sql.types.StructType(vis.fields.map(f =>
+        f.copy(name = mapping.fold(f.name)(mp => mp(f.name)))))
+    }
     val keys = equiJoinKeys(m.mergeCondition)
       .map(k => physicalName(k, mapping, "MERGE key"))
     keys.foreach(key => require(spec.cols.contains(key),
@@ -682,10 +710,10 @@ object LakeSql {
         "touch set and degenerates to a full-table rewrite"))
     (m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions) match {
-      // star fast paths (single key, unconditional SET */INSERT *) keep
-      // the lean mergeCommit/mergeCommitFull plans
+      // star fast paths (single key, unconditional SET */INSERT *, no
+      // evolved columns) keep the lean mergeCommit/mergeCommitFull plans
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq())
-          if keys.sizeIs == 1 =>
+          if keys.sizeIs == 1 && extras.isEmpty =>
         val r = Snapshots.mergeCommit(spark, source, keys.head, spec.cols,
           spec.path, spec.manifestRoot, spec.nFiles)
         metricsRow(spark,
@@ -695,7 +723,8 @@ object LakeSql {
             "rows_updated" -> r.rowsUpdated,
             "rows_inserted" -> r.rowsInserted))
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
-          Seq(DeleteAction(Some(cond)))) if keys.sizeIs == 1 =>
+          Seq(DeleteAction(Some(cond))))
+          if keys.sizeIs == 1 && extras.isEmpty =>
         // the three-clause matrix: the delete clause must be stats-scoped
         // — same 100 TB honesty contract as Snapshots.mergeCommitFull
         val (prune, pred) = compileWhere(cond, spec, mapping, Some(spark))
@@ -766,7 +795,8 @@ object LakeSql {
         val r = Snapshots.mergeCommitClauses(spark, source, keys, spec.cols,
           spec.path, spec.manifestRoot, spec.nFiles, matched, notMatched,
           compiledBySrc.map(_._2),
-          compiledBySrc.map(_._1).reduceOption(_ || _))
+          compiledBySrc.map(_._1).reduceOption(_ || _),
+          targetSchemaHint = Some(expectPhysical))
         metricsRow(spark,
           Seq("version" -> r.version.toLong,
             "files_rewritten" -> r.filesRewritten,
@@ -914,13 +944,19 @@ object LakeSql {
       PlanExec.ofRows(spark, resolveReads(spark, query)),
       headMapping(spark, spec)))
 
+  /** The table's VISIBLE (logical-name) schema at head — mapping-aware,
+    * declared-column-aware. */
+  private def mappedTableSchema(spark: SparkSession,
+                                spec: LakeTableSpec): StructType =
+    Snapshots.mappedTableAt(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot)).schema
+
   /** Frame-level half of [[alignedPhysicalBatch]] — the batch is already
     * in PHYSICAL names; shared with COPY INTO. */
   private def alignedPhysicalFrame(spark: SparkSession, spec: LakeTableSpec,
                                    batch: DataFrame): DataFrame = {
     val headMap = headMapping(spark, spec)
-    val visible = Snapshots.mappedTableAt(spark, spec.manifestRoot,
-      Snapshots.latestVersion(spark, spec.manifestRoot)).schema
+    val visible = mappedTableSchema(spark, spec)
     // the batch is already physical; compare against the VISIBLE schema
     // translated to physical names (covers ADD-COLUMN-declared columns
     // the data files don't carry yet)

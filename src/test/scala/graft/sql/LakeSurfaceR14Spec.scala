@@ -248,6 +248,38 @@ class LakeSurfaceR14Spec extends SparkSpec {
     assert(out == data.filter(col("id") >= 3000).count())
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION declares new source columns") {
+    val (_, v1) = freshLake("t_evo")
+    val feed = data.filter(col("id").between(100, 199))
+      .withColumn("y", col("y") + 1).withColumn("tag", lit("fresh"))
+    feed.createOrReplaceTempView("evo_feed")
+    // without the clause: extra source columns are REJECTED, not dropped
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "MERGE INTO t_evo t USING evo_feed s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+    val m = LakeSql.sql(spark,
+      "MERGE WITH SCHEMA EVOLUTION INTO t_evo t USING evo_feed s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").head()
+    assert(m.getAs[Long]("rows_updated") == 100L)
+    assert(m.getAs[Long]("rows_inserted") == 0L)
+    // matched rows carry the new column; untouched rows serve typed NULL
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_evo WHERE tag = 'fresh'")
+      .head().getLong(0) == 100L)
+    assert(LakeSql.sql(spark,
+      "SELECT count(*) AS n FROM t_evo WHERE tag IS NULL")
+      .head().getLong(0) == 9900L)
+    // pinned pre-merge read keeps the old 3-column schema
+    assert(spark.sql(s"SELECT * FROM t_evo VERSION AS OF $v1")
+      .columns.toSet == Set("id", "x", "y"))
+  }
+
   test("MERGE BY SOURCE without a scoping condition is rejected") {
     freshLake("t_bs_unscoped")
     data.limit(5).createOrReplaceTempView("bs_unscoped_feed")
