@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.sinks.{Layout, Snapshots}
+import graft.sinks.{Dv, Layout, Maintenance, Snapshots}
 import graft.sql.LakeSql
 import graft.sql.LakeSql.LakeTableSpec
 
@@ -1425,6 +1425,89 @@ object SqlQueries {
         .withColumn("reject_ok", lit(rejectOk))
         .withColumn("counts_ok", lit(countsOk))
     }),
+
+    // SCOPED OPTIMIZE (q204): `OPTIMIZE t WHERE <cond>` — predicate-scoped
+    // compaction (Delta's partition-scoped OPTIMIZE generalized to the
+    // manifest's stats boxes): a day's fragmented ingest into one key
+    // range re-layouts at the cost of that RANGE's bytes, not the
+    // table's. The WHERE selects FILES through the typed predicate
+    // compiler; rows never filter (pure re-layout). Script: range-sorted
+    // base + three fragmented in-scope appends + a MoR band delete
+    // (deletion vector on an in-scope file), then the scoped statement.
+    // Gates: the touch set is exactly the manifest's min-stat scope (≥2
+    // rewritten, ≥1 skipped), out-of-scope files byte-identical, the DV
+    // folds away (post-optimize manifest carries no masks), and an
+    // immediate re-run is a commit-free no-op (fresh single in-scope
+    // file, no DV → the <2-files guard). Contents: all orders minus the
+    // MoR-deleted band — oracle-exact.
+    "q204_sql_optimize_where" -> ((s, dir) => {
+      val root = tmp("q204")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_orderkey")
+      val inScope = col("o_custkey") <= 100
+      val frag = col("o_orderkey") % 4 === 0
+      Maintenance.writeSorted(orders.filter(!(inScope && frag)),
+        s"$root/z", nFiles = 6, col("o_custkey"), col("o_orderkey"))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      (0 to 2).foreach { i =>
+        Snapshots.appendCommit(s,
+          orders.filter(inScope && frag && col("o_orderkey") % 3 === i),
+          zcols, s"$root/z", s"$root/m", nFiles = 1)
+      }
+      // nFiles = 1: the scoped rewrite lands ONE file, so the immediate
+      // re-run's scope is a single unmasked file — the no-op branch.
+      LakeSql.register("orders_lake204",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 1))
+      val del = Dv.deleteWhereMoR(s, s"$root/z", s"$root/m",
+        Seq(("o_custkey", 1.0, 30.0)))
+      require(del.rowsDeleted > 0 && del.filesMasked > 0,
+        s"q204 MoR delete masked nothing — DV-folding gate vacuous: $del")
+      def manifestHead() = Dv.ensureDv(Snapshots.manifestAt(s, s"$root/m",
+        Snapshots.latestVersion(s, s"$root/m")))
+      val before = manifestHead()
+        .select(col("file"), col("min_o_custkey").cast("double"), col("dv"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+      val expectScope = before.count(_._2 <= 100.0).toLong
+      val p = new org.apache.hadoop.fs.Path(s"$root/z")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def stamps(): Map[String, (Long, Long)] =
+        fs.listStatus(p).toSeq.filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => st.getPath.getName ->
+            (st.getLen, st.getModificationTime)).toMap
+      val stampsBefore = stamps()
+      val skippedNames = before.filter(_._2 > 100.0)
+        .map(e => new org.apache.hadoop.fs.Path(e._1).getName).toSet
+      val m = LakeSql.sql(s,
+        "OPTIMIZE orders_lake204 WHERE o_custkey <= 100").head()
+      val stampsAfter = stamps()
+      val scopedOk = m.getAs[Long]("files_rewritten") == expectScope &&
+        expectScope >= 2L &&
+        m.getAs[Long]("files_skipped") == before.length - expectScope &&
+        before.length - expectScope >= 1 &&
+        skippedNames.forall(n => stampsAfter.get(n) == stampsBefore.get(n))
+      require(scopedOk, s"q204 scope misfired: $m (expect $expectScope)")
+      val dvFolded = manifestHead().filter(col("dv").isNotNull).count() == 0
+      require(dvFolded, "q204 DV survived the scoped rewrite")
+      val v = Snapshots.latestVersion(s, s"$root/m")
+      val m2 = LakeSql.sql(s,
+        "OPTIMIZE orders_lake204 WHERE o_custkey <= 100 " +
+          "ZORDER BY (o_orderkey)").head()
+      val noopOk = m2.getAs[Long]("files_rewritten") == 0L &&
+        m2.getAs[Long]("version") == v.toLong &&
+        Snapshots.latestVersion(s, s"$root/m") == v
+      require(noopOk, s"q204 re-run should no-op: $m2")
+      LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_lake204""".stripMargin)
+        .withColumn("scoped_ok", lit(scopedOk))
+        .withColumn("noop_ok", lit(noopOk))
+        .withColumn("dv_folded", lit(dvFolded))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1716,5 +1799,12 @@ object SqlQueries {
         |SELECT o_orderkey + 70000000, o_custkey, round(o_totalprice, 2),
         |  'ch' || CAST(o_custkey % 3 AS VARCHAR), TRUE, TRUE
         |FROM orders WHERE o_orderkey % 89 = 0""".stripMargin,
+    // q204: the scoped OPTIMIZE is a pure re-layout — final contents are
+    // all orders minus the MoR-deleted custkey band.
+    "q204_sql_optimize_where" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS scoped_ok, TRUE AS noop_ok, TRUE AS dv_folded
+        |FROM orders
+        |WHERE o_custkey NOT BETWEEN 1 AND 30""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned manifests over a [[Layout]] — snapshot isolation, time-travel
@@ -595,6 +595,47 @@ object Snapshots {
       allowMissingColumns = true)
     CompactSmallResult(commit(spark, next, manifestRoot),
       small.size.toLong, big.size.toLong, moved.size.toLong)
+  }
+
+  final case class CompactScopedResult(version: Int, filesRewritten: Long,
+                                       filesSkipped: Long, filesOut: Long)
+
+  /** PREDICATE-SCOPED COMPACTION — the `OPTIMIZE <t> WHERE <cond>` shape
+    * (Delta's partition-scoped OPTIMIZE, generalized from partition
+    * predicates to the manifest's stats boxes): rewrite ONLY the files
+    * whose [min,max] stats box intersects `scope`, leaving every other
+    * file byte-untouched — so a daily re-layout over yesterday's ingest
+    * scope costs yesterday's bytes, not the table's. The condition
+    * selects FILES, never rows: the rewrite carries EVERY live row of a
+    * selected file (rows outside the WHERE included, exactly Delta's
+    * OPTIMIZE WHERE contract), so the statement is a pure re-layout —
+    * logical contents identical, change feed empty. Selected files'
+    * deletion vectors fold away in the rewrite ([[Dv.readLive]], as in
+    * [[compactCommit]]); a SINGLE in-scope file still rewrites when it
+    * carries a DV (folding is the point), otherwise <2 selected files is
+    * a commit-free no-op. */
+  def compactScopedCommit(spark: SparkSession, path: String,
+                          manifestRoot: String, cols: Seq[String],
+                          scope: Column, nFiles: Int,
+                          zorderCols: Option[Seq[String]] = None): CompactScopedResult = {
+    val v = latestVersion(spark, manifestRoot)
+    val manifest = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
+      .localCheckpoint()
+    val total = manifest.count()
+    val selected = Dv.entries(manifest.filter(scope))
+    if (selected.size < 2 && !selected.exists(_.dv.isDefined))
+      return CompactScopedResult(v, 0, total, 0)
+    val staging = path + ".compact_scoped_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(Dv.readLive(spark, selected),
+      zorderCols.getOrElse(cols), staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keep =
+      manifest.filter(!col("file").isInCollection(selected.map(_.file)))
+    val next = keep.unionByName(
+      Layout.buildManifestFor(spark, moved, cols),
+      allowMissingColumns = true)
+    CompactScopedResult(commit(spark, next, manifestRoot),
+      selected.size.toLong, total - selected.size, moved.size.toLong)
   }
 
   final case class MergeResult(version: Int, filesRewritten: Long,

@@ -119,6 +119,16 @@ object LakeSql {
   //     columns — clustering changes how tight they are, never soundness)
   private val OptimizeZRe =
     """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)\s+ZORDER\s+BY\s*\(([^)]*)\)\s*""".r
+  //   OPTIMIZE <t> WHERE <cond> [ZORDER BY (c1, c2)] → PREDICATE-SCOPED
+  //     re-layout: only the files whose manifest stats box intersects the
+  //     WHERE's scope rewrite (Delta's partition-scoped OPTIMIZE,
+  //     generalized to stats boxes). The condition selects FILES, never
+  //     rows — contents identical, out-of-scope files byte-untouched; the
+  //     WHERE compiles through the same typed predicate compiler as DML,
+  //     so an unprunable condition is rejected loudly, never a silent
+  //     full-table rewrite.
+  private val OptimizeWhereRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)\s+WHERE\s+(.*?)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""".r
   //   INSERT INTO <t> REPLACE WHERE <cond> <query>  → scoped ATOMIC
   //     overwrite (the Delta replaceWhere): one commit = delete the
   //     predicate's rows + append the batch; every batch row must satisfy
@@ -153,6 +163,8 @@ object LakeSql {
   private[sql] def extendedStatement(text: String): Option[Seq[String]] =
     text match {
       case OptimizeZRe(_, _) => Some(Seq("version", "files_in", "files_out"))
+      case OptimizeWhereRe(_, _, _) =>
+        Some(Seq("version", "files_rewritten", "files_skipped", "files_out"))
       case OptimizeRe(_, small) =>
         Some(if (small == null) Seq("version", "files_in", "files_out")
         else Seq("version", "files_compacted", "files_skipped", "files_out"))
@@ -180,6 +192,30 @@ object LakeSql {
     // column (sound bounds under any order), so this changes PRUNING
     // TIGHTNESS, not correctness — and it is a pure re-layout: the change
     // feed across the commit is empty.
+    // OPTIMIZE … WHERE: scoped re-layout — the statement a consumer runs
+    // after a day's fragmented ingest into one key range; cost tracks the
+    // scope's bytes, not the table's. DVs on selected files fold away.
+    case OptimizeWhereRe(name, condText, colList) =>
+      val spec = specByName(name)
+      val mapping = headMapping(spark, spec)
+      val zcols = Option(colList).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+        .map(c => physicalName(c, mapping, "ZORDER BY column")))
+      zcols.foreach { zc =>
+        require(zc.nonEmpty, "ZORDER BY needs at least one column")
+        val missing = zc.filterNot(spec.cols.contains)
+        require(missing.isEmpty,
+          s"ZORDER BY columns must carry manifest stats (have " +
+            s"${spec.cols.mkString(", ")}; missing ${missing.mkString(", ")})")
+      }
+      val cond = spark.sessionState.sqlParser.parseExpression(condText)
+      val (prune, _) = compileWhere(cond, spec, mapping, Some(spark))
+      val r = Snapshots.compactScopedCommit(spark, spec.path,
+        spec.manifestRoot, spec.cols, prune, spec.nFiles, zcols)
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "files_rewritten" -> r.filesRewritten,
+        "files_skipped" -> r.filesSkipped,
+        "files_out" -> r.filesOut))
     case OptimizeZRe(name, colList) =>
       val spec = specByName(name)
       val mapping = headMapping(spark, spec)

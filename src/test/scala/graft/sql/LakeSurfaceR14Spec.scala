@@ -487,4 +487,76 @@ class LakeSurfaceR14Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("already"))
   }
+
+  // ------------------------------------------------------- OPTIMIZE … WHERE
+
+  test("OPTIMIZE WHERE rewrites only the scope's files, contents intact") {
+    val dir = tmpDir("optw")
+    // range-sorted on id: files carry disjoint [min_id, max_id] boxes
+    graft.sinks.Maintenance.writeSorted(data, s"$dir/z", nFiles = 8,
+      col("id"))
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id", "x")), s"$dir/m")
+    LakeSql.register("t_optw",
+      LakeTableSpec(s"$dir/z", s"$dir/m", Seq("id", "x"), nFiles = 1))
+    val beforeFiles = dataFiles(s"$dir/z")
+    val manifest = Snapshots.manifestAt(spark, s"$dir/m", 1)
+    val total = manifest.count() // disk may hold an EMPTY part file extra
+    val expectScope = manifest
+      .filter(col("min_id").cast("long") <= 2500L).count()
+    assert(expectScope >= 2 && expectScope < total)
+    val m = spark.sql("OPTIMIZE t_optw WHERE id <= 2500").head()
+    assert(m.getAs[Long]("files_rewritten") == expectScope)
+    assert(m.getAs[Long]("files_skipped") == total - expectScope)
+    // out-of-scope files byte-identical (name:size survives)
+    val after = dataFiles(s"$dir/z")
+    assert((beforeFiles intersect after).size >= beforeFiles.size - expectScope)
+    // pure re-layout: logical contents unchanged
+    assert(LakeSql.sql(spark, "SELECT sum(x) AS s FROM t_optw").head()
+      .getLong(0) ==
+      data.agg(sum(col("x"))).head().getLong(0))
+    // re-run is a commit-free no-op (single in-scope file, no DV)
+    val v = Snapshots.latestVersion(spark, s"$dir/m")
+    val m2 = LakeSql.sql(spark, "OPTIMIZE t_optw WHERE id <= 2500").head()
+    assert(m2.getAs[Long]("files_rewritten") == 0L &&
+      Snapshots.latestVersion(spark, s"$dir/m") == v)
+  }
+
+  test("OPTIMIZE WHERE with an unprunable predicate is rejected loudly") {
+    val (_, _) = freshLake("t_optw2")
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "OPTIMIZE t_optw2 WHERE y = 3")
+    }
+    assert(e.getMessage.contains("prune"))
+  }
+
+  test("OPTIMIZE WHERE ZORDER BY re-clusters the scope on the named cols") {
+    val dir = tmpDir("optw3")
+    graft.sinks.Maintenance.writeSorted(data, s"$dir/z", nFiles = 8,
+      col("id"))
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id", "x")), s"$dir/m")
+    LakeSql.register("t_optw3",
+      LakeTableSpec(s"$dir/z", s"$dir/m", Seq("id", "x"), nFiles = 4))
+    val namesBefore = Snapshots.manifestAt(spark, s"$dir/m", 1)
+      .select("file").collect().map(_.getString(0)).toSet
+    val m = spark.sql(
+      "OPTIMIZE t_optw3 WHERE id <= 2500 ZORDER BY (x)").head()
+    assert(m.getAs[Long]("files_rewritten") >= 2L)
+    // the scope's rows now cluster on x: its 4 fresh files partition the
+    // x domain much tighter than id-sorted files would
+    val head = Snapshots.manifestAt(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m"))
+    val fresh = head.filter(!col("file").isInCollection(namesBefore.toSeq))
+    val widths = fresh.select(
+      (col("max_x").cast("long") - col("min_x").cast("long")).as("w"))
+      .collect().map(_.getLong(0))
+    assert(widths.length >= 2 && widths.min < 900,
+      s"ZORDER BY (x) left x-ranges wide: ${widths.mkString(",")}")
+    // ZORDER BY a column with no stats refuses
+    val e = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "OPTIMIZE t_optw3 WHERE id <= 2500 ZORDER BY (y)")
+    }
+    assert(e.getMessage.contains("stats"))
+  }
 }
