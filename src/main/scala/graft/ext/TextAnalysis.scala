@@ -224,6 +224,80 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Gopher REPETITION signals (Rae et al. 2021 Table A1 — the
+    * repetitious-text half of the quality rules; the lexical/TTR half is
+    * [[qualityScore]]-side, q135): per document,
+    *
+    *   - `top_gram` / `top_frac` — the most frequent word `nTop`-gram
+    *     (ties break to the lexicographically smallest, deterministic)
+    *     and the fraction of non-space characters its occurrences cover;
+    *   - `dup_frac` — the fraction of non-space characters covered by
+    *     ANY `nDup`-gram occurring ≥ 2 times in the document.
+    *
+    * Coverage is a POSITION UNION: a token inside three overlapping
+    * duplicated grams counts once — the fraction is bounded by 1 and
+    * matches what "characters contained within duplicated n-grams"
+    * means, where the naive count×len/total overshoots on overlap.
+    *
+    * Scale shape: grams build as codegen array expressions over the
+    * split (no shuffle); the count tables are (doc, gram) hash-aggs with
+    * map-side combine; coverage is explode→distinct→join keyed on
+    * (doc, pos). Every shuffle key embeds the doc id, so groups are
+    * document-bounded — hot boilerplate grams never concentrate on one
+    * reducer the way a global gram key would. Fractions are exact
+    * integer ratios; round-6 before emit for engine portability. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        nTop: Int = 2, nDup: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(nTop >= 1 && nDup >= 1, "n-gram sizes must be positive")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("ws"))
+      .withColumn("nchars",
+        expr("aggregate(ws, 0L, (a, t) -> a + length(t))"))
+    val toks = base.select(col(idCol),
+      posexplode(col("ws")).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos"), length(col("tok")).as("len"))
+    def grams(n: Int) = base.filter(size(col("ws")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), ' '))")).as(Seq("pos", "gram")))
+    def coverChars(hits: org.apache.spark.sql.DataFrame, n: Int) = hits
+      .select(col(idCol),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos"))
+      .distinct()
+      .join(toks, Seq(idCol, "pos"))
+      .groupBy(col(idCol)).agg(sum(col("len")).as("ch"))
+    val gTop = grams(nTop).localCheckpoint()
+    val top = gTop.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("c").desc, col("gram"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("gram").as("top_gram"))
+    val topChars =
+      coverChars(gTop.join(top, Seq(idCol))
+        .filter(col("gram") === col("top_gram")), nTop)
+        .withColumnRenamed("ch", "topch")
+    val gDup = grams(nDup).localCheckpoint()
+    val dupVals = gDup.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col(idCol), col("gram"))
+    val dupChars = coverChars(gDup.join(dupVals, Seq(idCol, "gram")), nDup)
+      .withColumnRenamed("ch", "dupch")
+    base.select(col(idCol), col("nchars"))
+      .join(top, Seq(idCol), "left")
+      .join(topChars, Seq(idCol), "left")
+      .join(dupChars, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        when(col("nchars") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("topch"), lit(0L)) / col("nchars"), 6))
+          .as("top_frac"),
+        when(col("nchars") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("dupch"), lit(0L)) / col("nchars"), 6))
+          .as("dup_frac"))
+  }
+
   /** Target-trained language-model quality score — the CCNet shape
     * (Wenzek et al. 2020: score every raw document by the perplexity of a
     * small LM trained on the target domain; low-score ≈ target-like).

@@ -937,6 +937,36 @@ object LlmQueries {
       pairs.select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 6).as("jaccard"))
         .withColumn("selective_ok", lit(selectiveOk))
+    }),
+
+    // GOPHER REPETITION SIGNALS (q205 — Rae et al. 2021 Table A1, the
+    // repetitious-text rules q135's lexical half doesn't cover): most
+    // frequent 2-gram coverage + duplicated 5-gram coverage, both as
+    // POSITION-UNION character fractions (overlap never double-counts,
+    // bounded ≤ 1), with Gopher's published cutoffs (top-2-gram ≤ 0.20,
+    // dup-5-gram ≤ 0.15) as pass flags. Grams are codegen array
+    // expressions; counts/coverage shuffle on doc-embedded keys only.
+    "q205_gopher_repetition" -> ((s, dir) => {
+      // every 4th doc re-quotes its own opening (first 6 tokens appended)
+      // — the self-plagiarizing shape the dup-5-gram rule exists to
+      // catch; the raw corpus is random word soup with no repeated
+      // 5-grams, so without this the dup arm would gate nothing.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" "),
+            expr("array_join(slice(split(text, ' '), 1, 6), ' ')")))
+          .otherwise(col("text")).as("text"))
+      val r = TextAnalysis.repetitionSignals(
+        docs, "doc_id", "text", nTop = 2, nDup = 5).localCheckpoint()
+      val fired = r.filter(col("dup_frac") > 0).count()
+      val clean = r.filter(col("dup_frac") === 0).count()
+      require(fired > 0 && clean > 0,
+        s"q205 dup-gram arm vacuous: fired=$fired clean=$clean")
+      r.select(col("doc_id"), col("top_gram"), col("top_frac"),
+        col("dup_frac"),
+        (col("top_frac") <= 0.20).as("top_ok"),
+        (col("dup_frac") <= 0.15).as("dup_ok"),
+        (col("top_frac") <= 0.20 && col("dup_frac") <= 0.15).as("passes"))
     })
   )
 
@@ -1683,6 +1713,50 @@ object LlmQueries {
         |             JOIN nrm y ON neighbor_id = y.vec_id)
         |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
         |  TRUE AS recall_ok, TRUE AS untouched_ok
-        |FROM s WHERE rank <= 10""".stripMargin
+        |FROM s WHERE rank <= 10""".stripMargin,
+    // q205: position-union coverage fractions recomputed relationally —
+    // grams by list slicing, top gram by (count DESC, gram) row_number,
+    // coverage as DISTINCT covered positions joined back to tokens.
+    "q205_gopher_repetition" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
+        |    array_to_string((string_split(text, ' '))[1:6], ' ')
+        |  ELSE text END AS text FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |  length(replace(text, ' ', '')) AS nchars FROM aug),
+        |toks AS (SELECT doc_id, unnest(ws) AS tok,
+        |  generate_subscripts(ws, 1) - 1 AS pos FROM d),
+        |g2 AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+        |    array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 1], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(ws))) AS r(i)),
+        |top2 AS (SELECT doc_id, gram FROM (
+        |  SELECT doc_id, gram, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY count(*) DESC, gram) AS rn
+        |  FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        |cov2 AS (SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+        |  FROM g2 g JOIN top2 t ON g.doc_id = t.doc_id AND g.gram = t.gram,
+        |    (VALUES (0), (1)) o(o)),
+        |ch2 AS (SELECT c.doc_id, sum(length(k.tok)) AS ch FROM cov2 c
+        |  JOIN toks k ON c.doc_id = k.doc_id AND c.pos = k.pos GROUP BY 1),
+        |g5 AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+        |    array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 4], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(ws) - 3)) AS r(i)),
+        |dup5 AS (SELECT doc_id, gram FROM g5
+        |  GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |cov5 AS (SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+        |  FROM g5 g JOIN dup5 t ON g.doc_id = t.doc_id AND g.gram = t.gram,
+        |    (VALUES (0), (1), (2), (3), (4)) o(o)),
+        |ch5 AS (SELECT c.doc_id, sum(length(k.tok)) AS ch FROM cov5 c
+        |  JOIN toks k ON c.doc_id = k.doc_id AND c.pos = k.pos GROUP BY 1),
+        |m AS (SELECT d.doc_id, coalesce(t.gram, '') AS top_gram,
+        |    round(coalesce(c2.ch, 0) / d.nchars, 6) AS top_frac,
+        |    round(coalesce(c5.ch, 0) / d.nchars, 6) AS dup_frac
+        |  FROM d LEFT JOIN top2 t ON d.doc_id = t.doc_id
+        |    LEFT JOIN ch2 c2 ON d.doc_id = c2.doc_id
+        |    LEFT JOIN ch5 c5 ON d.doc_id = c5.doc_id)
+        |SELECT doc_id, top_gram, top_frac, dup_frac,
+        |  top_frac <= 0.20 AS top_ok, dup_frac <= 0.15 AS dup_ok,
+        |  (top_frac <= 0.20 AND dup_frac <= 0.15) AS passes
+        |FROM m""".stripMargin,
   )
 }
