@@ -1508,6 +1508,78 @@ object SqlQueries {
         .withColumn("noop_ok", lit(noopOk))
         .withColumn("dv_folded", lit(dvFolded))
     }),
+
+    // TABLE INSPECTION (q206): DESCRIBE DETAIL + VACUUM … DRY RUN through
+    // plain spark.sql — the operational reads a storage admin runs before
+    // committing to a reclaim. Gates: DESCRIBE DETAIL's numbers recompute
+    // exactly from the manifest + file statuses (metadata-only, zero data
+    // files opened); the DRY RUN lists items WITHOUT touching anything
+    // (stamps + version dirs byte-identical); and the subsequent REAL
+    // vacuum deletes EXACTLY what the dry run listed — the listing and
+    // the destructive path share one plan, and the gate proves they
+    // cannot drift.
+    "q206_sql_table_inspection" -> ((s, dir) => {
+      val root = tmp("q206")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_custkey", "o_totalprice")
+      Layout.zorderWrite(orders.filter(col("o_orderkey") % 5 =!= 0),
+        zcols, s"$root/z", nFiles = 4)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      Snapshots.appendCommit(s, orders.filter(col("o_orderkey") % 5 === 0),
+        zcols, s"$root/z", s"$root/m", nFiles = 2)
+      LakeSql.register("orders_lake206",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols))
+      val del = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 55.0, 95.0)))
+      require(del.rowsDeleted > 0, "q206 delete removed nothing")
+      val head = Snapshots.manifestAt(s, s"$root/m",
+        Snapshots.latestVersion(s, s"$root/m"))
+      val files = head.select("file").collect().map(_.getString(0))
+      val p = new org.apache.hadoop.fs.Path(s"$root/z")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val wantBytes = files.map(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      val d = s.sql("DESCRIBE DETAIL orders_lake206").head()
+      val describeOk = d.getAs[String]("name") == "orders_lake206" &&
+        d.getAs[String]("location") == s"$root/z" &&
+        d.getAs[Long]("num_files") == files.length.toLong &&
+        d.getAs[Long]("size_bytes") == wantBytes &&
+        d.getAs[Long]("num_versions") == 3L &&
+        d.getAs[String]("stats_cols") == zcols.mkString(",")
+      require(describeOk, s"q206 DESCRIBE DETAIL drifted: $d")
+      def stamps(): Map[String, (Long, Long)] =
+        fs.listStatus(p).toSeq.filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => st.getPath.getName ->
+            (st.getLen, st.getModificationTime)).toMap
+      val before = stamps()
+      val dryRows = s.sql(
+        "VACUUM orders_lake206 RETAIN 1 VERSIONS DRY RUN").collect()
+      val dryData = dryRows.count(_.getString(1) == "data").toLong
+      val dryVers = dryRows.count(_.getString(1) == "version").toLong
+      val untouchedOk = stamps() == before &&
+        Snapshots.versions(s, s"$root/m").size == 3 &&
+        dryVers == 2L && dryData >= 1L
+      require(untouchedOk,
+        s"q206 DRY RUN touched something or listed wrong: " +
+          s"data=$dryData vers=$dryVers")
+      val vac = s.sql("VACUUM orders_lake206 RETAIN 1 VERSIONS").head()
+      val dryDv = dryRows.count(_.getString(1) == "dv").toLong
+      val parityOk =
+        vac.getAs[Long]("files_deleted") == dryData + dryDv &&
+          vac.getAs[Long]("versions_dropped") == dryVers
+      require(parityOk, s"q206 dry run drifted from real vacuum: $vac " +
+        s"vs data=$dryData dv=$dryDv vers=$dryVers")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+              |FROM orders_lake206""".stripMargin)
+        .withColumn("describe_ok", lit(describeOk))
+        .withColumn("untouched_ok", lit(untouchedOk))
+        .withColumn("parity_ok", lit(parityOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1806,5 +1878,12 @@ object SqlQueries {
         |  TRUE AS scoped_ok, TRUE AS noop_ok, TRUE AS dv_folded
         |FROM orders
         |WHERE o_custkey NOT BETWEEN 1 AND 30""".stripMargin,
+    // q206: DESCRIBE DETAIL + VACUUM DRY RUN are metadata statements —
+    // final table contents are simply all orders minus the deleted band.
+    "q206_sql_table_inspection" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS describe_ok, TRUE AS untouched_ok, TRUE AS parity_ok
+        |FROM orders
+        |WHERE o_custkey NOT BETWEEN 55 AND 95""".stripMargin,
   )
 }

@@ -1485,21 +1485,20 @@ object Snapshots {
     * Files referenced only by expired versions are exactly the superseded
     * delete/compaction inputs — after vacuum, time travel to an expired
     * version is gone by construction. */
-  def vacuum(spark: SparkSession, path: String, manifestRoot: String,
-             retainLast: Int): VacuumResult = {
+  final case class VacuumPlan(dropVersions: Seq[Int], deadFiles: Seq[String],
+                              deadDvDirs: Seq[String])
+
+  /** Plan a [[vacuum]] WITHOUT touching anything — the `VACUUM … DRY RUN`
+    * contract: exactly the versions, data files, and DV sidecar dirs the
+    * real vacuum would reclaim, computed from the same retained-reference
+    * sets the destructive path uses (shared code, so the listing can
+    * never drift from what vacuum actually deletes). */
+  def vacuumPlan(spark: SparkSession, path: String, manifestRoot: String,
+                 retainLast: Int): VacuumPlan = {
     require(retainLast >= 1, "must retain at least the latest version")
     val vs = versions(spark, manifestRoot)
     require(vs.nonEmpty, s"no committed versions under $manifestRoot")
     val (drop, keep) = vs.splitAt((vs.size - retainLast).max(0))
-    // log-structured tails must stay self-contained: if the oldest retained
-    // version is a delta whose fold base is about to be dropped,
-    // materialize it as a checkpoint FIRST — every retained version then
-    // folds from a base ≥ the cut. (writeCheckpoint is a no-op when the
-    // base is already a retained full version or surviving checkpoint.)
-    val cut = keep.head
-    if (drop.nonEmpty && isDelta(spark, manifestRoot, cut) &&
-        foldInfo(spark, manifestRoot, cut).base < cut)
-      writeCheckpoint(spark, manifestRoot, cut)
     val retained = keep.map(v => Dv.entries(manifestAt(spark, manifestRoot, v)))
     val referenced = retained.flatten.map(e => Layout.fileName(e.file)).toSet
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -1508,8 +1507,7 @@ object Snapshots {
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".") &&
         !referenced.contains(st.getPath.getName)
-    }
-    dead.foreach(st => fs.delete(st.getPath, false))
+    }.map(_.getPath.toString)
     // deletion-vector sidecars are versioned metadata like the data files:
     // a sidecar dir under _dv/ that no RETAINED manifest's dv column
     // references belongs only to expired masks — reclaim it the same way
@@ -1521,9 +1519,30 @@ object Snapshots {
           .flatMap(_.dv).map(Layout.fileName).toSet
         fs.listStatus(dvDir).toSeq.filter { st =>
           st.isDirectory && !liveDv.contains(st.getPath.getName)
-        }
+        }.map(_.getPath.toString)
       }
-    deadDv.foreach(st => fs.delete(st.getPath, true))
+    VacuumPlan(drop, dead, deadDv)
+  }
+
+  def vacuum(spark: SparkSession, path: String, manifestRoot: String,
+             retainLast: Int): VacuumResult = {
+    val plan = vacuumPlan(spark, path, manifestRoot, retainLast)
+    val vs = versions(spark, manifestRoot)
+    val drop = plan.dropVersions
+    // log-structured tails must stay self-contained: if the oldest retained
+    // version is a delta whose fold base is about to be dropped,
+    // materialize it as a checkpoint FIRST — every retained version then
+    // folds from a base ≥ the cut. (writeCheckpoint is a no-op when the
+    // base is already a retained full version or surviving checkpoint.)
+    val cut = vs.drop(drop.size).head
+    if (drop.nonEmpty && isDelta(spark, manifestRoot, cut) &&
+        foldInfo(spark, manifestRoot, cut).base < cut)
+      writeCheckpoint(spark, manifestRoot, cut)
+    val fs = hfs(spark, path)
+    plan.deadFiles.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    plan.deadDvDirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
     // a marker commit (column mapping / declared column types / constraint
     // set) governs every LATER version until superseded — dropping its dir
     // must not lose the table's schema indirection or write contracts
@@ -1538,7 +1557,8 @@ object Snapshots {
     checkpoints(spark, manifestRoot).filter(_ < cut).foreach { c =>
       mfs.delete(new org.apache.hadoop.fs.Path(s"$manifestRoot/ckpt=$c"), true)
     }
-    VacuumResult(dead.size.toLong + deadDv.size.toLong, drop.size.toLong)
+    VacuumResult(plan.deadFiles.size.toLong + plan.deadDvDirs.size.toLong,
+      drop.size.toLong)
   }
 
   /** Metadata-only aggregates: COUNT(*) and per-column MIN/MAX served
@@ -1966,14 +1986,25 @@ object Snapshots {
     * (pinning it keeps `AS OF cutoff` time travel working — the retention
     * contract users actually rely on). */
   def vacuumRetention(spark: SparkSession, path: String, manifestRoot: String,
-                      cutoffMs: Long): VacuumResult = {
+                      cutoffMs: Long): VacuumResult =
+    vacuum(spark, path, manifestRoot,
+      retainLast = retentionRetain(spark, manifestRoot, cutoffMs))
+
+  /** [[vacuumPlan]] for the retention-period form — same resolution as
+    * [[vacuumRetention]], nothing touched. */
+  def vacuumRetentionPlan(spark: SparkSession, path: String,
+                          manifestRoot: String, cutoffMs: Long): VacuumPlan =
+    vacuumPlan(spark, path, manifestRoot,
+      retainLast = retentionRetain(spark, manifestRoot, cutoffMs))
+
+  private def retentionRetain(spark: SparkSession, manifestRoot: String,
+                              cutoffMs: Long): Int = {
     val vs = versions(spark, manifestRoot)
     require(vs.nonEmpty, s"no committed versions under $manifestRoot")
     val survivor =
       try versionAtTimestamp(spark, manifestRoot, cutoffMs)
       catch { case _: Exception => vs.head } // cutoff predates the log
-    val retain = vs.count(_ >= survivor).max(1)
-    vacuum(spark, path, manifestRoot, retainLast = retain)
+    vs.count(_ >= survivor).max(1)
   }
 
   /** RESTORE to `toVersion` as a NEW head commit (the Delta `RESTORE

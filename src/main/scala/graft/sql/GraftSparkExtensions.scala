@@ -81,7 +81,8 @@ final case class ResolveLakeTables(spark: SparkSession)
     // substitutions
     LakeSql.dmlCommand(plan,
       n => spark.sessionState.catalog.isTempView(Seq(n))) match {
-      case Some((names, exec)) => LakeDmlCommand(names, exec)
+      case Some((names, exec)) =>
+        LakeDmlCommand(LakeSql.longSchema(names), exec)
       case None =>
         plan.resolveOperatorsDown(LakeSql.substitutions(spark, _ => false))
     }
@@ -94,16 +95,25 @@ final case class ResolveLakeTables(spark: SparkSession)
   * statement kind (declared up front — commands must know their schema
   * before running); MERGE clause shapes that report fewer metrics
   * zero-fill the rest. */
-final case class LakeDmlCommand(names: Seq[String],
+final case class LakeDmlCommand(outSchema: StructType,
                                 exec: SparkSession => DataFrame)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
-    names.map(n => AttributeReference(n, LongType, nullable = false)())
+    outSchema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
   override def run(session: SparkSession): Seq[Row] = {
     val metrics = exec(session)
-    val have = metrics.columns.toSet
-    val row = metrics.head()
-    Seq(Row(names.map(n => if (have(n)) row.getAs[Long](n) else 0L): _*))
+    if (outSchema.fields.forall(_.dataType == LongType)) {
+      // metric-row statements: ONE row, zero-filled for clause shapes
+      // that report fewer metrics
+      val have = metrics.columns.toSet
+      val row = metrics.head()
+      Seq(Row(outSchema.fieldNames.toSeq
+        .map(n => if (have(n)) row.getAs[Long](n) else 0L): _*))
+    } else
+      // listing statements (VACUUM DRY RUN, DESCRIBE DETAIL): the
+      // handler's rows verbatim — bounded by file/version counts
+      metrics.collect().toSeq
   }
 }
 
@@ -117,13 +127,13 @@ final class GraftSqlParser(delegate: ParserInterface)
   extends ParserInterface {
   override def parsePlan(text: String): LogicalPlan =
     LakeSql.extendedStatement(text) match {
-      case Some(names) => LakeDmlCommand(names, s => LakeSql.sql(s, text))
+      case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
       case None => delegate.parsePlan(text)
     }
   override def parsePlanWithParameters(text: String,
                                        ctx: ParameterContext): LogicalPlan =
     LakeSql.extendedStatement(text) match {
-      case Some(names) => LakeDmlCommand(names, s => LakeSql.sql(s, text))
+      case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
       case None => delegate.parsePlanWithParameters(text, ctx)
     }
   override def parseExpression(t: String): Expression =

@@ -102,8 +102,12 @@ object LakeSql {
   //   VACUUM <t> RETAIN <n> HOURS       → vacuumRetention by commit stamp
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)(?:\s+SMALLFILES\s+(\d+))?\s*""".r
+  //   … DRY RUN suffix lists what WOULD be reclaimed (one row per item:
+  //   expired version dir, unreferenced data file, dead DV sidecar dir)
+  //   without touching anything — the Delta VACUUM DRY RUN contract,
+  //   served from the SAME plan the destructive path executes.
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([A-Za-z0-9_]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z0-9_]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*""".r
   //   RESTORE TABLE <t> TO VERSION AS OF <n>      → roll-forward commit
   //   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>' → ditto, stamp-resolved
   //   CREATE TABLE <dst> SHALLOW CLONE <src>
@@ -154,30 +158,65 @@ object LakeSql {
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+([A-Za-z0-9_]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(PARQUET|JSON))?\s*""".r
 
+  //   DESCRIBE DETAIL <t> → one metadata row (the Delta DESCRIBE DETAIL
+  //     shape): location, live file count + byte size, version count,
+  //     stats columns — all manifest/filesystem-status reads,
+  //     file-count-bounded, zero data files opened.
+  private val DescribeDetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z0-9_]+)\s*""".r
+
   /** The metric-row column names of an EXTENSION-GRAMMAR statement (the
     * regex-dispatched surface Spark's parser has no productions for:
     * OPTIMIZE/VACUUM/RESTORE/CLONE/REPLACE WHERE/CONVERT), when `text` is
     * one — [[GraftSqlParser]] wraps the match into a runnable command with
     * this declared schema so plain `spark.sql` serves the same statements
     * (the DeltaSqlParser shape). None ⇒ not ours, delegate. */
-  private[sql] def extendedStatement(text: String): Option[Seq[String]] =
+  /** All-Long metric-row schema — the shape every commit-returning
+    * statement reports; [[GraftSparkExtensions]] zero-fills these. */
+  private[sql] def longSchema(names: Seq[String]): StructType =
+    StructType(names.map(n => StructField(n, LongType, nullable = false)))
+
+  private def strSchema(names: String*): StructType =
+    StructType(names.map(n => StructField(n, StringType, nullable = false)))
+
+  private[sql] def extendedStatement(text: String): Option[StructType] =
     text match {
-      case OptimizeZRe(_, _) => Some(Seq("version", "files_in", "files_out"))
+      case OptimizeZRe(_, _) =>
+        Some(longSchema(Seq("version", "files_in", "files_out")))
       case OptimizeWhereRe(_, _, _) =>
-        Some(Seq("version", "files_rewritten", "files_skipped", "files_out"))
+        Some(longSchema(Seq("version", "files_rewritten", "files_skipped",
+          "files_out")))
       case OptimizeRe(_, small) =>
-        Some(if (small == null) Seq("version", "files_in", "files_out")
-        else Seq("version", "files_compacted", "files_skipped", "files_out"))
-      case VacuumRe(_, _, _) => Some(Seq("files_deleted", "versions_dropped"))
-      case RestoreRe(_, _) => Some(Seq("version", "restored_to"))
-      case RestoreTsRe(_, _) => Some(Seq("version", "restored_to"))
-      case CloneRe(_, _, _, _) => Some(Seq("version", "cloned_from"))
+        Some(longSchema(if (small == null)
+          Seq("version", "files_in", "files_out")
+        else Seq("version", "files_compacted", "files_skipped",
+          "files_out")))
+      case VacuumRe(_, _, _, dry) =>
+        Some(if (dry == null)
+          longSchema(Seq("files_deleted", "versions_dropped"))
+        else strSchema("item", "kind"))
+      case DescribeDetailRe(_) =>
+        Some(StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("num_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("num_versions", LongType, nullable = false),
+          StructField("stats_cols", StringType, nullable = false))))
+      case RestoreRe(_, _) =>
+        Some(longSchema(Seq("version", "restored_to")))
+      case RestoreTsRe(_, _) =>
+        Some(longSchema(Seq("version", "restored_to")))
+      case CloneRe(_, _, _, _) =>
+        Some(longSchema(Seq("version", "cloned_from")))
       case InsertReplaceRe(_, _, _) =>
-        Some(Seq("version", "files_rewritten", "files_total",
-          "rows_deleted", "files_appended"))
-      case ConvertRe(_, _, _, _) => Some(Seq("version", "files_converted"))
+        Some(longSchema(Seq("version", "files_rewritten", "files_total",
+          "rows_deleted", "files_appended")))
+      case ConvertRe(_, _, _, _) =>
+        Some(longSchema(Seq("version", "files_converted")))
       case CopyIntoRe(_, _, _) =>
-        Some(Seq("version", "files_loaded", "rows_loaded", "files_skipped"))
+        Some(longSchema(Seq("version", "files_loaded", "rows_loaded",
+          "files_skipped")))
       case _ => None
     }
 
@@ -246,17 +285,61 @@ object LakeSql {
           "files_compacted" -> r.filesCompacted,
           "files_skipped" -> r.filesSkipped, "files_out" -> r.filesOut))
       }
-    case VacuumRe(name, n, unit) =>
+    case VacuumRe(name, n, unit, dry) =>
       val spec = specByName(name)
-      val r =
-        if (unit.equalsIgnoreCase("VERSIONS"))
-          Snapshots.vacuum(spark, spec.path, spec.manifestRoot,
-            retainLast = n.toInt)
-        else
-          Snapshots.vacuumRetention(spark, spec.path, spec.manifestRoot,
-            cutoffMs = System.currentTimeMillis() - n.toLong * 3600000L)
-      metricsRow(spark, Seq("files_deleted" -> r.filesDeleted,
-        "versions_dropped" -> r.versionsDropped))
+      val byVersions = unit.equalsIgnoreCase("VERSIONS")
+      val cutoffMs = System.currentTimeMillis() - n.toLong * 3600000L
+      if (dry != null) {
+        // DRY RUN: the reclaim listing, nothing touched — shares the
+        // plan code with the destructive path so it can never drift.
+        val p =
+          if (byVersions)
+            Snapshots.vacuumPlan(spark, spec.path, spec.manifestRoot,
+              retainLast = n.toInt)
+          else
+            Snapshots.vacuumRetentionPlan(spark, spec.path,
+              spec.manifestRoot, cutoffMs)
+        val rows =
+          p.dropVersions.map(v => Row(s"${spec.manifestRoot}/v=$v",
+            "version")) ++
+            p.deadFiles.map(Row(_, "data")) ++
+            p.deadDvDirs.map(Row(_, "dv"))
+        spark.createDataFrame(rows.asJava,
+          StructType(Seq(StructField("item", StringType, nullable = false),
+            StructField("kind", StringType, nullable = false))))
+      } else {
+        val r =
+          if (byVersions)
+            Snapshots.vacuum(spark, spec.path, spec.manifestRoot,
+              retainLast = n.toInt)
+          else
+            Snapshots.vacuumRetention(spark, spec.path, spec.manifestRoot,
+              cutoffMs)
+        metricsRow(spark, Seq("files_deleted" -> r.filesDeleted,
+          "versions_dropped" -> r.versionsDropped))
+      }
+    // DESCRIBE DETAIL: one metadata row from manifest + file status —
+    // the table-inventory read a catalog browser issues; never a scan.
+    case DescribeDetailRe(name) =>
+      val spec = specByName(name)
+      val v = Snapshots.latestVersion(spark, spec.manifestRoot)
+      val entries = graft.sinks.Dv.entries(
+        Snapshots.manifestAt(spark, spec.manifestRoot, v))
+      val p = new org.apache.hadoop.fs.Path(spec.path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = entries.map(e =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(e.file)).getLen).sum
+      val nv = Snapshots.versions(spark, spec.manifestRoot).size
+      spark.createDataFrame(Seq(Row(name.toLowerCase(java.util.Locale.ROOT),
+          spec.path, entries.size.toLong, bytes, nv.toLong,
+          spec.cols.mkString(","))).asJava,
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("num_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("num_versions", LongType, nullable = false),
+          StructField("stats_cols", StringType, nullable = false))))
     // RESTORE TABLE (the Delta RESTORE statement): ONE metadata-only
     // roll-FORWARD commit re-referencing the target version's files —
     // zero data files written, history above the target stays pinnable

@@ -559,4 +559,63 @@ class LakeSurfaceR14Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("stats"))
   }
+
+  // ------------------------------------- VACUUM DRY RUN / DESCRIBE DETAIL
+
+  test("VACUUM DRY RUN lists exactly what the real vacuum deletes, " +
+    "touching nothing") {
+    val (dir, _) = freshLake("t_dry")
+    // a rewriting DELETE strands the touched files' originals in v1
+    LakeSql.sql(spark, "DELETE FROM t_dry WHERE id <= 2000")
+    val before = dataFiles(s"$dir/z")
+    val vsBefore = Snapshots.versions(spark, s"$dir/m")
+    val dry = spark.sql("VACUUM t_dry RETAIN 1 VERSIONS DRY RUN")
+    // typed listing schema through the session parser
+    assert(dry.schema.fieldNames.toSeq == Seq("item", "kind"))
+    val rows = dry.collect()
+    val items = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(items.count(_._2 == "version") == 1)
+    assert(items.count(_._2 == "data") >= 1)
+    // NOTHING moved: files byte-identical, log intact, dry run re-runs
+    assert(dataFiles(s"$dir/z") == before)
+    assert(Snapshots.versions(spark, s"$dir/m") == vsBefore)
+    assert(spark.sql("VACUUM t_dry RETAIN 1 VERSIONS DRY RUN")
+      .collect().length == rows.length)
+    // the REAL vacuum reclaims exactly the listing — shared plan, no drift
+    val m = spark.sql("VACUUM t_dry RETAIN 1 VERSIONS").head()
+    assert(m.getAs[Long]("files_deleted") ==
+      items.count(t => t._2 == "data" || t._2 == "dv").toLong)
+    assert(m.getAs[Long]("versions_dropped") == 1L)
+    // every listed data file is now gone; the retained read still answers
+    val names = before.map(_.split(":")(0))
+    val liveNames = dataFiles(s"$dir/z").map(_.split(":")(0))
+    items.filter(_._2 == "data").foreach { case (f, _) =>
+      val n = f.split("/").last
+      assert(names.contains(n) && !liveNames.contains(n), s"$n not reclaimed")
+    }
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_dry")
+      .head().getLong(0) == data.filter(col("id") > 2000).count())
+  }
+
+  test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
+    val (dir, _) = freshLake("t_desc")
+    LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
+    val d = spark.sql("DESCRIBE DETAIL t_desc")
+    assert(d.schema("num_files").dataType.typeName == "long" &&
+      d.schema("name").dataType.typeName == "string")
+    val row = d.head()
+    val head = Snapshots.manifestAt(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m"))
+    val files = head.select("file").collect().map(_.getString(0))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/z")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wantBytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    assert(row.getAs[String]("name") == "t_desc")
+    assert(row.getAs[String]("location") == s"$dir/z")
+    assert(row.getAs[Long]("num_files") == files.length.toLong)
+    assert(row.getAs[Long]("size_bytes") == wantBytes)
+    assert(row.getAs[Long]("num_versions") == 2L)
+    assert(row.getAs[String]("stats_cols") == "id,x")
+  }
 }
