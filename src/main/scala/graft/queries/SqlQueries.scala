@@ -1049,6 +1049,7 @@ object SqlQueries {
           .map(st => st.getPath.getName + ":" + st.getLen).toSet
       }
       val before = listing()
+      LakeSql.unregister("orders_lake195") // rep-safe: CONVERT requires new
       val m = LakeSql.sql(s,
         s"CONVERT TO LAKE orders_lake195 FROM '$root/p' " +
           "STATS COLS (o_orderkey, o_custkey) FILES 16").head()
