@@ -76,10 +76,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 final case class ResolveLakeTables(spark: SparkSession)
   extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    // DML roots are claimed BEFORE relation substitution would rewrite
-    // their target out from under them; everything else gets the read
-    // substitutions
-    LakeSql.dmlCommand(plan,
+    // Fast path: everything this rule rewrites — unresolved relations,
+    // time travel, the TVFs, claimable DML roots — keeps the tree
+    // UNRESOLVED, so a resolved plan has nothing for us. The analyzer
+    // re-runs its resolution batch to fixpoint over EVERY session query
+    // (and every streaming micro-batch), so without this guard the
+    // full-tree substitution walk taxes every non-lake query too.
+    // `resolved` is a cached lazy val — the check is near-free at
+    // fixpoint. (DML against a RESOLVED non-lake target, e.g. a temp
+    // view, skips us and fails loudly in Spark's own v2-table check —
+    // the same outcome the shadowed-target backstop produces.)
+    if (plan.resolved) plan
+    else LakeSql.dmlCommand(plan,
       n => spark.sessionState.catalog.isTempView(Seq(n))) match {
       case Some((names, exec)) =>
         LakeDmlCommand(LakeSql.longSchema(names), exec)
