@@ -316,6 +316,48 @@ object Curation {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Cross-source overlap matrix — the dataset-overlap report run before
+    * mixing corpora (the Pile/Dolma-style duplication audit between
+    * sources): for every unordered source pair, the shingle-set Jaccard
+    * plus BOTH directional containments (|A∩B|/|A| — "how much of A is
+    * already inside B"), over distinct character `k`-shingles. High
+    * containment of a small source in a big one means mixing adds mostly
+    * duplicates; the directional numbers catch that where symmetric
+    * Jaccard hides it.
+    *
+    * Shuffle shape at 100 TB: ONE hash-agg distinct on (source, shingle)
+    * — map-side combined, output bounded by sources × shingle-vocabulary,
+    * not corpus rows; per-source sizes ride the same frame; the
+    * intersection is a shuffle-hash self-join on the shingle key whose
+    * per-key expansion is bounded by the number of SOURCES sharing the
+    * shingle (≤ S, never corpus-sized), aggregated map-side into at most
+    * S² counting rows. The matrix itself is S²/2 rows — driver-safe for
+    * any real source count. Shingles stay raw strings for engine-exact
+    * parity; production corpora would xxhash64 them first (same plan,
+    * 8-byte keys). */
+  def sourceOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("g"),
+        explode(TextAnalysis.shingles(col(textCol), k)).as("s"))
+      .distinct()
+      .localCheckpoint() // one scan feeds sizes AND both join sides
+    val sz = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("g").as("source_a"), col("n").as("na")), "source_a")
+      .join(sz.select(col("g").as("source_b"), col("n").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")),
+          6).as("jaccard"),
+        round(col("c").cast("double") / col("na"), 6).as("a_in_b"),
+        round(col("c").cast("double") / col("nb"), 6).as("b_in_a"))
+  }
+
   /** Importance-resampling weights over hashed n-gram features — the DSIR
     * shape (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every raw document by how much more

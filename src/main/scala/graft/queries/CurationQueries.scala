@@ -196,6 +196,18 @@ object CurationQueries {
           col("source") === "src0")
         .orderBy(col("dsir_weight").desc, col("doc_id"))
         .limit(100)
+    }),
+
+    // CROSS-SOURCE OVERLAP MATRIX (q207): the dataset-overlap audit run
+    // before mixing corpora — per source pair, shingle-set Jaccard plus
+    // both directional containments (|A∩B|/|A|: how much of A is already
+    // inside B). One distinct hash-agg on (source, shingle) bounded by
+    // sources × shingle-vocab; the intersection self-join's per-key
+    // expansion is bounded by sources-per-shingle (≤ S), never corpus
+    // rows; the output is S²/2 rows.
+    "q207_source_overlap" -> ((s, dir) => {
+      Curation.sourceOverlapMatrix(
+        t(s, dir, "documents"), "source", "text", k = 6)
     })
   )
 
@@ -364,6 +376,24 @@ object CurationQueries {
         |WHERE NOT db.is_target
         |GROUP BY 1
         |ORDER BY dsir_weight DESC, doc_id
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    // q207 recomputes the source-pair matrix from distinct 6-char
+    // shingles — same substr generator as the q26/q59 oracles.
+    "q207_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source AS g, substr(text, CAST(i AS INT), 6) AS s
+        |  FROM documents,
+        |    unnest(range(1, greatest(length(text) - 5, 1) + 1)) AS u(i)),
+        |sz AS (SELECT g, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.g AS source_a, b.g AS source_b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+        |          GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |  round(c::DOUBLE / (x.n + y.n - c)::DOUBLE, 6) AS jaccard,
+        |  round(c::DOUBLE / x.n::DOUBLE, 6) AS a_in_b,
+        |  round(c::DOUBLE / y.n::DOUBLE, 6) AS b_in_a
+        |FROM inter
+        |JOIN sz x ON source_a = x.g
+        |JOIN sz y ON source_b = y.g""".stripMargin
   )
 }

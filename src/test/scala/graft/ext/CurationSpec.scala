@@ -114,4 +114,37 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(again == kept.values.sum)
   }
+
+  test("sourceOverlapMatrix: containment is directional, Jaccard exact") {
+    import spark.implicits._
+    // a ⊂ b (every a-doc duplicated into b), c disjoint from both
+    val docs = Seq(
+      ("a", "the quick brown fox jumps"),
+      ("a", "pack my box with jugs"),
+      ("b", "the quick brown fox jumps"),
+      ("b", "pack my box with jugs"),
+      ("b", "sphinx of black quartz judge"),
+      ("c", "zzzz yyyy xxxx wwww vvvv")
+    ).toDF("src", "text")
+    val m = Curation.sourceOverlapMatrix(docs, "src", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // a fully contained in b: a_in_b = 1.0, jaccard = |a|/|b| < 1
+    val (jab, aInB, bInA) = m(("a", "b"))
+    assert(aInB == 1.0 && bInA < 1.0 && jab == bInA)
+    // disjoint source never appears (no shared shingle → no row)
+    assert(!m.contains(("a", "c")) && !m.contains(("b", "c")))
+    // pair key is ordered once: no ("b","a") mirror row
+    assert(!m.contains(("b", "a")))
+    // stable under repartitioning (exact set arithmetic, no sampling)
+    val again = Curation.sourceOverlapMatrix(docs.repartition(5), "src",
+      "text", k = 4).collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(again == m)
+    // plan: the intersection joins on the shingle key with a hash join —
+    // never a cartesian product over sources
+    val plan = Curation.sourceOverlapMatrix(docs, "src", "text", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
