@@ -1581,6 +1581,54 @@ object SqlQueries {
         .withColumn("untouched_ok", lit(untouchedOk))
         .withColumn("parity_ok", lit(parityOk))
     }),
+
+    // METADATA-ONLY AGGREGATES (q208): `SELECT count(*)/min/max FROM t`
+    // through plain spark.sql answered ENTIRELY from the manifest — the
+    // optimized plan is a one-row LocalRelation, zero data files opened
+    // (gated: every leaf is a LocalRelation). At 100 TB this is the
+    // sub-second-vs-full-scan fast path every table format serves. The
+    // pinned read serves from ITS version's manifest; a WHERE breaks the
+    // bare-scan shape and correctly falls back to the scan.
+    "q208_sql_metadata_agg" -> ((s, dir) => {
+      val root = tmp("q208")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 8)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake208",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols))
+      val del = Snapshots.deleteWhere(s, s"$root/z", s"$root/m", zcols,
+        Seq(("o_custkey", 100.0, 400.0)))
+      require(del.rowsDeleted > 0, "q208 delete removed nothing")
+      def metadataServed(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      val head = s.sql(
+        """SELECT count(*) AS n_rows, min(o_orderkey) AS lo_key,
+          |  max(o_orderkey) AS hi_key, max(o_custkey) AS hi_cust
+          |FROM orders_lake208""".stripMargin)
+      val headOk = metadataServed(head)
+      require(headOk, s"q208 head agg NOT metadata-served:\n" +
+        head.queryExecution.optimizedPlan)
+      val pinned = s.sql(
+        s"SELECT count(*) AS n FROM orders_lake208 VERSION AS OF $v1")
+      val pinnedOk = metadataServed(pinned) &&
+        pinned.head().getLong(0) == orders.count()
+      require(pinnedOk, "q208 pinned agg not metadata-served or wrong")
+      // a WHERE must fall back to the scan (and still be right)
+      val filtered = s.sql(
+        "SELECT count(*) AS n FROM orders_lake208 WHERE o_custkey < 100")
+      val fallbackOk = !metadataServed(filtered)
+      require(fallbackOk, "q208 filtered agg wrongly metadata-served")
+      head
+        .withColumn("served_ok", lit(headOk))
+        .withColumn("pinned_ok", lit(pinnedOk))
+        .withColumn("fallback_ok", lit(fallbackOk))
+        .withColumn("n_filtered", lit(filtered.head().getLong(0)))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1886,5 +1934,15 @@ object SqlQueries {
         |  TRUE AS describe_ok, TRUE AS untouched_ok, TRUE AS parity_ok
         |FROM orders
         |WHERE o_custkey NOT BETWEEN 55 AND 95""".stripMargin,
+    // q208: the manifest-served aggregates recomputed the slow way — the
+    // oracle IS the proof the metadata fast path returns scan-exact values.
+    "q208_sql_metadata_agg" ->
+      """WITH live AS (SELECT * FROM orders
+        |              WHERE o_custkey NOT BETWEEN 100 AND 400)
+        |SELECT count(*) AS n_rows, min(o_orderkey) AS lo_key,
+        |  max(o_orderkey) AS hi_key, max(o_custkey) AS hi_cust,
+        |  TRUE AS served_ok, TRUE AS pinned_ok, TRUE AS fallback_ok,
+        |  (SELECT count(*) FROM live WHERE o_custkey < 100) AS n_filtered
+        |FROM live""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned manifests over a [[Layout]] — snapshot isolation, time-travel
@@ -1577,6 +1577,37 @@ object Snapshots {
 
   def statsAggAt(spark: SparkSession, manifestRoot: String, version: Int,
                  cols: Seq[String]): StatsAgg = {
+    val m = statsManifestGuarded(spark, manifestRoot, version, cols)
+    val aggs = sum(col("rows")).as("_n") +:
+      cols.flatMap(c => Seq(
+        min(col(s"min_$c")).cast("double").as(s"_lo_$c"),
+        max(col(s"max_$c")).cast("double").as(s"_hi_$c")))
+    val r = m.agg(aggs.head, aggs.tail: _*).collect()(0)
+    StatsAgg(r.getLong(0),
+      cols.zipWithIndex.map { case (c, i) => c -> r.getDouble(1 + 2 * i) }.toMap,
+      cols.zipWithIndex.map { case (c, i) => c -> r.getDouble(2 + 2 * i) }.toMap)
+  }
+
+  /** [[statsAggAt]] with the stats columns' NATIVE types preserved: one
+    * Row `(rows: Long, min_c1, max_c1, …)` in `cols` order, each extreme
+    * typed exactly as the manifest (= data) column. For callers that
+    * substitute the values INTO a plan — the metadata-only aggregate
+    * rewrite — where a double round-trip would corrupt 64-bit or string
+    * extremes. Same soundness guards: refuses DV-masked versions (footer
+    * row counts include masked rows) and manifests mixing stats-bearing
+    * and stats-less files (min/max silently skip nulls). */
+  def statsAggRowAt(spark: SparkSession, manifestRoot: String, version: Int,
+                    cols: Seq[String]): Row = {
+    val m = statsManifestGuarded(spark, manifestRoot, version, cols)
+    val aggs = coalesce(sum(col("rows")), lit(0L)).as("_n") +:
+      cols.flatMap(c => Seq(
+        min(col(s"min_$c")).as(s"_lo_$c"),
+        max(col(s"max_$c")).as(s"_hi_$c")))
+    m.agg(aggs.head, aggs.tail: _*).collect()(0)
+  }
+
+  private def statsManifestGuarded(spark: SparkSession, manifestRoot: String,
+                                   version: Int, cols: Seq[String]): DataFrame = {
     val m = Dv.ensureDv(manifestAt(spark, manifestRoot, version))
     require(m.filter(col("dv").isNotNull).isEmpty,
       s"metadata-only aggregates are unsound over DV-masked files " +
@@ -1595,14 +1626,7 @@ object Snapshots {
       s"metadata-only extremes are unsound: manifest rows lack stats for " +
         s"${partial.sorted.mkString(", ")} — rebuild the manifest with " +
         "stats for every file, or aggregate by scan")
-    val aggs = sum(col("rows")).as("_n") +:
-      cols.flatMap(c => Seq(
-        min(col(s"min_$c")).cast("double").as(s"_lo_$c"),
-        max(col(s"max_$c")).cast("double").as(s"_hi_$c")))
-    val r = m.agg(aggs.head, aggs.tail: _*).collect()(0)
-    StatsAgg(r.getLong(0),
-      cols.zipWithIndex.map { case (c, i) => c -> r.getDouble(1 + 2 * i) }.toMap,
-      cols.zipWithIndex.map { case (c, i) => c -> r.getDouble(2 + 2 * i) }.toMap)
+    m
   }
 
   /** Thrown by [[appendCommitChecked]] when a batch violates the table's

@@ -44,6 +44,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(ResolveLakeTables)
+    // metadata-only aggregates: COUNT(*)/MIN/MAX over a bare lake scan
+    // answered from the manifest, zero data files opened
+    ext.injectOptimizerRule(ServeAggFromManifest)
     // EXTENSION GRAMMAR through plain spark.sql — the DeltaSqlParser
     // shape: a delegating parser intercepts the statements Spark's ANTLR
     // grammar has no productions for (OPTIMIZE, VACUUM, RESTORE, SHALLOW
@@ -94,6 +97,102 @@ final case class ResolveLakeTables(spark: SparkSession)
       case None =>
         plan.resolveOperatorsDown(LakeSql.substitutions(spark, _ => false))
     }
+}
+
+/** METADATA-ONLY AGGREGATE rewrite (the "SELECT count(*) answered from
+  * table metadata" fast path every production table format serves — at
+  * 100 TB the difference between a sub-second manifest read and a full
+  * scan): an ungrouped, unfiltered `Aggregate` whose child is a bare lake
+  * scan (tagged by the resolution layer with its manifest root + pinned
+  * version) and whose every output is `count(*)` or `min`/`max` over a
+  * stats column is replaced with a one-row [[LocalRelation]] computed
+  * from the manifest via [[graft.sinks.Snapshots.statsAggRowAt]] —
+  * native-typed, so 64-bit and string extremes survive exactly.
+  *
+  * Soundness is layered: structurally, any `Filter`, grouping, join, or
+  * DV anti-join between the aggregate and the relation breaks the match
+  * (those plans MUST scan); `count(col)` (null-sensitive), `DISTINCT`,
+  * FILTER clauses, and non-stats columns refuse; and `statsAggRowAt`
+  * itself re-checks the version for deletion-vector masks and partial
+  * stats, falling back to the scan plan on refusal rather than failing
+  * the query. Extreme types are required to match the aggregate's
+  * declared output type exactly — never a silent cast. Time travel
+  * composes: a pinned read's tag carries the pinned version, so
+  * `SELECT count(*) FROM t VERSION AS OF 3` is also metadata-served. */
+final case class ServeAggFromManifest(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      serve(agg).getOrElse(agg)
+  }
+
+  private def scanInfo(p: LogicalPlan): Option[(String, Int, Seq[String])] =
+    p match {
+      case lr: LogicalRelation => lr.getTagValue(LakeSql.LakeScanTag)
+      case Project(ps, lr: LogicalRelation)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        lr.getTagValue(LakeSql.LakeScanTag)
+      case _ => None
+    }
+
+  /** What one output column needs from the manifest row: None = count. */
+  private sealed trait Want
+  private case object WantRows extends Want
+  private final case class WantLo(c: String) extends Want
+  private final case class WantHi(c: String) extends Want
+
+  private def serve(agg: Aggregate): Option[LogicalPlan] =
+    scanInfo(agg.child).flatMap { case (root, version, statsCols) =>
+      val wants: Seq[Option[Want]] = agg.aggregateExpressions.map(classify(_, statsCols))
+      if (wants.exists(_.isEmpty)) None
+      else {
+        val needed = wants.flatten.collect {
+          case WantLo(c) => c
+          case WantHi(c) => c
+        }.distinct
+        val row =
+          try graft.sinks.Snapshots.statsAggRowAt(spark, root, version, needed)
+          catch { case _: IllegalArgumentException => return None }
+        // extreme types must equal the declared aggregate output types —
+        // a manifest built before a column retype must not serve it
+        val byName = row.schema.fieldNames.zipWithIndex.toMap
+        val out = agg.aggregateExpressions.map(_.toAttribute)
+        val vals = wants.flatten.zip(out).map {
+          case (WantRows, a) =>
+            if (a.dataType != LongType) return None else row.get(0)
+          case (WantLo(c), a) =>
+            val i = byName(s"_lo_$c")
+            if (row.schema(i).dataType != a.dataType) return None
+            row.get(i)
+          case (WantHi(c), a) =>
+            val i = byName(s"_hi_$c")
+            if (row.schema(i).dataType != a.dataType) return None
+            row.get(i)
+        }
+        Some(LocalRelation.fromExternalRows(out, Seq(Row(vals: _*))))
+      }
+    }
+
+  private def classify(e: NamedExpression,
+                       statsCols: Seq[String]): Option[Want] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        // count(*) / count(1): any non-null literal counts every row
+        case Count(Seq(l: Literal)) if l.value != null => Some(WantRows)
+        case Min(a: AttributeReference) if statsCols.contains(a.name) =>
+          Some(WantLo(a.name))
+        case Max(a: AttributeReference) if statsCols.contains(a.name) =>
+          Some(WantHi(a.name))
+        case _ => None
+      }
+    case _ => None
+  }
 }
 
 /** DML-as-command (the Delta DeleteCommand/UpdateCommand shape): carries

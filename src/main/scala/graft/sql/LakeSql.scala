@@ -708,15 +708,30 @@ object LakeSql {
         s"'$name' is not a registered lake table " +
           s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")})"))
 
+  /** Marker the metadata-only aggregate rewrite ([[ServeAggFromManifest]])
+    * keys on: `(manifestRoot, version, statsCols)` riding the lake scan's
+    * relation node. Set only when the version has NO column mapping, so a
+    * tagged relation's attribute names ARE the manifest's stats names. */
+  private[sql] val LakeScanTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[
+      (String, Int, Seq[String])]("graft.lake.scan")
+
   private def aliasedTableAt(spark: SparkSession, name: String,
-                             spec: LakeTableSpec, version: Int): LogicalPlan =
+                             spec: LakeTableSpec, version: Int): LogicalPlan = {
     // mappedTableAt = tableAt when no column mapping exists (identical
     // plan, so the q169 sameResult gate holds); under a mapping it serves
     // physical columns under the LOGICAL names in force AT `version` —
     // SQL reads are rename-aware and pinned reads keep old names
-    SubqueryAlias(name,
-      Snapshots.mappedTableAt(spark, spec.manifestRoot, version)
-        .queryExecution.logical)
+    val inner = Snapshots.mappedTableAt(spark, spec.manifestRoot, version)
+      .queryExecution.logical
+    if (Snapshots.columnMapping(spark, spec.manifestRoot, version).isEmpty)
+      inner.foreach {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.setTagValue(LakeScanTag, (spec.manifestRoot, version, spec.cols))
+        case _ => ()
+      }
+    SubqueryAlias(name, inner)
+  }
 
   /** The column mapping in force at the table's head (None before any
     * ALTER) — the logical→physical indirection every DML statement must

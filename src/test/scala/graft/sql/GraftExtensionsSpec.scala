@@ -213,4 +213,54 @@ class GraftExtensionsSpec extends SparkSpec {
     // ordinary SQL still parses through the delegate untouched
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
+
+  // ----------------------------------------- metadata-only aggregates
+
+  private def isMetadataServed(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  test("count(*)/min/max over a bare lake scan are manifest-served") {
+    val (dir, v1) = freshLake("t_meta1")
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi, max(x) AS hx " +
+        "FROM t_meta1")
+    assert(isMetadataServed(df), df.queryExecution.optimizedPlan.toString)
+    val r = df.head()
+    assert(r.getLong(0) == 8000L && r.getLong(1) == 0L &&
+      r.getLong(2) == 7999L &&
+      r.getLong(3) == data.agg(max(col("x"))).head().getLong(0))
+    // pinned read after a rewriting delete: the OLD version still serves
+    // from ITS manifest, the head from its own
+    Snapshots.deleteWhere(spark, s"$dir/z", s"$dir/m", Seq("id", "x"),
+      Seq(("id", 0.0, 999.0)))
+    val pinned = spark.sql(
+      s"SELECT count(*) AS n FROM t_meta1 VERSION AS OF $v1")
+    assert(isMetadataServed(pinned) && pinned.head().getLong(0) == 8000L)
+    val head = spark.sql("SELECT count(*) AS n FROM t_meta1")
+    assert(isMetadataServed(head) && head.head().getLong(0) == 7000L)
+  }
+
+  test("metadata-agg refuses where it must and falls back to the scan") {
+    val (dir, _) = freshLake("t_meta2")
+    // a WHERE breaks the bare-scan shape: must scan, must be right
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM t_meta2 WHERE x < 100")
+    assert(!isMetadataServed(filtered))
+    assert(filtered.head().getLong(0) == data.filter(col("x") < 100).count())
+    // count(col) is null-sensitive: refused
+    assert(!isMetadataServed(spark.sql("SELECT count(x) AS n FROM t_meta2")))
+    // min over a NON-stats column: refused, still correct by scan
+    val noStats = spark.sql("SELECT min(id + 1) AS m FROM t_meta2")
+    assert(!isMetadataServed(noStats) && noStats.head().getLong(0) == 1L)
+    // a DV-masked head version must NOT serve footer counts: MoR delete
+    // leaves masks in the manifest, so the guard refuses and the scan
+    // (which applies the mask) answers
+    val masked = graft.sinks.Dv.deleteWhereMoR(spark, s"$dir/z", s"$dir/m",
+      Seq(("id", 0.0, 499.0)))
+    assert(masked.rowsDeleted == 500L)
+    val df = spark.sql("SELECT count(*) AS n FROM t_meta2")
+    assert(!isMetadataServed(df), "DV-masked count must not be footer-served")
+    assert(df.head().getLong(0) == 7500L)
+  }
 }
