@@ -967,6 +967,32 @@ object LlmQueries {
         (col("top_frac") <= 0.20).as("top_ok"),
         (col("dup_frac") <= 0.15).as("dup_ok"),
         (col("top_frac") <= 0.20 && col("dup_frac") <= 0.15).as("passes"))
+    }),
+
+    // CORPUS INTAKE PIPELINE (q209): the standard web-corpus front half —
+    // language gate → quality gate → exact dedup (keep-first) → split
+    // assignment — composed END TO END as one declarative plan, the way a
+    // user would actually chain the engine's curation stages. Shuffle
+    // shape: the gates are pure codegen column filters fused into the ONE
+    // corpus scan; dedup is one hash-agg on the fingerprint plus a
+    // semi-join back (both shuffle the POST-gate survivors only — the
+    // gates prune before any data movement); split assignment is a row
+    // property. Nothing in the chain shuffles the corpus twice.
+    "q209_corpus_intake" -> ((s, dir) => {
+      val lang = t(s, dir, "documents")
+        .withColumn("pred_lang", TextAnalysis.langIdHeuristic(col("text")))
+        .filter(col("pred_lang") =!= "other")
+      val qual = lang
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+          TextAnalysis.nTokens(col("text")) >= 20)
+        .withColumn("quality",
+          round(TextAnalysis.qualityScore(col("text")), 6))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val keep = qual.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      qual.join(keep, Seq("fp", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          graft.ext.Curation.splitAssign(col("doc_id")).as("split"))
     })
   )
 
@@ -1758,5 +1784,30 @@ object LlmQueries {
         |  top_frac <= 0.20 AS top_ok, dup_frac <= 0.15 AS dup_ok,
         |  (top_frac <= 0.20 AND dup_frac <= 0.15) AS passes
         |FROM m""".stripMargin,
+    // q209: the q22 language gate, q23 quality gate, q25 keep-first exact
+    // dedup, and q69 split rule replayed as one CTE chain — each stage's
+    // formulation identical to its standalone oracle.
+    "q209_corpus_intake" ->
+      s"""WITH lang AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.04 THEN 'en'
+         |      WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.015
+         |        OR (length(text) - length(replace(text, 'th', '')))::DOUBLE / 2.0 / length(text)::DOUBLE >= 0.02 THEN 'en_like'
+         |      ELSE 'other' END AS pred_lang
+         |  FROM documents),
+         |q AS (SELECT doc_id, text, pred_lang, round($quality, 6) AS quality
+         |      FROM lang
+         |      WHERE pred_lang <> 'other'
+         |        AND ($quality) >= 0.5 AND $nTok >= 20),
+         |f AS (SELECT *,
+         |        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |      FROM q),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1)
+         |SELECT f.doc_id, f.pred_lang, f.quality,
+         |  CASE WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |       WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM f JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.doc_id""".stripMargin,
   )
 }
