@@ -1629,6 +1629,68 @@ object SqlQueries {
         .withColumn("fallback_ok", lit(fallbackOk))
         .withColumn("n_filtered", lit(filtered.head().getLong(0)))
     }),
+
+    // TBLPROPERTIES + AUTO-COMPACT (q210): `ALTER TABLE … SET
+    // TBLPROPERTIES('auto_compact'='true', …)` through plain spark.sql,
+    // then three small INSERTs — each triggers a follow-on bin-pack of
+    // the small-file tail as its own commit (the Delta autoOptimize
+    // shape), so the live file count stays bounded while versions accrue
+    // insert+compact pairs. UNSET turns it off: the next insert adds
+    // files and exactly ONE version. SHOW TBLPROPERTIES reads the map
+    // in force; the property marker is a metadata-only commit.
+    "q210_sql_auto_compact" -> ((s, dir) => {
+      val root = tmp("q210")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 4)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake210",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 4))
+      val vSet = s.sql("ALTER TABLE orders_lake210 SET TBLPROPERTIES(" +
+        "'auto_compact'='true','auto_compact.small_bytes'='10000000')")
+        .head().getAs[Long]("version")
+      val props = LakeSql.sql(s, "SHOW TBLPROPERTIES orders_lake210")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val propsOk = vSet == 2L &&
+        props.get("auto_compact").contains("true") &&
+        props.get("auto_compact.small_bytes").contains("10000000")
+      require(propsOk, s"q210 SHOW TBLPROPERTIES drifted: $props")
+      def liveFiles(): Long = Snapshots.manifestAt(s, s"$root/m",
+        Snapshots.latestVersion(s, s"$root/m")).count()
+      (1 to 2).foreach { i =>
+        orders.filter(col("o_orderkey") % 97 === i)
+          .withColumn("o_orderkey",
+            col("o_orderkey") + lit(i.toLong * 10000000L))
+          .createOrReplaceTempView(s"q210_b$i")
+        s.sql(s"INSERT INTO orders_lake210 SELECT * FROM q210_b$i")
+      }
+      // two insert+compact pairs on top of create + props = v6, and
+      // the live file set is back at the bin-pack target, not 4+2×4
+      val vAfter = Snapshots.latestVersion(s, s"$root/m")
+      val compactOk = vAfter == 6 && liveFiles() <= 4L
+      require(compactOk,
+        s"q210 auto-compact drifted: v=$vAfter files=${liveFiles()}")
+      // UNSET: the property leaves the map; the next insert is ONE
+      // version and the file count grows
+      s.sql("ALTER TABLE orders_lake210 UNSET TBLPROPERTIES('auto_compact')")
+      orders.filter(col("o_orderkey") % 97 === 4)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(40000000L))
+        .createOrReplaceTempView("q210_b4")
+      val before = liveFiles()
+      s.sql("INSERT INTO orders_lake210 SELECT * FROM q210_b4")
+      val unsetOk = Snapshots.latestVersion(s, s"$root/m") == 8 &&
+        liveFiles() > before &&
+        !LakeSql.sql(s, "SHOW TBLPROPERTIES orders_lake210")
+          .collect().map(_.getString(0)).contains("auto_compact")
+      require(unsetOk, "q210 UNSET did not stop auto-compaction")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders_lake210")
+        .withColumn("props_ok", lit(propsOk))
+        .withColumn("compact_ok", lit(compactOk))
+        .withColumn("unset_ok", lit(unsetOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1934,6 +1996,21 @@ object SqlQueries {
         |  TRUE AS describe_ok, TRUE AS untouched_ok, TRUE AS parity_ok
         |FROM orders
         |WHERE o_custkey NOT BETWEEN 55 AND 95""".stripMargin,
+    // q210: compaction is a pure re-layout — final contents are the base
+    // plus the four shifted-key insert batches, properties invisible.
+    "q210_sql_auto_compact" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS props_ok, TRUE AS compact_ok, TRUE AS unset_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 97 = 1
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 97 = 2
+        |UNION ALL
+        |SELECT o_orderkey + 40000000, o_custkey, round(o_totalprice, 2),
+        |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 97 = 4""".stripMargin,
     // q208: the manifest-served aggregates recomputed the slow way — the
     // oracle IS the proof the metadata fast path returns scan-exact values.
     "q208_sql_metadata_agg" ->

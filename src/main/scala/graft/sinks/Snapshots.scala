@@ -1258,6 +1258,78 @@ object Snapshots {
   // physical schema.
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // TABLE PROPERTIES — the Delta TBLPROPERTIES store, re-expressed on the
+  // version log: the full property map rides a commit as an underscore-
+  // prefixed marker (same superseding-set semantics as the column
+  // mapping: the marker at the largest version ≤ v is the map in force at
+  // v; pinned reads see the properties of THEIR version). Keys and values
+  // are base64-coded independently, so any characters survive.
+  // ------------------------------------------------------------------
+
+  private val PropsPrefix = "_props_"
+
+  private def b64e(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes("UTF-8"))
+
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
+
+  // separators '~' and ',' are outside the base64url alphabet AND legal
+  // in a Hadoop path segment (':' is not — it reads as a URI scheme)
+  private def propsMarker(m: Map[String, String]): String =
+    PropsPrefix + m.toSeq.sorted
+      .map { case (k, v) => s"${b64e(k)}~${b64e(v)}" }.mkString(",")
+
+  private def parseProps(name: String): Map[String, String] = {
+    val body = name.stripPrefix(PropsPrefix)
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val Array(k, v) = kv.split("~", 2)
+      b64d(k) -> b64d(v)
+    }.toMap
+  }
+
+  /** The property map in force at `version` — empty before any SET. */
+  def tableProperties(spark: SparkSession, manifestRoot: String,
+                      version: Int): Map[String, String] = {
+    val fs = hfs(spark, manifestRoot)
+    versions(spark, manifestRoot).filter(_ <= version).sorted.reverse
+      .iterator
+      .map { v =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+          .toSeq.map(_.getPath.getName)
+          .collectFirst { case n if n.startsWith(PropsPrefix) => parseProps(n) }
+      }
+      .collectFirst { case Some(m) => m }
+      .getOrElse(Map.empty)
+  }
+
+  /** SET TBLPROPERTIES — Delta merge semantics (existing keys overwrite,
+    * others persist), as ONE metadata-only marker commit: the next
+    * version carries the current manifest content unchanged plus the
+    * merged map. */
+  def setProperties(spark: SparkSession, manifestRoot: String,
+                    props: Map[String, String]): Int = {
+    require(props.nonEmpty, "SET TBLPROPERTIES with no properties")
+    val v = latestVersion(spark, manifestRoot)
+    val next = tableProperties(spark, manifestRoot, v) ++ props
+    commit(spark, manifestAt(spark, manifestRoot, v), manifestRoot,
+      markers = Seq(propsMarker(next)))
+  }
+
+  /** UNSET TBLPROPERTIES — removes the keys (missing keys are a no-op,
+    * the IF EXISTS convention), one metadata-only marker commit. */
+  def unsetProperties(spark: SparkSession, manifestRoot: String,
+                      keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES with no keys")
+    val v = latestVersion(spark, manifestRoot)
+    val next = tableProperties(spark, manifestRoot, v) -- keys
+    commit(spark, manifestAt(spark, manifestRoot, v), manifestRoot,
+      markers = Seq(propsMarker(next)))
+  }
+
   private def cmapMarker(m: Map[String, String]): String = {
     val joined = m.toSeq.sorted.map { case (l, p) => s"$l=$p" }.mkString(",")
     CmapPrefix + java.util.Base64.getUrlEncoder.withoutPadding
@@ -1988,7 +2060,7 @@ object Snapshots {
       fs.create(new org.apache.hadoop.fs.Path(
         s"$manifestRoot/v=$cut/$marker"), true).close()
     val below = versions(spark, manifestRoot).filter(_ <= cut).sorted.reverse
-    for (prefix <- Seq(CmapPrefix, CkPrefix)) {
+    for (prefix <- Seq(CmapPrefix, CkPrefix, PropsPrefix)) {
       below.iterator
         .map(v => names(v).collectFirst {
           case n if n.startsWith(prefix) => (v, n) })

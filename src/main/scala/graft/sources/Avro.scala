@@ -211,6 +211,12 @@ object Avro {
         picked.map(f => new Schema.Field(f.name(), f.schema(), null, null))
           .toList.asJava)
     }
+    // Row-major by design: Avro is this engine's INGEST format (format
+    // breadth), not its analytic path — reads materialize through
+    // RDD[Row] (no vectorization, no predicate pushdown; column pruning
+    // happens via the projected reader schema above). Sync-block splits
+    // keep the read executor-parallel at any size; land into parquet
+    // (the analytic path) for anything queried repeatedly.
     val st = toSparkType(reader)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setInputKeySchema(job, reader)

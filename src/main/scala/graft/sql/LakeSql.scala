@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, Like, ListQuery, Literal, ScalarSubquery}
 import org.apache.spark.sql.functions.{col, lit, max, min, substring}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -462,6 +462,7 @@ object LakeSql {
       }
       val r = Snapshots.copyIntoCommit(spark, spec.path, spec.manifestRoot,
         spec.cols, spec.nFiles, files, read)
+      maybeAutoCompact(spark, spec)
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "files_loaded" -> r.filesLoaded,
         "rows_loaded" -> r.rowsLoaded,
@@ -472,13 +473,13 @@ object LakeSql {
   private def sqlParsed(spark: SparkSession, text: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(text) match {
       case DeleteFromTable(target, condition) if isLake(target) =>
-        runDelete(spark, target, condition)
+        withAutoCompact(spark, target)(runDelete(spark, target, condition))
       case m: MergeIntoTable if isLake(m.targetTable) =>
-        runMerge(spark, m)
+        withAutoCompact(spark, m.targetTable)(runMerge(spark, m))
       case ins: InsertIntoStatement if isLake(ins.table) =>
-        runInsert(spark, ins)
+        withAutoCompact(spark, ins.table)(runInsert(spark, ins))
       case u: UpdateTable if isLake(u.table) =>
-        runUpdate(spark, u)
+        withAutoCompact(spark, u.table)(runUpdate(spark, u))
       case cts: CreateTableAsSelect =>
         runCtas(spark, cts)
       case rc: RenameColumn if isLake(rc.table) =>
@@ -492,6 +493,31 @@ object LakeSql {
           Snapshots.dropColumn(spark, spec.manifestRoot,
             f.name.mkString("."))).last
         metricsRow(spark, Seq("version" -> v.toLong))
+      // ALTER TABLE … SET/UNSET TBLPROPERTIES + SHOW TBLPROPERTIES: the
+      // Delta table-property store as metadata-only marker commits
+      // (superseding-set semantics; pinned reads see THEIR version's map)
+      case stp: SetTableProperties if isLake(stp.table) =>
+        val (_, spec) = lookup(stp.table).get
+        val v = Snapshots.setProperties(spark, spec.manifestRoot,
+          stp.properties)
+        metricsRow(spark, Seq("version" -> v.toLong))
+      case utp: UnsetTableProperties if isLake(utp.table) =>
+        val (_, spec) = lookup(utp.table).get
+        val v = Snapshots.unsetProperties(spark, spec.manifestRoot,
+          utp.propertyKeys)
+        metricsRow(spark, Seq("version" -> v.toLong))
+      case sp: ShowTableProperties if isLake(sp.table) =>
+        val (_, spec) = lookup(sp.table).get
+        val props = Snapshots.tableProperties(spark, spec.manifestRoot,
+          Snapshots.latestVersion(spark, spec.manifestRoot))
+        val sel = sp.propertyKey match {
+          case Some(k) => props.view.filterKeys(_ == k).toMap
+          case None => props
+        }
+        spark.createDataFrame(
+          sel.toSeq.sorted.map { case (k, v) => Row(k, v) }.asJava,
+          StructType(Seq(StructField("key", StringType, nullable = false),
+            StructField("value", StringType, nullable = false))))
       // ALTER TABLE … ADD COLUMN(S): one metadata-only commit per column
       // (mapping extension + declared type) — the column is immediately
       // visible as typed nulls, pinned reads keep the old schema, and
@@ -1428,18 +1454,57 @@ object LakeSql {
     plan match {
       case DeleteFromTable(t, c) if claim(t) =>
         Some((Seq("files_rewritten", "files_total", "rows_deleted"),
-          s => runDelete(s, t, c)))
+          s => withAutoCompact(s, t)(runDelete(s, t, c))))
       case u: UpdateTable if claim(u.table) =>
         Some((Seq("files_rewritten", "files_total", "rows_updated"),
-          s => runUpdate(s, u)))
+          s => withAutoCompact(s, u.table)(runUpdate(s, u))))
       case m: MergeIntoTable if claim(m.targetTable) =>
         Some((Seq("version", "files_rewritten", "files_total",
           "rows_updated", "rows_inserted", "rows_deleted"),
-          s => runMerge(s, m)))
+          s => withAutoCompact(s, m.targetTable)(runMerge(s, m))))
       case i: InsertIntoStatement if claim(i.table) =>
-        Some((Seq("version", "files_appended"), s => runInsert(s, i)))
+        Some((Seq("version", "files_appended"),
+          s => withAutoCompact(s, i.table)(runInsert(s, i))))
+      case stp: SetTableProperties if claim(stp.table) =>
+        val spec = lookup(stp.table).get._2
+        Some((Seq("version"), s => metricsRow(s, Seq("version" ->
+          Snapshots.setProperties(s, spec.manifestRoot,
+            stp.properties).toLong))))
+      case utp: UnsetTableProperties if claim(utp.table) =>
+        val spec = lookup(utp.table).get._2
+        Some((Seq("version"), s => metricsRow(s, Seq("version" ->
+          Snapshots.unsetProperties(s, spec.manifestRoot,
+            utp.propertyKeys).toLong))))
       case _ => None
     }
+  }
+
+  /** Follow-on AUTO-COMPACTION (the Delta autoOptimize.autoCompact table
+    * property): after a mutating statement's commit, when
+    * `'auto_compact' = 'true'` is in force, bin-pack the small-file tail
+    * as ITS OWN commit (visible in history, change feed empty — a pure
+    * re-layout). Threshold via `'auto_compact.small_bytes'` (default
+    * 128 MiB, the production target size); fewer than 2 small files
+    * no-ops without committing, so a steady-state table pays one status
+    * probe per statement, never a rewrite. The DML's own metric row is
+    * untouched — compaction is a separate operation, as in Delta. */
+  private def maybeAutoCompact(spark: SparkSession,
+                               spec: LakeTableSpec): Unit = {
+    val v = Snapshots.latestVersion(spark, spec.manifestRoot)
+    val props = Snapshots.tableProperties(spark, spec.manifestRoot, v)
+    if (props.get("auto_compact").contains("true")) {
+      val smallBytes = props.get("auto_compact.small_bytes")
+        .map(_.toLong).getOrElse(134217728L)
+      Snapshots.compactSmallCommit(spark, spec.path, spec.manifestRoot,
+        spec.cols, smallBytes, spec.nFiles) : Unit
+    }
+  }
+
+  private def withAutoCompact(spark: SparkSession, target: LogicalPlan)
+                             (run: => DataFrame): DataFrame = {
+    val out = run // the DML's own commit + eager metric row
+    lookup(target).foreach { case (_, spec) => maybeAutoCompact(spark, spec) }
+    out
   }
 
   private def metricsRow(spark: SparkSession,

@@ -597,6 +597,48 @@ class LakeSurfaceR14Spec extends SparkSpec {
       .head().getLong(0) == data.filter(col("id") > 2000).count())
   }
 
+  test("TBLPROPERTIES: merge-on-set, version-pinned, vacuum-safe") {
+    val (dir, _) = freshLake("t_props")
+    spark.sql("ALTER TABLE t_props SET TBLPROPERTIES('a'='1','b'='x')")
+    spark.sql("ALTER TABLE t_props SET TBLPROPERTIES('b'='y','c'='3')")
+    // merge semantics: a persists, b overwritten, c added
+    val props = LakeSql.sql(spark, "SHOW TBLPROPERTIES t_props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("a" -> "1", "b" -> "y", "c" -> "3"))
+    // the map is VERSIONED: v2's marker still says b=x
+    assert(Snapshots.tableProperties(spark, s"$dir/m", 2) ==
+      Map("a" -> "1", "b" -> "x"))
+    assert(Snapshots.tableProperties(spark, s"$dir/m", 1).isEmpty)
+    // UNSET removes only the named key; unknown keys are a no-op
+    spark.sql("ALTER TABLE t_props UNSET TBLPROPERTIES('b','zz')")
+    assert(Snapshots.tableProperties(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m")) ==
+      Map("a" -> "1", "c" -> "3"))
+    // vacuum past the marker commits: the map in force survives (the
+    // marker rehomes to the cut, like the column mapping)
+    LakeSql.sql(spark, "DELETE FROM t_props WHERE id <= 100")
+    Snapshots.vacuum(spark, s"$dir/z", s"$dir/m", retainLast = 1)
+    assert(Snapshots.tableProperties(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m")) ==
+      Map("a" -> "1", "c" -> "3"))
+  }
+
+  test("auto_compact property triggers follow-on bin-pack per statement") {
+    val (dir, _) = freshLake("t_ac")
+    spark.sql("ALTER TABLE t_ac SET TBLPROPERTIES(" +
+      "'auto_compact'='true','auto_compact.small_bytes'='10000000')")
+    val v0 = Snapshots.latestVersion(spark, s"$dir/m")
+    data.filter(col("id") % 50 === 0).createOrReplaceTempView("ac_b1")
+    spark.sql("INSERT INTO t_ac SELECT * FROM ac_b1")
+    // insert + follow-on compact = exactly two commits, file set packed
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v0 + 2)
+    assert(Snapshots.manifestAt(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m")).count() <= 8L)
+    // contents exactly base + batch (compaction is a pure re-layout)
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_ac")
+      .head().getLong(0) == 10000L + data.filter(col("id") % 50 === 0).count())
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
