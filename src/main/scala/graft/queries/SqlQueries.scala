@@ -1691,6 +1691,51 @@ object SqlQueries {
         .withColumn("compact_ok", lit(compactOk))
         .withColumn("unset_ok", lit(unsetOk))
     }),
+
+    // REORG PURGE (q211): the MoR-debt repayment statement. A deletion-
+    // vector delete leaves masks in the manifest — scans pay the sidecar
+    // anti-join and the metadata-only aggregate fast path correctly
+    // REFUSES (footer counts include masked rows). `REORG TABLE … APPLY
+    // (PURGE)` rewrites ONLY the masked files' live rows (cost tracks the
+    // masked set, not table size); afterwards the same count(*) is served
+    // from the manifest again — gated on both sides of the purge.
+    "q211_sql_reorg_purge" -> ((s, dir) => {
+      val root = tmp("q211")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      // custkey-sorted layout: files carry DISJOINT custkey ranges, so
+      // the low band masks a strict subset at every scale factor
+      graft.sinks.Maintenance.writeSorted(orders, s"$root/z", nFiles = 6,
+        col("o_custkey"))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake211",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 6))
+      val mor = graft.sinks.Dv.deleteWhereMoR(s, s"$root/z", s"$root/m",
+        Seq(("o_custkey", 5.0, 20.0)))
+      require(mor.rowsDeleted > 0 && mor.dataFilesWritten == 0,
+        s"q211 MoR delete vacuous or rewrote data: $mor")
+      def served(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      val want = orders.count() - mor.rowsDeleted
+      val before = s.sql("SELECT count(*) AS n FROM orders_lake211")
+      val maskedOk = !served(before) && before.head().getLong(0) == want
+      require(maskedOk, "q211 masked count wrongly metadata-served or off")
+      val r = s.sql("REORG TABLE orders_lake211 APPLY (PURGE)").head()
+      val purgeOk = r.getAs[Long]("files_purged") > 0L &&
+        r.getAs[Long]("files_purged") < r.getAs[Long]("files_total")
+      require(purgeOk, s"q211 purge metrics off: $r")
+      val after = s.sql("SELECT count(*) AS n FROM orders_lake211")
+      val servedOk = served(after) && after.head().getLong(0) == want
+      require(servedOk, "q211 post-purge count not metadata-served or off")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders_lake211")
+        .withColumn("masked_ok", lit(maskedOk))
+        .withColumn("purge_ok", lit(purgeOk))
+        .withColumn("served_ok", lit(servedOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2011,6 +2056,13 @@ object SqlQueries {
         |UNION ALL
         |SELECT o_orderkey + 40000000, o_custkey, round(o_totalprice, 2),
         |  TRUE, TRUE, TRUE FROM orders WHERE o_orderkey % 97 = 4""".stripMargin,
+    // q211: the purge is a pure re-layout of masked files — final
+    // contents are all orders minus the MoR-deleted band.
+    "q211_sql_reorg_purge" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS masked_ok, TRUE AS purge_ok, TRUE AS served_ok
+        |FROM orders
+        |WHERE o_custkey NOT BETWEEN 5 AND 20""".stripMargin,
     // q208: the manifest-served aggregates recomputed the slow way — the
     // oracle IS the proof the metadata fast path returns scan-exact values.
     "q208_sql_metadata_agg" ->

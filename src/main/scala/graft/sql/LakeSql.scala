@@ -108,6 +108,12 @@ object LakeSql {
   //   served from the SAME plan the destructive path executes.
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z0-9_]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*""".r
+  //   REORG TABLE <t> APPLY (PURGE) → fold deletion vectors away: rewrite
+  //   ONLY the masked files' live rows, cost tracks the masked set —
+  //   the statement that converts MoR write debt back into clean reads
+  //   (and re-arms the metadata-only aggregate fast path)
+  private val ReorgRe =
+    """(?is)\s*REORG\s+TABLE\s+([A-Za-z0-9_]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   //   RESTORE TABLE <t> TO VERSION AS OF <n>      → roll-forward commit
   //   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>' → ditto, stamp-resolved
   //   CREATE TABLE <dst> SHALLOW CLONE <src>
@@ -195,6 +201,9 @@ object LakeSql {
         Some(if (dry == null)
           longSchema(Seq("files_deleted", "versions_dropped"))
         else strSchema("item", "kind"))
+      case ReorgRe(_) =>
+        Some(longSchema(Seq("version", "files_purged", "files_total",
+          "files_written")))
       case DescribeDetailRe(_) =>
         Some(StructType(Seq(
           StructField("name", StringType, nullable = false),
@@ -285,6 +294,13 @@ object LakeSql {
           "files_compacted" -> r.filesCompacted,
           "files_skipped" -> r.filesSkipped, "files_out" -> r.filesOut))
       }
+    case ReorgRe(name) =>
+      val spec = specByName(name)
+      val r = graft.sinks.Dv.purgeDv(spark, spec.path, spec.manifestRoot,
+        spec.cols)
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "files_purged" -> r.filesPurged, "files_total" -> r.filesTotal,
+        "files_written" -> r.dataFilesWritten))
     case VacuumRe(name, n, unit, dry) =>
       val spec = specByName(name)
       val byVersions = unit.equalsIgnoreCase("VERSIONS")

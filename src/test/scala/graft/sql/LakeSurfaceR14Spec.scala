@@ -639,6 +639,27 @@ class LakeSurfaceR14Spec extends SparkSpec {
       .head().getLong(0) == 10000L + data.filter(col("id") % 50 === 0).count())
   }
 
+  test("REORG APPLY (PURGE) folds DVs; clean table no-ops commit-free") {
+    val (dir, _) = freshLake("t_reorg")
+    // clean table: purge is a metadata probe, NO commit
+    val v0 = Snapshots.latestVersion(spark, s"$dir/m")
+    val noop = spark.sql("REORG TABLE t_reorg APPLY (PURGE)").head()
+    assert(noop.getAs[Long]("files_purged") == 0L)
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v0)
+    // MoR delete → masks in manifest → purge rewrites ONLY masked files
+    graft.sinks.Dv.deleteWhereMoR(spark, s"$dir/z", s"$dir/m",
+      Seq(("id", 0.0, 999.0)))
+    val r = spark.sql("REORG TABLE t_reorg APPLY (PURGE)").head()
+    assert(r.getAs[Long]("files_purged") > 0L &&
+      r.getAs[Long]("files_purged") < r.getAs[Long]("files_total"))
+    val head = Snapshots.manifestAt(spark, s"$dir/m",
+      Snapshots.latestVersion(spark, s"$dir/m"))
+    assert(graft.sinks.Dv.ensureDv(head).filter(col("dv").isNotNull).isEmpty,
+      "masks survived the purge")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_reorg")
+      .head().getLong(0) == 9000L)
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
