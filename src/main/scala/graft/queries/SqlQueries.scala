@@ -1736,6 +1736,87 @@ object SqlQueries {
         .withColumn("purge_ok", lit(purgeOk))
         .withColumn("served_ok", lit(servedOk))
     }),
+
+    // RETENTION DELETE (q212): the date-keyed `DELETE … WHERE d < cutoff`
+    // every lakehouse runs on a cadence (the reference's whole pipeline is
+    // run_date-keyed). On a date-sorted layout the files below the cutoff
+    // are FULLY covered by the predicate: manifest stats (max < cutoff)
+    // plus footer null counts prove every row dies, so those files leave
+    // the manifest METADATA-ONLY — never opened, never rewritten; at most
+    // the one boundary file rewrites. At 100 TB this is the difference
+    // between a retention job that rewrites 30 % of the table and one
+    // that rewrites one file. Gates: ≥1 file dropped, ≤1 rewritten, and
+    // the pinned pre-delete version still serves every row (drops are
+    // manifest-only — the data files stay for time travel until VACUUM).
+    "q212_sql_retention_delete" -> ((s, dir) => {
+      val root = tmp("q212")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_orderdate")
+      graft.sinks.Maintenance.writeSorted(orders, s"$root/z", nFiles = 8,
+        col("o_orderdate"))
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake212",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 8))
+      val r = s.sql("DELETE FROM orders_lake212 " +
+        "WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'").head()
+      val dropOk = r.getAs[Long]("files_dropped") >= 1L &&
+        r.getAs[Long]("files_rewritten") <= 1L
+      require(dropOk, s"q212 retention delete not whole-file-dropped: $r")
+      val pinnedOk = LakeSql.sql(s,
+          s"SELECT count(*) AS n FROM orders_lake212 VERSION AS OF $v1")
+        .head().getLong(0) == orders.count()
+      require(pinnedOk, "q212 pinned pre-delete version lost rows")
+      s.sql("SELECT o_orderkey, o_orderdate, o_totalprice " +
+          "FROM orders_lake212")
+        .withColumn("drop_ok", lit(dropOk))
+        .withColumn("pinned_ok", lit(pinnedOk))
+    }),
+
+    // TRUNCATE + REFILL (q213): the reprocess-from-scratch cycle. TRUNCATE
+    // removes every live row as ONE metadata-only commit (no predicate ⇒
+    // no coverage proof needed — nothing read, nothing rewritten, the
+    // next version simply references no files); the EMPTY version stays
+    // readable (zero rows under the prior version's schema — the
+    // manifest stores stats, not schema, so the read borrows the nearest
+    // non-empty ancestor's), the pre-truncate version stays pinnable,
+    // and a refill INSERT lands on the empty table under the same
+    // schema-on-write validation as always. Gates: exact physical
+    // row/file counts in the truncate metrics, data files untouched on
+    // disk, empty-version count, pinned count, refill count.
+    "q213_sql_truncate_refill" -> ((s, dir) => {
+      val root = tmp("q213")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      Layout.zorderWrite(orders, zcols, s"$root/z", nFiles = 8)
+      val v1 = Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake213",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 8))
+      val r = s.sql("TRUNCATE TABLE orders_lake213").head()
+      val truncOk = r.getAs[Long]("rows_deleted") == orders.count() &&
+        r.getAs[Long]("files_dropped") == 8L
+      require(truncOk, s"q213 truncate metrics off: $r")
+      val emptyOk = s.sql("SELECT count(*) AS n FROM orders_lake213")
+        .head().getLong(0) == 0L
+      require(emptyOk, "q213 empty version not readable as zero rows")
+      val pinnedOk = LakeSql.sql(s,
+          s"SELECT count(*) AS n FROM orders_lake213 VERSION AS OF $v1")
+        .head().getLong(0) == orders.count()
+      require(pinnedOk, "q213 pinned pre-truncate version lost rows")
+      orders.filter(col("o_custkey") > 100)
+        .createOrReplaceTempView("q213_refill")
+      s.sql("INSERT INTO orders_lake213 SELECT * FROM q213_refill")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice " +
+          "FROM orders_lake213")
+        .withColumn("trunc_ok", lit(truncOk))
+        .withColumn("empty_ok", lit(emptyOk))
+        .withColumn("pinned_ok", lit(pinnedOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2063,6 +2144,22 @@ object SqlQueries {
         |  TRUE AS masked_ok, TRUE AS purge_ok, TRUE AS served_ok
         |FROM orders
         |WHERE o_custkey NOT BETWEEN 5 AND 20""".stripMargin,
+    // q212: the retention delete's survivors — everything on or after the
+    // cutoff; the whole-file drops must remove exactly the same rows a
+    // row-by-row delete would.
+    "q212_sql_retention_delete" ->
+      """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS drop_ok, TRUE AS pinned_ok
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    // q213: after truncate + refill, the table holds exactly the refill
+    // slice — a stale manifest row (truncate incomplete) or a lost
+    // refill file would change the contents.
+    "q213_sql_truncate_refill" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS trunc_ok, TRUE AS empty_ok, TRUE AS pinned_ok
+        |FROM orders
+        |WHERE o_custkey > 100""".stripMargin,
     // q208: the manifest-served aggregates recomputed the slow way — the
     // oracle IS the proof the metadata fast path returns scan-exact values.
     "q208_sql_metadata_agg" ->

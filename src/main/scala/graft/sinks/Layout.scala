@@ -359,6 +359,44 @@ object Layout {
     Some(spark.createDataFrame(rows.asJava, schema))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The subset of `files` whose parquet footers PROVE zero nulls in every
+    * one of `cols` — the missing half of a whole-file delete proof: manifest
+    * [min,max] stats bound only the NON-null values, and a row where the
+    * predicate evaluates to null must survive a DELETE (three-valued
+    * logic), so a file may be dropped without being read only when the
+    * footers attest the predicate columns carry no nulls at all. Driver-
+    * side and file-count-bounded like every footer operation here; any
+    * file whose null counts are absent/unset simply isn't returned — the
+    * caller falls back to the rewrite path, so this proof is pure
+    * optimization, never load-bearing for correctness. */
+  private[graft] def nullFreeFiles(spark: SparkSession, files: Seq[String],
+                                   cols: Seq[String]): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.filter { f =>
+      try {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          cols.forall { c =>
+            blocks.forall { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                case Some(chunk) =>
+                  val s = chunk.getStatistics
+                  s != null && !s.isEmpty && s.isNumNullsSet && s.getNumNulls == 0L
+                case None => false
+              }
+            }
+          }
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }.toSet
+  }
+
   /** Daily-cadence layout maintenance: z-order `batch` by its OWN quantile
     * bounds, APPEND it to an existing layout, and extend the manifest with
     * the stats of only the newly written files — the existing data is
@@ -439,9 +477,12 @@ object Layout {
     (moveStagedIn(spark, staging, path), deleted)
   }
 
-  /** Outcome of a [[deleteWhere]]: how targeted the rewrite was. */
+  /** Outcome of a [[deleteWhere]]: how targeted the rewrite was.
+    * `filesDropped` counts files removed METADATA-ONLY — stats + footer
+    * null counts proved every row matched, so the file left the manifest
+    * without ever being read (the retention-delete fast path). */
   final case class DeleteResult(filesRewritten: Long, filesTotal: Long,
-                                rowsDeleted: Long)
+                                rowsDeleted: Long, filesDropped: Long = 0L)
 
   /** TARGETED delete (the retention/right-to-erasure shape): remove every
     * row inside the conjunctive `(col, lo, hi)` box by rewriting ONLY the

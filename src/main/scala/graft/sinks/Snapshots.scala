@@ -334,9 +334,26 @@ object Snapshots {
     * column at all — schema evolution rides the same snapshot mechanics
     * as data DML, no rewrite. */
   def tableAt(spark: SparkSession, manifestRoot: String,
-              version: Int): DataFrame =
-    Dv.readLive(spark,
-      Dv.entries(manifestAt(spark, manifestRoot, version)))
+              version: Int): DataFrame = {
+    val entries = Dv.entries(manifestAt(spark, manifestRoot, version))
+    if (entries.nonEmpty) Dv.readLive(spark, entries)
+    else {
+      // EMPTY version — reachable once a covering DELETE can drop every
+      // file. The manifest stores stats, not schema, so serve a zero-row
+      // frame with the schema of the nearest EARLIER non-empty version
+      // (its files are the last schema authority; limit(0) folds to an
+      // empty LocalRelation — footers only, no data read). A table with
+      // no non-empty ancestor has no schema to serve and fails loudly.
+      val prior = versions(spark, manifestRoot).filter(_ < version)
+        .sorted.reverse.view
+        .map(v => Dv.entries(manifestAt(spark, manifestRoot, v)))
+        .find(_.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"version $version of $manifestRoot references no files and no " +
+            "prior version does either — empty table with unknowable schema"))
+      Dv.readLive(spark, prior).limit(0)
+    }
+  }
 
   /** [[Layout.prunedRead]] against a pinned version's manifest: stats-pruned
     * AND time-traveled in one plan. */
@@ -372,10 +389,26 @@ object Snapshots {
     * them), and `pred` is the exact row predicate deciding which rows die.
     * Same commit mechanics as the box form: touched files' LIVE rows are
     * read (DV-masked rows stay dead and the mask folds away), survivors
-    * staged and moved in, vN+1 = (manifest − touched) ∪ survivor stats. */
+    * staged and moved in, vN+1 = (manifest − touched) ∪ survivor stats.
+    *
+    * `cover` is the optional WHOLE-FILE DROP proof (the retention-delete
+    * fast path — at 100 TB a date-keyed `DELETE … WHERE d < cutoff` on a
+    * date-clustered table should DROP the interior files metadata-only
+    * and rewrite only the boundary): a manifest-side expression proving
+    * every NON-null row of a file satisfies `pred`, plus the stats
+    * columns whose null-freedom completes the proof (checked against the
+    * parquet footers' null counts — file-count-bounded, no data read). A
+    * file passing both proofs leaves the manifest without being opened:
+    * its deleted-row count is served from the manifest `rows` column.
+    * DV-masked files never whole-drop (their manifest stats include dead
+    * rows the proof must not lean on) and take the rewrite as before;
+    * files failing either proof likewise — the cover only ever REMOVES
+    * work, never changes which rows die. */
   def deleteWherePred(spark: SparkSession, path: String, manifestRoot: String,
                       cols: Seq[String], prune: org.apache.spark.sql.Column,
-                      pred: org.apache.spark.sql.Column): Layout.DeleteResult = {
+                      pred: org.apache.spark.sql.Column,
+                      cover: Option[(org.apache.spark.sql.Column, Seq[String])] = None)
+      : Layout.DeleteResult = {
     val manifest =
       Dv.ensureDv(manifestAt(spark, manifestRoot,
           latestVersion(spark, manifestRoot)))
@@ -383,26 +416,87 @@ object Snapshots {
     val total = manifest.count()
     val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return Layout.DeleteResult(0, total, 0)
+    val dropped = wholeFileDrops(spark, manifest, prune, cover)
+    val rewrite = hit.filterNot(e => dropped.contains(e.file))
     // survivors come from the LIVE rows (existing deletion vectors
     // applied — a copy-on-write rewrite of a masked file must not
     // resurrect its masked rows); the rewrite also FOLDS the DV away: the
     // new files carry no mask
-    val live = Dv.readLive(spark, hit)
-    val deleted = live.filter(pred).count()
-    val staging = path + ".delete_staging"
-    // survivors = NOT(pred), with null-match rows kept: a WHERE that
-    // evaluates to null on a row must not delete it (SQL three-valued
-    // logic — DELETE removes rows where the predicate is TRUE)
-    live.filter(!coalesce(pred, lit(false)))
-      .write.mode("overwrite").parquet(staging)
-    val moved = Layout.moveStagedIn(spark, staging, path)
+    val deleted =
+      if (rewrite.isEmpty) 0L
+      else {
+        val live = Dv.readLive(spark, rewrite)
+        val n = live.filter(pred).count()
+        val staging = path + ".delete_staging"
+        // survivors = NOT(pred), with null-match rows kept: a WHERE that
+        // evaluates to null on a row must not delete it (SQL three-valued
+        // logic — DELETE removes rows where the predicate is TRUE)
+        live.filter(!coalesce(pred, lit(false)))
+          .write.mode("overwrite").parquet(staging)
+        n
+      }
+    val moved =
+      if (rewrite.isEmpty) Seq.empty[String]
+      else Layout.moveStagedIn(spark, path + ".delete_staging", path)
     val keep = manifest.filter(!col("file").isInCollection(hit.map(_.file)))
     val next =
       if (moved.isEmpty) keep
       else keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
         allowMissingColumns = true)
     commit(spark, next, manifestRoot)
-    Layout.DeleteResult(hit.size.toLong, total, deleted)
+    Layout.DeleteResult(rewrite.size.toLong, total,
+      deleted + dropped.values.sum, dropped.size.toLong)
+  }
+
+  final case class TruncateResult(version: Int, rowsDeleted: Long,
+                                  filesDropped: Long)
+
+  /** TRUNCATE — remove EVERY live row as one metadata-only commit: the
+    * next version simply references no files. No predicate means no
+    * coverage proof is needed (nulls included, every row dies), so
+    * nothing is read or rewritten — sidecars are opened only to report
+    * the live-row count (mask-size-bounded, never data). Dropped files
+    * and their sidecars stay on disk for pinned readers until [[vacuum]];
+    * reads of the empty version serve a zero-row frame with the prior
+    * version's schema ([[tableAt]]), and later INSERTs refill normally. */
+  def truncateCommit(spark: SparkSession, manifestRoot: String)
+      : TruncateResult = {
+    val m = Dv.ensureDv(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot)))
+      .localCheckpoint()
+    val files = m.count()
+    if (files == 0)
+      return TruncateResult(latestVersion(spark, manifestRoot), 0, 0)
+    val phys = m.agg(sum(col("rows"))).head().getLong(0)
+    // masked rows are already dead — subtract each touched sidecar's
+    // entries for the files that still point at it
+    val masked = Dv.entries(m).collect { case Dv.Entry(f, Some(d)) => (f, d) }
+      .groupBy(_._2).toSeq.map { case (dvPath, group) =>
+        spark.read.parquet(dvPath)
+          .filter(col(Dv.FileCol).isInCollection(group.map(_._1)))
+          .count()
+      }.sum
+    val v = commit(spark, m.filter(lit(false)), manifestRoot)
+    TruncateResult(v, phys - masked, files)
+  }
+
+  /** The whole-file drop set for a DML touch set: manifest rows matching
+    * `prune && cover`, unmasked (a DV'd file's stats include dead rows
+    * the proof must not lean on), whose parquet footers prove the
+    * cover's stats columns null-free — as file → row count (all live,
+    * all provably matching, so the whole count is the file's deleted-row
+    * contribution). See [[deleteWherePred]] for the proof contract. */
+  private def wholeFileDrops(spark: SparkSession, manifest: DataFrame,
+                             prune: org.apache.spark.sql.Column,
+                             cover: Option[(org.apache.spark.sql.Column, Seq[String])])
+      : Map[String, Long] = cover match {
+    case Some((cov, needCols)) =>
+      val cand = manifest.filter(prune && cov && col("dv").isNull)
+        .select(col("file"), col("rows")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val proven = Layout.nullFreeFiles(spark, cand.keys.toSeq, needCols)
+      cand.view.filterKeys(proven).toMap
+    case None => Map.empty
   }
 
   final case class UpdateResult(filesRewritten: Long, filesTotal: Long,
@@ -1933,7 +2027,7 @@ object Snapshots {
 
   final case class ReplaceResult(version: Int, filesRewritten: Long,
                                  filesTotal: Long, rowsDeleted: Long,
-                                 filesAppended: Long)
+                                 filesAppended: Long, filesDropped: Long = 0L)
 
   /** Scoped atomic OVERWRITE — the Delta `replaceWhere` shape: ONE commit
     * replaces exactly the predicate's rows with `batch`. Files whose stats
@@ -1950,7 +2044,9 @@ object Snapshots {
   def replaceWhereCommit(spark: SparkSession, batch: DataFrame,
                          cols: Seq[String], path: String, manifestRoot: String,
                          nFiles: Int, prune: org.apache.spark.sql.Column,
-                         pred: org.apache.spark.sql.Column): ReplaceResult = {
+                         pred: org.apache.spark.sql.Column,
+                         cover: Option[(org.apache.spark.sql.Column, Seq[String])] = None)
+      : ReplaceResult = {
     val escaped = batch.filter(!coalesce(pred, lit(false))).count()
     require(escaped == 0,
       s"REPLACE WHERE batch has $escaped rows OUTSIDE the replaced " +
@@ -1962,15 +2058,22 @@ object Snapshots {
         .localCheckpoint()
     val total = manifest.count()
     val hit = Dv.entries(manifest.filter(prune))
+    // whole-file drops (same proof as [[deleteWherePred]]): the daily
+    // `REPLACE WHERE run_date = X` re-land is THE partition-overwrite
+    // workload — on a date-clustered layout the old partition's files are
+    // fully covered, so the replace removes them metadata-only and pays
+    // for writing the new batch, not rewriting the old one
+    val dropped = wholeFileDrops(spark, manifest, prune, cover)
+    val rewrite = hit.filterNot(e => dropped.contains(e.file))
     // batch stages (and constraint-checks) FIRST: a rejected batch aborts
     // before any survivor rewrite work is spent or moved
     val bStaging = path + ".replace_batch_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(batch, cols, bStaging, nFiles)
     enforceStagedConstraints(spark, manifestRoot, bStaging)
     val (survivorFiles, deleted) =
-      if (hit.isEmpty) (Seq.empty[String], 0L)
+      if (rewrite.isEmpty) (Seq.empty[String], 0L)
       else {
-        val live = Dv.readLive(spark, hit)
+        val live = Dv.readLive(spark, rewrite)
         val del = live.filter(pred).count()
         val sStaging = path + ".replace_surv_" + java.util.UUID.randomUUID()
         live.filter(!coalesce(pred, lit(false)))
@@ -1986,8 +2089,9 @@ object Snapshots {
       if (adds.isEmpty) keep
       else keep.unionByName(Layout.buildManifestFor(spark, adds, cols),
         allowMissingColumns = true)
-    ReplaceResult(commit(spark, next, manifestRoot), hit.size.toLong, total,
-      deleted, bMoved.size.toLong)
+    ReplaceResult(commit(spark, next, manifestRoot), rewrite.size.toLong,
+      total, deleted + dropped.values.sum, bMoved.size.toLong,
+      dropped.size.toLong)
   }
 
   final case class HistoryEntry(version: Int, operation: String, rows: Long)

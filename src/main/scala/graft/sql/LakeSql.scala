@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, Like, ListQuery, Literal, ScalarSubquery}
 import org.apache.spark.sql.functions.{col, lit, max, min, substring}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -114,6 +114,11 @@ object LakeSql {
   //   (and re-arms the metadata-only aggregate fast path)
   private val ReorgRe =
     """(?is)\s*REORG\s+TABLE\s+([A-Za-z0-9_]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+  //   TRUNCATE TABLE <t> → remove every live row as ONE metadata-only
+  //   commit (the next version references no files; nothing read or
+  //   rewritten, pinned readers keep the data until VACUUM)
+  private val TruncateRe =
+    """(?is)\s*TRUNCATE\s+TABLE\s+([A-Za-z0-9_]+)\s*""".r
   //   RESTORE TABLE <t> TO VERSION AS OF <n>      → roll-forward commit
   //   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>' → ditto, stamp-resolved
   //   CREATE TABLE <dst> SHALLOW CLONE <src>
@@ -204,6 +209,8 @@ object LakeSql {
       case ReorgRe(_) =>
         Some(longSchema(Seq("version", "files_purged", "files_total",
           "files_written")))
+      case TruncateRe(_) =>
+        Some(longSchema(Seq("version", "rows_deleted", "files_dropped")))
       case DescribeDetailRe(_) =>
         Some(StructType(Seq(
           StructField("name", StringType, nullable = false),
@@ -220,7 +227,7 @@ object LakeSql {
         Some(longSchema(Seq("version", "cloned_from")))
       case InsertReplaceRe(_, _, _) =>
         Some(longSchema(Seq("version", "files_rewritten", "files_total",
-          "rows_deleted", "files_appended")))
+          "rows_deleted", "files_appended", "files_dropped")))
       case ConvertRe(_, _, _, _) =>
         Some(longSchema(Seq("version", "files_converted")))
       case CopyIntoRe(_, _, _) =>
@@ -301,6 +308,11 @@ object LakeSql {
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "files_purged" -> r.filesPurged, "files_total" -> r.filesTotal,
         "files_written" -> r.dataFilesWritten))
+    case TruncateRe(name) =>
+      val spec = specByName(name)
+      val r = Snapshots.truncateCommit(spark, spec.manifestRoot)
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "rows_deleted" -> r.rowsDeleted, "files_dropped" -> r.filesDropped))
     case VacuumRe(name, n, unit, dry) =>
       val spec = specByName(name)
       val byVersions = unit.equalsIgnoreCase("VERSIONS")
@@ -417,12 +429,14 @@ object LakeSql {
       val batch = alignedPhysicalBatch(spark, spec,
         spark.sessionState.sqlParser.parsePlan(queryText))
       val r = Snapshots.replaceWhereCommit(spark, batch, spec.cols,
-        spec.path, spec.manifestRoot, spec.nFiles, prune, pred)
+        spec.path, spec.manifestRoot, spec.nFiles, prune, pred,
+        compileCover(cond, spec, mapping))
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "files_rewritten" -> r.filesRewritten,
         "files_total" -> r.filesTotal,
         "rows_deleted" -> r.rowsDeleted,
-        "files_appended" -> r.filesAppended))
+        "files_appended" -> r.filesAppended,
+        "files_dropped" -> r.filesDropped))
     // CONVERT TO LAKE: adopt an existing parquet directory IN PLACE — v1
     // is a manifest over the directory's current files (footer stats when
     // every stats column is plain numeric — a metadata-only read; one
@@ -833,14 +847,15 @@ object LakeSql {
   private def runDelete(spark: SparkSession, target: LogicalPlan,
                         condition: Expression): DataFrame = {
     val (_, spec) = lookup(target).get
-    val (prune, pred) = compileWhere(condition, spec,
-      headMapping(spark, spec), Some(spark))
+    val mapping = headMapping(spark, spec)
+    val (prune, pred) = compileWhere(condition, spec, mapping, Some(spark))
     val res = Snapshots.deleteWherePred(spark, spec.path, spec.manifestRoot,
-      spec.cols, prune, pred)
+      spec.cols, prune, pred, compileCover(condition, spec, mapping))
     metricsRow(spark,
       Seq("files_rewritten" -> res.filesRewritten,
         "files_total" -> res.filesTotal,
-        "rows_deleted" -> res.rowsDeleted))
+        "rows_deleted" -> res.rowsDeleted,
+        "files_dropped" -> res.filesDropped))
   }
 
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
@@ -1413,6 +1428,92 @@ object LakeSql {
     p.nonEmpty && p.endsWith("%") &&
       !p.dropRight(1).exists(ch => ch == '%' || ch == '_' || ch == '\\')
 
+  // ------------------------------------------- predicate → whole-file cover
+
+  /** Compile the WHERE into the WHOLE-FILE DROP proof
+    * [[Snapshots.deleteWherePred]] takes as `cover`: a manifest-side
+    * expression true only when a file's stats PROVE every non-null row
+    * satisfies the predicate, plus the stats columns whose footer null
+    * counts must be zero to complete it (a null-predicate row survives a
+    * DELETE, so one null in the file forbids the drop). The proof exists
+    * only when EVERY conjunct covers — one residual conjunct means some
+    * rows of a covered file might survive, so the whole statement falls
+    * back to the rewrite path. Subqueries disable it outright: the prune
+    * side folds them exactly once, and re-evaluating here could see a
+    * different value. Pure optimization by contract: `pred` still decides
+    * which rows die; a None here only costs a rewrite, never correctness. */
+  private[graft] def compileCover(cond: Expression, spec: LakeTableSpec,
+                                  mapping: Option[Map[String, String]] = None)
+      : Option[(Column, Seq[String])] = {
+    val hasSubquery = cond.exists {
+      case _: ScalarSubquery | _: ListQuery | _: Exists => true
+      case _ => false
+    }
+    if (hasSubquery) return None
+    val parts = splitAnd(cond).map(c => coverOf(c, spec, mapping))
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val cs = parts.flatten
+      Some((cs.map(_._1).reduce(_ && _), cs.flatMap(_._2).distinct))
+    }
+  }
+
+  /** One conjunct's whole-file cover, or None when its stats can't prove
+    * "every non-null row matches". Dual of [[pruneOf]]: prune asks "can
+    * ANY value in [min,max] match" (over-selects files to touch), cover
+    * asks "does EVERY value in [min,max] match" (under-selects files to
+    * drop) — both lean on the same monotone-coercion contract. */
+  private def coverOf(e: Expression, spec: LakeTableSpec,
+                      mapping: Option[Map[String, String]])
+      : Option[(Column, Seq[String])] = {
+    def stats(a: UnresolvedAttribute): Option[String] = {
+      val phys = physicalName(a.nameParts.last, mapping, "predicate column")
+      if (spec.cols.contains(phys)) Some(phys) else None
+    }
+    def l(v: Literal): Column = PlanExec.column(v)
+    def mk(c: String, cov: Column) = (cov, Seq(c))
+    e match {
+      case EqualTo(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => mk(c,
+          col(s"min_$c") === l(v) && col(s"max_$c") === l(v)))
+      case EqualTo(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => mk(c,
+          col(s"min_$c") === l(v) && col(s"max_$c") === l(v)))
+      case LessThan(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => mk(c, col(s"max_$c") < l(v)))
+      case GreaterThan(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => mk(c, col(s"max_$c") < l(v)))
+      case LessThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => mk(c, col(s"max_$c") <= l(v)))
+      case GreaterThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => mk(c, col(s"max_$c") <= l(v)))
+      case GreaterThan(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => mk(c, col(s"min_$c") > l(v)))
+      case LessThan(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => mk(c, col(s"min_$c") > l(v)))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
+        stats(a).map(c => mk(c, col(s"min_$c") >= l(v)))
+      case LessThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
+        stats(a).map(c => mk(c, col(s"min_$c") >= l(v)))
+      case In(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // single-valued file whose one value is listed — conservative,
+        // but exactly the shape a category-partitioned layout produces
+        stats(a).map(c => mk(c, col(s"min_$c") === col(s"max_$c") &&
+          col(s"min_$c").isin(vs.map { case v: Literal =>
+            PlanExec.column(v) }: _*)))
+      case Like(a: UnresolvedAttribute, Literal(p: UTF8String, StringType), _)
+          if isPrefixPattern(p.toString) =>
+        // both bounds carry the prefix ⇒ every string between them does
+        // (the first |p| chars are pinned by the lexical order)
+        val prefix = p.toString.dropRight(1)
+        stats(a).map(c => mk(c,
+          substring(col(s"min_$c"), 1, prefix.length) === lit(prefix) &&
+            substring(col(s"max_$c"), 1, prefix.length) === lit(prefix)))
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------------------- plumbing
 
   @tailrec
@@ -1469,8 +1570,17 @@ object LakeSql {
     }
     plan match {
       case DeleteFromTable(t, c) if claim(t) =>
-        Some((Seq("files_rewritten", "files_total", "rows_deleted"),
+        Some((Seq("files_rewritten", "files_total", "rows_deleted",
+          "files_dropped"),
           s => withAutoCompact(s, t)(runDelete(s, t, c))))
+      case TruncateTable(t) if claim(t) =>
+        val spec = lookup(t).get._2
+        Some((Seq("version", "rows_deleted", "files_dropped"), s => {
+          val r = Snapshots.truncateCommit(s, spec.manifestRoot)
+          metricsRow(s, Seq("version" -> r.version.toLong,
+            "rows_deleted" -> r.rowsDeleted,
+            "files_dropped" -> r.filesDropped))
+        }))
       case u: UpdateTable if claim(u.table) =>
         Some((Seq("files_rewritten", "files_total", "rows_updated"),
           s => withAutoCompact(s, u.table)(runUpdate(s, u))))

@@ -660,6 +660,107 @@ class LakeSurfaceR14Spec extends SparkSpec {
       .head().getLong(0) == 9000L)
   }
 
+  test("DELETE drops fully-covered files metadata-only; nulls/residuals block") {
+    // date-retention shape: ONE sort column, disjoint per-file ranges
+    val dir = tmpDir("laker14")
+    val df = spark.range(10000).toDF("id")
+      .select(col("id"), (col("id") * 2).as("y"))
+    graft.sinks.Maintenance.writeSorted(df, s"$dir/z", nFiles = 8, col("id"))
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id")), s"$dir/m")
+    LakeSql.register("t_wfd",
+      LakeTableSpec(s"$dir/z", s"$dir/m", Seq("id"), nFiles = 8))
+    val v1 = Snapshots.latestVersion(spark, s"$dir/m")
+    val before = dataFiles(s"$dir/z")
+    // residual conjunct forbids the cover: everything rewrites
+    val r0 = spark.sql("DELETE FROM t_wfd WHERE id < 3000 AND y % 2 = 1")
+      .head()
+    assert(r0.getAs[Long]("files_dropped") == 0L)
+    assert(r0.getAs[Long]("rows_deleted") == 0L) // y is always even
+    // interior files below the cutoff are fully covered → dropped without
+    // a read; at most ONE file straddles the point cutoff (disjoint
+    // ranges) → rewritten; the rest untouched. Range boundaries are
+    // sample-based, so gate structure, not exact file ids.
+    val r = spark.sql("DELETE FROM t_wfd WHERE id < 3000").head()
+    assert(r.getAs[Long]("files_dropped") >= 1L, s"drops: $r")
+    assert(r.getAs[Long]("files_rewritten") <= 1L, s"rewrites: $r")
+    assert(r.getAs[Long]("rows_deleted") == 3000L, s"deleted: $r")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_wfd")
+      .head().getLong(0) == 7000L)
+    // dropped files stay ON DISK for pinned readers (drop is manifest-only)
+    assert(before.subsetOf(dataFiles(s"$dir/z")))
+    assert(LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_wfd VERSION AS OF $v1")
+      .head().getLong(0) == 10000L)
+    // a null in the predicate column blocks the whole-file drop: the
+    // null rows survive (three-valued DELETE), so the file must rewrite
+    val dir2 = tmpDir("laker14")
+    val nf = spark.range(10000).toDF("id")
+      .select(when(col("id") < 100, lit(null)).otherwise(col("id"))
+        .cast("long").as("id"))
+    graft.sinks.Maintenance.writeSorted(nf, s"$dir2/z", nFiles = 8, col("id"))
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir2/z", Seq("id")), s"$dir2/m")
+    LakeSql.register("t_wfdn",
+      LakeTableSpec(s"$dir2/z", s"$dir2/m", Seq("id"), nFiles = 8))
+    val rn = spark.sql("DELETE FROM t_wfdn WHERE id < 3000").head()
+    assert(rn.getAs[Long]("rows_deleted") == 2900L, s"null delete: $rn")
+    assert(rn.getAs[Long]("files_rewritten") >= 1L, s"null delete: $rn")
+    val left = LakeSql.sql(spark, "SELECT id FROM t_wfdn")
+    assert(left.filter(col("id").isNull).count() == 100L,
+      "null-predicate rows must survive the DELETE")
+    assert(left.count() == 7100L)
+  }
+
+  test("REPLACE WHERE drops the fully-covered slice metadata-only") {
+    // the daily partition re-land: the replaced slice spans whole files,
+    // which must leave the manifest without a rewrite — the statement
+    // pays for writing the new batch, not rewriting the old slice
+    val dir = tmpDir("laker14")
+    val df = spark.range(10000).toDF("id")
+      .select(col("id"), (col("id") * 2).as("y"))
+    graft.sinks.Maintenance.writeSorted(df, s"$dir/z", nFiles = 8, col("id"))
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir/z", Seq("id")), s"$dir/m")
+    LakeSql.register("t_rwd",
+      LakeTableSpec(s"$dir/z", s"$dir/m", Seq("id"), nFiles = 8))
+    val batch = df.filter(col("id").between(2000, 2399))
+      .withColumn("y", col("y") + 1)
+    batch.createOrReplaceTempView("rwd_batch")
+    val m = LakeSql.sql(spark,
+      """INSERT INTO t_rwd
+        |REPLACE WHERE id >= 1300 AND id <= 4800
+        |SELECT * FROM rwd_batch""".stripMargin).head()
+    assert(m.getAs[Long]("files_dropped") >= 1L, s"replace drops: $m")
+    assert(m.getAs[Long]("rows_deleted") == 3501L, s"replace deleted: $m")
+    val t = LakeSql.sql(spark, "SELECT id, y FROM t_rwd")
+    assert(t.count() == 10000L - 3501L + 400L)
+    assert(t.filter(col("id").between(2000, 2399) && col("y") =!=
+      col("id") * 2 + 1).count() == 0L, "re-landed slice not the batch")
+  }
+
+  test("TRUNCATE is metadata-only; empty version readable; refill works") {
+    val (dir, v1) = freshLake("t_trunc")
+    val before = dataFiles(s"$dir/z")
+    val r = spark.sql("TRUNCATE TABLE t_trunc").head()
+    assert(r.getAs[Long]("rows_deleted") == 10000L, s"truncate: $r")
+    assert(r.getAs[Long]("files_dropped") == 16L, s"truncate: $r")
+    assert(dataFiles(s"$dir/z") == before, "truncate touched data files")
+    // the empty version is READABLE: zero rows, prior version's schema
+    val t = spark.sql("SELECT id, x, y FROM t_trunc")
+    assert(t.columns.toSeq == Seq("id", "x", "y") && t.count() == 0L)
+    // pinned pre-truncate read intact (drop is manifest-only)
+    assert(LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM t_trunc VERSION AS OF $v1")
+      .head().getLong(0) == 10000L)
+    // refill: schema-on-write still validates against the (borrowed)
+    // schema, and a clean INSERT lands on the empty table normally
+    data.limit(500).createOrReplaceTempView("trunc_refill")
+    spark.sql("INSERT INTO t_trunc SELECT * FROM trunc_refill")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_trunc")
+      .head().getLong(0) == 500L)
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
