@@ -191,6 +191,7 @@ object ScaleSmoke {
     if (args.headOption.contains("skew")) skewMain(args.drop(1))
     else if (args.headOption.contains("lake")) lakeMain(args.drop(1))
     else if (args.headOption.contains("dv")) dvMain(args.drop(1))
+    else if (args.headOption.contains("retention")) retentionMain(args.drop(1))
     else if (args.headOption.contains("cdc")) cdcMain(args.drop(1))
     else growthMain(args)
 
@@ -274,6 +275,66 @@ object ScaleSmoke {
     * file; a scattered-KEY MoR delete stays cheap however many files the
     * keys cross; and the masked read's anti-join overhead is confined to
     * the DV'd files. */
+  /** Whole-file-drop retention delete at 1× and `copies`× table size. The
+    * deleted fraction scales WITH the table (same date cutoff over the
+    * same date domain), so the REWRITE path's work grows ~linearly with
+    * the data while the DROP path's cost is one boundary-file rewrite
+    * plus file-count-bounded footer probes — the claim under test is
+    * that `DELETE … WHERE d < cutoff` with the coverage proof stays
+    * ~flat as the table (and its deleted slice) grows 10×. Each rep
+    * rebuilds a fresh table (a delete mutates it); only the delete is
+    * timed. */
+  private def retentionMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.sinks.{Layout, Maintenance, Snapshots}
+    def orders(dir: String) = graft.model.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val cutoff = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    def measure(label: String, df: DataFrame, nFiles: Int): Unit = {
+      def run(cover: Boolean): (Double, Layout.DeleteResult) = {
+        var last: Layout.DeleteResult = null
+        val t = median((1 to reps).map { _ =>
+          val root =
+            java.nio.file.Files.createTempDirectory("retention").toString
+          Maintenance.writeSorted(df, s"$root/z", nFiles,
+            col("o_orderdate"))
+          Snapshots.commit(spark,
+            Layout.buildManifest(spark, s"$root/z", Seq("o_orderdate")),
+            s"$root/m")
+          val prune = col("min_o_orderdate") < lit(cutoff)
+          val pred = col("o_orderdate") < lit(cutoff)
+          val cov = if (cover)
+            Some((col("max_o_orderdate") < lit(cutoff), Seq("o_orderdate")))
+          else None
+          timed {
+            last = Snapshots.deleteWherePred(spark, s"$root/z", s"$root/m",
+              Seq("o_orderdate"), prune, pred, cov)
+          }
+        })
+        require(last.rowsDeleted > 0, s"retention $label: vacuous delete")
+        if (cover) require(last.filesDropped > 0,
+          s"retention $label: coverage proof never fired")
+        (t, last)
+      }
+      val (tDrop, rDrop) = run(cover = true)
+      val (tRewrite, rRewrite) = run(cover = false)
+      println(f"retention $label%-6s dropPath=$tDrop%.2fs " +
+        f"(dropped=${rDrop.filesDropped} rewritten=${rDrop.filesRewritten}) " +
+        f"rewritePath=$tRewrite%.2fs " +
+        f"(rewritten=${rRewrite.filesRewritten}) " +
+        f"rows=${rDrop.rowsDeleted}")
+    }
+    measure("1x", orders(src), 16)
+    measure(s"${copies}x", orders(target), 16 * copies)
+    spark.stop()
+  }
+
   private def dvMain(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
