@@ -1817,6 +1817,61 @@ object SqlQueries {
         .withColumn("empty_ok", lit(emptyOk))
         .withColumn("pinned_ok", lit(pinnedOk))
     }),
+
+    // FSCK REPAIR (q214): disaster recovery for the 100 TB reality that
+    // files go missing OUT FROM UNDER the manifest (an external cleanup
+    // job, a crashed restore, a fat-fingered rm). The table is
+    // unreadable — every scan fails on the dead reference — until FSCK
+    // status-probes the manifest (file-count-bounded, zero data read),
+    // DRY RUN lists the blast radius, and the repair commits a HEAD
+    // without the dead entries. Deterministic sabotage: the victim is a
+    // single-file append of a KNOWN slice, so the repaired table is
+    // exactly the base slice at every scale factor. Gates: unreadable
+    // before, dry-run count, rows_lost exact, readable after.
+    "q214_sql_fsck_repair" -> ((s, dir) => {
+      val root = tmp("q214")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      val base = orders.filter(col("o_custkey") <= 100)
+      val extra = orders.filter(col("o_custkey") > 100)
+      Layout.zorderWrite(base, zcols, s"$root/z", nFiles = 6)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake214",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 6))
+      val before = Snapshots.manifestAt(s, s"$root/m",
+        Snapshots.latestVersion(s, s"$root/m"))
+        .select("file").collect().map(_.getString(0)).toSet
+      Snapshots.appendCommit(s, extra, zcols, s"$root/z", s"$root/m",
+        nFiles = 1)
+      val doomed = Snapshots.manifestAt(s, s"$root/m",
+        Snapshots.latestVersion(s, s"$root/m"))
+        .select("file").collect().map(_.getString(0)).toSet -- before
+      require(doomed.size == 1, s"q214 append landed ${doomed.size} files")
+      val dp = new org.apache.hadoop.fs.Path(doomed.head)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, false)
+      // sum, not count(*): the metadata-agg fast path would serve a
+      // bare count from the manifest without touching the dead file
+      val brokenOk =
+        try { s.sql("SELECT sum(o_totalprice) FROM orders_lake214").head()
+          false }
+        catch { case _: Exception => true }
+      require(brokenOk, "q214 table still readable with a missing file")
+      val dryOk = s.sql("FSCK REPAIR TABLE orders_lake214 DRY RUN")
+        .collect().map(_.getString(0)).toSet == doomed
+      require(dryOk, "q214 dry run did not list the missing file")
+      val r = s.sql("FSCK REPAIR TABLE orders_lake214").head()
+      val repairOk = r.getAs[Long]("files_missing") == 1L &&
+        r.getAs[Long]("rows_lost") == extra.count()
+      require(repairOk, s"q214 repair metrics off: $r")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice " +
+          "FROM orders_lake214")
+        .withColumn("broken_ok", lit(brokenOk))
+        .withColumn("dry_ok", lit(dryOk))
+        .withColumn("repair_ok", lit(repairOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2160,6 +2215,13 @@ object SqlQueries {
         |  TRUE AS trunc_ok, TRUE AS empty_ok, TRUE AS pinned_ok
         |FROM orders
         |WHERE o_custkey > 100""".stripMargin,
+    // q214: after losing (and repairing away) the appended slice, the
+    // table is exactly the base slice.
+    "q214_sql_fsck_repair" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS broken_ok, TRUE AS dry_ok, TRUE AS repair_ok
+        |FROM orders
+        |WHERE o_custkey <= 100""".stripMargin,
     // q208: the manifest-served aggregates recomputed the slow way — the
     // oracle IS the proof the metadata fast path returns scan-exact values.
     "q208_sql_metadata_agg" ->

@@ -480,6 +480,50 @@ object Snapshots {
     TruncateResult(v, phys - masked, files)
   }
 
+  final case class FsckResult(version: Int, filesMissing: Long,
+                              filesTotal: Long, rowsLost: Long)
+
+  /** FSCK — repair a table whose manifest references data files that no
+    * longer exist on disk (an external delete, a crashed manual cleanup,
+    * a partial restore): status-probe every manifest entry (driver-side,
+    * file-count-bounded — the listing cost any planner already pays) and
+    * commit a new HEAD referencing only the files still present. Pure
+    * metadata: nothing is read or written besides the manifest. The lost
+    * LIVE rows (manifest counts minus any deletion-vector masks on the
+    * missing files) are reported as `rowsLost` so the caller knows the
+    * blast radius before re-ingesting. Prior versions keep referencing
+    * the missing files and stay broken if pinned — repair moves the HEAD
+    * forward; history keeps the truth and [[vacuum]] eventually expires
+    * it. `dryRun` runs the same probe and returns the would-be result
+    * plus the missing-file list WITHOUT committing. */
+  def fsckCommit(spark: SparkSession, manifestRoot: String,
+                 dryRun: Boolean = false): (FsckResult, Seq[String]) = {
+    val v = latestVersion(spark, manifestRoot)
+    val m = Dv.ensureDv(manifestAt(spark, manifestRoot, v)).localCheckpoint()
+    val total = m.count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val missing = m.select(col("file"), col("rows"), col("dv")).collect()
+      .filterNot { r =>
+        val p = new org.apache.hadoop.fs.Path(r.getString(0))
+        p.getFileSystem(conf).exists(p)
+      }
+    if (missing.isEmpty) return (FsckResult(v, 0, total, 0), Seq.empty)
+    val files = missing.map(_.getString(0)).toSeq
+    val masked = missing.filter(!_.isNullAt(2)).map(r =>
+      (r.getString(0), r.getString(2))).groupBy(_._2).toSeq
+      .map { case (dvPath, group) =>
+        spark.read.parquet(dvPath)
+          .filter(col(Dv.FileCol).isInCollection(group.map(_._1).toSeq))
+          .count()
+      }.sum
+    val lost = missing.map(_.getLong(1)).sum - masked
+    if (dryRun)
+      return (FsckResult(v, files.size.toLong, total, lost), files)
+    val nv = commit(spark, m.filter(!col("file").isInCollection(files)),
+      manifestRoot)
+    (FsckResult(nv, files.size.toLong, total, lost), files)
+  }
+
   /** The whole-file drop set for a DML touch set: manifest rows matching
     * `prune && cover`, unmasked (a DV'd file's stats include dead rows
     * the proof must not lean on), whose parquet footers prove the

@@ -119,6 +119,11 @@ object LakeSql {
   //   rewritten, pinned readers keep the data until VACUUM)
   private val TruncateRe =
     """(?is)\s*TRUNCATE\s+TABLE\s+([A-Za-z0-9_]+)\s*""".r
+  //   FSCK REPAIR TABLE <t> [DRY RUN] → drop manifest entries whose data
+  //   files no longer exist on disk (Delta's FSCK): status probes only,
+  //   metadata-only commit; DRY RUN lists the missing files instead
+  private val FsckRe =
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z0-9_]+)(\s+DRY\s+RUN)?\s*""".r
   //   RESTORE TABLE <t> TO VERSION AS OF <n>      → roll-forward commit
   //   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>' → ditto, stamp-resolved
   //   CREATE TABLE <dst> SHALLOW CLONE <src>
@@ -209,8 +214,17 @@ object LakeSql {
       case ReorgRe(_) =>
         Some(longSchema(Seq("version", "files_purged", "files_total",
           "files_written")))
-      case TruncateRe(_) =>
+      // TRUNCATE is VALID Spark SQL (unlike the rest of this grammar):
+      // claim it only for registered lake names, so a catalog table's
+      // TRUNCATE still reaches Spark's own parser and command
+      case TruncateRe(name)
+          if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
         Some(longSchema(Seq("version", "rows_deleted", "files_dropped")))
+      case FsckRe(_, dry) =>
+        Some(if (dry == null)
+          longSchema(Seq("version", "files_missing", "files_total",
+            "rows_lost"))
+        else strSchema("file"))
       case DescribeDetailRe(_) =>
         Some(StructType(Seq(
           StructField("name", StringType, nullable = false),
@@ -313,6 +327,16 @@ object LakeSql {
       val r = Snapshots.truncateCommit(spark, spec.manifestRoot)
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "rows_deleted" -> r.rowsDeleted, "files_dropped" -> r.filesDropped))
+    case FsckRe(name, dry) =>
+      val spec = specByName(name)
+      val (r, files) = Snapshots.fsckCommit(spark, spec.manifestRoot,
+        dryRun = dry != null)
+      if (dry != null) {
+        import spark.implicits._
+        files.toDF("file")
+      } else metricsRow(spark, Seq("version" -> r.version.toLong,
+        "files_missing" -> r.filesMissing, "files_total" -> r.filesTotal,
+        "rows_lost" -> r.rowsLost))
     case VacuumRe(name, n, unit, dry) =>
       val spec = specByName(name)
       val byVersions = unit.equalsIgnoreCase("VERSIONS")

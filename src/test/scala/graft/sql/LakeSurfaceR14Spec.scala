@@ -761,6 +761,43 @@ class LakeSurfaceR14Spec extends SparkSpec {
       .head().getLong(0) == 500L)
   }
 
+  test("FSCK REPAIR drops manifest entries for missing files, dry-run first") {
+    val (dir, _) = freshLake("t_fsck")
+    // sabotage: delete two data files OUT FROM UNDER the manifest
+    val p = new org.apache.hadoop.fs.Path(s"$dir/z")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .sortBy(_.getName).take(2)
+    val lost = spark.read.parquet(doomed.map(_.toString): _*).count()
+    doomed.foreach(f => fs.delete(f, false))
+    // reads now fail at scan time — the state FSCK exists to repair.
+    // (sum, not count(*): the metadata-agg fast path would serve a bare
+    // count from the manifest without ever touching the dead file)
+    intercept[Exception] {
+      LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_fsck").head()
+    }
+    // DRY RUN: lists exactly the missing files, commits nothing
+    val listed = spark.sql("FSCK REPAIR TABLE t_fsck DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(listed == doomed.map(d => fs.makeQualified(d).toString).toSet)
+    intercept[Exception] {
+      LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_fsck").head()
+    }
+    // repair: metadata-only commit dropping the dead entries
+    val r = spark.sql("FSCK REPAIR TABLE t_fsck").head()
+    assert(r.getAs[Long]("files_missing") == 2L, s"fsck: $r")
+    assert(r.getAs[Long]("rows_lost") == lost, s"fsck: $r")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_fsck")
+      .head().getLong(0) == 10000L - lost)
+    // healthy table: no-op, no commit
+    val v = Snapshots.latestVersion(spark, s"$dir/m")
+    assert(spark.sql("FSCK REPAIR TABLE t_fsck").head()
+      .getAs[Long]("files_missing") == 0L)
+    assert(Snapshots.latestVersion(spark, s"$dir/m") == v)
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
