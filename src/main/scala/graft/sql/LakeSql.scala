@@ -124,6 +124,12 @@ object LakeSql {
   //   metadata-only commit; DRY RUN lists the missing files instead
   private val FsckRe =
     """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z0-9_]+)(\s+DRY\s+RUN)?\s*""".r
+  //   SHOW CREATE TABLE <t> → one row: a CREATE statement reconstructing
+  //   the table's logical schema, location, stats cols, and properties
+  //   (the BI-tool introspection statement; valid Spark SQL, so claimed
+  //   only for registered lake names like TRUNCATE)
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s*""".r
   //   RESTORE TABLE <t> TO VERSION AS OF <n>      → roll-forward commit
   //   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>' → ditto, stamp-resolved
   //   CREATE TABLE <dst> SHALLOW CLONE <src>
@@ -225,6 +231,9 @@ object LakeSql {
           longSchema(Seq("version", "files_missing", "files_total",
             "rows_lost"))
         else strSchema("file"))
+      case ShowCreateRe(name)
+          if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
+        Some(strSchema("createtab_stmt"))
       case DescribeDetailRe(_) =>
         Some(StructType(Seq(
           StructField("name", StringType, nullable = false),
@@ -337,6 +346,26 @@ object LakeSql {
       } else metricsRow(spark, Seq("version" -> r.version.toLong,
         "files_missing" -> r.filesMissing, "files_total" -> r.filesTotal,
         "rows_lost" -> r.rowsLost))
+    case ShowCreateRe(name) =>
+      val spec = specByName(name)
+      val lname = name.toLowerCase(java.util.Locale.ROOT)
+      // LOGICAL schema (column mapping applied): what a new consumer
+      // would re-create; physical layout is an implementation detail
+      val fields = mappedTableSchema(spark, spec).fields.toSeq
+        .map(f => s"  ${f.name} ${f.dataType.sql}")
+      val props = Snapshots.tableProperties(spark, spec.manifestRoot,
+        Snapshots.latestVersion(spark, spec.manifestRoot))
+      val propsClause =
+        if (props.isEmpty) ""
+        else props.toSeq.sorted
+          .map { case (k, v) => s"'$k' = '$v'" }
+          .mkString("\nTBLPROPERTIES (", ", ", ")")
+      val stmt = s"CREATE TABLE $lname (\n" +
+        fields.mkString(",\n") + "\n) USING LAKE\n" +
+        s"LOCATION '${spec.path}'\n" +
+        s"STATS COLS (${spec.cols.mkString(", ")})" + propsClause
+      import spark.implicits._
+      Seq(stmt).toDF("createtab_stmt")
     case VacuumRe(name, n, unit, dry) =>
       val spec = specByName(name)
       val byVersions = unit.equalsIgnoreCase("VERSIONS")

@@ -798,6 +798,25 @@ class LakeSurfaceR14Spec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, s"$dir/m") == v)
   }
 
+  test("SHOW CREATE TABLE reconstructs schema, location, stats, properties") {
+    val (dir, _) = freshLake("t_showc")
+    LakeSql.sql(spark,
+      "ALTER TABLE t_showc SET TBLPROPERTIES ('team' = 'etl')")
+    val stmt = spark.sql("SHOW CREATE TABLE t_showc").head().getString(0)
+    assert(stmt.contains("CREATE TABLE t_showc"), stmt)
+    assert(stmt.contains("id BIGINT") && stmt.contains("x BIGINT") &&
+      stmt.contains("y BIGINT"), stmt)
+    assert(stmt.contains(s"LOCATION '$dir/z'"), stmt)
+    assert(stmt.contains("STATS COLS (id, x)"), stmt)
+    assert(stmt.contains("'team' = 'etl'"), stmt)
+    // after a rename the statement shows the LOGICAL schema — what a
+    // new consumer would re-create; physical names are an impl detail
+    LakeSql.sql(spark, "ALTER TABLE t_showc RENAME COLUMN y TO score")
+    val stmt2 = spark.sql("SHOW CREATE TABLE t_showc").head().getString(0)
+    assert(stmt2.contains("score BIGINT") && !stmt2.contains("y BIGINT"),
+      stmt2)
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
