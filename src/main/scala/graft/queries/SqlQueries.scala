@@ -1872,6 +1872,54 @@ object SqlQueries {
         .withColumn("dry_ok", lit(dryOk))
         .withColumn("repair_ok", lit(repairOk))
     }),
+
+    // MoR RETENTION DELETE (q215): `TBLPROPERTIES ('delete.mode'='mor')`
+    // flips SQL DELETE from copy-on-write to deletion-vector masking —
+    // the write-heavy-table mode where a delete costs O(deleted rows)
+    // sidecar, never a file rewrite. Composed with the whole-file drop
+    // proof: the date-sorted interior files leave the manifest OUTRIGHT
+    // (masking a fully-dead file would make every read scan it just to
+    // anti-join everything away), only the boundary file gets a mask,
+    // and ZERO data files are written either way. REORG … APPLY (PURGE)
+    // then repays the boundary's mask debt. Gates: files_rewritten == 0,
+    // drops ≥ 1, masks ≤ 1, byte-identical data dir, purge folds, counts
+    // exact at every step.
+    "q215_sql_mor_retention" -> ((s, dir) => {
+      val root = tmp("q215")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_orderdate")
+      graft.sinks.Maintenance.writeSorted(orders, s"$root/z", nFiles = 8,
+        col("o_orderdate"))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake215",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 8))
+      s.sql("ALTER TABLE orders_lake215 " +
+        "SET TBLPROPERTIES ('delete.mode' = 'mor')")
+      val want = orders
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .count()
+      val r = s.sql("DELETE FROM orders_lake215 " +
+        "WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'").head()
+      val morOk = r.getAs[Long]("files_rewritten") == 0L &&
+        r.getAs[Long]("files_dropped") >= 1L &&
+        r.getAs[Long]("files_masked") <= 1L
+      require(morOk, s"q215 MoR delete shape off: $r")
+      val countOk = s.sql("SELECT count(*) AS n FROM orders_lake215")
+        .head().getLong(0) == want
+      require(countOk, "q215 post-delete count off")
+      val p = s.sql("REORG TABLE orders_lake215 APPLY (PURGE)").head()
+      val purgeOk =
+        p.getAs[Long]("files_purged") == r.getAs[Long]("files_masked")
+      require(purgeOk, s"q215 purge did not fold the mask debt: $p")
+      s.sql("SELECT o_orderkey, o_orderdate, o_totalprice " +
+          "FROM orders_lake215")
+        .withColumn("mor_ok", lit(morOk))
+        .withColumn("count_ok", lit(countOk))
+        .withColumn("purge_ok", lit(purgeOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2222,6 +2270,14 @@ object SqlQueries {
         |  TRUE AS broken_ok, TRUE AS dry_ok, TRUE AS repair_ok
         |FROM orders
         |WHERE o_custkey <= 100""".stripMargin,
+    // q215: the MoR retention delete's survivors — same oracle shape as
+    // the CoW twin q212; the two paths must agree with each other AND
+    // with the row-by-row semantics.
+    "q215_sql_mor_retention" ->
+      """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS mor_ok, TRUE AS count_ok, TRUE AS purge_ok
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
     // q208: the manifest-served aggregates recomputed the slow way — the
     // oracle IS the proof the metadata fast path returns scan-exact values.
     "q208_sql_metadata_agg" ->

@@ -126,7 +126,8 @@ object Dv {
     * — structurally 0, the number the whole design exists to produce. */
   final case class MoRDeleteResult(version: Int, filesMasked: Long,
                                    filesTotal: Long, rowsDeleted: Long,
-                                   dataFilesWritten: Long)
+                                   dataFilesWritten: Long,
+                                   filesDropped: Long = 0L)
 
   def deleteWhereMoR(spark: SparkSession, path: String, manifestRoot: String,
                      box: Seq[(String, Double, Double)]): MoRDeleteResult = {
@@ -159,6 +160,68 @@ object Dv {
           .otherwise(col("dv")))
     MoRDeleteResult(Snapshots.commit(spark, next, manifestRoot),
       hit.size.toLong, total, rowsDeleted, 0)
+  }
+
+  /** [[deleteWhereMoR]] generalized to the (prune, predicate) pair the SQL
+    * front door's typed compiler emits (see `Snapshots.deleteWherePred`
+    * for the contract), plus the whole-file-drop `cover` proof: a file
+    * whose stats + footer null counts prove EVERY row matches is REMOVED
+    * from the manifest outright instead of masked (the Delta DV-mode
+    * behavior for fully-matched files — masking a fully-dead file would
+    * make every later read scan it just to anti-join everything away).
+    * The remaining touched files take the sidecar mask as before; zero
+    * data files are written on either path. */
+  def deleteWhereMoRPred(spark: SparkSession, path: String,
+                         manifestRoot: String,
+                         prune: org.apache.spark.sql.Column,
+                         pred: org.apache.spark.sql.Column,
+                         cover: Option[(org.apache.spark.sql.Column, Seq[String])] = None)
+      : MoRDeleteResult = {
+    val v = Snapshots.latestVersion(spark, manifestRoot)
+    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
+      .localCheckpoint()
+    val total = manifest.count()
+    val hit = entries(manifest.filter(prune))
+    if (hit.isEmpty) return MoRDeleteResult(v, 0, total, 0, 0)
+    val dropped = Snapshots.wholeFileDrops(spark, manifest, prune, cover)
+    val mask = hit.filterNot(e => dropped.contains(e.file))
+    val maskFiles = mask.map(_.file)
+    // newly deleted among the files that stay = their live in-predicate
+    // rows (null-predicate rows survive: filter(pred) keeps TRUE only)
+    val fresh =
+      if (mask.isEmpty) None
+      else {
+        val f = readLiveWithPos(spark, mask)
+          .filter(pred)
+          .select(col("_dv_f").as(FileCol), col("_dv_p").as(PosCol))
+          .localCheckpoint() // pin before the sidecar they feed is swapped in
+        if (f.isEmpty) None else Some(f)
+      }
+    val freshRows = fresh.map(_.count()).getOrElse(0L)
+    if (freshRows == 0 && dropped.isEmpty)
+      return MoRDeleteResult(v, 0, total, 0, 0)
+    val next0 =
+      if (dropped.isEmpty) manifest
+      else manifest.filter(!col("file").isInCollection(dropped.keys.toSeq))
+    val next = fresh match {
+      case None => next0
+      case Some(f) =>
+        // carried-forward mask: ALL prior DV rows of the re-masked files
+        // (the new sidecar REPLACES the old pointer on these rows)
+        val prior = mask.collect { case Entry(fl, Some(d)) => (fl, d) }
+          .groupBy(_._2).toSeq.map { case (dvPath, group) =>
+            spark.read.parquet(dvPath)
+              .filter(col(FileCol).isInCollection(group.map(_._1)))
+          }
+        val sidecar = writeSidecar(spark, path,
+          (prior :+ f).reduce(_.unionByName(_)))
+        next0.withColumn("dv",
+          when(col("file").isInCollection(maskFiles), lit(sidecar))
+            .otherwise(col("dv")))
+    }
+    MoRDeleteResult(Snapshots.commit(spark, next, manifestRoot),
+      (if (freshRows == 0) 0 else mask.size).toLong, total,
+      freshRows + dropped.values.sum, 0, dropped.size.toLong)
   }
 
   /** PLAN a MoR band delete against the current snapshot WITHOUT

@@ -530,9 +530,9 @@ object Snapshots {
     * cover's stats columns null-free — as file → row count (all live,
     * all provably matching, so the whole count is the file's deleted-row
     * contribution). See [[deleteWherePred]] for the proof contract. */
-  private def wholeFileDrops(spark: SparkSession, manifest: DataFrame,
-                             prune: org.apache.spark.sql.Column,
-                             cover: Option[(org.apache.spark.sql.Column, Seq[String])])
+  private[sinks] def wholeFileDrops(spark: SparkSession, manifest: DataFrame,
+                                    prune: org.apache.spark.sql.Column,
+                                    cover: Option[(org.apache.spark.sql.Column, Seq[String])])
       : Map[String, Long] = cover match {
     case Some((cov, needCols)) =>
       val cand = manifest.filter(prune && cov && col("dv").isNull)

@@ -897,18 +897,40 @@ object LakeSql {
 
   // ----------------------------------------------------------------- DML
 
+  /** DELETE routing: copy-on-write by default; `TBLPROPERTIES
+    * ('delete.mode' = 'mor')` switches the table to merge-on-read —
+    * matched rows are MASKED via a deletion-vector sidecar (zero data
+    * files written; write-heavy 100 TB tables pay O(deleted rows), not
+    * O(touched files)) and the read side anti-joins until `REORG …
+    * APPLY (PURGE)` folds the debt. Both modes share the typed predicate
+    * compiler and the whole-file drop proof: a fully-covered file leaves
+    * the manifest outright on either path. Metrics are the superset
+    * (`files_masked` 0 under CoW, `files_rewritten` 0 under MoR). */
   private def runDelete(spark: SparkSession, target: LogicalPlan,
                         condition: Expression): DataFrame = {
     val (_, spec) = lookup(target).get
     val mapping = headMapping(spark, spec)
     val (prune, pred) = compileWhere(condition, spec, mapping, Some(spark))
-    val res = Snapshots.deleteWherePred(spark, spec.path, spec.manifestRoot,
-      spec.cols, prune, pred, compileCover(condition, spec, mapping))
-    metricsRow(spark,
-      Seq("files_rewritten" -> res.filesRewritten,
-        "files_total" -> res.filesTotal,
-        "rows_deleted" -> res.rowsDeleted,
-        "files_dropped" -> res.filesDropped))
+    val cover = compileCover(condition, spec, mapping)
+    val mor = Snapshots.tableProperties(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot))
+      .get("delete.mode").exists(_.equalsIgnoreCase("mor"))
+    val metrics =
+      if (mor) {
+        val r = graft.sinks.Dv.deleteWhereMoRPred(spark, spec.path,
+          spec.manifestRoot, prune, pred, cover)
+        require(r.dataFilesWritten == 0, s"MoR delete wrote data files: $r")
+        Seq("files_rewritten" -> 0L, "files_total" -> r.filesTotal,
+          "rows_deleted" -> r.rowsDeleted, "files_dropped" -> r.filesDropped,
+          "files_masked" -> r.filesMasked)
+      } else {
+        val r = Snapshots.deleteWherePred(spark, spec.path,
+          spec.manifestRoot, spec.cols, prune, pred, cover)
+        Seq("files_rewritten" -> r.filesRewritten,
+          "files_total" -> r.filesTotal, "rows_deleted" -> r.rowsDeleted,
+          "files_dropped" -> r.filesDropped, "files_masked" -> 0L)
+      }
+    metricsRow(spark, metrics)
   }
 
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
@@ -1624,7 +1646,7 @@ object LakeSql {
     plan match {
       case DeleteFromTable(t, c) if claim(t) =>
         Some((Seq("files_rewritten", "files_total", "rows_deleted",
-          "files_dropped"),
+          "files_dropped", "files_masked"),
           s => withAutoCompact(s, t)(runDelete(s, t, c))))
       case TruncateTable(t) if claim(t) =>
         val spec = lookup(t).get._2

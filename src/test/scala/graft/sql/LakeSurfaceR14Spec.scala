@@ -817,6 +817,53 @@ class LakeSurfaceR14Spec extends SparkSpec {
       stmt2)
   }
 
+  test("delete.mode=mor: DELETE masks instead of rewriting; drops compose") {
+    val (dir, _) = freshLake("t_mor")
+    LakeSql.sql(spark,
+      "ALTER TABLE t_mor SET TBLPROPERTIES ('delete.mode' = 'mor')")
+    val before = dataFiles(s"$dir/z")
+    val expect = data.filter(col("x").between(100, 199)).count()
+    val r = spark.sql("DELETE FROM t_mor WHERE x >= 100 AND x <= 199").head()
+    // x is hash-random per file → nothing fully covered: all masking
+    assert(r.getAs[Long]("files_masked") >= 1L, s"mor: $r")
+    assert(r.getAs[Long]("files_rewritten") == 0L, s"mor: $r")
+    assert(r.getAs[Long]("rows_deleted") == expect, s"mor: $r")
+    assert(dataFiles(s"$dir/z") == before, "MoR delete wrote data files")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_mor")
+      .head().getLong(0) == 10000L - expect)
+    // drop composition: a date-retention-shaped sorted table — interior
+    // files leave the manifest outright, ONLY the boundary file is masked
+    val dir2 = tmpDir("laker14")
+    val df = spark.range(10000).toDF("id")
+      .select(col("id"), (col("id") * 2).as("y"))
+    graft.sinks.Maintenance.writeSorted(df, s"$dir2/z", nFiles = 8,
+      col("id"))
+    Snapshots.commit(spark,
+      Layout.buildManifest(spark, s"$dir2/z", Seq("id")), s"$dir2/m")
+    LakeSql.register("t_mord",
+      LakeTableSpec(s"$dir2/z", s"$dir2/m", Seq("id"), nFiles = 8))
+    LakeSql.sql(spark,
+      "ALTER TABLE t_mord SET TBLPROPERTIES ('delete.mode' = 'mor')")
+    val b2 = dataFiles(s"$dir2/z")
+    val r2 = spark.sql("DELETE FROM t_mord WHERE id < 3000").head()
+    assert(r2.getAs[Long]("files_dropped") >= 1L, s"mor drop: $r2")
+    assert(r2.getAs[Long]("files_masked") <= 1L, s"mor drop: $r2")
+    assert(r2.getAs[Long]("rows_deleted") == 3000L, s"mor drop: $r2")
+    assert(dataFiles(s"$dir2/z") == b2, "MoR drop-delete wrote data files")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_mord")
+      .head().getLong(0) == 7000L)
+    // REORG repays whatever mask debt remains; reads stay exact
+    spark.sql("REORG TABLE t_mord APPLY (PURGE)")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_mord")
+      .head().getLong(0) == 7000L)
+    // UNSET flips the table back to copy-on-write
+    LakeSql.sql(spark,
+      "ALTER TABLE t_mord UNSET TBLPROPERTIES ('delete.mode')")
+    val r3 = spark.sql("DELETE FROM t_mord WHERE id >= 9000").head()
+    assert(r3.getAs[Long]("files_masked") == 0L, s"cow again: $r3")
+    assert(r3.getAs[Long]("rows_deleted") == 1000L, s"cow again: $r3")
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
