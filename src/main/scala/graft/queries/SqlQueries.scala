@@ -1920,6 +1920,63 @@ object SqlQueries {
         .withColumn("count_ok", lit(countOk))
         .withColumn("purge_ok", lit(purgeOk))
     }),
+
+    // MoR UPDATE (q216): `TBLPROPERTIES ('update.mode'='mor')` — the
+    // write-heavy UPDATE: matched rows are MASKED via a deletion-vector
+    // sidecar and ONLY their updated versions are appended as new files,
+    // in one commit. At 100 TB an UPDATE matching a sliver of every
+    // touched file stops being a file rewrite: cost tracks O(matched
+    // rows). Gates: zero files rewritten, existing files byte-identical
+    // on disk (drop-in evidence), masks + appends both present, row
+    // count stable (no duplicate pre/post versions visible), REORG purge
+    // folds the debt with readers unchanged.
+    "q216_sql_mor_update" -> ((s, dir) => {
+      val root = tmp("q216")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_orderdate")
+      graft.sinks.Maintenance.writeSorted(orders, s"$root/z", nFiles = 8,
+        col("o_orderdate"))
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/z", zcols), s"$root/m")
+      LakeSql.register("orders_lake216",
+        LakeTableSpec(s"$root/z", s"$root/m", zcols, nFiles = 8))
+      s.sql("ALTER TABLE orders_lake216 " +
+        "SET TBLPROPERTIES ('update.mode' = 'mor')")
+      def files(): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/z")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .map(f => f.getPath.getName + ":" + f.getLen).toSet
+      }
+      val before = files()
+      val expect = orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
+      val r = s.sql(
+        """UPDATE orders_lake216
+          |SET o_totalprice = round(o_totalprice * 2, 2)
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""
+          .stripMargin).head()
+      val morOk = r.getAs[Long]("files_rewritten") == 0L &&
+        r.getAs[Long]("files_masked") >= 1L &&
+        r.getAs[Long]("files_appended") >= 1L &&
+        r.getAs[Long]("rows_updated") == expect
+      require(morOk, s"q216 MoR update shape off: $r (expected $expect)")
+      val untouchedOk = before.subsetOf(files())
+      require(untouchedOk, "q216 MoR update rewrote an existing file")
+      val countOk = s.sql("SELECT count(*) AS n FROM orders_lake216")
+        .head().getLong(0) == orders.count()
+      require(countOk, "q216 row count moved — masked/appended mismatch")
+      s.sql("REORG TABLE orders_lake216 APPLY (PURGE)")
+      s.sql("SELECT o_orderkey, o_orderdate, o_totalprice " +
+          "FROM orders_lake216")
+        .withColumn("mor_ok", lit(morOk))
+        .withColumn("untouched_ok", lit(untouchedOk))
+        .withColumn("count_ok", lit(countOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2278,6 +2335,16 @@ object SqlQueries {
         |  TRUE AS mor_ok, TRUE AS count_ok, TRUE AS purge_ok
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    // q216: MoR update semantics must equal the row-by-row UPDATE — the
+    // 1996 band doubled, everything else untouched, no row duplicated.
+    "q216_sql_mor_update" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |       THEN round(round(o_totalprice, 2) * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS o_totalprice,
+        |  TRUE AS mor_ok, TRUE AS untouched_ok, TRUE AS count_ok
+        |FROM orders""".stripMargin,
     // q208: the manifest-served aggregates recomputed the slow way — the
     // oracle IS the proof the metadata fast path returns scan-exact values.
     "q208_sql_metadata_agg" ->

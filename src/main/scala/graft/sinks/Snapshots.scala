@@ -607,6 +607,85 @@ object Snapshots {
     UpdateResult(hit.size.toLong, total, updated)
   }
 
+  final case class MoRUpdateResult(version: Int, filesMasked: Long,
+                                   filesTotal: Long, rowsUpdated: Long,
+                                   filesAppended: Long)
+
+  /** MERGE-ON-READ targeted UPDATE — the write-heavy twin of
+    * [[updateWherePred]] (the Delta DV-mode UPDATE shape): instead of
+    * rewriting every touched file, ONE commit (a) masks the matched rows
+    * via a deletion-vector sidecar and (b) appends ONLY their updated
+    * versions as new z-ordered files. Cost tracks O(matched rows), never
+    * O(touched-file bytes) — at 100 TB an UPDATE matching 1 % of the
+    * rows in every file stops being a table rewrite. Assignments
+    * evaluate against the PRE-update row in one simultaneous projection
+    * (every row here matched, so no per-row `when` gate is needed);
+    * unmatched rows in touched files are never rewritten. The staged
+    * update files pass the same CHECK-constraint validation as every
+    * other write path BEFORE the sidecar or manifest move anything;
+    * files with no matched rows keep their existing mask pointer
+    * untouched. `REORG … APPLY (PURGE)` repays the mask debt later. */
+  def updateWhereMoRPred(spark: SparkSession, path: String,
+                         manifestRoot: String, cols: Seq[String],
+                         prune: org.apache.spark.sql.Column,
+                         pred: org.apache.spark.sql.Column,
+                         assignments: Map[String, org.apache.spark.sql.Column],
+                         nFiles: Int): MoRUpdateResult = {
+    require(assignments.nonEmpty, "UPDATE with no assignments")
+    val v = latestVersion(spark, manifestRoot)
+    val manifest = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
+      .localCheckpoint()
+    val total = manifest.count()
+    val hit = Dv.entries(manifest.filter(prune))
+    if (hit.isEmpty) return MoRUpdateResult(v, 0, total, 0, 0)
+    val live = Dv.readLiveWithPos(spark, hit)
+    val dataCols = live.columns.toIndexedSeq
+      .filterNot(c => c == "_dv_f" || c == "_dv_p")
+    val lower = assignments.map { case (k, a) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> a }
+    val unknown = lower.keySet.diff(
+      dataCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    require(unknown.isEmpty,
+      s"UPDATE assigns unknown column(s) ${unknown.mkString(", ")} " +
+        s"(table has ${dataCols.mkString(", ")})")
+    // pin: the matched set feeds the count, the staged payload, AND the
+    // sidecar — it must not recompute after the manifest starts moving
+    val matched = live.filter(coalesce(pred, lit(false))).localCheckpoint()
+    val rowsUpdated = matched.count()
+    if (rowsUpdated == 0) return MoRUpdateResult(v, 0, total, 0, 0)
+    // (b) the updated payload, staged and constraint-checked FIRST — a
+    // violating update aborts before anything becomes visible
+    val updatedRows = matched.select(dataCols.map(c =>
+      lower.get(c.toLowerCase(java.util.Locale.ROOT))
+        .map(_.as(c)).getOrElse(col(c))): _*)
+    val staging = path + ".morupd_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(updatedRows, cols, staging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, staging)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    // (a) mask exactly the matched rows' files; carried-forward prior
+    // masks of THOSE files ride into the replacing sidecar
+    val maskFiles = matched.select(col("_dv_f")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val freshMask = matched.select(col("_dv_f").as(Dv.FileCol),
+      col("_dv_p").cast("long").as(Dv.PosCol))
+    val prior = hit
+      .collect { case Dv.Entry(f, Some(d)) if maskFiles.contains(f) => (f, d) }
+      .groupBy(_._2).toSeq.map { case (dvPath, group) =>
+        spark.read.parquet(dvPath)
+          .filter(col(Dv.FileCol).isInCollection(group.map(_._1)))
+      }
+    val sidecar = Dv.writeSidecar(spark, path,
+      (prior :+ freshMask).reduce(_.unionByName(_)))
+    val next = manifest
+      .withColumn("dv",
+        when(col("file").isInCollection(maskFiles), lit(sidecar))
+          .otherwise(col("dv")))
+      .unionByName(Layout.buildManifestFor(spark, moved, cols),
+        allowMissingColumns = true)
+    MoRUpdateResult(commit(spark, next, manifestRoot),
+      maskFiles.size.toLong, total, rowsUpdated, moved.size.toLong)
+  }
+
   /** Z-ordered batch APPEND as a version commit — the versioned twin of
     * [[Layout.appendWithManifest]], closing the {append, delete, compact}
     * × versioned matrix. The batch is z-ordered by its own quantile bounds

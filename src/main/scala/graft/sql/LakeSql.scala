@@ -1335,12 +1335,28 @@ object LakeSql {
         s"unsupported UPDATE assignment target: $other")
     }.toMap
     val (prune, pred) = compileWhere(cond, spec, mapping, Some(spark))
-    val r = Snapshots.updateWherePred(spark, spec.path, spec.manifestRoot,
-      spec.cols, prune, pred, assignments)
-    metricsRow(spark,
-      Seq("files_rewritten" -> r.filesRewritten,
-        "files_total" -> r.filesTotal,
-        "rows_updated" -> r.rowsUpdated))
+    // `TBLPROPERTIES ('update.mode' = 'mor')` flips the table to
+    // merge-on-read updates: mask the matched rows, append only their
+    // updated versions — O(matched rows), never a touched-file rewrite
+    val mor = Snapshots.tableProperties(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot))
+      .get("update.mode").exists(_.equalsIgnoreCase("mor"))
+    val metrics =
+      if (mor) {
+        val r = Snapshots.updateWhereMoRPred(spark, spec.path,
+          spec.manifestRoot, spec.cols, prune, pred, assignments,
+          spec.nFiles)
+        Seq("files_rewritten" -> 0L, "files_total" -> r.filesTotal,
+          "rows_updated" -> r.rowsUpdated, "files_masked" -> r.filesMasked,
+          "files_appended" -> r.filesAppended)
+      } else {
+        val r = Snapshots.updateWherePred(spark, spec.path,
+          spec.manifestRoot, spec.cols, prune, pred, assignments)
+        Seq("files_rewritten" -> r.filesRewritten,
+          "files_total" -> r.filesTotal, "rows_updated" -> r.rowsUpdated,
+          "files_masked" -> 0L, "files_appended" -> 0L)
+      }
+    metricsRow(spark, metrics)
   }
 
   // ------------------------------------------ predicate → (prune, residual)
@@ -1657,7 +1673,8 @@ object LakeSql {
             "files_dropped" -> r.filesDropped))
         }))
       case u: UpdateTable if claim(u.table) =>
-        Some((Seq("files_rewritten", "files_total", "rows_updated"),
+        Some((Seq("files_rewritten", "files_total", "rows_updated",
+          "files_masked", "files_appended"),
           s => withAutoCompact(s, u.table)(runUpdate(s, u))))
       case m: MergeIntoTable if claim(m.targetTable) =>
         Some((Seq("version", "files_rewritten", "files_total",

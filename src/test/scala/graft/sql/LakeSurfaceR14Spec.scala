@@ -864,6 +864,42 @@ class LakeSurfaceR14Spec extends SparkSpec {
     assert(r3.getAs[Long]("rows_deleted") == 1000L, s"cow again: $r3")
   }
 
+  test("update.mode=mor: UPDATE masks + appends only the updated rows") {
+    val (dir, _) = freshLake("t_moru")
+    LakeSql.sql(spark,
+      "ALTER TABLE t_moru SET TBLPROPERTIES ('update.mode' = 'mor')")
+    val before = dataFiles(s"$dir/z")
+    val expect = data.filter(col("x").between(100, 199)).count()
+    val base = data.agg(sum("y")).head().getLong(0)
+    val r = spark.sql(
+      "UPDATE t_moru SET y = y + 10000 WHERE x >= 100 AND x <= 199").head()
+    assert(r.getAs[Long]("files_rewritten") == 0L, s"moru: $r")
+    assert(r.getAs[Long]("files_masked") >= 1L &&
+      r.getAs[Long]("files_appended") >= 1L, s"moru: $r")
+    assert(r.getAs[Long]("rows_updated") == expect, s"moru: $r")
+    // existing files byte-identical — only NEW files appeared
+    assert(before.subsetOf(dataFiles(s"$dir/z")),
+      "MoR update rewrote an existing file")
+    // no duplicates (old versions masked), values moved
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_moru")
+      .head().getLong(0) == 10000L)
+    assert(LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_moru")
+      .head().getLong(0) == base + expect * 10000L)
+    // a second MoR update composes: the matched set comes from the LIVE
+    // rows, so rows updated once update again from their new values
+    val n150 = data.filter(col("x") === 150).count()
+    val r2 = spark.sql("UPDATE t_moru SET y = y + 1 WHERE x = 150").head()
+    assert(r2.getAs[Long]("rows_updated") == n150, s"moru2: $r2")
+    assert(LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_moru")
+      .head().getLong(0) == base + expect * 10000L + n150)
+    // REORG repays the mask debt; nothing changes for readers
+    spark.sql("REORG TABLE t_moru APPLY (PURGE)")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_moru")
+      .head().getLong(0) == 10000L)
+    assert(LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_moru")
+      .head().getLong(0) == base + expect * 10000L + n150)
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
