@@ -104,6 +104,42 @@ class BoxCompilerPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: cover ⊆ all-rows-matching files (whole-file drop sound)") {
+    // dual of the prune property: the whole-file drop proof must
+    // UNDER-include — a file it selects must have EVERY row matching the
+    // SQL predicate (an over-inclusion is a DELETE that silently removes
+    // surviving rows with the file). Residual conjuncts must disable it
+    // outright. (Null handling is the footer half of the proof, covered
+    // with real files in LakeSurfaceR14Spec — this data is null-free.)
+    var fired = 0
+    (0 until 80).foreach { i =>
+      val preds = conjGen.pureApply(Gen.Parameters.default, Seed(9000L + i))
+      val where = preds.mkString(" AND ")
+      val cond = spark.sessionState.sqlParser
+        .parsePlan(s"DELETE FROM t WHERE $where") match {
+          case DeleteFromTable(_, c) => c
+          case other => fail(s"unexpected parse: $other")
+        }
+      LakeSql.compileCover(cond, spec) match {
+        case None => () // residual/unsupported conjunct — rewrite path
+        case Some((cov, needCols)) =>
+          assert(needCols.nonEmpty, s"cover with no null-proof cols: $where")
+          val covFiles = manifest.filter(cov).select(col("fid"))
+            .collect().map(_.getInt(0)).toSet
+          val fullFiles = data.groupBy(col("fid"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(expr(where), 1).otherwise(0)).as("m"))
+            .filter(col("n") === col("m")).select(col("fid"))
+            .collect().map(_.getInt(0)).toSet
+          assert(covFiles.subsetOf(fullFiles),
+            s"cover OVER-included for: $where — files " +
+              s"${covFiles -- fullFiles} have surviving rows")
+          fired += covFiles.size
+      }
+    }
+    assert(fired > 0, "cover never selected a file in 80 cases — vacuous")
+  }
+
   test("64-bit keys never round-trip through double (2^53 + 1 is exact)") {
     val big = spark.range(2).select(
       (lit(9007199254740992L) + col("id")).as("x"), // 2^53, 2^53+1
