@@ -68,6 +68,20 @@ import graft.sinks.{Layout, Snapshots}
   *    box) instead of a full-table rewrite. Predicates that cannot prune by
   *    stats are rejected loudly — at 100 TB an unpruned DELETE is a
   *    full-table rewrite the caller must opt into via the DataFrame API.
+  *    A predicate that FULLY covers a file ([[compileCover]] + footer
+  *    null counts) drops it metadata-only — the retention-delete fast
+  *    path; `TBLPROPERTIES ('delete.mode'/'update.mode' = 'mor')` flip
+  *    DELETE/UPDATE to deletion-vector masking (zero-rewrite writes,
+  *    repaid by `REORG … APPLY (PURGE)`).
+  *  - Lifecycle/maintenance grammar (Delta-extension shapes, dispatched
+  *    on the statement head): OPTIMIZE [WHERE] [ZORDER BY] / VACUUM
+  *    [DRY RUN] / REORG APPLY (PURGE) / RESTORE / SHALLOW CLONE /
+  *    CONVERT TO LAKE / COPY INTO / TRUNCATE TABLE (metadata-only empty
+  *    commit; empty versions stay readable) / FSCK REPAIR TABLE
+  *    [DRY RUN] / DESCRIBE DETAIL / SHOW CREATE TABLE / SHOW TABLES /
+  *    SHOW TBLPROPERTIES. Statements that are ALSO valid Spark SQL
+  *    (TRUNCATE, SHOW CREATE TABLE) are claimed only for registered
+  *    lake names.
   *
   * Unregistered relations pass through untouched, so lake tables compose
   * with temp views and ordinary SQL in one statement.
