@@ -1977,6 +1977,52 @@ object SqlQueries {
         .withColumn("untouched_ok", lit(untouchedOk))
         .withColumn("count_ok", lit(countOk))
     }),
+
+    // DEEP CLONE (q217): the migration/backup statement — an independent
+    // PHYSICAL copy of one version, produced by an EXECUTOR-PARALLEL
+    // copy job (at 100 TB the byte copy is the whole cost; it must scale
+    // out, never serialize through the driver). Unlike the shallow fork
+    // (q188), the source can be DESTROYED afterwards and the clone
+    // serves unchanged — gated literally: the source data dir is deleted
+    // recursively and the clone is read after. The source carries a
+    // deletion-vector mask so the sidecar copy + manifest remap path is
+    // exercised, not just plain files.
+    "q217_sql_deep_clone" -> ((s, dir) => {
+      val root = tmp("q217")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val zcols = Seq("o_orderkey", "o_custkey")
+      Layout.zorderWrite(orders, zcols, s"$root/src/z", nFiles = 8)
+      Snapshots.commit(s,
+        Layout.buildManifest(s, s"$root/src/z", zcols), s"$root/src/m")
+      LakeSql.register("orders_lake217",
+        LakeTableSpec(s"$root/src/z", s"$root/src/m", zcols, nFiles = 8))
+      val mor = graft.sinks.Dv.deleteWhereMoR(s, s"$root/src/z",
+        s"$root/src/m", Seq(("o_custkey", 5.0, 20.0)))
+      require(mor.rowsDeleted > 0, "q217 MoR fixture vacuous")
+      // rep-safe: the clone destination must be virgin every run
+      LakeSql.unregister("orders_deep217")
+      val dstRoot = new org.apache.hadoop.fs.Path(s"$root/dst")
+      dstRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(dstRoot, true)
+      val m = s.sql("CREATE TABLE orders_deep217 DEEP CLONE " +
+        s"orders_lake217 LOCATION '$root/dst'").head()
+      val copyOk = m.getAs[Long]("files_copied") >= 9L && // 8 data + sidecar
+        m.getAs[Long]("bytes_copied") > 0L
+      require(copyOk, s"q217 copy metrics off: $m")
+      // destroy the source data dir ENTIRELY — the independence claim
+      val p = new org.apache.hadoop.fs.Path(s"$root/src/z")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val wantRows = orders.count() - mor.rowsDeleted
+      val aliveOk = s.sql("SELECT count(*) AS n FROM orders_deep217")
+        .head().getLong(0) == wantRows
+      require(aliveOk, "q217 clone died with its source")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice " +
+          "FROM orders_deep217")
+        .withColumn("copy_ok", lit(copyOk))
+        .withColumn("alive_ok", lit(aliveOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2345,6 +2391,14 @@ object SqlQueries {
         |       ELSE round(o_totalprice, 2) END AS o_totalprice,
         |  TRUE AS mor_ok, TRUE AS untouched_ok, TRUE AS count_ok
         |FROM orders""".stripMargin,
+    // q217: the clone read after the source's destruction — the MoR band
+    // stays masked (the copied sidecar must keep masking the copied
+    // files), everything else survives.
+    "q217_sql_deep_clone" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS copy_ok, TRUE AS alive_ok
+        |FROM orders
+        |WHERE o_custkey NOT BETWEEN 5 AND 20""".stripMargin,
     // q208: the manifest-served aggregates recomputed the slow way — the
     // oracle IS the proof the metadata fast path returns scan-exact values.
     "q208_sql_metadata_agg" ->

@@ -2382,4 +2382,94 @@ object Snapshots {
     commit(spark, manifestAt(spark, srcRoot, version), dstRoot,
       markers = markers :+ s"_clone_v$version")
   }
+
+  final case class DeepCloneResult(version: Int, filesCopied: Long,
+                                   bytesCopied: Long)
+
+  /** DEEP CLONE — an independent PHYSICAL copy of one version: every live
+    * data file and referenced DV sidecar is copied into the destination
+    * directory by an EXECUTOR-PARALLEL job, and the destination's v1
+    * references the copies. Unlike [[cloneCommit]] (the zero-copy fork)
+    * the result shares no storage with the source, so vacuuming, purging,
+    * or deleting the source can never invalidate it — the migration /
+    * backup statement. At 100 TB the byte copy IS the whole cost, which
+    * is why it runs as a Spark job over the file list (driver work stays
+    * file-count-bounded: listing, name mapping, the manifest remap) —
+    * never a driver-side byte loop. Executors resolve the filesystem
+    * from a default Hadoop configuration (sufficient for URI-qualified
+    * paths like the canonical `file:/…` manifest entries; a cluster
+    * deployment would broadcast the serialized session conf — same job
+    * shape). Column mapping is re-asserted like the shallow twin; stats
+    * carry over unchanged (a byte copy cannot move min/max). */
+  def deepCloneCommit(spark: SparkSession, srcRoot: String, dstPath: String,
+                      dstRoot: String, version: Int): DeepCloneResult = {
+    require(versions(spark, dstRoot).isEmpty,
+      s"clone destination $dstRoot already has commits")
+    val m = Dv.ensureDv(manifestAt(spark, srcRoot, version)).localCheckpoint()
+    val entries = Dv.entries(m)
+    require(entries.nonEmpty, "DEEP CLONE of an empty version")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstDir = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = dstDir.getFileSystem(conf)
+    fs.mkdirs(dstDir) : Unit
+    def base(p: String) = new org.apache.hadoop.fs.Path(p).getName
+    require(entries.map(e => base(e.file)).distinct.size == entries.size,
+      "DEEP CLONE source has colliding data-file names")
+    val dataPairs = entries.map(e => e.file ->
+      fs.makeQualified(new org.apache.hadoop.fs.Path(dstDir, base(e.file)))
+        .toString)
+    // data files: plain executor-parallel byte copy
+    val bytes = spark.sparkContext
+      .parallelize(dataPairs, math.max(1, math.min(dataPairs.size, 64)))
+      .map { case (s, d) =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        val sp = new org.apache.hadoop.fs.Path(s)
+        val dp = new org.apache.hadoop.fs.Path(d)
+        val dfs = dp.getFileSystem(c)
+        org.apache.hadoop.fs.FileUtil.copy(
+          sp.getFileSystem(c), sp, dfs, dp, false, true, c) : Unit
+        dfs.getFileStatus(dp).getLen
+      }
+      .fold(0L)(_ + _)
+    // sidecars canNOT be byte-copied: their rows key masks by the SOURCE
+    // file paths. Each referenced sidecar is REWRITTEN through the path
+    // remap (a small Spark job per sidecar, mask-size-bounded); rows for
+    // files outside this version's manifest drop (a shared sidecar may
+    // carry other versions' masks the clone never references)
+    val remap = spark.createDataFrame(dataPairs).toDF("_of", "_nf")
+    val dvDirs = entries.flatMap(_.dv).distinct
+    val dvDirMap = dvDirs.map { d =>
+      d -> fs.makeQualified(
+        new org.apache.hadoop.fs.Path(s"$dstPath/_dv/${base(d)}")).toString
+    }.toMap
+    val dvBytes = dvDirMap.toSeq.map { case (srcDv, dstDv) =>
+      spark.read.parquet(srcDv)
+        .join(org.apache.spark.sql.functions.broadcast(remap),
+          col(Dv.FileCol) === col("_of"))
+        .select(col("_nf").as(Dv.FileCol), col(Dv.PosCol))
+        .coalesce(1).write.mode("overwrite").parquet(dstDv)
+      val dp = new org.apache.hadoop.fs.Path(dstDv)
+      dp.getFileSystem(conf).getContentSummary(dp).getLength
+    }.sum
+    // manifest remap through broadcast joins (file-count-bounded frames);
+    // stats columns ride along untouched
+    val fdf = spark.createDataFrame(dataPairs).toDF("file", "_nf")
+    val remappedFile = m
+      .join(org.apache.spark.sql.functions.broadcast(fdf), Seq("file"))
+      .withColumn("file", col("_nf")).drop("_nf")
+    val next =
+      if (dvDirMap.isEmpty) remappedFile
+      else {
+        val ddf = spark.createDataFrame(dvDirMap.toSeq).toDF("dv", "_nd")
+        remappedFile
+          .join(org.apache.spark.sql.functions.broadcast(ddf), Seq("dv"),
+            "left")
+          .withColumn("dv", coalesce(col("_nd"), col("dv"))).drop("_nd")
+      }
+    val markers = columnMapping(spark, srcRoot, version).map(cmapMarker).toSeq
+    val v = commit(spark, next, dstRoot,
+      markers = markers :+ s"_deepclone_v$version")
+    DeepCloneResult(v, (dataPairs.size + dvDirMap.size).toLong,
+      bytes + dvBytes)
+  }
 }

@@ -154,6 +154,11 @@ object LakeSql {
     """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s+SHALLOW\s+CLONE\s+([A-Za-z0-9_]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
+  //   CREATE TABLE <dst> DEEP CLONE <src> [VERSION AS OF n] LOCATION '…'
+  //     → independent PHYSICAL copy (executor-parallel file copy job);
+  //       unlike the shallow fork, vacuuming the source never touches it
+  private val DeepCloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s+DEEP\s+CLONE\s+([A-Za-z0-9_]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
   //   OPTIMIZE <t> ZORDER BY (c1, c2)  → full re-layout RE-CLUSTERED on
   //     the named columns (manifest keeps stats for ALL the table's stats
   //     columns — clustering changes how tight they are, never soundness)
@@ -262,6 +267,9 @@ object LakeSql {
         Some(longSchema(Seq("version", "restored_to")))
       case CloneRe(_, _, _, _) =>
         Some(longSchema(Seq("version", "cloned_from")))
+      case DeepCloneRe(_, _, _, _) =>
+        Some(longSchema(Seq("version", "cloned_from", "files_copied",
+          "bytes_copied")))
       case InsertReplaceRe(_, _, _) =>
         Some(longSchema(Seq("version", "files_rewritten", "files_total",
           "rows_deleted", "files_appended", "files_dropped")))
@@ -480,6 +488,27 @@ object LakeSql {
         srcSpec.cols, srcSpec.nFiles))
       metricsRow(spark, Seq("version" -> v.toLong,
         "cloned_from" -> version.toLong))
+    // DEEP CLONE: same naming/registration contract as SHALLOW, but the
+    // destination owns PHYSICAL copies (executor-parallel copy job) —
+    // source vacuum/purge/delete can never invalidate it
+    case DeepCloneRe(dst, src, ver, loc) =>
+      val dstName = dst.toLowerCase(java.util.Locale.ROOT)
+      val srcSpec = specByName(src)
+      require(!registry.contains(dstName),
+        s"lake table '$dstName' already exists")
+      val version =
+        if (ver == null) Snapshots.latestVersion(spark, srcSpec.manifestRoot)
+        else ver.toInt
+      val root = Option(loc).orElse(warehouse.get().map(w => s"$w/$dstName"))
+        .getOrElse(throw new IllegalArgumentException(
+          "DEEP CLONE needs a LOCATION clause or LakeSql.setWarehouse"))
+      val r = Snapshots.deepCloneCommit(spark, srcSpec.manifestRoot,
+        s"$root/z", s"$root/m", version)
+      register(dstName, LakeTableSpec(s"$root/z", s"$root/m",
+        srcSpec.cols, srcSpec.nFiles))
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "cloned_from" -> version.toLong,
+        "files_copied" -> r.filesCopied, "bytes_copied" -> r.bytesCopied))
     // INSERT INTO … REPLACE WHERE: scoped ATOMIC overwrite — one commit
     // deletes exactly the predicate's rows and lands the batch; a reader
     // sees the old slice or the new, never the gap a DELETE;INSERT pair

@@ -900,6 +900,35 @@ class LakeSurfaceR14Spec extends SparkSpec {
       .head().getLong(0) == base + expect * 10000L + n150)
   }
 
+  test("DEEP CLONE owns physical copies; destroying the source can't break it") {
+    val (dir, _) = freshLake("t_deep_src")
+    // a DV on the source exercises the sidecar-copy + remap path
+    graft.sinks.Dv.deleteWhereMoR(spark, s"$dir/z", s"$dir/m",
+      Seq(("id", 0.0, 999.0)))
+    val sumSrc = LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_deep_src")
+      .head().getLong(0)
+    val dst = tmpDir("laker14")
+    val m = spark.sql("CREATE TABLE t_deep_dst DEEP CLONE t_deep_src " +
+      s"LOCATION '$dst'").head()
+    assert(m.getAs[Long]("files_copied") >= 17L, s"deep: $m") // 16 + sidecar
+    assert(m.getAs[Long]("bytes_copied") > 0L, s"deep: $m")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_deep_dst")
+      .head().getLong(0) == 9000L)
+    assert(LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_deep_dst")
+      .head().getLong(0) == sumSrc)
+    // independence: DESTROY the whole source data dir — the clone (data
+    // AND its copied deletion vector) serves unchanged
+    val p = new org.apache.hadoop.fs.Path(s"$dir/z")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    assert(LakeSql.sql(spark, "SELECT sum(y) AS s FROM t_deep_dst")
+      .head().getLong(0) == sumSrc)
+    // and it evolves independently from v1
+    val d = spark.sql("DELETE FROM t_deep_dst WHERE id >= 9000").head()
+    assert(d.getAs[Long]("rows_deleted") == 1000L, s"deep dml: $d")
+    assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_deep_dst")
+      .head().getLong(0) == 8000L)
+  }
+
   test("DESCRIBE DETAIL recomputes from manifest + file status, typed") {
     val (dir, _) = freshLake("t_desc")
     LakeSql.sql(spark, "DELETE FROM t_desc WHERE id <= 1000")
