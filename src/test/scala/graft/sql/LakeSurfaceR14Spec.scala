@@ -6,8 +6,13 @@ import graft.sinks.{Layout, Snapshots}
 import graft.sql.LakeSql.LakeTableSpec
 
 /** Round-14 SQL-surface additions: REPLACE WHERE (scoped atomic overwrite),
-  * persisted CHECK constraints, OPTIMIZE … ZORDER BY re-clustering, and
-  * CONVERT TO LAKE in-place adoption. */
+  * persisted CHECK constraints, OPTIMIZE … ZORDER BY re-clustering, CONVERT
+  * TO LAKE in-place adoption, COPY INTO idempotent ingest, DML subquery
+  * predicates, NOT-MATCHED-BY-SOURCE merges, scoped OPTIMIZE WHERE, VACUUM
+  * DRY RUN, DESCRIBE DETAIL, TBLPROPERTIES + auto-compact, REORG APPLY
+  * (PURGE), whole-file metadata-only DELETE drops (+ REPLACE WHERE /
+  * TRUNCATE), FSCK REPAIR, SHOW CREATE TABLE, MoR delete/update modes, and
+  * DEEP CLONE. */
 class LakeSurfaceR14Spec extends SparkSpec {
 
   private def data = spark.range(10000)
