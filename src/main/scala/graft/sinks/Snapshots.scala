@@ -2395,12 +2395,13 @@ object Snapshots {
     * backup statement. At 100 TB the byte copy IS the whole cost, which
     * is why it runs as a Spark job over the file list (driver work stays
     * file-count-bounded: listing, name mapping, the manifest remap) —
-    * never a driver-side byte loop. Executors resolve the filesystem
-    * from a default Hadoop configuration (sufficient for URI-qualified
-    * paths like the canonical `file:/…` manifest entries; a cluster
-    * deployment would broadcast the serialized session conf — same job
-    * shape). Column mapping is re-asserted like the shallow twin; stats
-    * carry over unchanged (a byte copy cannot move min/max). */
+    * never a driver-side byte loop. Executors resolve filesystems from a
+    * BROADCAST of the session's Hadoop configuration
+    * ([[org.apache.spark.util.SerializableConfiguration]]), so schemes
+    * that need session config (s3a credentials, custom FS impls) resolve
+    * the same FS on executors as on the driver. Column mapping is
+    * re-asserted like the shallow twin; stats carry over unchanged (a
+    * byte copy cannot move min/max). */
   def deepCloneCommit(spark: SparkSession, srcRoot: String, dstPath: String,
                       dstRoot: String, version: Int): DeepCloneResult = {
     require(versions(spark, dstRoot).isEmpty,
@@ -2418,11 +2419,15 @@ object Snapshots {
     val dataPairs = entries.map(e => e.file ->
       fs.makeQualified(new org.apache.hadoop.fs.Path(dstDir, base(e.file)))
         .toString)
-    // data files: plain executor-parallel byte copy
+    // data files: plain executor-parallel byte copy; the session conf
+    // rides along as a broadcast so executor-side FS resolution matches
+    // the driver's (credentials, custom schemes)
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
     val bytes = spark.sparkContext
       .parallelize(dataPairs, math.max(1, math.min(dataPairs.size, 64)))
       .map { case (s, d) =>
-        val c = new org.apache.hadoop.conf.Configuration()
+        val c = bcConf.value.value
         val sp = new org.apache.hadoop.fs.Path(s)
         val dp = new org.apache.hadoop.fs.Path(d)
         val dfs = dp.getFileSystem(c)

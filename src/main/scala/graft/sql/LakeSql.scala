@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expressi
 import org.apache.spark.sql.functions.{col, lit, max, min, substring}
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, NullType, NumericType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sinks.{Layout, Snapshots}
@@ -353,7 +353,11 @@ object LakeSql {
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "files_purged" -> r.filesPurged, "files_total" -> r.filesTotal,
         "files_written" -> r.dataFilesWritten))
-    case TruncateRe(name) =>
+    // TRUNCATE / SHOW CREATE are claimed only for REGISTERED lake names
+    // (same guard as extendedStatement) — a catalog table's statement
+    // falls through to Spark's own parser untouched
+    case TruncateRe(name)
+        if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
       val spec = specByName(name)
       val r = Snapshots.truncateCommit(spark, spec.manifestRoot)
       metricsRow(spark, Seq("version" -> r.version.toLong,
@@ -368,7 +372,8 @@ object LakeSql {
       } else metricsRow(spark, Seq("version" -> r.version.toLong,
         "files_missing" -> r.filesMissing, "files_total" -> r.filesTotal,
         "rows_lost" -> r.rowsLost))
-    case ShowCreateRe(name) =>
+    case ShowCreateRe(name)
+        if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
       val spec = specByName(name)
       val lname = name.toLowerCase(java.util.Locale.ROOT)
       // LOGICAL schema (column mapping applied): what a new consumer
@@ -526,7 +531,7 @@ object LakeSql {
         spark.sessionState.sqlParser.parsePlan(queryText))
       val r = Snapshots.replaceWhereCommit(spark, batch, spec.cols,
         spec.path, spec.manifestRoot, spec.nFiles, prune, pred,
-        compileCover(cond, spec, mapping))
+        compileCover(cond, spec, mapping, Some(spark)))
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "files_rewritten" -> r.filesRewritten,
         "files_total" -> r.filesTotal,
@@ -574,7 +579,13 @@ object LakeSql {
           !st.getPath.getName.startsWith("."))
         .map(st => (st.getPath.toString,
           java.security.MessageDigest.getInstance("MD5")
-            .digest(s"${st.getPath.getName}:${st.getLen}"
+            // key = full qualified path : size : mtime — the Databricks
+            // COPY INTO contract. Base name alone would silently skip a
+            // NEW file that shares name+size with any previously loaded
+            // one (fixed-name daily exports from another directory);
+            // mtime makes an in-place rewrite load again, as it should.
+            .digest((s"${st.getPath.toString}:${st.getLen}:" +
+                st.getModificationTime)
               .getBytes("UTF-8")).map("%02x".format(_)).mkString))
       val mapping = headMapping(spark, spec)
       val logicalSchema = Snapshots.mappedTableAt(spark, spec.manifestRoot,
@@ -954,7 +965,7 @@ object LakeSql {
     val (_, spec) = lookup(target).get
     val mapping = headMapping(spark, spec)
     val (prune, pred) = compileWhere(condition, spec, mapping, Some(spark))
-    val cover = compileCover(condition, spec, mapping)
+    val cover = compileCover(condition, spec, mapping, Some(spark))
     val mor = Snapshots.tableProperties(spark, spec.manifestRoot,
       Snapshots.latestVersion(spark, spec.manifestRoot))
       .get("delete.mode").exists(_.equalsIgnoreCase("mor"))
@@ -1450,8 +1461,12 @@ object LakeSql {
       }
       case None => cond
     }
+    // native stats types (when a session is available): cross-type
+    // literal conjuncts whose coercion is not stats-monotone are refused
+    // a prune term — they ride as row residual or reject loudly below
+    val natTypes = subEval.map(s => statsNativeTypes(s, spec))
     val prunes = splitAnd(folded).flatMap(c =>
-      pruneOf(c, spec, mapping, subEval))
+      pruneOf(c, spec, mapping, subEval, natTypes))
     require(prunes.nonEmpty,
       "DML WHERE has no conjunct the manifest stats can prune (need " +
         "<stats col> {=,<,<=,>,>=} <literal>, IN (literals or subquery), " +
@@ -1482,6 +1497,57 @@ object LakeSql {
     case other => Seq(other)
   }
 
+  /** Native type of each stats column, from the HEAD manifest's `min_`
+    * field schema — a footer-only, file-count-bounded metadata read. */
+  private def statsNativeTypes(spark: SparkSession,
+                               spec: LakeTableSpec): Map[String, DataType] =
+    Snapshots.manifestAt(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot)).schema.fields
+      .iterator.filter(_.name.startsWith("min_"))
+      .map(f => f.name.stripPrefix("min_") -> f.dataType).toMap
+
+  /** Soundness gate for a stats-box comparison against a literal of type
+    * `lt`: Spark coerces cross-type comparisons, and a cast applied to
+    * the STATS side is sound only when it is (weakly) MONOTONE w.r.t. the
+    * native order the min_/max_ stats were computed in. String stats
+    * compared to a numeric literal coerce the LEXICAL min/max to doubles
+    * — not monotone ("99" is a lexical max but not a numeric one) — so an
+    * unchecked cover drops files that still hold surviving rows (silent
+    * data loss) and an unchecked prune skips files that need a rewrite
+    * (silent missed deletes). Allowed: identical types; numeric↔numeric
+    * (common-type widening is weakly monotone, incl. long→double
+    * rounding); datetime↔datetime; numeric-or-datetime stats vs STRING
+    * literal (the coercion casts the LITERAL side — string vs numeric
+    * compares both as double, but numeric→double stays monotone; string
+    * vs date/timestamp casts the string); null literal (matches nothing
+    * on either side). `types = None` means the caller vouches (the
+    * unit-test back door — every DML front door passes the manifest
+    * schema); an UNKNOWN column under `Some` rejects. */
+  private def statLitOk(types: Option[Map[String, DataType]],
+                        c: String, lt: DataType): Boolean = types match {
+    case None => true
+    case Some(m) => m.get(c).exists { st =>
+      (st, lt) match {
+        case (a, b) if a == b => true
+        case (_, NullType) => true
+        case (_: NumericType, _: NumericType) => true
+        case (_: NumericType, StringType) => true
+        case (DateType | TimestampType | TimestampNTZType,
+              DateType | TimestampType | TimestampNTZType) => true
+        case (DateType | TimestampType | TimestampNTZType, StringType) =>
+          true
+        case _ => false
+      }
+    }
+  }
+
+  /** LIKE prunes/covers reason over the LEXICAL order of the stats, so
+    * the stored stats must BE strings — LIKE over a numeric column casts
+    * the column to string, and numeric→string is not monotone. */
+  private def likeStatsOk(types: Option[Map[String, DataType]],
+                          c: String): Boolean =
+    types.forall(_.get(c).contains(StringType))
+
   /** The manifest-prune contribution of one conjunct, or None when it can
     * only serve as row residual. Literals stay in their parsed Catalyst
     * type ([[PlanExec.column]]), so the stats comparison coerces by
@@ -1489,68 +1555,86 @@ object LakeSql {
     * in its [min,max] can satisfy the comparison. */
   private def pruneOf(e: Expression, spec: LakeTableSpec,
                       mapping: Option[Map[String, String]],
-                      subEval: Option[SparkSession] = None): Option[Column] = {
+                      subEval: Option[SparkSession] = None,
+                      types: Option[Map[String, DataType]] = None)
+      : Option[Column] = {
     // physical stats-column name, or None when the conjunct's column has
-    // no manifest stats (residual-only)
-    def stats(a: UnresolvedAttribute): Option[String] = {
+    // no manifest stats OR the literal's coercion is not stats-monotone
+    // ([[statLitOk]]) — either way the conjunct is residual-only
+    def stats(a: UnresolvedAttribute, lt: DataType): Option[String] = {
       val phys = physicalName(a.nameParts.last, mapping, "predicate column")
-      if (spec.cols.contains(phys)) Some(phys) else None
+      if (spec.cols.contains(phys) && statLitOk(types, phys, lt)) Some(phys)
+      else None
     }
     def l(v: Literal): Column = PlanExec.column(v)
     e match {
       case EqualTo(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v))
+        stats(a, v.dataType)
+          .map(c => col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v))
       case EqualTo(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v))
+        stats(a, v.dataType)
+          .map(c => col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v))
       case LessThan(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => col(s"min_$c") < l(v))
+        stats(a, v.dataType).map(c => col(s"min_$c") < l(v))
       case GreaterThan(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => col(s"min_$c") < l(v))
+        stats(a, v.dataType).map(c => col(s"min_$c") < l(v))
       case LessThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => col(s"min_$c") <= l(v))
+        stats(a, v.dataType).map(c => col(s"min_$c") <= l(v))
       case GreaterThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => col(s"min_$c") <= l(v))
+        stats(a, v.dataType).map(c => col(s"min_$c") <= l(v))
       case GreaterThan(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => col(s"max_$c") > l(v))
+        stats(a, v.dataType).map(c => col(s"max_$c") > l(v))
       case LessThan(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => col(s"max_$c") > l(v))
+        stats(a, v.dataType).map(c => col(s"max_$c") > l(v))
       case GreaterThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => col(s"max_$c") >= l(v))
+        stats(a, v.dataType).map(c => col(s"max_$c") >= l(v))
       case LessThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => col(s"max_$c") >= l(v))
+        stats(a, v.dataType).map(c => col(s"max_$c") >= l(v))
       case In(a: UnresolvedAttribute, vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) &&
+            vs.forall { case v: Literal =>
+              stats(a, v.dataType).isDefined } =>
         // per-value point intersects, OR'd: a file survives if ANY listed
         // value falls inside its stats box (null list entries contribute
         // null terms, which match no file on their own — sound, since a
-        // null never matches a row either)
-        stats(a).map(c => vs.map { case v: Literal =>
-          col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v)
-        }.reduce(_ || _))
+        // null never matches a row either). EVERY listed value must pass
+        // the type gate — one lexically-unsound term poisons the OR.
+        stats(a, vs.head.asInstanceOf[Literal].dataType)
+          .map(c => vs.map { case v: Literal =>
+            col(s"min_$c") <= l(v) && col(s"max_$c") >= l(v)
+          }.reduce(_ || _))
       case Like(a: UnresolvedAttribute, Literal(p: UTF8String, StringType), _)
           if isPrefixPattern(p.toString) =>
         // 'p%' — lexical prefix range: every match s has s >= p, and
-        // prefix-truncation is monotone, so substring(min, |p|) <= p
+        // prefix-truncation is monotone, so substring(min, |p|) <= p.
+        // Sound only over NATIVE string stats ([[likeStatsOk]]).
         val prefix = p.toString.dropRight(1)
-        stats(a).map(c => col(s"max_$c") >= lit(prefix) &&
-          substring(col(s"min_$c"), 1, prefix.length) <= lit(prefix))
+        stats(a, StringType).filter(c => likeStatsOk(types, c))
+          .map(c => col(s"max_$c") >= lit(prefix) &&
+            substring(col(s"min_$c"), 1, prefix.length) <= lit(prefix))
       case InSubquery(Seq(a: UnresolvedAttribute), q: ListQuery) =>
         // interval prune: any row matching the IN lives inside the
         // subquery's [min, max], so a file whose stats box misses that
         // interval is provably untouched. ONE 2-scalar agg over the
         // subquery — the key list itself never reaches the driver; the
         // row side keeps the subquery (Catalyst semi-join rewrite).
-        (stats(a), subEval) match {
-          case (Some(c), Some(s)) =>
+        subEval match {
+          case Some(s) =>
             val sub = PlanExec.ofRows(s, resolveReads(s, q.plan))
             require(sub.columns.length == 1,
               s"IN subquery must return ONE column, got " +
                 sub.columns.mkString(", "))
+            // the interval bounds become literals of the SUBQUERY
+            // column's type — same monotone-coercion gate as a literal
+            stats(a, sub.schema.fields(0).dataType) match {
+              case None => None
+              case Some(c) =>
             val mm = sub.agg(min(col(sub.columns(0))).as("lo"),
               max(col(sub.columns(0))).as("hi")).head()
-            if (mm.isNullAt(0)) Some(lit(false)) // empty list matches nothing
-            else Some(col(s"min_$c") <= lit(mm.get(1)) &&
-              col(s"max_$c") >= lit(mm.get(0)))
+                if (mm.isNullAt(0)) Some(lit(false)) // empty list: no match
+                else Some(col(s"min_$c") <= lit(mm.get(1)) &&
+                  col(s"max_$c") >= lit(mm.get(0)))
+            }
           case _ => None
         }
       case _ => None
@@ -1577,14 +1661,16 @@ object LakeSql {
     * different value. Pure optimization by contract: `pred` still decides
     * which rows die; a None here only costs a rewrite, never correctness. */
   private[graft] def compileCover(cond: Expression, spec: LakeTableSpec,
-                                  mapping: Option[Map[String, String]] = None)
+                                  mapping: Option[Map[String, String]] = None,
+                                  typeEval: Option[SparkSession] = None)
       : Option[(Column, Seq[String])] = {
     val hasSubquery = cond.exists {
       case _: ScalarSubquery | _: ListQuery | _: Exists => true
       case _ => false
     }
     if (hasSubquery) return None
-    val parts = splitAnd(cond).map(c => coverOf(c, spec, mapping))
+    val natTypes = typeEval.map(s => statsNativeTypes(s, spec))
+    val parts = splitAnd(cond).map(c => coverOf(c, spec, mapping, natTypes))
     if (parts.exists(_.isEmpty)) None
     else {
       val cs = parts.flatten
@@ -1598,52 +1684,65 @@ object LakeSql {
     * asks "does EVERY value in [min,max] match" (under-selects files to
     * drop) — both lean on the same monotone-coercion contract. */
   private def coverOf(e: Expression, spec: LakeTableSpec,
-                      mapping: Option[Map[String, String]])
+                      mapping: Option[Map[String, String]],
+                      types: Option[Map[String, DataType]] = None)
       : Option[(Column, Seq[String])] = {
-    def stats(a: UnresolvedAttribute): Option[String] = {
+    // stats-column name, gated by the same monotone-coercion contract as
+    // [[pruneOf]] — here an unsound cast DROPS files with surviving rows
+    // (the ADVICE r14 silent-data-loss shape: string stats {"99","300"},
+    // cover max_s < 200 casts lexical-max "99" → 99 < 200, file dropped,
+    // row "300" dies though 300 < 200 is false), so a gate failure must
+    // fall back to the rewrite path, never cover.
+    def stats(a: UnresolvedAttribute, lt: DataType): Option[String] = {
       val phys = physicalName(a.nameParts.last, mapping, "predicate column")
-      if (spec.cols.contains(phys)) Some(phys) else None
+      if (spec.cols.contains(phys) && statLitOk(types, phys, lt)) Some(phys)
+      else None
     }
     def l(v: Literal): Column = PlanExec.column(v)
     def mk(c: String, cov: Column) = (cov, Seq(c))
     e match {
       case EqualTo(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => mk(c,
+        stats(a, v.dataType).map(c => mk(c,
           col(s"min_$c") === l(v) && col(s"max_$c") === l(v)))
       case EqualTo(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => mk(c,
+        stats(a, v.dataType).map(c => mk(c,
           col(s"min_$c") === l(v) && col(s"max_$c") === l(v)))
       case LessThan(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => mk(c, col(s"max_$c") < l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"max_$c") < l(v)))
       case GreaterThan(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => mk(c, col(s"max_$c") < l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"max_$c") < l(v)))
       case LessThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => mk(c, col(s"max_$c") <= l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"max_$c") <= l(v)))
       case GreaterThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => mk(c, col(s"max_$c") <= l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"max_$c") <= l(v)))
       case GreaterThan(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => mk(c, col(s"min_$c") > l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"min_$c") > l(v)))
       case LessThan(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => mk(c, col(s"min_$c") > l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"min_$c") > l(v)))
       case GreaterThanOrEqual(a: UnresolvedAttribute, v: Literal) =>
-        stats(a).map(c => mk(c, col(s"min_$c") >= l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"min_$c") >= l(v)))
       case LessThanOrEqual(v: Literal, a: UnresolvedAttribute) =>
-        stats(a).map(c => mk(c, col(s"min_$c") >= l(v)))
+        stats(a, v.dataType).map(c => mk(c, col(s"min_$c") >= l(v)))
       case In(a: UnresolvedAttribute, vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) &&
+            vs.forall { case v: Literal =>
+              stats(a, v.dataType).isDefined } =>
         // single-valued file whose one value is listed — conservative,
         // but exactly the shape a category-partitioned layout produces
-        stats(a).map(c => mk(c, col(s"min_$c") === col(s"max_$c") &&
-          col(s"min_$c").isin(vs.map { case v: Literal =>
-            PlanExec.column(v) }: _*)))
+        stats(a, vs.head.asInstanceOf[Literal].dataType)
+          .map(c => mk(c, col(s"min_$c") === col(s"max_$c") &&
+            col(s"min_$c").isin(vs.map { case v: Literal =>
+              PlanExec.column(v) }: _*)))
       case Like(a: UnresolvedAttribute, Literal(p: UTF8String, StringType), _)
           if isPrefixPattern(p.toString) =>
         // both bounds carry the prefix ⇒ every string between them does
-        // (the first |p| chars are pinned by the lexical order)
+        // (the first |p| chars are pinned by the lexical order) — native
+        // string stats only ([[likeStatsOk]])
         val prefix = p.toString.dropRight(1)
-        stats(a).map(c => mk(c,
-          substring(col(s"min_$c"), 1, prefix.length) === lit(prefix) &&
-            substring(col(s"max_$c"), 1, prefix.length) === lit(prefix)))
+        stats(a, StringType).filter(c => likeStatsOk(types, c))
+          .map(c => mk(c,
+            substring(col(s"min_$c"), 1, prefix.length) === lit(prefix) &&
+              substring(col(s"max_$c"), 1, prefix.length) === lit(prefix)))
       case _ => None
     }
   }
