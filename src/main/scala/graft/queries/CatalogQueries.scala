@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.sql.LakeSql
+
+/** Round-15 SQL-catalog surface: the DSv2 [[graft.sql.LakeCatalog]] —
+  * namespaced `catalog.schema.table` addressing through Spark's own
+  * catalog plumbing (the shape every warehouse consumer of the reference
+  * uses, reference `README.md:23-27`), plain `CREATE TABLE` of empty
+  * declared-schema tables, DML against namespaced targets, and
+  * `spark.readStream.table` — the row-native streaming read over the
+  * version log.
+  *
+  * Every query drives the surface through PLAIN `spark.sql` /
+  * `readStream.table` — no front-door wrapper — and emits rows the
+  * DuckDB oracle recomputes from the raw tables.
+  */
+object CatalogQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmp(name: String): String = QueryTmp.dir(name)
+
+  /** One catalog per JVM (catalog plugins initialize once per session):
+    * registered lazily via runtime conf, warehouse under a reaped tmp
+    * dir. Returns the catalog name. */
+  private def catalog(s: SparkSession): String = {
+    val key = "spark.sql.catalog.lakecat"
+    if (s.conf.getOption(key).isEmpty) {
+      s.conf.set(key, "graft.sql.LakeCatalog")
+      s.conf.set(s"$key.warehouse", QueryTmp.dir("lakecat_wh"))
+    }
+    "lakecat"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // NAMESPACED CREATE TABLE + INSERT + DML + time travel, all through
+    // plain spark.sql (round-15 verdict lead item). Gates: the table is
+    // EMPTY at birth with the declared schema; INSERT is schema-on-write;
+    // DELETE against the three-part name commits through the same typed
+    // predicate compiler as the front door; VERSION AS OF through the
+    // catalog pins the pre-delete snapshot; SHOW CREATE TABLE output is
+    // VALID DDL (parses back through the front door). Emits the final
+    // table — band minus the deleted sub-band — plus gate columns.
+    "q218_sql_catalog_table" -> ((s, dir) => {
+      val cat = catalog(s)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gold.ord218")
+      s.sql(s"""CREATE TABLE $cat.gold.ord218
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        USING lake
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey,o_custkey',
+                       'files' = '8')""")
+      val bornEmpty = {
+        val e = s.sql(s"SELECT * FROM $cat.gold.ord218")
+        e.columns.toSeq ==
+          Seq("o_orderkey", "o_custkey", "o_totalprice") && e.count() == 0
+      }
+      require(bornEmpty, "q218 CREATE TABLE did not yield an empty " +
+        "declared-schema table")
+      t(s, dir, "orders").createOrReplaceTempView("orders_src218")
+      s.sql(s"""INSERT INTO $cat.gold.ord218
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_src218 WHERE o_custkey BETWEEN 20 AND 130""")
+      val vAfterInsert = graft.sinks.Snapshots.latestVersion(s,
+        s.sql(s"SHOW TBLPROPERTIES $cat.gold.ord218").collect()
+          .find(_.getString(0) == "manifest_dir").get.getString(1))
+      val del = s.sql(
+        s"DELETE FROM $cat.gold.ord218 WHERE o_custkey BETWEEN 55 AND 95")
+        .head()
+      require(del.getAs[Long]("rows_deleted") > 0, "q218 delete vacuous")
+      // time travel through the catalog: the pre-delete version holds the
+      // full band
+      val full = s.sql(s"SELECT count(*) AS n FROM $cat.gold.ord218 " +
+        s"VERSION AS OF $vAfterInsert").head().getLong(0)
+      val now = s.sql(s"SELECT count(*) AS n FROM $cat.gold.ord218")
+        .head().getLong(0)
+      val travelOk = full == now + del.getAs[Long]("rows_deleted")
+      require(travelOk, "q218 time travel lost rows")
+      // the printed DDL round-trips through the front door (fresh name,
+      // fresh location — schema and stats domain survive the trip)
+      val stmt = s.sql(s"SHOW CREATE TABLE $cat.gold.ord218")
+        .head().getString(0)
+      val rt = tmp("q218rt")
+      LakeSql.unregister("ord218_rt")
+      val stmt2 = stmt.replace("gold.ord218", "ord218_rt")
+        .replaceAll("'[^']*/z'", s"'$rt/z'")
+        .replaceAll("'[^']*/m'", s"'$rt/m'")
+      val created = LakeSql.sql(s, stmt2).head().getAs[Long]("version") == 1L
+      val rtOk = created && {
+        val e = LakeSql.sql(s, "SELECT * FROM ord218_rt")
+        e.columns.toSeq ==
+          Seq("o_orderkey", "o_custkey", "o_totalprice") && e.count() == 0
+      }
+      require(rtOk, "q218 SHOW CREATE output did not round-trip")
+      LakeSql.unregister("ord218_rt")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice " +
+          s"FROM $cat.gold.ord218")
+        .withColumn("born_empty_ok", lit(bornEmpty))
+        .withColumn("travel_ok", lit(travelOk))
+        .withColumn("roundtrip_ok", lit(rtOk))
+    }),
+
+    // ROW-NATIVE readStream.table over a namespaced lake table (round-15
+    // verdict item 2, upgraded past the q144 file bridge: the stream
+    // emits the table's ROWS, the Delta streaming UX). Offsets are
+    // version numbers; each micro-batch reads exactly the files its
+    // commits appended — one input partition per file, per-trigger cost
+    // bounded by the new data, never the history. Gates: the first run
+    // lands exactly the three committed slices; a CHECKPOINTED RESTART
+    // after one more commit emits ONLY the new slice (exactly-once);
+    // final content equals the union. Emits the streamed table.
+    "q219_stream_table_rows" -> ((s, dir) => {
+      val cat = catalog(s)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gold.ev219")
+      s.sql(s"""CREATE TABLE $cat.gold.ev219
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        USING lake
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey', 'files' = '2')""")
+      t(s, dir, "orders").createOrReplaceTempView("orders_src219")
+      def slice(lo: Int, hi: Int): Unit = {
+        s.sql(s"""INSERT INTO $cat.gold.ev219
+          SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+          FROM orders_src219 WHERE o_custkey BETWEEN $lo AND $hi""") : Unit
+      }
+      slice(20, 50); slice(51, 80); slice(81, 110)
+      val ckpt = tmp("q219ckpt")
+      val out = tmp("q219out")
+      def runOnce(): Unit = {
+        val q = s.readStream.table(s"$cat.gold.ev219")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000); ()
+      }
+      runOnce()
+      val firstRows = s.read.parquet(out).count()
+      val want3 = s.sql(s"SELECT count(*) AS n FROM $cat.gold.ev219")
+        .head().getLong(0)
+      require(firstRows == want3,
+        s"q219 first pass streamed $firstRows of $want3 rows")
+      // one more commit while the stream is down; the restart reads ONLY
+      // the unstreamed commit (offset = checkpointed version)
+      slice(111, 130)
+      runOnce()
+      val allRows = s.read.parquet(out).count()
+      val want4 = s.sql(s"SELECT count(*) AS n FROM $cat.gold.ev219")
+        .head().getLong(0)
+      val exactlyOnce = allRows == want4 && allRows > firstRows
+      require(exactlyOnce,
+        s"q219 restart emitted $allRows (want $want4, had $firstRows)")
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("exactly_once_ok", lit(exactlyOnce))
+    }),
+    // IDENTITY + NOT NULL (round-15 verdict item 3): the gold star
+    // schema's surrogate-key dim (reference `run_load.py:113-124`) built
+    // PURELY by INSERTs into a `GENERATED ALWAYS AS IDENTITY` column.
+    // Assignment is the deterministic partition-offset prefix sum
+    // (rank under a range-partitioned sort on the batch's columns), so
+    // the oracle recomputes the EXACT ids with row_number() — never
+    // monotonically_increasing_id's scheduling-dependent values. Gates:
+    // two batches continue the high-water mark across commits; an
+    // explicit id is rejected (GENERATED ALWAYS); a NULL name is
+    // rejected BEFORE staging (NOT NULL), leaving the table unchanged.
+    "q220_sql_identity_dim" -> ((s, dir) => {
+      val root = tmp("q220")
+      LakeSql.unregister("cust_dim220")
+      s.sql(s"""CREATE TABLE cust_dim220 (
+        ck BIGINT GENERATED ALWAYS AS IDENTITY,
+        c_custkey BIGINT NOT NULL, c_name STRING)
+        USING lake LOCATION '$root'
+        TBLPROPERTIES ('stats_cols' = 'ck,c_custkey', 'files' = '4')""")
+      t(s, dir, "customer").createOrReplaceTempView("cust_src220")
+      s.sql("""INSERT INTO cust_dim220
+        SELECT c_custkey, c_name FROM cust_src220 WHERE c_custkey <= 500""")
+      s.sql("""INSERT INTO cust_dim220
+        SELECT c_custkey, c_name FROM cust_src220
+        WHERE c_custkey > 500 AND c_custkey <= 1000""")
+      val explicitRejected =
+        try { s.sql("INSERT INTO cust_dim220 VALUES (1, 2, 'x')")
+          false } catch { case _: Exception => true }
+      val before = s.sql("SELECT count(*) AS n FROM cust_dim220")
+        .head().getLong(0)
+      val nullRejected =
+        try { s.sql(
+          "INSERT INTO cust_dim220 SELECT CAST(NULL AS BIGINT), 'x'")
+          false } catch { case _: Exception => true }
+      val unchanged = s.sql("SELECT count(*) AS n FROM cust_dim220")
+        .head().getLong(0) == before
+      require(explicitRejected && nullRejected && unchanged,
+        "q220 contract gates failed")
+      // ids are dense 1..n with batch-2 stacked after batch-1 — assert
+      // in-query so a high-water bug cannot hide behind the oracle sort
+      val dense = s.sql("SELECT max(ck) AS hi, count(*) AS n, " +
+        "count(DISTINCT ck) AS d FROM cust_dim220").head()
+      require(dense.getLong(0) == dense.getLong(1) &&
+        dense.getLong(1) == dense.getLong(2), s"q220 ids not dense: $dense")
+      s.sql("SELECT ck, c_custkey, c_name FROM cust_dim220")
+        .withColumn("explicit_rejected", lit(explicitRejected))
+        .withColumn("null_rejected", lit(nullRejected))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // q218 emits the inserted band minus the deleted sub-band.
+    "q218_sql_catalog_table" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS born_empty_ok, TRUE AS travel_ok, TRUE AS roundtrip_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130
+        |  AND o_custkey NOT BETWEEN 55 AND 95""".stripMargin,
+    // q219 emits the four streamed slices = the full band.
+    "q219_stream_table_rows" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS exactly_once_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q220: identity = rank under (c_custkey, c_name) within each batch,
+    // batch 2 offset by batch 1's row count — row_number recomputes it.
+    "q220_sql_identity_dim" ->
+      """WITH b1 AS (SELECT c_custkey, c_name FROM customer
+        |            WHERE c_custkey <= 500),
+        |     b2 AS (SELECT c_custkey, c_name FROM customer
+        |            WHERE c_custkey > 500 AND c_custkey <= 1000)
+        |SELECT row_number() OVER (ORDER BY c_custkey, c_name) AS ck,
+        |       c_custkey, c_name,
+        |       TRUE AS explicit_rejected, TRUE AS null_rejected
+        |FROM b1
+        |UNION ALL
+        |SELECT (SELECT count(*) FROM b1) +
+        |       row_number() OVER (ORDER BY c_custkey, c_name) AS ck,
+        |       c_custkey, c_name, TRUE, TRUE
+        |FROM b2""".stripMargin,
+  )
+}

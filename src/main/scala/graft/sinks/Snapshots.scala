@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Versioned manifests over a [[Layout]] — snapshot isolation, time-travel
   * reads, and vacuum on plain parquet, the table-format (Delta/Iceberg)
@@ -83,8 +84,10 @@ object Snapshots {
     * error, not a spin. */
   def commit(spark: SparkSession, manifest: DataFrame,
              manifestRoot: String, tag: Option[String] = None,
-             markers: Seq[String] = Seq.empty): Int =
-    commitStaged(spark, manifest, manifestRoot, tag, delta = false, markers)
+             markers: Seq[String] = Seq.empty,
+             contentFiles: Seq[(String, String)] = Seq.empty): Int =
+    commitStaged(spark, manifest, manifestRoot, tag, delta = false, markers,
+      contentFiles)
 
   /** Shared staging + CAS-rename loop behind [[commit]] (full manifests)
     * and [[commitDelta]] (log-structured commits). A delta version carries
@@ -94,7 +97,9 @@ object Snapshots {
   private def commitStaged(spark: SparkSession, content: DataFrame,
                            manifestRoot: String, tag: Option[String],
                            delta: Boolean,
-                           markers: Seq[String] = Seq.empty): Int = {
+                           markers: Seq[String] = Seq.empty,
+                           contentFiles: Seq[(String, String)] = Seq.empty)
+      : Int = {
     val fs = hfs(spark, manifestRoot)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
@@ -119,6 +124,16 @@ object Snapshots {
     markers.foreach { m =>
       require(m.startsWith("_"), s"marker must be underscore-prefixed: $m")
       fs.create(new org.apache.hadoop.fs.Path(tmp, m), true).close()
+    }
+    // CONTENT-bearing markers (e.g. the declared schema JSON, which does
+    // not fit a filename): written inside the staged dir, so content and
+    // manifest become visible in the same atomic rename like every other
+    // marker
+    contentFiles.foreach { case (name, body) =>
+      require(name.startsWith("_"),
+        s"content marker must be underscore-prefixed: $name")
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
+      out.write(body.getBytes("UTF-8")); out.close()
     }
     var next = versions(spark, manifestRoot).lastOption.getOrElse(0) + 1
     var attempts = 0
@@ -339,19 +354,28 @@ object Snapshots {
     if (entries.nonEmpty) Dv.readLive(spark, entries)
     else {
       // EMPTY version — reachable once a covering DELETE can drop every
-      // file. The manifest stores stats, not schema, so serve a zero-row
-      // frame with the schema of the nearest EARLIER non-empty version
-      // (its files are the last schema authority; limit(0) folds to an
-      // empty LocalRelation — footers only, no data read). A table with
-      // no non-empty ancestor has no schema to serve and fails loudly.
-      val prior = versions(spark, manifestRoot).filter(_ < version)
+      // file, or from birth via CREATE TABLE ([[createEmptyTable]]). The
+      // manifest stores stats, not schema, so serve a zero-row frame with
+      // the schema of the nearest EARLIER non-empty version (its files
+      // are the last schema authority; limit(0) folds to an empty
+      // LocalRelation — footers only, no data read). A declared-schema
+      // table that has never held data serves its DECLARED schema (the
+      // `graft.schema` table property CREATE TABLE commits); a table with
+      // neither has no schema to serve and fails loudly.
+      versions(spark, manifestRoot).filter(_ < version)
         .sorted.reverse.view
         .map(v => Dv.entries(manifestAt(spark, manifestRoot, v)))
-        .find(_.nonEmpty)
-        .getOrElse(throw new IllegalStateException(
-          s"version $version of $manifestRoot references no files and no " +
-            "prior version does either — empty table with unknowable schema"))
-      Dv.readLive(spark, prior).limit(0)
+        .find(_.nonEmpty) match {
+        case Some(prior) => Dv.readLive(spark, prior).limit(0)
+        case None =>
+          val declared = declaredSchemaAt(spark, manifestRoot, version)
+            .getOrElse(throw new IllegalStateException(
+              s"version $version of $manifestRoot references no files, no " +
+                "prior version does either, and no declared schema is " +
+                "recorded — empty table with unknowable schema"))
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), declared)
+      }
     }
   }
 
@@ -1547,6 +1571,128 @@ object Snapshots {
       markers = Seq(propsMarker(next)))
   }
 
+  /** Table property carrying the DECLARED schema (StructType JSON) of a
+    * table created empty by `CREATE TABLE` — the schema authority until
+    * the first data file lands ([[tableAt]] falls back to it). */
+  val SchemaProp = "graft.schema"
+
+  /** Content-marker filename the declared schema travels in (schema JSON
+    * is too long for the name-encoded props marker). */
+  private val SchemaMarker = "_schema.json"
+
+  /** The DECLARED schema in force at `version`: the content of the
+    * largest `_schema.json` marker at or below it (a CREATE TABLE writes
+    * one into v1). None for tables born from data (CTAS, CONVERT,
+    * register()). */
+  def declaredSchemaAt(spark: SparkSession, manifestRoot: String,
+                       version: Int): Option[StructType] = {
+    val fs = hfs(spark, manifestRoot)
+    versions(spark, manifestRoot).filter(_ <= version).sorted.reverse
+      .iterator
+      .map { v =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$manifestRoot/v=$v", SchemaMarker)
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          try Some(org.apache.spark.sql.types.DataType
+            .fromJson(new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              "UTF-8")).asInstanceOf[StructType])
+          finally in.close()
+        } else None
+      }
+      .collectFirst { case Some(s) => s }
+  }
+
+  /** `CREATE TABLE` — a table that exists BEFORE any data does: v1 is an
+    * empty manifest whose `min_`/`max_` stats fields already carry the
+    * declared stats columns' NATIVE types (so the typed DML predicate
+    * compiler works from the first INSERT), plus a props marker recording
+    * the declared schema ([[SchemaProp]]) and any user table properties.
+    * Metadata-only: nothing is scanned, no data dir is touched. Fails if
+    * the manifest root already has versions. */
+  def createEmptyTable(spark: SparkSession, manifestRoot: String,
+                       schema: StructType, statsCols: Seq[String],
+                       props: Map[String, String] = Map.empty): Int = {
+    require(versions(spark, manifestRoot).isEmpty,
+      s"CREATE TABLE: $manifestRoot already has versions")
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = statsCols.filterNot(byName.contains)
+    require(missing.isEmpty,
+      s"stats columns ${missing.mkString(", ")} not in the declared " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+    val manifestSchema = StructType(
+      StructField("file", org.apache.spark.sql.types.StringType,
+        nullable = false) +:
+      StructField("rows", org.apache.spark.sql.types.LongType,
+        nullable = false) +:
+      statsCols.flatMap(c => Seq(
+        StructField(s"min_$c", byName(c), nullable = true),
+        StructField(s"max_$c", byName(c), nullable = true))))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), manifestSchema)
+    commit(spark, empty, manifestRoot,
+      markers = if (props.isEmpty) Seq.empty else Seq(propsMarker(props)),
+      contentFiles = Seq(SchemaMarker -> schema.json))
+  }
+
+  /** DETERMINISTIC identity assignment (the surrogate-key generator a
+    * gold star schema needs — reference `run_load.py:113-124`): ids are
+    * `next + step * rank`, where rank is the row's position under a
+    * RANGE-partitioned sort on all the batch's columns — a distributed
+    * partition-offset PREFIX SUM, never `monotonically_increasing_id`
+    * (whose values depend on task scheduling) and never a single-
+    * partition window (which would serialize a 100 TB ingest through one
+    * task). Cost: one range shuffle + one per-partition count pass over
+    * the batch — the same order of work as the z-order staging write
+    * that follows. Equal rows tie arbitrarily BETWEEN themselves, which
+    * leaves the (row, id) multiset deterministic — the property the
+    * oracle checks. Returns (batch + id column, next high-water). */
+  def assignIdentity(df: DataFrame, name: String,
+                     dt: org.apache.spark.sql.types.DataType,
+                     next: Long, step: Long): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val sortCols = df.columns.toSeq.map(col)
+    val base =
+      if (sortCols.isEmpty) df.coalesce(1)
+      else {
+        val n = math.max(1, df.rdd.getNumPartitions)
+        df.repartitionByRange(n, sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+      }
+    val cached = base.localCheckpoint()
+    val counts = cached.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().toMap // one small row per partition — never data
+    val nParts = cached.rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+    val rows = counts.values.sum
+    val narrow = dt == org.apache.spark.sql.types.IntegerType
+    val rdd = cached.rdd.mapPartitionsWithIndex { (i, it) =>
+      var j = 0L
+      it.map { r =>
+        val v = next + step * (offsets(i) + j)
+        j += 1
+        Row.fromSeq(r.toSeq :+ (if (narrow) v.toInt else v))
+      }
+    }
+    val out = spark.createDataFrame(rdd,
+      StructType(cached.schema.fields :+
+        StructField(name, dt, nullable = false)))
+    (out, next + step * rows)
+  }
+
+  /** Marker NAME for a superseding property map = current ∪ `updates` —
+    * lets a DATA commit carry a property update in the SAME atomic
+    * rename (e.g. the identity high-water mark riding its INSERT's
+    * commit, never a separate metadata commit that could be lost
+    * between the two). */
+  def mergedPropsMarker(spark: SparkSession, manifestRoot: String,
+                        updates: Map[String, String]): String =
+    propsMarker(tableProperties(spark, manifestRoot,
+      latestVersion(spark, manifestRoot)) ++ updates)
+
   private def cmapMarker(m: Map[String, String]): String = {
     val joined = m.toSeq.sorted.map { case (l, p) => s"$l=$p" }.mkString(",")
     CmapPrefix + java.util.Base64.getUrlEncoder.withoutPadding
@@ -2091,9 +2237,13 @@ object Snapshots {
     val cur = checkConstraints(spark, manifestRoot, v)
     require(!cur.contains(name),
       s"constraint '$name' already exists (${cur(name)})")
-    val live = Dv.readLive(spark,
-      Dv.entries(Dv.ensureDv(manifestAt(spark, manifestRoot, v))))
-    val bad = live.filter(!coalesce(expr(condition), lit(true))).count()
+    // an EMPTY table (a plain CREATE TABLE before any INSERT) trivially
+    // satisfies every constraint — nothing to validate, no scan
+    val entries = Dv.entries(Dv.ensureDv(manifestAt(spark, manifestRoot, v)))
+    val bad =
+      if (entries.isEmpty) 0L
+      else Dv.readLive(spark, entries)
+        .filter(!coalesce(expr(condition), lit(true))).count()
     if (bad > 0)
       throw new ConstraintViolationException(
         s"cannot ADD CONSTRAINT '$name' CHECK ($condition): $bad existing " +
@@ -2128,21 +2278,36 @@ object Snapshots {
   private def enforceStagedConstraints(spark: SparkSession,
                                        manifestRoot: String,
                                        staging: String): Unit = {
-    val cs = checkConstraints(spark, manifestRoot,
-      latestVersion(spark, manifestRoot)).toSeq.sorted
-    if (cs.isEmpty) return
+    val v = latestVersion(spark, manifestRoot)
+    val cs = checkConstraints(spark, manifestRoot, v).toSeq.sorted
+    // NOT NULL (the OTHER write-side contract a Databricks table
+    // carries): declared-nullable=false columns gate alongside the CHECK
+    // constraints, in the SAME fused single-pass aggregate. Note the
+    // semantics difference the fixture pins: a NULL PASSES a CHECK
+    // (three-valued logic — only FALSE rejects) but FAILS NOT NULL.
+    val nn = declaredSchemaAt(spark, manifestRoot, v)
+      .map(_.fields.filter(!_.nullable).map(_.name).toSeq)
+      .getOrElse(Seq.empty)
+    if (cs.isEmpty && nn.isEmpty) return
     val df = spark.read.parquet(staging)
-    val aggs = cs.zipWithIndex.map { case ((_, c), i) =>
-      sum(when(!coalesce(expr(c), lit(true)), 1L).otherwise(0L)).as(s"_c$i") }
+    val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val nnHere = nn.filter(c =>
+      present(c.toLowerCase(java.util.Locale.ROOT))).sorted
+    val checks: Seq[(String, org.apache.spark.sql.Column)] =
+      cs.map { case (n, c) =>
+        s"CHECK constraint '$n' ($c)" -> !coalesce(expr(c), lit(true)) } ++
+      nnHere.map(c => s"NOT NULL constraint on '$c'" -> col(c).isNull)
+    val aggs = checks.zipWithIndex.map { case ((_, bad), i) =>
+      sum(when(bad, 1L).otherwise(0L)).as(s"_c$i") }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cs.zipWithIndex.foreach { case ((n, c), i) =>
+    checks.zipWithIndex.foreach { case ((what, _), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (bad > 0) {
         val p = new org.apache.hadoop.fs.Path(staging)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true) : Unit
         throw new ConstraintViolationException(
-          s"CHECK constraint '$n' ($c) violated by $bad staged rows — " +
+          s"$what violated by $bad staged rows — " +
             "staging dropped, nothing committed")
       }
     }

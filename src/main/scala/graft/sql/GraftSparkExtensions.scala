@@ -78,25 +78,46 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   * temp views and catalog tables. */
 final case class ResolveLakeTables(spark: SparkSession)
   extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    // Fast path: everything this rule rewrites — unresolved relations,
-    // time travel, the TVFs, claimable DML roots — keeps the tree
-    // UNRESOLVED, so a resolved plan has nothing for us. The analyzer
-    // re-runs its resolution batch to fixpoint over EVERY session query
-    // (and every streaming micro-batch), so without this guard the
-    // full-tree substitution walk taxes every non-lake query too.
-    // `resolved` is a cached lazy val — the check is near-free at
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // CATALOG-resolved lake relations (a LakeCatalog `lake.db.t` read):
+    // Spark's own resolution turned the name into a V2 relation holding
+    // a LakeRowTable handle; rewrite it to the front door's manifest-read
+    // plan (the DeltaAnalysis shape). This must run even on RESOLVED
+    // plans — a V2 relation IS resolved — so it sits before the fast
+    // path; the `exists` probe keeps the non-catalog common case to one
+    // cheap type walk, and the rewrite erases the match so the fixpoint
+    // cannot loop.
+    val p =
+      if (plan.exists {
+        case r: DataSourceV2Relation => r.table.isInstanceOf[LakeRowTable]
+        case _ => false
+      }) plan.resolveOperatorsDown {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[LakeRowTable] =>
+          LakeSql.rewriteCatalogRelation(spark, r,
+            r.table.asInstanceOf[LakeRowTable])
+      }
+      else plan
+    // Fast path: everything else this rule rewrites — unresolved
+    // relations, time travel, the TVFs, claimable DML roots — keeps the
+    // tree UNRESOLVED, so a resolved plan has nothing for us. The
+    // analyzer re-runs its resolution batch to fixpoint over EVERY
+    // session query (and every streaming micro-batch), so without this
+    // guard the full-tree substitution walk taxes every non-lake query
+    // too. `resolved` is a cached lazy val — the check is near-free at
     // fixpoint. (DML against a RESOLVED non-lake target, e.g. a temp
     // view, skips us and fails loudly in Spark's own v2-table check —
     // the same outcome the shadowed-target backstop produces.)
-    if (plan.resolved) plan
-    else LakeSql.dmlCommand(plan,
+    if (p.resolved) p
+    else LakeSql.dmlCommand(p,
       n => spark.sessionState.catalog.isTempView(Seq(n))) match {
       case Some((names, exec)) =>
         LakeDmlCommand(LakeSql.longSchema(names), exec)
       case None =>
-        plan.resolveOperatorsDown(LakeSql.substitutions(spark, _ => false))
+        p.resolveOperatorsDown(LakeSql.substitutions(spark, _ => false))
     }
+  }
 }
 
 /** METADATA-ONLY AGGREGATE rewrite (the "SELECT count(*) answered from
@@ -232,16 +253,47 @@ final case class LakeDmlCommand(outSchema: StructType,
   * code path; every other string delegates to Spark's parser verbatim. */
 final class GraftSqlParser(delegate: ParserInterface)
   extends ParserInterface {
+
+  /** Post-parse claims on CATALOG-SHAPED statements Spark's grammar DOES
+    * have productions for but whose semantics are ours:
+    *
+    *  - DML whose target is a NAMESPACED lake-catalog table
+    *    (`DELETE FROM lake.db.t …`): claimed here, while the tree is
+    *    still fully unresolved, because by the time the injected
+    *    analyzer rule would see it Spark's own resolution has already
+    *    turned the target into a write-incapable V2 relation and
+    *    resolved the condition's attributes — the front door's typed
+    *    predicate compiler wants the raw unresolved form. Single-part
+    *    targets are NOT claimed here (multipartOnly) — they keep the
+    *    analyzer-rule path and its temp-view-precedence contract.
+    *  - `CREATE TABLE t (…) USING lake` with a SINGLE-PART name: the
+    *    session catalog would try to own it; the lake provider makes it
+    *    ours ([[LakeSql.claimableCreate]]). Namespaced creates are NOT
+    *    claimed — Spark routes them to the LakeCatalog itself.
+    */
+  private def claim(plan: LogicalPlan): LogicalPlan = plan match {
+    case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+        if LakeSql.claimableCreate(ct) =>
+      LakeDmlCommand(LakeSql.longSchema(Seq("version")),
+        s => LakeSql.runCreateClaimed(s, ct))
+    case _ =>
+      LakeSql.dmlCommand(plan, _ => false, multipartOnly = true) match {
+        case Some((names, exec)) =>
+          LakeDmlCommand(LakeSql.longSchema(names), exec)
+        case None => plan
+      }
+  }
+
   override def parsePlan(text: String): LogicalPlan =
     LakeSql.extendedStatement(text) match {
       case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
-      case None => delegate.parsePlan(text)
+      case None => claim(delegate.parsePlan(text))
     }
   override def parsePlanWithParameters(text: String,
                                        ctx: ParameterContext): LogicalPlan =
     LakeSql.extendedStatement(text) match {
       case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
-      case None => delegate.parsePlanWithParameters(text, ctx)
+      case None => claim(delegate.parsePlanWithParameters(text, ctx))
     }
   override def parseExpression(t: String): Expression =
     delegate.parseExpression(t)

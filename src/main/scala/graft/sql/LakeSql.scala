@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, Like, ListQuery, Literal, ScalarSubquery}
 import org.apache.spark.sql.functions.{col, lit, max, min, substring}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, NullType, NumericType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -115,55 +115,55 @@ object LakeSql {
   //   VACUUM <t> RETAIN <n> VERSIONS    → vacuum(retainLast = n)
   //   VACUUM <t> RETAIN <n> HOURS       → vacuumRetention by commit stamp
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)(?:\s+SMALLFILES\s+(\d+))?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_.]+)(?:\s+SMALLFILES\s+(\d+))?\s*""".r
   //   … DRY RUN suffix lists what WOULD be reclaimed (one row per item:
   //   expired version dir, unreferenced data file, dead DV sidecar dir)
   //   without touching anything — the Delta VACUUM DRY RUN contract,
   //   served from the SAME plan the destructive path executes.
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([A-Za-z0-9_]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z0-9_.]+)\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*""".r
   //   REORG TABLE <t> APPLY (PURGE) → fold deletion vectors away: rewrite
   //   ONLY the masked files' live rows, cost tracks the masked set —
   //   the statement that converts MoR write debt back into clean reads
   //   (and re-arms the metadata-only aggregate fast path)
   private val ReorgRe =
-    """(?is)\s*REORG\s+TABLE\s+([A-Za-z0-9_]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+    """(?is)\s*REORG\s+TABLE\s+([A-Za-z0-9_.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   //   TRUNCATE TABLE <t> → remove every live row as ONE metadata-only
   //   commit (the next version references no files; nothing read or
   //   rewritten, pinned readers keep the data until VACUUM)
   private val TruncateRe =
-    """(?is)\s*TRUNCATE\s+TABLE\s+([A-Za-z0-9_]+)\s*""".r
+    """(?is)\s*TRUNCATE\s+TABLE\s+([A-Za-z0-9_.]+)\s*""".r
   //   FSCK REPAIR TABLE <t> [DRY RUN] → drop manifest entries whose data
   //   files no longer exist on disk (Delta's FSCK): status probes only,
   //   metadata-only commit; DRY RUN lists the missing files instead
   private val FsckRe =
-    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z0-9_]+)(\s+DRY\s+RUN)?\s*""".r
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z0-9_.]+)(\s+DRY\s+RUN)?\s*""".r
   //   SHOW CREATE TABLE <t> → one row: a CREATE statement reconstructing
   //   the table's logical schema, location, stats cols, and properties
   //   (the BI-tool introspection statement; valid Spark SQL, so claimed
   //   only for registered lake names like TRUNCATE)
   private val ShowCreateRe =
-    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s*""".r
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z0-9_.]+)\s*""".r
   //   RESTORE TABLE <t> TO VERSION AS OF <n>      → roll-forward commit
   //   RESTORE TABLE <t> TO TIMESTAMP AS OF '<ts>' → ditto, stamp-resolved
   //   CREATE TABLE <dst> SHALLOW CLONE <src>
   //     [VERSION AS OF <n>] [LOCATION '<dir>']    → zero-copy fork
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val RestoreTsRe =
-    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z0-9_.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s+SHALLOW\s+CLONE\s+([A-Za-z0-9_]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_.]+)\s+SHALLOW\s+CLONE\s+([A-Za-z0-9_.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
   //   CREATE TABLE <dst> DEEP CLONE <src> [VERSION AS OF n] LOCATION '…'
   //     → independent PHYSICAL copy (executor-parallel file copy job);
   //       unlike the shallow fork, vacuuming the source never touches it
   private val DeepCloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_]+)\s+DEEP\s+CLONE\s+([A-Za-z0-9_]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z0-9_.]+)\s+DEEP\s+CLONE\s+([A-Za-z0-9_.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*""".r
   //   OPTIMIZE <t> ZORDER BY (c1, c2)  → full re-layout RE-CLUSTERED on
   //     the named columns (manifest keeps stats for ALL the table's stats
   //     columns — clustering changes how tight they are, never soundness)
   private val OptimizeZRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)\s+ZORDER\s+BY\s*\(([^)]*)\)\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_.]+)\s+ZORDER\s+BY\s*\(([^)]*)\)\s*""".r
   //   OPTIMIZE <t> WHERE <cond> [ZORDER BY (c1, c2)] → PREDICATE-SCOPED
   //     re-layout: only the files whose manifest stats box intersects the
   //     WHERE's scope rewrite (Delta's partition-scoped OPTIMIZE,
@@ -173,7 +173,7 @@ object LakeSql {
   //     so an unprunable condition is rejected loudly, never a silent
   //     full-table rewrite.
   private val OptimizeWhereRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_]+)\s+WHERE\s+(.*?)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_.]+)\s+WHERE\s+(.*?)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""".r
   //   INSERT INTO <t> REPLACE WHERE <cond> <query>  → scoped ATOMIC
   //     overwrite (the Delta replaceWhere): one commit = delete the
   //     predicate's rows + append the batch; every batch row must satisfy
@@ -181,14 +181,14 @@ object LakeSql {
   //     this dispatches on the statement head like OPTIMIZE/VACUUM; the
   //     condition and query halves re-enter Spark's own parser.
   private val InsertReplaceRe =
-    """(?is)\s*INSERT\s+INTO\s+([A-Za-z0-9_]+)\s+REPLACE\s+WHERE\s+(.*?)\s+((?:SELECT|WITH|VALUES|TABLE|FROM)\b.*)""".r
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z0-9_.]+)\s+REPLACE\s+WHERE\s+(.*?)\s+((?:SELECT|WITH|VALUES|TABLE|FROM)\b.*)""".r
   //   CONVERT TO LAKE <name> FROM '<dir>' STATS COLS (c1, c2) [FILES n]
   //     → adopt an EXISTING parquet directory as a lake table IN PLACE
   //     (the Delta CONVERT TO DELTA shape): v1 is a manifest built over
   //     the directory's files — footer stats when the columns allow it,
   //     zero data files written or moved either way.
   private val ConvertRe =
-    """(?is)\s*CONVERT\s+TO\s+LAKE\s+([A-Za-z0-9_]+)\s+FROM\s+'([^']+)'\s+STATS\s+COLS\s*\(([^)]*)\)(?:\s+FILES\s+(\d+))?\s*""".r
+    """(?is)\s*CONVERT\s+TO\s+LAKE\s+([A-Za-z0-9_.]+)\s+FROM\s+'([^']+)'\s+STATS\s+COLS\s*\(([^)]*)\)(?:\s+FILES\s+(\d+))?\s*""".r
   //   COPY INTO <t> FROM '<dir>' [FILEFORMAT = PARQUET|JSON]
   //     → idempotent file-tracking ingest (the Databricks COPY INTO
   //     shape): source files whose (name:size) key the version log
@@ -197,14 +197,14 @@ object LakeSql {
   //     data in the same atomic rename — re-runs load nothing, a crash
   //     never double-loads). Zero new files → NO commit.
   private val CopyIntoRe =
-    """(?is)\s*COPY\s+INTO\s+([A-Za-z0-9_]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(PARQUET|JSON))?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([A-Za-z0-9_.]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(PARQUET|JSON))?\s*""".r
 
   //   DESCRIBE DETAIL <t> → one metadata row (the Delta DESCRIBE DETAIL
   //     shape): location, live file count + byte size, version count,
   //     stats columns — all manifest/filesystem-status reads,
   //     file-count-bounded, zero data files opened.
   private val DescribeDetailRe =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z0-9_]+)\s*""".r
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z0-9_.]+)\s*""".r
 
   /** The metric-row column names of an EXTENSION-GRAMMAR statement (the
     * regex-dispatched surface Spark's parser has no productions for:
@@ -243,7 +243,7 @@ object LakeSql {
       // claim it only for registered lake names, so a catalog table's
       // TRUNCATE still reaches Spark's own parser and command
       case TruncateRe(name)
-          if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
+          if isRegisteredName(name) =>
         Some(longSchema(Seq("version", "rows_deleted", "files_dropped")))
       case FsckRe(_, dry) =>
         Some(if (dry == null)
@@ -251,7 +251,7 @@ object LakeSql {
             "rows_lost"))
         else strSchema("file"))
       case ShowCreateRe(name)
-          if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
+          if isRegisteredName(name) =>
         Some(strSchema("createtab_stmt"))
       case DescribeDetailRe(_) =>
         Some(StructType(Seq(
@@ -357,7 +357,7 @@ object LakeSql {
     // (same guard as extendedStatement) — a catalog table's statement
     // falls through to Spark's own parser untouched
     case TruncateRe(name)
-        if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
+        if isRegisteredName(name) =>
       val spec = specByName(name)
       val r = Snapshots.truncateCommit(spark, spec.manifestRoot)
       metricsRow(spark, Seq("version" -> r.version.toLong,
@@ -373,24 +373,30 @@ object LakeSql {
         "files_missing" -> r.filesMissing, "files_total" -> r.filesTotal,
         "rows_lost" -> r.rowsLost))
     case ShowCreateRe(name)
-        if registry.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
+        if isRegisteredName(name) =>
       val spec = specByName(name)
-      val lname = name.toLowerCase(java.util.Locale.ROOT)
+      val lname = canonicalName(name)
       // LOGICAL schema (column mapping applied): what a new consumer
-      // would re-create; physical layout is an implementation detail
+      // would re-create; physical layout is an implementation detail.
+      // The statement is VALID Spark DDL that ROUND-TRIPS: feeding it
+      // back through LakeSql.sql (or spark.sql against a lake catalog)
+      // re-creates an empty table with this schema, layout, and stats
+      // domain — the structural halves travel as table properties, the
+      // form CREATE TABLE reads them back in.
       val fields = mappedTableSchema(spark, spec).fields.toSeq
         .map(f => s"  ${f.name} ${f.dataType.sql}")
       val props = Snapshots.tableProperties(spark, spec.manifestRoot,
         Snapshots.latestVersion(spark, spec.manifestRoot))
-      val propsClause =
-        if (props.isEmpty) ""
-        else props.toSeq.sorted
-          .map { case (k, v) => s"'$k' = '$v'" }
-          .mkString("\nTBLPROPERTIES (", ", ", ")")
+      val all = Seq(
+        "stats_cols" -> spec.cols.mkString(","),
+        "files" -> spec.nFiles.toString,
+        "data_dir" -> spec.path,
+        "manifest_dir" -> spec.manifestRoot) ++
+        (props -- Seq(Snapshots.SchemaProp, "stats_cols", "files",
+          "data_dir", "manifest_dir")).toSeq.sorted
       val stmt = s"CREATE TABLE $lname (\n" +
-        fields.mkString(",\n") + "\n) USING LAKE\n" +
-        s"LOCATION '${spec.path}'\n" +
-        s"STATS COLS (${spec.cols.mkString(", ")})" + propsClause
+        fields.mkString(",\n") + "\n) USING lake\nTBLPROPERTIES (" +
+        all.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"
       import spark.implicits._
       Seq(stmt).toDF("createtab_stmt")
     case VacuumRe(name, n, unit, dry) =>
@@ -619,6 +625,8 @@ object LakeSql {
         withAutoCompact(spark, u.table)(runUpdate(spark, u))
       case cts: CreateTableAsSelect =>
         runCtas(spark, cts)
+      case ct: CreateTable if claimableCreate(ct) =>
+        runCreate(spark, ct)
       case rc: RenameColumn if isLake(rc.table) =>
         val (_, spec) = lookup(rc.table).get
         val v = Snapshots.renameColumn(spark, spec.manifestRoot,
@@ -865,8 +873,18 @@ object LakeSql {
         s"table_history wants ('<lake table>'), got ${other.mkString(", ")}")
     }
 
+  /** Registry key of a dotted NAME STRING (the extension-grammar regex
+    * captures): strips a lake catalog qualifier like [[registryName]]. */
+  private def canonicalName(name: String): String =
+    registryName(name.toLowerCase(java.util.Locale.ROOT)
+      .split('.').toIndexedSeq).getOrElse(name.toLowerCase(
+      java.util.Locale.ROOT))
+
+  private def isRegisteredName(name: String): Boolean =
+    registry.contains(canonicalName(name))
+
   private def specByName(name: String): LakeTableSpec =
-    registry.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
+    registry.getOrElse(canonicalName(name),
       throw new IllegalArgumentException(
         s"'$name' is not a registered lake table " +
           s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")})"))
@@ -880,13 +898,15 @@ object LakeSql {
       (String, Int, Seq[String])]("graft.lake.scan")
 
   private def aliasedTableAt(spark: SparkSession, name: String,
-                             spec: LakeTableSpec, version: Int): LogicalPlan = {
+                             spec: LakeTableSpec, version: Int,
+                             analyzed: Boolean = false): LogicalPlan = {
     // mappedTableAt = tableAt when no column mapping exists (identical
     // plan, so the q169 sameResult gate holds); under a mapping it serves
     // physical columns under the LOGICAL names in force AT `version` —
     // SQL reads are rename-aware and pinned reads keep old names
-    val inner = Snapshots.mappedTableAt(spark, spec.manifestRoot, version)
-      .queryExecution.logical
+    val df = Snapshots.mappedTableAt(spark, spec.manifestRoot, version)
+    val inner =
+      if (analyzed) df.queryExecution.analyzed else df.queryExecution.logical
     if (Snapshots.columnMapping(spark, spec.manifestRoot, version).isEmpty)
       inner.foreach {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -894,6 +914,38 @@ object LakeSql {
         case _ => ()
       }
     SubqueryAlias(name, inner)
+  }
+
+  /** [[ResolveLakeTables]]'s rewrite of a CATALOG-resolved lake relation
+    * ([[LakeRowTable]], the [[LakeCatalog]] handle) into the SAME
+    * manifest-read plan the front door serves — DV anti-joins, column
+    * mapping, the metadata-agg scan tag, time-travel pin all included,
+    * so `spark.sql("… FROM lake.db.t")` and `LakeSql.sql("… FROM
+    * db.t")` produce the same result by construction (the DeltaAnalysis
+    * relation-rewrite shape). The relation may already be bound into a
+    * resolved parent, so the replacement preserves the relation's output
+    * attribute IDs via an aliasing projection. */
+  private[sql] def rewriteCatalogRelation(
+      spark: SparkSession,
+      r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      t: LakeRowTable): LogicalPlan = {
+    val version = t.pinnedVersion.getOrElse(
+      Snapshots.latestVersion(spark, t.spec.manifestRoot))
+    val inner = aliasedTableAt(spark, t.tableName, t.spec, version,
+      analyzed = true)
+    val byName = inner.output
+      .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+    val projs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      r.output.map { a =>
+        val src = byName.getOrElse(a.name.toLowerCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            s"lake table ${t.tableName} no longer serves column " +
+              s"'${a.name}' (schema changed between resolution and " +
+              "rewrite — re-run the query)"))
+        org.apache.spark.sql.catalyst.expressions.Alias(src, a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      }
+    org.apache.spark.sql.catalyst.plans.logical.Project(projs, inner)
   }
 
   /** The column mapping in force at the table's head (None before any
@@ -1242,9 +1294,68 @@ object LakeSql {
     require(ins.partitionSpec.isEmpty && ins.userSpecifiedCols.isEmpty,
       "supported form: INSERT INTO <table> <query> (no partition spec or " +
         "column list)")
-    val aligned = alignedPhysicalBatch(spark, spec, ins.query)
+    val head = Snapshots.latestVersion(spark, spec.manifestRoot)
+    val declared = Snapshots.declaredSchemaAt(spark, spec.manifestRoot, head)
+    val engineCols = declared.map(_.fields.filter(f =>
+      f.metadata.contains(IdentityStartKey) ||
+        f.metadata.contains(GenerationKey)).toSeq).getOrElse(Seq.empty)
+    if (engineCols.isEmpty) {
+      val aligned = alignedPhysicalBatch(spark, spec, ins.query)
+      val (version, files) = Snapshots.appendCommit(spark, aligned, spec.cols,
+        spec.path, spec.manifestRoot, spec.nFiles)
+      return metricsRow(spark,
+        Seq("version" -> version.toLong, "files_appended" -> files.toLong))
+    }
+    // ENGINE-ASSIGNED columns (identity / generated): the batch supplies
+    // exactly the OTHER columns — GENERATED ALWAYS means an explicit
+    // value is rejected, never silently overwritten (the Databricks
+    // contract). A VALUES-shaped batch (anonymous col1/col2 names) maps
+    // positionally onto the non-engine columns in declared order.
+    val src = PlanExec.ofRows(spark, resolveReads(spark, ins.query))
+    val engineNames = engineCols
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    val explicit = src.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      .intersect(engineNames)
+    require(explicit.isEmpty,
+      s"columns ${explicit.mkString(", ")} are GENERATED ALWAYS — the " +
+        "engine assigns them; remove them from the INSERT batch")
+    val userFields = declared.get.fields.filterNot(f =>
+      engineNames(f.name.toLowerCase(java.util.Locale.ROOT)))
+    require(src.columns.length == userFields.length,
+      s"INSERT batch has ${src.columns.length} columns; the table wants " +
+        s"the ${userFields.length} non-generated ones " +
+        s"(${userFields.map(_.name).mkString(", ")})")
+    val srcNames = src.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val named = userFields
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet == srcNames
+    var out = if (named) src
+      else src.toDF(userFields.map(_.name).toIndexedSeq: _*)
+    val props = Snapshots.tableProperties(spark, spec.manifestRoot, head)
+    var hwm = Map.empty[String, String]
+    engineCols.foreach { f =>
+      if (f.metadata.contains(IdentityStartKey)) {
+        val step = f.metadata.getLong(IdentityStepKey)
+        val next = props.get(s"identity.next.${f.name}").map(_.toLong)
+          .getOrElse(f.metadata.getLong(IdentityStartKey))
+        val (assigned, after) =
+          Snapshots.assignIdentity(out, f.name, f.dataType, next, step)
+        out = assigned
+        hwm += (s"identity.next.${f.name}" -> after.toString)
+      } else
+        // generated expression: computed over the batch's user columns
+        out = out.withColumn(f.name,
+          org.apache.spark.sql.functions.expr(
+            f.metadata.getString(GenerationKey)).cast(f.dataType))
+    }
+    val aligned = alignedPhysicalFrame(spark, spec,
+      toPhysicalFrame(out, headMapping(spark, spec)))
+    // the identity HIGH-WATER MARK rides the same atomic commit as the
+    // data — a crash can never assign the same id range twice
+    val markers = if (hwm.isEmpty) Seq.empty
+      else Seq(Snapshots.mergedPropsMarker(spark, spec.manifestRoot, hwm))
     val (version, files) = Snapshots.appendCommit(spark, aligned, spec.cols,
-      spec.path, spec.manifestRoot, spec.nFiles)
+      spec.path, spec.manifestRoot, spec.nFiles, markers = markers)
     metricsRow(spark,
       Seq("version" -> version.toLong, "files_appended" -> files.toLong))
   }
@@ -1274,7 +1385,7 @@ object LakeSql {
   /** Frame-level half of [[alignedPhysicalBatch]] — the batch is already
     * in PHYSICAL names; shared with COPY INTO. */
   private def alignedPhysicalFrame(spark: SparkSession, spec: LakeTableSpec,
-                                   batch: DataFrame): DataFrame = {
+                                   batch0: DataFrame): DataFrame = {
     val headMap = headMapping(spark, spec)
     val visible = mappedTableSchema(spark, spec)
     // the batch is already physical; compare against the VISIBLE schema
@@ -1282,6 +1393,22 @@ object LakeSql {
     // the data files don't carry yet)
     val expect = org.apache.spark.sql.types.StructType(visible.fields.map(
       f => f.copy(name = headMap.fold(f.name)(m => m(f.name)))))
+    // POSITIONAL adoption (the SQL standard for `INSERT … VALUES` and
+    // anonymous selects, whose columns arrive as col1/col2/…): when the
+    // batch's column-name SET shares nothing with the table's and the
+    // arity matches, rename by position and let the per-column type gate
+    // below do the rest. A batch whose names DO match the table keeps
+    // strict name alignment — an out-of-order named SELECT never
+    // silently transposes columns.
+    val batchNames = batch0.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val expectNames = expect.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val batch =
+      if (batchNames.intersect(expectNames).isEmpty &&
+          batch0.columns.length == expect.fields.length)
+        batch0.toDF(expect.fieldNames.toIndexedSeq: _*)
+      else batch0
     val bFields = batch.schema.fields.map(f =>
       f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     val eNames = expect.fields
@@ -1297,7 +1424,13 @@ object LakeSql {
       val bf = bFields(f.name.toLowerCase(java.util.Locale.ROOT))
       if (bf.dataType == f.dataType) col(bf.name).as(f.name)
       else if (org.apache.spark.sql.catalyst.expressions.Cast
-          .canUpCast(bf.dataType, f.dataType))
+          .canUpCast(bf.dataType, f.dataType) ||
+        // the ANSI store-assignment contract (what Spark's own v2 writes
+        // allow): covers the numeric-literal shapes VALUES produces —
+        // DECIMAL(2,1) into DOUBLE — while still rejecting string→number
+        // and other lossy coercions loudly
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .canANSIStoreAssign(bf.dataType, f.dataType))
         col(bf.name).cast(f.dataType).as(f.name)
       else throw new IllegalArgumentException(
         s"INSERT column '${f.name}' arrives as ${bf.dataType.sql} but the " +
@@ -1363,6 +1496,115 @@ object LakeSql {
     register(name, spec)
     metricsRow(spark, Seq("version" -> version.toLong,
       "files" -> spec.nFiles.toLong))
+  }
+
+  /** Is this CreateTable ours to claim? Single-part name + `USING lake`
+    * — the front-door / parser-level path. Catalog-qualified names
+    * (`lake.db.t`) are NOT claimed: Spark routes those to the
+    * [[LakeCatalog]]'s own createTable. */
+  private[sql] def claimableCreate(ct: CreateTable): Boolean =
+    (ct.name match {
+      // one- or two-part names (`t`, `db.t` — the form SHOW CREATE
+      // prints for catalog tables); THREE-part names are never claimed,
+      // Spark routes them to the named catalog itself
+      case UnresolvedIdentifier(parts, _) => parts.size <= 2
+      case _ => false
+    }) && (ct.tableSpec match {
+      case ts: UnresolvedTableSpec =>
+        ts.provider.exists(_.equalsIgnoreCase("lake"))
+      case _ => false
+    })
+
+  /** Declared-schema metadata keys for column contracts ([[runCreate]]). */
+  private[sql] val IdentityStartKey = "graft.identity.start"
+  private[sql] val IdentityStepKey = "graft.identity.step"
+  private[sql] val GenerationKey = "graft.generation.expr"
+
+  /** [[runCreate]] for the parser-level claim ([[GraftSqlParser]]). */
+  private[sql] def runCreateClaimed(spark: SparkSession,
+                                    ct: CreateTable): DataFrame =
+    runCreate(spark, ct)
+
+  /** Plain `CREATE TABLE t (cols…) USING lake TBLPROPERTIES
+    * ('stats_cols' = '…', …)` — a table that exists BEFORE any data
+    * ([[Snapshots.createEmptyTable]]): v1 is a typed empty manifest plus
+    * the declared schema as a table property, so schema-on-write and the
+    * typed DML predicate compiler work from the first INSERT. This is
+    * the statement [[ShowCreateRe]] emits — SHOW CREATE TABLE output
+    * round-trips through here. Layout from `LOCATION` (or the
+    * warehouse), overridable per-half via `data_dir`/`manifest_dir`
+    * properties. */
+  private def runCreate(spark: SparkSession, ct: CreateTable): DataFrame = {
+    val name = ct.name match {
+      case UnresolvedIdentifier(parts, _) if parts.size <= 2 =>
+        parts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE wants a one- or two-part table name here, got " +
+          s"$other (catalog-qualified tables go through the lake catalog)")
+    }
+    require(ct.partitioning.isEmpty,
+      "CREATE TABLE with PARTITIONED BY is not supported — the lake " +
+        "layout is z-ordered on stats_cols instead")
+    val (props, location) = ct.tableSpec match {
+      case ts: UnresolvedTableSpec => (ts.properties, ts.location)
+      case other => throw new IllegalArgumentException(
+        s"unsupported CREATE TABLE table spec: $other")
+    }
+    // layout: explicit data_dir/manifest_dir properties win (the SHOW
+    // CREATE round-trip form); otherwise derive from LOCATION or the
+    // session warehouse
+    def root: String = location
+      .orElse(warehouse.get().map(w => s"$w/${name.replace('.', '/')}"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE needs a LOCATION clause, data_dir/manifest_dir " +
+          "properties, or LakeSql.setWarehouse(dir)"))
+    val statsCols = props.getOrElse("stats_cols",
+      throw new IllegalArgumentException(
+        "CREATE TABLE needs TBLPROPERTIES('stats_cols'='c1,c2,...') — " +
+          "the table's prune/merge-key domain"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spec = LakeTableSpec(
+      props.getOrElse("data_dir", s"$root/z"),
+      props.getOrElse("manifest_dir", s"$root/m"),
+      statsCols, props.get("files").map(_.toInt).getOrElse(8))
+    val exists = registry.contains(name) ||
+      Snapshots.versions(spark, spec.manifestRoot).nonEmpty
+    if (exists) {
+      if (ct.ignoreIfExists)
+        return metricsRow(spark, Seq("version" -> 0L))
+      throw new IllegalArgumentException(
+        s"lake table '$name' already exists (use IF NOT EXISTS)")
+    }
+    // Column contracts ride the declared schema's field METADATA (which
+    // survives the schema JSON round-trip): NOT NULL as nullable=false,
+    // `GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)` as
+    // identity start/step, `GENERATED ALWAYS AS (expr)` as the expression
+    // text. Identity/generated columns are implicitly engine-assigned:
+    // INSERT batches must not supply them ([[runInsert]]).
+    val schema = StructType(ct.columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      c.identityColumnSpec.foreach { is =>
+        require(!is.isAllowExplicitInsert,
+          s"column '${c.name}': GENERATED BY DEFAULT AS IDENTITY is not " +
+            "supported — use GENERATED ALWAYS (engine-assigned, " +
+            "deterministic)")
+        require(is.getStep != 0, s"column '${c.name}': IDENTITY step 0")
+        mb.putLong(IdentityStartKey, is.getStart)
+        mb.putLong(IdentityStepKey, is.getStep)
+      }
+      c.generationExpression.foreach(g => mb.putString(GenerationKey, g))
+      require(c.identityColumnSpec.isEmpty || c.generationExpression.isEmpty,
+        s"column '${c.name}' cannot be both identity and generated")
+      StructField(c.name.toLowerCase(java.util.Locale.ROOT), c.dataType,
+        c.nullable && c.identityColumnSpec.isEmpty, mb.build())
+    })
+    val keep = props -- Seq("data_dir", "manifest_dir")
+    val version = Snapshots.createEmptyTable(spark, spec.manifestRoot,
+      schema, statsCols,
+      keep ++ Map("data_dir" -> spec.path,
+        "manifest_dir" -> spec.manifestRoot))
+    register(name, spec)
+    metricsRow(spark, Seq("version" -> version.toLong))
   }
 
   /** `UPDATE t SET c = expr, … WHERE <stats box>` →
@@ -1444,10 +1686,20 @@ object LakeSql {
   private[graft] def compileWhere(cond: Expression, spec: LakeTableSpec,
                                   mapping: Option[Map[String, String]] = None,
                                   subEval: Option[SparkSession] = None): (Column, Column) = {
+    // BETWEEN arrives from the parser as the unresolved `between`
+    // function (the analyzer would rewrite it later — this path runs
+    // pre-analysis); desugar to the >= AND <= pair so both halves
+    // participate in the prune/residual split like any other conjunct
+    val cond0 = cond.transformUp {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq(fn), Seq(c, lo, hi), false, _, _, _, _)
+          if fn.equalsIgnoreCase("between") =>
+        And(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))
+    }
     // fold uncorrelated scalar subqueries to literals ONCE, before the
     // prune/residual split, so both halves see the identical value
     val folded = subEval match {
-      case Some(s) => cond.transformUp {
+      case Some(s) => cond0.transformUp {
         case sq: ScalarSubquery =>
           val df = PlanExec.ofRows(s, resolveReads(s, sq.plan))
           require(df.columns.length == 1,
@@ -1459,7 +1711,7 @@ object LakeSql {
           Literal.create(if (rows.isEmpty) null else rows(0).get(0),
             df.schema.fields(0).dataType)
       }
-      case None => cond
+      case None => cond0
     }
     // native stats types (when a session is available): cross-type
     // literal conjuncts whose coercion is not stats-monotone are refused
@@ -1755,7 +2007,23 @@ object LakeSql {
     case other => other
   }
 
-  /** Single-part identifier of a relation-naming node, if it is one. */
+  /** Registry key of a multi-part identifier: single-part names key
+    * verbatim; `db.t` keys dotted (only a [[LakeCatalog]] registers such
+    * keys); `cat.db.t` strips a registered lake CATALOG name first, so
+    * the catalog-qualified and catalog-relative spellings address the
+    * same entry. Anything else is not ours. */
+  private[sql] def registryName(parts: Seq[String]): Option[String] = {
+    val lower = parts.map(_.toLowerCase(java.util.Locale.ROOT))
+    lower match {
+      case Seq(n) => Some(n)
+      case Seq(db, t) => Some(s"$db.$t")
+      case Seq(cat, db, t) if LakeCatalog.isLakeCatalog(cat) =>
+        Some(s"$db.$t")
+      case _ => None
+    }
+  }
+
+  /** Registry key of a relation-naming node, if it is one. */
   private def singlePartName(p: LogicalPlan): Option[String] = {
     val parts = stripAlias(p) match {
       case ur: UnresolvedRelation => Some(ur.multipartIdentifier)
@@ -1764,7 +2032,7 @@ object LakeSql {
       case utv: UnresolvedTableOrView => Some(utv.multipartIdentifier) // DESCRIBE
       case _ => None
     }
-    parts.collect { case Seq(n) => n.toLowerCase(java.util.Locale.ROOT) }
+    parts.flatMap(registryName)
   }
 
   private def lookup(p: LogicalPlan): Option[(String, LakeTableSpec)] =
@@ -1782,7 +2050,8 @@ object LakeSql {
     * own metric rows; MERGE declares the superset (run() zero-fills the
     * clause shapes that report fewer). */
   private[sql] def dmlCommand(plan: LogicalPlan,
-                              shadowed: String => Boolean)
+                              shadowed: String => Boolean,
+                              multipartOnly: Boolean = false)
       : Option[(Seq[String], SparkSession => DataFrame)] = {
     // a lake DML target SHADOWED by a temp view must fail loudly: the
     // session's reads resolve the view (Spark precedence), so silently
@@ -1793,13 +2062,19 @@ object LakeSql {
     // guard is the backstop for any caller handing us a still-unresolved
     // shadowed target.)
     def claim(target: LogicalPlan): Boolean = lookup(target) match {
-      case Some((name, _)) =>
+      // multipartOnly: the PARSER-level claim (namespaced catalog
+      // targets, which Spark's analyzer would otherwise resolve to a
+      // write-incapable V2 relation before the injected rule runs).
+      // Registry keys with a dot only come from a LakeCatalog, so the
+      // dot IS the multipart marker; single-part names keep the
+      // analyzer-rule path and its temp-view precedence.
+      case Some((name, _)) if !multipartOnly || name.contains('.') =>
         if (shadowed(name)) throw new IllegalArgumentException(
           s"DML target '$name' names BOTH a temp view (which reads " +
             "resolve to) and a registered lake table — drop the view or " +
             "rename one of them")
         true
-      case None => false
+      case _ => false
     }
     plan match {
       case DeleteFromTable(t, c) if claim(t) =>

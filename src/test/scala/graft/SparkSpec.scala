@@ -12,6 +12,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+    .config("spark.sql.catalog.lake", "graft.sql.LakeCatalog")
+    .config("spark.sql.catalog.lake.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_lake_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -811,8 +811,13 @@ class LakeSurfaceR14Spec extends SparkSpec {
     assert(stmt.contains("CREATE TABLE t_showc"), stmt)
     assert(stmt.contains("id BIGINT") && stmt.contains("x BIGINT") &&
       stmt.contains("y BIGINT"), stmt)
-    assert(stmt.contains(s"LOCATION '$dir/z'"), stmt)
-    assert(stmt.contains("STATS COLS (id, x)"), stmt)
+    // round-15 form: VALID Spark DDL — the structural halves travel as
+    // table properties so the statement parses back in (round-trip
+    // asserted in LakeCatalogSpec)
+    assert(stmt.contains("USING lake"), stmt)
+    assert(stmt.contains(s"'data_dir' = '$dir/z'"), stmt)
+    assert(stmt.contains(s"'manifest_dir' = '$dir/m'"), stmt)
+    assert(stmt.contains("'stats_cols' = 'id,x'"), stmt)
     assert(stmt.contains("'team' = 'etl'"), stmt)
     // after a rename the statement shows the LOGICAL schema — what a
     // new consumer would re-create; physical names are an impl detail
