@@ -921,14 +921,27 @@ object Snapshots {
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
     val srcKeys = source.select(col(key)).distinct()
-    val (newData, updated, matchedSrc) =
-      if (hit.isEmpty) (source, 0L, 0L)
+    val (newData, updated, matchedSrc, srcTotal) =
+      if (hit.isEmpty) (source, 0L, 0L, source.count())
       else {
         // live rows only: a merge rewriting a DV-masked file must not
         // resurrect its masked rows (the rewrite folds the mask away)
         val hitRows = Dv.readLive(spark,
           Dv.entries(manifest.filter(col("file").isInCollection(hit))))
-        val hitKeys = hitRows.select(col(key)).distinct().localCheckpoint()
+        // ONE aggregate job yields all three metric scalars (rows
+        // updated = touched-target rows sharing a key with the source;
+        // matched source rows; source total): per-key counts on each
+        // side, full-outer joined — replaces three separate count jobs
+        // (two of which re-scanned the touched files / the source)
+        val hitCnt = hitRows.groupBy(col(key))
+          .agg(count(lit(1)).as("_tc"))
+        val srcCnt = source.groupBy(col(key))
+          .agg(count(lit(1)).as("_sc"))
+        val m = hitCnt.join(srcCnt, Seq(key), "full_outer").agg(
+          sum(when(col("_sc").isNotNull, col("_tc"))).as("u"),
+          sum(when(col("_tc").isNotNull, col("_sc"))).as("m"),
+          sum(col("_sc")).as("t")).head()
+        def at(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i)
         val survivors = hitRows.join(srcKeys, Seq(key), "left_anti")
         // allowMissingColumns = MERGE WITH SCHEMA EVOLUTION: a source
         // column the target lacks null-fills the survivors (and the
@@ -936,10 +949,9 @@ object Snapshots {
         // the q118 mechanics); a target column absent from the source
         // null-fills the source rows
         (survivors.unionByName(source, allowMissingColumns = true),
-          hitRows.join(srcKeys, Seq(key), "left_semi").count(),
-          source.join(hitKeys, Seq(key), "left_semi").count())
+          at(0), at(1), at(2))
       }
-    val inserted = source.count() - matchedSrc
+    val inserted = srcTotal - matchedSrc
     val staging = path + ".merge_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(newData, cols, staging, nFiles)
     enforceStagedConstraints(spark, manifestRoot, staging)
