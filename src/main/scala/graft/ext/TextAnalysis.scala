@@ -346,4 +346,70 @@ object TextAnalysis {
       .agg(round(-sum(log(col("p"))) / count(lit(1)), 6).as("lm_score"),
         count(lit(1)).as("n_bigrams"))
   }
+
+  /** LEARNED text classifier — supervised multinomial Naive Bayes over
+    * bag-of-words features (the linear-model-over-n-gram-counts family
+    * language-ID classifiers belong to; trained weights are closed-form
+    * count ratios, so the "model" is exactly reproducible — the same
+    * train-on-fixture determinism as [[lmScore]]). Laplace-smoothed:
+    *
+    *   score(d, c) = ln(P(c)) + Σ_{w ∈ d} ln((n(w,c) + 1) / (T_c + V))
+    *
+    * with P(c) the training class prior, n(w,c) the class's training
+    * count of word w, T_c the class token total, V the training
+    * vocabulary size. Prediction is the round-6 argmax (class-name
+    * ascending tiebreak, so the argmax is engine-portable like every
+    * other round-6 surface). Returns one row per input doc:
+    * (idCol, pred, nb_score).
+    *
+    * The intended use is DISTILLATION (weak supervision): train on
+    * labels a rules engine produced for a slice, score the whole corpus
+    * with the learned model — the public fastText-style recipe for
+    * language-ID at scale, where the teacher is too slow or too
+    * fragmented to run everywhere. Held-out agreement with the teacher
+    * is the caller's gate.
+    *
+    * Scale shape: training is one hash-agg over (class, word) with
+    * map-side combine plus a class-count prior agg; the count table is
+    * vocabulary×classes-sized, joined on the WORD key as a shuffle join
+    * (never broadcast at 100 TB — same contract as [[lmScore]]'s LM
+    * tables); the per-(doc, class) reduce is one more hash-agg over
+    * exploded tokens × |classes| (classes are enumerable, so the fan-out
+    * is a bounded constant factor); the final argmax is a per-doc window
+    * over |classes| rows. */
+  def nbClassify(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, labelCol: String,
+                 isTrain: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), col(labelCol).as("_lbl"),
+      isTrain.as("_tr"), split(lower(col(textCol)), " ").as("_ws"))
+    val feats = base.select(col(idCol), col("_lbl"), col("_tr"),
+      explode(col("_ws")).as("_f"))
+    val cnt = feats.filter(col("_tr")).groupBy(col("_lbl"), col("_f"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint() // three downstream consumers (tot, vocab, join)
+    val classes = base.filter(col("_tr")).groupBy(col("_lbl"))
+      .agg(count(lit(1)).as("_p"))
+      .join(cnt.groupBy(col("_lbl")).agg(sum(col("_n")).as("_t")),
+        Seq("_lbl"))
+      .select(col("_lbl").as("_cls"), col("_p"), col("_t"))
+    val consts = classes.agg(sum(col("_p")).cast("double").as("_ntr"))
+      .crossJoin(cnt.agg(
+        countDistinct(col("_f")).cast("double").as("_v")))
+    val scored = feats
+      .crossJoin(broadcast(classes)) // |classes| rows — bounded fan-out
+      .join(cnt.select(col("_lbl").as("_cls"), col("_f"), col("_n")),
+        Seq("_cls", "_f"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col(idCol), col("_cls"))
+      .agg(round(
+        log(first(col("_p")).cast("double") / first(col("_ntr"))) +
+          sum(log((coalesce(col("_n"), lit(0L)) + lit(1)).cast("double") /
+            (col("_t").cast("double") + col("_v")))), 6).as("_s"))
+    scored
+      .withColumn("_rk", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("_s").desc, col("_cls").asc)))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col("_cls").as("pred"), col("_s").as("nb_score"))
+  }
 }

@@ -978,9 +978,57 @@ object LlmQueries {
     // semi-join back (both shuffle the POST-gate survivors only — the
     // gates prune before any data movement); split assignment is a row
     // property. Nothing in the chain shuffles the corpus twice.
+    // DISTILLED LANGUAGE-ID (q221, the learned counterpart of q22's
+    // rules engine): a supervised Naive Bayes bag-of-words classifier
+    // (TextAnalysis.nbClassify — the linear-over-n-gram-counts family
+    // language ID belongs to) TRAINED on the labels the q22 heuristic
+    // assigns to the even-doc_id half, scored over the whole corpus —
+    // the public distillation recipe (a fast learned model replaces a
+    // rules engine at scale). Closed-form Laplace counts make the
+    // trained model exactly reproducible, so the oracle RETRAINS it;
+    // the held-out halves' teacher agreement is gated in-query (floor
+    // 0.6 vs the 3-class majority baseline ~0.35) and emitted round-6.
+    "q221_distilled_lang_id" -> ((s, dir) => {
+      val teacher = t(s, dir, "documents").select(col("doc_id"),
+        col("text"),
+        TextAnalysis.langIdHeuristic(col("text")).as("teacher_lang"))
+      val pred = TextAnalysis.nbClassify(teacher, "doc_id", "text",
+        "teacher_lang", col("doc_id") % 2 === 0)
+      val out = teacher.join(pred, Seq("doc_id"))
+        .withColumn("is_train", col("doc_id") % 2 === 0)
+        .withColumn("agree", col("pred") === col("teacher_lang"))
+      val acc = out.filter(!col("is_train"))
+        .agg(avg(when(col("agree"), 1.0).otherwise(0.0))).head().getDouble(0)
+      require(acc >= 0.6,
+        f"q221 held-out teacher agreement $acc%.3f below the 0.6 floor " +
+          "(3-class majority baseline ~0.35) — the distilled model did " +
+          "not learn the teacher")
+      out.select(col("doc_id"), col("teacher_lang"),
+        col("pred").as("pred_lang"), col("nb_score"), col("is_train"),
+        col("agree"))
+        .withColumn("heldout_agreement", round(lit(acc), 6))
+    }),
+
     "q209_corpus_intake" -> ((s, dir) => {
-      val lang = t(s, dir, "documents")
-        .withColumn("pred_lang", TextAnalysis.langIdHeuristic(col("text")))
+      // round-15 upgrade: the lang gate is the DISTILLED learned model
+      // (q221's nbClassify, teacher = the q22 heuristic on the training
+      // half) instead of running the rules engine over the whole corpus
+      // — held-out agreement gated before the model is allowed to gate
+      // the intake
+      val docs = t(s, dir, "documents")
+      val teacher = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.langIdHeuristic(col("text")).as("teacher_lang"))
+      val nb = TextAnalysis.nbClassify(teacher, "doc_id", "text",
+        "teacher_lang", col("doc_id") % 2 === 0)
+      val acc = nb.join(teacher, Seq("doc_id"))
+        .filter(col("doc_id") % 2 === 1)
+        .agg(avg(when(col("pred") === col("teacher_lang"), 1.0)
+          .otherwise(0.0))).head().getDouble(0)
+      require(acc >= 0.6,
+        f"q209 distilled lang gate agreement $acc%.3f below floor")
+      val lang = docs
+        .join(nb.select(col("doc_id"), col("pred").as("pred_lang")),
+          Seq("doc_id"))
         .filter(col("pred_lang") =!= "other")
       val qual = lang
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.5 &&
@@ -1005,7 +1053,51 @@ object LlmQueries {
   private val quality =
     s"(1.0 - $stopRatio) * 0.5 + least(CAST($nTok AS DOUBLE), 100.0) / 100.0 * 0.25 + $ttr * 0.25"
 
+  /** DuckDB CTE block RETRAINING q221's distilled Naive Bayes (teacher =
+    * the q22 heuristic on the even-doc_id half; Laplace-smoothed
+    * bag-of-words; round-6 argmax with class-ascending tiebreak) —
+    * yields `lbl(doc_id, text, teacher_lang, tr)` and
+    * `nbp(doc_id, pred_lang, nb_score)`. Shared by q221 and q209. */
+  private val nbCte =
+    s"""lbl AS (SELECT doc_id, text,
+       |  CASE WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.04 THEN 'en'
+       |       WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.015
+       |         OR (length(text) - length(replace(text, 'th', '')))::DOUBLE / 2.0 / length(text)::DOUBLE >= 0.02 THEN 'en_like'
+       |       ELSE 'other' END AS teacher_lang,
+       |  doc_id % 2 = 0 AS tr
+       |  FROM documents),
+       |fw AS (SELECT doc_id, teacher_lang, tr,
+       |         unnest(string_split(lower(text), ' ')) AS w FROM lbl),
+       |ccnt AS (SELECT teacher_lang AS cls, w, count(*) AS n
+       |         FROM fw WHERE tr GROUP BY 1, 2),
+       |cpri AS (SELECT teacher_lang AS cls, count(*) AS p
+       |         FROM lbl WHERE tr GROUP BY 1),
+       |ctot AS (SELECT cls, sum(n) AS t FROM ccnt GROUP BY 1),
+       |cc AS (SELECT (SELECT sum(p) FROM cpri)::DOUBLE AS ntr,
+       |              (SELECT count(DISTINCT w) FROM ccnt)::DOUBLE AS v),
+       |sc AS (SELECT fw.doc_id, cpri.cls,
+       |         round(ln(cpri.p::DOUBLE / cc.ntr) +
+       |           sum(ln((coalesce(ccnt.n, 0) + 1)::DOUBLE /
+       |                  (ctot.t::DOUBLE + cc.v))), 6) AS s
+       |       FROM fw CROSS JOIN cpri
+       |         JOIN ctot ON ctot.cls = cpri.cls
+       |         LEFT JOIN ccnt ON ccnt.cls = cpri.cls AND ccnt.w = fw.w
+       |         CROSS JOIN cc
+       |       GROUP BY fw.doc_id, cpri.cls, cpri.p, ctot.t, cc.ntr, cc.v),
+       |nbp AS (SELECT doc_id, cls AS pred_lang, s AS nb_score
+       |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY s DESC, cls) AS rk FROM sc)
+       |        WHERE rk = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q221_distilled_lang_id" ->
+      s"""WITH $nbCte,
+         |j AS (SELECT l.doc_id, l.teacher_lang, n.pred_lang, n.nb_score,
+         |        l.tr AS is_train, n.pred_lang = l.teacher_lang AS agree
+         |      FROM lbl l JOIN nbp n USING (doc_id)),
+         |a AS (SELECT round(avg(CASE WHEN agree THEN 1.0 ELSE 0.0 END), 6)
+         |        AS ha FROM j WHERE NOT is_train)
+         |SELECT j.*, a.ha AS heldout_agreement FROM j, a""".stripMargin,
     "q21_text_stats" ->
       s"""SELECT doc_id,
          |  CAST($nTok AS BIGINT) AS n_tokens,
@@ -1784,18 +1876,15 @@ object LlmQueries {
         |  top_frac <= 0.20 AS top_ok, dup_frac <= 0.15 AS dup_ok,
         |  (top_frac <= 0.20 AND dup_frac <= 0.15) AS passes
         |FROM m""".stripMargin,
-    // q209: the q22 language gate, q23 quality gate, q25 keep-first exact
-    // dedup, and q69 split rule replayed as one CTE chain — each stage's
+    // q209: the q221 DISTILLED language gate (round 15; retrained by the
+    // shared nbCte), q23 quality gate, q25 keep-first exact dedup, and
+    // q69 split rule replayed as one CTE chain — each stage's
     // formulation identical to its standalone oracle.
     "q209_corpus_intake" ->
-      s"""WITH lang AS (
-         |  SELECT doc_id, text,
-         |    CASE
-         |      WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.04 THEN 'en'
-         |      WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.015
-         |        OR (length(text) - length(replace(text, 'th', '')))::DOUBLE / 2.0 / length(text)::DOUBLE >= 0.02 THEN 'en_like'
-         |      ELSE 'other' END AS pred_lang
-         |  FROM documents),
+      s"""WITH $nbCte,
+         |lang AS (
+         |  SELECT l.doc_id, l.text, n.pred_lang
+         |  FROM lbl l JOIN nbp n USING (doc_id)),
          |q AS (SELECT doc_id, text, pred_lang, round($quality, 6) AS quality
          |      FROM lang
          |      WHERE pred_lang <> 'other'
