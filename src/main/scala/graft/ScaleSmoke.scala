@@ -193,6 +193,8 @@ object ScaleSmoke {
     else if (args.headOption.contains("dv")) dvMain(args.drop(1))
     else if (args.headOption.contains("retention")) retentionMain(args.drop(1))
     else if (args.headOption.contains("cdc")) cdcMain(args.drop(1))
+    else if (args.headOption.contains("exactsubstr"))
+      exactSubstrMain(args.drop(1))
     else growthMain(args)
 
   /** CDC replication + size-policy compaction at 1× and `copies`× table
@@ -567,6 +569,65 @@ object ScaleSmoke {
     val small = screen(smallStore)
     val big = screen(bigStore)
     println(f"""{"query":"q102_store_growth","small_store_sec":$small%.2f,"grown_store_${copies}x_sec":$big%.2f,"ratio":${big / small}%.2f,"reps":$reps}""")
+  }
+
+  /** ExactSubstr growth smoke (round 15 — the q102/q104 treatment applied
+    * to q190/q191's substring machinery):
+    *
+    *  - REMOVAL (q190's `removeDuplicates`) at 1× and `copies`× corpus.
+    *    The scaled build replicates every document verbatim under fresh
+    *    doc_ids, so EVERY window is duplicated `copies`-deep — the
+    *    adversarial case for the keep-one policy. The claim under test is
+    *    O(corpus tokens): wall should grow ≈linearly with the corpus
+    *    (ratio ≈ copies), never quadratically (all-pairs would be
+    *    copies² on this fixture by construction).
+    *  - INCREMENTAL SCREEN (q191's `spansAgainstStore`): a CONSTANT batch
+    *    probed against the window store of the small vs the grown corpus.
+    *    The batch side broadcasts into the store scan, so the per-batch
+    *    cost is the store's one column-pruned parquet scan — the claim is
+    *    that the grown screen costs a scan, not a corpus re-tokenize
+    *    (store build time is excluded as the once-per-corpus ingest).
+    */
+  private def exactSubstrMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.ext.ExactSubstr
+    val minLen = 20
+    def docs(dir: String) = graft.model.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // removal: 1x vs copies-x corpus, same operator, same minLen
+    def removalWall(dir: String): Double = median((1 to reps).map { _ =>
+      timed(ExactSubstr.removeDuplicates(docs(dir), "doc_id", "text",
+        minLen = minLen)
+        .write.format("noop").mode("overwrite").save())
+    })
+    val rSmall = removalWall(src)
+    val rBig = removalWall(target)
+    println(f"""{"query":"q190_removal_growth","sf01_sec":$rSmall%.2f,"grown_${copies}x_sec":$rBig%.2f,"ratio":${rBig / rSmall}%.2f,"copies":$copies,"reps":$reps}""")
+    // incremental screen: constant batch vs small/grown window stores
+    val smallStore = s"$target/q191store_small"
+    val bigStore = s"$target/q191store_big"
+    ExactSubstr.windowStore(docs(src), "doc_id", "text", minLen = minLen)
+      .write.mode("overwrite").parquet(smallStore)
+    ExactSubstr.windowStore(docs(target), "doc_id", "text", minLen = minLen)
+      .write.mode("overwrite").parquet(bigStore)
+    val batch = docs(src).filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 50000000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    def screen(store: String): Double = median((1 to reps).map { _ =>
+      timed(ExactSubstr.spansAgainstStore(batch,
+        spark.read.parquet(store), "doc_id", "text", minLen = minLen)
+        .write.format("noop").mode("overwrite").save())
+    })
+    val sSmall = screen(smallStore)
+    val sBig = screen(bigStore)
+    println(f"""{"query":"q191_screen_growth","small_store_sec":$sSmall%.2f,"grown_store_${copies}x_sec":$sBig%.2f,"ratio":${sBig / sSmall}%.2f,"reps":$reps}""")
+    spark.stop()
   }
 
   /** q103's SCALE PATH measured: semantic-dedup decisions over the FULL
