@@ -312,6 +312,30 @@ object LlmQueries {
         requireExactPrecision = false)
     }),
 
+    // GRAPH-INDEX ANN (q222, round 15 — the HNSW/NSW production niche,
+    // completing the ANN family beyond IVF/PQ): the k-NN graph builds by
+    // NN-descent (Dong et al. 2011 — multi-salt blocked init refined by
+    // neighbor-of-neighbor rounds, pure joins + window ranks, no
+    // sequential inserts), augmented with NSW-style similarity-agnostic
+    // long links for navigability; search is bounded-hop beam expansion
+    // over the adjacency lists. SELF-GATING like q30/q45: the graph
+    // search runs in-query, recall@10 gated against the exact
+    // brute-force top-k the query emits (oracle-reproducible plane).
+    "q222_ann_knng" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val exact = Similarity.bruteForceTopK(probes, corpus, k = 10)
+      val g = graft.ext.Knng.buildGraph(corpus, k = 8, iters = 2,
+        blocks = 8)
+      val ann = graft.ext.Knng.searchTopK(probes, corpus, g, k = 10,
+        beam = 48, hops = 4, entries = 16)
+      RecallGate.gate(exact, ann, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.50, what = "q222 kNN-graph ANN top-k",
+        requireExactPrecision = false)
+    }),
+
     // IVF ANN (k-means coarse quantizer — declarative Lloyd's, no MLlib —
     // + inverted lists, probes visiting nProbe cells), SELF-GATING like
     // q30: IVF retrieval runs in-query, recall@10 gated against the exact
@@ -1262,9 +1286,26 @@ object LlmQueries {
         |             JOIN nrm y ON neighbor_id = y.vec_id)
         |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
         |FROM s WHERE rank <= 10""".stripMargin,
-    // q30/q45 emit the exact brute-force top-k (the q29 plane) + the ANN
-    // recall gate boolean; the LSH/IVF retrieval runs in-query as the gate
-    // subject.
+    // q30/q45/q222 emit the exact brute-force top-k (the q29 plane) + the
+    // ANN recall gate boolean; the LSH/IVF/kNN-graph retrieval runs
+    // in-query as the gate subject.
+    "q222_ann_knng" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, neighbor_id) AS rank
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok
+        |FROM s WHERE rank <= 10""".stripMargin,
     "q30_ann_lsh" ->
       """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
