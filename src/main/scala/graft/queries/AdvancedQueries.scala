@@ -455,6 +455,58 @@ object AdvancedQueries {
           |FROM orders_v158
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |  (o_orderstatus), ())""".stripMargin)
+    }),
+
+    // GROUPED LINEAR REGRESSION (q225, round 15): per-event-type value
+    // trend (slope/intercept/corr of value vs time-in-days) in ONE hash
+    // aggregate from moment sums — the closed-form OLS both engines can
+    // reproduce term-for-term (Spark/DuckDB native regr_* differ in
+    // internal accumulation, so the moments are spelled out). One pass,
+    // no joins; the group count is bounded by the event-type cardinality.
+    "q225_grouped_regression" -> ((s, dir) => {
+      // cast(ts as double) = epoch seconds incl. fractional micros — the
+      // same value DuckDB's epoch(ts) yields (unix_timestamp would truncate)
+      val x = col("ts").cast("double") / lit(86400.0)
+      val y = col("value")
+      t(s, dir, "events")
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("x")).as("ax"), avg(col("y")).as("ay"),
+          avg(col("x") * col("y")).as("axy"),
+          avg(col("x") * col("x")).as("axx"),
+          avg(col("y") * col("y")).as("ayy"))
+        .select(col("event_type"), col("n"),
+          round((col("axy") - col("ax") * col("ay")) /
+            (col("axx") - col("ax") * col("ax")), 6).as("slope"),
+          round(col("ay") - (col("axy") - col("ax") * col("ay")) /
+            (col("axx") - col("ax") * col("ax")) * col("ax"), 6).as("intercept"),
+          round((col("axy") - col("ax") * col("ay")) /
+            (sqrt(col("axx") - col("ax") * col("ax")) *
+              sqrt(col("ayy") - col("ay") * col("ay"))), 6).as("corr"))
+    }),
+
+    // PAGERANK (q226, round 15): graph analytics over the trade graph —
+    // nodes are customers ('c<id>') and suppliers ('s<id>'), a distinct
+    // edge each way per observed trade (customer bought from supplier via
+    // orders⋈lineitem). 3 fixed iterations, damping 0.85, no dangling
+    // redistribution — exactly reproducible as unrolled SQL. Per
+    // iteration: one vertex-keyed join + one hash agg (see
+    // [[graft.ext.GraphOps]] for the 100 TB shape). Emits the top 30 by
+    // rounded rank.
+    "q226_pagerank" -> ((s, dir) => {
+      val trade = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges = trade.select(col("c").as("src"), col("sn").as("dst"))
+        .union(trade.select(col("sn").as("src"), col("c").as("dst")))
+      val pr = graft.ext.GraphOps.pageRank(edges, iters = 3, damping = 0.85)
+      pr.select(col("node"), round(col("rank"), 6).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("node").asc)
+        .limit(30)
     })
   )
 
@@ -653,6 +705,57 @@ object AdvancedQueries {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders
         |WHERE o_orderstatus IN ('O', 'F', 'P')
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q225: the same closed-form OLS moments, term for term (epoch(ts)
+    // matches Spark's cast(ts as double) including fractional seconds).
+    "q225_grouped_regression" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    avg(x) AS ax, avg(y) AS ay, avg(x*y) AS axy,
+        |    avg(x*x) AS axx, avg(y*y) AS ayy
+        |  FROM (SELECT event_type, epoch(ts) / 86400.0 AS x, value AS y
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((axy - ax*ay) / (axx - ax*ax), 6) AS slope,
+        |  round(ay - (axy - ax*ay) / (axx - ax*ax) * ax, 6) AS intercept,
+        |  round((axy - ax*ay) / (sqrt(axx - ax*ax) * sqrt(ayy - ay*ay)), 6)
+        |    AS corr
+        |FROM m""".stripMargin,
+    "q226_pagerank" -> pageRankOracle(iters = 3, damping = 0.85, top = 30)
   )
+
+  /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over
+    * the q226 trade graph: rank_k CTEs chained `iters` deep, identical
+    * formula ((1-d)/N + d·Σ rank/outdeg, no dangling redistribution). */
+  private def pageRankOracle(iters: Int, damping: Double, top: Int): String = {
+    val d = damping
+    val base =
+      s"""WITH trade AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sn
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, sn AS dst FROM trade
+         |      UNION SELECT sn AS src, c AS dst FROM trade),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |outdeg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, sum(r.rank / o.outdeg) AS mass
+         |  FROM r${k - 1} r JOIN outdeg o ON r.node = o.src
+         |    JOIN e ON e.src = o.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT nodes.node,
+         |    (1.0 - $d) / nn.n + $d * coalesce(c$k.mass, 0.0) AS rank
+         |  FROM nodes LEFT JOIN c$k ON nodes.node = c$k.dst, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT node, round(rank, 6) AS pagerank
+       |FROM r$iters
+       |ORDER BY pagerank DESC, node ASC
+       |LIMIT $top""".stripMargin
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, AudioDedup, Dedup, ExactSubstr, Fuzzy, ImageDedup, Ivf, Multimodal, Similarity, TextAnalysis, VideoDedup}
+import graft.ext.{AsofJoin, AudioDedup, Dedup, ExactSubstr, Fuzzy, ImageDedup, Ivf, Multimodal, Search, Similarity, TextAnalysis, VideoDedup}
 import graft.model.Tables
 import graft.qc.{RecallGate, SketchGate}
 import graft.streaming.Streaming
@@ -1065,6 +1065,36 @@ object LlmQueries {
       qual.join(keep, Seq("fp", "doc_id"), "left_semi")
         .select(col("doc_id"), col("pred_lang"), col("quality"),
           graft.ext.Curation.splitAssign(col("doc_id")).as("split"))
+    }),
+
+    // LEXICAL RETRIEVAL (q223, round 15): BM25 over an inverted index —
+    // the lexical arm of the similarity family (q29+ are the dense arm),
+    // the production shape for benchmark decontamination lookups.
+    // Postings/df are hash-aggs (stopword skew is absorbed map-side, never
+    // a hot join key); the bounded query-term set broadcasts into the
+    // postings join, so the corpus side never shuffles. Oracle-exact: BM25
+    // is pure arithmetic over (tf, df, dl, N, avgdl), rounded to 6 before
+    // the rank on both sides.
+    "q223_bm25_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(col("text"), " "), 1, 5)).as("token"))
+        .distinct()
+      Search.bm25TopK(q, docs, "doc_id", "text", k = 10)
+    }),
+
+    // TF-IDF SPARSE COSINE (q224, round 15): bounded probe docs against
+    // the corpus through a postings self-join on token — the sparse dot
+    // product where only co-occurring tokens meet. Tokens in > 80% of the
+    // corpus drop before the join (the stopword/skew guard, corpus-size-
+    // relative; the synthetic vocab is dense, so 0.8 trims the ubiquitous
+    // tail without emptying the token space). Exact within the pruned
+    // space; oracle reproduces the same weighting (ln(1+tf)·ln(N/df)) and
+    // pruning.
+    "q224_tfidf_pairs" -> ((s, dir) => {
+      Search.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
+        probeFilter = col("doc_id") < 5, maxDfFrac = 0.8, k = 5)
     })
   )
 
@@ -1939,5 +1969,61 @@ object LlmQueries {
          |       WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM f JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.doc_id""".stripMargin,
+    // q223: the full BM25 pipeline — tf/dl/df/N/avgdl from the same
+    // whitespace tokenizer, Lucene idf ln(1+(N-df+0.5)/(df+0.5)), score
+    // rounded to 6 BEFORE the per-query rank (ties on doc_id) exactly as
+    // the engine does.
+    "q223_bm25_search" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tk GROUP BY 1),
+         |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |qt AS (SELECT DISTINCT doc_id AS query_id,
+         |         unnest(list_slice($toks, 1, 5)) AS token
+         |       FROM documents WHERE doc_id < 3),
+         |sc AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+         |      tf.tf * ${Search.K1 + 1.0} /
+         |      (tf.tf + ${Search.K1} * (${1.0 - Search.B} + ${Search.B} * dl.dl / st.avgdl))), 6)
+         |      AS bm25
+         |  FROM qt JOIN tf USING (token) JOIN df USING (token)
+         |    JOIN dl ON tf.doc_id = dl.doc_id, st
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, bm25,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
+    // q224: ln(1+tf)·ln(N/df) weights over the df ≤ 0.8N token space,
+    // norms in that same space, probe docs < 5 vs the corpus, cosine
+    // rounded to 6 before the per-probe rank.
+    "q224_tfidf_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tk GROUP BY 1, 2),
+         |st AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tf.token, tf.doc_id,
+         |        ln(1.0 + tf.tf) * ln(st.n / df.df) AS w
+         |      FROM tf JOIN df USING (token), st
+         |      WHERE df.df <= 0.8 * st.n),
+         |nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         |sc AS (
+         |  SELECT p.doc_id AS probe_id, w.doc_id,
+         |    round(sum(p.w * w.w) / (any_value(pn.nrm) * any_value(dn.nrm)), 6) AS cos
+         |  FROM w p
+         |    JOIN w ON p.token = w.token AND p.doc_id <> w.doc_id
+         |    JOIN nm pn ON pn.doc_id = p.doc_id
+         |    JOIN nm dn ON dn.doc_id = w.doc_id
+         |  WHERE p.doc_id < 5
+         |  GROUP BY 1, 2),
+         |r AS (SELECT probe_id, doc_id, cos,
+         |        row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, doc_id ASC) AS rank
+         |      FROM sc)
+         |SELECT probe_id, doc_id, cos, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
   )
 }
