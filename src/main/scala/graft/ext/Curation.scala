@@ -408,4 +408,49 @@ object Curation {
           log((col("cr") + 1) / (col("tr") + buckets)))), 6)
         .as("dsir_weight"))
   }
+
+  /** Chi-squared token↔class association — supervised feature selection
+    * for quality/language classifiers (which tokens most predict a
+    * document class). Presence-based 2×2 contingency per token:
+    *
+    *   a = docs with token in class, b = docs with token outside class,
+    *   c = class docs without token,  d = the rest
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * One distinct-presence pass (explode + per-doc distinct absorbed into
+    * the (token, doc) hash-agg) then one token-grain agg; N and the class
+    * prior join in as a broadcast one-row frame. All counts are integers —
+    * bit-exact across engines; the ratio rounds to 6. Tokens with document
+    * frequency below `minDf` are dropped (rare-token χ² is noise), top `k`
+    * by (χ² desc, token asc).
+    */
+  def chiSquaredTerms(docs: DataFrame, idCol: String, textCol: String,
+                      isClass: Column, minDf: Long, k: Int): DataFrame = {
+    val present = docs
+      .select(col(idCol), isClass.cast("boolean").as("cls"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val totals = docs.agg(
+      count(lit(1)).cast("double").as("nn"),
+      sum(isClass.cast("int")).cast("double").as("p"))
+    val counts = present.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"),
+        sum(col("cls").cast("int")).cast("double").as("a"))
+    val scored = counts.crossJoin(broadcast(totals))
+      // df ∈ [minDf, N-1]: a token in EVERY doc has a zero marginal
+      // ((c+d) = 0) — χ² is undefined there, and it carries no signal.
+      .filter(col("df") >= minDf && col("df") < col("nn"))
+      .select(
+      col("token"), col("df").cast("long").as("df"),
+      col("a").cast("long").as("class_df"), {
+        val a = col("a")
+        val b = col("df") - col("a")
+        val c = col("p") - col("a")
+        val d = col("nn") - col("df") - c
+        round(col("nn") * (a * d - b * c) * (a * d - b * c) /
+          ((a + b) * (c + d) * (a + c) * (b + d)), 6).as("chi2")
+      })
+    scored.orderBy(col("chi2").desc, col("token").asc).limit(k)
+  }
 }

@@ -208,6 +208,17 @@ object CurationQueries {
     "q207_source_overlap" -> ((s, dir) => {
       Curation.sourceOverlapMatrix(
         t(s, dir, "documents"), "source", "text", k = 6)
+    }),
+
+    // CHI-SQUARED FEATURE SELECTION (q227, round 15): which tokens most
+    // predict the `lang='en'` class — the supervised companion to q79's
+    // unsupervised distinctive terms, and the standard feature-selection
+    // pass before training quality/language classifiers (q200/q221 shape).
+    // One distinct-presence hash-agg then one token-grain agg; every
+    // count is an integer (exact in doubles), so χ² is bit-reproducible.
+    "q227_chi2_terms" -> ((s, dir) => {
+      Curation.chiSquaredTerms(t(s, dir, "documents"), "doc_id", "text",
+        isClass = col("lang") === "en", minDf = 25, k = 20)
     })
   )
 
@@ -394,6 +405,27 @@ object CurationQueries {
         |  round(c::DOUBLE / y.n::DOUBLE, 6) AS b_in_a
         |FROM inter
         |JOIN sz x ON source_a = x.g
-        |JOIN sz y ON source_b = y.g""".stripMargin
+        |JOIN sz y ON source_b = y.g""".stripMargin,
+    // q227: same presence contingency; all terms are integer-valued
+    // doubles, so the χ² ratio is exact before the single round.
+    "q227_chi2_terms" ->
+      """WITH pr AS (
+        |  SELECT DISTINCT doc_id, lang = 'en' AS cls, t.token
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        |  WHERE t.token <> ''),
+        |tot AS (SELECT count(*)::DOUBLE AS nn,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS p
+        |  FROM documents),
+        |c AS (SELECT token, count(*)::DOUBLE AS df,
+        |    sum(CASE WHEN cls THEN 1 ELSE 0 END)::DOUBLE AS a
+        |  FROM pr GROUP BY 1)
+        |SELECT token, CAST(df AS BIGINT) AS df, CAST(a AS BIGINT) AS class_df,
+        |  round(nn * (a * (nn - df - (p - a)) - (df - a) * (p - a))
+        |           * (a * (nn - df - (p - a)) - (df - a) * (p - a))
+        |        / (df * (nn - df) * p * (nn - p)), 6) AS chi2
+        |FROM c, tot
+        |WHERE df >= 25 AND df < nn
+        |ORDER BY chi2 DESC, token ASC
+        |LIMIT 20""".stripMargin
   )
 }

@@ -1095,7 +1095,20 @@ object LlmQueries {
     "q224_tfidf_pairs" -> ((s, dir) => {
       Search.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
         probeFilter = col("doc_id") < 5, maxDfFrac = 0.8, k = 5)
-    })
+    }),
+
+    // BPE MERGE TRAINING (q228, round 15): Sennrich et al. 2016 as Spark
+    // aggregates — merges train on the distinct-word table weighted by
+    // frequency (corpus-size-independent after one explode+hash-agg), each
+    // iteration is one integer hash-agg over adjacent symbol pairs plus
+    // ONE driver-read argmax row; the merge applies as a literal `replace`
+    // in the projection (greedy leftmost scan — see [[graft.ext.Bpe]] for
+    // why the two-space encoding makes that exact). Fully oracle-exact:
+    // integer counts, deterministic tie-break, and the DuckDB oracle
+    // unrolls the same 8 iterations with scalar-subquery replaces.
+    "q228_bpe_train" -> ((s, dir) =>
+      graft.ext.Bpe.trainFrame(s, t(s, dir, "documents"), "text",
+        merges = 8))
   )
 
   private val stopList = "['the','a','of','and','to','in']"
@@ -2025,5 +2038,46 @@ object LlmQueries {
          |      FROM sc)
          |SELECT probe_id, doc_id, cos, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 5""".stripMargin,
+    // q228: the same 8 BPE iterations unrolled — pair counts from the
+    // two-space symbol encoding, argmax with the same tie-break, merge
+    // applied via scalar-subquery literal replace (identical left-to-right
+    // non-overlapping semantics in both engines).
+    "q228_bpe_train" -> bpeOracle(8),
   )
+
+  /** Unrolled-iteration SQL mirror of [[graft.ext.Bpe.train]]: s_k = the
+    * word table after k merges, p_k/b_k = pair counts and the argmax of
+    * iteration k. Every CTE is MATERIALIZED — s_k/b_k are each referenced
+    * multiple times downstream, and DuckDB's default CTE inlining would
+    * re-evaluate the chain exponentially in the merge depth. */
+  private def bpeOracle(merges: Int): String = {
+    val base =
+      """WITH w AS MATERIALIZED (
+        |  SELECT t.word AS word, count(*) AS freq
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(word)
+        |  WHERE length(t.word) > 0
+        |  GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT freq,
+        |  ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS repr
+        |  FROM w)""".stripMargin
+    val steps = (1 to merges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT q.syms[t.i] AS lhs, q.syms[t.i + 1] AS rhs,
+         |    sum(q.freq) AS cnt
+         |  FROM (SELECT freq, string_split(trim(repr), '  ') AS syms
+         |        FROM s${k - 1}) q,
+         |    unnest(range(1, len(q.syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
+         |        ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT freq, replace(repr,
+         |    (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b$k),
+         |    (SELECT ' ' || lhs || rhs || ' ' FROM b$k)) AS repr
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"$base,\n$steps\n$union"
+  }
 }
