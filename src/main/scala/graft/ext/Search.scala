@@ -136,4 +136,29 @@ object Search {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion of a lexical and a dense retrieval arm — the
+    * standard hybrid-search combiner (Cormack et al. 2009):
+    * rrf(id) = Σ_arms 1/(rrfK + rank_arm(id)), arms where the id ranked.
+    *
+    * Both inputs are (query_id, id, rank) top-k lists — BOUNDED per query,
+    * so the full-outer join is tiny regardless of corpus size (the heavy
+    * lifting happened inside each arm). Score sums two fixed terms in a
+    * fixed order, so fusion is bit-deterministic given the arm ranks.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+              rrfK: Double = 60.0): DataFrame = {
+    val fused = lex
+      .select(col("query_id"), col("id"), col("rank").as("lex_rank"))
+      .join(dense.select(col("query_id"), col("id"),
+        col("rank").as("dense_rank")), Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

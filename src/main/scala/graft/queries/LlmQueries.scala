@@ -1108,7 +1108,55 @@ object LlmQueries {
     // unrolls the same 8 iterations with scalar-subquery replaces.
     "q228_bpe_train" -> ((s, dir) =>
       graft.ext.Bpe.trainFrame(s, t(s, dir, "documents"), "text",
-        merges = 8))
+        merges = 8)),
+
+    // BPE CORPUS ENCODING (q229, round 15): apply q228's trained merges
+    // back to the full corpus word stream — the tokenizer side of the
+    // trainer. The merge chain is literal `replace` calls folded into the
+    // projection (pure codegen map over the corpus: ZERO shuffles after
+    // the per-source aggregate), so encoding 100 TB is one streaming
+    // pass. Emits per-source token compression, integer-exact.
+    "q229_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.train(docs, "text", merges = 8)
+      docs.select(col("source"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("source"), col("word"),
+          graft.ext.Bpe.encode(col("word"), merges).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast("long").as("base_tokens"),
+          sum(size(col("toks"))).cast("long").as("bpe_tokens"))
+        .select(col("source"), col("n_words"), col("base_tokens"),
+          col("bpe_tokens"),
+          round(col("base_tokens").cast("double") /
+            col("bpe_tokens").cast("double"), 6).as("compression"))
+    }),
+
+    // HYBRID RETRIEVAL — RRF FUSION (q230, round 15): the lexical arm
+    // (q223's BM25) and the dense arm (q29's exact cosine) fused by
+    // reciprocal-rank (1/(60+rank) summed where an id appears in either
+    // top-50). The join operates on two BOUNDED per-query top-k lists —
+    // corpus-scale work stays inside the arms. Deterministic: both arms
+    // rank on 6-rounded scores with id tie-breaks; fusion adds two fixed
+    // terms.
+    "q230_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(col("text"), " "), 1, 5)).as("token"))
+        .distinct()
+      val lex = Search.bm25TopK(qterms, docs, "doc_id", "text", k = 50)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val probes = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(probes, emb, k = 50)
+        .select(col("probe_id").as("query_id"),
+          col("neighbor_id").as("id"), col("rank"))
+      Search.rrfFuse(lex, dense, k = 10)
+    })
   )
 
   private val stopList = "['the','a','of','and','to','in']"
@@ -2043,6 +2091,57 @@ object LlmQueries {
     // applied via scalar-subquery literal replace (identical left-to-right
     // non-overlapping semantics in both engines).
     "q228_bpe_train" -> bpeOracle(8),
+    "q229_bpe_encode" -> bpeEncodeOracle(8),
+    // q230: both arms restated (q223's BM25 at k=50, q29's cosine plane
+    // over the whole corpus), full-outer joined, 1/(60+rank) summed in
+    // the same fixed order.
+    "q230_hybrid_rrf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tk GROUP BY 1),
+         |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |qt AS (SELECT DISTINCT doc_id AS query_id,
+         |         unnest(list_slice($toks, 1, 5)) AS token
+         |       FROM documents WHERE doc_id < 3),
+         |sc AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    round(sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+         |      tf.tf * ${Search.K1 + 1.0} /
+         |      (tf.tf + ${Search.K1} * (${1.0 - Search.B} + ${Search.B} * dl.dl / st.avgdl))), 6)
+         |      AS bm25
+         |  FROM qt JOIN tf USING (token) JOIN df USING (token)
+         |    JOIN dl ON tf.doc_id = dl.doc_id, st
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id AS id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |        FROM sc QUALIFY rank <= 50),
+         |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             unnest(embedding)::DOUBLE AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+         |d AS (SELECT a.vec_id AS query_id, b.vec_id AS id, sum(a.v * b.v) AS dot
+         |      FROM u a JOIN u b ON a.i = b.i
+         |      WHERE a.vec_id < 3
+         |      GROUP BY 1, 2),
+         |dn AS (SELECT query_id, id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY round(dot / (x.nrm * y.nrm), 6) DESC, id ASC) AS rank
+         |       FROM d JOIN nrm x ON query_id = x.vec_id
+         |              JOIN nrm y ON id = y.vec_id
+         |       QUALIFY rank <= 50),
+         |f AS (SELECT coalesce(lex.query_id, dn.query_id) AS query_id,
+         |        coalesce(lex.id, dn.id) AS id,
+         |        round(coalesce(1.0 / (60.0 + lex.rank), 0.0) +
+         |              coalesce(1.0 / (60.0 + dn.rank), 0.0), 6) AS rrf
+         |      FROM lex FULL OUTER JOIN dn
+         |        ON lex.query_id = dn.query_id AND lex.id = dn.id),
+         |r AS (SELECT query_id, id, rrf,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rrf DESC, id ASC) AS rank
+         |      FROM f)
+         |SELECT query_id, id, rrf, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.Bpe.train]]: s_k = the
@@ -2051,6 +2150,14 @@ object LlmQueries {
     * multiple times downstream, and DuckDB's default CTE inlining would
     * re-evaluate the chain exponentially in the merge depth. */
   private def bpeOracle(merges: Int): String = {
+    val union = (1 to merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"${bpeChain(merges)}\n$union"
+  }
+
+  /** The shared w/s0/(p_k,b_k,s_k)* CTE chain both BPE oracles build on. */
+  private def bpeChain(merges: Int): String = {
     val base =
       """WITH w AS MATERIALIZED (
         |  SELECT t.word AS word, count(*) AS freq
@@ -2075,9 +2182,32 @@ object LlmQueries {
          |    (SELECT ' ' || lhs || rhs || ' ' FROM b$k)) AS repr
          |  FROM s${k - 1})""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$k"
-    }.mkString("\nUNION ALL\n")
-    s"$base,\n$steps\n$union"
+    s"$base,\n$steps"
+  }
+
+  /** q229's oracle: train the same `merges` chain, then re-encode the full
+    * corpus word stream with the learned replaces (applied in order via
+    * scalar subqueries) and aggregate compression per source. */
+  private def bpeEncodeOracle(merges: Int): String = {
+    val replaced = (1 to merges).foldLeft(
+      "' ' || rtrim(regexp_replace(cw.word, '(.)', '\\1  ', 'g')) || ' '") {
+      (acc, k) =>
+        s"""replace($acc,
+           |    (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b$k),
+           |    (SELECT ' ' || lhs || rhs || ' ' FROM b$k))""".stripMargin
+    }
+    s"""${bpeChain(merges)},
+       |cw AS (SELECT source, t.word AS word
+       |       FROM documents, unnest(string_split(text, ' ')) AS t(word)
+       |       WHERE length(t.word) > 0),
+       |enc AS (SELECT source, word, $replaced AS repr FROM cw)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(length(word)) AS BIGINT) AS base_tokens,
+       |  CAST(sum(len(string_split(trim(repr), '  '))) AS BIGINT) AS bpe_tokens,
+       |  round(sum(length(word))::DOUBLE /
+       |        sum(len(string_split(trim(repr), '  ')))::DOUBLE, 6)
+       |    AS compression
+       |FROM enc
+       |GROUP BY source""".stripMargin
   }
 }

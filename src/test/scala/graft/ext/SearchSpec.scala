@@ -62,6 +62,21 @@ class SearchSpec extends SparkSpec {
       r.getAs[Double]("cos") <= 1.0))
   }
 
+  test("rrfFuse: ids in both arms outrank single-arm ids; scores exact") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "id", "rank")
+    val dense = Seq((1L, 10L, 3L), (1L, 12L, 1L)).toDF("query_id", "id", "rank")
+    val f = Search.rrfFuse(lex, dense, k = 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("rrf"), r.getAs[Long]("rank"))).toMap
+    def rr(r: Long) = 1.0 / (60.0 + r)
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(f(10L) == ((rnd(rr(1) + rr(3)), 1L))) // in both arms → top
+    assert(f(12L)._1 == rnd(rr(1))) // dense-only
+    assert(f(11L)._1 == rnd(rr(2))) // lex-only
+    assert(f(12L)._2 == 2L && f(11L)._2 == 3L)
+  }
+
   test("tfidf cosine of token-disjoint docs never appears") {
     val pairs = Search.tfidfTopK(docs, "doc_id", "text",
       probeFilter = col("doc_id") === 3L, maxDfFrac = 1.0, k = 5)
