@@ -35,27 +35,36 @@ object GraphOps {
     * Returns (node, rank) over ALL nodes (sources and sinks).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // Edge list, vertex set, and out-degrees materialize ONCE
+    // (localCheckpoint truncates lineage — without it every iteration's
+    // plan re-derives the upstream edge construction, and the work grows
+    // quadratically in the iteration count).
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // N as a one-row broadcast frame: keeps the whole plan declarative.
-    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // N read once from the checkpointed vertex set (a bounded scalar, like
+    // the engine's other single-row stat reads) and folded in as a literal
+    // — a per-iteration broadcast subplan would re-run its little job every
+    // round.
+    val n = nodes.count().toDouble
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
-    var rank = nodes.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    var rank = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = rank
         .join(outdeg, rank("node") === outdeg("src"))
         .join(e, "src")
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("mass"))
+      // Checkpoint the rank vector each round: iteration cost stays flat
+      // (one vertex-keyed join + one agg), the GraphX/Pregel discipline.
       rank = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(broadcast(n))
         .select(col("node"),
-          (lit(1.0 - damping) / col("n") +
+          (lit(1.0 - damping) / lit(n) +
             lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     rank
   }
