@@ -126,6 +126,44 @@ object Similarity {
         round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
 
+  /** SemDeDup-shape cluster-partitioned semantic near-dup pairs (Abbas et
+    * al. 2023, public): k-means-cluster the embedding space, then compare
+    * pairs ONLY within a cluster — the pair fan-out is bounded by the
+    * largest cluster, never n². `topAssign` > 1 multi-assigns each vector
+    * to its nearest clusters (the build-side analogue of IVF's nProbe),
+    * recovering pairs that straddle a cluster boundary at the cost of
+    * proportionally larger lists.
+    *
+    * Candidates are verified with the EXACT cosine, so emitted pairs are
+    * by construction a subset of the all-pairs answer (precision is exact;
+    * recall is what the cluster partition trades away — callers gate it,
+    * q56-style). Output matches [[cosineNearDupPairs]]: (id_a, id_b,
+    * cos_sim rounded to 6).
+    */
+  def semDedupPairs(vecs: DataFrame, centroids: DataFrame, threshold: Double,
+                    topAssign: Int = 1, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val picked = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("centroid_id"),
+        cosine(col("v"), col("centroid").cast("array<float>")).as("ccos"))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= topAssign)
+      .select(col("id"), col("v"), col("centroid_id"))
+    picked.as("x")
+      .join(picked.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      // multi-assignment can surface the same pair from two shared cells
+      .distinct()
+  }
+
   /** Int8 quantization stats — `struct(maxabs, qmin, qmax, rmse)` from the
     * native one-loop codegen expression [[graft.functions.QuantizeStats]];
     * the storage scale path (4× smaller than float32; at 100 TB of

@@ -1141,6 +1141,24 @@ object LlmQueries {
     // corpus-scale work stays inside the arms. Deterministic: both arms
     // rank on 6-rounded scores with id tie-breaks; fusion adds two fixed
     // terms.
+    // SEMDEDUP-PROPER (q231, round 15): the cluster-partitioned form of
+    // semantic dedup (Abbas et al. 2023) — k-means (the IVF coarse
+    // quantizer, deterministic seeding) partitions the embedding space and
+    // pairs are generated ONLY within a cluster (top-2 multi-assignment
+    // recovers boundary-straddlers), exact-cosine verified. Complements
+    // q103's banded-LSH generator: same gate discipline (recall floor
+    // in-query, precision exact by construction), emitted rows are the
+    // oracle-reproducible exact pair plane.
+    "q231_semdedup_kmeans" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val exact = Similarity.cosineNearDupPairs(vecs, threshold = 0.4)
+      val cents = Ivf.trainCentroids(vecs, c = 4, iters = 2)
+      val sem = Similarity.semDedupPairs(vecs, cents, threshold = 0.4,
+        topAssign = 2)
+      RecallGate.gate(exact, sem, Seq("id_a", "id_b"),
+        recallFloor = 0.70, what = "q231 SemDeDup cluster-partitioned pairs")
+    }),
+
     "q230_hybrid_rrf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
@@ -2092,6 +2110,20 @@ object LlmQueries {
     // non-overlapping semantics in both engines).
     "q228_bpe_train" -> bpeOracle(8),
     "q229_bpe_encode" -> bpeEncodeOracle(8),
+    // q231: q56's exact pair plane with the two gate booleans (the
+    // cluster-partitioned generator runs in-query as the gate subject).
+    "q231_semdedup_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             unnest(embedding)::DOUBLE AS v FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot / (x.nrm * y.nrm), 6) AS cos_sim,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM d JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
+        |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
     // q230: both arms restated (q223's BM25 at k=50, q29's cosine plane
     // over the whole corpus), full-outer joined, 1/(60+rank) summed in
     // the same fixed order.
