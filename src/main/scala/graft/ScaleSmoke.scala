@@ -81,7 +81,20 @@ object ScaleSmoke {
     // z-order layout write + manifest-pruned 2-D scan, the streaming
     // exact-dedup screen, and the manifest-targeted delete
     "q105_image_neardup", "q106_zorder_pruned_scan",
-    "q108_stream_exact_screen", "q109_targeted_delete")
+    "q108_stream_exact_screen", "q109_targeted_delete",
+    // round-15: lexical retrieval (postings/df hash-aggs grow with the
+    // corpus, the bounded 3-query scoring join must NOT), PageRank (edge
+    // build + 3 flat checkpointed iterations — expected ≈linear in the
+    // edge count), chi² feature selection (two hash-aggs, linear), BPE
+    // (first agg linear-in-corpus, the 8 merge rounds are VOCAB-bounded —
+    // copies duplicate text, so distinct words stay constant and the
+    // iteration cost should be flat), corpus re-encode (one codegen map
+    // pass, linear), hybrid RRF (arms linear, fusion bounded), and the
+    // k-means SemDeDup generator (cell-bounded pairs; its emitted exact
+    // plane is the same bounded-by-fixture q103 verify arm)
+    "q223_bm25_search", "q226_pagerank", "q227_chi2_terms",
+    "q228_bpe_train", "q229_bpe_encode", "q230_hybrid_rrf",
+    "q231_semdedup_kmeans")
 
   def buildScaled(s: SparkSession, src: String, target: String,
                   copies: Int, skewed: Boolean = false): Unit = {

@@ -507,6 +507,28 @@ object AdvancedQueries {
       pr.select(col("node"), round(col("rank"), 6).as("pagerank"))
         .orderBy(col("pagerank").desc, col("node").asc)
         .limit(30)
+    }),
+
+    // RELY PK/FK JOIN ELIMINATION (q232, round 15): informational
+    // constraints the optimizer is licensed to trust (the Databricks/
+    // Snowflake RELY contract). With nation.n_nationkey declared PRIMARY
+    // KEY RELY and customer.c_nationkey a RELY foreign key to it, the
+    // BI-tool-shaped star join below reads only customer columns — the
+    // injected [[graft.plans.EliminateRelyJoins]] optimizer rule removes
+    // the dim scan AND the join from the plan (plan-guarded in-query:
+    // a rule regression fails the correctness gate loudly). The oracle is
+    // the semantically equal fact-only projection.
+    "q232_join_elimination" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      graft.plans.RelyConstraints.declarePrimaryKey(nat, "n_nationkey")
+      graft.plans.RelyConstraints.declareForeignKey(
+        cust, "c_nationkey", nat, "n_nationkey")
+      val q = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .select(cust("c_custkey"), cust("c_name"), cust("c_nationkey"))
+      graft.plans.PlanGuard.requireNotInPlan(q, "Join",
+        "q232: RELY fk→pk join with a fact-only projection must plan " +
+          "without the dim join")
     })
   )
 
@@ -722,7 +744,11 @@ object AdvancedQueries {
         |  round((axy - ax*ay) / (sqrt(axx - ax*ax) * sqrt(ayy - ay*ay)), 6)
         |    AS corr
         |FROM m""".stripMargin,
-    "q226_pagerank" -> pageRankOracle(iters = 3, damping = 0.85, top = 30)
+    "q226_pagerank" -> pageRankOracle(iters = 3, damping = 0.85, top = 30),
+    // q232: the eliminated join is the identity on the fact side — the
+    // oracle IS the fact projection (fk integrity holds in the testdata).
+    "q232_join_elimination" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer"
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over

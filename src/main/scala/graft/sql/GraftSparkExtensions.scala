@@ -47,6 +47,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only aggregates: COUNT(*)/MIN/MAX over a bare lake scan
     // answered from the manifest, zero data files opened
     ext.injectOptimizerRule(ServeAggFromManifest)
+    // RELY pk/fk join elimination: a declared-integrity fact⋈dim join
+    // whose projection reads only fact columns drops the dim scan and the
+    // join from the plan (graft.plans.RelyConstraints)
+    ext.injectOptimizerRule(graft.plans.EliminateRelyJoins)
     // EXTENSION GRAMMAR through plain spark.sql — the DeltaSqlParser
     // shape: a delegating parser intercepts the statements Spark's ANTLR
     // grammar has no productions for (OPTIMIZE, VACUUM, RESTORE, SHALLOW
