@@ -304,17 +304,24 @@ object Curation {
     * shuffle of the 100 TB side (plan: BroadcastHashJoin on h), then
     * aggregates per doc. */
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    val benchH = wordShingleHashes(bench, idCol, textCol, n)
-      .select(col("h")).distinct()
-    // Corpus side stays UN-deduped until after the broadcast join: the join
-    // filters ~everything, so the per-doc distinct runs on the few surviving
-    // rows instead of shuffling every corpus shingle hash first.
+                    textCol: String, n: Int): DataFrame =
+    contaminationAgainstHashes(train,
+      wordShingleHashes(bench, idCol, textCol, n).select(col("h")).distinct(),
+      idCol, textCol, n)
+
+  /** The corpus-side half of [[contamination]] against a PRE-BUILT bench
+    * hash set (column `h`) — the shape the STREAMING screen reuses every
+    * micro-batch without re-shingling the benchmark. The corpus side stays
+    * UN-deduped until after the broadcast join: the join filters
+    * ~everything, so the per-doc distinct runs on the few surviving rows
+    * instead of shuffling every corpus shingle hash first. */
+  def contaminationAgainstHashes(train: DataFrame, benchH: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int): DataFrame =
     rawShingleHashes(train, idCol, textCol, n)
       .join(broadcast(benchH), Seq("h"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("h")).as("n_shared"))
-  }
 
   /** Cross-source overlap matrix — the dataset-overlap report run before
     * mixing corpora (the Pile/Dolma-style duplication audit between

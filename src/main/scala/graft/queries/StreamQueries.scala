@@ -273,6 +273,53 @@ object StreamQueries {
         .select(col("doc_id"), col("day"), col("is_dup"))
     }),
 
+    // STREAMING BENCHMARK DECONTAMINATION (q233, round 15): q72's
+    // eval-leakage guard run incrementally — training docs land in three
+    // day files, each micro-batch joins its raw shingle stream against the
+    // STATIC benchmark hash set (pre-shingled once, broadcast — no store,
+    // no state: the verdict is a pure per-doc property, so batch order
+    // cannot change results and the oracle is exactly q72's SQL over the
+    // same landed corpus + the day column). Day 2 additionally lands
+    // re-keyed VERBATIM copies of benchmark docs — the leak the screen
+    // exists to catch — so the verdict set is structurally non-trivial.
+    // Contract at 100 TB: per-release cost is the NEW docs' scan, never a
+    // corpus re-scan.
+    "q233_stream_decontam" -> ((s, dir) => {
+      val root = QueryTmp.dir("q233")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val benchH = graft.ext.Curation
+        .wordShingleHashes(docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", 8)
+        .select(col("h")).distinct().localCheckpoint()
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+        .withColumn("day", (col("doc_id") % 3).cast("int"))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .withColumn("day", lit(2).cast("int")))
+      new java.io.File(s"$root/in").mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { d =>
+        val staging = s"$root/staging$d"
+        train.filter(col("day") === d).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = new java.io.File(s"$root/in/day$d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(t0 + d * 2000L))
+      }
+      val schema = s.read.parquet(s"$root/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val q = Streaming.contaminationScreenStream(stream, "doc_id", "text",
+        throughCols = Seq("day"), benchHashes = benchH, n = 8,
+        outDir = s"$root/out", checkpoint = s"$root/ckpt").start()
+      require(q.awaitTermination(300000), s"stream drain timed out: $root")
+      s.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("day"), col("n_shared"))
+    }),
+
     // CONTINUOUS near-dup screen (the q102 daily near-dup loop as a
     // stream): same 3-day landing as q108, but the per-batch screen is the
     // banded MinHash retrieval against the prior batches' SIGNATURE store
@@ -688,6 +735,28 @@ object StreamQueries {
         |  EXISTS(SELECT 1 FROM aug b
         |         WHERE b.text = a.text AND b.day < a.day) AS is_dup
         |FROM aug a""".stripMargin,
+    // q233: q72's contamination SQL over the landed corpus (incl. the
+    // planted verbatim bench copies) + the day column — the per-doc
+    // verdict is batching-independent by construction.
+    "q233_stream_decontam" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS day
+        |  FROM documents WHERE doc_id % 50 <> 0 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, CAST(2 AS INT) AS day
+        |  FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+        |ws AS (SELECT doc_id, day, string_split(text, ' ') AS w FROM aug),
+        |sh AS (SELECT DISTINCT doc_id, day,
+        |         md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS h
+        |       FROM ws, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS u(i)),
+        |bench AS (SELECT DISTINCT
+        |            md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')) AS h
+        |          FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |                WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+        |            unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS u(i))
+        |SELECT s.doc_id, s.day, count(*) AS n_shared
+        |FROM sh s JOIN bench b ON s.h = b.h
+        |GROUP BY 1, 2""".stripMargin,
     // q112: banded retrieval + exact confirm ⇒ dup iff an earlier day
     // holds the same text; the near-dup decoys (suffix-modified) must be
     // false — the EXISTS below is text EQUALITY, so they are.

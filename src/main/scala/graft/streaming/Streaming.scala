@@ -218,6 +218,36 @@ object Streaming {
         writeTarget(merged)
       }
 
+  /** CONTINUOUS benchmark-decontamination screen (round 15): each
+    * micro-batch of arriving training docs is checked for word-n-gram
+    * overlap against a STATIC benchmark hash set — the q72 eval-leakage
+    * guard run incrementally as corpora land, instead of re-scanning the
+    * whole corpus per release. The bench set is pre-shingled ONCE by the
+    * caller ([[graft.ext.Curation.wordShingleHashes]] + localCheckpoint)
+    * and broadcast into every batch's join, so per-batch cost is one scan
+    * of the batch — the store-free little sibling of [[exactScreenStream]]
+    * (no state evolves: the benchmark is fixed, verdicts are a pure
+    * per-doc property, so batching cannot change results and replays
+    * rewrite their own `batch=<id>` dir byte-identically). Emits only
+    * contaminated docs, (id, throughCols..., n_shared), q72's contract. */
+  def contaminationScreenStream(stream: DataFrame, idCol: String,
+                                textCol: String, throughCols: Seq[String],
+                                benchHashes: DataFrame, n: Int,
+                                outDir: String,
+                                checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.localCheckpoint() // one scan feeds shingles + verdict
+        val flagged = graft.ext.Curation.contaminationAgainstHashes(
+          b, benchHashes, idCol, textCol, n)
+        b.select(col(idCol) +: throughCols.map(col): _*)
+          .join(flagged, Seq(idCol))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+
   /** CONTINUOUS exact-dedup screen: each micro-batch is screened against a
     * persisted fingerprint store (per-row `is_dup` verdict — the q104 daily
     * screen as a stream), then the store is extended with the batch's novel

@@ -128,6 +128,52 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_events") == 1L))
   }
 
+  test("contaminationScreenStream flags bench overlap per batch, no state") {
+    val root = tmpDir("decontam")
+    new java.io.File(s"$root/in").mkdirs()
+    // 3-gram shingles; bench holds "a b c". Doc 11 contains it (2 shared
+    // shingles would need 2 bench grams — here exactly one), doc 12 shares
+    // nothing, doc 13 (day 1) contains it twice but distinct-counts once.
+    val bench = Seq((100L, "a b c x")).toDF("doc_id", "text")
+    val benchH = graft.ext.Curation
+      .wordShingleHashes(bench, "doc_id", "text", 3)
+      .select(col("h")).distinct().localCheckpoint()
+    val days = Seq(
+      Seq((11L, "z a b c z", 0), (12L, "q r s t", 0)),
+      Seq((13L, "a b c a b c", 1)))
+    val t0 = System.currentTimeMillis()
+    days.zipWithIndex.foreach { case (rows, d) =>
+      val staging = s"$root/staging$d"
+      rows.toDF("doc_id", "text", "day").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(s"$root/in/day$d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(t0 + d * 2000L))
+    }
+    val schema = spark.read.parquet(s"$root/in").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val q = Streaming.contaminationScreenStream(stream, "doc_id", "text",
+        Seq("day"), benchH, n = 3, s"$root/out", s"$root/ckpt").start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    def flagged() = spark.read.parquet(s"$root/out")
+      .select("doc_id", "n_shared").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = flagged()
+    // doc 11: shares the "a b c" shingle; doc 13: same shingle appears
+    // twice in-doc but counts distinct = 1 (plus "b c a"/"c a b"? not in
+    // bench — bench grams are "a b c","b c x"); doc 12 absent entirely
+    assert(v == Map(11L -> 1L, 13L -> 1L))
+    // restart over the same checkpoint: nothing re-emitted, unchanged
+    run()
+    assert(flagged() == v)
+  }
+
   test("exactScreenStream flags cross-batch dups and restarts idempotently") {
     val root = tmpDir("screen")
     new java.io.File(s"$root/in").mkdirs()
