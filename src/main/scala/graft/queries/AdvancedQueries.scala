@@ -509,6 +509,48 @@ object AdvancedQueries {
         .limit(30)
     }),
 
+    // FIRST-TOUCH FUNNEL (q234, round 15): the product-analytics
+    // conversion funnel (view → click → purchase, strictly time-ordered
+    // first touches) in ONE hash aggregate per user plus one global agg —
+    // no self-joins, no windows: per-user stage timestamps via
+    // conditional-min, stage membership via ordered comparisons (NULL
+    // stages fail the comparison in both engines identically).
+    "q234_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stages = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      stages.agg(
+        count(col("t_view")).as("n_view"),
+        sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when(col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+          .as("n_full_funnel"))
+    }),
+
+    // COHORT RETENTION (q235, round 15): users bucketed by first-active
+    // ISO week; per (cohort, weeks-since) distinct active users — the
+    // standard retention matrix. Two hash-aggs (distinct user-weeks, then
+    // the matrix) + one join back to the per-user cohort; week arithmetic
+    // stays in exact epoch-second integers so both engines agree
+    // bit-for-bit.
+    "q235_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val weeks = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("week")).distinct()
+      val cohort = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohort, "user_id")
+        .select(col("cohort_week"),
+          ((unix_timestamp(col("week")) -
+            unix_timestamp(col("cohort_week"))) / 604800L).cast("long")
+            .as("week_n"))
+        .groupBy(col("cohort_week"), col("week_n"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // RELY PK/FK JOIN ELIMINATION (q232, round 15): informational
     // constraints the optimizer is licensed to trust (the Databricks/
     // Snowflake RELY contract). With nation.n_nationkey declared PRIMARY
@@ -748,7 +790,34 @@ object AdvancedQueries {
     // q232: the eliminated join is the identity on the fact side — the
     // oracle IS the fact projection (fk integrity holds in the testdata).
     "q232_join_elimination" ->
-      "SELECT c_custkey, c_name, c_nationkey FROM customer"
+      "SELECT c_custkey, c_name, c_nationkey FROM customer",
+    // q234: identical conditional-min stage table; NULL stages fail the
+    // ordered comparisons in both engines.
+    "q234_funnel" ->
+      """WITH st AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT count(t_view) AS n_view,
+        |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view_click,
+        |  CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM st""".stripMargin,
+    // q235: same distinct user-week plane; week arithmetic in exact
+    // epoch-second integers.
+    "q235_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |            FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  CAST((epoch(wk.week) - epoch(c.cohort_week)) / 604800 AS BIGINT)
+        |    AS week_n,
+        |  count(*) AS n_users
+        |FROM wk JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over
