@@ -59,6 +59,29 @@ object Curation {
     when(p < "cc", "train").when(p < "e6", "val").otherwise("test")
   }
 
+  /** Efraimidis–Spirakis (A-ES) WEIGHTED sampling-without-replacement key:
+    * a row with weight w gets key u^(1/w) for u ~ Uniform(0,1), and the
+    * top-k keys are a weighted sample without replacement of size k — the
+    * one-pass, merge-friendly form of weighted reservoir sampling
+    * (Efraimidis & Spirakis 2006). We keep the ORDER-EQUIVALENT log form
+    * ln(u)/w (monotone in u^(1/w), numerically far better for the tiny u
+    * and large w a corpus produces), with u derived from the salted-md5
+    * row property the other sampling ops use: u = (h+0.5)/2^32 for h the
+    * first 8 hex chars of md5(id:salt) — strictly inside (0,1), so ln
+    * never sees 0, and the key is a property of the ROW: stable under
+    * repartitioning, retries, and appends, and mergeable across shards
+    * (the global top-k of per-shard top-ks is the sample — at 100 TB this
+    * is one TakeOrdered, never a global sort).
+    *
+    * The key rounds to 12 decimals so cross-engine last-ulp ln/division
+    * differences cannot reorder the sample; callers break ties on id. */
+  def weightedSampleKey(id: Column, weight: Column, salt: String): Column = {
+    val h = conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
+      1, 8), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    round(log(u) / weight, 12)
+  }
+
   /** Deterministic hash sampling: keep a row iff the first eight hex chars
     * of md5(id:salt) fall below `fraction`·16⁸ (granularity 2⁻³², so even
     * a 1e-8 sample of a 100 TB corpus keeps rows instead of silently

@@ -299,4 +299,94 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** CONTRASTIVE HARD-NEGATIVE MINING — the offline batch job behind
+    * embedding-model training (SimCSE/DPR-style): for every anchor, the
+    * k corpus vectors that score HIGHEST while being semantically WRONG —
+    * a different class label than the anchor (so they are true negatives)
+    * and below a near-duplicate ceiling (so mislabeled twins of the anchor
+    * cannot poison the negative set). These are exactly the examples a
+    * contrastive loss learns the most from.
+    *
+    * Plan shape matches [[bruteForceTopK]]: the anchor batch is broadcast,
+    * the corpus streams once through a codegen cosine + the label/ceiling
+    * filters (pushed BEFORE the rank, so excluded rows never occupy a top-k
+    * slot), and per-anchor top-k is a window rank keyed by anchor id. At
+    * corpus scale the same filters compose with the IVF/kNN-graph
+    * retrieval instead of the brute pass — retrieve k·overfetch
+    * candidates, filter, re-rank (see q238's self-gated IVF arm).
+    *
+    * Determinism contract: cosines round to 6 decimals before ranking,
+    * ties break on corpus id — oracle-reproducible. */
+  /** LATE-INTERACTION retrieval (the ColBERT MaxSim contract): query and
+    * document are each a BAG of token vectors; the score is
+    * Σ_{query token} max_{doc token} cos(q, d) — every query token finds
+    * its best-matching document token, so multi-aspect queries score
+    * documents that cover all aspects above documents that nail only one.
+    * This is the third production retrieval shape next to lexical BM25
+    * (q223) and single-vector dense ANN (q29/q45): more precise than one
+    * pooled vector, cheaper than a cross-encoder.
+    *
+    * Token vectors here are the `nSub` contiguous slices of the embedding
+    * column (deterministic, fixture-independent); a real deployment feeds
+    * per-token encoder outputs through the same plan. Plan shape: probe
+    * tokens broadcast (queries × nSub rows), corpus tokens stream through
+    * one codegen cosine, then two hash aggregates — max over doc tokens
+    * keyed by (probe, doc, query-token), sum over query tokens keyed by
+    * (probe, doc) — and a per-probe top-k window. Nothing materializes the
+    * full token-interaction matrix, and at corpus scale the candidate set
+    * comes from an ANN prefilter with this as the re-scorer.
+    *
+    * Determinism: cosines round to 6 decimals before the max, the MaxSim
+    * sum rounds to 6 before ranking, ties break on doc id. */
+  def lateInteractionTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                          nSub: Int = 4, dims: Int = 64,
+                          probeId: String = "probe_id",
+                          corpusId: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val sd = dims / nSub
+    def tokens(df: DataFrame, id: String, idAs: String) = df.select(
+      col(id).as(idAs),
+      posexplode(array((0 until nSub).map(i =>
+        slice(col(vecCol), i * sd + 1, sd)): _*)).as(Seq("sub", "tok")))
+    val pt = tokens(probes, probeId, "probe_id")
+      .withColumnRenamed("sub", "qs").withColumnRenamed("tok", "qtok")
+    val ct = tokens(corpus, corpusId, "neighbor_id")
+    val mx = ct.crossJoin(broadcast(pt))
+      .select(col("probe_id"), col("neighbor_id"), col("qs"),
+        round(cosine(col("qtok"), col("tok")), 6).as("cs"))
+      .groupBy(col("probe_id"), col("neighbor_id"), col("qs"))
+      .agg(max(col("cs")).as("m"))
+    val scored = mx.groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(round(sum(col("m")), 6).as("maxsim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("maxsim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("maxsim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  def hardNegatives(probes: DataFrame, corpus: DataFrame, k: Int,
+                    dupCeiling: Double,
+                    probeId: String = "probe_id", corpusId: String = "vec_id",
+                    vecCol: String = "embedding",
+                    probeLabel: String = "probe_label",
+                    corpusLabel: String = "label"): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(probes.as("p")))
+      .select(
+        col(s"p.$probeId").as("probe_id"),
+        col(s"c.$corpusId").as("neighbor_id"),
+        round(cosine(col(s"p.$vecCol"), col(s"c.$vecCol")), 6).as("cos_sim"),
+        col(s"p.$probeLabel").as("_pl"),
+        col(s"c.$corpusLabel").as("_cl"))
+      .filter(col("_pl") =!= col("_cl") && col("cos_sim") < dupCeiling)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
 }

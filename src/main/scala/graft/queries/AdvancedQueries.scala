@@ -571,6 +571,59 @@ object AdvancedQueries {
       graft.plans.PlanGuard.requireNotInPlan(q, "Join",
         "q232: RELY fk→pk join with a fact-only projection must plan " +
           "without the dim join")
+    }),
+
+    // MARKOV TRANSITION MATRIX (q237, round 15): the next-event model over
+    // the event stream — P(next | prev) for every observed event-type pair,
+    // the user-journey analysis behind "what do users do after X".
+    // One shuffle keyed on user_id for the lead() window (consecutive
+    // pairs form inside a user's partition — never a self-join on the
+    // stream), then a hash-agg whose output is bounded by |event types|²
+    // (25 rows here) regardless of corpus size; the probability
+    // normalization is a window over that tiny matrix. Both engines
+    // compute p as exact-integer division in doubles.
+    "q237_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val counts = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("prev_event"))
+        .withColumn("next_event", lead(col("prev_event"), 1).over(w))
+        .filter(col("next_event").isNotNull)
+        .groupBy(col("prev_event"), col("next_event"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("prev_event"))), 6))
+    }),
+
+    // SESSION PATH ANALYSIS (q241, round 15): the top user journeys —
+    // sessionize by a 4-hour inactivity gap (classic gap-and-islands:
+    // session id = running count of gap-breaks, one lag + one running-sum
+    // window over the same user_id partitioning, so ONE shuffle), then
+    // the ordered event-type path per session and the most common paths.
+    // Path assembly sorts each session's events locally
+    // (array_sort(collect_list(struct))) — per-session work, bounded by
+    // session length, never a global sort; gap arithmetic stays in exact
+    // epoch microseconds so both engines break sessions identically.
+    "q241_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = 4L * 3600L * 1000000L
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(w) >= gapUs ||
+            lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_n", sum(col("brk")).over(w))
+      sess.groupBy(col("user_id"), col("session_n"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(us, event_id, " +
+            "event_type))), x -> x.event_type)"), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
     })
   )
 
@@ -817,7 +870,42 @@ object AdvancedQueries {
         |    AS week_n,
         |  count(*) AS n_users
         |FROM wk JOIN c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q237: consecutive-pair counts via the same lead() window; p is
+    // BIGINT/BIGINT division — float division in both engines — of exact
+    // integers, rounded to 6.
+    "q237_markov_transitions" ->
+      """WITH st AS (
+        |  SELECT event_type AS prev_event,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_event
+        |  FROM events),
+        |c AS (SELECT prev_event, next_event, count(*) AS n
+        |      FROM st WHERE next_event IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_event, next_event, n,
+        |  round(n / sum(n) OVER (PARTITION BY prev_event), 6) AS p
+        |FROM c""".stripMargin,
+    // q241: the gap-and-islands rewrite with exact microsecond arithmetic;
+    // string_agg with an ORDER BY replays the per-session path assembly.
+    "q241_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS us FROM events),
+        |b AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |          (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+        |          >= 14400000000
+        |        OR lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us ASC, event_id ASC) IS NULL
+        |        THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY us ASC, event_id ASC) AS session_n FROM b),
+        |p AS (SELECT user_id, session_n,
+        |        string_agg(event_type, '>' ORDER BY us ASC, event_id ASC)
+        |          AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC
+        |LIMIT 20""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over

@@ -219,6 +219,27 @@ object CurationQueries {
     "q227_chi2_terms" -> ((s, dir) => {
       Curation.chiSquaredTerms(t(s, dir, "documents"), "doc_id", "text",
         isClass = col("lang") === "en", minDf = 25, k = 20)
+    }),
+
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (q236, round 15): a 50-doc
+    // sample where selection probability tracks document length — the
+    // token-budgeted corpus subsampling rule (sampling documents
+    // proportional to their token mass approximates sampling TOKENS
+    // uniformly). Efraimidis–Spirakis A-ES: per-row key ln(u)/w from the
+    // salted-md5 row property, global top-k by key. The plan is
+    // TakeOrderedAndProject — per-partition top-50 heaps merged on the
+    // driver, so a 100 TB corpus pays one streaming pass and a
+    // k-bounded merge, never a global sort; the final rank is a window
+    // over the 50 survivors only.
+    "q236_weighted_sample" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        Curation.weightedSampleKey(col("doc_id"),
+          col("n_chars").cast("double"), "ws").as("skey"))
+      val top = keyed.orderBy(col("skey").desc, col("doc_id").asc).limit(50)
+      top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey").desc, col("doc_id").asc)).cast("long"))
     })
   )
 
@@ -426,6 +447,22 @@ object CurationQueries {
         |FROM c, tot
         |WHERE df >= 25 AND df < nn
         |ORDER BY chi2 DESC, token ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    // q236 replays the A-ES key exactly: u=(h+0.5)/2^32 from the salted
+    // md5 row property, key=round(ln(u)/w, 12) — ln/division in doubles
+    // agree bit-for-bit across engines, the rounding absorbs any last-ulp
+    // residue, ties break on doc_id.
+    "q236_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)) AS BIGINT) + 0.5)
+        |             / 4294967296.0)
+        |          / CAST(n_chars AS DOUBLE), 12) AS skey
+        |  FROM documents)
+        |SELECT doc_id, n_chars, skey,
+        |  CAST(row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM k
+        |ORDER BY skey DESC, doc_id ASC
+        |LIMIT 50""".stripMargin
   )
 }

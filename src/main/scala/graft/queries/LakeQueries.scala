@@ -8,7 +8,7 @@ import graft.ops.Ivm
 import graft.pipeline.{Catalog, Pipeline}
 import graft.plans.PlanGuard
 import graft.qc.RecallGate
-import graft.sinks.{Bucketing, Layout, Maintenance, Sinks, Snapshots}
+import graft.sinks.{Bucketing, Layout, Maintenance, RowTracking, Sinks, Snapshots}
 import graft.sources.{EndpointSpec, IncrementalConfig, Json, PagePagination, RestSource}
 
 /** Sink/source round-trips under the driver's DuckDB gate (SURVEY §2.1/§2.2):
@@ -2023,6 +2023,56 @@ object LakeQueries {
         .withColumn("blocked_ok", lit(blockedOk))
         .withColumn("isolated_ok", lit(isolatedOk))
         .withColumn("published_ok", lit(publishedOk))
+    }),
+
+    // ROW TRACKING (q239, round 15): stable row identities that survive
+    // re-layout — the Delta row-tracking contract. Two appends assign
+    // virtual ids (file base + position, zero write amplification), a
+    // compaction MATERIALIZES them into a physical column while rows move
+    // across files, and a post-compaction append allocates above the
+    // monotone high-water mark. Gates in-query: (a) the (orderkey →
+    // row_id) map is IDENTICAL before and after compaction — a pure
+    // re-layout renumbers nothing; (b) ids are globally unique across all
+    // three commits (the high-water survived the compaction that dropped
+    // every base-id-carrying file); (c) pinned v1 serves only batch 1.
+    // Emits a pruned band of the business rows (id VALUES are
+    // engine-internal layout artifacts, like every hash-dependent op
+    // here); the booleans are what the oracle expects TRUE.
+    "q239_row_tracking" -> ((s, dir) => {
+      val root = tmp("q239")
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+      val b2 = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val (v1, _) = RowTracking.appendTracked(s, b1, Seq("o_orderkey"),
+        s"$root/t", s"$root/m", nFiles = 4)
+      val (v2, _) = RowTracking.appendTracked(s, b2, Seq("o_orderkey"),
+        s"$root/t", s"$root/m", nFiles = 4)
+      val before = RowTracking.readTracked(s, s"$root/m", v2)
+        .select(col("o_orderkey"), col("_row_id")).localCheckpoint()
+      val (v3, _, _) = RowTracking.compactTracked(s, s"$root/t",
+        s"$root/m", Seq("o_orderkey"), nFiles = 3)
+      val after = RowTracking.readTracked(s, s"$root/m", v3)
+        .localCheckpoint()
+      val stableOk = RecallGate.equivalentFingerprint(Seq(
+        (before, after.select(col("o_orderkey"), col("_row_id")),
+          "q239 (key → row id) across compaction")),
+        Seq("o_orderkey", "_row_id"))
+      require(stableOk, "q239 compaction renumbered rows")
+      val Array(nTotal, nIds, maxId) = after.agg(
+        count(lit(1)), countDistinct(col("_row_id")), max(col("_row_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val uniqueOk = nIds == nTotal
+      require(uniqueOk, s"q239 duplicate row ids: $nIds of $nTotal")
+      require(maxId < nTotal + 16 * nTotal, "q239 id space ran away")
+      val pinnedOk = RowTracking.readTracked(s, s"$root/m", v1)
+        .agg(count(lit(1))).head().getLong(0) == b1.count()
+      require(pinnedOk, "q239 pinned v1 read is not batch 1")
+      after.filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("stable_ok", lit(stableOk))
+        .withColumn("unique_ok", lit(uniqueOk))
+        .withColumn("pinned_ok", lit(pinnedOk))
     })
   )
 
@@ -2407,6 +2457,14 @@ object LakeQueries {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS blocked_ok, TRUE AS isolated_ok, TRUE AS published_ok
         |FROM orders
-        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin
+        |WHERE o_custkey BETWEEN 30 AND 120""".stripMargin,
+    // q239 emits the post-compaction business rows of the band; row-id
+    // stability/uniqueness/pinned-read are the in-query gates the oracle
+    // expects TRUE (id values are layout artifacts, not data).
+    "q239_row_tracking" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS stable_ok, TRUE AS unique_ok, TRUE AS pinned_ok
+        |FROM orders
+        |WHERE o_orderkey <= 2000""".stripMargin
   )
 }

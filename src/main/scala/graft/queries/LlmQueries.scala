@@ -1174,6 +1174,61 @@ object LlmQueries {
         .select(col("probe_id").as("query_id"),
           col("neighbor_id").as("id"), col("rank"))
       Search.rrfFuse(lex, dense, k = 10)
+    }),
+
+    // CONTRASTIVE HARD-NEGATIVE MINING (q238, round 15): for each anchor
+    // (vec_id < 5, carrying its class label), the 10 corpus vectors that
+    // score highest while being DIFFERENT-labeled (true negatives) and
+    // below a 0.95 near-dup ceiling (a mislabeled twin of the anchor can't
+    // poison the negative set) — the offline batch job behind
+    // DPR/SimCSE-style embedding training. Emits the exact plane
+    // (oracle-reproducible); the production-scale arm — IVF retrieval with
+    // 4× overfetch, label/ceiling filter, re-rank — runs in-query as the
+    // recall-gate subject, so a seed or filter regression fails the hash
+    // compare. No precision gate: the IVF arm legitimately backfills
+    // missed slots with lower-ranked negatives.
+    "q238_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"),
+          col("label").as("probe_label"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val exact = Similarity.hardNegatives(probes, corpus,
+        k = 10, dupCeiling = 0.95)
+      val (cents, carried) = Ivf.buildIndex(corpus, c = 4, iters = 2)
+      val cand = Ivf.ivfTopK(probes, corpus, cents, k = 40, nProbe = 2,
+        assignment = Some(carried))
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .join(probes.select(col("probe_id"), col("probe_label")), "probe_id")
+        .filter(col("probe_label") =!= col("label") &&
+          col("cos_sim") < 0.95)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val approx = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      RecallGate.gate(exact, approx, Seq("probe_id", "neighbor_id"),
+        recallFloor = 0.50, what = "q238 IVF-retrieved hard negatives",
+        requireExactPrecision = false)
+    }),
+
+    // LATE-INTERACTION RETRIEVAL (q240, round 15): ColBERT-style MaxSim —
+    // query and document as BAGS of token vectors (the embedding's 4
+    // contiguous 16-dim slices, deterministic), score = per-query-token
+    // best doc-token cosine, summed. Completes the retrieval family:
+    // lexical BM25 (q223), dense single-vector (q29/q45), hybrid RRF
+    // (q230), late interaction (here). Two hash aggregates over a
+    // broadcast probe-token plane — the token-interaction matrix is never
+    // materialized; at corpus scale an ANN prefilter feeds this as the
+    // re-scorer.
+    "q240_late_interaction" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lateInteractionTopK(
+        probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        corpus = emb.filter(col("vec_id") >= 5),
+        k = 10)
     })
   )
 
@@ -1432,6 +1487,58 @@ object LlmQueries {
         |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
         |  TRUE AS recall_ok
         |FROM s WHERE rank <= 10""".stripMargin,
+    // q238 = the q29 exact plane restricted to true negatives (different
+    // label, cos < 0.95) + the IVF-arm recall-gate boolean; filters apply
+    // BEFORE the rank on both sides so exclusions never hold a top-k slot.
+    "q238_hard_negatives" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.i = b.i
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |s AS (SELECT probe_id, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cos_sim
+        |      FROM d JOIN nrm x ON probe_id = x.vec_id
+        |             JOIN nrm y ON neighbor_id = y.vec_id),
+        |f AS (SELECT s.probe_id, s.neighbor_id, s.cos_sim,
+        |        row_number() OVER (PARTITION BY s.probe_id
+        |          ORDER BY s.cos_sim DESC, s.neighbor_id ASC) AS rank
+        |      FROM s JOIN embeddings pa ON s.probe_id = pa.vec_id
+        |             JOIN embeddings ca ON s.neighbor_id = ca.vec_id
+        |      WHERE pa.label <> ca.label AND s.cos_sim < 0.95)
+        |SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+        |  TRUE AS recall_ok
+        |FROM f WHERE rank <= 10""".stripMargin,
+    // q240: MaxSim replayed sub-vector-wise — per (probe, doc, query-sub)
+    // max of rounded sub-cosines, summed per (probe, doc), rounded, ranked.
+    "q240_late_interaction" ->
+      """WITH u AS (SELECT vec_id,
+        |    (generate_subscripts(embedding, 1) - 1) // 16 AS sub,
+        |    (generate_subscripts(embedding, 1) - 1) % 16 AS j,
+        |    unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |nrm AS (SELECT vec_id, sub, sqrt(sum(v * v)) AS nrm
+        |        FROM u GROUP BY 1, 2),
+        |d AS (SELECT a.vec_id AS probe_id, a.sub AS qs,
+        |        b.vec_id AS neighbor_id, b.sub AS ds, sum(a.v * b.v) AS dot
+        |      FROM u a JOIN u b ON a.j = b.j
+        |      WHERE a.vec_id < 5 AND b.vec_id >= 5
+        |      GROUP BY 1, 2, 3, 4),
+        |c AS (SELECT probe_id, qs, neighbor_id,
+        |        round(dot / (x.nrm * y.nrm), 6) AS cs
+        |      FROM d JOIN nrm x ON d.probe_id = x.vec_id AND d.qs = x.sub
+        |             JOIN nrm y ON d.neighbor_id = y.vec_id AND d.ds = y.sub),
+        |mx AS (SELECT probe_id, neighbor_id, qs, max(cs) AS m
+        |       FROM c GROUP BY 1, 2, 3),
+        |sc AS (SELECT probe_id, neighbor_id, round(sum(m), 6) AS maxsim
+        |       FROM mx GROUP BY 1, 2),
+        |r AS (SELECT probe_id, neighbor_id, maxsim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY maxsim DESC, neighbor_id ASC) AS rank
+        |      FROM sc)
+        |SELECT probe_id, neighbor_id, maxsim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
     // q110 = q45's oracle plane (exact brute-force top-k + recall gate
     // boolean); the persisted-and-reloaded index probe is the gate subject.
     "q110_ivf_persisted" ->

@@ -147,4 +147,34 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("weightedSampleKey: A-ES key is a stable row property, monotone in weight") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+    val keyed = rows.select(col("id"),
+      Curation.weightedSampleKey(col("id"), col("w"), "t").as("k"))
+    // row property: identical under repartitioning
+    val a = keyed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = keyed.repartition(7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    // keys are strictly negative (u in (0,1) ⇒ ln(u) < 0, w > 0)
+    a.values.foreach(k => assert(k < 0))
+    // monotone in weight for a fixed row: a heavier copy of the same id
+    // always outranks the lighter one (ln(u)/w grows toward 0 as w grows)
+    val mono = rows.select(
+      Curation.weightedSampleKey(col("id"), col("w"), "t").as("lo"),
+      Curation.weightedSampleKey(col("id"), col("w") * 10, "t").as("hi"))
+      .collect()
+    mono.foreach(r => assert(r.getDouble(1) > r.getDouble(0)))
+    // weighted selection actually biases: weight-by-id-parity, the heavy
+    // half should take well over half the top-50 slots
+    val heavy = rows.select(col("id"),
+      Curation.weightedSampleKey(col("id"),
+        when(col("id") % 2 === 0, 50.0).otherwise(1.0), "t").as("k"))
+      .orderBy(col("k").desc, col("id").asc).limit(50)
+      .filter(col("id") % 2 === 0).count()
+    assert(heavy >= 40, s"heavy-weight rows took only $heavy of 50 slots")
+  }
 }

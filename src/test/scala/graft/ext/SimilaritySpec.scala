@@ -79,4 +79,47 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.map(_.getInt(0)).toSeq == b2.map(_.getInt(0)).toSeq)
     b1.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 16))
   }
+
+  test("lateInteractionTopK: MaxSim rewards covering every query aspect") {
+    // 4-dim vectors, 2 sub-vectors of dim 2. Probe = (1,0 | 0,1).
+    // Doc 10 covers BOTH aspects (sub1 matches qsub1, sub2 matches qsub2)
+    // → MaxSim 2.0. Doc 11 nails only aspect 1 twice → MaxSim 1.0 + eps.
+    // Single-vector cosine would score them much closer; late interaction
+    // separates them by construction.
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 1f)),
+      (11L, Array(1f, 0f, 1f, 0f)),
+      (12L, Array(0f, 1f, 0f, 1f)) // covers only aspect 2 → MaxSim 1.0
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((1L, Array(1f, 0f, 0f, 1f)))
+      .toDF("probe_id", "embedding")
+    val got = Similarity.lateInteractionTopK(probes, corpus, k = 3,
+      nSub = 2, dims = 4).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L, 12L))
+    assert(got.head.getAs[Double]("maxsim") == 2.0)
+    // doc 11: qsub1→best doc sub cos=1 (its sub1), qsub2→best cos=0 ⇒ 1.0
+    assert(got(1).getAs[Double]("maxsim") == 1.0)
+  }
+
+  test("hardNegatives excludes same-label and near-dup vectors from top-k") {
+    // probe is label 1; vec 10 is an exact twin (cos=1, above the 0.95
+    // ceiling), vec 11 shares the label (a positive), vecs 12-14 are true
+    // negatives at descending similarity
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f), 2), // near-dup of the probe: ceiling-excluded
+      (11L, Array(0.9f, 0.1f, 0f), 1), // same label: positive, excluded
+      (12L, Array(0.6f, 0.4f, 0f), 2), // cos ≈ 0.832: below the ceiling
+      (13L, Array(0.5f, 0.5f, 0f), 3),
+      (14L, Array(0f, 0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val probes = Seq((1L, Array(1f, 0f, 0f), 1))
+      .toDF("probe_id", "embedding", "probe_label")
+    val got = Similarity.hardNegatives(probes, corpus, k = 2,
+      dupCeiling = 0.95).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(12L, 13L))
+    // ranks are contiguous from 1 and cosines descend
+    assert(got.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+    val sims = got.map(_.getAs[Double]("cos_sim"))
+    assert(sims.head > sims.last)
+  }
 }
