@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
 import graft.model.Tables
 import graft.sinks.{Layout, Snapshots}
 import graft.streaming.{Stateful, Streaming}
@@ -718,6 +719,53 @@ object StreamQueries {
           col("user_id"), col("event_type"), col("value"),
           col("c_name"), col("c_mktsegment"))
         .withColumn("broadcast_ok", lit(broadcastOk))
+    }),
+
+    // STREAMING HEAVY HITTERS (q242, round 15): the q93 frequent-tokens
+    // monitor as a stream — documents land in three day files, each
+    // micro-batch folds into a Misra-Gries summary carried across
+    // triggers (k counters of state forever; a streaming
+    // groupBy(tok).count() would hold one state row per DISTINCT token).
+    // After the drain, the final summary's candidates — a guaranteed
+    // superset of every token with share > 1/k, under ANY batch split —
+    // are re-counted exactly with one broadcast semi-join over the landed
+    // corpus. A merge bug that drops a true heavy hitter shrinks the
+    // emitted set and fails the hash compare against the exhaustive
+    // oracle.
+    "q242_stream_heavy_hitters" -> ((s, dir) => {
+      val root = QueryTmp.dir("q242")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .withColumn("day", (col("doc_id") % 3).cast("int"))
+      new java.io.File(s"$root/in").mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { d =>
+        val staging = s"$root/staging$d"
+        docs.filter(col("day") === d).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dest = new java.io.File(s"$root/in/day$d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(t0 + d * 2000L))
+      }
+      val schema = s.read.parquet(s"$root/in").schema
+      val toks = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val q = Streaming.heavyHitterStream(toks, "tok", k = 1024,
+        storeDir = s"$root/store", checkpoint = s"$root/ckpt").start()
+      require(q.awaitTermination(300000), s"stream drain timed out: $root")
+      val sketch = Streaming.latestSummary(s, s"$root/store", Long.MaxValue)
+        .getOrElse(sys.error("q242: no summary committed"))
+      val minCount = math.ceil(0.002 * sketch.n).toLong
+      val cand = s.createDataset(sketch.keys.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("tok")
+      s.read.parquet(s"$root/in")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .join(broadcast(cand), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
     })
   )
 
@@ -885,6 +933,16 @@ object StreamQueries {
         |  user_id, event_type, value, c_name, c_mktsegment,
         |  TRUE AS broadcast_ok
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |WHERE event_id % 10 < 3""".stripMargin
+        |WHERE event_id % 10 < 3""".stripMargin,
+    // q242: the exhaustive heavy-hitter SQL (q93's shape) — the streaming
+    // sketch's candidates re-counted exactly must equal this, or the
+    // Misra-Gries merge lost a frequent token.
+    "q242_stream_heavy_hitters" ->
+      """WITH t AS (SELECT tok FROM documents,
+        |             unnest(string_split(text, ' ')) AS u(tok)
+        |           WHERE text IS NOT NULL),
+        |c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1)
+        |SELECT tok, n FROM c
+        |WHERE n >= ceil(0.002 * (SELECT sum(n) FROM c))""".stripMargin
   )
 }

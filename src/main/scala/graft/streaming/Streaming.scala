@@ -302,6 +302,80 @@ object Streaming {
         GenStore.append(novel, storeDir, id)
       }
 
+  /** STREAMING HEAVY HITTERS: a Misra-Gries summary maintained across
+    * micro-batches — the frequent-items monitor whose state is k counters
+    * FOREVER, regardless of how many distinct keys the stream has seen
+    * (the exact alternative, a streaming `groupBy(key).count()`, keeps one
+    * state row per distinct key — unbounded on a token stream).
+    *
+    * Per trigger: the batch folds through the typed
+    * [[graft.functions.MisraGriesAggregator]] (one aggregate job, k-counter
+    * partials), the prior summary (≤ k−1 rows, read driver-side) merges in
+    * via the mergeable-summaries combine — the n/k undercount bound
+    * survives ANY merge tree (Agarwal et al., PODS '12), so batch
+    * boundaries cannot break the guarantee — and the merged summary lands
+    * as a `batch=<id>` overwrite dir: replay of a crashed trigger
+    * recomputes from summary_{id−1} + the same batch and overwrites its
+    * own dir, never compounding (the q108 idempotence discipline; no
+    * GenStore needed — the store IS one k-bounded summary per batch, and
+    * summary_{id} subsumes everything before it).
+    *
+    * The candidates are a guaranteed SUPERSET of every key with true share
+    * > 1/k; callers finish with an exact broadcast re-count of the ≤ k−1
+    * candidates (the [[graft.ext.Curation.heavyHitters]] verify step). */
+  def heavyHitterStream(stream: DataFrame, keyCol: String, k: Int,
+                        storeDir: String,
+                        checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.functions.{HeavyHitterSketch, MisraGriesAggregator, MisraGriesState}
+        val s = batch.sparkSession
+        val agg = new MisraGriesAggregator(k)
+        def stateOf(h: HeavyHitterSketch): MisraGriesState = {
+          val st = new MisraGriesState
+          st.n = h.n
+          h.keys.zip(h.residuals).foreach { case (key, v) =>
+            st.counters.update(key, v) }
+          st
+        }
+        val batchSketch = batch.filter(col(keyCol).isNotNull)
+          .select(col(keyCol).cast("string"))
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .select(agg.toColumn).head()
+        val merged = latestSummary(s, storeDir, id) match {
+          case Some(prior) =>
+            agg.finish(agg.merge(stateOf(prior), stateOf(batchSketch)))
+          case None => batchSketch
+        }
+        import s.implicits._
+        Seq((merged.n, merged.keys.toSeq, merged.residuals.toSeq))
+          .toDF("n", "keys", "residuals")
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$id")
+      }
+
+  /** The newest committed summary from batches STRICTLY BEFORE `id` (None
+    * before the first); also how callers read the FINAL summary after the
+    * drain (id = Long.MaxValue). One single-row parquet read. */
+  def latestSummary(s: SparkSession, storeDir: String,
+                    id: Long): Option[graft.functions.HeavyHitterSketch] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val prior = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ < id)
+    if (prior.isEmpty) None
+    else {
+      val r = s.read.parquet(s"$storeDir/batch=${prior.max}").head()
+      Some(graft.functions.HeavyHitterSketch(r.getLong(0),
+        r.getSeq[String](1).toArray, r.getSeq[Long](2).toArray))
+    }
+  }
+
   /** The fingerprint store as of batches STRICTLY BEFORE `id`. */
   private def priorStore(s: SparkSession, storeDir: String,
                          id: Long): Option[DataFrame] =

@@ -174,6 +174,53 @@ class StreamingSpec extends SparkSpec {
     assert(flagged() == v)
   }
 
+  test("heavyHitterStream carries the MG summary across batches, k-bounded") {
+    val root = tmpDir("hhstream")
+    new java.io.File(s"$root/in").mkdirs()
+    // "hot" appears 30× spread across all 3 batches (share 30/90 = 1/3 —
+    // far above 1/k); each batch alone also carries 20 distinct cold keys.
+    // A summary that fails to carry across triggers undercounts hot below
+    // the exact threshold; per-batch k-bounding keeps every summary ≤ k−1.
+    val t0 = System.currentTimeMillis()
+    (0 until 3).foreach { d =>
+      val rows = (0 until 10).map(_ => s"hot") ++
+        (0 until 20).map(i => s"cold_${d}_$i")
+      val staging = s"$root/staging$d"
+      rows.toDF("tok").coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = new java.io.File(s"$root/in/day$d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(t0 + d * 2000L))
+    }
+    val schema = spark.read.parquet(s"$root/in").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val q = Streaming.heavyHitterStream(stream, "tok", k = 8,
+        s"$root/store", s"$root/ckpt").start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    val sk = Streaming.latestSummary(spark, s"$root/store", Long.MaxValue).get
+    assert(sk.n == 90L, "n must be the exact stream length")
+    assert(sk.keys.length <= 7, "summary must stay k-1 bounded")
+    assert(sk.keys.contains("hot"),
+      "a key with share 1/3 > 1/8 must survive the cross-batch merges")
+    // MG residual undercounts by at most n/k
+    val res = sk.keys.zip(sk.residuals).toMap.apply("hot")
+    assert(res >= 30L - 90L / 8 && res <= 30L)
+    // every per-batch summary held at most k-1 keys too
+    (0 until 3).foreach { b =>
+      val s = Streaming.latestSummary(spark, s"$root/store", b + 1L).get
+      assert(s.keys.length <= 7)
+    }
+    // restart over the same checkpoint: no re-processing, summary unchanged
+    run()
+    val again = Streaming.latestSummary(spark, s"$root/store", Long.MaxValue).get
+    assert(again.n == 90L && again.keys.sameElements(sk.keys))
+  }
+
   test("exactScreenStream flags cross-batch dups and restarts idempotently") {
     val root = tmpDir("screen")
     new java.io.File(s"$root/in").mkdirs()
