@@ -624,6 +624,71 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path").asc)
         .limit(20)
+    }),
+
+    // RECURSIVE CTE (q243, round 15): hierarchy traversal through the SQL
+    // front door — Spark 4's WITH RECURSIVE (iterative union execution:
+    // each step is one distributed join of the frontier against the base
+    // relation, depth-bounded, never a driver loop). The hierarchy is the
+    // halving tree over customer keys (parent(k) = k DIV 2 — every key
+    // reachable from root 1, depth = ⌊log₂ k⌋), rolled up per depth: the
+    // org-chart/BOM rollup shape.
+    "q243_recursive_hierarchy" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v243")
+      s.sql(
+        """WITH RECURSIVE walk(c_custkey, c_acctbal, depth) AS (
+          |  SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT)
+          |  FROM customer_v243 WHERE c_custkey = 1
+          |  UNION ALL
+          |  SELECT c.c_custkey, c.c_acctbal, w.depth + 1
+          |  FROM customer_v243 c JOIN walk w ON c.c_custkey DIV 2 = w.c_custkey
+          |)
+          |SELECT depth, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+          |FROM walk GROUP BY depth""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery (q244, round 15): top-3 customers by
+    // balance PER REGION via LATERAL — the "top-n per group through the
+    // SQL front door" shape BI tools emit. Catalyst decorrelates the
+    // correlated ORDER BY ... LIMIT into a ranked window join — never a
+    // per-row subquery execution.
+    "q244_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("region_v244")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v244")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v244")
+      val df = s.sql(
+        """SELECT r.r_name, l.c_name, l.c_acctbal
+          |FROM region_v244 r,
+          |LATERAL (
+          |  SELECT c.c_name, c.c_acctbal
+          |  FROM customer_v244 c JOIN nation_v244 n
+          |    ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  ORDER BY c.c_acctbal DESC, c.c_name ASC LIMIT 3) l""".stripMargin)
+      graft.plans.PlanGuard.requireNotInPlan(df, "BroadcastNestedLoopJoin",
+        "q244: the lateral top-n must decorrelate to a ranked window " +
+          "join, never a per-outer-row nested loop")
+    }),
+
+    // EXPONENTIAL SMOOTHING per key (q245, round 15): the ordered-fold
+    // primitive — each user's event values fold left-to-right through
+    // s' = ½s + ½x (simple exponential smoothing, α = ½: every multiply
+    // is an exact binary rescale, and a left fold gives both engines the
+    // IDENTICAL operation sequence — no sum-reorder ulp drift). The fold
+    // runs inside one hash aggregate (collect per key, sort locally,
+    // aggregate() HOF) — per-key work bounded by that key's history,
+    // never a global sort.
+    "q245_exp_smoothing" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(us, event_id, " +
+          "value))), x -> x.value)").as("vs"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          round(expr("aggregate(slice(vs, 2, size(vs) - 1), vs[0], " +
+            "(s, x) -> 0.5d * s + 0.5d * x)"), 6).as("smoothed"))
     })
   )
 
@@ -905,7 +970,36 @@ object AdvancedQueries {
         |SELECT path, count(*) AS n_sessions
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q243_recursive_hierarchy" ->
+      """WITH RECURSIVE walk(c_custkey, c_acctbal, depth) AS (
+        |  SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT)
+        |  FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_acctbal, w.depth + 1
+        |  FROM customer c JOIN walk w ON c.c_custkey // 2 = w.c_custkey
+        |)
+        |SELECT depth, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM walk GROUP BY depth""".stripMargin,
+    "q244_lateral_topn" ->
+      """SELECT r.r_name, l.c_name, l.c_acctbal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT c.c_name, c.c_acctbal
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY c.c_acctbal DESC, c.c_name ASC LIMIT 3) l""".stripMargin,
+    // q245: list_reduce seeds from the first element, matching the Spark
+    // side's aggregate(tail, head, fold) — identical operation order, so
+    // the ½-weighted fold is bit-reproducible before the final round.
+    "q245_exp_smoothing" ->
+      """WITH a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    list(value ORDER BY epoch_us(ts) ASC, event_id ASC) AS vs
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  round(list_reduce(vs, (s, x) -> 0.5 * s + 0.5 * x), 6) AS smoothed
+        |FROM a""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over
