@@ -689,6 +689,32 @@ object AdvancedQueries {
         .select(col("user_id"), col("n_events"),
           round(expr("aggregate(slice(vs, 2, size(vs) - 1), vs[0], " +
             "(s, x) -> 0.5d * s + 0.5d * x)"), 6).as("smoothed"))
+    }),
+
+    // TIME-SERIES RESAMPLE + FORWARD FILL (q246, round 15): each user's
+    // sparse event values regularized onto an hourly grid — the
+    // gap-filling step before any per-key time-series model. The grid is
+    // GENERATED per key (sequence() from that key's own min to max hour —
+    // grid size tracks each key's span, never a global calendar cross
+    // join); observed hours average their values; gaps forward-fill via a
+    // running last(ignoreNulls) frame. One shuffle keyed on user_id
+    // serves the hourly agg, the bounds agg, and the fill window.
+    "q246_resample_ffill" -> ((s, dir) => {
+      // a deterministic user band keeps the emitted grid result-sized at
+      // every sf (the operator itself is per-key-bounded at any scale)
+      val hourly = t(s, dir, "events").filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(col("user_id"), explode(
+          expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), unix_micros(col("hour")).as("hour_us"),
+          col("v").isNull.as("is_gap"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
     })
   )
 
@@ -999,7 +1025,24 @@ object AdvancedQueries {
         |  FROM events GROUP BY 1)
         |SELECT user_id, n_events,
         |  round(list_reduce(vs, (s, x) -> 0.5 * s + 0.5 * x), 6) AS smoothed
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // q246: generate_series replays the per-key grid; last_value IGNORE
+    // NULLS over the running frame is the forward fill.
+    "q246_resample_ffill" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    round(avg(value), 6) AS v
+        |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+        |      FROM h GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi,
+        |        INTERVAL 1 HOUR)) AS hour FROM b)
+        |SELECT g.user_id, epoch_us(g.hour) AS hour_us,
+        |  h.v IS NULL AS is_gap,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hour ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over
