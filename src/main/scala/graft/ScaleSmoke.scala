@@ -94,7 +94,15 @@ object ScaleSmoke {
     // plane is the same bounded-by-fixture q103 verify arm)
     "q223_bm25_search", "q226_pagerank", "q227_chi2_terms",
     "q228_bpe_train", "q229_bpe_encode", "q230_hybrid_rrf",
-    "q231_semdedup_kmeans")
+    "q231_semdedup_kmeans",
+    // round-15 second wave: A-ES weighted sampling (one TakeOrdered pass —
+    // linear scan, k-bounded merge), late-interaction MaxSim (probe-token
+    // plane is bounded, corpus tokens stream once — linear), session paths
+    // (one user_id shuffle — linear), the streaming Misra-Gries monitor
+    // (k counters of state at ANY corpus size — linear in stream length),
+    // and the per-key ordered smoothing fold (per-key bounded)
+    "q236_weighted_sample", "q240_late_interaction", "q241_session_paths",
+    "q242_stream_heavy_hitters", "q245_exp_smoothing")
 
   def buildScaled(s: SparkSession, src: String, target: String,
                   copies: Int, skewed: Boolean = false): Unit = {
