@@ -2023,6 +2023,42 @@ object SqlQueries {
         .withColumn("copy_ok", lit(copyOk))
         .withColumn("alive_ok", lit(aliveOk))
     }),
+
+    // ANALYZE TABLE (q247, round 15): the Databricks statistics statement
+    // over a lake table — one aggregate job over the live rows computes
+    // the row count plus exact per-column distinct/null counts, persisted
+    // as stats.* TBLPROPERTIES in ONE metadata-only commit (zero data
+    // files written — listing-gated in-query). The emitted rows are the
+    // stats read back through SHOW TBLPROPERTIES; the oracle recomputes
+    // every number exhaustively, so a wrong count — not just a missing
+    // key — fails the hash compare.
+    "q247_sql_analyze" -> ((s, dir) => {
+      val root = tmp("q247")
+      LakeSql.setWarehouse(root)
+      LakeSql.unregister("orders247")
+      val slice = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      slice.createOrReplaceTempView("q247_src")
+      LakeSql.sql(s, "CREATE TABLE orders247 TBLPROPERTIES(" +
+        "'stats_cols'='o_orderkey', 'files'='8') " +
+        "AS SELECT * FROM q247_src")
+      def dataFiles() = new java.io.File(s"$root/orders247/z").listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+      val before = dataFiles()
+      // through the PLAIN spark.sql door (parser-injected statement)
+      val m = s.sql(
+        "ANALYZE TABLE orders247 COMPUTE STATISTICS FOR ALL COLUMNS").head()
+      val metaOnlyOk = dataFiles() == before
+      require(metaOnlyOk, "q247 ANALYZE wrote data files")
+      val analyzedOk = m.getAs[Long]("row_count") == slice.count() &&
+        m.getAs[Long]("columns_analyzed") == 4L
+      require(analyzedOk, s"q247 ANALYZE metrics off: $m")
+      LakeSql.sql(s, "SHOW TBLPROPERTIES orders247")
+        .filter(col("key").startsWith("stats."))
+        .withColumn("meta_only_ok", lit(metaOnlyOk))
+        .withColumn("analyzed_ok", lit(analyzedOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2409,5 +2445,31 @@ object SqlQueries {
         |  TRUE AS served_ok, TRUE AS pinned_ok, TRUE AS fallback_ok,
         |  (SELECT count(*) FROM live WHERE o_custkey < 100) AS n_filtered
         |FROM live""".stripMargin,
+    // q247: every persisted statistic recomputed exhaustively — rowCount
+    // plus per-column exact distinct/null counts over the CTAS slice.
+    "q247_sql_analyze" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |               round(o_totalprice, 2) AS o_totalprice FROM orders),
+        |stats AS (
+        |  SELECT 'stats.rowCount' AS key,
+        |    CAST(count(*) AS VARCHAR) AS value FROM src
+        |  UNION ALL SELECT 'stats.o_orderkey.distinctCount',
+        |    CAST(count(DISTINCT o_orderkey) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'stats.o_orderkey.nullCount',
+        |    CAST(count(*) - count(o_orderkey) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'stats.o_custkey.distinctCount',
+        |    CAST(count(DISTINCT o_custkey) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'stats.o_custkey.nullCount',
+        |    CAST(count(*) - count(o_custkey) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'stats.o_orderstatus.distinctCount',
+        |    CAST(count(DISTINCT o_orderstatus) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'stats.o_orderstatus.nullCount',
+        |    CAST(count(*) - count(o_orderstatus) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'stats.o_totalprice.distinctCount',
+        |    CAST(count(DISTINCT o_totalprice) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'stats.o_totalprice.nullCount',
+        |    CAST(count(*) - count(o_totalprice) AS VARCHAR) FROM src)
+        |SELECT key, value, TRUE AS meta_only_ok, TRUE AS analyzed_ok
+        |FROM stats""".stripMargin,
   )
 }

@@ -1531,9 +1531,30 @@ object Snapshots {
 
   // separators '~' and ',' are outside the base64url alphabet AND legal
   // in a Hadoop path segment (':' is not — it reads as a URI scheme)
-  private def propsMarker(m: Map[String, String]): String =
-    PropsPrefix + m.toSeq.sorted
-      .map { case (k, v) => s"${b64e(k)}~${b64e(v)}" }.mkString(",")
+  //
+  // A property map too big for ONE path segment (most filesystems cap a
+  // name at 255 bytes — nine ANALYZE statistics already blow it) CHUNKS
+  // across several `_props_` markers in the same commit dir; readers
+  // merge every chunk of the newest version that carries any (keys are
+  // disjoint across chunks, so merge order is irrelevant, and the atomic
+  // dir rename publishes all chunks together or none).
+  private def propsMarkers(m: Map[String, String]): Seq[String] = {
+    val parts = m.toSeq.sorted
+      .map { case (k, v) => s"${b64e(k)}~${b64e(v)}" }
+    parts.foreach(p => require(p.length <= 230,
+      s"property too long for a name-encoded marker (${p.length} chars) — " +
+        "oversized values belong in a content marker like _schema.json"))
+    if (parts.isEmpty) return Seq(PropsPrefix)
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    parts.foreach { p =>
+      if (chunks.last.nonEmpty &&
+          chunks.last.map(_.length + 1).sum + p.length > 180)
+        chunks += scala.collection.mutable.ArrayBuffer(p)
+      else chunks.last += p
+    }
+    chunks.map(c => PropsPrefix + c.mkString(",")).toSeq
+  }
 
   private def parseProps(name: String): Map[String, String] = {
     val body = name.stripPrefix(PropsPrefix)
@@ -1551,9 +1572,12 @@ object Snapshots {
     versions(spark, manifestRoot).filter(_ <= version).sorted.reverse
       .iterator
       .map { v =>
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+        val hits = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
           .toSeq.map(_.getPath.getName)
-          .collectFirst { case n if n.startsWith(PropsPrefix) => parseProps(n) }
+          .filter(_.startsWith(PropsPrefix))
+        if (hits.isEmpty) None
+        else Some(hits.map(parseProps).reduce(_ ++ _)) // disjoint chunks
       }
       .collectFirst { case Some(m) => m }
       .getOrElse(Map.empty)
@@ -1569,7 +1593,7 @@ object Snapshots {
     val v = latestVersion(spark, manifestRoot)
     val next = tableProperties(spark, manifestRoot, v) ++ props
     commit(spark, manifestAt(spark, manifestRoot, v), manifestRoot,
-      markers = Seq(propsMarker(next)))
+      markers = propsMarkers(next))
   }
 
   /** UNSET TBLPROPERTIES — removes the keys (missing keys are a no-op,
@@ -1580,7 +1604,7 @@ object Snapshots {
     val v = latestVersion(spark, manifestRoot)
     val next = tableProperties(spark, manifestRoot, v) -- keys
     commit(spark, manifestAt(spark, manifestRoot, v), manifestRoot,
-      markers = Seq(propsMarker(next)))
+      markers = propsMarkers(next))
   }
 
   /** Table property carrying the DECLARED schema (StructType JSON) of a
@@ -1644,7 +1668,7 @@ object Snapshots {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), manifestSchema)
     commit(spark, empty, manifestRoot,
-      markers = if (props.isEmpty) Seq.empty else Seq(propsMarker(props)),
+      markers = if (props.isEmpty) Seq.empty else propsMarkers(props),
       contentFiles = Seq(SchemaMarker -> schema.json))
   }
 
@@ -1695,14 +1719,14 @@ object Snapshots {
     (out, next + step * rows)
   }
 
-  /** Marker NAME for a superseding property map = current ∪ `updates` —
+  /** Marker NAMES for a superseding property map = current ∪ `updates` —
     * lets a DATA commit carry a property update in the SAME atomic
     * rename (e.g. the identity high-water mark riding its INSERT's
     * commit, never a separate metadata commit that could be lost
     * between the two). */
-  def mergedPropsMarker(spark: SparkSession, manifestRoot: String,
-                        updates: Map[String, String]): String =
-    propsMarker(tableProperties(spark, manifestRoot,
+  def mergedPropsMarkers(spark: SparkSession, manifestRoot: String,
+                         updates: Map[String, String]): Seq[String] =
+    propsMarkers(tableProperties(spark, manifestRoot,
       latestVersion(spark, manifestRoot)) ++ updates)
 
   private def cmapMarker(m: Map[String, String]): String = {
@@ -2464,13 +2488,18 @@ object Snapshots {
       fs.create(new org.apache.hadoop.fs.Path(
         s"$manifestRoot/v=$cut/$marker"), true).close()
     val below = versions(spark, manifestRoot).filter(_ <= cut).sorted.reverse
+    // props may CHUNK across several markers in one commit dir — rehome
+    // every chunk of the newest carrying version, or the surviving map
+    // would silently lose the keys of the unmoved chunks
     for (prefix <- Seq(CmapPrefix, CkPrefix, PropsPrefix)) {
       below.iterator
-        .map(v => names(v).collectFirst {
-          case n if n.startsWith(prefix) => (v, n) })
+        .map { v =>
+          val ms = names(v).filter(_.startsWith(prefix))
+          if (ms.isEmpty) None else Some((v, ms))
+        }
         .collectFirst { case Some(hit) => hit }
-        .foreach { case (v, marker) =>
-          if (dropSet.contains(v)) rehome(marker) }
+        .foreach { case (v, ms) =>
+          if (dropSet.contains(v)) ms.foreach(rehome) }
     }
     drop.foreach(v => names(v).filter(n =>
         n.startsWith(AddColPrefix) || n.startsWith(CopyPrefix))

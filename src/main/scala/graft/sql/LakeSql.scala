@@ -10,7 +10,7 @@ import scala.util.Try
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, Like, ListQuery, Literal, ScalarSubquery}
-import org.apache.spark.sql.functions.{col, lit, max, min, substring}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, substring, sum, when}
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, NullType, NumericType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
@@ -205,6 +205,16 @@ object LakeSql {
   //     file-count-bounded, zero data files opened.
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z0-9_.]+)\s*""".r
+  //   ANALYZE TABLE <t> COMPUTE STATISTICS [FOR ALL COLUMNS] → ONE
+  //     aggregate job over the live rows computing the table row count
+  //     (plus exact per-column distinct/null counts under FOR ALL
+  //     COLUMNS), persisted as `stats.*` TBLPROPERTIES in one
+  //     metadata-only commit — the Databricks ANALYZE shape, feeding any
+  //     CBO-style consumer through SHOW TBLPROPERTIES / DESCRIBE
+  //     EXTENDED. Valid Spark SQL, so claimed only for registered lake
+  //     names (the TRUNCATE discipline).
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+([A-Za-z0-9_.]+)\s+COMPUTE\s+STATISTICS(\s+FOR\s+ALL\s+COLUMNS)?\s*""".r
 
   /** The metric-row column names of an EXTENSION-GRAMMAR statement (the
     * regex-dispatched surface Spark's parser has no productions for:
@@ -278,6 +288,8 @@ object LakeSql {
       case CopyIntoRe(_, _, _) =>
         Some(longSchema(Seq("version", "files_loaded", "rows_loaded",
           "files_skipped")))
+      case AnalyzeRe(name, _) if isRegisteredName(name) =>
+        Some(longSchema(Seq("version", "row_count", "columns_analyzed")))
       case _ => None
     }
 
@@ -454,6 +466,31 @@ object LakeSql {
           StructField("size_bytes", LongType, nullable = false),
           StructField("num_versions", LongType, nullable = false),
           StructField("stats_cols", StringType, nullable = false))))
+    // ANALYZE TABLE: one aggregate job over the LIVE rows (DV-masked rows
+    // excluded — statistics describe what readers see); row count always,
+    // exact per-visible-column distinct + null counts under FOR ALL
+    // COLUMNS. Persisted as stats.* properties in one metadata commit so
+    // SHOW TBLPROPERTIES / DESCRIBE EXTENDED serve them back; at 100 TB
+    // the job is a single pass with map-side partials (the multi-distinct
+    // plans through Spark's expand, still one scan).
+    case AnalyzeRe(name, forCols) if isRegisteredName(name) =>
+      val spec = specByName(name)
+      val v = Snapshots.latestVersion(spark, spec.manifestRoot)
+      val df = Snapshots.mappedTableAt(spark, spec.manifestRoot, v)
+      val cols = if (forCols == null) Seq.empty[String] else df.columns.toSeq
+      val aggs = count(lit(1)).as("_rc") +: cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"_ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      def longAt(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val rc = longAt(0)
+      val props = Map("stats.rowCount" -> rc.toString) ++
+        cols.zipWithIndex.flatMap { case (c, i) => Seq(
+          s"stats.$c.distinctCount" -> longAt(1 + 2 * i).toString,
+          s"stats.$c.nullCount" -> longAt(2 + 2 * i).toString) }
+      val nv = Snapshots.setProperties(spark, spec.manifestRoot, props)
+      metricsRow(spark, Seq("version" -> nv.toLong, "row_count" -> rc,
+        "columns_analyzed" -> cols.size.toLong))
     // RESTORE TABLE (the Delta RESTORE statement): ONE metadata-only
     // roll-FORWARD commit re-referencing the target version's files —
     // zero data files written, history above the target stays pinnable
@@ -1353,7 +1390,7 @@ object LakeSql {
     // the identity HIGH-WATER MARK rides the same atomic commit as the
     // data — a crash can never assign the same id range twice
     val markers = if (hwm.isEmpty) Seq.empty
-      else Seq(Snapshots.mergedPropsMarker(spark, spec.manifestRoot, hwm))
+      else Snapshots.mergedPropsMarkers(spark, spec.manifestRoot, hwm)
     val (version, files) = Snapshots.appendCommit(spark, aligned, spec.cols,
       spec.path, spec.manifestRoot, spec.nFiles, markers = markers)
     metricsRow(spark,

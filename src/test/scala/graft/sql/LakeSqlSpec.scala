@@ -522,4 +522,38 @@ class LakeSqlSpec extends SparkSpec {
     assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM t_cln_fork1")
       .head().getLong(0) == 10000L)
   }
+
+  test("property maps chunk across markers past the filename limit") {
+    import spark.implicits._
+    val dir = tmpDir("props_chunk")
+    val df = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v")
+    graft.sinks.Layout.zorderWrite(df, Seq("k"), s"$dir/z", 2)
+    graft.sinks.Snapshots.commit(spark,
+      graft.sinks.Layout.buildManifest(spark, s"$dir/z", Seq("k")), s"$dir/m")
+    // 40 long-keyed properties — far past one 255-byte path segment
+    val many = (1 to 40).map(i =>
+      s"stats.some_rather_long_column_name_$i.distinctCount" ->
+        (i * 1000).toString).toMap
+    val v = graft.sinks.Snapshots.setProperties(spark, s"$dir/m", many)
+    val back = graft.sinks.Snapshots.tableProperties(spark, s"$dir/m", v)
+    assert(back == many)
+    // merge semantics survive chunking: one more SET keeps all prior keys
+    val v2 = graft.sinks.Snapshots.setProperties(spark, s"$dir/m",
+      Map("owner" -> "etl"))
+    val merged = graft.sinks.Snapshots.tableProperties(spark, s"$dir/m", v2)
+    assert(merged == many + ("owner" -> "etl"))
+    // every chunk file's NAME stays under the 255-byte segment limit
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/m")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/m/v=$v2"))
+      .map(_.getPath.getName).filter(_.startsWith("_props_"))
+    assert(names.length > 1, "expected the map to chunk")
+    names.foreach(n => assert(n.getBytes("UTF-8").length < 255))
+    // vacuum past the props commit rehomes EVERY chunk: the map survives
+    val v3 = graft.sinks.Snapshots.commit(spark,
+      graft.sinks.Snapshots.manifestAt(spark, s"$dir/m", v2), s"$dir/m")
+    graft.sinks.Snapshots.vacuum(spark, s"$dir/z", s"$dir/m", retainLast = 1)
+    assert(graft.sinks.Snapshots.tableProperties(spark, s"$dir/m", v3)
+      == many + ("owner" -> "etl"))
+  }
 }
