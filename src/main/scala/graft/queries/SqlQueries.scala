@@ -2059,6 +2059,59 @@ object SqlQueries {
         .withColumn("meta_only_ok", lit(metaOnlyOk))
         .withColumn("analyzed_ok", lit(analyzedOk))
     }),
+
+    // CREATE OR REPLACE TABLE (q248, round 15): the Delta REPLACE
+    // contract — one atomic commit supersedes the whole table content
+    // (here: a schema-AND-content swap from an orders slice to a customer
+    // slice) on the SAME version log, so the pre-replace version stays
+    // time-travelable until vacuum. Gates in-query: the replace is v2 of
+    // the same log; VERSION AS OF 1 still serves the ORIGINAL rows; the
+    // pre-replace data files are byte-untouched on disk (replace is a
+    // history event, never a wipe); plain spark.sql (USING lake, parser
+    // claim) and the LakeSql front door land identical state; and bare
+    // REPLACE TABLE on a missing name rejects (OR REPLACE is what
+    // licenses creation).
+    "q248_sql_replace_table" -> ((s, dir) => {
+      val root = tmp("q248")
+      LakeSql.setWarehouse(root)
+      LakeSql.unregister("mix248")
+      val a = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      a.createOrReplaceTempView("q248_a")
+      val b = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      b.createOrReplaceTempView("q248_b")
+      val m1 = LakeSql.sql(s, "CREATE OR REPLACE TABLE mix248 " +
+        "TBLPROPERTIES('stats_cols'='o_orderkey','files'='6') " +
+        "AS SELECT * FROM q248_a").head()
+      require(m1.getAs[Long]("version") == 1L, s"q248 create landed $m1")
+      def dataFiles() = new java.io.File(s"$root/mix248/z").listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+      val before = dataFiles()
+      // the replace itself goes through PLAIN spark.sql (parser claim)
+      val m2 = s.sql("CREATE OR REPLACE TABLE mix248 USING lake " +
+        "TBLPROPERTIES('stats_cols'='c_custkey','files'='4') " +
+        "AS SELECT * FROM q248_b").head()
+      val replaceOk = m2.getAs[Long]("version") == 2L &&
+        LakeSql.sql(s, "SELECT count(*) AS n FROM mix248")
+          .head().getLong(0) == b.count()
+      require(replaceOk, s"q248 replace landed wrong: $m2")
+      val keptOk = before.subsetOf(dataFiles()) &&
+        LakeSql.sql(s,
+          "SELECT count(*) AS n FROM mix248 VERSION AS OF 1")
+          .head().getLong(0) == a.count()
+      require(keptOk, "q248 replace wiped the pre-replace version")
+      val missingOk = scala.util.Try(LakeSql.sql(s,
+        "REPLACE TABLE nope248 TBLPROPERTIES('stats_cols'='c_custkey') " +
+          "AS SELECT * FROM q248_b")).isFailure
+      require(missingOk, "q248 bare REPLACE created a missing table")
+      LakeSql.sql(s, "SELECT c_custkey, c_name, c_nationkey FROM mix248 " +
+          "WHERE c_custkey <= 400")
+        .withColumn("replace_ok", lit(replaceOk))
+        .withColumn("kept_ok", lit(keptOk))
+        .withColumn("missing_ok", lit(missingOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2471,5 +2524,12 @@ object SqlQueries {
         |    CAST(count(*) - count(o_totalprice) AS VARCHAR) FROM src)
         |SELECT key, value, TRUE AS meta_only_ok, TRUE AS analyzed_ok
         |FROM stats""".stripMargin,
+    // q248: the post-replace head is the customer slice; the history /
+    // file-retention / missing-table gates ride as booleans.
+    "q248_sql_replace_table" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  TRUE AS replace_ok, TRUE AS kept_ok, TRUE AS missing_ok
+        |FROM customer
+        |WHERE c_custkey <= 400""".stripMargin,
   )
 }

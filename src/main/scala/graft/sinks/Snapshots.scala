@@ -767,6 +767,23 @@ object Snapshots {
     (v, moved.size)
   }
 
+  /** REPLACE-table commit: the next version references ONLY the fresh
+    * z-ordered batch — the whole previous content is superseded in one
+    * atomic commit, while every pinned pre-replace version stays readable
+    * until vacuum (the Delta `CREATE OR REPLACE` contract: replace is a
+    * history event, not a wipe). Staging-then-move keeps the append-path
+    * crash discipline: a crash pre-commit leaves only unreferenced files.
+    * Returns (version, files written). */
+  def replaceCommit(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                    path: String, manifestRoot: String,
+                    nFiles: Int): (Int, Int) = {
+    val staging = path + ".replace_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(df, cols, staging, nFiles)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    (commit(spark, Layout.buildManifestFor(spark, moved, cols),
+      manifestRoot), moved.size)
+  }
+
   /** COMPACTION as a version commit: the latest snapshot's files are
     * rewritten into `nFiles` freshly z-ordered files (quantile sketch +
     * one range shuffle over exactly the referenced files — per-batch

@@ -280,6 +280,10 @@ final class GraftSqlParser(delegate: ParserInterface)
         if LakeSql.claimableCreate(ct) =>
       LakeDmlCommand(LakeSql.longSchema(Seq("version")),
         s => LakeSql.runCreateClaimed(s, ct))
+    case rts: org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect
+        if LakeSql.claimableReplace(rts) =>
+      LakeDmlCommand(LakeSql.longSchema(Seq("version", "files")),
+        s => LakeSql.runReplaceClaimed(s, rts))
     case _ =>
       LakeSql.dmlCommand(plan, _ => false, multipartOnly = true) match {
         case Some((names, exec)) =>

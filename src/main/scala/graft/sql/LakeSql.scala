@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, Like, ListQuery, Literal, ScalarSubquery}
 import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, substring, sum, when}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, NullType, NumericType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -662,6 +662,8 @@ object LakeSql {
         withAutoCompact(spark, u.table)(runUpdate(spark, u))
       case cts: CreateTableAsSelect =>
         runCtas(spark, cts)
+      case rts: ReplaceTableAsSelect =>
+        runReplaceTas(spark, rts)
       case ct: CreateTable if claimableCreate(ct) =>
         runCreate(spark, ct)
       case rc: RenameColumn if isLake(rc.table) =>
@@ -1534,6 +1536,84 @@ object LakeSql {
     metricsRow(spark, Seq("version" -> version.toLong,
       "files" -> spec.nFiles.toLong))
   }
+
+  /** `CREATE OR REPLACE TABLE name [TBLPROPERTIES(...)] AS query` — the
+    * Delta REPLACE contract: on an EXISTING lake table, one atomic commit
+    * supersedes the whole content with the query's rows (stats columns
+    * re-declarable via `stats_cols`); every pinned pre-replace version
+    * stays time-travelable until vacuum, because replace is a HISTORY
+    * EVENT on the same version log, never a wipe. On a missing table it
+    * is plain CTAS (that is what OR REPLACE means — `REPLACE TABLE`
+    * without it requires existence). Refused loudly under column mapping
+    * or CHECK constraints: those contracts ride version markers that
+    * would silently re-apply to the replaced schema. */
+  private def runReplaceTas(spark: SparkSession,
+                            rts: ReplaceTableAsSelect): DataFrame = {
+    val name = rts.name match {
+      case UnresolvedIdentifier(Seq(n), _) =>
+        n.toLowerCase(java.util.Locale.ROOT)
+      case other => throw new IllegalArgumentException(
+        s"REPLACE TABLE wants a single-part table name, got $other")
+    }
+    require(rts.partitioning.isEmpty,
+      "REPLACE TABLE with PARTITIONED BY is not supported — the lake " +
+        "layout is z-ordered on stats_cols instead")
+    val props = rts.tableSpec match {
+      case ts: UnresolvedTableSpec => ts.properties
+      case other => throw new IllegalArgumentException(
+        s"unsupported REPLACE TABLE table spec: $other")
+    }
+    registry.get(name) match {
+      case None =>
+        require(rts.orCreate,
+          s"REPLACE TABLE: lake table '$name' does not exist " +
+            "(use CREATE OR REPLACE TABLE)")
+        runCtas(spark, CreateTableAsSelect(rts.name, rts.partitioning,
+          rts.query, rts.tableSpec, rts.writeOptions, ignoreIfExists = false))
+      case Some(spec0) =>
+        val v0 = Snapshots.latestVersion(spark, spec0.manifestRoot)
+        require(Snapshots.columnMapping(spark, spec0.manifestRoot, v0).isEmpty,
+          s"REPLACE TABLE '$name' under a column mapping is not supported " +
+            "— the mapping markers would re-apply to the new schema; " +
+            "DROP and recreate instead")
+        require(Snapshots.checkConstraints(spark, spec0.manifestRoot, v0).isEmpty,
+          s"REPLACE TABLE '$name' with CHECK constraints in force is not " +
+            "supported — drop the constraints first (they would silently " +
+            "gate the new schema)")
+        val statsCols = props.get("stats_cols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(spec0.cols)
+        val df = PlanExec.ofRows(spark, resolveReads(spark, rts.query))
+        val missing = statsCols.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"stats_cols ${missing.mkString(", ")} not in the REPLACE " +
+            s"query's columns (${df.columns.mkString(", ")})")
+        val nFiles = props.get("files").map(_.toInt).getOrElse(spec0.nFiles)
+        val (version, files) = Snapshots.replaceCommit(spark, df, statsCols,
+          spec0.path, spec0.manifestRoot, nFiles)
+        register(name, spec0.copy(cols = statsCols, nFiles = nFiles))
+        metricsRow(spark, Seq("version" -> version.toLong,
+          "files" -> files.toLong))
+    }
+  }
+
+  /** Parser-level claim for `CREATE OR REPLACE TABLE t USING lake … AS
+    * query` (the [[claimableCreate]] discipline applied to RTAS): plain
+    * `spark.sql` replaces through the same commit path as the front
+    * door. */
+  private[sql] def claimableReplace(rts: ReplaceTableAsSelect): Boolean =
+    (rts.name match {
+      case UnresolvedIdentifier(parts, _) => parts.size == 1
+      case _ => false
+    }) && (rts.tableSpec match {
+      case ts: UnresolvedTableSpec =>
+        ts.provider.exists(_.equalsIgnoreCase("lake"))
+      case _ => false
+    })
+
+  private[sql] def runReplaceClaimed(spark: SparkSession,
+                                     rts: ReplaceTableAsSelect): DataFrame =
+    runReplaceTas(spark, rts)
 
   /** Is this CreateTable ours to claim? Single-part name + `USING lake`
     * — the front-door / parser-level path. Catalog-qualified names
