@@ -2112,6 +2112,63 @@ object SqlQueries {
         .withColumn("kept_ok", lit(keptOk))
         .withColumn("missing_ok", lit(missingOk))
     }),
+
+    // ENFORCED FOREIGN KEY (q249, round 15): the write-side referential
+    // contract — beyond the Databricks FK (which is informational/RELY
+    // only, see q232): a child table carrying orphans cannot ADOPT the
+    // edge (add-time validation rejects, nothing committed); once in
+    // force, a staged batch with orphan keys is dropped whole and the
+    // table stays byte-identical; NULL child keys pass (SQL MATCH SIMPLE,
+    // mirroring CHECK's three-valued logic). Enforcement is a
+    // keys-distinct anti-join against the parent's live keys —
+    // batch-keys-bounded, the parent streams once per gated write.
+    // Parent-side actions (ON DELETE …) are out of scope, as they are in
+    // every lakehouse FK surface.
+    "q249_sql_foreign_key" -> ((s, dir) => {
+      val root = tmp("q249")
+      LakeSql.setWarehouse(root)
+      LakeSql.unregister("nat249")
+      LakeSql.unregister("cust249")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("q249_nat")
+      LakeSql.sql(s, "CREATE TABLE nat249 TBLPROPERTIES(" +
+        "'stats_cols'='n_nationkey','files'='1') AS SELECT * FROM q249_nat")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      // seed WITH orphans (nationkey 99): the edge must refuse adoption
+      cust.limit(0).unionByName(cust.filter(col("c_custkey") <= 600))
+        .unionByName(cust.filter(col("c_custkey") > 600 &&
+            col("c_custkey") <= 610)
+          .withColumn("c_nationkey", lit(99).cast("int")))
+        .createOrReplaceTempView("q249_seed")
+      LakeSql.sql(s, "CREATE TABLE cust249 TBLPROPERTIES(" +
+        "'stats_cols'='c_custkey','files'='4') AS SELECT * FROM q249_seed")
+      val fkSql = "ALTER TABLE cust249 ADD CONSTRAINT fk_nat FOREIGN KEY " +
+        "(c_nationkey) REFERENCES nat249 (n_nationkey) ENFORCED"
+      val adoptOk = scala.util.Try(s.sql(fkSql)).isFailure
+      require(adoptOk, "q249 FK adopted over existing orphans")
+      LakeSql.sql(s, "DELETE FROM cust249 WHERE c_custkey > 600")
+      require(s.sql(fkSql).head().getAs[Long]("version") > 0L,
+        "q249 FK add failed on a clean table")
+      // a valid batch lands; an orphan batch is rejected whole
+      cust.filter(col("c_custkey").between(601, 700))
+        .createOrReplaceTempView("q249_good")
+      LakeSql.sql(s, "INSERT INTO cust249 SELECT * FROM q249_good")
+      val n1 = LakeSql.sql(s, "SELECT count(*) AS n FROM cust249")
+        .head().getLong(0)
+      s.sql("SELECT c_custkey + 900000 AS c_custkey, c_name, " +
+          "CAST(99 AS INT) AS c_nationkey FROM q249_good")
+        .createOrReplaceTempView("q249_bad")
+      val rejectOk = scala.util.Try(LakeSql.sql(s,
+        "INSERT INTO cust249 SELECT * FROM q249_bad")).isFailure &&
+        LakeSql.sql(s, "SELECT count(*) AS n FROM cust249")
+          .head().getLong(0) == n1
+      require(rejectOk, "q249 orphan batch landed")
+      LakeSql.sql(s,
+          "SELECT c_custkey, c_name, c_nationkey FROM cust249")
+        .withColumn("adopt_ok", lit(adoptOk))
+        .withColumn("reject_ok", lit(rejectOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2531,5 +2588,13 @@ object SqlQueries {
         |  TRUE AS replace_ok, TRUE AS kept_ok, TRUE AS missing_ok
         |FROM customer
         |WHERE c_custkey <= 400""".stripMargin,
+    // q249: final state = the clean seed plus the valid batch — the
+    // orphan seed rows were deleted pre-adoption and the orphan batch
+    // never landed.
+    "q249_sql_foreign_key" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  TRUE AS adopt_ok, TRUE AS reject_ok
+        |FROM customer
+        |WHERE c_custkey <= 700""".stripMargin,
   )
 }

@@ -2305,6 +2305,65 @@ object Snapshots {
       markers = Seq(ckMarker(cur + (name -> condition))))
   }
 
+  /** FOREIGN KEY constraints in force at `version` —
+    * name → (column, parent manifest root, parent key column). Stored as
+    * `graft.fk.<name>` table properties (the parent is resolved to its
+    * manifest root at ADD time, so enforcement never needs a name
+    * registry). Unlike RELY constraints ([[graft.plans.RelyConstraints]],
+    * optimizer hints the engine TRUSTS), these are ENFORCED: they gate
+    * every staged write. */
+  def foreignKeys(spark: SparkSession, manifestRoot: String,
+                  version: Int): Map[String, (String, String, String)] =
+    tableProperties(spark, manifestRoot, version).collect {
+      case (k, v) if k.startsWith("graft.fk.") =>
+        val Array(c, root, key) = v.split("\t", 3)
+        k.stripPrefix("graft.fk.") -> ((c, root, key))
+    }
+
+  /** ADD an ENFORCED foreign key: existing rows validate first (an
+    * orphan-carrying table cannot adopt the contract — nothing commits),
+    * then the edge lands as ONE metadata-only property commit. NULL child
+    * values pass (the SQL MATCH SIMPLE convention, mirroring CHECK's
+    * three-valued logic); enforcement on later writes is a key-distinct
+    * anti-join of the staged batch against the parent's live keys —
+    * batch-keys-bounded, the parent streams once. */
+  def addForeignKey(spark: SparkSession, manifestRoot: String, name: String,
+                    column: String, parentManifestRoot: String,
+                    parentKey: String): Int = {
+    val v = latestVersion(spark, manifestRoot)
+    require(!foreignKeys(spark, manifestRoot, v).contains(name),
+      s"foreign key '$name' already exists")
+    val entries = Dv.entries(Dv.ensureDv(manifestAt(spark, manifestRoot, v)))
+    if (entries.nonEmpty) {
+      val orphans = orphanCount(spark,
+        Dv.readLive(spark, entries), column, parentManifestRoot, parentKey)
+      if (orphans > 0)
+        throw new ConstraintViolationException(
+          s"cannot ADD FOREIGN KEY '$name' ($column → $parentKey): " +
+            s"$orphans existing rows have no parent — nothing committed")
+    }
+    setProperties(spark, manifestRoot, Map(
+      s"graft.fk.$name" -> s"$column\t$parentManifestRoot\t$parentKey"))
+  }
+
+  /** Child rows of `df` whose non-null `column` has no match in the
+    * parent's live `parentKey` set — the FK violation count. Distinct
+    * child keys anti-join the parent (both sides key-distinct, so the
+    * join is keys × keys, never rows × rows), then matches broadcast
+    * back. */
+  private def orphanCount(spark: SparkSession, df: DataFrame, column: String,
+                          parentManifestRoot: String,
+                          parentKey: String): Long = {
+    val parent = Dv.readLive(spark, Dv.entries(Dv.ensureDv(
+        manifestAt(spark, parentManifestRoot,
+          latestVersion(spark, parentManifestRoot)))))
+      .select(col(parentKey).as("_fk_p")).distinct()
+    df.filter(col(column).isNotNull)
+      .select(col(column).as("_fk_c")).distinct()
+      .join(parent, col("_fk_c") === col("_fk_p"), "left_anti")
+      .count()
+  }
+
   /** DROP a named CHECK constraint — metadata-only commit superseding the
     * set without it; later writes stop enforcing it, pinned reads below
     * the commit are unaffected (constraints gate writes, not reads). */
@@ -2341,6 +2400,9 @@ object Snapshots {
     val nn = declaredSchemaAt(spark, manifestRoot, v)
       .map(_.fields.filter(!_.nullable).map(_.name).toSeq)
       .getOrElse(Seq.empty)
+    // FK enforcement runs first: its per-edge anti-join is separate from
+    // the fused aggregate below, and both share the abort discipline
+    enforceStagedForeignKeys(spark, manifestRoot, staging)
     if (cs.isEmpty && nn.isEmpty) return
     val df = spark.read.parquet(staging)
     val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -2362,6 +2424,34 @@ object Snapshots {
         throw new ConstraintViolationException(
           s"$what violated by $bad staged rows — " +
             "staging dropped, nothing committed")
+      }
+    }
+  }
+
+  /** The FOREIGN KEY leg of the write gate — separate from the fused
+    * CHECK/NOT-NULL aggregate because it needs a join, but still
+    * batch-keys-bounded (see [[orphanCount]]). Same abort discipline:
+    * orphans drop the staging dir, nothing moves. */
+  private def enforceStagedForeignKeys(spark: SparkSession,
+                                       manifestRoot: String,
+                                       staging: String): Unit = {
+    val v = latestVersion(spark, manifestRoot)
+    val fks = foreignKeys(spark, manifestRoot, v).toSeq.sortBy(_._1)
+    if (fks.isEmpty) return
+    val df = spark.read.parquet(staging)
+    val present = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    fks.foreach { case (name, (column, parentRoot, parentKey)) =>
+      if (present(column.toLowerCase(java.util.Locale.ROOT))) {
+        val orphans = orphanCount(spark, df, column, parentRoot, parentKey)
+        if (orphans > 0) {
+          val p = new org.apache.hadoop.fs.Path(staging)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true) : Unit
+          throw new ConstraintViolationException(
+            s"FOREIGN KEY '$name' ($column → $parentKey) violated by " +
+              s"$orphans staged rows with no parent — staging dropped, " +
+              "nothing committed")
+        }
       }
     }
   }

@@ -205,6 +205,14 @@ object LakeSql {
   //     file-count-bounded, zero data files opened.
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z0-9_.]+)\s*""".r
+  //   ALTER TABLE <t> ADD CONSTRAINT <n> FOREIGN KEY (<col>)
+  //     REFERENCES <parent> (<key>) [ENFORCED] → an ENFORCED referential
+  //     edge (unlike RELY, which the optimizer merely trusts): existing
+  //     rows validate first, later staged writes anti-join the parent's
+  //     live keys — batch-keys-bounded. One metadata-only property
+  //     commit. Claimed only for registered lake names.
+  private val AddFkRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+FOREIGN\s+KEY\s*\(\s*([A-Za-z0-9_]+)\s*\)\s+REFERENCES\s+([A-Za-z0-9_.]+)\s*\(\s*([A-Za-z0-9_]+)\s*\)(\s+ENFORCED)?\s*""".r
   //   ANALYZE TABLE <t> COMPUTE STATISTICS [FOR ALL COLUMNS] → ONE
   //     aggregate job over the live rows computing the table row count
   //     (plus exact per-column distinct/null counts under FOR ALL
@@ -290,6 +298,9 @@ object LakeSql {
           "files_skipped")))
       case AnalyzeRe(name, _) if isRegisteredName(name) =>
         Some(longSchema(Seq("version", "row_count", "columns_analyzed")))
+      case AddFkRe(name, _, _, parent, _, _)
+          if isRegisteredName(name) && isRegisteredName(parent) =>
+        Some(longSchema(Seq("version")))
       case _ => None
     }
 
@@ -466,6 +477,24 @@ object LakeSql {
           StructField("size_bytes", LongType, nullable = false),
           StructField("num_versions", LongType, nullable = false),
           StructField("stats_cols", StringType, nullable = false))))
+    // ALTER TABLE … ADD CONSTRAINT … FOREIGN KEY: the enforced
+    // referential contract — parent resolved to its manifest root NOW
+    // (renaming the parent later does not silently detach the edge),
+    // column names translated through each table's mapping.
+    case AddFkRe(name, cname, column, parent, key, _)
+        if isRegisteredName(name) && isRegisteredName(parent) =>
+      val spec = specByName(name)
+      val pspec = specByName(parent)
+      val childCol = physicalName(
+        column.toLowerCase(java.util.Locale.ROOT),
+        headMapping(spark, spec), "FOREIGN KEY column")
+      val parentCol = physicalName(
+        key.toLowerCase(java.util.Locale.ROOT),
+        headMapping(spark, pspec), "REFERENCES column")
+      val v = Snapshots.addForeignKey(spark, spec.manifestRoot,
+        cname.toLowerCase(java.util.Locale.ROOT), childCol,
+        pspec.manifestRoot, parentCol)
+      metricsRow(spark, Seq("version" -> v.toLong))
     // ANALYZE TABLE: one aggregate job over the LIVE rows (DV-masked rows
     // excluded — statistics describe what readers see); row count always,
     // exact per-visible-column distinct + null counts under FOR ALL
@@ -748,8 +777,16 @@ object LakeSql {
         metricsRow(spark, Seq("version" -> v.toLong))
       case dcn: DropConstraint if isLake(dcn.table) =>
         val (_, spec) = lookup(dcn.table).get
-        val v = Snapshots.dropConstraint(spark, spec.manifestRoot,
-          dcn.name, dcn.ifExists)
+        val v0 = Snapshots.latestVersion(spark, spec.manifestRoot)
+        // the name may be a CHECK or a FOREIGN KEY — FK edges live as
+        // graft.fk.* properties, CHECKs as _ck_ markers
+        val v =
+          if (Snapshots.foreignKeys(spark, spec.manifestRoot, v0)
+              .contains(dcn.name))
+            Snapshots.unsetProperties(spark, spec.manifestRoot,
+              Seq(s"graft.fk.${dcn.name}"))
+          else Snapshots.dropConstraint(spark, spec.manifestRoot,
+            dcn.name, dcn.ifExists)
         metricsRow(spark, Seq("version" -> v.toLong))
       // DROP TABLE: unregisters the name; PURGE also deletes the data
       // and manifest dirs (without it, files stay — the external-table
