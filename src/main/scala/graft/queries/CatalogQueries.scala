@@ -206,6 +206,59 @@ object CatalogQueries {
         .withColumn("explicit_rejected", lit(explicitRejected))
         .withColumn("null_rejected", lit(nullRejected))
     }),
+
+    // DEFAULT column values (the last column contract after NOT NULL /
+    // identity / generated / CHECK / PK-FK): `CREATE TABLE … DEFAULT
+    // <const>`, INSERT with a COLUMN LIST filling omitted columns from
+    // their defaults, `ALTER COLUMN … SET DEFAULT` re-declaring the
+    // WRITE default (existing rows untouched — the Delta contract), and
+    // `DROP DEFAULT` reverting omission to typed NULL. Gates: omitting a
+    // NOT NULL column with no default is rejected BEFORE staging; a
+    // column-referencing default is rejected at DDL time (that is
+    // GENERATED ALWAYS AS, not DEFAULT); SHOW CREATE TABLE prints the
+    // live default (contract round-trip).
+    "q250_sql_default_columns" -> ((s, dir) => {
+      val root = tmp("q250")
+      LakeSql.unregister("ord250")
+      s.sql(s"""CREATE TABLE ord250 (
+        o_orderkey BIGINT NOT NULL,
+        o_totalprice DOUBLE,
+        status STRING DEFAULT 'new',
+        priority INT DEFAULT 3)
+        USING lake LOCATION '$root'
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey', 'files' = '4')""")
+      t(s, dir, "orders").createOrReplaceTempView("orders_src250")
+      s.sql("""INSERT INTO ord250 (o_orderkey, o_totalprice)
+        SELECT o_orderkey, round(o_totalprice, 2)
+        FROM orders_src250 WHERE o_custkey BETWEEN 20 AND 60""")
+      LakeSql.sql(s,
+        "ALTER TABLE ord250 ALTER COLUMN status SET DEFAULT 'held'")
+      s.sql("""INSERT INTO ord250 (o_orderkey, o_totalprice)
+        SELECT o_orderkey, round(o_totalprice, 2)
+        FROM orders_src250 WHERE o_custkey BETWEEN 61 AND 100""")
+      LakeSql.sql(s, "ALTER TABLE ord250 ALTER COLUMN priority DROP DEFAULT")
+      s.sql("""INSERT INTO ord250 (o_orderkey, status, o_totalprice)
+        SELECT o_orderkey, 'manual', round(o_totalprice, 2)
+        FROM orders_src250 WHERE o_custkey BETWEEN 101 AND 130""")
+      val before = s.sql("SELECT count(*) AS n FROM ord250").head().getLong(0)
+      val notNullRejected =
+        try { s.sql("INSERT INTO ord250 (o_totalprice) VALUES (1.0)")
+          false } catch { case _: Exception => true }
+      val columnRefRejected =
+        try { LakeSql.sql(s, "ALTER TABLE ord250 ALTER COLUMN status " +
+          "SET DEFAULT concat('x', status)")
+          false } catch { case _: Exception => true }
+      val unchanged = s.sql("SELECT count(*) AS n FROM ord250")
+        .head().getLong(0) == before
+      val showsDefault = LakeSql.sql(s, "SHOW CREATE TABLE ord250")
+        .head().getString(0).contains("DEFAULT 'held'")
+      require(notNullRejected && columnRefRejected && unchanged &&
+        showsDefault, "q250 contract gates failed")
+      s.sql("SELECT o_orderkey, o_totalprice, status, priority FROM ord250")
+        .withColumn("not_null_rejected", lit(notNullRejected))
+        .withColumn("column_ref_rejected", lit(columnRefRejected))
+        .withColumn("shows_default", lit(showsDefault))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -238,5 +291,22 @@ object CatalogQueries {
         |       row_number() OVER (ORDER BY c_custkey, c_name) AS ck,
         |       c_custkey, c_name, TRUE, TRUE
         |FROM b2""".stripMargin,
+    // q250: three INSERT batches — defaults at the time of each write
+    // ('new'/3, then 'held'/3, then explicit 'manual' with priority
+    // dropped to NULL).
+    "q250_sql_default_columns" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |       'new' AS status, CAST(3 AS INTEGER) AS priority,
+        |       TRUE AS not_null_rejected, TRUE AS column_ref_rejected,
+        |       TRUE AS shows_default
+        |FROM orders WHERE o_custkey BETWEEN 20 AND 60
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2), 'held',
+        |       CAST(3 AS INTEGER), TRUE, TRUE, TRUE
+        |FROM orders WHERE o_custkey BETWEEN 61 AND 100
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2), 'manual',
+        |       CAST(NULL AS INTEGER), TRUE, TRUE, TRUE
+        |FROM orders WHERE o_custkey BETWEEN 101 AND 130""".stripMargin,
   )
 }

@@ -1657,6 +1657,25 @@ object Snapshots {
       .collectFirst { case Some(s) => s }
   }
 
+  /** Re-declare the table's schema — ONE metadata-only commit carrying a
+    * fresh `_schema.json` whose content is `update(current)`. This is how
+    * column-level contract changes that live in field METADATA (e.g.
+    * `ALTER COLUMN … SET/DROP DEFAULT`) land: the manifest is carried
+    * forward untouched, pinned reads below the commit keep the old
+    * declaration, and every later write path reads the new one through
+    * [[declaredSchemaAt]]. Fails on tables born from data (no declared
+    * schema to amend). */
+  def updateDeclaredSchema(spark: SparkSession, manifestRoot: String)
+                          (update: StructType => StructType): Int = {
+    val head = latestVersion(spark, manifestRoot)
+    val cur = declaredSchemaAt(spark, manifestRoot, head).getOrElse(
+      throw new IllegalArgumentException(
+        "no declared schema to alter — the table was born from data " +
+          "(CTAS/CONVERT/register), not CREATE TABLE"))
+    commit(spark, manifestAt(spark, manifestRoot, head), manifestRoot,
+      contentFiles = Seq(SchemaMarker -> update(cur).json))
+  }
+
   /** `CREATE TABLE` — a table that exists BEFORE any data does: v1 is an
     * empty manifest whose `min_`/`max_` stats fields already carry the
     * declared stats columns' NATIVE types (so the typed DML predicate

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, Like, ListQuery, Literal, ScalarSubquery}
 import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, substring, sum, when}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, SetTableProperties, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnsetTableProperties, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.PlanExec
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, NullType, NumericType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -406,8 +406,36 @@ object LakeSql {
       // re-creates an empty table with this schema, layout, and stats
       // domain — the structural halves travel as table properties, the
       // form CREATE TABLE reads them back in.
+      // column contracts (NOT NULL / DEFAULT / identity / generated) live
+      // in the DECLARED schema's field metadata — print them back so the
+      // statement round-trips contracts, not just names and types
+      val declaredByName = Snapshots.declaredSchemaAt(spark,
+          spec.manifestRoot,
+          Snapshots.latestVersion(spark, spec.manifestRoot))
+        .map(_.fields.map(f =>
+          f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap)
+        .getOrElse(Map.empty)
       val fields = mappedTableSchema(spark, spec).fields.toSeq
-        .map(f => s"  ${f.name} ${f.dataType.sql}")
+        .map { f =>
+          val clauses = declaredByName
+            .get(f.name.toLowerCase(java.util.Locale.ROOT)).toSeq
+            .flatMap { d =>
+              val m = d.metadata
+              (if (m.contains(IdentityStartKey))
+                Seq("GENERATED ALWAYS AS IDENTITY (START WITH " +
+                  s"${m.getLong(IdentityStartKey)} INCREMENT BY " +
+                  s"${m.getLong(IdentityStepKey)})")
+              else Seq.empty) ++
+              (if (m.contains(GenerationKey))
+                Seq(s"GENERATED ALWAYS AS (${m.getString(GenerationKey)})")
+              else Seq.empty) ++
+              (if (m.contains(DefaultKey))
+                Seq(s"DEFAULT ${m.getString(DefaultKey)}") else Seq.empty) ++
+              (if (!d.nullable && !m.contains(IdentityStartKey))
+                Seq("NOT NULL") else Seq.empty)
+            }
+          (s"  ${f.name} ${f.dataType.sql}" +: clauses).mkString(" ")
+        }
       val props = Snapshots.tableProperties(spark, spec.manifestRoot,
         Snapshots.latestVersion(spark, spec.manifestRoot))
       val all = Seq(
@@ -751,6 +779,43 @@ object LakeSql {
         }.last
         metricsRow(spark, Seq("version" -> v.toLong,
           "columns_added" -> ac.columnsToAdd.size.toLong))
+      // ALTER TABLE … ALTER COLUMN c SET DEFAULT <const> / DROP DEFAULT:
+      // one metadata-only commit re-declaring the schema with the default
+      // expression in the column's field metadata ([[DefaultKey]]).
+      // WRITE-default semantics (the Delta contract): existing rows are
+      // untouched, pinned reads below the commit keep the old default,
+      // and only INSERTs whose column list omits the column from then on
+      // fill the new value. Type/nullability/comment/position changes are
+      // rejected — the lake's columns are re-typed by rewrite, not ALTER.
+      case alc: AlterColumns if isLake(alc.table) =>
+        val (_, spec) = lookup(alc.table).get
+        val v = alc.specs.map { s =>
+          require(s.newDataType.isEmpty && s.newNullability.isEmpty &&
+            s.newComment.isEmpty && s.newPosition.isEmpty,
+            "ALTER COLUMN supports SET DEFAULT / DROP DEFAULT only")
+          require(s.newDefaultExpression.nonEmpty || s.dropDefault,
+            "ALTER COLUMN: nothing to change")
+          val cname = s.column.name.mkString(".")
+          Snapshots.updateDeclaredSchema(spark, spec.manifestRoot) { cur =>
+            val i = cur.fieldIndex(cname.toLowerCase(java.util.Locale.ROOT))
+            val f = cur.fields(i)
+            require(!f.metadata.contains(IdentityStartKey) &&
+              !f.metadata.contains(GenerationKey),
+              s"column '$cname' is engine-assigned (identity/generated) " +
+                "— it cannot carry a DEFAULT")
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            s.newDefaultExpression match {
+              case Some(dv) =>
+                validateDefault(spark, cname, f.dataType, dv.originalSQL)
+                mb.putString(DefaultKey, dv.originalSQL)
+              case None => mb.remove(DefaultKey)
+            }
+            StructType(cur.fields.updated(i,
+              f.copy(metadata = mb.build())))
+          }
+        }.last
+        metricsRow(spark, Seq("version" -> v.toLong))
       // ALTER TABLE … ADD CONSTRAINT <n> CHECK (<cond>): a PERSISTED
       // write-path contract — one metadata-only commit after validating
       // every existing live row (the Delta ADD CONSTRAINT shape); from
@@ -1367,15 +1432,15 @@ object LakeSql {
     require(!ins.overwrite,
       "INSERT OVERWRITE is not supported on a versioned lake table — " +
         "spell out DELETE + INSERT (or use the DataFrame API)")
-    require(ins.partitionSpec.isEmpty && ins.userSpecifiedCols.isEmpty,
-      "supported form: INSERT INTO <table> <query> (no partition spec or " +
-        "column list)")
+    require(ins.partitionSpec.isEmpty,
+      "supported form: INSERT INTO <table> [(column list)] <query> " +
+        "(no partition spec)")
     val head = Snapshots.latestVersion(spark, spec.manifestRoot)
     val declared = Snapshots.declaredSchemaAt(spark, spec.manifestRoot, head)
     val engineCols = declared.map(_.fields.filter(f =>
       f.metadata.contains(IdentityStartKey) ||
         f.metadata.contains(GenerationKey)).toSeq).getOrElse(Seq.empty)
-    if (engineCols.isEmpty) {
+    if (engineCols.isEmpty && ins.userSpecifiedCols.isEmpty) {
       val aligned = alignedPhysicalBatch(spark, spec, ins.query)
       val (version, files) = Snapshots.appendCommit(spark, aligned, spec.cols,
         spec.path, spec.manifestRoot, spec.nFiles)
@@ -1383,30 +1448,66 @@ object LakeSql {
         Seq("version" -> version.toLong, "files_appended" -> files.toLong))
     }
     // ENGINE-ASSIGNED columns (identity / generated): the batch supplies
-    // exactly the OTHER columns — GENERATED ALWAYS means an explicit
-    // value is rejected, never silently overwritten (the Databricks
-    // contract). A VALUES-shaped batch (anonymous col1/col2 names) maps
-    // positionally onto the non-engine columns in declared order.
+    // only OTHER columns — GENERATED ALWAYS means an explicit value is
+    // rejected, never silently overwritten (the Databricks contract). A
+    // VALUES-shaped batch (anonymous col1/col2 names) maps positionally
+    // onto the target columns in declared order. An explicit COLUMN LIST
+    // narrows the target: omitted columns fill from their DEFAULT
+    // ([[DefaultKey]]) when declared, typed NULL when nullable, and are
+    // rejected loudly otherwise — the write-default contract.
+    require(declared.nonEmpty,
+      "INSERT with a column list needs a declared schema (CREATE TABLE) " +
+        "— tables born from data (CTAS/CONVERT) take full-width batches")
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val src = PlanExec.ofRows(spark, resolveReads(spark, ins.query))
-    val engineNames = engineCols
-      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
-    val explicit = src.columns
-      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      .intersect(engineNames)
+    val engineNames = engineCols.map(f => lower(f.name)).toSet
+    val explicit = (src.columns.map(lower).toSet ++
+      ins.userSpecifiedCols.map(lower)).intersect(engineNames)
     require(explicit.isEmpty,
       s"columns ${explicit.mkString(", ")} are GENERATED ALWAYS — the " +
         "engine assigns them; remove them from the INSERT batch")
     val userFields = declared.get.fields.filterNot(f =>
-      engineNames(f.name.toLowerCase(java.util.Locale.ROOT)))
-    require(src.columns.length == userFields.length,
-      s"INSERT batch has ${src.columns.length} columns; the table wants " +
-        s"the ${userFields.length} non-generated ones " +
-        s"(${userFields.map(_.name).mkString(", ")})")
-    val srcNames = src.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val named = userFields
-      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet == srcNames
+      engineNames(lower(f.name)))
+    val targetFields: Seq[StructField] =
+      if (ins.userSpecifiedCols.isEmpty) userFields.toSeq
+      else {
+        val byName = userFields.map(f => lower(f.name) -> f).toMap
+        val names = ins.userSpecifiedCols.map(lower)
+        require(names.distinct.size == names.size,
+          s"INSERT column list repeats a column: ${names.mkString(", ")}")
+        names.map(n => byName.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"INSERT column '$n' is not an insertable column of the " +
+              s"table (have ${userFields.map(_.name).mkString(", ")})")))
+      }
+    require(src.columns.length == targetFields.length,
+      s"INSERT batch has ${src.columns.length} columns; the statement " +
+        (if (ins.userSpecifiedCols.isEmpty)
+          s"wants the ${targetFields.length} non-generated ones "
+        else s"targets ${targetFields.length} ") +
+        s"(${targetFields.map(_.name).mkString(", ")})")
+    val srcNames = src.columns.map(lower).toSet
+    val named = targetFields.map(f => lower(f.name)).toSet == srcNames
     var out = if (named) src
-      else src.toDF(userFields.map(_.name).toIndexedSeq: _*)
+      else src.toDF(targetFields.map(_.name).toIndexedSeq: _*)
+    // fill the OMITTED insertable columns (column-list form only)
+    val targetNames = targetFields.map(f => lower(f.name)).toSet
+    userFields.filterNot(f => targetNames(lower(f.name))).foreach { f =>
+      if (f.metadata.contains(DefaultKey))
+        out = out.withColumn(f.name,
+          org.apache.spark.sql.functions.expr(
+            f.metadata.getString(DefaultKey)).cast(f.dataType))
+      else {
+        require(f.nullable,
+          s"column '${f.name}' is NOT NULL and has no DEFAULT — the " +
+            "INSERT column list must supply it")
+        out = out.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+    }
+    // declared order, so positional mechanics downstream stay stable
+    out = out.select(userFields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)).toIndexedSeq: _*)
     val props = Snapshots.tableProperties(spark, spec.manifestRoot, head)
     var hwm = Map.empty[String, String]
     engineCols.foreach { f =>
@@ -1673,6 +1774,25 @@ object LakeSql {
   private[sql] val IdentityStartKey = "graft.identity.start"
   private[sql] val IdentityStepKey = "graft.identity.step"
   private[sql] val GenerationKey = "graft.generation.expr"
+  private[sql] val DefaultKey = "graft.default.expr"
+
+  /** Validate a column DEFAULT expression (CREATE TABLE column clause or
+    * `ALTER COLUMN … SET DEFAULT`): it must be CONSTANT — no column
+    * references (that is what GENERATED ALWAYS AS is for) — and castable
+    * to the column's declared type. Both checked at DDL time with
+    * driver-side analysis only, so a bad default fails the statement
+    * loudly instead of the first INSERT that trips over it. */
+  private def validateDefault(spark: SparkSession, colName: String,
+                              dt: org.apache.spark.sql.types.DataType,
+                              sql: String): Unit = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    require(parsed.references.isEmpty,
+      s"column '$colName': DEFAULT must be a constant expression " +
+        s"(got '$sql', which references ${parsed.references.mkString(", ")})" +
+        " — a column-derived value is GENERATED ALWAYS AS, not DEFAULT")
+    // analysis-only castability probe (no job): resolve CAST(expr AS type)
+    spark.sql(s"SELECT CAST(($sql) AS ${dt.sql})").queryExecution.analyzed
+  }
 
   /** [[runCreate]] for the parser-level claim ([[GraftSqlParser]]). */
   private[sql] def runCreateClaimed(spark: SparkSession,
@@ -1749,6 +1869,17 @@ object LakeSql {
       c.generationExpression.foreach(g => mb.putString(GenerationKey, g))
       require(c.identityColumnSpec.isEmpty || c.generationExpression.isEmpty,
         s"column '${c.name}' cannot be both identity and generated")
+      // DEFAULT <constant>: fills the column when an INSERT's column list
+      // omits it ([[runInsert]]) — write-time only, the Delta WRITE-default
+      // contract (existing rows are untouched; there is no existence
+      // default because the lake null-fills unmaterialized columns).
+      c.defaultValue.foreach { dv =>
+        require(c.identityColumnSpec.isEmpty && c.generationExpression.isEmpty,
+          s"column '${c.name}': DEFAULT cannot combine with identity/" +
+            "generated (those are engine-assigned on every row)")
+        validateDefault(spark, c.name, c.dataType, dv.originalSQL)
+        mb.putString(DefaultKey, dv.originalSQL)
+      }
       StructField(c.name.toLowerCase(java.util.Locale.ROOT), c.dataType,
         c.nullable && c.identityColumnSpec.isEmpty, mb.build())
     })

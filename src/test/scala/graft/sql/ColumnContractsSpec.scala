@@ -107,4 +107,66 @@ class ColumnContractsSpec extends SparkSpec {
     val b = out2.orderBy("x", "y", "sk").collect().toSeq
     assert(a == b)
   }
+
+  test("DEFAULT fills omitted column-list columns; ALTER COLUMN SET/DROP " +
+      "DEFAULT is write-time only (existing rows untouched)") {
+    val dir = tmpDir("defspec")
+    fd(s"""CREATE TABLE def_t (k BIGINT NOT NULL, v DOUBLE,
+        tag STRING DEFAULT 'fresh', pri INT DEFAULT 7)
+        USING lake LOCATION '$dir' TBLPROPERTIES ('stats_cols' = 'k')""")
+    fd("INSERT INTO def_t (k, v) VALUES (1, 1.5), (2, 2.5)")
+    assert(fd("SELECT tag, pri FROM def_t WHERE k = 1").head()
+      .toSeq == Seq("fresh", 7))
+    // re-declare the write default — only FUTURE inserts see it
+    fd("ALTER TABLE def_t ALTER COLUMN tag SET DEFAULT 'late'")
+    fd("INSERT INTO def_t (k, v) VALUES (3, 3.5)")
+    assert(fd("SELECT tag FROM def_t WHERE k = 1").head().getString(0)
+      == "fresh")
+    assert(fd("SELECT tag FROM def_t WHERE k = 3").head().getString(0)
+      == "late")
+    // DROP DEFAULT reverts omission to typed NULL
+    fd("ALTER TABLE def_t ALTER COLUMN pri DROP DEFAULT")
+    fd("INSERT INTO def_t (k, v, tag) VALUES (4, 4.5, 'manual')")
+    assert(fd("SELECT pri FROM def_t WHERE k = 4").head().isNullAt(0))
+    // a column list may REORDER: values map to the listed columns
+    fd("INSERT INTO def_t (v, k) VALUES (9.5, 9)")
+    assert(fd("SELECT v, tag FROM def_t WHERE k = 9").head()
+      .toSeq == Seq(9.5, "late"))
+    LakeSql.unregister("def_t")
+  }
+
+  test("DEFAULT contract gates: NOT NULL without default rejects; " +
+      "column-referencing or mistyped defaults reject at DDL time; " +
+      "identity columns cannot carry one; SHOW CREATE prints it") {
+    val dir = tmpDir("defspec2")
+    fd(s"""CREATE TABLE def_g (k BIGINT NOT NULL,
+        s BIGINT GENERATED ALWAYS AS IDENTITY, tag STRING DEFAULT 'x')
+        USING lake LOCATION '$dir' TBLPROPERTIES ('stats_cols' = 'k')""")
+    // omitting NOT NULL k (no default) fails loudly, nothing commits
+    val e = intercept[IllegalArgumentException] {
+      fd("INSERT INTO def_g (tag) VALUES ('y')")
+    }
+    assert(e.getMessage.contains("NOT NULL"), e.getMessage)
+    // constant-only: a column reference is GENERATED ALWAYS, not DEFAULT
+    val e2 = intercept[IllegalArgumentException] {
+      fd("ALTER TABLE def_g ALTER COLUMN tag SET DEFAULT upper(tag)")
+    }
+    assert(e2.getMessage.contains("constant"), e2.getMessage)
+    // identity columns are engine-assigned — no default allowed
+    val e3 = intercept[IllegalArgumentException] {
+      fd("ALTER TABLE def_g ALTER COLUMN s SET DEFAULT 5")
+    }
+    assert(e3.getMessage.contains("engine-assigned"), e3.getMessage)
+    // castability is probed at DDL time, not first INSERT
+    intercept[Exception] {
+      fd("CREATE TABLE def_bad (k BIGINT, d DATE DEFAULT 12.5) " +
+        s"USING lake LOCATION '${tmpDir("defbad")}' " +
+        "TBLPROPERTIES ('stats_cols' = 'k')")
+    }
+    val stmt = fd("SHOW CREATE TABLE def_g").head().getString(0)
+    assert(stmt.contains("DEFAULT 'x'") && stmt.contains("k BIGINT NOT NULL")
+      && stmt.contains("GENERATED ALWAYS AS IDENTITY"), stmt)
+    LakeSql.unregister("def_g")
+    LakeSql.unregister("def_bad")
+  }
 }
