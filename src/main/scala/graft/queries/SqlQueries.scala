@@ -2135,10 +2135,12 @@ object SqlQueries {
         "'stats_cols'='n_nationkey','files'='1') AS SELECT * FROM q249_nat")
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      // seed WITH orphans (nationkey 99): the edge must refuse adoption
-      cust.limit(0).unionByName(cust.filter(col("c_custkey") <= 600))
-        .unionByName(cust.filter(col("c_custkey") > 600 &&
-            col("c_custkey") <= 610)
+      // seed WITH orphans (nationkey 99, key-shifted clones of the first
+      // customers — synthesized, so the slice is NON-EMPTY at every scale
+      // factor): the edge must refuse adoption
+      cust.filter(col("c_custkey") <= 600)
+        .unionByName(cust.filter(col("c_custkey") <= 10)
+          .withColumn("c_custkey", col("c_custkey") + 800000)
           .withColumn("c_nationkey", lit(99).cast("int")))
         .createOrReplaceTempView("q249_seed")
       LakeSql.sql(s, "CREATE TABLE cust249 TBLPROPERTIES(" +
@@ -2147,16 +2149,18 @@ object SqlQueries {
         "(c_nationkey) REFERENCES nat249 (n_nationkey) ENFORCED"
       val adoptOk = scala.util.Try(s.sql(fkSql)).isFailure
       require(adoptOk, "q249 FK adopted over existing orphans")
-      LakeSql.sql(s, "DELETE FROM cust249 WHERE c_custkey > 600")
+      LakeSql.sql(s, "DELETE FROM cust249 WHERE c_custkey > 700000")
       require(s.sql(fkSql).head().getAs[Long]("version") > 0L,
         "q249 FK add failed on a clean table")
-      // a valid batch lands; an orphan batch is rejected whole
-      cust.filter(col("c_custkey").between(601, 700))
+      // a valid batch lands; an orphan batch is rejected whole (both
+      // key-shifted clones of low custkeys — non-empty at every SF)
+      cust.filter(col("c_custkey") <= 50)
+        .withColumn("c_custkey", col("c_custkey") + 700000)
         .createOrReplaceTempView("q249_good")
       LakeSql.sql(s, "INSERT INTO cust249 SELECT * FROM q249_good")
       val n1 = LakeSql.sql(s, "SELECT count(*) AS n FROM cust249")
         .head().getLong(0)
-      s.sql("SELECT c_custkey + 900000 AS c_custkey, c_name, " +
+      s.sql("SELECT c_custkey + 200000 AS c_custkey, c_name, " +
           "CAST(99 AS INT) AS c_nationkey FROM q249_good")
         .createOrReplaceTempView("q249_bad")
       val rejectOk = scala.util.Try(LakeSql.sql(s,
@@ -2595,6 +2599,10 @@ object SqlQueries {
       """SELECT c_custkey, c_name, c_nationkey,
         |  TRUE AS adopt_ok, TRUE AS reject_ok
         |FROM customer
-        |WHERE c_custkey <= 700""".stripMargin,
+        |WHERE c_custkey <= 600
+        |UNION ALL
+        |SELECT c_custkey + 700000, c_name, c_nationkey, TRUE, TRUE
+        |FROM customer
+        |WHERE c_custkey <= 50""".stripMargin,
   )
 }
