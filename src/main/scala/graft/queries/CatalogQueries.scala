@@ -259,6 +259,64 @@ object CatalogQueries {
         .withColumn("column_ref_rejected", lit(columnRefRejected))
         .withColumn("shows_default", lit(showsDefault))
     }),
+
+    // ROW FILTERS + COLUMN MASKS (the Databricks governance shape): a
+    // row filter and a column mask attach to the table as property
+    // commits and apply to EVERY read through the SQL surface — plain
+    // spark.sql included, masks computed over raw values, row filter
+    // first. Gates: a time-travel read is NOT a policy bypass (the
+    // pre-policy version still reads filtered); the bypass session conf
+    // (privileged principal) reads raw; DROP MASK restores a column
+    // while the filter stays; a policy over an unknown column is
+    // rejected at DDL time. Emits the policied table.
+    "q251_sql_row_filter_mask" -> ((s, dir) => {
+      val root = tmp("q251")
+      LakeSql.unregister("cust251")
+      s.conf.set("graft.policy.bypass", "false")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+        .filter(col("c_custkey") <= 800)
+        .createOrReplaceTempView("q251_src")
+      LakeSql.setWarehouse(root)
+      LakeSql.sql(s, "CREATE TABLE cust251 TBLPROPERTIES(" +
+        "'stats_cols'='c_custkey','files'='4') AS SELECT * FROM q251_src")
+      val rawCount = s.sql("SELECT count(*) AS n FROM cust251")
+        .head().getLong(0)
+      LakeSql.sql(s,
+        "ALTER TABLE cust251 SET ROW FILTER (c_nationkey < 20)")
+      LakeSql.sql(s, "ALTER TABLE cust251 ALTER COLUMN c_name " +
+        "SET MASK (concat('***', substring(c_name, 10)))")
+      LakeSql.sql(s,
+        "ALTER TABLE cust251 ALTER COLUMN c_acctbal SET MASK (NULL)")
+      val policied = s.sql("SELECT count(*) AS n FROM cust251")
+        .head().getLong(0)
+      // time travel to the PRE-POLICY version still reads policied
+      val travelPolicied = s.sql(
+        "SELECT count(*) AS n FROM cust251 VERSION AS OF 1")
+        .head().getLong(0) == policied
+      // the privileged session reads raw
+      s.conf.set("graft.policy.bypass", "true")
+      val bypassRaw = s.sql("SELECT count(*) AS n FROM cust251")
+        .head().getLong(0) == rawCount &&
+        !s.sql("SELECT c_name FROM cust251 WHERE c_custkey = 1")
+          .head().getString(0).startsWith("***")
+      s.conf.set("graft.policy.bypass", "false")
+      val maskApplied = s.sql(
+        "SELECT c_name FROM cust251 WHERE c_custkey = 1")
+        .head().getString(0).startsWith("***")
+      // unknown column → DDL-time rejection, nothing committed
+      val badPolicyRejected = scala.util.Try(LakeSql.sql(s,
+        "ALTER TABLE cust251 SET ROW FILTER (no_such_col > 0)")).isFailure
+      // DROP MASK restores the column; the row filter stays in force
+      LakeSql.sql(s, "ALTER TABLE cust251 ALTER COLUMN c_acctbal DROP MASK")
+      require(policied < rawCount && travelPolicied && bypassRaw &&
+        maskApplied && badPolicyRejected, "q251 policy gates failed")
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM cust251")
+        .withColumn("travel_policied", lit(travelPolicied))
+        .withColumn("bypass_raw", lit(bypassRaw))
+        .withColumn("bad_policy_rejected", lit(badPolicyRejected))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -308,5 +366,16 @@ object CatalogQueries {
         |SELECT o_orderkey, round(o_totalprice, 2), 'manual',
         |       CAST(NULL AS INTEGER), TRUE, TRUE, TRUE
         |FROM orders WHERE o_custkey BETWEEN 101 AND 130""".stripMargin,
+    // q251: the policied read — row filter keeps c_nationkey < 20, the
+    // name mask leaves '***' + the numeric tail, the acctbal mask was
+    // dropped again before the emit.
+    "q251_sql_row_filter_mask" ->
+      """SELECT c_custkey,
+        |       concat('***', substring(c_name, 10)) AS c_name,
+        |       c_acctbal,
+        |       TRUE AS travel_policied, TRUE AS bypass_raw,
+        |       TRUE AS bad_policy_rejected
+        |FROM customer
+        |WHERE c_custkey <= 800 AND c_nationkey < 20""".stripMargin,
   )
 }

@@ -223,6 +223,28 @@ object LakeSql {
   //     names (the TRUNCATE discipline).
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+([A-Za-z0-9_.]+)\s+COMPUTE\s+STATISTICS(\s+FOR\s+ALL\s+COLUMNS)?\s*""".r
+  //   ALTER TABLE <t> SET ROW FILTER (<cond>) / DROP ROW FILTER
+  //   ALTER TABLE <t> ALTER COLUMN <c> SET MASK (<expr>) / DROP MASK
+  //     → table-attached GOVERNANCE policies (the Databricks row-filter /
+  //     column-mask shape, re-expressed over table properties): one
+  //     metadata-only property commit each; every read through the SQL
+  //     surface applies the HEAD policies — row filter first (over raw
+  //     values), then masks — including time-travel reads (a pinned
+  //     version is not a policy bypass). Sessions with
+  //     `graft.policy.bypass=true` (the privileged-principal model) read
+  //     raw. Validated at DDL time against the live schema.
+  private val SetRowFilterRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+SET\s+ROW\s+FILTER\s*\((.*)\)\s*""".r
+  private val DropRowFilterRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+DROP\s+ROW\s+FILTER\s*""".r
+  private val SetMaskRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+SET\s+MASK\s*\((.*)\)\s*""".r
+  private val DropMaskRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+DROP\s+MASK\s*""".r
+
+  /** Table-property keys the governance policies ride. */
+  private[sql] val RowFilterProp = "graft.policy.rowfilter"
+  private[sql] val MaskPropPrefix = "graft.policy.mask."
 
   /** The metric-row column names of an EXTENSION-GRAMMAR statement (the
     * regex-dispatched surface Spark's parser has no productions for:
@@ -300,6 +322,9 @@ object LakeSql {
         Some(longSchema(Seq("version", "row_count", "columns_analyzed")))
       case AddFkRe(name, _, _, parent, _, _)
           if isRegisteredName(name) && isRegisteredName(parent) =>
+        Some(longSchema(Seq("version")))
+      case SetRowFilterRe(_, _) | DropRowFilterRe(_) | SetMaskRe(_, _, _) |
+           DropMaskRe(_, _) =>
         Some(longSchema(Seq("version")))
       case _ => None
     }
@@ -523,6 +548,29 @@ object LakeSql {
         cname.toLowerCase(java.util.Locale.ROOT), childCol,
         pspec.manifestRoot, parentCol)
       metricsRow(spark, Seq("version" -> v.toLong))
+    // GOVERNANCE POLICIES: row filter + column masks as property commits;
+    // applied to every read by [[aliasedTableAt]] → [[applyPolicies]].
+    case SetRowFilterRe(name, cond) =>
+      val spec = specByName(name)
+      validatePolicyExpr(spark, spec, cond.trim, None)
+      metricsRow(spark, Seq("version" -> Snapshots.setProperties(spark,
+        spec.manifestRoot, Map(RowFilterProp -> cond.trim)).toLong))
+    case DropRowFilterRe(name) =>
+      val spec = specByName(name)
+      metricsRow(spark, Seq("version" -> Snapshots.unsetProperties(spark,
+        spec.manifestRoot, Seq(RowFilterProp)).toLong))
+    case SetMaskRe(name, colName, maskExpr) =>
+      val spec = specByName(name)
+      val c = colName.toLowerCase(java.util.Locale.ROOT)
+      validatePolicyExpr(spark, spec, maskExpr.trim, Some(c))
+      metricsRow(spark, Seq("version" -> Snapshots.setProperties(spark,
+        spec.manifestRoot,
+        Map(s"$MaskPropPrefix$c" -> maskExpr.trim)).toLong))
+    case DropMaskRe(name, colName) =>
+      val spec = specByName(name)
+      val c = colName.toLowerCase(java.util.Locale.ROOT)
+      metricsRow(spark, Seq("version" -> Snapshots.unsetProperties(spark,
+        spec.manifestRoot, Seq(s"$MaskPropPrefix$c")).toLong))
     // ANALYZE TABLE: one aggregate job over the LIVE rows (DV-masked rows
     // excluded — statistics describe what readers see); row count always,
     // exact per-visible-column distinct + null counts under FOR ALL
@@ -1038,6 +1086,60 @@ object LakeSql {
     new org.apache.spark.sql.catalyst.trees.TreeNodeTag[
       (String, Int, Seq[String])]("graft.lake.scan")
 
+  /** Apply the table's HEAD governance policies (row filter, then column
+    * masks — masks see RAW values, the Unity-Catalog evaluation order) to
+    * a read plan. Head, not the read's pinned version: a `VERSION AS OF`
+    * is not a policy bypass. Sessions with `graft.policy.bypass=true`
+    * read raw (the privileged-principal model). Soundness with the
+    * metadata-only aggregate rule is structural: a row filter interposes
+    * a `Filter`, a mask a non-attribute `Project` — either breaks
+    * [[ServeAggFromManifest]]'s match, so policied counts always scan. */
+  private def applyPolicies(spark: SparkSession, df: DataFrame,
+                            spec: LakeTableSpec): DataFrame = {
+    if (spark.conf.get("graft.policy.bypass", "false").toBoolean) return df
+    val props = Snapshots.tableProperties(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot))
+    val filtered = props.get(RowFilterProp) match {
+      case Some(f) => df.filter(org.apache.spark.sql.functions.expr(f))
+      case None => df
+    }
+    val masks = props.collect {
+      case (k, v) if k.startsWith(MaskPropPrefix) =>
+        k.stripPrefix(MaskPropPrefix) -> v
+    }
+    if (masks.isEmpty) filtered
+    else filtered.select(filtered.schema.fields.toSeq.map { f =>
+      masks.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(m) => org.apache.spark.sql.functions.expr(m)
+          .cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+  }
+
+  /** DDL-time validation of a policy expression: it must ANALYZE against
+    * the table's live logical schema (and, for a mask, cast to the masked
+    * column's type) — driver-side analysis only, no job. */
+  private def validatePolicyExpr(spark: SparkSession, spec: LakeTableSpec,
+                                 sql: String, maskCol: Option[String]): Unit = {
+    val df = Snapshots.mappedTableAt(spark, spec.manifestRoot,
+      Snapshots.latestVersion(spark, spec.manifestRoot))
+    maskCol match {
+      case None =>
+        df.filter(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed
+      case Some(c) =>
+        val f = df.schema.fields.find(
+          _.name.toLowerCase(java.util.Locale.ROOT) == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"SET MASK: no visible column '$c' " +
+              s"(have ${df.columns.mkString(", ")})"))
+        df.select(org.apache.spark.sql.functions.expr(sql).cast(f.dataType))
+          .queryExecution.analyzed
+    }
+    ()
+  }
+
   private def aliasedTableAt(spark: SparkSession, name: String,
                              spec: LakeTableSpec, version: Int,
                              analyzed: Boolean = false): LogicalPlan = {
@@ -1045,7 +1147,8 @@ object LakeSql {
     // plan, so the q169 sameResult gate holds); under a mapping it serves
     // physical columns under the LOGICAL names in force AT `version` —
     // SQL reads are rename-aware and pinned reads keep old names
-    val df = Snapshots.mappedTableAt(spark, spec.manifestRoot, version)
+    val df = applyPolicies(spark,
+      Snapshots.mappedTableAt(spark, spec.manifestRoot, version), spec)
     val inner =
       if (analyzed) df.queryExecution.analyzed else df.queryExecution.logical
     if (Snapshots.columnMapping(spark, spec.manifestRoot, version).isEmpty)
