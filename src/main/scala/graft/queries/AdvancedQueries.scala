@@ -715,6 +715,112 @@ object AdvancedQueries {
         .select(col("user_id"), unix_micros(col("hour")).as("hour_us"),
           col("v").isNull.as("is_gap"),
           last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+    }),
+
+    // PERSISTED MERGEABLE DISTINCT SKETCHES (the Datasketches HLL column
+    // pattern every production warehouse ships for distinct-over-
+    // arbitrary-windows): a gold table stores one HLL sketch of
+    // o_custkey per (priority, month) — built in ONE hash-agg pass —
+    // and any later consumer answers "distinct customers per priority
+    // across ALL months" by UNIONING the stored sketches
+    // (`hll_union_agg`), never rescanning the fact table. At 100 TB the
+    // re-aggregation touches KB of sketch bytes instead of the raw
+    // scan; sketches merge associatively, so the same column serves
+    // daily/monthly/yearly rollups. SELF-GATING like q36: the estimate
+    // runs alongside its exact twin and must land within the HLL
+    // (lgK=12) error envelope; the emitted row carries the EXACT counts
+    // the oracle recomputes.
+    "q252_hll_sketch_columns" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val gold = orders.groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("cust_sk"),
+          count(lit(1)).as("order_rows"))
+      val goldPath = QueryTmp.dir("q252gold")
+      gold.write.mode("overwrite").parquet(goldPath)
+      // the consumer: stored sketches only — no fact-table rescan
+      val rolled = s.read.parquet(goldPath)
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("cust_sk")))
+          .as("approx_cust"), count(lit(1)).as("months"))
+      val exact = orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+      val joined = rolled.join(exact, Seq("o_orderpriority"))
+      val offBound = joined.filter(
+        abs(col("approx_cust") - col("exact_cust")) >
+          col("exact_cust") * 0.05).count()
+      require(offBound == 0,
+        s"q252: $offBound priorities outside the 5% HLL envelope")
+      joined.select(col("o_orderpriority"), col("exact_cust"),
+        col("months"), lit(true).as("within_bound"))
+    }),
+
+    // A/B EXPERIMENT READOUT (the two-proportion z-test every
+    // experimentation platform computes): users hash-assign to variants
+    // (user_id parity — the deterministic stand-in for bucket hashing),
+    // conversion = purchase spend over a threshold, and the readout is
+    // the closed-form pooled z. Money sums in EXACT integer cents
+    // (round(value*100)) so the conversion flag can never flip on
+    // engine-order FP drift. One user-level hash-agg + a 2-row rollup —
+    // the whole readout is one shuffle at any scale, and the z arithmetic
+    // is a driver-free literal expression over the 2-row frame.
+    "q253_ab_test_ztest" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("pv_cents"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"),
+          (col("pv_cents") > 60000L).cast("int").as("converted"))
+      val per = users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).as("converters"))
+      per.createOrReplaceTempView("q253_per")
+      s.sql("""
+        SELECT variant, n_users, converters,
+          round(converters / CAST(n_users AS DOUBLE), 6) AS rate,
+          round((pa - pb) / sqrt(p * (1 - p) * (1.0/na + 1.0/nb)), 6)
+            AS z_score,
+          abs((pa - pb) / sqrt(p * (1 - p) * (1.0/na + 1.0/nb))) > 1.96
+            AS significant
+        FROM q253_per CROSS JOIN (
+          SELECT
+            max(CASE WHEN variant = 'A' THEN converters / CAST(n_users AS DOUBLE) END) AS pa,
+            max(CASE WHEN variant = 'B' THEN converters / CAST(n_users AS DOUBLE) END) AS pb,
+            max(CASE WHEN variant = 'A' THEN n_users END) AS na,
+            max(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+            sum(converters) / CAST(sum(n_users) AS DOUBLE) AS p
+          FROM q253_per)""")
+    }),
+
+    // ROBUST ANOMALY DETECTION over the event stream's daily volumes:
+    // median/MAD per event type (the outlier-immune location/scale pair —
+    // a real traffic spike cannot drag its own baseline the way mean/
+    // stddev lets it), robust z = (n - med) / (1.4826·MAD), 3σ flag.
+    // Exact medians via percentile(0.5) — at 100 TB the daily-count
+    // frame this runs over is days×types rows, so exactness costs
+    // nothing; the only full-data pass is the first groupBy. */
+    "q254_mad_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val mad = daily.join(med, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+      val scored = daily.join(med, Seq("event_type"))
+        .join(mad, Seq("event_type"))
+      require(scored.filter(col("mad") <= 0).isEmpty,
+        "q254: a type's MAD collapsed to zero — the score is vacuous")
+      scored.select(col("event_type"), col("day"), col("n"),
+        round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
+        round((col("n") - col("med")) / (lit(1.4826) * col("mad")), 6)
+          .as("robust_z"),
+        (abs(col("n") - col("med")) > lit(3 * 1.4826) * col("mad"))
+          .as("is_anomaly"))
     })
   )
 
@@ -1042,7 +1148,63 @@ object AdvancedQueries {
         |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
         |    ORDER BY g.hour ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
-        |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin
+        |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin,
+    // q252 emits exact distincts + the sketch gate; months = distinct
+    // (priority, month) groups the gold sketch table carries.
+    "q252_hll_sketch_columns" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_cust,
+        |  count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS months,
+        |  TRUE AS within_bound
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+    // q253: identical closed-form pooled z recomputed over exact cents.
+    "q253_ab_test_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    (sum(CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |     > 60000) AS converted
+        |  FROM events GROUP BY user_id),
+        |per AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS converters
+        |  FROM u GROUP BY variant),
+        |tot AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 'A'
+        |        THEN converters / CAST(n_users AS DOUBLE) END) AS pa,
+        |    max(CASE WHEN variant = 'B'
+        |        THEN converters / CAST(n_users AS DOUBLE) END) AS pb,
+        |    max(CASE WHEN variant = 'A' THEN n_users END) AS na,
+        |    max(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+        |    sum(converters) / CAST(sum(n_users) AS DOUBLE) AS p
+        |  FROM per)
+        |SELECT variant, n_users, converters,
+        |  round(converters / CAST(n_users AS DOUBLE), 6) AS rate,
+        |  round((pa - pb) / sqrt(p * (1 - p) * (1.0/na + 1.0/nb)), 6)
+        |    AS z_score,
+        |  abs((pa - pb) / sqrt(p * (1 - p) * (1.0/na + 1.0/nb))) > 1.96
+        |    AS significant
+        |FROM per CROSS JOIN tot""".stripMargin,
+    // q254: same median/MAD arithmetic; DuckDB's median interpolates the
+    // even-count middle pair exactly like percentile(0.5).
+    "q254_mad_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, median(n) AS med FROM d GROUP BY 1),
+        |s AS (SELECT d.event_type, median(abs(d.n - m.med)) AS mad
+        |      FROM d JOIN m ON d.event_type = m.event_type GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n,
+        |  round(m.med, 2) AS med, round(s.mad, 2) AS mad,
+        |  round((d.n - m.med) / (1.4826 * s.mad), 6) AS robust_z,
+        |  abs(d.n - m.med) > 3 * 1.4826 * s.mad AS is_anomaly
+        |FROM d JOIN m ON d.event_type = m.event_type
+        |       JOIN s ON d.event_type = s.event_type""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over
