@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.sql.LakeSql
+import graft.sql.{LakeSql, ResultCache}
 
 /** Round-15 SQL-catalog surface: the DSv2 [[graft.sql.LakeCatalog]] —
   * namespaced `catalog.schema.table` addressing through Spark's own
@@ -317,6 +317,57 @@ object CatalogQueries {
         .withColumn("bypass_raw", lit(bypassRaw))
         .withColumn("bad_policy_rejected", lit(badPolicyRejected))
     }),
+
+    // QUERY RESULT CACHE (the Databricks SQL result-cache behavior): a
+    // repeated SELECT over version-unchanged lake inputs is served from
+    // its spilled parquet result — zero re-execution — and ANY commit to
+    // an input invalidates by construction (head versions are in the
+    // key). Gates: the repeat is a HIT with identical cardinality; an
+    // INSERT flips the next run to a MISS that sees the new rows; a
+    // temp-view input is refused as uncacheable (no version to key on).
+    // Emits the post-insert aggregate.
+    "q255_sql_result_cache" -> ((s, dir) => {
+      val root = tmp("q255")
+      LakeSql.unregister("ord255")
+      LakeSql.setWarehouse(root)
+      ResultCache.reset()
+      ResultCache.enable(QueryTmp.dir("q255cache"))
+      def band(lo: Int, hi: Int, view: String): Unit = {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .filter(col("o_custkey").between(lo, hi))
+          .createOrReplaceTempView(view)
+        ()
+      }
+      band(1, 80, "q255_src")
+      LakeSql.sql(s, "CREATE TABLE ord255 TBLPROPERTIES(" +
+        "'stats_cols'='o_custkey','files'='4') AS SELECT * FROM q255_src")
+      val q = "SELECT o_custkey, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS spend FROM ord255 " +
+        "GROUP BY o_custkey"
+      val c1 = ResultCache.sql(s, q).count()
+      val s0 = ResultCache.stats
+      val c2 = ResultCache.sql(s, q).count()
+      val s1 = ResultCache.stats
+      val hitOk = s1.hits == s0.hits + 1 && s1.misses == s0.misses &&
+        c2 == c1
+      band(81, 120, "q255_more")
+      LakeSql.sql(s, "INSERT INTO ord255 SELECT * FROM q255_more")
+      val r3 = ResultCache.sql(s, q)
+      val s2 = ResultCache.stats
+      val invalidateOk = s2.misses == s1.misses + 1 && r3.count() > c1
+      ResultCache.sql(s, "SELECT count(*) AS n FROM q255_src").count()
+      val s3 = ResultCache.stats
+      val uncacheableOk = s3.uncacheable == s2.uncacheable + 1
+      ResultCache.reset() // the cache is per-fixture, never ambient
+      require(hitOk && invalidateOk && uncacheableOk,
+        s"q255 cache gates failed: hit=$hitOk invalidate=$invalidateOk " +
+          s"uncacheable=$uncacheableOk")
+      r3.withColumn("hit_ok", lit(hitOk))
+        .withColumn("invalidate_ok", lit(invalidateOk))
+        .withColumn("uncacheable_ok", lit(uncacheableOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -377,5 +428,14 @@ object CatalogQueries {
         |       TRUE AS bad_policy_rejected
         |FROM customer
         |WHERE c_custkey <= 800 AND c_nationkey < 20""".stripMargin,
+    // q255: the post-insert aggregate over both bands (values stored
+    // pre-rounded by the CTAS).
+    "q255_sql_result_cache" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  round(sum(round(o_totalprice, 2)), 2) AS spend,
+        |  TRUE AS hit_ok, TRUE AS invalidate_ok, TRUE AS uncacheable_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 1 AND 120
+        |GROUP BY o_custkey""".stripMargin,
   )
 }

@@ -2426,6 +2426,48 @@ object LakeSql {
   private def lookup(p: LogicalPlan): Option[(String, LakeTableSpec)] =
     singlePartName(p).flatMap(name => registry.get(name).map(name -> _))
 
+  /** Every [[UnresolvedRelation]] of a parsed plan, INCLUDING the plans
+    * nested inside subquery expressions (scalar/EXISTS/IN) — a relation
+    * the result cache missed would be a staleness hole. */
+  private def relationsOf(plan: LogicalPlan): Seq[UnresolvedRelation] = {
+    val direct = plan.collect { case ur: UnresolvedRelation => ur }
+    val nested = plan.collect { case op =>
+      op.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          relationsOf(s.plan)
+      }).flatten
+    }.flatten
+    direct ++ nested
+  }
+
+  /** The result cache's CACHEABILITY classification of a parsed read
+    * plan: Some(every referenced lake table) when EVERY leaf relation —
+    * subquery plans included — is either a CTE self-reference or a
+    * registered, un-shadowed lake table; None (uncacheable) the moment
+    * any leaf is a temp view, catalog table, or unknown name, because a
+    * non-versioned input has no invalidation signal. */
+  private[sql] def lakeOnlyReads(spark: SparkSession, plan: LogicalPlan)
+      : Option[Seq[(String, LakeTableSpec)]] = {
+    val cteNames = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    val classified = relationsOf(plan).map { ur =>
+      val parts = ur.multipartIdentifier
+      if (parts.size == 1 &&
+          cteNames.contains(parts.head.toLowerCase(java.util.Locale.ROOT)))
+        Some(Seq.empty) // CTE reference — its body's leaves classify too
+      else registryName(parts) match {
+        case Some(n) if registry.contains(n) &&
+            !spark.sessionState.catalog.isTempView(Seq(n)) =>
+          Some(Seq(n -> registry(n)))
+        case _ => None
+      }
+    }
+    if (classified.exists(_.isEmpty)) None
+    else Some(classified.flatten.flatten.distinct)
+  }
+
   private def isLake(p: LogicalPlan): Boolean = lookup(p).isDefined
 
   /** spark.sql DML routing ([[GraftSparkExtensions]]): when a parsed

@@ -1,0 +1,99 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** Query result cache: hit/miss mechanics, version-keyed invalidation,
+  * the governance-bypass key component, uncacheable classification
+  * (temp views, subquery relations), and LRU eviction deleting the
+  * evicted entry's files. */
+class ResultCacheSpec extends SparkSpec {
+
+  private def fd(sql: String) = LakeSql.sql(spark, sql)
+
+  private def mkTable(name: String, tag: String): Unit = {
+    import spark.implicits._
+    LakeSql.unregister(name)
+    LakeSql.setWarehouse(tmpDir(tag))
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("k", "g", "v").createOrReplaceTempView(s"${name}_src")
+    fd(s"CREATE TABLE $name TBLPROPERTIES('stats_cols'='k','files'='1') " +
+      s"AS SELECT * FROM ${name}_src")
+    ()
+  }
+
+  test("repeat SELECT hits; a commit to any input invalidates; rows " +
+      "served from cache equal the recomputed ones") {
+    mkTable("rc_t", "rcspec")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache"))
+    val q = "SELECT g, count(*) AS n, round(sum(v), 2) AS sv FROM rc_t " +
+      "GROUP BY g"
+    val first = ResultCache.sql(spark, q).collect().map(_.toSeq).toSet
+    val second = ResultCache.sql(spark, q).collect().map(_.toSeq).toSet
+    assert(ResultCache.stats.hits == 1 && second == first)
+    fd("INSERT INTO rc_t SELECT 4L AS k, 'b' AS g, 5.0 AS v")
+    val third = ResultCache.sql(spark, q).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ResultCache.stats.hits == 1, "post-commit read hit a stale entry")
+    assert(third == Map("a" -> 2L, "b" -> 2L))
+    LakeSql.unregister("rc_t")
+  }
+
+  test("the policy-bypass conf is part of the key: a privileged session " +
+      "never reads the unprivileged session's cached rows (or vice versa)") {
+    mkTable("rc_p", "rcspec2")
+    fd("ALTER TABLE rc_p SET ROW FILTER (v < 25.0)")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache2"))
+    val q = "SELECT count(*) AS n FROM rc_p"
+    assert(ResultCache.sql(spark, q).head().getLong(0) == 2)
+    spark.conf.set("graft.policy.bypass", "true")
+    try {
+      // same text, same versions — different key, full rows
+      assert(ResultCache.sql(spark, q).head().getLong(0) == 3)
+      assert(ResultCache.stats.hits == 0)
+      // and each session's repeat is its own hit
+      assert(ResultCache.sql(spark, q).head().getLong(0) == 3)
+      assert(ResultCache.stats.hits == 1)
+    } finally spark.conf.set("graft.policy.bypass", "false")
+    LakeSql.unregister("rc_p")
+  }
+
+  test("uncacheable inputs pass through: temp views directly and inside " +
+      "subqueries; non-SELECT statements") {
+    import spark.implicits._
+    mkTable("rc_u", "rcspec3")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache3"))
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("rc_view")
+    ResultCache.sql(spark, "SELECT count(*) AS n FROM rc_view").count()
+    // a temp view hidden INSIDE a subquery must classify too
+    ResultCache.sql(spark, "SELECT k FROM rc_u WHERE k IN " +
+      "(SELECT k FROM rc_view)").count()
+    assert(ResultCache.stats.uncacheable == 2 &&
+      ResultCache.stats.misses == 0)
+    // CTEs over lake tables ARE cacheable
+    val cte = "WITH c AS (SELECT k, v FROM rc_u WHERE k <= 2) " +
+      "SELECT count(*) AS n FROM c"
+    ResultCache.sql(spark, cte).count()
+    ResultCache.sql(spark, cte).count()
+    assert(ResultCache.stats.misses == 1 && ResultCache.stats.hits == 1)
+    LakeSql.unregister("rc_u")
+  }
+
+  test("LRU eviction at capacity deletes the evicted entry's files") {
+    mkTable("rc_e", "rcspec4")
+    ResultCache.reset()
+    val dir = tmpDir("rccache4")
+    ResultCache.enable(dir, capacity = 2)
+    ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 1").count()
+    ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 2").count()
+    val afterTwo = new java.io.File(dir).listFiles().length
+    assert(afterTwo == 2)
+    ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 3").count()
+    // capacity 2: the eldest entry's directory is gone
+    assert(new java.io.File(dir).listFiles().length == 2)
+    LakeSql.unregister("rc_e")
+    ResultCache.reset() // never leave an ambient cache behind
+  }
+}
