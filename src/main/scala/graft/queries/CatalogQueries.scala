@@ -368,6 +368,63 @@ object CatalogQueries {
         .withColumn("invalidate_ok", lit(invalidateOk))
         .withColumn("uncacheable_ok", lit(uncacheableOk))
     }),
+
+    // APPLY CHANGES → SCD TYPE 2 (the DLT `APPLY CHANGES INTO … STORED AS
+    // SCD TYPE 2` shape): the change feed of a source lake table — one
+    // CTAS, one UPDATE, one DELETE — maintains a full-history target with
+    // version-bounded validity intervals, applied INCREMENTALLY (per-poll
+    // cost tracks each commit's feed, the q141 replication property, but
+    // the target keeps history instead of mirroring). Gates: the three
+    // source versions apply as three cursor-tagged applies; a REPLAY
+    // applies zero (exactly-once via the target's own txn tags); exactly
+    // one open interval per live key. Emits the full history table.
+    "q256_apply_changes_scd2" -> ((s, dir) => {
+      val root = tmp("q256")
+      LakeSql.unregister("ord256src")
+      LakeSql.unregister("ord256scd")
+      LakeSql.setWarehouse(root)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .filter(col("o_custkey").between(1, 100))
+        .createOrReplaceTempView("q256_src")
+      LakeSql.sql(s, "CREATE TABLE ord256src TBLPROPERTIES(" +
+        "'stats_cols'='o_custkey,o_orderkey','files'='6') " +
+        "AS SELECT * FROM q256_src")
+      LakeSql.sql(s, "UPDATE ord256src SET o_totalprice = " +
+        "round(o_totalprice * 2, 2) WHERE o_custkey BETWEEN 10 AND 30")
+      LakeSql.sql(s,
+        "DELETE FROM ord256src WHERE o_custkey BETWEEN 40 AND 50")
+      s.sql(s"""CREATE TABLE ord256scd (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        start_at BIGINT, end_at BIGINT, is_current BOOLEAN)
+        USING lake LOCATION '$root/scd'
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey,start_at',
+                       'files' = '4')""")
+      val srcRoot = s"$root/ord256src/m"
+      val r1 = graft.sql.ApplyChanges.scd2(s, srcRoot, "ord256scd",
+        "o_orderkey", Seq("o_custkey", "o_totalprice"))
+      val appliedOk = r1.commitsApplied == 3 && r1.toVersion == 3
+      val r2 = graft.sql.ApplyChanges.scd2(s, srcRoot, "ord256scd",
+        "o_orderkey", Seq("o_custkey", "o_totalprice"))
+      val replayOk = r2.commitsApplied == 0 && r2.fromVersion == 3
+      // exactly one OPEN interval per live source key, none for deleted
+      val openPerKey = LakeSql.sql(s, "SELECT max(c) AS hi FROM (" +
+        "SELECT o_orderkey, count(*) AS c FROM ord256scd " +
+        "WHERE is_current = true GROUP BY o_orderkey)").head().getLong(0)
+      val liveOk = openPerKey == 1 &&
+        LakeSql.sql(s, "SELECT count(*) AS n FROM ord256scd " +
+          "WHERE is_current = true").head().getLong(0) ==
+        LakeSql.sql(s, "SELECT count(*) AS n FROM ord256src")
+          .head().getLong(0)
+      require(appliedOk && replayOk && liveOk,
+        s"q256 gates failed: applied=$r1 replay=$r2 open=$openPerKey")
+      LakeSql.sql(s, "SELECT o_orderkey, o_custkey, o_totalprice, " +
+          "start_at, end_at, is_current FROM ord256scd")
+        .withColumn("applied_ok", lit(appliedOk))
+        .withColumn("replay_ok", lit(replayOk))
+        .withColumn("live_ok", lit(liveOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -437,5 +494,29 @@ object CatalogQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 1 AND 120
         |GROUP BY o_custkey""".stripMargin,
+    // q256: the SCD2 history recomputed from the deterministic change
+    // script — untouched keys stay open from v1; updated keys (10–30)
+    // close at v2 and reopen doubled; deleted keys (40–50) close at v3.
+    "q256_apply_changes_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS p
+        |  FROM orders WHERE o_custkey BETWEEN 1 AND 100)
+        |SELECT o_orderkey, o_custkey, p AS o_totalprice,
+        |  CAST(1 AS BIGINT) AS start_at, CAST(NULL AS BIGINT) AS end_at,
+        |  TRUE AS is_current,
+        |  TRUE AS applied_ok, TRUE AS replay_ok, TRUE AS live_ok
+        |FROM base
+        |WHERE o_custkey NOT BETWEEN 10 AND 30
+        |  AND o_custkey NOT BETWEEN 40 AND 50
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, p, 1, 2, FALSE, TRUE, TRUE, TRUE
+        |FROM base WHERE o_custkey BETWEEN 10 AND 30
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, round(p * 2, 2), 2, NULL, TRUE,
+        |  TRUE, TRUE, TRUE
+        |FROM base WHERE o_custkey BETWEEN 10 AND 30
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, p, 1, 3, FALSE, TRUE, TRUE, TRUE
+        |FROM base WHERE o_custkey BETWEEN 40 AND 50""".stripMargin,
   )
 }

@@ -2426,6 +2426,10 @@ object LakeSql {
   private def lookup(p: LogicalPlan): Option[(String, LakeTableSpec)] =
     singlePartName(p).flatMap(name => registry.get(name).map(name -> _))
 
+  /** Registry access for sibling SQL-surface modules ([[ApplyChanges]]). */
+  private[sql] def specOf(name: String): Option[LakeTableSpec] =
+    registry.get(name.toLowerCase(java.util.Locale.ROOT))
+
   /** Every [[UnresolvedRelation]] of a parsed plan, INCLUDING the plans
     * nested inside subquery expressions (scalar/EXISTS/IN) — a relation
     * the result cache missed would be a staleness hole. */
