@@ -216,7 +216,78 @@ object ScaleSmoke {
     else if (args.headOption.contains("cdc")) cdcMain(args.drop(1))
     else if (args.headOption.contains("exactsubstr"))
       exactSubstrMain(args.drop(1))
+    else if (args.headOption.contains("applychanges"))
+      applyChangesMain(args.drop(1))
     else growthMain(args)
+
+  /** APPLY CHANGES → SCD2 growth smoke (round 15, the cdcMain treatment
+    * applied to q256's history maintenance): source and SCD2 target at 1×
+    * and `copies`× table size, then CONSTANT-SIZE update commits applied
+    * incrementally. Per-apply cost = the commit's feed (constant) + the
+    * CLOSE merge (touch set pruned by the target's key stats — the
+    * affected keys live in one narrow z-order band) + the OPEN append
+    * (batch-sized). The claim under test: per-apply wall ≈flat as both
+    * tables grow 10× — only the excluded bootstrap tracks table size. */
+  private def applyChangesMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.sinks.{Layout, Snapshots}
+    import graft.sql.{ApplyChanges, LakeSql}
+    val statsCols = Seq("o_orderkey", "o_custkey")
+    def orders(dir: String) = graft.model.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def measure(label: String, df: DataFrame, nFiles: Int): Double = {
+      val root = java.nio.file.Files.createTempDirectory("acgrowth").toString
+      Layout.zorderWrite(df, statsCols, s"$root/src/z", nFiles)
+      Snapshots.commit(spark,
+        Layout.buildManifest(spark, s"$root/src/z", statsCols),
+        s"$root/src/m")
+      val tname = s"ac_growth_$label"
+      LakeSql.unregister(tname)
+      LakeSql.register(tname, graft.sql.LakeSql.LakeTableSpec(
+        s"$root/scd/z", s"$root/scd/m", Seq("o_orderkey", "start_at"), 4))
+      Snapshots.createEmptyTable(spark, s"$root/scd/m",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("start_at",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("end_at",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("is_current",
+            org.apache.spark.sql.types.BooleanType))),
+        Seq("o_orderkey", "start_at"))
+      // bootstrap = full-history seed by design; excluded from timing
+      ApplyChanges.scd2(spark, s"$root/src/m", tname, "o_orderkey",
+        Seq("o_custkey", "o_totalprice"))
+      var band = 0
+      val wall = median((1 to reps).map { _ =>
+        band += 1
+        // one CONSTANT-size update commit: a narrow custkey band doubles
+        val lo = band * 3; val hi = lo + 2
+        Snapshots.updateWhere(spark, s"$root/src/z", s"$root/src/m",
+          statsCols, Seq(("o_custkey", lo.toDouble, hi.toDouble)),
+          Map("o_totalprice" -> (col("o_totalprice") * 2)))
+        timed(ApplyChanges.scd2(spark, s"$root/src/m", tname,
+          "o_orderkey", Seq("o_custkey", "o_totalprice")))
+      })
+      LakeSql.unregister(tname)
+      wall
+    }
+    val small = measure("small", orders(src), 8)
+    val big = measure("big", orders(target), 8 * copies)
+    println(f"""{"query":"q256_apply_growth","sf01_sec":$small%.2f,"grown_${copies}x_sec":$big%.2f,"ratio":${big / small}%.2f,"copies":$copies,"reps":$reps}""")
+    spark.stop()
+  }
 
   /** CDC replication + size-policy compaction at 1× and `copies`× table
     * size. The commits are CONSTANT-SIZE across scales (same appended
