@@ -821,6 +821,67 @@ object AdvancedQueries {
           .as("robust_z"),
         (abs(col("n") - col("med")) > lit(3 * 1.4826) * col("mad"))
           .as("is_anomaly"))
+    }),
+
+    // MARKETING TOUCH ATTRIBUTION (first-touch / last-touch, the readout
+    // every attribution pipeline computes): for each purchase, the clicks
+    // by the same user inside a 7-day lookback window; last touch = most
+    // recent such click, first touch = earliest. The join is an interval
+    // join KEYED on user_id (the q41/q80 range-join discipline: the time
+    // comparison only runs within a user's partition, never as a global
+    // cross product), and the per-purchase windows are bounded by that
+    // purchase's own touch count. Ties broken by click id — deterministic
+    // at any scale.
+    "q257_touch_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      val joined = purch.join(clicks, Seq("user_id"))
+        .filter(col("cts") <= col("pts") &&
+          col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
+      val wLast = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("cts").desc, col("click_id").desc)
+      val wFirst = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("cts").asc, col("click_id").asc)
+      joined
+        .withColumn("rl", row_number().over(wLast))
+        .withColumn("rf", row_number().over(wFirst))
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_touches"),
+          max(when(col("rl") === 1, col("click_id"))).as("last_click"),
+          max(when(col("rf") === 1, col("click_id"))).as("first_click"))
+    }),
+
+    // CORPUS DIVERSITY (distinct-n, Li et al. 2016 — the curation metric
+    // that catches a TEMPLATED source before training does): per source,
+    // the distinct/total ratio of 1/2/3-grams. N-grams are built INSIDE
+    // the token array (`transform(sequence(...))` — pure codegen, no
+    // per-gram shuffle; the only shuffles are the per-source hash-aggs),
+    // the same window machinery ExactSubstr rides. Linear at 100 TB.
+    "q258_corpus_diversity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+      def grams(n: Int) = docs.select(col("source"), explode(
+        when(size(col("toks")) >= n, expr(
+          s"transform(sequence(0, size(toks) - $n), " +
+            s"i -> concat_ws(' ', ${(0 until n)
+              .map(k => s"toks[i + $k]").mkString(", ")}))"))
+          .otherwise(expr("array()"))).as("gram"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"total_$n"),
+          countDistinct(col("gram")).as(s"uniq_$n"))
+      grams(1).join(grams(2), Seq("source")).join(grams(3), Seq("source"))
+        .select(col("source"), col("total_1").as("n_tokens"),
+          round(col("uniq_1") / col("total_1").cast("double"), 6)
+            .as("distinct_1"),
+          round(col("uniq_2") / col("total_2").cast("double"), 6)
+            .as("distinct_2"),
+          round(col("uniq_3") / col("total_3").cast("double"), 6)
+            .as("distinct_3"))
     })
   )
 
@@ -1204,7 +1265,51 @@ object AdvancedQueries {
         |  round((d.n - m.med) / (1.4826 * s.mad), 6) AS robust_z,
         |  abs(d.n - m.med) > 3 * 1.4826 * s.mad AS is_anomaly
         |FROM d JOIN m ON d.event_type = m.event_type
-        |       JOIN s ON d.event_type = s.event_type""".stripMargin
+        |       JOIN s ON d.event_type = s.event_type""".stripMargin,
+    // q257: identical interval join + tie-broken windows.
+    "q257_touch_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, c.click_id, c.cts,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.cts DESC, c.click_id DESC) AS rl,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.cts ASC, c.click_id ASC) AS rf
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY)
+        |SELECT purchase_id, user_id, count(*) AS n_touches,
+        |  max(CASE WHEN rl = 1 THEN click_id END) AS last_click,
+        |  max(CASE WHEN rf = 1 THEN click_id END) AS first_click
+        |FROM j GROUP BY purchase_id, user_id""".stripMargin,
+    // q258: n-grams via 1-based list lambdas; generate_series(1, 0) is
+    // empty, so short docs contribute nothing — same as the Spark guard.
+    "q258_corpus_diversity" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS l
+        |           FROM documents),
+        |g1 AS (SELECT source, count(*) AS total_1,
+        |         count(DISTINCT g) AS uniq_1
+        |       FROM d, unnest(l) AS u(g) GROUP BY source),
+        |g2 AS (SELECT source, count(*) AS total_2,
+        |         count(DISTINCT g) AS uniq_2
+        |       FROM d, unnest(list_transform(
+        |         generate_series(1, len(l) - 1),
+        |         i -> l[i] || ' ' || l[i + 1])) AS u(g)
+        |       GROUP BY source),
+        |g3 AS (SELECT source, count(*) AS total_3,
+        |         count(DISTINCT g) AS uniq_3
+        |       FROM d, unnest(list_transform(
+        |         generate_series(1, len(l) - 2),
+        |         i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS u(g)
+        |       GROUP BY source)
+        |SELECT g1.source, total_1 AS n_tokens,
+        |  round(uniq_1 / CAST(total_1 AS DOUBLE), 6) AS distinct_1,
+        |  round(uniq_2 / CAST(total_2 AS DOUBLE), 6) AS distinct_2,
+        |  round(uniq_3 / CAST(total_3 AS DOUBLE), 6) AS distinct_3
+        |FROM g1 JOIN g2 ON g1.source = g2.source
+        |        JOIN g3 ON g1.source = g3.source""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over
