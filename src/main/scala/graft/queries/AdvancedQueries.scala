@@ -882,6 +882,36 @@ object AdvancedQueries {
             .as("distinct_2"),
           round(col("uniq_3") / col("total_3").cast("double"), 6)
             .as("distinct_3"))
+    }),
+
+    // TIME-TO-CONVERT per experiment variant (the latency readout an A/B
+    // platform pairs with q253's rate readout): conversion lag = purchase
+    // time minus the FIRST touch in the 7-day lookback, exact integer
+    // seconds (epoch-µs arithmetic — never a float timestamp diff), then
+    // exact linear-interpolation percentiles per hash-assigned variant.
+    // Same user-keyed interval join as q257; percentiles run over the
+    // conversions frame, already result-sized.
+    "q259_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      val lags = purch.join(clicks, Seq("user_id"))
+        .filter(col("cts") <= col("pts") &&
+          col("cts") > col("pts") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id"), col("purchase_id"), col("pts"))
+        .agg(min(col("cts")).as("first_cts"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"),
+          ((unix_micros(col("pts")) - unix_micros(col("first_cts"))) /
+            lit(1000000L)).cast("long").as("lag_s"))
+      lags.groupBy(col("variant"))
+        .agg(count(lit(1)).as("conversions"),
+          round(expr("percentile(lag_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(lag_s, 0.9)"), 4).as("p90_s"),
+          max(col("lag_s")).as("max_s"))
     })
   )
 
@@ -1309,7 +1339,28 @@ object AdvancedQueries {
         |  round(uniq_2 / CAST(total_2 AS DOUBLE), 6) AS distinct_2,
         |  round(uniq_3 / CAST(total_3 AS DOUBLE), 6) AS distinct_3
         |FROM g1 JOIN g2 ON g1.source = g2.source
-        |        JOIN g3 ON g1.source = g3.source""".stripMargin
+        |        JOIN g3 ON g1.source = g3.source""".stripMargin,
+    // q259: integer-seconds lags (floor division — both engines truncate
+    // the nonnegative diff identically), exact interpolated percentiles.
+    "q259_time_to_convert" ->
+      """WITH c AS (SELECT user_id, ts AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT p.user_id, p.purchase_id, p.pts, min(c.cts) AS first_cts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY
+        |  GROUP BY p.user_id, p.purchase_id, p.pts),
+        |v AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    (epoch_us(pts) - epoch_us(first_cts)) // 1000000 AS lag_s
+        |  FROM l)
+        |SELECT variant, count(*) AS conversions,
+        |  round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(lag_s, 0.9), 4) AS p90_s,
+        |  max(lag_s) AS max_s
+        |FROM v GROUP BY variant""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over

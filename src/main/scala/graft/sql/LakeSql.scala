@@ -99,11 +99,16 @@ object LakeSql {
   /** Register `name` as a SQL-addressable lake table. Names are
     * case-insensitive, session-global (the driver runs queries
     * sequentially; use distinct names per fixture). */
-  def register(name: String, spec: LakeTableSpec): Unit =
+  def register(name: String, spec: LakeTableSpec): Unit = {
+    invalidatePolicies(spec.manifestRoot)
     registry.put(name.toLowerCase(java.util.Locale.ROOT), spec) : Unit
+  }
 
   def unregister(name: String): Unit =
-    registry.remove(name.toLowerCase(java.util.Locale.ROOT)) : Unit
+    registry.remove(name.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some(spec) => invalidatePolicies(spec.manifestRoot)
+      case None => ()
+    }
 
   // Maintenance statements, the Delta-extension grammar shape — Spark's
   // parser has no OPTIMIZE/VACUUM productions, so these dispatch on the
@@ -1094,18 +1099,38 @@ object LakeSql {
     * metadata-only aggregate rule is structural: a row filter interposes
     * a `Filter`, a mask a non-attribute `Project` — either breaks
     * [[ServeAggFromManifest]]'s match, so policied counts always scan. */
+  /** (row filter, masks) at a table's head, MEMOIZED per (manifestRoot,
+    * head version): version dirs are immutable after their atomic rename,
+    * so the pair can never change under a fixed key — and any policy or
+    * data commit bumps the head, minting a fresh key. Without the memo
+    * every read of a props-free table walks ALL its version dirs
+    * (tableProperties falls through to Map.empty), which the round-15
+    * bench measured as a 1.3-1.5× tax on multi-version DML fixtures.
+    * [[register]]/[[unregister]] clear a root's entries so a same-root
+    * re-creation can never serve a stale policy. */
+  private val policyCache =
+    TrieMap.empty[(String, Int), (Option[String], Map[String, String])]
+
+  private[sql] def invalidatePolicies(manifestRoot: String): Unit =
+    policyCache.keys.filter(_._1 == manifestRoot)
+      .foreach(policyCache.remove)
+
   private def applyPolicies(spark: SparkSession, df: DataFrame,
                             spec: LakeTableSpec): DataFrame = {
     if (spark.conf.get("graft.policy.bypass", "false").toBoolean) return df
-    val props = Snapshots.tableProperties(spark, spec.manifestRoot,
-      Snapshots.latestVersion(spark, spec.manifestRoot))
-    val filtered = props.get(RowFilterProp) match {
+    val head = Snapshots.latestVersion(spark, spec.manifestRoot)
+    val (filter, masks) =
+      policyCache.getOrElseUpdate((spec.manifestRoot, head), {
+        if (policyCache.size > 4096) policyCache.clear()
+        val props = Snapshots.tableProperties(spark, spec.manifestRoot, head)
+        (props.get(RowFilterProp), props.collect {
+          case (k, v) if k.startsWith(MaskPropPrefix) =>
+            k.stripPrefix(MaskPropPrefix) -> v
+        })
+      })
+    val filtered = filter match {
       case Some(f) => df.filter(org.apache.spark.sql.functions.expr(f))
       case None => df
-    }
-    val masks = props.collect {
-      case (k, v) if k.startsWith(MaskPropPrefix) =>
-        k.stripPrefix(MaskPropPrefix) -> v
     }
     if (masks.isEmpty) filtered
     else filtered.select(filtered.schema.fields.toSeq.map { f =>
