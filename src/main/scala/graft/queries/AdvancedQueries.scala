@@ -912,6 +912,44 @@ object AdvancedQueries {
           round(expr("percentile(lag_s, 0.5)"), 4).as("p50_s"),
           round(expr("percentile(lag_s, 0.9)"), 4).as("p90_s"),
           max(col("lag_s")).as("max_s"))
+    }),
+
+    // MARKET BASKET (association rules over order lines — the retail
+    // co-occurrence readout): part pairs co-bought in one order, scored
+    // by support / confidence / lift. Pair generation is a SELF-JOIN ON
+    // THE ORDER KEY — fan-out bounded by each order's own line count
+    // (TPC-H ≤ 7), never an all-parts product; the part-level brands
+    // keep the rule table result-sized (pairing raw part keys would be
+    // support-1 noise). Counts are exact integers; lift division is one
+    // deterministic double op, rounded.
+    "q260_market_basket" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val parts = t(s, dir, "part").select(col("p_partkey"),
+        col("p_brand"))
+      val items = li.join(parts, li("l_partkey") === parts("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = li.select(col("l_orderkey")).distinct().count()
+      val single = items.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_brand"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") &&
+            col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 5)
+      pairs
+        .join(single.withColumnRenamed("brand", "brand_a")
+          .withColumnRenamed("n_brand", "n_a"), Seq("brand_a"))
+        .join(single.withColumnRenamed("brand", "brand_b")
+          .withColumnRenamed("n_brand", "n_b"), Seq("brand_b"))
+        .select(col("brand_a"), col("brand_b"), col("n_pair"),
+          col("n_a"), col("n_b"),
+          round(col("n_pair") / col("n_a").cast("double"), 6)
+            .as("confidence"),
+          round(col("n_pair") * lit(nOrders.toDouble) /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
     })
   )
 
@@ -1360,7 +1398,27 @@ object AdvancedQueries {
         |  round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
         |  round(quantile_cont(lag_s, 0.9), 4) AS p90_s,
         |  max(lag_s) AS max_s
-        |FROM v GROUP BY variant""".stripMargin
+        |FROM v GROUP BY variant""".stripMargin,
+    // q260: identical exact counts; lift arithmetic in the same
+    // left-to-right double order.
+    "q260_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+        |s AS (SELECT brand, count(*) AS n_brand FROM items GROUP BY 1),
+        |pr AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    count(*) AS n_pair
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT brand_a, brand_b, n_pair,
+        |  sa.n_brand AS n_a, sb.n_brand AS n_b,
+        |  round(n_pair / CAST(sa.n_brand AS DOUBLE), 6) AS confidence,
+        |  round(n_pair * CAST((SELECT n FROM no) AS DOUBLE)
+        |        / CAST(sa.n_brand * sb.n_brand AS DOUBLE), 6) AS lift
+        |FROM pr JOIN s sa ON pr.brand_a = sa.brand
+        |        JOIN s sb ON pr.brand_b = sb.brand""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over

@@ -412,6 +412,7 @@ object LakeSql {
     case TruncateRe(name)
         if isRegisteredName(name) =>
       val spec = specByName(name)
+      requireDmlClearance(spark, spec, "TRUNCATE")
       val r = Snapshots.truncateCommit(spark, spec.manifestRoot)
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "rows_deleted" -> r.rowsDeleted, "files_dropped" -> r.filesDropped))
@@ -677,6 +678,7 @@ object LakeSql {
     // predicate (a scoped overwrite cannot smuggle rows past its scope).
     case InsertReplaceRe(name, condText, queryText) =>
       val spec = specByName(name)
+      requireDmlClearance(spark, spec, "INSERT ... REPLACE WHERE")
       val mapping = headMapping(spark, spec)
       val cond = spark.sessionState.sqlParser.parseExpression(condText)
       val (prune, pred) = compileWhere(cond, spec, mapping, Some(spark))
@@ -1115,19 +1117,41 @@ object LakeSql {
     policyCache.keys.filter(_._1 == manifestRoot)
       .foreach(policyCache.remove)
 
+  private def headPolicies(spark: SparkSession, spec: LakeTableSpec)
+      : (Option[String], Map[String, String]) = {
+    val head = Snapshots.latestVersion(spark, spec.manifestRoot)
+    policyCache.getOrElseUpdate((spec.manifestRoot, head), {
+      if (policyCache.size > 4096) policyCache.clear()
+      val props = Snapshots.tableProperties(spark, spec.manifestRoot, head)
+      (props.get(RowFilterProp), props.collect {
+        case (k, v) if k.startsWith(MaskPropPrefix) =>
+          k.stripPrefix(MaskPropPrefix) -> v
+      })
+    })
+  }
+
+  /** Read-dependent DML (DELETE / UPDATE / MERGE / REPLACE WHERE /
+    * TRUNCATE) on a policy-protected table requires the PRIVILEGED
+    * session: the rewrite paths operate on the raw rows, so an
+    * unprivileged statement would silently reach rows its own reads
+    * cannot see — the Databricks contract is that policies govern DML
+    * too, and this engine enforces it by refusal rather than silent
+    * raw-row DML. (Plain INSERT stays open — it reads nothing.) */
+  private def requireDmlClearance(spark: SparkSession, spec: LakeTableSpec,
+                                  stmt: String): Unit = {
+    if (spark.conf.get("graft.policy.bypass", "false").toBoolean) return
+    val (filter, masks) = headPolicies(spark, spec)
+    require(filter.isEmpty && masks.isEmpty,
+      s"$stmt on a policy-protected table (row filter/mask in force) " +
+        "requires the privileged session (graft.policy.bypass=true) — " +
+        "an unprivileged rewrite would silently touch rows its own " +
+        "reads cannot see")
+  }
+
   private def applyPolicies(spark: SparkSession, df: DataFrame,
                             spec: LakeTableSpec): DataFrame = {
     if (spark.conf.get("graft.policy.bypass", "false").toBoolean) return df
-    val head = Snapshots.latestVersion(spark, spec.manifestRoot)
-    val (filter, masks) =
-      policyCache.getOrElseUpdate((spec.manifestRoot, head), {
-        if (policyCache.size > 4096) policyCache.clear()
-        val props = Snapshots.tableProperties(spark, spec.manifestRoot, head)
-        (props.get(RowFilterProp), props.collect {
-          case (k, v) if k.startsWith(MaskPropPrefix) =>
-            k.stripPrefix(MaskPropPrefix) -> v
-        })
-      })
+    val (filter, masks) = headPolicies(spark, spec)
     val filtered = filter match {
       case Some(f) => df.filter(org.apache.spark.sql.functions.expr(f))
       case None => df
@@ -1284,6 +1308,7 @@ object LakeSql {
   private def runDelete(spark: SparkSession, target: LogicalPlan,
                         condition: Expression): DataFrame = {
     val (_, spec) = lookup(target).get
+    requireDmlClearance(spark, spec, "DELETE")
     val mapping = headMapping(spark, spec)
     val (prune, pred) = compileWhere(condition, spec, mapping, Some(spark))
     val cover = compileCover(condition, spec, mapping, Some(spark))
@@ -1310,6 +1335,7 @@ object LakeSql {
 
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
     val (tname, spec) = lookup(m.targetTable).get
+    requireDmlClearance(spark, spec, "MERGE")
     val mapping0 = headMapping(spark, spec)
     // the source arrives in the LOGICAL schema; the lake's rows are
     // physical — route it through the mapping before the commit
@@ -2028,6 +2054,7 @@ object LakeSql {
     * full-table rewrite the caller must spell out via the DataFrame API. */
   private def runUpdate(spark: SparkSession, u: UpdateTable): DataFrame = {
     val (_, spec) = lookup(u.table).get
+    requireDmlClearance(spark, spec, "UPDATE")
     val mapping = headMapping(spark, spec)
     val cond = u.condition.getOrElse(throw new IllegalArgumentException(
       "UPDATE needs a WHERE over stats columns — unscoped it must rewrite " +
@@ -2543,6 +2570,7 @@ object LakeSql {
       case TruncateTable(t) if claim(t) =>
         val spec = lookup(t).get._2
         Some((Seq("version", "rows_deleted", "files_dropped"), s => {
+          requireDmlClearance(s, spec, "TRUNCATE")
           val r = Snapshots.truncateCommit(s, spec.manifestRoot)
           metricsRow(s, Seq("version" -> r.version.toLong,
             "rows_deleted" -> r.rowsDeleted,

@@ -73,6 +73,38 @@ class GovernancePoliciesSpec extends SparkSpec {
     LakeSql.unregister("pol_u")
   }
 
+  test("read-dependent DML on a policy-protected table refuses without " +
+      "the privileged session; INSERT stays open; clearance returns " +
+      "with the policy drop") {
+    freshTable("pol_d", "polspec4")
+    fd("ALTER TABLE pol_d SET ROW FILTER (region < 28)")
+    val before = fd("SELECT count(*) AS n FROM pol_d").head().getLong(0)
+    for (stmt <- Seq("DELETE FROM pol_d WHERE k = 1",
+        "UPDATE pol_d SET bal = 0.0 WHERE k = 1",
+        "TRUNCATE TABLE pol_d")) {
+      val e = intercept[IllegalArgumentException] { fd(stmt) }
+      assert(e.getMessage.contains("policy-protected"), s"$stmt: $e")
+    }
+    // nothing committed, reads unchanged
+    assert(fd("SELECT count(*) AS n FROM pol_d").head().getLong(0) == before)
+    // INSERT reads nothing — open to everyone
+    fd("INSERT INTO pol_d SELECT 9L AS k, 'zed' AS who, 1 AS region, " +
+      "1.0 AS bal")
+    assert(fd("SELECT count(*) AS n FROM pol_d").head().getLong(0)
+      == before + 1)
+    // the privileged session may run the DML
+    spark.conf.set("graft.policy.bypass", "true")
+    try fd("DELETE FROM pol_d WHERE k = 9")
+    finally spark.conf.set("graft.policy.bypass", "false")
+    assert(fd("SELECT count(*) AS n FROM pol_d").head().getLong(0) == before)
+    // and dropping the policies restores unprivileged DML
+    fd("ALTER TABLE pol_d DROP ROW FILTER")
+    fd("DELETE FROM pol_d WHERE k = 1")
+    // raw table: 4 seed rows + row 9 − deleted rows 9 and 1 = 3
+    assert(fd("SELECT count(*) AS n FROM pol_d").head().getLong(0) == 3)
+    LakeSql.unregister("pol_d")
+  }
+
   test("DDL-time validation: unknown column, non-boolean filter, and " +
       "uncastable mask all reject with nothing committed") {
     freshTable("pol_v", "polspec3")
