@@ -766,6 +766,52 @@ object StreamQueries {
         .join(broadcast(cand), Seq("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= minCount)
+    }),
+
+    // STREAMING ANOMALY SCREEN (q254's median/MAD baseline as an alerting
+    // stream): the event history replays as three DAY-ALIGNED dekad files
+    // (a calendar day lands wholly in one trigger, so per-day counts are
+    // complete per batch and the verdict set is batching-independent);
+    // each micro-batch's (type, day) volumes join the broadcast STATIC
+    // baseline and land robust-z verdicts. Per-trigger cost is the
+    // batch's one hash-agg — the baseline history is never rescanned.
+    "q261_stream_anomaly_screen" -> ((s, dir) => {
+      val root = QueryTmp.dir("q261")
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"))
+      val daily = ev.groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val baseline = daily.join(med, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+        .join(med, Seq("event_type"))
+        .localCheckpoint()
+      require(baseline.filter(col("mad") <= 0).isEmpty,
+        "q261: a type's MAD collapsed to zero — the screen is vacuous")
+      new java.io.File(s"$root/in").mkdirs()
+      val t0 = System.currentTimeMillis()
+      Seq((1, 10), (11, 20), (21, 31)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          val staging = s"$root/staging$i"
+          ev.filter(dayofmonth(col("ts")).between(lo, hi)).coalesce(1)
+            .write.mode("overwrite").parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          val dest = new java.io.File(s"$root/in/dekad$i.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          require(dest.setLastModified(t0 + i * 2000L))
+      }
+      val schema = s.read.parquet(s"$root/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val q = Streaming.anomalyScreenStream(stream, "event_type", "ts",
+        baseline, s"$root/out", s"$root/ckpt").start()
+      require(q.awaitTermination(300000), s"q261 stream drain timed out")
+      s.read.parquet(s"$root/out")
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"), col("robust_z"), col("is_anomaly"))
     })
   )
 
@@ -943,6 +989,22 @@ object StreamQueries {
         |           WHERE text IS NOT NULL),
         |c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1)
         |SELECT tok, n FROM c
-        |WHERE n >= ceil(0.002 * (SELECT sum(n) FROM c))""".stripMargin
+        |WHERE n >= ceil(0.002 * (SELECT sum(n) FROM c))""".stripMargin,
+    // q261: q254's batch SQL verbatim — the streamed verdicts must equal
+    // the all-at-once computation (day-aligned batching guarantees it).
+    "q261_stream_anomaly_screen" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, median(n) AS med FROM d GROUP BY 1),
+        |s AS (SELECT d.event_type, median(abs(d.n - m.med)) AS mad
+        |      FROM d JOIN m ON d.event_type = m.event_type GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n,
+        |  round(m.med, 2) AS med, round(s.mad, 2) AS mad,
+        |  round((d.n - m.med) / (1.4826 * s.mad), 6) AS robust_z,
+        |  abs(d.n - m.med) > 3 * 1.4826 * s.mad AS is_anomaly
+        |FROM d JOIN m ON d.event_type = m.event_type
+        |       JOIN s ON d.event_type = s.event_type""".stripMargin
   )
 }

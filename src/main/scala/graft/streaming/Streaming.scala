@@ -248,6 +248,38 @@ object Streaming {
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
 
+  /** STREAMING ANOMALY SCREEN (q254's robust median/MAD baseline applied
+    * per micro-batch — the alerting loop a monitoring pipeline runs as
+    * data lands): each batch's per-(type, day) volumes join the STATIC
+    * baseline (broadcast — types×2 doubles, never a shuffle) and land
+    * verdict rows. Day boundaries must align with batch files (the q233
+    * landing discipline), so per-day counts are complete per trigger and
+    * the output is batching-independent; replays overwrite their own
+    * `batch=<id>` directory (foreachBatch at-least-once idempotence).
+    * Per-trigger cost = the batch's one hash-agg; the baseline is fixed
+    * history — at 100 TB the stream never rescans it. */
+  def anomalyScreenStream(stream: DataFrame, typeCol: String, tsCol: String,
+                          baseline: DataFrame, outDir: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .groupBy(col(typeCol),
+            date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(baseline), Seq(typeCol))
+          .select(col(typeCol), col("day"), col("n"),
+            round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
+            round((col("n") - col("med")) / (lit(1.4826) * col("mad")), 6)
+              .as("robust_z"),
+            (abs(col("n") - col("med")) > lit(3 * 1.4826) * col("mad"))
+              .as("is_anomaly"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+
   /** CONTINUOUS exact-dedup screen: each micro-batch is screened against a
     * persisted fingerprint store (per-row `is_dup` verdict — the q104 daily
     * screen as a stream), then the store is extended with the batch's novel
