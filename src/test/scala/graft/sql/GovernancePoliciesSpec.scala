@@ -105,6 +105,16 @@ class GovernancePoliciesSpec extends SparkSpec {
     LakeSql.unregister("pol_d")
   }
 
+  test("a row filter's predicate reaches the parquet scan as a pushed " +
+      "filter — the policy is not a post-scan residual") {
+    freshTable("pol_s", "polspec5")
+    fd("ALTER TABLE pol_s SET ROW FILTER (region < 28)")
+    val p = fd("SELECT k FROM pol_s").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThan(region,28)"),
+      s"policy predicate not pushed:\n$p")
+    LakeSql.unregister("pol_s")
+  }
+
   test("DDL-time validation: unknown column, non-boolean filter, and " +
       "uncastable mask all reject with nothing committed") {
     freshTable("pol_v", "polspec3")

@@ -81,6 +81,19 @@ class ResultCacheSpec extends SparkSpec {
     LakeSql.unregister("rc_u")
   }
 
+  test("an oversize result is served but never retained: the repeat " +
+      "re-executes instead of hitting") {
+    mkTable("rc_o", "rcspec5")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache5"), capacity = 8, entryBytes = 1L)
+    val q = "SELECT g, count(*) AS n FROM rc_o GROUP BY g"
+    assert(ResultCache.sql(spark, q).count() == 2)
+    assert(ResultCache.sql(spark, q).count() == 2)
+    // two misses, zero hits: nothing was retained under the 1-byte cap
+    assert(ResultCache.stats.misses == 2 && ResultCache.stats.hits == 0)
+    LakeSql.unregister("rc_o")
+  }
+
   test("LRU eviction at capacity deletes the evicted entry's files") {
     mkTable("rc_e", "rcspec4")
     ResultCache.reset()
