@@ -425,6 +425,46 @@ object CatalogQueries {
         .withColumn("replay_ok", lit(replayOk))
         .withColumn("live_ok", lit(liveOk))
     }),
+
+    // SQL UDFs (the Spark-4 / Databricks `CREATE FUNCTION … RETURN`
+    // surface): a scalar SQL function — declared once, resolved by the
+    // analyzer, INLINED into the calling plan (codegen-friendly, no
+    // black-box UDF boundary: the optimizer still sees the arithmetic) —
+    // plus a SQL TABLE function consumed in a lateral position. Gates:
+    // both declarations round-trip through plain spark.sql; the scalar
+    // composes with aggregation; dropping the function removes it.
+    "q262_sql_udf" -> ((s, dir) => {
+      s.sql("DROP TEMPORARY FUNCTION IF EXISTS disc262")
+      s.sql("DROP TEMPORARY FUNCTION IF EXISTS tiers262")
+      s.sql("""CREATE TEMPORARY FUNCTION disc262(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(p * (1 - d) * 100) AS BIGINT)""")
+      s.sql("""CREATE TEMPORARY FUNCTION tiers262(q DOUBLE)
+        RETURNS TABLE (tier STRING)
+        RETURN SELECT CASE WHEN q >= 30 THEN 'bulk'
+                           WHEN q >= 10 THEN 'mid'
+                           ELSE 'small' END AS tier""")
+      t(s, dir, "lineitem").createOrReplaceTempView("li262")
+      val out = s.sql("""
+        SELECT t.tier,
+          count(*) AS n,
+          sum(disc262(l_extendedprice, l_discount)) AS net_cents
+        FROM li262, LATERAL tiers262(l_quantity) t
+        GROUP BY t.tier""")
+      // the scalar INLINES: the aggregate's plan carries the arithmetic,
+      // not an opaque function call boundary
+      val plan = out.queryExecution.optimizedPlan.toString
+      val inlined = !plan.toLowerCase(java.util.Locale.ROOT)
+        .contains("disc262")
+      val dropped = {
+        s.sql("DROP TEMPORARY FUNCTION disc262")
+        scala.util.Try(
+          s.sql("SELECT disc262(1.0D, 0.1D)").collect()).isFailure
+      }
+      require(inlined && dropped, s"q262 gates: inlined=$inlined " +
+        s"dropped=$dropped\n$plan")
+      out.withColumn("inlined_ok", lit(inlined))
+        .withColumn("dropped_ok", lit(dropped))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -518,5 +558,16 @@ object CatalogQueries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, p, 1, 3, FALSE, TRUE, TRUE, TRUE
         |FROM base WHERE o_custkey BETWEEN 40 AND 50""".stripMargin,
+    // q262: the SQL functions inlined by hand.
+    "q262_sql_udf" ->
+      """SELECT CASE WHEN l_quantity >= 30 THEN 'bulk'
+        |            WHEN l_quantity >= 10 THEN 'mid'
+        |            ELSE 'small' END AS tier,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS net_cents,
+        |  TRUE AS inlined_ok, TRUE AS dropped_ok
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
   )
 }
