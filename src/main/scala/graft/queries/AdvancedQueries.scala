@@ -950,6 +950,74 @@ object AdvancedQueries {
             .as("confidence"),
           round(col("n_pair") * lit(nOrders.toDouble) /
             (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+    }),
+
+    // REVENUE CONCENTRATION per nation (the Pareto readout every revenue
+    // dashboard carries): per-customer spend in EXACT integer cents, the
+    // Gini coefficient by the rank formula G = (2·Σ i·xᵢ − (n+1)·Σx) /
+    // (n·Σx) over the ascending-sorted spends (integer numerators —
+    // the only double op is the final division), and the top-decile
+    // share. One customer-level hash-agg + one per-nation window; both
+    // keyed shuffles, group fan-in bounded by customers-per-nation.
+    "q263_revenue_concentration" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("cents").asc, col("c_custkey").asc)
+      val ranked = spend
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("i") * col("cents")).as("iws"))
+      // top decile = the ceil(n/10) highest spends; rank is ascending,
+      // so that is i > n − ceil(n/10)
+      val n = spend.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("nc"))
+      val dec = spend.withColumn("i", row_number().over(w))
+        .join(n, Seq("c_nationkey"))
+        .filter(col("i") > col("nc") - ceil(col("nc") / lit(10.0)))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("cents")).as("top_cents"))
+      ranked.join(dec, Seq("c_nationkey"))
+        .select(col("c_nationkey"), col("n_cust"), col("total_cents"),
+          round((lit(2.0) * col("iws") -
+            (col("n_cust") + 1) * col("total_cents")) /
+            (col("n_cust") * col("total_cents")).cast("double"), 6)
+            .as("gini"),
+          round(col("top_cents") / col("total_cents").cast("double"), 6)
+            .as("top_decile_share"))
+    }),
+
+    // ZIPF FIT of the token-frequency curve (the corpus-linguistics
+    // sanity readout a text pipeline checks after heavy filtering —
+    // natural text slopes near −1, templated or over-deduped corpora
+    // drift): closed-form OLS of ln(count) on ln(rank) over the top
+    // 1000 ranks, the q225 moment discipline (never the engines'
+    // internal regr_* accumulators). The count table is one hash-agg;
+    // the 1000-row fit frame is driver-free TakeOrdered work.
+    "q264_zipf_fit" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val wr = Window.orderBy(col("n").desc, col("tok").asc)
+      val top = counts.withColumn("r", row_number().over(wr))
+        .filter(col("r") <= 1000)
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("n").cast("double")).as("y"))
+      top.agg(count(lit(1)).as("n_ranks"),
+          avg(col("x")).as("ax"), avg(col("y")).as("ay"),
+          avg(col("x") * col("y")).as("axy"),
+          avg(col("x") * col("x")).as("axx"))
+        .select(col("n_ranks"),
+          round((col("axy") - col("ax") * col("ay")) /
+            (col("axx") - col("ax") * col("ax")), 4).as("zipf_slope"),
+          round(col("ay") - (col("axy") - col("ax") * col("ay")) /
+            (col("axx") - col("ax") * col("ax")) * col("ax"), 4)
+            .as("zipf_intercept"))
     })
   )
 
@@ -1418,7 +1486,54 @@ object AdvancedQueries {
         |  round(n_pair * CAST((SELECT n FROM no) AS DOUBLE)
         |        / CAST(sa.n_brand * sb.n_brand AS DOUBLE), 6) AS lift
         |FROM pr JOIN s sa ON pr.brand_a = sa.brand
-        |        JOIN s sb ON pr.brand_b = sb.brand""".stripMargin
+        |        JOIN s sb ON pr.brand_b = sb.brand""".stripMargin,
+    // q263: same integer-cent rank formula; only the final divisions are
+    // doubles.
+    "q263_revenue_concentration" ->
+      """WITH sp AS (
+        |  SELECT c.c_nationkey, c.c_custkey,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, c_custkey, cents,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |          ORDER BY cents ASC, c_custkey ASC) AS i
+        |      FROM sp),
+        |a AS (SELECT c_nationkey, count(*) AS n_cust,
+        |        CAST(sum(cents) AS BIGINT) AS total_cents,
+        |        CAST(sum(i * cents) AS BIGINT) AS iws
+        |      FROM r GROUP BY 1),
+        |nn AS (SELECT c_nationkey, count(*) AS nc FROM sp GROUP BY 1),
+        |d AS (SELECT r.c_nationkey,
+        |        CAST(sum(r.cents) AS BIGINT) AS top_cents
+        |      FROM r JOIN nn ON r.c_nationkey = nn.c_nationkey
+        |      WHERE r.i > nn.nc - ceil(nn.nc / 10.0) GROUP BY 1)
+        |SELECT a.c_nationkey, a.n_cust, a.total_cents,
+        |  round((2.0 * a.iws - (a.n_cust + 1) * a.total_cents)
+        |        / CAST(a.n_cust * a.total_cents AS DOUBLE), 6) AS gini,
+        |  round(d.top_cents / CAST(a.total_cents AS DOUBLE), 6)
+        |    AS top_decile_share
+        |FROM a JOIN d ON a.c_nationkey = d.c_nationkey""".stripMargin,
+    // q264: identical ln-moment OLS (q225 discipline) over the same
+    // deterministic rank order.
+    "q264_zipf_fit" ->
+      """WITH c AS (SELECT tok, count(*) AS n
+        |           FROM documents, unnest(string_split(text, ' '))
+        |             AS u(tok)
+        |           GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC)
+        |        AS rnk FROM c),
+        |t AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+        |        ln(CAST(n AS DOUBLE)) AS y
+        |      FROM r WHERE rnk <= 1000),
+        |m AS (SELECT count(*) AS n_ranks, avg(x) AS ax, avg(y) AS ay,
+        |        avg(x*y) AS axy, avg(x*x) AS axx FROM t)
+        |SELECT n_ranks,
+        |  round((axy - ax*ay) / (axx - ax*ax), 4) AS zipf_slope,
+        |  round(ay - (axy - ax*ay) / (axx - ax*ax) * ax, 4)
+        |    AS zipf_intercept
+        |FROM m""".stripMargin
   )
 
   /** Unrolled-iteration SQL mirror of [[graft.ext.GraphOps.pageRank]] over
