@@ -1640,8 +1640,14 @@ object LakeSql {
           s"wants the ${targetFields.length} non-generated ones "
         else s"targets ${targetFields.length} ") +
         s"(${targetFields.map(_.name).mkString(", ")})")
+    // An explicit COLUMN LIST assigns the source POSITIONALLY onto the
+    // listed columns (standard SQL: INSERT INTO t (a, b) SELECT b, a
+    // swaps the values) — by-name mapping applies only to the no-list
+    // form, where a batch whose names exactly cover the insertable
+    // columns is taken as a named record.
     val srcNames = src.columns.map(lower).toSet
-    val named = targetFields.map(f => lower(f.name)).toSet == srcNames
+    val named = ins.userSpecifiedCols.isEmpty &&
+      targetFields.map(f => lower(f.name)).toSet == srcNames
     var out = if (named) src
       else src.toDF(targetFields.map(_.name).toIndexedSeq: _*)
     // fill the OMITTED insertable columns (column-list form only)
@@ -2482,46 +2488,51 @@ object LakeSql {
   private[sql] def specOf(name: String): Option[LakeTableSpec] =
     registry.get(name.toLowerCase(java.util.Locale.ROOT))
 
-  /** Every [[UnresolvedRelation]] of a parsed plan, INCLUDING the plans
-    * nested inside subquery expressions (scalar/EXISTS/IN) — a relation
-    * the result cache missed would be a staleness hole. */
-  private def relationsOf(plan: LogicalPlan): Seq[UnresolvedRelation] = {
-    val direct = plan.collect { case ur: UnresolvedRelation => ur }
-    val nested = plan.collect { case op =>
-      op.expressions.flatMap(_.collect {
-        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          relationsOf(s.plan)
-      }).flatten
-    }.flatten
-    direct ++ nested
-  }
-
   /** The result cache's CACHEABILITY classification of a parsed read
     * plan: Some(every referenced lake table) when EVERY leaf relation —
-    * subquery plans included — is either a CTE self-reference or a
+    * subquery plans included — is either an in-scope CTE reference or a
     * registered, un-shadowed lake table; None (uncacheable) the moment
     * any leaf is a temp view, catalog table, or unknown name, because a
-    * non-versioned input has no invalidation signal. */
+    * non-versioned input has no invalidation signal.
+    *
+    * CTE names are resolved SCOPE-AWARE — a name only counts as a CTE
+    * reference where its defining [[UnresolvedWith]] is an ancestor
+    * (each CTE body additionally sees the CTEs defined before it, the
+    * Spark sequential-WITH rule). A relation OUTSIDE a WITH's scope that
+    * merely shares a nested CTE's name is classified on its own merits,
+    * so a same-named temp view can never slip through as "cacheable". */
   private[sql] def lakeOnlyReads(spark: SparkSession, plan: LogicalPlan)
       : Option[Seq[(String, LakeTableSpec)]] = {
-    val cteNames = plan.collect {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    var ok = true
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, LakeTableSpec)]
+    def walk(p: LogicalPlan, ctes: Set[String]): Unit = p match {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-    }.flatten.toSet
-    val classified = relationsOf(plan).map { ur =>
-      val parts = ur.multipartIdentifier
-      if (parts.size == 1 &&
-          cteNames.contains(parts.head.toLowerCase(java.util.Locale.ROOT)))
-        Some(Seq.empty) // CTE reference — its body's leaves classify too
-      else registryName(parts) match {
-        case Some(n) if registry.contains(n) &&
-            !spark.sessionState.catalog.isTempView(Seq(n)) =>
-          Some(Seq(n -> registry(n)))
-        case _ => None
-      }
+        var scope = ctes
+        w.cteRelations.foreach { case (name, body, _) =>
+          walk(body, scope) // a CTE body sees only the CTEs BEFORE it
+          scope += lower(name)
+        }
+        walk(w.child, scope)
+      case ur: UnresolvedRelation =>
+        val parts = ur.multipartIdentifier
+        if (!(parts.size == 1 && ctes.contains(lower(parts.head))))
+          registryName(parts) match {
+            case Some(n) if registry.contains(n) &&
+                !spark.sessionState.catalog.isTempView(Seq(n)) =>
+              acc += (n -> registry(n))
+            case _ => ok = false
+          }
+      case other =>
+        other.expressions.foreach(_.foreach {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            walk(s.plan, ctes)
+          case _ => ()
+        })
+        other.children.foreach(walk(_, ctes))
     }
-    if (classified.exists(_.isEmpty)) None
-    else Some(classified.flatten.flatten.distinct)
+    walk(plan, Set.empty)
+    if (!ok) None else Some(acc.toList.distinct)
   }
 
   private def isLake(p: LogicalPlan): Boolean = lookup(p).isDefined

@@ -135,6 +135,22 @@ class ColumnContractsSpec extends SparkSpec {
     LakeSql.unregister("def_t")
   }
 
+  test("an explicit column list maps the source POSITIONALLY (standard " +
+      "SQL): INSERT INTO t (a, b) SELECT b, a swaps even when the " +
+      "source's own names match the target set") {
+    val dir = tmpDir("posspec")
+    fd(s"""CREATE TABLE pos_t (k BIGINT, v BIGINT)
+        USING lake LOCATION '$dir' TBLPROPERTIES ('stats_cols' = 'k')""")
+    // source columns NAMED k and v, but listed as (v, k): position wins,
+    // so the source's k lands in v and vice versa
+    fd("INSERT INTO pos_t (v, k) SELECT 1L AS k, 100L AS v")
+    assert(fd("SELECT k, v FROM pos_t").head().toSeq == Seq(100L, 1L))
+    // the no-list form keeps by-name mapping when names exactly cover
+    fd("INSERT INTO pos_t SELECT 200L AS v, 2L AS k")
+    assert(fd("SELECT v FROM pos_t WHERE k = 2").head().getLong(0) == 200L)
+    LakeSql.unregister("pos_t")
+  }
+
   test("DEFAULT contract gates: NOT NULL without default rejects; " +
       "column-referencing or mistyped defaults reject at DDL time; " +
       "identity columns cannot carry one; SHOW CREATE prints it") {

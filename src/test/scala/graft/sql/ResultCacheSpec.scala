@@ -4,8 +4,8 @@ import graft.SparkSpec
 
 /** Query result cache: hit/miss mechanics, version-keyed invalidation,
   * the governance-bypass key component, uncacheable classification
-  * (temp views, subquery relations), and LRU eviction deleting the
-  * evicted entry's files. */
+  * (temp views, subquery relations, nondeterministic functions), and LRU
+  * eviction dropping entries without breaking pre-eviction handles. */
 class ResultCacheSpec extends SparkSpec {
 
   private def fd(sql: String) = LakeSql.sql(spark, sql)
@@ -94,19 +94,57 @@ class ResultCacheSpec extends SparkSpec {
     LakeSql.unregister("rc_o")
   }
 
-  test("LRU eviction at capacity deletes the evicted entry's files") {
+  test("LRU eviction at capacity drops the entry but keeps its parquet " +
+      "readable — a pre-eviction DataFrame still executes; a repeat misses") {
     mkTable("rc_e", "rcspec4")
     ResultCache.reset()
     val dir = tmpDir("rccache4")
     ResultCache.enable(dir, capacity = 2)
-    ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 1").count()
+    val first = ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 1")
+    first.count()
     ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 2").count()
-    val afterTwo = new java.io.File(dir).listFiles().length
-    assert(afterTwo == 2)
-    ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 3").count()
-    // capacity 2: the eldest entry's directory is gone
     assert(new java.io.File(dir).listFiles().length == 2)
+    ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 3").count()
+    // capacity 2 evicted the eldest ENTRY, but its parquet stays on disk
+    // (reclaimed with the cache dir), so the lazy handle returned before
+    // eviction still executes instead of FileNotFoundException
+    assert(new java.io.File(dir).listFiles().length == 3)
+    assert(first.count() == 1L)
+    // the entry itself is gone: a repeat of the evicted text re-executes
+    val missesBefore = ResultCache.stats.misses
+    ResultCache.sql(spark, "SELECT k FROM rc_e WHERE k = 1").count()
+    assert(ResultCache.stats.misses == missesBefore + 1)
     LakeSql.unregister("rc_e")
     ResultCache.reset() // never leave an ambient cache behind
+  }
+
+  test("nondeterministic queries are never cached: rand()/uuid()/" +
+      "current_timestamp repeats re-execute, including inside subqueries") {
+    mkTable("rc_n", "rcspec6")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache6"))
+    val nondet = Seq(
+      "SELECT k, rand() AS r FROM rc_n",
+      "SELECT k, uuid() AS u FROM rc_n",
+      "SELECT k, current_timestamp() AS ts FROM rc_n",
+      "SELECT k FROM rc_n WHERE v < (SELECT max(v) * rand() FROM rc_n)")
+    nondet.foreach { q =>
+      ResultCache.sql(spark, q).count()
+      ResultCache.sql(spark, q).count()
+    }
+    assert(ResultCache.stats.hits == 0,
+      "a nondeterministic query was served from the cache")
+    assert(ResultCache.stats.uncacheable >= nondet.size * 2L)
+    // sanity: two distinct rand() answers really differ across repeats
+    val rq = "SELECT sum(r) AS s FROM (SELECT k, rand() AS r FROM rc_n)"
+    val a = ResultCache.sql(spark, rq).collect()(0).getDouble(0)
+    val b = ResultCache.sql(spark, rq).collect()(0).getDouble(0)
+    assert(a != b)
+    // a deterministic query on the same table still caches
+    ResultCache.sql(spark, "SELECT count(*) AS n FROM rc_n").count()
+    ResultCache.sql(spark, "SELECT count(*) AS n FROM rc_n").count()
+    assert(ResultCache.stats.hits == 1)
+    LakeSql.unregister("rc_n")
+    ResultCache.reset()
   }
 }
