@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, CatalogQueries, CoreQueries, CurationQueries, LakeQueries, LlmQueries, OpsQueries, SqlQueries, StreamQueries}
+import graft.queries.{AdvancedQueries, CatalogQueries, CoreQueries, CurationQueries, LakeQueries, LlmQueries, OpsQueries, SqlQueries, StreamQueries, VariantQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ LlmQueries.queries ++ AdvancedQueries.queries ++
       OpsQueries.queries ++ StreamQueries.queries ++ LakeQueries.queries ++
-      CurationQueries.queries ++ SqlQueries.queries ++ CatalogQueries.queries
+      CurationQueries.queries ++ SqlQueries.queries ++
+      CatalogQueries.queries ++ VariantQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ LlmQueries.oracle ++ AdvancedQueries.oracle ++
       OpsQueries.oracle ++ StreamQueries.oracle ++ LakeQueries.oracle ++
-      CurationQueries.oracle ++ SqlQueries.oracle ++ CatalogQueries.oracle
+      CurationQueries.oracle ++ SqlQueries.oracle ++
+      CatalogQueries.oracle ++ VariantQueries.oracle
 }

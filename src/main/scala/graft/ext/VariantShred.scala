@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Layout
+
+/** VARIANT column storage with SHREDDED path statistics — the open-schema
+  * semi-structured story (Spark 4 / Parquet variant shredding, public
+  * design: store the variant binary alongside typed top-level "shredded"
+  * subcolumns for the hot extraction paths, so path predicates are served
+  * by plain columnar stats instead of re-parsing every row).
+  *
+  * The reference ingests variant-shape JSON (`rest_api.py:42-55` accepts
+  * `list`, `{"data": [...]}`, `{"items": [...]}`) and normalizes with
+  * static schemas; a VARIANT column keeps the full open-schema value
+  * queryable (`variant_get` path extraction, `schema_of_variant`
+  * discovery) while this module recovers columnar performance for the
+  * paths that matter:
+  *
+  *  - [[shredWrite]] clusters the table on one extracted path
+  *    (`repartitionByRange` + in-file sort) and materializes each shred
+  *    path as a physical `_shred_<alias>` BIGINT/DOUBLE column next to
+  *    the variant binary — exactly the parquet variant-shredding layout.
+  *  - [[manifest]] builds the per-file min/max stats for the shredded
+  *    columns from PARQUET FOOTERS ([[Layout.buildManifestFor]] fast
+  *    path): zero data scan, driver work bounded by file count.
+  *  - [[prunedRead]] plans a scan over only the files whose shredded
+  *    [min,max] intersects the path predicate, then filters the physical
+  *    shred column (parquet row-group pushdown applies — the shredding
+  *    payoff), never re-parsing the variant on the hot path. The shred
+  *    columns are dropped from the returned frame; stats can only
+  *    over-include, so the residual keeps exactness independent of the
+  *    manifest.
+  *
+  * 100 TB stance: the clustered write is the same two-pass shape as the
+  * z-order layout (sample + range shuffle), amortized over every
+  * subsequent path-predicate read; manifest build and prune planning are
+  * file-count-bounded driver work (a real deployment fans footer reads
+  * over a small executor job); a pruned scan reads only the intersecting
+  * fraction of files and pushes the typed predicate to row-group stats
+  * inside them.
+  */
+object VariantShred {
+
+  /** One shredded extraction path: `alias` names the stats/physical
+    * column, `path` is the variant path (`$.k`), `typ` the Spark cast
+    * target (`bigint`, `double`, `string`). */
+  final case class ShredSpec(alias: String, path: String, typ: String)
+
+  /** A stats-pruned variant scan plus its pruning evidence. */
+  final case class ShredScan(df: DataFrame, filesRead: Long, filesTotal: Long)
+
+  /** Physical column name for a shredded path (underscore prefix: engine
+    * column, hidden from [[prunedRead]] output). */
+  def shredCol(alias: String): String = s"_shred_$alias"
+
+  /** Write `df` with its variant column shredded: each spec's path is
+    * materialized as a typed physical column, and the layout is
+    * range-clustered on the FIRST spec's values so every output file
+    * covers a tight range of that path (tight footer min/max ⇒ effective
+    * pruning). Null extractions sort first — a file of path-less rows
+    * prunes away from any finite range. */
+  def shredWrite(df: DataFrame, variantCol: String, shreds: Seq[ShredSpec],
+                 path: String, nFiles: Int): Unit = {
+    require(shreds.nonEmpty, "shredWrite needs at least one shred path")
+    val withShreds = shreds.foldLeft(df)((d, sp) =>
+      d.withColumn(shredCol(sp.alias),
+        variant_get(col(variantCol), sp.path, sp.typ)))
+    val key = col(shredCol(shreds.head.alias))
+    withShreds
+      .repartitionByRange(nFiles, key)
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max manifest over the shredded columns — served from
+    * parquet footers when the shred types allow (INT64/INT32/DOUBLE),
+    * scan-built otherwise; either way one row per file. */
+  def manifest(spark: SparkSession, path: String,
+               shreds: Seq[ShredSpec]): DataFrame =
+    Layout.buildManifestFor(spark, Seq(path), shreds.map(s => shredCol(s.alias)))
+
+  /** Plan a scan over ONLY the files whose shredded [min,max] for `alias`
+    * intersects [lo, hi]; the surviving files are filtered on the
+    * PHYSICAL shred column (row-group pushdown inside each file), and the
+    * `_shred_*` engine columns are dropped from the returned frame. */
+  def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
+                 alias: String, lo: Long, hi: Long): ShredScan = {
+    val sc = shredCol(alias)
+    val total = manifest.count()
+    val files = manifest
+      .filter(col(s"min_$sc") <= lit(hi) && col(s"max_$sc") >= lit(lo))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(col(sc).between(lo, hi))
+    val keep = base.columns.filterNot(_.startsWith("_shred_"))
+      .map(col): Array[Column]
+    ShredScan(base.select(keep.toIndexedSeq: _*), files.size.toLong, total)
+  }
+}

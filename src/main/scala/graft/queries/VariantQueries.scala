@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.VariantShred
+import graft.ext.VariantShred.ShredSpec
+import graft.model.Tables
+
+/** Round-16 VARIANT surface: open-schema semi-structured columns end to
+  * end — `parse_json` ingestion of the reference's variant-shape JSON
+  * (`rest_api.py:42-55` accepts a raw object, `{"data": [...]}`, or
+  * `{"items": [...]}`), `variant_get` typed path extraction,
+  * `schema_of_variant` shape discovery, LATERAL `variant_explode` key
+  * enumeration, and [[graft.ext.VariantShred]] shredded-stats file
+  * pruning for a hot extraction path.
+  *
+  * All three shapes are DERIVED deterministically from the `events`
+  * table (event_type selects the wrapper; the payload carries `props.k`
+  * and integer cents from `value`), so the DuckDB oracle reconstructs
+  * every answer from the raw columns with `json_extract` — exactly the
+  * "switch engines, same answers" contract.
+  */
+object VariantQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmp(name: String): String = QueryTmp.dir(name)
+
+  /** The multi-shape variant column over events: click rows arrive as
+    * `{"data": [payload]}`, view rows as `{"items": [payload]}`, the rest
+    * as the raw payload object `{"cents": C, "k": K}` — the three API
+    * response shapes the reference's `_parse_items` normalizes
+    * (`rest_api.py:42-55`). Integer-only payloads keep
+    * `schema_of_variant` value-independent (BIGINT, never a
+    * value-sized DECIMAL). */
+  private def variantEvents(s: SparkSession, dir: String,
+                            uniform: Boolean = false): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val cents = round(col("value") * 100).cast("long")
+    val body = concat(lit("{\"cents\": "), cents, lit(", \"k\": "), k,
+      lit("}"))
+    val js =
+      if (uniform) body
+      else when(col("event_type") === "click",
+          concat(lit("{\"data\": ["), body, lit("]}")))
+        .when(col("event_type") === "view",
+          concat(lit("{\"items\": ["), body, lit("]}")))
+        .otherwise(body)
+    ev.withColumn("v", parse_json(js))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // VARIANT EXTRACTION (q265): parse_json over the three wire shapes,
+    // schema_of_variant naming each row's discovered shape, and one
+    // coalesce of variant_get typed path extractions normalizing all
+    // three into (k, cents) — the reference's _parse_items semantics
+    // expressed as open-schema paths instead of static from_json
+    // schemas. Columnar end to end: parse_json/variant_get are codegen
+    // expressions, no UDF, no shuffle.
+    "q265_variant_extract" -> ((s, dir) => {
+      val ve = variantEvents(s, dir)
+      ve.select(
+        col("event_id"),
+        schema_of_variant(col("v")).as("v_schema"),
+        coalesce(
+          variant_get(col("v"), "$.k", "bigint"),
+          variant_get(col("v"), "$.data[0].k", "bigint"),
+          variant_get(col("v"), "$.items[0].k", "bigint")).as("k_norm"),
+        coalesce(
+          variant_get(col("v"), "$.cents", "bigint"),
+          variant_get(col("v"), "$.data[0].cents", "bigint"),
+          variant_get(col("v"), "$.items[0].cents", "bigint"))
+          .as("cents_norm"))
+    }),
+
+    // SHREDDED-STATS PRUNING (q266): the normalized variant table is
+    // written range-clustered on the hot path `$.k` with physical
+    // shredded columns ([[VariantShred.shredWrite]]), the per-file
+    // min/max manifest comes from parquet FOOTERS (zero data scan), and
+    // a path predicate k ∈ [25, 34] plans a scan over only the
+    // intersecting files. Gate: the pruned read touched strictly fewer
+    // files than the layout holds — a path predicate SKIPS files on
+    // shredded stats alone. Exactness never depends on the stats: the
+    // physical-column residual filter re-checks every surviving row.
+    "q266_variant_shred_prune" -> ((s, dir) => {
+      val root = tmp("q266")
+      val shreds = Seq(ShredSpec("k", "$.k", "bigint"),
+        ShredSpec("cents", "$.cents", "bigint"))
+      FixtureCache.layout(s, s"q266:$dir", s"$root/shred") { d =>
+        VariantShred.shredWrite(
+          variantEvents(s, dir, uniform = true).select("event_id", "v"),
+          "v", shreds, d, nFiles = 16)
+      }
+      val mf = VariantShred.manifest(s, s"$root/shred", shreds)
+        .localCheckpoint()
+      val pr = VariantShred.prunedRead(s, s"$root/shred", mf, "k", 25L, 34L)
+      require(pr.filesRead < pr.filesTotal,
+        s"q266 shredded stats pruned nothing: read ${pr.filesRead} of " +
+          s"${pr.filesTotal} files")
+      pr.df.select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.cents", "bigint").as("cents"),
+        lit(true).as("shred_pruned_ok"))
+    }),
+
+    // SCHEMA DISCOVERY (q267): LATERAL variant_explode through plain
+    // spark.sql enumerates every top-level key of the open-schema
+    // column — the "what shapes are in this feed?" question asked
+    // before committing to a static schema. Map-side generate + one
+    // hash aggregation; key cardinality is shape-bounded, never
+    // row-bounded.
+    "q267_variant_keys" -> ((s, dir) => {
+      val view = s"v267_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      variantEvents(s, dir).createOrReplaceTempView(view)
+      val out = s.sql(
+        s"""SELECT t.key, count(*) AS n
+           |FROM $view, LATERAL variant_explode(v) AS t
+           |GROUP BY t.key""".stripMargin)
+      out.localCheckpoint() // pin rows before the view name is dropped
+      s.catalog.dropTempView(view)
+      out
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // q265: the three schema strings are deterministic per shape
+    // (integer-only payload, lexical key order in schema_of_variant),
+    // so the oracle maps event_type straight to the literal; paths
+    // replay with json_extract. round(value*100) is the identical IEEE
+    // double op in both engines (the q120 discipline).
+    "q265_variant_extract" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click'
+        |         THEN 'OBJECT<data: ARRAY<OBJECT<cents: BIGINT, k: BIGINT>>>'
+        |       WHEN event_type = 'view'
+        |         THEN 'OBJECT<items: ARRAY<OBJECT<cents: BIGINT, k: BIGINT>>>'
+        |       ELSE 'OBJECT<cents: BIGINT, k: BIGINT>' END AS v_schema,
+        |  json_extract(props, '$.k')::BIGINT AS k_norm,
+        |  round(value * 100)::BIGINT AS cents_norm
+        |FROM events""".stripMargin,
+    // q266: the pruned scan's residual makes the answer the plain
+    // band filter; the gate column asserts files were skipped.
+    "q266_variant_shred_prune" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  round(value * 100)::BIGINT AS cents,
+        |  TRUE AS shred_pruned_ok
+        |FROM events
+        |WHERE json_extract(props, '$.k')::BIGINT BETWEEN 25 AND 34""".stripMargin,
+    // q267: key frequencies follow the shape mix exactly — wrapper keys
+    // from the wrapped rows, payload keys from the raw rows.
+    "q267_variant_keys" ->
+      """SELECT 'data' AS key, count(*) AS n FROM events
+        |WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'items', count(*) FROM events WHERE event_type = 'view'
+        |UNION ALL
+        |SELECT 'cents', count(*) FROM events
+        |WHERE event_type NOT IN ('click', 'view')
+        |UNION ALL
+        |SELECT 'k', count(*) FROM events
+        |WHERE event_type NOT IN ('click', 'view')""".stripMargin
+  )
+}
