@@ -517,7 +517,8 @@ object Layout {
     val keep = manifest.filter(!col("file").isInCollection(hit))
     val next =
       if (moved.isEmpty) keep
-      else keep.unionByName(buildManifestFor(spark, moved, cols))
+      else keep.unionByName(buildManifestFor(spark, moved, cols),
+        allowMissingColumns = true)
     val nextPath = new org.apache.hadoop.fs.Path(manifestPath + ".next")
     next.coalesce(1).write.mode("overwrite").parquet(nextPath.toString)
     val mPath = new org.apache.hadoop.fs.Path(manifestPath)

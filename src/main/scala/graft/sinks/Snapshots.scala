@@ -896,6 +896,70 @@ object Snapshots {
       selected.size.toLong, total - selected.size, moved.size.toLong)
   }
 
+  /** Manifest column marking a data file as belonging to a CLUSTERED
+    * generation (the Delta liquid-clustering per-file tag shape): set
+    * true on files written by [[clusterIncrementalCommit]]; every other
+    * writer's rows join manifests without it (null ⇒ unclustered), so an
+    * append/MERGE automatically queues its files for the next OPTIMIZE. */
+  val ClusteredCol = "clustered"
+
+  final case class ClusterResult(version: Int, filesReclustered: Long,
+                                 filesPreserved: Long, filesOut: Long)
+
+  /** INCREMENTAL CLUSTERING — the `OPTIMIZE` shape for a table with
+    * clustering keys as a TABLE PROPERTY (the Databricks liquid-
+    * clustering successor to static z-order): re-cluster ONLY the files
+    * not already marked [[ClusteredCol]], leaving the clustered base
+    * byte-untouched. Cost therefore tracks the UNCLUSTERED INCREMENT
+    * (yesterday's appends), never table size — the property that makes a
+    * daily OPTIMIZE affordable at 100 TB where a full re-layout is a
+    * 100 TB job.
+    *
+    * A clustered file that has since acquired a deletion vector is
+    * re-clustered too (the rewrite folds the mask away, as in
+    * [[compactCommit]]). Output file count scales with the increment's
+    * share of the table, so a small append produces a small rewrite.
+    * Zero unclustered files ⇒ commit-free no-op. Clustering uses the
+    * same z-order layout as [[Layout.zorderWrite]] — multi-key tight
+    * stats boxes, pruning parity with the static path. */
+  def clusterIncrementalCommit(spark: SparkSession, path: String,
+                               manifestRoot: String, cols: Seq[String],
+                               clusterCols: Seq[String],
+                               nFiles: Int): ClusterResult = {
+    require(clusterCols.nonEmpty, "incremental clustering needs keys")
+    val v = latestVersion(spark, manifestRoot)
+    val manifest0 = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
+    val manifest = (if (manifest0.columns.contains(ClusteredCol)) manifest0
+      else manifest0.withColumn(ClusteredCol, lit(null).cast("boolean")))
+      .localCheckpoint()
+    val flagged = manifest
+      .select(col("file"), col("dv"), col(ClusteredCol)).collect().toSeq
+      .map(r => (Dv.Entry(r.getString(0), Option(r.getString(1))),
+        !r.isNullAt(2) && r.getBoolean(2)))
+    val (keep, rewrite) = flagged.partition { case (e, isClustered) =>
+      isClustered && e.dv.isEmpty
+    }
+    if (rewrite.isEmpty)
+      return ClusterResult(v, 0, keep.size.toLong, 0)
+    // increment-proportional output width: a 1-file append re-clusters
+    // into ~1 file, a first-time OPTIMIZE into the table's full width
+    val nOut = math.max(1, math.ceil(
+      nFiles.toDouble * rewrite.size / flagged.size).toInt)
+    val staging = path + ".cluster_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(Dv.readLive(spark, rewrite.map(_._1)), clusterCols,
+      staging, nOut)
+    val moved = Layout.moveStagedIn(spark, staging, path)
+    val keepM =
+      if (keep.isEmpty) manifest.filter(lit(false))
+      else manifest.filter(col("file").isInCollection(keep.map(_._1.file)))
+    val next = keepM.unionByName(
+      Layout.buildManifestFor(spark, moved, cols)
+        .withColumn(ClusteredCol, lit(true)),
+      allowMissingColumns = true)
+    ClusterResult(commit(spark, next, manifestRoot),
+      rewrite.size.toLong, keep.size.toLong, moved.size.toLong)
+  }
+
   final case class MergeResult(version: Int, filesRewritten: Long,
                                filesTotal: Long, rowsUpdated: Long,
                                rowsInserted: Long)

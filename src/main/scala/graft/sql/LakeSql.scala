@@ -251,6 +251,32 @@ object LakeSql {
   private[sql] val RowFilterProp = "graft.policy.rowfilter"
   private[sql] val MaskPropPrefix = "graft.policy.mask."
 
+  //   ALTER TABLE <t> CLUSTER BY (c1, c2) / CLUSTER BY NONE → persist /
+  //     clear the table's CLUSTERING KEYS as a property (the Databricks
+  //     liquid-clustering shape: keys are table state, not per-call
+  //     arguments) — one metadata-only commit; a later plain OPTIMIZE
+  //     re-clusters only the unclustered increment
+  //     ([[Snapshots.clusterIncrementalCommit]]). Valid Spark SQL, so
+  //     claimed only for registered lake names (TRUNCATE discipline).
+  private val AlterClusterRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+CLUSTER\s+BY\s*\(([^)]*)\)\s*""".r
+  private val AlterClusterNoneRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+CLUSTER\s+BY\s+NONE\s*""".r
+
+  /** Table property carrying the clustering keys (comma-joined). Set by
+    * `CREATE TABLE … CLUSTER BY` / `ALTER TABLE … CLUSTER BY`; read by
+    * plain OPTIMIZE to pick the incremental path. */
+  private[sql] val ClusterByProp = "graft.cluster.by"
+
+  /** The clustering keys in force at HEAD, if any. */
+  private def clusterColsOf(spark: SparkSession,
+                            spec: LakeTableSpec): Seq[String] =
+    Snapshots.tableProperties(spark, spec.manifestRoot,
+        Snapshots.latestVersion(spark, spec.manifestRoot))
+      .get(ClusterByProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
   /** The metric-row column names of an EXTENSION-GRAMMAR statement (the
     * regex-dispatched surface Spark's parser has no productions for:
     * OPTIMIZE/VACUUM/RESTORE/CLONE/REPLACE WHERE/CONVERT), when `text` is
@@ -331,6 +357,10 @@ object LakeSql {
       case SetRowFilterRe(_, _) | DropRowFilterRe(_) | SetMaskRe(_, _, _) |
            DropMaskRe(_, _) =>
         Some(longSchema(Seq("version")))
+      case AlterClusterNoneRe(name) if isRegisteredName(name) =>
+        Some(longSchema(Seq("version")))
+      case AlterClusterRe(name, _) if isRegisteredName(name) =>
+        Some(longSchema(Seq("version")))
       case _ => None
     }
 
@@ -387,10 +417,25 @@ object LakeSql {
     case OptimizeRe(name, small) =>
       val spec = specByName(name)
       if (small == null) {
-        val (version, nIn, nOut) = Snapshots.compactCommit(spark, spec.path,
-          spec.manifestRoot, spec.cols, spec.nFiles)
-        metricsRow(spark, Seq("version" -> version.toLong,
-          "files_in" -> nIn.toLong, "files_out" -> nOut.toLong))
+        // a table with clustering keys as a property takes the
+        // INCREMENTAL path: only unclustered files rewrite, the
+        // clustered base stays byte-identical (liquid shape); tables
+        // without keys keep the full re-layout compaction
+        val ccols = clusterColsOf(spark, spec)
+        if (ccols.nonEmpty) {
+          val mapping = headMapping(spark, spec)
+          val physical =
+            ccols.map(c => physicalName(c, mapping, "CLUSTER BY column"))
+          val r = Snapshots.clusterIncrementalCommit(spark, spec.path,
+            spec.manifestRoot, spec.cols, physical, spec.nFiles)
+          metricsRow(spark, Seq("version" -> r.version.toLong,
+            "files_in" -> r.filesReclustered, "files_out" -> r.filesOut))
+        } else {
+          val (version, nIn, nOut) = Snapshots.compactCommit(spark,
+            spec.path, spec.manifestRoot, spec.cols, spec.nFiles)
+          metricsRow(spark, Seq("version" -> version.toLong,
+            "files_in" -> nIn.toLong, "files_out" -> nOut.toLong))
+        }
       } else {
         val r = Snapshots.compactSmallCommit(spark, spec.path,
           spec.manifestRoot, spec.cols, smallBytes = small.toLong,
@@ -577,6 +622,30 @@ object LakeSql {
       val c = colName.toLowerCase(java.util.Locale.ROOT)
       metricsRow(spark, Seq("version" -> Snapshots.unsetProperties(spark,
         spec.manifestRoot, Seq(s"$MaskPropPrefix$c")).toLong))
+    // CLUSTERING KEYS as table state (liquid shape): one metadata-only
+    // property commit; plain OPTIMIZE reads the keys back and
+    // re-clusters only the unclustered increment. Keys must carry
+    // manifest stats (same rule as ZORDER BY — clustering a column no
+    // stats can prune buys nothing).
+    case AlterClusterNoneRe(name) if isRegisteredName(name) =>
+      val spec = specByName(name)
+      metricsRow(spark, Seq("version" -> Snapshots.unsetProperties(spark,
+        spec.manifestRoot, Seq(ClusterByProp)).toLong))
+    case AlterClusterRe(name, colList) if isRegisteredName(name) =>
+      val spec = specByName(name)
+      val mapping = headMapping(spark, spec)
+      val ccols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      require(ccols.nonEmpty, "CLUSTER BY needs at least one column")
+      val physical =
+        ccols.map(c => physicalName(c, mapping, "CLUSTER BY column"))
+      val missing = physical.filterNot(spec.cols.contains)
+      require(missing.isEmpty,
+        s"CLUSTER BY columns must carry manifest stats (have " +
+          s"${spec.cols.mkString(", ")}; missing ${missing.mkString(", ")})")
+      metricsRow(spark, Seq("version" -> Snapshots.setProperties(spark,
+        spec.manifestRoot,
+        Map(ClusterByProp -> ccols.mkString(","))).toLong))
     // ANALYZE TABLE: one aggregate job over the LIVE rows (DV-masked rows
     // excluded — statistics describe what readers see); row count always,
     // exact per-visible-column distinct + null counts under FOR ALL
@@ -1976,14 +2045,28 @@ object LakeSql {
         s"CREATE TABLE wants a one- or two-part table name here, got " +
           s"$other (catalog-qualified tables go through the lake catalog)")
     }
-    require(ct.partitioning.isEmpty,
-      "CREATE TABLE with PARTITIONED BY is not supported — the lake " +
-        "layout is z-ordered on stats_cols instead")
-    val (props, location) = ct.tableSpec match {
+    // CLUSTER BY (Spark's own clause) persists the keys as table state
+    // ([[ClusterByProp]]) — the liquid-clustering contract: a later plain
+    // OPTIMIZE re-clusters only the unclustered increment. PARTITIONED BY
+    // stays rejected (the lake layout is clustered, not hive-partitioned).
+    val clusterCols: Seq[String] = ct.partitioning.toSeq match {
+      case Seq() => Seq.empty
+      case Seq(org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(refs)) =>
+        refs.map(_.fieldNames.mkString(".")
+          .toLowerCase(java.util.Locale.ROOT))
+      case _ => throw new IllegalArgumentException(
+        "CREATE TABLE with PARTITIONED BY is not supported — the lake " +
+          "layout is clustered (CLUSTER BY / z-ordered stats_cols) instead")
+    }
+    val (props0, location) = ct.tableSpec match {
       case ts: UnresolvedTableSpec => (ts.properties, ts.location)
       case other => throw new IllegalArgumentException(
         s"unsupported CREATE TABLE table spec: $other")
     }
+    val props =
+      if (clusterCols.isEmpty) props0
+      else props0 + (ClusterByProp -> clusterCols.mkString(","))
     // layout: explicit data_dir/manifest_dir properties win (the SHOW
     // CREATE round-trip form); otherwise derive from LOCATION or the
     // session warehouse
@@ -1997,6 +2080,10 @@ object LakeSql {
         "CREATE TABLE needs TBLPROPERTIES('stats_cols'='c1,c2,...') — " +
           "the table's prune/merge-key domain"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val badCluster = clusterCols.filterNot(statsCols.contains)
+    require(badCluster.isEmpty,
+      s"CLUSTER BY columns must carry manifest stats (stats_cols has " +
+        s"${statsCols.mkString(", ")}; missing ${badCluster.mkString(", ")})")
     val spec = LakeTableSpec(
       props.getOrElse("data_dir", s"$root/z"),
       props.getOrElse("manifest_dir", s"$root/m"),
