@@ -2247,6 +2247,108 @@ object SqlQueries {
         .withColumn("noop_ok", lit(noopOk))
         .withColumn("pruned_ok", lit(prunedOk))
     }),
+
+    // SQL SCRIPTING (q269, round-16 verdict item 4): the reference's
+    // extract→transform→load orchestration (run_all_local.py:17-22)
+    // expressed as ONE multi-statement BEGIN…END script through plain
+    // spark.sql (Spark 4 SQL scripting) — DECLARE'd locals, a scalar
+    // subquery into a variable, a WHILE loop driving four chunked lake
+    // INSERTs (each its own atomic commit), and an IF/ELSE picking the
+    // script's verdict row. Gates: the loop committed exactly
+    // chunks + 1 versions (CREATE + 4 INSERTs), the script's own final
+    // SELECT counted every source row, and the IF took the expected
+    // branch.
+    "q269_sql_scripting" -> ((s, dir) => {
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      val root = tmp("q269")
+      LakeSql.unregister("gold269")
+      LakeSql.sql(s,
+        s"""CREATE TABLE gold269
+           |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+           |USING lake LOCATION '$root'
+           |TBLPROPERTIES ('stats_cols' = 'o_orderkey', 'files' = '8')"""
+          .stripMargin)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q269_src")
+      val res = s.sql(
+        """BEGIN
+          |  DECLARE chunks INT DEFAULT 4;
+          |  DECLARE i INT DEFAULT 0;
+          |  DECLARE step BIGINT;
+          |  SET step = (SELECT CAST(max(o_orderkey) / 4 + 1 AS BIGINT)
+          |              FROM q269_src);
+          |  WHILE i < chunks DO
+          |    INSERT INTO gold269
+          |    SELECT o_orderkey, o_custkey,
+          |      round(o_totalprice, 2) AS o_totalprice
+          |    FROM q269_src
+          |    WHERE o_orderkey >= i * step AND o_orderkey < (i + 1) * step;
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  IF (SELECT count(*) FROM gold269) =
+          |     (SELECT count(*) FROM q269_src) THEN
+          |    SELECT 'complete' AS verdict, count(*) AS n FROM gold269;
+          |  ELSE
+          |    SELECT 'short' AS verdict, count(*) AS n FROM gold269;
+          |  END IF;
+          |END""".stripMargin).head()
+      val scriptOk = res.getString(0) == "complete"
+      require(scriptOk, s"q269 script verdict: $res")
+      val versions = Snapshots.versions(s, s"$root/m").size
+      val commitsOk = versions == 5 // CREATE + 4 WHILE-loop INSERTs
+      require(commitsOk, s"q269 expected 5 versions, found $versions")
+      LakeSql.sql(s,
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM gold269")
+        .withColumn("script_ok", lit(scriptOk))
+        .withColumn("commits_ok", lit(commitsOk))
+    }),
+
+    // SESSION VARIABLES + EXECUTE IMMEDIATE (q270, round-16 verdict
+    // item 5): the reference's run_date parametrization
+    // (config.py:28-32) as DECLARE VARIABLE / SET VAR instead of string
+    // interpolation — the variable is SET from the data (scalar
+    // subquery), drives a partitioned read whose month predicate must
+    // plan as a PARTITION filter (PlanGuard: variables fold to literals
+    // at analysis, so directory pruning still applies), and the same
+    // parametrization replays through EXECUTE IMMEDIATE with a USING
+    // bind and an INTO capture. Gates: the plan pruned, and the
+    // EXECUTE IMMEDIATE count equals the served row count.
+    "q270_sql_session_vars" -> ((s, dir) => {
+      import graft.plans.PlanGuard
+      import graft.sinks.Sinks
+      import graft.model.TableRef
+      val root = tmp("q270")
+      val ref = TableRef("silver", "sales", "orders")
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0 &&
+          year(col("o_orderdate")) === 1995)
+        .withColumn("run_date", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("run_date"))
+      Sinks.writePartitionedByRunDate(base, root, ref)
+      Sinks.readLakeTable(s, root, ref).createOrReplaceTempView("q270_part")
+      s.sql("DECLARE OR REPLACE VARIABLE q270_month STRING")
+      // parametrized from the DATA, not a literal (config.py:28-32 run
+      // date semantics): the latest month present in the layout
+      s.sql("SET VAR q270_month = (SELECT max(run_date) FROM q270_part)")
+      val month = s.sql("SELECT q270_month AS m").head().getString(0)
+      val served = PlanGuard.requirePlanMatches(
+        s.sql("SELECT o_orderkey, o_custkey, o_totalprice, run_date " +
+          "FROM q270_part WHERE run_date = q270_month"),
+        ("PartitionFilters: \\[[^\\]]*run_date#\\d+ = " +
+          java.util.regex.Pattern.quote(month)).r,
+        "variable-driven month filter did not reach partition pruning")
+      val n = s.sql("EXECUTE IMMEDIATE " +
+        "'SELECT count(*) FROM q270_part WHERE run_date = ?' USING q270_month")
+        .head().getLong(0)
+      val bindOk = n == served.count()
+      require(bindOk, s"q270 EXECUTE IMMEDIATE bind count $n differs")
+      served
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("run_date").cast("string").as("run_date"))
+        .withColumn("bind_ok", lit(bindOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2691,5 +2793,22 @@ object SqlQueries {
         |  TRUE AS noop_ok, TRUE AS pruned_ok
         |FROM orders, b
         |WHERE o_custkey BETWEEN b.lo AND b.hi""".stripMargin,
+    // q269: the WHILE loop's four [i·step, (i+1)·step) bands tile
+    // [0, max+4), so the scripted load lands every order exactly once.
+    "q269_sql_scripting" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS script_ok, TRUE AS commits_ok
+        |FROM orders""".stripMargin,
+    // q270: the variable is the latest month of the filtered layout —
+    // the oracle recomputes it from the same subset.
+    "q270_sql_session_vars" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |    round(o_totalprice, 2) AS o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS run_date
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 0 AND year(o_orderdate) = 1995)
+        |SELECT o_orderkey, o_custkey, o_totalprice, run_date,
+        |  TRUE AS bind_ok
+        |FROM b WHERE run_date = (SELECT max(run_date) FROM b)""".stripMargin,
   )
 }
