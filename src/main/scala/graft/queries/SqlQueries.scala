@@ -2349,6 +2349,51 @@ object SqlQueries {
           col("run_date").cast("string").as("run_date"))
         .withColumn("bind_ok", lit(bindOk))
     }),
+
+    // COLLATED COMPARISON (q271, round-16 verdict item 6): the
+    // case-insensitive email dedup (reference run_transform.py:57
+    // normalizes email before keying) expressed with Spark 4 COLLATE
+    // UTF8_LCASE — the comparison itself is collation-aware (grouping,
+    // DISTINCT, first-wins window all on `email COLLATE UTF8_LCASE`),
+    // the ORIGINAL casing survives to the output, and nothing is
+    // pre-lowered. Gates: the collated first-wins result is row-for-row
+    // the lower()-rewrite result (both directions of exceptAll empty),
+    // and COUNT(DISTINCT collated) equals the emitted row count. Scale
+    // shape: one hash aggregation keyed on the collation sort key —
+    // the same plan as the lower() rewrite, no extra pass.
+    "q271_collated_dedup" -> ((s, dir) => {
+      val emails = t(s, dir, "customer").select(
+        concat(lit("c"), (col("c_custkey") % 500).cast("string"),
+          lit("@"), lower(col("c_mktsegment")), lit(".example")).as("e"),
+        col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+        .select(
+          when((col("c_custkey") / 500).cast("long") % 2 === 0,
+            upper(col("e"))).otherwise(lower(col("e"))).as("email"),
+          col("c_custkey"), col("c_acctbal"))
+      emails.createOrReplaceTempView("q271_src")
+      val collated = s.sql(
+        """SELECT email, c_custkey, c_acctbal FROM (
+          |  SELECT email, c_custkey, c_acctbal,
+          |    row_number() OVER (PARTITION BY email COLLATE UTF8_LCASE
+          |                       ORDER BY c_custkey) AS rn
+          |  FROM q271_src) WHERE rn = 1""".stripMargin)
+        .localCheckpoint()
+      val distinctN = s.sql(
+        "SELECT count(DISTINCT email COLLATE UTF8_LCASE) AS n " +
+          "FROM q271_src").head().getLong(0)
+      val lowered = s.sql(
+        """SELECT email, c_custkey, c_acctbal FROM (
+          |  SELECT email, c_custkey, c_acctbal,
+          |    row_number() OVER (PARTITION BY lower(email)
+          |                       ORDER BY c_custkey) AS rn
+          |  FROM q271_src) WHERE rn = 1""".stripMargin)
+      val parityOk = collated.count() == distinctN &&
+        collated.exceptAll(lowered).isEmpty &&
+        lowered.exceptAll(collated).isEmpty
+      require(parityOk,
+        "q271 collated dedup diverged from the lower() rewrite")
+      collated.withColumn("collate_ok", lit(parityOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2810,5 +2855,21 @@ object SqlQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice, run_date,
         |  TRUE AS bind_ok
         |FROM b WHERE run_date = (SELECT max(run_date) FROM b)""".stripMargin,
+    // q271: UTF8_LCASE equals lower() on this ASCII domain, so the
+    // oracle replays the mixed-case construction and keys on lower().
+    "q271_collated_dedup" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN (c_custkey // 500) % 2 = 0 THEN upper(e)
+        |              ELSE lower(e) END AS email,
+        |    c_custkey, round(c_acctbal, 2) AS c_acctbal
+        |  FROM (SELECT concat('c', (c_custkey % 500)::VARCHAR, '@',
+        |          lower(c_mktsegment), '.example') AS e,
+        |          c_custkey, c_acctbal
+        |        FROM customer))
+        |SELECT email, c_custkey, c_acctbal, TRUE AS collate_ok FROM (
+        |  SELECT email, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY lower(email)
+        |                       ORDER BY c_custkey) AS rn
+        |  FROM v) WHERE rn = 1""".stripMargin,
   )
 }
