@@ -379,8 +379,26 @@ object TextAnalysis {
     * over |classes| rows. */
   def nbClassify(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, labelCol: String,
-                 isTrain: Column): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                 isTrain: Column): org.apache.spark.sql.DataFrame =
+    nbApply(nbTrain(docs, idCol, textCol, labelCol, isTrain),
+      docs, idCol, textCol)
+
+  /** A trained [[nbClassify]] model AS DATA — three small tables
+    * (per-(class, word) counts; per-class priors/token totals; global
+    * train-size/vocab constants), exactly the closed-form count ratios
+    * the formula needs. Being plain DataFrames they persist to parquet
+    * ([[nbSave]]/[[nbLoad]]) — the train-once-score-many contract
+    * (q110's persisted-index pattern applied to the model): at 100 TB
+    * the distillation pass runs once, every later intake reloads the
+    * vocab×classes-sized tables instead of re-reading the corpus. */
+  final case class NbModel(counts: org.apache.spark.sql.DataFrame,
+                           classes: org.apache.spark.sql.DataFrame,
+                           consts: org.apache.spark.sql.DataFrame)
+
+  /** Train the Laplace-smoothed count tables on the `isTrain` slice. */
+  def nbTrain(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, labelCol: String,
+              isTrain: Column): NbModel = {
     val base = docs.select(col(idCol), col(labelCol).as("_lbl"),
       isTrain.as("_tr"), split(lower(col(textCol)), " ").as("_ws"))
     val feats = base.select(col(idCol), col("_lbl"), col("_tr"),
@@ -396,11 +414,30 @@ object TextAnalysis {
     val consts = classes.agg(sum(col("_p")).cast("double").as("_ntr"))
       .crossJoin(cnt.agg(
         countDistinct(col("_f")).cast("double").as("_v")))
+    NbModel(cnt, classes, consts)
+  }
+
+  /** Score `docs` with a trained model. The count table joins on the
+    * WORD key as a shuffle join by default (an open-vocabulary model is
+    * corpus-sized — never broadcast at 100 TB, the [[lmScore]]
+    * contract); `broadcastModel = true` is for the bounded-vocabulary
+    * case (language-ID: the persisted model is a few thousand rows),
+    * where a broadcast hash join keeps the corpus side shuffle-free. */
+  def nbApply(model: NbModel, docs: org.apache.spark.sql.DataFrame,
+              idCol: String, textCol: String,
+              broadcastModel: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = docs
+      .select(col(idCol), split(lower(col(textCol)), " ").as("_ws"))
+      .select(col(idCol), explode(col("_ws")).as("_f"))
+    val cntTbl = model.counts
+      .select(col("_lbl").as("_cls"), col("_f"), col("_n"))
     val scored = feats
-      .crossJoin(broadcast(classes)) // |classes| rows — bounded fan-out
-      .join(cnt.select(col("_lbl").as("_cls"), col("_f"), col("_n")),
+      .crossJoin(broadcast(model.classes)) // |classes| — bounded fan-out
+      .join(if (broadcastModel) broadcast(cntTbl) else cntTbl,
         Seq("_cls", "_f"), "left")
-      .crossJoin(broadcast(consts))
+      .crossJoin(broadcast(model.consts))
       .groupBy(col(idCol), col("_cls"))
       .agg(round(
         log(first(col("_p")).cast("double") / first(col("_ntr"))) +
@@ -412,4 +449,18 @@ object TextAnalysis {
       .filter(col("_rk") === 1)
       .select(col(idCol), col("_cls").as("pred"), col("_s").as("nb_score"))
   }
+
+  /** Persist a trained model (three parquet tables under `dir`). */
+  def nbSave(model: NbModel, dir: String): Unit = {
+    model.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    model.classes.write.mode("overwrite").parquet(s"$dir/classes")
+    model.consts.write.mode("overwrite").parquet(s"$dir/consts")
+  }
+
+  /** Reload a persisted model. */
+  def nbLoad(spark: org.apache.spark.sql.SparkSession,
+             dir: String): NbModel =
+    NbModel(spark.read.parquet(s"$dir/counts"),
+      spark.read.parquet(s"$dir/classes"),
+      spark.read.parquet(s"$dir/consts"))
 }

@@ -34,6 +34,12 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Train-once registry for q209's persisted lang-ID model (one
+    * training+gate+save per JVM per input dir; the model DIR is cached,
+    * reloads read parquet — the q110 persisted-index pattern). */
+  private val nbModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Text analysis ---------------------------------------------------
     "q21_text_stats" -> ((s, dir) => {
@@ -1036,20 +1042,35 @@ object LlmQueries {
     "q209_corpus_intake" -> ((s, dir) => {
       // round-15 upgrade: the lang gate is the DISTILLED learned model
       // (q221's nbClassify, teacher = the q22 heuristic on the training
-      // half) instead of running the rules engine over the whole corpus
-      // — held-out agreement gated before the model is allowed to gate
-      // the intake
+      // half) instead of running the rules engine over the whole corpus.
+      // Round 16: TRAIN-ONCE-REUSE (q110's persisted-index pattern) —
+      // the first intake trains, passes the held-out gate, and PERSISTS
+      // the model to parquet; every later intake reloads the
+      // vocab×classes-sized tables and broadcasts them into the scoring
+      // join, never paying the training pass again. At 100 TB that
+      // flips intake cost from corpus-sized distillation per run to one
+      // bounded model read.
       val docs = t(s, dir, "documents")
-      val teacher = docs.select(col("doc_id"), col("text"),
-        TextAnalysis.langIdHeuristic(col("text")).as("teacher_lang"))
-      val nb = TextAnalysis.nbClassify(teacher, "doc_id", "text",
-        "teacher_lang", col("doc_id") % 2 === 0)
-      val acc = nb.join(teacher, Seq("doc_id"))
-        .filter(col("doc_id") % 2 === 1)
-        .agg(avg(when(col("pred") === col("teacher_lang"), 1.0)
-          .otherwise(0.0))).head().getDouble(0)
-      require(acc >= 0.6,
-        f"q209 distilled lang gate agreement $acc%.3f below floor")
+      val modelDir = nbModelCache.computeIfAbsent(s"q209:$dir", _ => {
+        val d = QueryTmp.dir("q209_nb_model")
+        val teacher = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.langIdHeuristic(col("text")).as("teacher_lang"))
+        val model = TextAnalysis.nbTrain(teacher, "doc_id", "text",
+          "teacher_lang", col("doc_id") % 2 === 0)
+        // the held-out gate belongs to the TRAINING run: an ungated
+        // model is never persisted
+        val acc = TextAnalysis.nbApply(model, teacher, "doc_id", "text")
+          .join(teacher, Seq("doc_id"))
+          .filter(col("doc_id") % 2 === 1)
+          .agg(avg(when(col("pred") === col("teacher_lang"), 1.0)
+            .otherwise(0.0))).head().getDouble(0)
+        require(acc >= 0.6,
+          f"q209 distilled lang gate agreement $acc%.3f below floor")
+        TextAnalysis.nbSave(model, d)
+        d
+      })
+      val nb = TextAnalysis.nbApply(TextAnalysis.nbLoad(s, modelDir),
+        docs, "doc_id", "text", broadcastModel = true)
       val lang = docs
         .join(nb.select(col("doc_id"), col("pred").as("pred_lang")),
           Seq("doc_id"))
