@@ -1647,22 +1647,40 @@ object Snapshots {
   }
 
   /** The property map in force at `version` — empty before any SET. */
+  // (root, version) → properties memo. Sound because a committed
+  // version's marker set is immutable (every property change is a NEW
+  // commit; VACUUM removes whole versions, never edits markers) — the
+  // cached map IS the map that was in force at that version. A root
+  // re-created at the same path (DROP + CREATE) reuses version numbers,
+  // so [[invalidateProperties]] must run on table re-registration (the
+  // same discipline as the SQL layer's policy cache). Bounded the same
+  // way: clear-all past 8192 entries.
+  private val propsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Map[String, String]]
+
+  /** Drop a root's memoized property maps (re-created roots). */
+  def invalidateProperties(manifestRoot: String): Unit =
+    propsCache.keys.filter(_._1 == manifestRoot)
+      .foreach(propsCache.remove)
+
   def tableProperties(spark: SparkSession, manifestRoot: String,
-                      version: Int): Map[String, String] = {
-    val fs = hfs(spark, manifestRoot)
-    versions(spark, manifestRoot).filter(_ <= version).sorted.reverse
-      .iterator
-      .map { v =>
-        val hits = fs.listStatus(
-            new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
-          .toSeq.map(_.getPath.getName)
-          .filter(_.startsWith(PropsPrefix))
-        if (hits.isEmpty) None
-        else Some(hits.map(parseProps).reduce(_ ++ _)) // disjoint chunks
-      }
-      .collectFirst { case Some(m) => m }
-      .getOrElse(Map.empty)
-  }
+                      version: Int): Map[String, String] =
+    propsCache.getOrElseUpdate((manifestRoot, version), {
+      if (propsCache.size > 8192) propsCache.clear()
+      val fs = hfs(spark, manifestRoot)
+      versions(spark, manifestRoot).filter(_ <= version).sorted.reverse
+        .iterator
+        .map { v =>
+          val hits = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$v"))
+            .toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(PropsPrefix))
+          if (hits.isEmpty) None
+          else Some(hits.map(parseProps).reduce(_ ++ _)) // disjoint chunks
+        }
+        .collectFirst { case Some(m) => m }
+        .getOrElse(Map.empty)
+    })
 
   /** SET TBLPROPERTIES — Delta merge semantics (existing keys overwrite,
     * others persist), as ONE metadata-only marker commit: the next

@@ -101,12 +101,15 @@ object LakeSql {
     * sequentially; use distinct names per fixture). */
   def register(name: String, spec: LakeTableSpec): Unit = {
     invalidatePolicies(spec.manifestRoot)
+    Snapshots.invalidateProperties(spec.manifestRoot)
     registry.put(name.toLowerCase(java.util.Locale.ROOT), spec) : Unit
   }
 
   def unregister(name: String): Unit =
     registry.remove(name.toLowerCase(java.util.Locale.ROOT)) match {
-      case Some(spec) => invalidatePolicies(spec.manifestRoot)
+      case Some(spec) =>
+        invalidatePolicies(spec.manifestRoot)
+        Snapshots.invalidateProperties(spec.manifestRoot)
       case None => ()
     }
 
