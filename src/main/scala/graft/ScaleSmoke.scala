@@ -218,7 +218,89 @@ object ScaleSmoke {
       exactSubstrMain(args.drop(1))
     else if (args.headOption.contains("applychanges"))
       applyChangesMain(args.drop(1))
+    else if (args.headOption.contains("sqlwave")) sqlWaveMain(args.drop(1))
     else growthMain(args)
+
+  /** Round-16 SQL-wave growth smoke (round-15 verdict item 8): the
+    * governance/result-cache/UDF surfaces at 1× and `copies`× input.
+    * Claims under test:
+    *  - q251 shape: the POLICY TAX (policed read / bypass read of the
+    *    same scan-forcing aggregate) is a small constant at both scales
+    *    — policy lookup is metadata-bounded, application is one extra
+    *    codegen filter+projection in the same scan;
+    *  - q255 shape: a result-cache HIT tracks the RESULT size (flat
+    *    across growth) while the MISS tracks the input;
+    *  - q262 shape: an inlined SQL UDF aggregate runs at parity with
+    *    the hand-written expression (no call-boundary cost) at both
+    *    scales. */
+  private def sqlWaveMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.sql.{LakeSql, ResultCache}
+    def run(label: String, dir: String): Map[String, Double] = {
+      val root =
+        java.nio.file.Files.createTempDirectory("sqlwave").toString
+      val tn = s"sw_cust_$label"
+      LakeSql.unregister(tn)
+      graft.model.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+        .createOrReplaceTempView(s"${tn}_src")
+      LakeSql.setWarehouse(root)
+      LakeSql.sql(spark, s"CREATE TABLE $tn TBLPROPERTIES(" +
+        s"'stats_cols'='c_custkey','files'='8') AS SELECT * FROM ${tn}_src")
+      LakeSql.sql(spark, s"ALTER TABLE $tn SET ROW FILTER (c_nationkey < 20)")
+      LakeSql.sql(spark, s"ALTER TABLE $tn ALTER COLUMN c_name " +
+        "SET MASK (concat('***', substring(c_name, 10)))")
+      // scan-forcing aggregate (bare count(*) is metadata-only served)
+      val aggSql = s"SELECT count(*) AS n, round(sum(c_acctbal), 2) AS s " +
+        s"FROM $tn WHERE c_custkey % 3 = 0"
+      spark.conf.set("graft.policy.bypass", "true")
+      val raw = median((1 to reps).map(_ =>
+        timed(LakeSql.sql(spark, aggSql).collect())).toSeq)
+      spark.conf.set("graft.policy.bypass", "false")
+      val policed = median((1 to reps).map(_ =>
+        timed(LakeSql.sql(spark, aggSql).collect())).toSeq)
+      // result cache: one miss, then repeated hits
+      ResultCache.reset()
+      ResultCache.enable(s"$root/rc")
+      val cq = s"SELECT c_nationkey, count(*) AS n, " +
+        s"round(sum(c_acctbal), 2) AS s FROM $tn GROUP BY c_nationkey"
+      val miss = timed(ResultCache.sql(spark, cq).collect())
+      val hit = median((1 to reps).map(_ =>
+        timed(ResultCache.sql(spark, cq).collect())).toSeq)
+      require(ResultCache.stats.hits >= reps, "smoke repeats did not hit")
+      ResultCache.reset()
+      // SQL UDF inlining parity over lineitem
+      graft.model.Tables.load(spark, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_discount"))
+        .createOrReplaceTempView(s"sw_li_$label")
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS sw_disc")
+      spark.sql("CREATE TEMPORARY FUNCTION sw_disc(p DOUBLE, d DOUBLE) " +
+        "RETURNS BIGINT RETURN CAST(floor(p * (1 - d) * 100) AS BIGINT)")
+      val udfT = median((1 to reps).map(_ => timed(spark.sql(
+        s"SELECT sum(sw_disc(l_extendedprice, l_discount)) AS s " +
+          s"FROM sw_li_$label").collect())).toSeq)
+      val manT = median((1 to reps).map(_ => timed(spark.sql(
+        "SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) " +
+          s"AS BIGINT)) AS s FROM sw_li_$label").collect())).toSeq)
+      LakeSql.unregister(tn)
+      Map("policy_raw" -> raw, "policy_policed" -> policed,
+        "cache_miss" -> miss, "cache_hit" -> hit,
+        "udf" -> udfT, "manual" -> manT)
+    }
+    val a = run("x1", src)
+    val b = run(s"x$copies", target)
+    def j(m: Map[String, Double]) = m.toSeq.sorted
+      .map { case (k, v) => f""""$k": $v%.3f""" }.mkString("{", ", ", "}")
+    println(s"""{"smoke": "sqlwave", "copies": $copies, """ +
+      s""""x1": ${j(a)}, "x$copies": ${j(b)}}""")
+  }
 
   /** APPLY CHANGES → SCD2 growth smoke (round 15, the cdcMain treatment
     * applied to q256's history maintenance): source and SCD2 target at 1×
