@@ -108,6 +108,51 @@ object VariantQueries {
         lit(true).as("shred_pruned_ok"))
     }),
 
+    // VARIANT THROUGH THE LAKE STACK (q272): a VARIANT column as a
+    // first-class lake table column — declared in CREATE TABLE (the
+    // schema JSON round-trips VariantType), loaded by a schema-on-write
+    // INSERT, carried byte-faithfully through a typed DELETE's survivor
+    // rewrite, pinned by time travel, and served back through
+    // variant_get path extraction — the open-schema column composing
+    // with every versioned-table guarantee instead of living outside
+    // them. Gates: the DELETE removed exactly the band (ids are dense
+    // from 0), and the pre-delete version still serves every row.
+    "q272_variant_lake_table" -> ((s, dir) => {
+      import graft.sql.LakeSql
+      val root = tmp("q272")
+      LakeSql.unregister("ev272")
+      LakeSql.sql(s,
+        s"""CREATE TABLE ev272 (event_id BIGINT, v VARIANT)
+           |USING lake LOCATION '$root'
+           |TBLPROPERTIES ('stats_cols' = 'event_id', 'files' = '8')"""
+          .stripMargin)
+      variantEvents(s, dir).select(col("event_id"), col("v"))
+        .createOrReplaceTempView("q272_src")
+      LakeSql.sql(s, "INSERT INTO ev272 SELECT event_id, v FROM q272_src")
+      val n = t(s, dir, "events").count()
+      val cut = n / 10
+      val d = LakeSql.sql(s,
+        s"DELETE FROM ev272 WHERE event_id < $cut").head()
+      val deleteOk = d.getAs[Long]("rows_deleted") == cut
+      require(deleteOk, s"q272 band delete removed " +
+        s"${d.getAs[Long]("rows_deleted")} rows, expected $cut: $d")
+      val travelOk = LakeSql.sql(s,
+        "SELECT count(*) AS c FROM ev272 VERSION AS OF 2")
+        .head().getLong(0) == n
+      require(travelOk, "q272 pre-delete version lost rows")
+      LakeSql.sql(s,
+        """SELECT event_id,
+          |  coalesce(variant_get(v, '$.k', 'bigint'),
+          |           variant_get(v, '$.data[0].k', 'bigint'),
+          |           variant_get(v, '$.items[0].k', 'bigint')) AS k,
+          |  coalesce(variant_get(v, '$.cents', 'bigint'),
+          |           variant_get(v, '$.data[0].cents', 'bigint'),
+          |           variant_get(v, '$.items[0].cents', 'bigint')) AS cents
+          |FROM ev272""".stripMargin)
+        .withColumn("delete_ok", lit(deleteOk))
+        .withColumn("travel_ok", lit(travelOk))
+    }),
+
     // SCHEMA DISCOVERY (q267): LATERAL variant_explode through plain
     // spark.sql enumerates every top-level key of the open-schema
     // column — the "what shapes are in this feed?" question asked
@@ -152,6 +197,16 @@ object VariantQueries {
         |  TRUE AS shred_pruned_ok
         |FROM events
         |WHERE json_extract(props, '$.k')::BIGINT BETWEEN 25 AND 34""".stripMargin,
+    // q272: dense ids from 0 make the band the first count//10 ids; the
+    // emitted table is everything above the cut, paths replayed with
+    // json_extract.
+    "q272_variant_lake_table" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  round(value * 100)::BIGINT AS cents,
+        |  TRUE AS delete_ok, TRUE AS travel_ok
+        |FROM events
+        |WHERE event_id >= (SELECT count(*) // 10 FROM events)""".stripMargin,
     // q267: key frequencies follow the shape mix exactly — wrapper keys
     // from the wrapped rows, payload keys from the raw rows.
     "q267_variant_keys" ->
