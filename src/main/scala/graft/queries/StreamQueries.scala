@@ -54,6 +54,8 @@ object StreamQueries {
     * BOTH event types (the outer join flushes on the MIN of the two
     * sides' watermarks, so each side's stream must see its own flusher). */
   private val q124In = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** q273's landed variant input (data files + trailing sentinel). */
+  private val q273In = new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Data part-file names currently in `dir` (used to tell sentinel files
     * from data files after an append). */
   private def partNames(s: SparkSession, dir: String): Set[String] = {
@@ -213,6 +215,59 @@ object StreamQueries {
           .select(col("user_id"),
             unix_micros(col("session_start")).as("session_start_us"),
             col("n_events"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 8).toString)
+      try {
+        val q = Streaming.writeOnce(agg, s"$tmp/out", s"$tmp/ckpt").start()
+        require(q.awaitTermination(300000), s"stream drain timed out: $tmp")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$tmp/out")
+    }),
+
+    // STREAMING VARIANT (q273): the open-schema column under Structured
+    // Streaming — multi-shape variant values land IN the stream's parquet
+    // files (VariantType through FileStreamSource), each micro-batch
+    // extracts the normalized key with the same coalesced variant_get
+    // paths as q265, and a WATERMARKED weekly tumbling aggregation keyed
+    // on the extracted value accumulates across batches. The q98
+    // sentinel mechanics flush every real window (the sentinel's own
+    // window stays forever unemittable, so no downstream filter is
+    // needed — the q98 pushdown lesson). Scale shape: extraction is a
+    // codegen projection inside the micro-batch; state is keyed on
+    // (window, k) — bounded by the key domain, never corpus size.
+    "q273_stream_variant" -> ((s, dir) => {
+      val in = q273In.computeIfAbsent(dir, _ => {
+        val d = QueryTmp.dir("q273in")
+        val base = VariantQueries.variantEvents(s, dir)
+          .select(col("event_id"), col("ts"), col("v"))
+        base.repartition(2).write.parquet(s"$d/in")
+        val dataNames = partNames(s, s"$d/in")
+        base.agg(max(col("ts")).as("ts")).select(
+          lit(-1L).as("event_id"),
+          (col("ts") + expr("INTERVAL 7305 DAYS")).as("ts"),
+          parse_json(lit("{\"cents\": 0, \"k\": -1}")).as("v"))
+          .coalesce(1).write.mode("append").parquet(s"$d/in")
+        stampSentinelsLast(s, s"$d/in", dataNames)
+        s"$d/in"
+      })
+      val tmp = QueryTmp.dir("q273")
+      val schema = s.read.parquet(in).schema
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withColumn("k", coalesce(
+          variant_get(col("v"), "$.k", "bigint"),
+          variant_get(col("v"), "$.data[0].k", "bigint"),
+          variant_get(col("v"), "$.items[0].k", "bigint")))
+        .withColumn("cents", coalesce(
+          variant_get(col("v"), "$.cents", "bigint"),
+          variant_get(col("v"), "$.data[0].cents", "bigint"),
+          variant_get(col("v"), "$.items[0].cents", "bigint")))
+        .withWatermark("ts", "3650 days")
+        .groupBy(window(col("ts"), "7 days"), col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("k"), col("n"), col("cents_sum"))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         math.min(prevParts.toInt, 8).toString)
@@ -902,6 +957,17 @@ object StreamQueries {
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, grp""".stripMargin,
+    // q273: weekly tumbling windows are epoch-floored integer math
+    // (Spark's window origin is the epoch), replayed exactly; k and
+    // cents come from the same props/value derivations as q265.
+    "q273_stream_variant" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000)
+        |    * 604800000000 AS window_start_us,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  count(*) AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
     "q80_stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
         |  epoch_us(CAST(l.ts AS TIMESTAMP)) AS view_ts_us,

@@ -35,8 +35,8 @@ object VariantQueries {
     * (`rest_api.py:42-55`). Integer-only payloads keep
     * `schema_of_variant` value-independent (BIGINT, never a
     * value-sized DECIMAL). */
-  private def variantEvents(s: SparkSession, dir: String,
-                            uniform: Boolean = false): DataFrame = {
+  private[queries] def variantEvents(s: SparkSession, dir: String,
+                                     uniform: Boolean = false): DataFrame = {
     val ev = t(s, dir, "events")
     val k = get_json_object(col("props"), "$.k").cast("long")
     val cents = round(col("value") * 100).cast("long")
