@@ -925,7 +925,8 @@ object Snapshots {
   def clusterIncrementalCommit(spark: SparkSession, path: String,
                                manifestRoot: String, cols: Seq[String],
                                clusterCols: Seq[String],
-                               nFiles: Int): ClusterResult = {
+                               nFiles: Int,
+                               full: Boolean = false): ClusterResult = {
     require(clusterCols.nonEmpty, "incremental clustering needs keys")
     val v = latestVersion(spark, manifestRoot)
     val manifest0 = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
@@ -936,8 +937,10 @@ object Snapshots {
       .select(col("file"), col("dv"), col(ClusteredCol)).collect().toSeq
       .map(r => (Dv.Entry(r.getString(0), Option(r.getString(1))),
         !r.isNullAt(2) && r.getBoolean(2)))
+    // `full` forces every live file into the rewrite set (OPTIMIZE FULL:
+    // re-establish the incremental baseline after key changes)
     val (keep, rewrite) = flagged.partition { case (e, isClustered) =>
-      isClustered && e.dv.isEmpty
+      !full && isClustered && e.dv.isEmpty
     }
     if (rewrite.isEmpty)
       return ClusterResult(v, 0, keep.size.toLong, 0)

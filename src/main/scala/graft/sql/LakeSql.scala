@@ -265,6 +265,13 @@ object LakeSql {
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+CLUSTER\s+BY\s*\(([^)]*)\)\s*""".r
   private val AlterClusterNoneRe =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+CLUSTER\s+BY\s+NONE\s*""".r
+  //   OPTIMIZE <t> FULL → force a FULL re-cluster of a CLUSTER BY table
+  //     (the Databricks liquid `OPTIMIZE FULL`): every live file rewrites
+  //     into the clustered layout and is tagged clustered — the statement
+  //     that re-establishes the incremental baseline after key changes
+  //     or an explicit ZORDER BY reset the per-file tags.
+  private val OptimizeFullRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_.]+)\s+FULL\s*""".r
 
   /** Table property carrying the clustering keys (comma-joined). Set by
     * `CREATE TABLE … CLUSTER BY` / `ALTER TABLE … CLUSTER BY`; read by
@@ -301,6 +308,8 @@ object LakeSql {
       case OptimizeWhereRe(_, _, _) =>
         Some(longSchema(Seq("version", "files_rewritten", "files_skipped",
           "files_out")))
+      case OptimizeFullRe(_) =>
+        Some(longSchema(Seq("version", "files_in", "files_out")))
       case OptimizeRe(_, small) =>
         Some(longSchema(if (small == null)
           Seq("version", "files_in", "files_out")
@@ -417,6 +426,19 @@ object LakeSql {
         spec.manifestRoot, spec.cols, spec.nFiles, zorderCols = Some(zcols))
       metricsRow(spark, Seq("version" -> version.toLong,
         "files_in" -> nIn.toLong, "files_out" -> nOut.toLong))
+    case OptimizeFullRe(name) =>
+      val spec = specByName(name)
+      val ccols = clusterColsOf(spark, spec)
+      require(ccols.nonEmpty,
+        s"OPTIMIZE $name FULL needs clustering keys — set them with " +
+          "CREATE/ALTER TABLE … CLUSTER BY (…)")
+      val mapping = headMapping(spark, spec)
+      val physical =
+        ccols.map(c => physicalName(c, mapping, "CLUSTER BY column"))
+      val r = Snapshots.clusterIncrementalCommit(spark, spec.path,
+        spec.manifestRoot, spec.cols, physical, spec.nFiles, full = true)
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "files_in" -> r.filesReclustered, "files_out" -> r.filesOut))
     case OptimizeRe(name, small) =>
       val spec = specByName(name)
       if (small == null) {

@@ -101,4 +101,27 @@ class ClusterBySpec extends SparkSpec {
     assert(fd("SELECT count(*) AS n FROM cl_a").head().getLong(0) == 1000L)
     LakeSql.unregister("cl_a")
   }
+
+  test("OPTIMIZE FULL forces a full re-cluster (re-establishes the " +
+      "incremental baseline); requires clustering keys") {
+    val root = tmpDir("clspec3")
+    LakeSql.unregister("cl_f")
+    LakeSql.setWarehouse(tmpDir("clspec3wh"))
+    spark.range(0, 1000).selectExpr("id % 50 AS k", "id AS v")
+      .createOrReplaceTempView("clf_src")
+    fd(s"CREATE TABLE cl_f TBLPROPERTIES('stats_cols'='k','files'='4') " +
+      "AS SELECT * FROM clf_src")
+    val e = intercept[IllegalArgumentException](fd("OPTIMIZE cl_f FULL"))
+    assert(e.getMessage.contains("CLUSTER BY"), e.getMessage)
+    fd("ALTER TABLE cl_f CLUSTER BY (k)")
+    assert(fd("OPTIMIZE cl_f").head().getAs[Long]("files_in") > 0)
+    // incremental is a no-op now, but FULL rewrites everything again
+    assert(fd("OPTIMIZE cl_f").head().getAs[Long]("files_in") == 0L)
+    val rf = fd("OPTIMIZE cl_f FULL").head()
+    assert(rf.getAs[Long]("files_in") > 0L)
+    // and the baseline is re-established: the next plain OPTIMIZE no-ops
+    assert(fd("OPTIMIZE cl_f").head().getAs[Long]("files_in") == 0L)
+    assert(fd("SELECT count(*) AS n FROM cl_f").head().getLong(0) == 1000L)
+    LakeSql.unregister("cl_f")
+  }
 }
