@@ -278,6 +278,84 @@ object StreamQueries {
       s.read.parquet(s"$tmp/out")
     }),
 
+    // STREAMING INGEST UNDER LIQUID CLUSTERING (q274): the q268
+    // incremental-OPTIMIZE contract maintained INSIDE a stream —
+    // foreachBatch appends each micro-batch to a CLUSTER BY table and
+    // immediately re-clusters, and because only unclustered files
+    // rewrite, each maintenance pass costs exactly THAT batch's files
+    // (gated per batch: files_in == the files the INSERT just added),
+    // never the accumulated table. This is the shape that keeps a
+    // 100 TB continuously-ingested table permanently clustered at
+    // per-batch cost. Post-drain gates: zero unclustered files remain,
+    // a final OPTIMIZE is a commit-free no-op, and a cluster-key band
+    // read skips files on manifest stats.
+    "q274_stream_cluster_maintenance" -> ((s, dir) => {
+      import graft.sql.LakeSql
+      val root = QueryTmp.dir("q274")
+      LakeSql.unregister("ord274")
+      LakeSql.sql(s,
+        s"""CREATE TABLE ord274
+           |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+           |USING lake CLUSTER BY (o_custkey) LOCATION '$root'
+           |TBLPROPERTIES ('stats_cols' = 'o_custkey,o_orderkey',
+           |'files' = '2')""".stripMargin)
+      val in = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      in.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      val schema = s.read.parquet(s"$root/in").schema
+      val perBatchOk = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      def liveFiles(): Set[String] = Snapshots.manifestAt(s, s"$root/m",
+          Snapshots.latestVersion(s, s"$root/m"))
+        .select("file").collect().map(_.getString(0)).toSet
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val before = liveFiles()
+          // the view lives in the MICRO-BATCH's session, so the INSERT
+          // must parse there too (foreachBatch hands a cloned session)
+          batch.createOrReplaceTempView(s"q274_b$id")
+          LakeSql.sql(batch.sparkSession,
+            s"INSERT INTO ord274 SELECT * FROM q274_b$id")
+          val appended = liveFiles().diff(before).size
+          val r = LakeSql.sql(s, "OPTIMIZE ord274").head()
+          // incrementality DURING ingest: this pass rewrote exactly the
+          // files the INSERT just added — everything older was already
+          // clustered and stayed byte-untouched
+          perBatchOk += (appended > 0 &&
+            r.getAs[Long]("files_in") == appended.toLong)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), s"q274 stream drain timed out")
+      val batchesOk = perBatchOk.nonEmpty && perBatchOk.forall(identity)
+      require(batchesOk, s"q274 per-batch maintenance gates: $perBatchOk")
+      val vHead = Snapshots.latestVersion(s, s"$root/m")
+      val noopOk = LakeSql.sql(s, "OPTIMIZE ord274").head()
+        .getAs[Long]("files_in") == 0L
+      require(noopOk, "q274 post-drain OPTIMIZE was not a no-op")
+      val mf = Snapshots.manifestAt(s, s"$root/m", vHead).localCheckpoint()
+      val unclustered = mf.filter(
+        !coalesce(col(Snapshots.ClusteredCol), lit(false))).count()
+      require(unclustered == 0L, s"q274 left $unclustered unclustered files")
+      val Seq(mn, mx) = in.agg(min("o_custkey"), max("o_custkey"))
+        .head().toSeq.map(_.toString.toLong)
+      val hi = mn + (mx - mn) / 10
+      val total = mf.count()
+      val hit = mf.filter(col("min_o_custkey") <= lit(hi) &&
+        col("max_o_custkey") >= lit(mn)).count()
+      require(hit < total,
+        s"q274 cluster-key band read $hit of $total files — no skipping")
+      LakeSql.sql(s,
+          "SELECT o_orderkey, o_custkey, o_totalprice FROM ord274")
+        .withColumn("batches_ok", lit(batchesOk))
+        .withColumn("noop_ok", lit(noopOk))
+        .withColumn("pruned_ok", lit(hit < total))
+    }),
+
     // CONTINUOUS exact-dedup screen (the q104 daily screen as a stream):
     // three "days" of documents land as one file each (mtime-ordered —
     // FileStreamSource processes oldest-first, maxFilesPerTrigger=1 makes
@@ -957,6 +1035,13 @@ object StreamQueries {
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, grp""".stripMargin,
+    // q274: the stream lands every order exactly once; maintenance is
+    // content-invariant (pure re-layout), so the final table is the
+    // plain projection. Gates ride as booleans.
+    "q274_stream_cluster_maintenance" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS batches_ok, TRUE AS noop_ok, TRUE AS pruned_ok
+        |FROM orders""".stripMargin,
     // q273: weekly tumbling windows are epoch-floored integer math
     // (Spark's window origin is the epoch), replayed exactly; k and
     // cents come from the same props/value derivations as q265.
