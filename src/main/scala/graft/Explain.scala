@@ -21,7 +21,8 @@ object Explain {
       "q44_sliding_window", "q45_ann_ivf", "q50_quantize", "q52_upsert",
       "q54_qc_agg", "q56_neardup_lsh", "q99_double_correlated",
       "q100_passage_dedup", "q102_incremental_neardup", "q103_semantic_dedup",
-      "q104_incremental_exact_screen", "q106_zorder_pruned_scan")
+      "q104_incremental_exact_screen", "q106_zorder_pruned_scan",
+      "q265_variant_extract", "q266_variant_shred_prune")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

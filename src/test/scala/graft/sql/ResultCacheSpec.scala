@@ -118,6 +118,36 @@ class ResultCacheSpec extends SparkSpec {
     ResultCache.reset() // never leave an ambient cache behind
   }
 
+  test("CTE names resolve scope-aware: a temp view OUTSIDE a subquery's " +
+      "WITH that shares its CTE's name still classifies as uncacheable") {
+    import spark.implicits._
+    mkTable("rc_c", "rcspec7")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache7"))
+    // temp view whose name collides with a CTE defined INSIDE a subquery
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("rc_cte_name")
+    val q =
+      """SELECT k FROM rc_cte_name
+        |WHERE k IN (WITH rc_cte_name AS (SELECT k FROM rc_c)
+        |            SELECT k FROM rc_cte_name)""".stripMargin
+    ResultCache.sql(spark, q).count()
+    ResultCache.sql(spark, q).count()
+    // the OUTER rc_cte_name is a temp view (no version to key on): both
+    // runs must pass through uncached — a scope-blind CTE collector
+    // would have cached the first answer and served it stale forever
+    assert(ResultCache.stats.misses == 0 && ResultCache.stats.hits == 0 &&
+      ResultCache.stats.uncacheable == 2)
+    // and the same name used ONLY in scope stays cacheable
+    val inScope = "WITH rc_cte_name AS (SELECT k FROM rc_c) " +
+      "SELECT count(*) AS n FROM rc_cte_name"
+    ResultCache.sql(spark, inScope).count()
+    ResultCache.sql(spark, inScope).count()
+    assert(ResultCache.stats.misses == 1 && ResultCache.stats.hits == 1)
+    spark.catalog.dropTempView("rc_cte_name")
+    LakeSql.unregister("rc_c")
+    ResultCache.reset()
+  }
+
   test("nondeterministic queries are never cached: rand()/uuid()/" +
       "current_timestamp repeats re-execute, including inside subqueries") {
     mkTable("rc_n", "rcspec6")
