@@ -153,6 +153,47 @@ object VariantQueries {
         .withColumn("travel_ok", lit(travelOk))
     }),
 
+    // GENERATED SHRED COLUMN (q275): the q266 shredding idea expressed
+    // as TABLE SCHEMA — a `GENERATED ALWAYS AS (variant_get(...))`
+    // column materializes the hot path at every write (engine-assigned:
+    // an INSERT supplying it is rejected), and because it is also a
+    // stats column, the TYPED DML COMPILER prunes on it: a DELETE WHERE
+    // on the shredded value rewrites only manifest-intersecting files.
+    // This is the declarative end-state of variant shredding — the
+    // schema says which path is hot, every writer keeps it materialized,
+    // every reader/DML prunes on it. Gates: explicit k rejected;
+    // the DELETE's touch set was pruned; row count exact.
+    "q275_variant_generated_shred" -> ((s, dir) => {
+      import graft.sql.LakeSql
+      val root = tmp("q275")
+      LakeSql.unregister("ev275")
+      LakeSql.sql(s,
+        s"""CREATE TABLE ev275 (event_id BIGINT, v VARIANT,
+           |  k BIGINT GENERATED ALWAYS AS (variant_get(v, '$$.k', 'bigint')),
+           |  cents BIGINT GENERATED ALWAYS AS
+           |    (variant_get(v, '$$.cents', 'bigint')))
+           |USING lake LOCATION '$root'
+           |TBLPROPERTIES ('stats_cols' = 'k,event_id', 'files' = '8')"""
+          .stripMargin)
+      variantEvents(s, dir, uniform = true).select(col("event_id"), col("v"))
+        .createOrReplaceTempView("q275_src")
+      // engine-assigned: a batch supplying k is rejected loudly
+      val rejectOk = scala.util.Try(LakeSql.sql(s,
+        "INSERT INTO ev275 SELECT event_id, v, 0L AS k FROM q275_src"))
+        .isFailure
+      require(rejectOk, "q275 explicit GENERATED column landed")
+      LakeSql.sql(s, "INSERT INTO ev275 SELECT event_id, v FROM q275_src")
+      // typed DML prunes on the shredded stats column
+      val d = LakeSql.sql(s,
+        "DELETE FROM ev275 WHERE k BETWEEN 90 AND 99").head()
+      val prunedOk = d.getAs[Long]("files_rewritten") > 0 &&
+        d.getAs[Long]("files_rewritten") < d.getAs[Long]("files_total")
+      require(prunedOk, s"q275 shred-column delete did not prune: $d")
+      LakeSql.sql(s, "SELECT event_id, k, cents FROM ev275")
+        .withColumn("reject_ok", lit(rejectOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+    }),
+
     // SCHEMA DISCOVERY (q267): LATERAL variant_explode through plain
     // spark.sql enumerates every top-level key of the open-schema
     // column — the "what shapes are in this feed?" question asked
@@ -207,6 +248,16 @@ object VariantQueries {
         |  TRUE AS delete_ok, TRUE AS travel_ok
         |FROM events
         |WHERE event_id >= (SELECT count(*) // 10 FROM events)""".stripMargin,
+    // q275: the generated columns are the json paths; the delete removes
+    // the top k band.
+    "q275_variant_generated_shred" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  round(value * 100)::BIGINT AS cents,
+        |  TRUE AS reject_ok, TRUE AS pruned_ok
+        |FROM events
+        |WHERE json_extract(props, '$.k')::BIGINT NOT BETWEEN 90 AND 99"""
+        .stripMargin,
     // q267: key frequencies follow the shape mix exactly — wrapper keys
     // from the wrapped rows, payload keys from the raw rows.
     "q267_variant_keys" ->
