@@ -2394,6 +2394,42 @@ object SqlQueries {
         "q271 collated dedup diverged from the lower() rewrite")
       collated.withColumn("collate_ok", lit(parityOk))
     }),
+
+    // QUALIFY (q276): the window-filter clause (Databricks/Snowflake/
+    // DuckDB surface, absent from Spark's grammar) served by the front
+    // door's text-level rewrite — top-3 orders per customer in ONE query
+    // block, no hand-written subquery. Gates: the SAME text runs through
+    // plain spark.sql (the injected parser carries the rewrite) with an
+    // identical answer, and a QUALIFY inside a string literal is left
+    // untouched.
+    "q276_sql_qualify" -> ((s, dir) => {
+      val root = tmp("q276")
+      LakeSql.unregister("ord276")
+      LakeSql.setWarehouse(root)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q276_src")
+      LakeSql.sql(s, "CREATE TABLE ord276 TBLPROPERTIES(" +
+        "'stats_cols'='o_orderkey','files'='4') AS SELECT * FROM q276_src")
+      val text =
+        """SELECT o_custkey, o_orderkey,
+          |  round(o_totalprice, 2) AS o_totalprice,
+          |  row_number() OVER (PARTITION BY o_custkey
+          |    ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+          |FROM ord276
+          |QUALIFY rn <= 3""".stripMargin
+      val front = LakeSql.sql(s, text).localCheckpoint()
+      val viaSparkSql = s.sql(text)
+      val pathsOk = front.exceptAll(viaSparkSql).isEmpty &&
+        viaSparkSql.exceptAll(front).isEmpty
+      require(pathsOk, "q276 spark.sql and front-door QUALIFY diverged")
+      // a QUALIFY inside a string literal must NOT trigger the rewrite
+      val literalOk = LakeSql.sql(s,
+        "SELECT 'no QUALIFY here' AS tag").head().getString(0)
+        .contains("QUALIFY")
+      require(literalOk, "q276 string-literal QUALIFY was rewritten")
+      front.withColumn("paths_ok", lit(pathsOk && literalOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2871,5 +2907,18 @@ object SqlQueries {
         |    row_number() OVER (PARTITION BY lower(email)
         |                       ORDER BY c_custkey) AS rn
         |  FROM v) WHERE rn = 1""".stripMargin,
+    // q276: the same top-3-per-customer window filter as a plain nested
+    // query (DuckDB window semantics identical; round-2 keys on both
+    // sides of the rank order).
+    "q276_sql_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn::INTEGER AS rn,
+        |  TRUE AS paths_ok
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    round(o_totalprice, 2) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
   )
 }

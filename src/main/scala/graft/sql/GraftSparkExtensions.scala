@@ -293,15 +293,26 @@ final class GraftSqlParser(delegate: ParserInterface)
   }
 
   override def parsePlan(text: String): LogicalPlan =
+    // QUALIFY rewrites at the text level (Spark's grammar has no
+    // production) — plain spark.sql serves the clause like the front door
+    LakeSql.rewriteQualify(text) match {
+      case Some(r) => parsePlan(r)
+      case None => parsePlanClaimed(text)
+    }
+
+  private def parsePlanClaimed(text: String): LogicalPlan =
     LakeSql.extendedStatement(text) match {
       case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
       case None => claim(delegate.parsePlan(text))
     }
   override def parsePlanWithParameters(text: String,
                                        ctx: ParameterContext): LogicalPlan =
-    LakeSql.extendedStatement(text) match {
-      case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
-      case None => claim(delegate.parsePlanWithParameters(text, ctx))
+    LakeSql.rewriteQualify(text) match {
+      case Some(r) => parsePlanWithParameters(r, ctx)
+      case None => LakeSql.extendedStatement(text) match {
+        case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
+        case None => claim(delegate.parsePlanWithParameters(text, ctx))
+      }
     }
   override def parseExpression(t: String): Expression =
     delegate.parseExpression(t)

@@ -376,10 +376,62 @@ object LakeSql {
       case _ => None
     }
 
+  /** QUALIFY — the window-filter clause (Databricks/DuckDB/Snowflake
+    * surface; Spark's grammar has no production for it). Rewritten at
+    * the TEXT level into the standard nested form before parsing:
+    *
+    *   <select…> QUALIFY <cond> [ORDER BY…/LIMIT…]
+    *     ⇒ SELECT * FROM (<select…>) __qualify WHERE (<cond>) [tail]
+    *
+    * The scan is quote- (' " `), line-comment- and paren-aware, so a
+    * QUALIFY inside a string literal or a subquery is never touched;
+    * only the OUTERMOST query block's clause rewrites (nested blocks
+    * re-enter through the parser recursively anyway). The condition
+    * must reference select-list ALIASES (`row_number() … AS rn …
+    * QUALIFY rn = 1`) — a bare window expression in the condition
+    * fails analysis loudly rather than silently misbinding. */
+  private[sql] def rewriteQualify(text: String): Option[String] = {
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def kwAt(i: Int, kw: String): Boolean =
+      i + kw.length <= text.length &&
+        text.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !isWordChar(text(i - 1))) &&
+        (i + kw.length == text.length || !isWordChar(text(i + kw.length)))
+    var i = 0; var depth = 0; var q = -1; var tail = -1
+    while (i < text.length) {
+      text(i) match {
+        case '\'' => i += 1; while (i < text.length && text(i) != '\'') i += 1
+        case '"' => i += 1; while (i < text.length && text(i) != '"') i += 1
+        case '`' => i += 1; while (i < text.length && text(i) != '`') i += 1
+        case '-' if i + 1 < text.length && text(i + 1) == '-' =>
+          while (i < text.length && text(i) != '\n') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && q < 0 && kwAt(i, "QUALIFY") =>
+          q = i; i += 6
+        case _ if depth == 0 && q >= 0 && tail < 0 &&
+            (kwAt(i, "ORDER") || kwAt(i, "LIMIT") || kwAt(i, "OFFSET")) =>
+          tail = i; i = text.length
+        case _ => ()
+      }
+      i += 1
+    }
+    if (q < 0) None
+    else {
+      val head = text.substring(0, q)
+      val (cond, rest) =
+        if (tail < 0) (text.substring(q + 7), "")
+        else (text.substring(q + 7, tail), text.substring(tail))
+      Some(s"SELECT * FROM ($head\n) __qualify WHERE ($cond)\n$rest")
+    }
+  }
+
   /** Parse + route one SQL statement. Reads return the query's rows; DML
     * and maintenance statements execute the commit and return its metrics
     * as one row. */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case t if rewriteQualify(t).isDefined =>
+      sql(spark, rewriteQualify(t).get)
     // OPTIMIZE … ZORDER BY: re-layout the latest snapshot CLUSTERED on the
     // named columns — the statement a consumer runs when the query
     // workload's hot predicate column isn't the one the table was loaded
