@@ -299,10 +299,14 @@ object StreamQueries {
            |USING lake CLUSTER BY (o_custkey) LOCATION '$root'
            |TBLPROPERTIES ('stats_cols' = 'o_custkey,o_orderkey',
            |'files' = '2')""".stripMargin)
+      // a third of orders: the gates (per-batch incrementality, zero
+      // unclustered, no-op, prune) are size-independent; the fixture cost
+      // is not — keep the replay in the board's q141-class budget
       val in = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
-      in.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      in.repartition(3).write.mode("overwrite").parquet(s"$root/in")
       val schema = s.read.parquet(s"$root/in").schema
       val perBatchOk = scala.collection.mutable.ArrayBuffer.empty[Boolean]
       def liveFiles(): Set[String] = Snapshots.manifestAt(s, s"$root/m",
@@ -1041,7 +1045,7 @@ object StreamQueries {
     "q274_stream_cluster_maintenance" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS batches_ok, TRUE AS noop_ok, TRUE AS pruned_ok
-        |FROM orders""".stripMargin,
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     // q273: weekly tumbling windows are epoch-floored integer math
     // (Spark's window origin is the epoch), replayed exactly; k and
     // cents come from the same props/value derivations as q265.
