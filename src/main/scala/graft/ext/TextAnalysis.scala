@@ -450,6 +450,26 @@ object TextAnalysis {
       .select(col(idCol), col("_cls").as("pred"), col("_s").as("nb_score"))
   }
 
+  /** Cap the model's vocabulary at the `topN` highest-count words PER
+    * CLASS (ties broken word-ascending, so the cut is deterministic).
+    * The smoothing denominators (`_t` per-class token totals, `_v`
+    * vocab size) keep their FULL-training values: a pruned word scores
+    * exactly like an unseen one — the Laplace floor 1/(t+v) — so
+    * pruning only coarsens, never redefines, the formula. This is what
+    * makes `broadcastModel = true` sound at scale: an OPEN-vocabulary
+    * count table grows with the training corpus (corpus-vocab-sized at
+    * 100 TB — never broadcastable), while a pruned model is ≤
+    * classes×topN rows BY CONSTRUCTION regardless of corpus size. */
+  def nbPrune(model: NbModel, topN: Int): NbModel = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = model.counts
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("_lbl"))
+        .orderBy(col("_n").desc, col("_f").asc)))
+      .filter(col("_rk") <= topN)
+      .drop("_rk")
+    NbModel(kept, model.classes, model.consts)
+  }
+
   /** Persist a trained model (three parquet tables under `dir`). */
   def nbSave(model: NbModel, dir: String): Unit = {
     model.counts.write.mode("overwrite").parquet(s"$dir/counts")

@@ -40,6 +40,11 @@ object LlmQueries {
   private val nbModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-class vocabulary cap for the PERSISTED q209 model — what makes
+    * `broadcastModel = true` sound at any corpus size (the broadcast is
+    * ≤ classes×cap rows by construction; see [[TextAnalysis.nbPrune]]). */
+  private val nbVocabCap = 4000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- Text analysis ---------------------------------------------------
     "q21_text_stats" -> ((s, dir) => {
@@ -1055,10 +1060,16 @@ object LlmQueries {
         val d = QueryTmp.dir("q209_nb_model")
         val teacher = docs.select(col("doc_id"), col("text"),
           TextAnalysis.langIdHeuristic(col("text")).as("teacher_lang"))
-        val model = TextAnalysis.nbTrain(teacher, "doc_id", "text",
-          "teacher_lang", col("doc_id") % 2 === 0)
-        // the held-out gate belongs to the TRAINING run: an ungated
-        // model is never persisted
+        // PRUNE before persist: the persisted count table is what later
+        // intakes BROADCAST, and an open-vocabulary table is
+        // corpus-vocab-sized at 100 TB — capping at top-N words per
+        // class bounds the broadcast by construction (classes×N rows)
+        // while pruned words fall to the same Laplace floor as unseen
+        // ones. The held-out gate runs on the PRUNED model — an ungated
+        // model is never persisted, and the gate must gate what serves.
+        val model = TextAnalysis.nbPrune(
+          TextAnalysis.nbTrain(teacher, "doc_id", "text",
+            "teacher_lang", col("doc_id") % 2 === 0), nbVocabCap)
         val acc = TextAnalysis.nbApply(model, teacher, "doc_id", "text")
           .join(teacher, Seq("doc_id"))
           .filter(col("doc_id") % 2 === 1)
@@ -1266,8 +1277,19 @@ object LlmQueries {
     * the q22 heuristic on the even-doc_id half; Laplace-smoothed
     * bag-of-words; round-6 argmax with class-ascending tiebreak) —
     * yields `lbl(doc_id, text, teacher_lang, tr)` and
-    * `nbp(doc_id, pred_lang, nb_score)`. Shared by q221 and q209. */
-  private val nbCte =
+    * `nbp(doc_id, pred_lang, nb_score)`. Shared by q221 (full vocab,
+    * `vocabCap = None`) and q209 (persisted model pruned to top-N words
+    * per class; the oracle mirrors the prune: scoring left-joins the
+    * CAPPED count table while the smoothing denominators t/v keep their
+    * full-training values — [[TextAnalysis.nbPrune]] semantics). */
+  private def nbCte(vocabCap: Option[Int] = None) = {
+    val ccnt = vocabCap match {
+      case None => "ccnt AS (SELECT cls, w, n FROM ccnt_all)"
+      case Some(cap) =>
+        s"""ccnt AS (SELECT cls, w, n FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY cls
+           |    ORDER BY n DESC, w ASC) AS rk FROM ccnt_all) WHERE rk <= $cap)""".stripMargin
+    }
     s"""lbl AS (SELECT doc_id, text,
        |  CASE WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.04 THEN 'en'
        |       WHEN len(list_filter($toks, t -> t = 'the'))::DOUBLE / $nTok::DOUBLE >= 0.015
@@ -1277,13 +1299,14 @@ object LlmQueries {
        |  FROM documents),
        |fw AS (SELECT doc_id, teacher_lang, tr,
        |         unnest(string_split(lower(text), ' ')) AS w FROM lbl),
-       |ccnt AS (SELECT teacher_lang AS cls, w, count(*) AS n
+       |ccnt_all AS (SELECT teacher_lang AS cls, w, count(*) AS n
        |         FROM fw WHERE tr GROUP BY 1, 2),
+       |$ccnt,
        |cpri AS (SELECT teacher_lang AS cls, count(*) AS p
        |         FROM lbl WHERE tr GROUP BY 1),
-       |ctot AS (SELECT cls, sum(n) AS t FROM ccnt GROUP BY 1),
+       |ctot AS (SELECT cls, sum(n) AS t FROM ccnt_all GROUP BY 1),
        |cc AS (SELECT (SELECT sum(p) FROM cpri)::DOUBLE AS ntr,
-       |              (SELECT count(DISTINCT w) FROM ccnt)::DOUBLE AS v),
+       |              (SELECT count(DISTINCT w) FROM ccnt_all)::DOUBLE AS v),
        |sc AS (SELECT fw.doc_id, cpri.cls,
        |         round(ln(cpri.p::DOUBLE / cc.ntr) +
        |           sum(ln((coalesce(ccnt.n, 0) + 1)::DOUBLE /
@@ -1297,10 +1320,11 @@ object LlmQueries {
        |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
        |                ORDER BY s DESC, cls) AS rk FROM sc)
        |        WHERE rk = 1)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q221_distilled_lang_id" ->
-      s"""WITH $nbCte,
+      s"""WITH ${nbCte()},
          |j AS (SELECT l.doc_id, l.teacher_lang, n.pred_lang, n.nb_score,
          |        l.tr AS is_train, n.pred_lang = l.teacher_lang AS agree
          |      FROM lbl l JOIN nbp n USING (doc_id)),
@@ -2159,7 +2183,7 @@ object LlmQueries {
     // q69 split rule replayed as one CTE chain — each stage's
     // formulation identical to its standalone oracle.
     "q209_corpus_intake" ->
-      s"""WITH $nbCte,
+      s"""WITH ${nbCte(Some(nbVocabCap))},
          |lang AS (
          |  SELECT l.doc_id, l.text, n.pred_lang
          |  FROM lbl l JOIN nbp n USING (doc_id)),

@@ -149,7 +149,16 @@ object Snapshots {
         if (fs.exists(nested)) {
           require(fs.rename(nested, tmp), s"un-nest failed: $nested")
           next += 1
-        } else return next
+        } else {
+          // a commit landing at v=1 is a root BEGINNING — fresh, or
+          // re-created at a path whose old life left memoized property
+          // maps behind (version numbers restart, so stale (root, v)
+          // entries would otherwise be served): drop them here, where
+          // every initialization path converges, not only in the SQL
+          // registry
+          if (next == 1) invalidateProperties(manifestRoot)
+          return next
+        }
       } else next += 1 // rename refused: another writer took v=N
     }
     throw new IllegalStateException(
@@ -1654,24 +1663,36 @@ object Snapshots {
   // version's marker set is immutable (every property change is a NEW
   // commit; VACUUM removes whole versions, never edits markers) — the
   // cached map IS the map that was in force at that version. A root
-  // re-created at the same path (DROP + CREATE) reuses version numbers,
-  // so [[invalidateProperties]] must run on table re-registration (the
-  // same discipline as the SQL layer's policy cache). Bounded the same
-  // way: clear-all past 8192 entries.
-  private val propsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), Map[String, String]]
+  // re-created at the same path (DROP + CREATE) reuses version numbers;
+  // [[invalidateProperties]] runs both on table re-registration (the SQL
+  // layer's policy-cache discipline) AND — because Snapshots is a public
+  // API usable without the registry — inside [[commitStaged]] whenever a
+  // commit lands at v=1, which is the only way a fresh-or-recreated root
+  // can begin. Bounded by LRU: access-ordered LinkedHashMap evicting the
+  // least-recently-used entry past 8192 (never clear-all — a hot
+  // multi-table session keeps its working set).
+  private val propsCache =
+    new java.util.LinkedHashMap[(String, Int), Map[String, String]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Map[String, String]])
+          : Boolean = size() > 8192
+    }
 
   /** Drop a root's memoized property maps (re-created roots). */
   def invalidateProperties(manifestRoot: String): Unit =
-    propsCache.keys.filter(_._1 == manifestRoot)
-      .foreach(propsCache.remove)
+    propsCache.synchronized {
+      val it = propsCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == manifestRoot) it.remove()
+    }
 
   def tableProperties(spark: SparkSession, manifestRoot: String,
-                      version: Int): Map[String, String] =
-    propsCache.getOrElseUpdate((manifestRoot, version), {
-      if (propsCache.size > 8192) propsCache.clear()
+                      version: Int): Map[String, String] = {
+    val key = (manifestRoot, version)
+    propsCache.synchronized(Option(propsCache.get(key))).getOrElse {
       val fs = hfs(spark, manifestRoot)
-      versions(spark, manifestRoot).filter(_ <= version).sorted.reverse
+      val m = versions(spark, manifestRoot).filter(_ <= version)
+        .sorted.reverse
         .iterator
         .map { v =>
           val hits = fs.listStatus(
@@ -1681,9 +1702,12 @@ object Snapshots {
           if (hits.isEmpty) None
           else Some(hits.map(parseProps).reduce(_ ++ _)) // disjoint chunks
         }
-        .collectFirst { case Some(m) => m }
+        .collectFirst { case Some(mm) => mm }
         .getOrElse(Map.empty)
-    })
+      propsCache.synchronized(propsCache.put(key, m))
+      m
+    }
+  }
 
   /** SET TBLPROPERTIES — Delta merge semantics (existing keys overwrite,
     * others persist), as ONE metadata-only marker commit: the next

@@ -36,18 +36,38 @@ object ApplyChanges {
   final case class ApplyResult(fromVersion: Int, toVersion: Int,
                                commitsApplied: Long)
 
-  /** Highest source version whose `scd2_` tag is on the target log. */
-  private def appliedCursor(spark: SparkSession, targetRoot: String): Int = {
+  /** Highest source version whose `scd2_` tag is on the target log.
+    *
+    * Scans target version dirs DESCENDING and stops at the first dir
+    * carrying a tag: applies run source versions in order and each tag
+    * rides the apply's own final commit, so tag values are monotone over
+    * target versions — the newest-versioned tag IS the max. Per-poll
+    * listStatus count is therefore O(target commits since the last
+    * apply), not O(all versions) — the bound a long-lived DLT-style
+    * target needs (a target with 10⁵ commits would otherwise pay 10⁵
+    * listStatus calls on every poll). */
+  private def appliedCursor(spark: SparkSession, targetRoot: String): Int =
+    cursorScan(spark, targetRoot)._1
+
+  /** (cursor, version dirs listed) — the scan-count half exists so the
+    * boundedness claim is spec-testable, not asserted. */
+  private[sql] def cursorScan(spark: SparkSession,
+                              targetRoot: String): (Int, Int) = {
     val vs = Snapshots.versions(spark, targetRoot)
-    if (vs.isEmpty) return 0
+    if (vs.isEmpty) return (0, 0)
     val fs = new org.apache.hadoop.fs.Path(targetRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    vs.flatMap { v =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$targetRoot/v=$v"))
+    var scanned = 0
+    for (v <- vs.reverseIterator) {
+      scanned += 1
+      val tag = fs.listStatus(new org.apache.hadoop.fs.Path(s"$targetRoot/v=$v"))
         .toSeq.map(_.getPath.getName)
         .collect { case n if n.startsWith("_txn_scd2_") =>
           n.stripPrefix("_txn_scd2_").toInt }
-    }.maxOption.getOrElse(0)
+        .maxOption
+      if (tag.isDefined) return (tag.get, scanned)
+    }
+    (0, scanned)
   }
 
   /** Bring the SCD2 target up to the source head. The target must be a

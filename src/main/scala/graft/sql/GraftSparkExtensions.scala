@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -296,7 +296,11 @@ final class GraftSqlParser(delegate: ParserInterface)
     // QUALIFY rewrites at the text level (Spark's grammar has no
     // production) — plain spark.sql serves the clause like the front door
     LakeSql.rewriteQualify(text) match {
-      case Some(r) => parsePlan(r)
+      case Some(r) =>
+        // a scanner false-positive (bare identifier `qualify`) yields
+        // unparseable text — the original statement is authoritative
+        try parsePlan(r)
+        catch { case _: ParseException => parsePlanClaimed(text) }
       case None => parsePlanClaimed(text)
     }
 
@@ -308,7 +312,15 @@ final class GraftSqlParser(delegate: ParserInterface)
   override def parsePlanWithParameters(text: String,
                                        ctx: ParameterContext): LogicalPlan =
     LakeSql.rewriteQualify(text) match {
-      case Some(r) => parsePlanWithParameters(r, ctx)
+      case Some(r) =>
+        try parsePlanWithParameters(r, ctx)
+        catch {
+          case _: ParseException => LakeSql.extendedStatement(text) match {
+            case Some(schema) =>
+              LakeDmlCommand(schema, s => LakeSql.sql(s, text))
+            case None => claim(delegate.parsePlanWithParameters(text, ctx))
+          }
+        }
       case None => LakeSql.extendedStatement(text) match {
         case Some(schema) => LakeDmlCommand(schema, s => LakeSql.sql(s, text))
         case None => claim(delegate.parsePlanWithParameters(text, ctx))

@@ -383,12 +383,17 @@ object LakeSql {
     *   <select…> QUALIFY <cond> [ORDER BY…/LIMIT…]
     *     ⇒ SELECT * FROM (<select…>) __qualify WHERE (<cond>) [tail]
     *
-    * The scan is quote- (' " `), line-comment- and paren-aware, so a
-    * QUALIFY inside a string literal or a subquery is never touched;
-    * only the OUTERMOST query block's clause rewrites (nested blocks
-    * re-enter through the parser recursively anyway). The condition
-    * must reference select-list ALIASES (`row_number() … AS rn …
-    * QUALIFY rn = 1`) — a bare window expression in the condition
+    * The scan is quote- (' " ` — incl. backslash-escaped quote chars
+    * inside a literal), line- AND block-comment- and paren-aware, so a
+    * QUALIFY inside a string literal, a comment or a subquery is never
+    * touched; only the OUTERMOST query block of a SELECT/WITH statement
+    * rewrites (QUALIFY is meaningless in DML/DDL, so anything else is
+    * never scanned — a table or column literally named `qualify` in an
+    * UPDATE can't trigger a bogus rewrite). If the rewritten text still
+    * fails to parse (a bare identifier `qualify` at depth 0 in a query),
+    * both call sites fall back to parsing the ORIGINAL text. The
+    * condition must reference select-list ALIASES (`row_number() … AS
+    * rn … QUALIFY rn = 1`) — a bare window expression in the condition
     * fails analysis loudly rather than silently misbinding. */
   private[sql] def rewriteQualify(text: String): Option[String] = {
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
@@ -397,14 +402,46 @@ object LakeSql {
         text.regionMatches(true, i, kw, 0, kw.length) &&
         (i == 0 || !isWordChar(text(i - 1))) &&
         (i + kw.length == text.length || !isWordChar(text(i + kw.length)))
+    // gate: only a query statement can carry QUALIFY — find the first
+    // code char (skipping whitespace and both comment forms) and require
+    // SELECT or WITH there
+    var g = 0; var gated = false
+    while (g < text.length && !gated) {
+      val c = text(g)
+      if (c.isWhitespace) g += 1
+      else if (c == '-' && g + 1 < text.length && text(g + 1) == '-') {
+        while (g < text.length && text(g) != '\n') g += 1
+      } else if (c == '/' && g + 1 < text.length && text(g + 1) == '*') {
+        val e = text.indexOf("*/", g + 2)
+        g = if (e < 0) text.length else e + 2
+      } else if (c == '(') g += 1 // parenthesized query head
+      else {
+        if (!kwAt(g, "SELECT") && !kwAt(g, "WITH")) return None
+        gated = true
+      }
+    }
+    if (!gated) return None
+    // in-literal scan helper: a backslash escapes the next char (Spark's
+    // default string-literal escaping), so \' or \" never closes a quote
+    def skipQuoted(start: Int, quote: Char): Int = {
+      var j = start
+      while (j < text.length && text(j) != quote) {
+        if (text(j) == '\\' && j + 1 < text.length) j += 1
+        j += 1
+      }
+      j
+    }
     var i = 0; var depth = 0; var q = -1; var tail = -1
     while (i < text.length) {
       text(i) match {
-        case '\'' => i += 1; while (i < text.length && text(i) != '\'') i += 1
-        case '"' => i += 1; while (i < text.length && text(i) != '"') i += 1
+        case '\'' => i = skipQuoted(i + 1, '\'')
+        case '"' => i = skipQuoted(i + 1, '"')
         case '`' => i += 1; while (i < text.length && text(i) != '`') i += 1
         case '-' if i + 1 < text.length && text(i + 1) == '-' =>
           while (i < text.length && text(i) != '\n') i += 1
+        case '/' if i + 1 < text.length && text(i + 1) == '*' =>
+          val e = text.indexOf("*/", i + 2)
+          i = if (e < 0) text.length else e + 1 // +1 more below lands past "*/"
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 && q < 0 && kwAt(i, "QUALIFY") =>
@@ -431,7 +468,14 @@ object LakeSql {
     * as one row. */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case t if rewriteQualify(t).isDefined =>
-      sql(spark, rewriteQualify(t).get)
+      // fallback contract: if the rewrite produced unparseable text (a
+      // bare identifier named `qualify` tripped the scanner), the
+      // ORIGINAL statement is what the caller meant — parse that instead
+      try sql(spark, rewriteQualify(t).get)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          sqlParsed(spark, t)
+      }
     // OPTIMIZE … ZORDER BY: re-layout the latest snapshot CLUSTERED on the
     // named columns — the statement a consumer runs when the query
     // workload's hot predicate column isn't the one the table was loaded

@@ -116,8 +116,15 @@ object ResultCache {
           case None =>
             missN.incrementAndGet()
             val df = LakeSql.sql(spark, text)
-            val path = s"$root/$digest"
-            df.write.mode("overwrite").parquet(path)
+            // UNIQUE spill per miss: a re-miss of an evicted digest (or
+            // two sessions missing the same digest concurrently) must
+            // never overwrite a path a previously-returned lazy DataFrame
+            // still reads — mode("overwrite") on a shared $root/$digest
+            // would delete those files mid-flight. Each miss gets its own
+            // subdir; stale spills join the evicted ones, reclaimed with
+            // the cache dir by its owner.
+            val path = s"$root/$digest/${java.util.UUID.randomUUID()}"
+            df.write.parquet(path)
             // ENTRY-SIZE CAP: an oversize result is served from the spill
             // it just wrote but never RETAINED as an entry — the cache
             // stores ANSWERS, not a second copy of the lake. (The spill
@@ -166,8 +173,16 @@ object ResultCache {
       : Boolean = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
     var found = false
     plan.foreach { node =>
+      // TABLESAMPLE is nondeterministic as a PLAN NODE, not a function —
+      // its seed differs per parse, so a cached sample would be served
+      // forever in violation of the never-cache-nondeterministic contract
+      node match {
+        case _: Sample => found = true
+        case _ => ()
+      }
       node.expressions.foreach(_.foreach {
         case f: UnresolvedFunction =>
           val n = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)

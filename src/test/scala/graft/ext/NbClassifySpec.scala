@@ -68,4 +68,39 @@ class NbClassifySpec extends SparkSpec {
       p != (if (id % 2 == 0) "ev" else "od") }
     assert(wrong.isEmpty, wrong)
   }
+
+  test("nbPrune caps the count table at top-N per class (count desc, " +
+      "word asc); pruned words score exactly like unseen ones — the " +
+      "smoothing denominators keep their full-training values") {
+    val df = Seq(
+      (1L, "a a a b b c", "x", true),
+      (2L, "d d d e e f", "y", true),
+      (10L, "a c", "x", false))
+      .toDF("id", "text", "lbl", "tr")
+    val full = TextAnalysis.nbTrain(df, "id", "text", "lbl", $"tr")
+    val pruned = TextAnalysis.nbPrune(full, 2)
+    // x keeps {a:3, b:2} (c:1 cut); y keeps {d:3, e:2} (f:1 cut)
+    val kept = pruned.counts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(kept == Set(("x", "a", 3L), ("x", "b", 2L),
+      ("y", "d", 3L), ("y", "e", 2L)), kept)
+    // denominators untouched: t = 6 per class, v = 6 global
+    val c = pruned.consts.collect()(0)
+    assert(c.getDouble(1) == 6.0, "vocab const must stay full-training")
+    // doc 10 under the pruned model: 'a' seen (x:(3+1)/12, y:(0+1)/12),
+    // 'c' PRUNED from x → scores the unseen floor 1/12 for both classes
+    val row = TextAnalysis.nbApply(pruned, df.filter($"id" === 10L),
+      "id", "text").collect()(0)
+    val wantX = math.log(0.5) + math.log(4.0 / 12) + math.log(1.0 / 12)
+    assert(row.getString(1) == "x", row)
+    assert(math.abs(row.getDouble(2) - BigDecimal(wantX)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, row)
+    // tie on count is broken word-ascending: the cut is deterministic
+    val tied = TextAnalysis.nbTrain(
+      Seq((1L, "p q r", "z", true)).toDF("id", "text", "lbl", "tr"),
+      "id", "text", "lbl", $"tr")
+    val keptTied = TextAnalysis.nbPrune(tied, 2).counts.collect()
+      .map(_.getString(1)).toSet
+    assert(keptTied == Set("p", "q"), keptTied)
+  }
 }

@@ -92,4 +92,32 @@ class ApplyChangesSpec extends SparkSpec {
       LakeSql.specOf("ac_scd").get.manifestRoot, "scd2_2").nonEmpty)
     LakeSql.unregister("ac_src"); LakeSql.unregister("ac_scd")
   }
+
+  test("cursor scan is bounded by commits since the last apply, not log " +
+      "length: a long tagged history lists ONE dir; intervening non-apply " +
+      "commits add only themselves to the scan") {
+    val root = fixture("acspec3")
+    val srcRoot = s"$root/ac_src/m"
+    ApplyChanges.scd2(spark, srcRoot, "ac_scd", "k", Seq("name", "v"))
+    // grow the source log: 10 commits, each applied → the target log ends
+    // with a tagged apply commit at its head
+    for (i <- 1 to 10)
+      fd(s"UPDATE ac_src SET v = v + 1.0 WHERE k = ${(i % 3) + 1}")
+    ApplyChanges.scd2(spark, srcRoot, "ac_scd", "k", Seq("name", "v"))
+    val tgtRoot = LakeSql.specOf("ac_scd").get.manifestRoot
+    val total = Snapshots.versions(spark, tgtRoot).size
+    assert(total >= 11, s"fixture should have a long target log, got $total")
+    val (cursor1, scanned1) = ApplyChanges.cursorScan(spark, tgtRoot)
+    assert(cursor1 == 11, s"cursor should be at source head 11, got $cursor1")
+    assert(scanned1 == 1,
+      s"descending stop-at-first-tag must list exactly 1 dir, got $scanned1")
+    // non-apply commits on the TARGET (metadata-only property sets) sit
+    // between the head and the last tag: the scan pays exactly for them
+    for (i <- 1 to 3)
+      Snapshots.setProperties(spark, tgtRoot, Map(s"note$i" -> "x"))
+    val (cursor2, scanned2) = ApplyChanges.cursorScan(spark, tgtRoot)
+    assert(cursor2 == 11 && scanned2 == 4,
+      s"expected (11, 4), got ($cursor2, $scanned2)")
+    LakeSql.unregister("ac_src"); LakeSql.unregister("ac_scd")
+  }
 }

@@ -28,6 +28,42 @@ class QualifySpec extends SparkSpec {
       "SELECT a FROM t -- QUALIFY in a comment\nWHERE a > 0").isEmpty)
   }
 
+  test("hardening: block comments, escaped quotes, non-query gate") {
+    // /* block comment */ containing QUALIFY is skipped
+    assert(LakeSql.rewriteQualify(
+      "SELECT a FROM t /* QUALIFY is just prose here */ WHERE a > 0").isEmpty)
+    assert(LakeSql.rewriteQualify(
+      "SELECT a /* multi\nline QUALIFY\ncomment */ FROM t").isEmpty)
+    // backslash-escaped quote inside a literal must not desync the scan:
+    // the QUALIFY here is still INSIDE the string
+    assert(LakeSql.rewriteQualify(
+      "SELECT 'it\\'s not a QUALIFY clause' AS s FROM t").isEmpty)
+    // …and a REAL clause after such a literal still rewrites
+    assert(LakeSql.rewriteQualify(
+      "SELECT 'it\\'s fine' AS s, rn FROM t QUALIFY rn = 1").isDefined)
+    // non-query statements are never scanned: a column literally named
+    // qualify in DML can't trigger a bogus rewrite
+    assert(LakeSql.rewriteQualify(
+      "UPDATE t SET qualify = 1 WHERE id = 2").isEmpty)
+    assert(LakeSql.rewriteQualify(
+      "INSERT INTO t SELECT qualify FROM u").isEmpty)
+    // leading comments don't defeat the SELECT/WITH gate
+    assert(LakeSql.rewriteQualify(
+      "/* hdr */ -- note\nSELECT a, rn FROM t QUALIFY rn = 1").isDefined)
+  }
+
+  test("fallback: a bare identifier named qualify parses as the original " +
+      "statement through both front doors") {
+    Seq((1L, 5L), (2L, 7L)).toDF("id", "qualify")
+      .createOrReplaceTempView("qy_fb")
+    // the scanner false-positives on the bare column; the rewrite fails
+    // to parse; both call sites must fall back to the original text
+    val text = "SELECT id, qualify FROM qy_fb WHERE qualify > 6"
+    assert(LakeSql.sql(spark, text).collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    assert(spark.sql(text).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("end to end: QUALIFY filters on a window alias through both " +
       "LakeSql.sql and plain spark.sql; tails apply after the filter") {
     Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0),

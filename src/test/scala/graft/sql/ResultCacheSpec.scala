@@ -177,4 +177,39 @@ class ResultCacheSpec extends SparkSpec {
     LakeSql.unregister("rc_n")
     ResultCache.reset()
   }
+
+  test("TABLESAMPLE is uncacheable: the sample's seed differs per parse, " +
+      "so a repeat re-executes instead of serving the first sample forever") {
+    mkTable("rc_s", "rcspec8")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache8"))
+    val q = "SELECT k FROM rc_s TABLESAMPLE (50 PERCENT)"
+    ResultCache.sql(spark, q).count()
+    ResultCache.sql(spark, q).count()
+    assert(ResultCache.stats.hits == 0 && ResultCache.stats.misses == 0 &&
+      ResultCache.stats.uncacheable == 2,
+      s"TABLESAMPLE classified cacheable: ${ResultCache.stats}")
+    LakeSql.unregister("rc_s")
+    ResultCache.reset()
+  }
+
+  test("re-miss of an evicted digest spills to a FRESH subpath: the " +
+      "pre-eviction lazy handle still reads its own files afterwards") {
+    mkTable("rc_r", "rcspec9")
+    ResultCache.reset()
+    ResultCache.enable(tmpDir("rccache9"), capacity = 1)
+    val q = "SELECT k FROM rc_r WHERE k <= 2"
+    val handle = ResultCache.sql(spark, q) // miss #1, spill A
+    assert(handle.count() == 2L)
+    ResultCache.sql(spark, "SELECT k FROM rc_r WHERE k = 3").count() // evicts q
+    // re-miss of the SAME digest: must not overwrite spill A (the handle
+    // above still points there) — a mode("overwrite") to the shared path
+    // would delete A's files and fail the handle's next action
+    val again = ResultCache.sql(spark, q)
+    assert(again.count() == 2L)
+    assert(handle.count() == 2L,
+      "pre-eviction handle broke after a re-miss of its digest")
+    LakeSql.unregister("rc_r")
+    ResultCache.reset()
+  }
 }
