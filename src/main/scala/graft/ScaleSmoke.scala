@@ -219,7 +219,106 @@ object ScaleSmoke {
     else if (args.headOption.contains("applychanges"))
       applyChangesMain(args.drop(1))
     else if (args.headOption.contains("sqlwave")) sqlWaveMain(args.drop(1))
+    else if (args.headOption.contains("abench")) abenchMain(args.drop(1))
     else growthMain(args)
+
+  /** INTERLEAVED A/B BENCH (round-16 verdict item 7, standing mode): the
+    * only regression test this host's weather respects ([[SCALE.md]]
+    * "Round-16 anchor context": same-code full-board runs swing 9% on the
+    * sum, so anchor-vs-anchor deltas under ~15% are noise). This mode
+    * settles any bench delta mechanically:
+    *
+    *   sbt "runMain graft.ScaleSmoke abench <ref> [queriesCsv] [reps]"
+    *
+    * checks `<ref>` out into a git worktree, compiles it once, then runs
+    * `graft.Bench` ALTERNATING strictly between HEAD and the worktree —
+    * both sides as identical cold java processes (same flags, same env,
+    * never the warm outer JVM for one side), so JVM warmth and page-cache
+    * drift hit both sides equally. Emits the per-query median table
+    * (HEAD / ref / ratio) as markdown on stdout AND appends it to
+    * SCALE.md with the refs and rep count recorded. */
+  private def abenchMain(args: Array[String]): Unit = {
+    import scala.sys.process._
+    val ref = args.lift(0).getOrElse(
+      sys.error("abench needs a git ref to compare HEAD against"))
+    val queriesCsv = args.lift(1).getOrElse("")
+    val reps = args.lift(2).map(_.toInt).getOrElse(5)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repo = new java.io.File(".").getCanonicalPath
+    val shortRef = Seq("git", "-C", repo, "rev-parse", "--short", ref).!!.trim
+    val wt = s"/tmp/graft_abench_$shortRef"
+    if (!new java.io.File(wt, "build.sbt").exists()) {
+      Seq("git", "-C", repo, "worktree", "add", "--force", wt, ref).!! : Unit
+      println(s"[abench] compiling $ref in $wt …")
+      require(Process(Seq("sbt", "-batch", "compile"),
+        new java.io.File(wt)).! == 0, s"sbt compile failed in $wt")
+    }
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def bench(tree: String): Map[String, Double] = {
+      val cp = s"/opt/spark/jars/*:$tree/target/scala-2.13/classes"
+      val cmd = Seq("java") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-cp", cp, "graft.Bench")
+      val env = Seq("SPARK_GRAFT_SF_DIR" -> sfDir,
+        "SPARK_GRAFT_CPUS" -> sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")) ++
+        (if (queriesCsv.nonEmpty) Seq("SPARK_GRAFT_BENCH_ONLY" -> queriesCsv)
+         else Nil)
+      val out = new StringBuilder
+      val rc = Process(cmd, new java.io.File(tree), env: _*)
+        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      require(rc == 0, s"bench in $tree exited $rc")
+      val line = out.toString.linesIterator
+        .filter(_.startsWith("{\"metric\"")).toSeq.lastOption.getOrElse(
+        sys.error(s"no bench JSON line from $tree"))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(line).get("queries")
+      val it = m.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        if (!e.getValue.isNull) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }
+    val aRuns = collection.mutable.Buffer.empty[Map[String, Double]]
+    val bRuns = collection.mutable.Buffer.empty[Map[String, Double]]
+    for (i <- 1 to reps) {
+      println(s"[abench] rep $i/$reps HEAD …"); aRuns += bench(repo)
+      println(s"[abench] rep $i/$reps $ref …"); bRuns += bench(wt)
+    }
+    val names = aRuns.flatMap(_.keys).toSet
+      .intersect(bRuns.flatMap(_.keys).toSet).toSeq.sorted
+    def med(rs: Seq[Map[String, Double]], q: String): Double =
+      median(rs.flatMap(_.get(q)))
+    val rows = names.map { q =>
+      val a = med(aRuns.toSeq, q); val b = med(bRuns.toSeq, q)
+      (q, a, b, a / b)
+    }
+    val sumA = rows.map(_._2).sum
+    val sumB = rows.map(_._3).sum
+    val table = new StringBuilder
+    table.append(s"\n## Interleaved A/B: HEAD vs $ref ($shortRef), " +
+      s"$reps reps/side, sf=$sfDir\n\n")
+    table.append("| query | HEAD med s | ref med s | HEAD/ref |\n")
+    table.append("|---|---|---|---|\n")
+    rows.foreach { case (q, a, b, r) =>
+      table.append(f"| $q | $a%.2f | $b%.2f | $r%.2f |%n")
+    }
+    table.append(f"| **sum** | $sumA%.1f | $sumB%.1f | ${sumA / sumB}%.3f |%n")
+    print(table)
+    val sc = new java.io.FileWriter(s"$repo/SCALE.md", true)
+    try sc.write(table.toString) finally sc.close()
+    println(s"[abench] appended to SCALE.md; worktree kept at $wt")
+  }
 
   /** Round-16 SQL-wave growth smoke (round-15 verdict item 8): the
     * governance/result-cache/UDF surfaces at 1× and `copies`× input.

@@ -67,11 +67,13 @@ object VariantShred {
     val withShreds = shreds.foldLeft(df)((d, sp) =>
       d.withColumn(shredCol(sp.alias),
         variant_get(col(variantCol), sp.path, sp.typ)))
-    val key = col(shredCol(shreds.head.alias))
-    withShreds
-      .repartitionByRange(nFiles, key)
-      .sortWithinPartitions(key)
-      .write.mode("overwrite").parquet(path)
+    // Layout's two-pass range writer (round-17 verdict item 6): ONE
+    // planning sample fixes the boundaries, then the shuffle — the old
+    // `repartitionByRange` paid RangePartitioner's OWN full-input
+    // sampling scan on top, one avoidable pass over the corpus per shred
+    // write at 100 TB. Null extractions still route to partition 0 and
+    // sort first.
+    Layout.rangeWrite(withShreds, shredCol(shreds.head.alias), path, nFiles)
   }
 
   /** Per-file min/max manifest over the shredded columns — served from

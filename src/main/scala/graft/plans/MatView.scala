@@ -48,8 +48,16 @@ object MatView {
                               dims: Seq[String],
                               sums: Map[String, String], cnt: String)
 
-  final class RewriteRule(d: SummaryDef) extends Rule[LogicalPlan] {
-    private val sumPlan = d.summary.queryExecution.analyzed
+  /** `matchRelation` overrides the default path-substring base match —
+    * the SQL materialized-view layer passes an exact (manifestRoot,
+    * version) scan-tag predicate so pinned time-travel reads of OTHER
+    * versions never serve from a view that reflects the head. */
+  final class RewriteRule(d: SummaryDef,
+                          matchRelation: Option[LogicalRelation => Boolean]
+                            = None) extends Rule[LogicalPlan] {
+    // lazy: rule construction must stay IO-free (the SQL serving layer
+    // builds one rule per registered view per optimizer pass)
+    private lazy val sumPlan = d.summary.queryExecution.analyzed
     private def sumAttr(name: String): AttributeReference =
       sumPlan.output.collectFirst {
         case a: AttributeReference if a.name == name => a
@@ -73,10 +81,13 @@ object MatView {
       case _ => false
     }
 
-    private def isBase(lr: LogicalRelation): Boolean = lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(_.toString.contains(d.basePath))
-      case _ => false
+    private def isBase(lr: LogicalRelation): Boolean = matchRelation match {
+      case Some(m) => m(lr)
+      case None => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains(d.basePath))
+        case _ => false
+      }
     }
 
     private def rewrite(agg: Aggregate): Option[LogicalPlan] = {

@@ -159,6 +159,67 @@ object CatalogQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .withColumn("exactly_once_ok", lit(exactlyOnce))
     }),
+    // STREAMING ADMISSION CONTROL (q279, round-17 verdict item 3):
+    // `maxFilesPerTrigger` on the row-native lake stream — ONE large
+    // commit (6 z-ordered files) splits across micro-batches with
+    // (version, fileIndex) offsets instead of arriving as a trigger-
+    // sized spike; a checkpointed restart after one more commit resumes
+    // exactly-once. At 100 TB this is the first knob a production
+    // streaming user touches: a backfill commit of thousands of files
+    // must not become one multi-hour micro-batch. Gates: the one-commit
+    // table drains in ≥ 3 bounded batches (cap 2 of 6 files), rows
+    // exact, restart emits only the unstreamed commit.
+    "q279_stream_admission" -> ((s, dir) => {
+      val cat = catalog(s)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gold.adm279")
+      s.sql(s"""CREATE TABLE $cat.gold.adm279
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        USING lake
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey', 'files' = '6')""")
+      t(s, dir, "orders").createOrReplaceTempView("orders_src279")
+      s.sql(s"""INSERT INTO $cat.gold.adm279
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_src279 WHERE o_custkey BETWEEN 20 AND 110""")
+      val ckpt = tmp("q279ckpt")
+      val out = tmp("q279out")
+      def runOnce(): Int = {
+        val q = s.readStream.option("maxFilesPerTrigger", "2")
+          .table(s"$cat.gold.adm279")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.recentProgress.count(_.numInputRows > 0)
+      }
+      val batches = runOnce()
+      val boundedOk = batches >= 3
+      require(boundedOk,
+        s"q279 one 6-file commit drained in $batches batches, want >= 3")
+      val firstRows = s.read.parquet(out).count()
+      val want = s.sql(s"SELECT count(*) AS n FROM $cat.gold.adm279")
+        .head().getLong(0)
+      require(firstRows == want,
+        s"q279 bounded drain emitted $firstRows of $want rows")
+      // one more commit while the stream is down: the restart resumes
+      // from the checkpointed (version, fileIndex) offset exactly-once
+      s.sql(s"""INSERT INTO $cat.gold.adm279
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_src279 WHERE o_custkey BETWEEN 111 AND 130""")
+      runOnce() : Unit
+      val allRows = s.read.parquet(out).count()
+      val want2 = s.sql(s"SELECT count(*) AS n FROM $cat.gold.adm279")
+        .head().getLong(0)
+      val exactlyOnce = allRows == want2 && allRows > firstRows
+      require(exactlyOnce,
+        s"q279 restart emitted $allRows (want $want2, had $firstRows)")
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("bounded_batches_ok", lit(boundedOk))
+        .withColumn("exactly_once_ok", lit(exactlyOnce))
+    }),
+
     // IDENTITY + NOT NULL (round-15 verdict item 3): the gold star
     // schema's surrogate-key dim (reference `run_load.py:113-124`) built
     // PURELY by INSERTs into a `GENERATED ALWAYS AS IDENTITY` column.
@@ -479,6 +540,13 @@ object CatalogQueries {
     "q219_stream_table_rows" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
         |  TRUE AS exactly_once_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q279: the drained stream carries exactly the two committed slices;
+    // batching gates are literal true (require'd in-query).
+    "q279_stream_admission" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS bounded_batches_ok, TRUE AS exactly_once_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
     // q220: identity = rank under (c_custkey, c_name) within each batch,

@@ -2430,6 +2430,274 @@ object SqlQueries {
       require(literalOk, "q276 string-literal QUALIFY was rewritten")
       front.withColumn("paths_ok", lit(pathsOk && literalOk))
     }),
+
+    // MATERIALIZED VIEW as a SQL object (q277, round-17 verdict item 1):
+    // CREATE MATERIALIZED VIEW persists the algebraic rollup as its own
+    // lake table (cursor tag = the base version it reflects); three base
+    // DML commits (INSERT / banded DELETE / banded UPDATE) land; REFRESH
+    // folds ONLY the change feed ([[graft.ops.Ivm]] over
+    // changesBetween — the base is never re-aggregated); the injected
+    // ServeFromMatViews rule then answers the SAME aggregation text from
+    // the view. Gates, all in-query: (a) pre-refresh the stale view is
+    // NOT served (plan scans the base), (b) the refresh feed read fewer
+    // files than the manifest union AND fewer rows than the table,
+    // (c) post-refresh the plan scans the VIEW path and not the base,
+    // (d) served values equal a from-scratch recompute of the head,
+    // (e) a pinned VERSION AS OF 1 read still scans the base. The oracle
+    // replays the DML over raw orders and recomputes the rollup — a
+    // wrong fold sign, a leaked tombstone group, or a stale serve all
+    // hash-mismatch. Measures are BIGINT sums: the fold is EXACT, no
+    // float-reassociation tolerance needed at any scale.
+    "q277_matview_sql" -> ((s, dir) => {
+      val root = tmp("q277")
+      LakeSql.sql(s, "DROP MATERIALIZED VIEW mv277")
+      LakeSql.unregister("base277")
+      val view = s"q277_src_${java.util.UUID.randomUUID.toString.take(8)}"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .createOrReplaceTempView(view)
+      LakeSql.sql(s, s"CREATE TABLE base277 TBLPROPERTIES(" +
+        s"'stats_cols'='o_custkey','files'='8') LOCATION '$root/base' " +
+        s"AS SELECT * FROM $view")
+      LakeSql.sql(s, s"CREATE MATERIALIZED VIEW mv277 LOCATION '$root/mv' " +
+        "AS SELECT o_orderpriority, sum(o_custkey) AS sck, " +
+        "count(*) AS cnt FROM base277 GROUP BY o_orderpriority")
+      // CTAS/MV roots follow the LOCATION convention: data under z/,
+      // version log under m/
+      val basePath = s"$root/base/z"; val baseRoot = s"$root/base/m"
+      val mvPath = s"$root/mv/z"
+      // three DML commits: v2 insert, v3 banded delete, v4 banded update
+      LakeSql.sql(s,
+        "INSERT INTO base277 SELECT o_orderkey + 10000000 AS o_orderkey, " +
+          "o_custkey + 3 AS o_custkey, o_orderpriority " +
+          s"FROM $view WHERE o_orderkey % 7 = 0")
+      LakeSql.sql(s,
+        "DELETE FROM base277 WHERE o_custkey >= 10 AND o_custkey <= 40")
+      LakeSql.sql(s, "UPDATE base277 SET o_custkey = o_custkey + 1 " +
+        "WHERE o_custkey >= 41 AND o_custkey <= 60")
+      val aggText = "SELECT o_orderpriority, sum(o_custkey) AS sck, " +
+        "count(*) AS cnt FROM base277 GROUP BY o_orderpriority"
+      // (a) stale view must NOT serve
+      val stalePlan = LakeSql.sql(s, aggText)
+        .queryExecution.executedPlan.toString
+      val staleOk = stalePlan.contains(basePath) &&
+        !stalePlan.contains(mvPath)
+      require(staleOk, s"q277 stale view was served:\n$stalePlan")
+      // (b) feed-bounded refresh
+      val head = Snapshots.latestVersion(s, baseRoot)
+      val scan = Snapshots.changesBetween(s, baseRoot, 1, head)
+      val r = LakeSql.sql(s, "REFRESH MATERIALIZED VIEW mv277").head()
+      val baseRows = Snapshots.tableAt(s, baseRoot, head).count()
+      val feedOk = r.getAs[Long]("from_version") == 1L &&
+        r.getAs[Long]("to_version") == head.toLong &&
+        scan.filesRead < scan.filesTotal &&
+        r.getAs[Long]("feed_rows") < baseRows
+      require(feedOk, s"q277 refresh was not feed-bounded: ${r.toSeq}, " +
+        s"files ${scan.filesRead}/${scan.filesTotal}, base $baseRows rows")
+      // (c) post-refresh the view serves
+      val served = LakeSql.sql(s, aggText)
+      val servedPlan = served.queryExecution.executedPlan.toString
+      val servedOk = servedPlan.contains(mvPath) &&
+        !servedPlan.contains(basePath)
+      require(servedOk, s"q277 refreshed view did not serve:\n$servedPlan")
+      // (d) served values == from-scratch recompute of the head
+      val direct = Snapshots.tableAt(s, baseRoot, head)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_custkey")).as("sck"), count(lit(1)).as("cnt"))
+      val drift = served.exceptAll(direct).count() +
+        direct.exceptAll(served).count()
+      require(drift == 0, s"q277 fold drifted from recompute on $drift rows")
+      // (e) a pinned older read is never served the head view
+      val pinPlan = LakeSql.sql(s, "SELECT o_orderpriority, " +
+          "sum(o_custkey) AS sck FROM base277 VERSION AS OF 1 " +
+          "GROUP BY o_orderpriority")
+        .queryExecution.executedPlan.toString
+      val pinOk = pinPlan.contains(basePath) &&
+        !pinPlan.contains(mvPath)
+      require(pinOk, s"q277 pinned v1 read was served the head view:\n$pinPlan")
+      val out = served
+        .withColumn("stale_fellback_ok", lit(staleOk))
+        .withColumn("feed_bounded_ok", lit(feedOk))
+        .withColumn("served_ok", lit(servedOk))
+        .withColumn("pinned_ok", lit(pinOk))
+        .localCheckpoint() // force BEFORE dropping the view: the served
+                           // plan must execute while the rewrite holds
+      // leave no ambient MV behind: a registered view makes EVERY later
+      // aggregate query in this session walk the serving rule
+      LakeSql.sql(s, "DROP MATERIALIZED VIEW mv277")
+      out
+    }),
+
+    // TYPE WIDENING (q278, round-17 verdict item 2): `ALTER TABLE …
+    // ALTER COLUMN … TYPE BIGINT` as ONE metadata-only commit — the
+    // Delta type-widening contract. The table starts INT, widens, then
+    // takes an INSERT of values only BIGINT can hold (old narrow files
+    // and new wide files coexist in one snapshot; reads serve the wide
+    // type via the declared-schema read path, never a rewrite). Gates,
+    // all in-query: (a) the widen commit touched ZERO data files, (b) a
+    // pinned pre-widen read keeps the NARROW type, (c) a post-widen
+    // banded DELETE still prunes files (manifest stats re-typed in the
+    // same commit, so the typed predicate compiler stays sound), (d) the
+    // mixed-file sum is exact. Oracle replays insert+delete over raw
+    // orders — BIGINT arithmetic, zero float tolerance.
+    "q278_type_widening" -> ((s, dir) => {
+      val root = tmp("q278")
+      LakeSql.unregister("t278")
+      val view = s"q278_src_${java.util.UUID.randomUUID.toString.take(8)}"
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView(view)
+      LakeSql.sql(s, s"""CREATE TABLE t278 (o_orderkey INT, o_custkey BIGINT)
+        USING lake LOCATION '$root'
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey', 'files' = '8')""")
+      LakeSql.sql(s, "INSERT INTO t278 SELECT " +
+        s"CAST(o_orderkey AS INT) AS o_orderkey, o_custkey FROM $view")
+      def files(): Set[String] = {
+        val d = new java.io.File(root, "z")
+        d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+          .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").toSet
+      }
+      val before = files()
+      val vPre = Snapshots.latestVersion(s, s"$root/m")
+      LakeSql.sql(s, "ALTER TABLE t278 ALTER COLUMN o_orderkey TYPE BIGINT")
+      val metadataOnlyOk = files() == before
+      require(metadataOnlyOk, "q278 widen touched data files")
+      // pinned pre-widen read keeps INT
+      val pinnedOk = LakeSql.sql(s,
+        s"SELECT o_orderkey FROM t278 VERSION AS OF $vPre")
+        .schema("o_orderkey").dataType ==
+        org.apache.spark.sql.types.IntegerType
+      require(pinnedOk, "q278 pinned pre-widen read lost the narrow type")
+      // post-widen insert of values only BIGINT can hold → mixed files
+      LakeSql.sql(s, "INSERT INTO t278 SELECT o_orderkey + 5000000000 " +
+        s"AS o_orderkey, o_custkey FROM $view WHERE o_orderkey % 9 = 0")
+      val wideOk = LakeSql.sql(s, "SELECT o_orderkey FROM t278")
+        .schema("o_orderkey").dataType ==
+        org.apache.spark.sql.types.LongType
+      require(wideOk, "q278 head read did not serve BIGINT")
+      // post-widen banded DELETE still prunes (stats re-typed)
+      val del = LakeSql.sql(s,
+        "DELETE FROM t278 WHERE o_orderkey >= 100 AND o_orderkey <= 500")
+        .head()
+      val prunedOk = del.getAs[Long]("files_rewritten") +
+        del.getAs[Long]("files_dropped") < del.getAs[Long]("files_total")
+      require(prunedOk, s"q278 post-widen delete pruned nothing: ${del.toSeq}")
+      LakeSql.sql(s, "SELECT o_orderkey, o_custkey FROM t278 " +
+          "WHERE o_orderkey <= 200 OR o_orderkey >= 5000000000")
+        .withColumn("metadata_only_ok", lit(metadataOnlyOk))
+        .withColumn("pinned_narrow_ok", lit(pinnedOk))
+        .withColumn("wide_read_ok", lit(wideOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+    }),
+
+    // CROSS-TABLE ATOMIC PUBLISH (q280, round-17 verdict item 4): the
+    // reference's load plan lands TWO tables per run
+    // (`run_load.py:113-124`) — [[graft.sql.LakeTxn]] stages a commit on
+    // each (normal version slot, pending marker) and flips both visible
+    // with ONE filesystem create. Gates, all in-query: (a) with one
+    // table staged the pair reads pre-txn on BOTH sides, (b) with both
+    // staged but unpublished, still pre-txn on both (the crash window is
+    // never torn), (c) a concurrent writer is refused while the txn is
+    // unresolved, (d) the single marker flips both counts together. The
+    // oracle replays the two appends over raw orders/customer.
+    "q280_multitable_txn" -> ((s, dir) => {
+      val root = tmp("q280")
+      LakeSql.unregister("ord280"); LakeSql.unregister("cust280")
+      val vo = s"q280o_${java.util.UUID.randomUUID.toString.take(8)}"
+      val vc = s"q280c_${java.util.UUID.randomUUID.toString.take(8)}"
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView(vo)
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView(vc)
+      LakeSql.sql(s, s"CREATE TABLE ord280 TBLPROPERTIES(" +
+        s"'stats_cols'='o_orderkey','files'='4') LOCATION '$root/o' " +
+        s"AS SELECT * FROM $vo")
+      LakeSql.sql(s, s"CREATE TABLE cust280 TBLPROPERTIES(" +
+        s"'stats_cols'='c_custkey','files'='4') LOCATION '$root/c' " +
+        s"AS SELECT * FROM $vc")
+      def counts(): (Long, Long) = (
+        LakeSql.sql(s, "SELECT count(*) AS n FROM ord280").head().getLong(0),
+        LakeSql.sql(s, "SELECT count(*) AS n FROM cust280").head().getLong(0))
+      val before = counts()
+      val txnDir = s"$root/txnlog"
+      val id = "q280-publish"
+      val batchO = s.table(vo)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_custkey"))
+        .filter(col("o_orderkey") % 10 === 0)
+      val batchC = s.table(vc)
+        .select((col("c_custkey") + 20000000L).as("c_custkey"),
+          col("c_name"))
+        .filter(col("c_custkey") % 10 === 0)
+      graft.sql.LakeTxn.stagePending(s, txnDir, id, "ord280", batchO)
+      val window1Ok = counts() == before
+      require(window1Ok, "q280 first stage leaked before the marker")
+      graft.sql.LakeTxn.stagePending(s, txnDir, id, "cust280", batchC)
+      val window2Ok = counts() == before
+      require(window2Ok, "q280 staged pair visible without the marker")
+      val conflictOk = scala.util.Try(LakeSql.sql(s,
+        "INSERT INTO ord280 SELECT 1L AS o_orderkey, 1L AS o_custkey"))
+        .isFailure
+      require(conflictOk,
+        "q280 concurrent write was not refused during the txn window")
+      graft.sql.LakeTxn.commitMarker(s, txnDir, id)
+      val after = counts()
+      val atomicOk = after._1 > before._1 && after._2 > before._2
+      require(atomicOk, s"q280 marker did not flip both: $before -> $after")
+      LakeSql.sql(s, "SELECT o_orderkey, o_custkey FROM ord280 " +
+          "WHERE o_custkey BETWEEN 1 AND 60")
+        .withColumn("window1_ok", lit(window1Ok))
+        .withColumn("window2_ok", lit(window2Ok))
+        .withColumn("conflict_ok", lit(conflictOk))
+        .withColumn("atomic_ok", lit(atomicOk))
+    }),
+
+    // COLLATED JOIN KEYS + ORDER BY (q281, round-17 verdict item 9 —
+    // collation breadth past q271's dedup): a UTF8_LCASE equi-join
+    // between two DIFFERENTLY-CASED sources (one side upper, one lower)
+    // plus a collated global ORDER BY rank. Gates in-query: the collated
+    // join plans as a real EQUI join (no BroadcastNestedLoop/cartesian
+    // fallback — the 100 TB difference between a hash join and n²), and
+    // both join and rank agree with the lower() rewrite. The oracle IS
+    // the lower() rewrite in DuckDB.
+    "q281_collated_join" -> ((s, dir) => {
+      // odd modulus: residues mix even and odd custkeys, so the
+      // differently-cased sides actually meet (an even modulus would
+      // make the parity split keep residue classes apart — empty join)
+      val base = t(s, dir, "customer").select(
+        concat(lit("c"), (col("c_custkey") % 37).cast("string"),
+          lit("@Example.COM")).as("e"),
+        col("c_custkey"))
+      base.filter(col("c_custkey") % 2 === 0)
+        .select(upper(col("e")).as("email"), col("c_custkey").as("ka"))
+        .createOrReplaceTempView("q281_a")
+      base.filter(col("c_custkey") % 2 === 1)
+        .select(lower(col("e")).as("email"), col("c_custkey").as("kb"))
+        .createOrReplaceTempView("q281_b")
+      val joined = s.sql(
+        """SELECT a.email AS email_a, a.ka, b.kb,
+          |  row_number() OVER (ORDER BY a.email COLLATE UTF8_LCASE,
+          |                     a.ka, b.kb) AS rn
+          |FROM q281_a a JOIN q281_b b
+          |  ON a.email COLLATE UTF8_LCASE = b.email COLLATE UTF8_LCASE
+          |""".stripMargin).localCheckpoint()
+      val plan = joined.queryExecution.executedPlan.toString
+      val equiOk = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      require(equiOk, s"q281 collated join fell back to a non-equi plan:\n" +
+        plan.take(2000))
+      val rewrite = s.sql(
+        """SELECT a.email AS email_a, a.ka, b.kb,
+          |  row_number() OVER (ORDER BY lower(a.email), a.ka, b.kb) AS rn
+          |FROM q281_a a JOIN q281_b b ON lower(a.email) = lower(b.email)
+          |""".stripMargin)
+      val parityOk = joined.exceptAll(rewrite).isEmpty &&
+        rewrite.exceptAll(joined).isEmpty
+      require(parityOk, "q281 collated join/order diverged from lower()")
+      joined
+        .withColumn("equi_plan_ok", lit(equiOk))
+        .withColumn("parity_ok", lit(parityOk))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2920,5 +3188,69 @@ object SqlQueries {
         |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3""".stripMargin,
+    // q277: replay the base DML (insert / banded delete / banded update)
+    // over raw orders and recompute the rollup the refreshed view serves;
+    // gates are literal true (each `require`d in-query).
+    "q277_matview_sql" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey + 3, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |d AS (SELECT * FROM ins WHERE NOT (o_custkey BETWEEN 10 AND 40)),
+        |u AS (SELECT o_orderkey,
+        |        CASE WHEN o_custkey BETWEEN 41 AND 60
+        |             THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        |        o_orderpriority FROM d)
+        |SELECT o_orderpriority, sum(o_custkey)::BIGINT AS sck,
+        |  count(*)::BIGINT AS cnt,
+        |  true AS stale_fellback_ok, true AS feed_bounded_ok,
+        |  true AS served_ok, true AS pinned_ok
+        |FROM u GROUP BY 1""".stripMargin,
+    // q278: replay insert + banded delete over raw orders; the widen
+    // itself changes no values (INT→BIGINT is lossless), so the final
+    // band read recomputes exactly; gates are literal true.
+    "q278_type_widening" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000000, o_custkey
+        |  FROM orders WHERE o_orderkey % 9 = 0),
+        |d AS (SELECT * FROM ins
+        |      WHERE NOT (o_orderkey BETWEEN 100 AND 500))
+        |SELECT o_orderkey::BIGINT AS o_orderkey,
+        |  o_custkey::BIGINT AS o_custkey,
+        |  true AS metadata_only_ok, true AS pinned_narrow_ok,
+        |  true AS wide_read_ok, true AS pruned_ok
+        |FROM d WHERE o_orderkey <= 200 OR o_orderkey >= 5000000000""".stripMargin,
+    // q280: replay the atomically-published append over raw orders;
+    // window/conflict/atomic gates are literal true.
+    "q280_multitable_txn" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey::BIGINT AS o_orderkey,
+        |  o_custkey::BIGINT AS o_custkey,
+        |  true AS window1_ok, true AS window2_ok,
+        |  true AS conflict_ok, true AS atomic_ok
+        |FROM ins WHERE o_custkey BETWEEN 1 AND 60""".stripMargin,
+    // q281: the lower() rewrite IS the oracle — collation semantics for
+    // ASCII case-folding are exactly lower()-equality/order.
+    "q281_collated_join" ->
+      """WITH base AS (
+        |  SELECT 'c' || CAST(c_custkey % 37 AS VARCHAR) || '@Example.COM'
+        |    AS e, c_custkey
+        |  FROM customer),
+        |a AS (SELECT upper(e) AS email, c_custkey AS ka FROM base
+        |      WHERE c_custkey % 2 = 0),
+        |b AS (SELECT lower(e) AS email, c_custkey AS kb FROM base
+        |      WHERE c_custkey % 2 = 1)
+        |SELECT a.email AS email_a, a.ka, b.kb,
+        |  (row_number() OVER (ORDER BY lower(a.email), a.ka, b.kb))::INTEGER
+        |    AS rn,
+        |  true AS equi_plan_ok, true AS parity_ok
+        |FROM a JOIN b ON lower(a.email) = lower(b.email)""".stripMargin,
   )
 }

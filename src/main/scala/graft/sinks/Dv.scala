@@ -63,22 +63,42 @@ object Dv {
     * sidecar for its whole touch set). `mergeSchema` on every branch so a
     * snapshot spanning a schema evolution serves the superset schema on
     * the DV path exactly as on the plain path. */
-  def readLive(spark: SparkSession, entries: Seq[Entry]): DataFrame =
-    readLiveWithPos(spark, entries).drop("_dv_f", "_dv_p")
+  def readLive(spark: SparkSession, entries: Seq[Entry],
+               declared: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    readLiveWithPos(spark, entries, declared).drop("_dv_f", "_dv_p")
 
   /** [[readLive]] with the row's provenance retained as `_dv_f` (canonical
     * file path) and `_dv_p` (parquet row ordinal) — what a delete needs to
     * turn matched rows into sidecar entries. The columns must be captured
     * ON the scan relation (`_metadata` resolves only there, not across the
     * joins/unions this frame goes through). */
-  def readLiveWithPos(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+  def readLiveWithPos(spark: SparkSession, entries: Seq[Entry],
+                      declared: Option[org.apache.spark.sql.types.StructType]
+                        = None): DataFrame = {
     require(entries.nonEmpty, "readLive needs at least one manifest entry")
     val plain = entries.collect { case Entry(f, None) => f }
     val masked = entries.collect { case Entry(f, Some(d)) => (f, d) }
-    def scan(files: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    // `declared` pins the READ schema (nullable-relaxed) instead of
+    // letting footer merge infer it — the TYPE-WIDENING read contract:
+    // after `ALTER COLUMN … TYPE`, old narrow-typed files and new
+    // wide-typed files coexist in one snapshot, footer merge would fail
+    // on INT32 vs INT64, and Spark's parquet readers already serve the
+    // widening promotions (int→long/double, float→double, decimal
+    // precision growth) when handed the wide schema explicitly.
+    def scan(files: Seq[String]): DataFrame = {
+      val base = declared match {
+        case Some(sch) =>
+          val relaxed = org.apache.spark.sql.types.StructType(
+            sch.fields.map(_.copy(nullable = true)))
+          spark.read.schema(relaxed).parquet(files: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(files: _*)
+      }
+      base
         .withColumn("_dv_f", col("_metadata.file_path"))
         .withColumn("_dv_p", col("_metadata.row_index").cast("long"))
+    }
     val parts =
       (if (plain.isEmpty) Seq.empty[DataFrame] else Seq(scan(plain))) ++
         masked.groupBy(_._2).toSeq.map { case (dvPath, group) =>

@@ -37,13 +37,36 @@ object Layout {
   val Buckets = 16
   private val Bits = 4
 
+  /** Numeric SURROGATE of a clustering column — the one projection both
+    * the planning sample and the executed bucket ids go through, so the
+    * two can never disagree. Numerics/timestamps cast; STRINGS map to
+    * their first 7 bytes as a big-endian integer (monotone in byte
+    * order, exact in a double at < 2⁵⁶ — so string range clustering is
+    * real, not hash scatter); dates to their day number; anything else
+    * to a hash (same-value locality only). Layout NEVER affects
+    * correctness — manifest stats are computed from the written files
+    * independently — so a coarse surrogate only loosens pruning. */
+  private def zNum(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Column = dt match {
+    case _: org.apache.spark.sql.types.NumericType => c.cast("double")
+    case org.apache.spark.sql.types.StringType =>
+      conv(rpad(substring(hex(encode(c, "UTF-8")), 1, 14), 14, "0"),
+        16, 10).cast("double")
+    case org.apache.spark.sql.types.DateType =>
+      datediff(c, to_date(lit("1970-01-01"))).cast("double")
+    case org.apache.spark.sql.types.BooleanType =>
+      when(c, 1.0).otherwise(0.0)
+    case _: org.apache.spark.sql.types.TimestampType => c.cast("double")
+    case _ => xxhash64(c).cast("double")
+  }
+
   /** Monotone quantile-bucket id of `c` given driver-computed boundaries:
     * the count of boundaries strictly below the value — a fold of `when`s,
     * whole-stage-codegen friendly (no UDF, no higher-order array calls in
     * the hot projection). Null values land in bucket 0. */
   private def bucketExpr(c: Column, bounds: Seq[Double]): Column =
     bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(c.cast("double") > lit(b), 1).otherwise(0)
+      acc + when(c > lit(b), 1).otherwise(0)
     }
 
   /** Interleave the low [[Bits]] bits of the per-column bucket ids into a
@@ -73,9 +96,12 @@ object Layout {
   }
 
   /** The z-value column for `cols` under `bounds` — exposed for specs and
-    * for planning the same code on a streaming writer. */
-  def zValue(cols: Seq[String], bounds: Map[String, Seq[Double]]): Column =
-    zExpr(cols.map(c => bucketExpr(col(c), bounds(c))))
+    * for planning the same code on a streaming writer. `df` supplies the
+    * column types for the surrogate projection. */
+  def zValue(df: DataFrame, cols: Seq[String],
+             bounds: Map[String, Seq[Double]]): Column =
+    zExpr(cols.map(c =>
+      bucketExpr(zNum(col(c), df.schema(c).dataType), bounds(c))))
 
   /** Write `df` z-ordered by `cols` into `nFiles` range-partitioned files:
     * one column-pruned PLANNING pass (a weighted reservoir sample yields
@@ -107,7 +133,7 @@ object Layout {
       acc + when(col("_z") > lit(b), 1).otherwise(0)
     }
     val tokens = partitionTokens(df.sparkSession, nFiles)
-    df.withColumn("_z", zValue(cols, bounds))
+    df.withColumn("_z", zValue(df, cols, bounds))
       .withColumn("_pt", element_at(typedLit(tokens.toSeq), pid + 1))
       .repartition(nFiles, col("_pt"))
       .sortWithinPartitions("_z")
@@ -119,16 +145,14 @@ object Layout {
     * the same order RangePartitioner itself samples. */
   private val SampleCap = 131072
 
-  /** ONE column-pruned pass planning a z-order write: a per-partition
-    * weighted reservoir sample (weight = partition rows / sample rows)
-    * from which the driver derives BOTH the per-column quantile-bucket
-    * bounds and the z-value range boundaries. Mirrors [[bucketExpr]] /
-    * [[zExpr]] bit-for-bit on the driver so planned boundaries and
-    * executed z values can never disagree. */
-  private[sinks] def planZ(df: DataFrame, cols: Seq[String], nFiles: Int)
-      : (Map[String, Seq[Double]], Seq[Long]) = {
+  /** The shared planning sample: ONE column-pruned pass collecting a
+    * per-partition weighted reservoir (weight = partition rows / sample
+    * rows) of the surrogate-projected clustering columns. */
+  private def weightedSample(df: DataFrame, cols: Seq[String])
+      : Array[(Array[Double], Double)] = {
     val d = cols.size
-    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
+    val proj = df.select(cols.map(c =>
+      zNum(col(c), df.schema(c).dataType)): _*)
     val nParts = proj.rdd.getNumPartitions.max(1)
     val perPart = math.max(16, SampleCap / nParts)
     val collected = proj.rdd.mapPartitionsWithIndex { (pi, it) =>
@@ -148,11 +172,62 @@ object Layout {
       }
       Iterator.single((buf.take(math.min(n, perPart.toLong).toInt), n))
     }.collect()
-    val weighted: Array[(Array[Double], Double)] =
-      collected.filter(_._2 > 0).flatMap { case (rows, n) =>
-        val w = n.toDouble / rows.length
-        rows.map(v => (v, w))
-      }
+    collected.filter(_._2 > 0).flatMap { case (rows, n) =>
+      val w = n.toDouble / rows.length
+      rows.map(v => (v, w))
+    }
+  }
+
+  /** SINGLE-KEY RANGE-CLUSTERED write — the two-pass shape of
+    * [[zorderWrite]] specialized to one ordering column at FULL
+    * boundary resolution (a 1-D z-value quantizes to [[Buckets]] cells,
+    * which caps effective output width at 16; range boundaries on the
+    * raw surrogate don't). Pass 1 plans nFiles−1 weighted quantile
+    * boundaries from the reservoir sample; pass 2 routes rows with a
+    * codegen'd when-chain + [[partitionTokens]] repartition and sorts
+    * in-partition — NEVER `repartitionByRange`, whose RangePartitioner
+    * re-scans the whole projected input to sample its own boundaries (an
+    * avoidable full-table pass at 100 TB). Nulls route to partition 0
+    * and sort first. */
+  def rangeWrite(df: DataFrame, keyCol: String, path: String,
+                 nFiles: Int): Unit = {
+    val sample = weightedSample(df, Seq(keyCol))
+    val sur = zNum(col(keyCol), df.schema(keyCol).dataType)
+    val boundaries =
+      if (sample.isEmpty) Seq.empty[Double]
+      else weightedQuantiles(
+        sample.iterator.filterNot(_._1(0).isNaN)
+          .map(x => (x._1(0), x._2)).toIndexedSeq match {
+          case v if v.isEmpty => IndexedSeq((0.0, 1.0))
+          case v => v
+        },
+        (1 until nFiles).map(_.toDouble / nFiles)).distinct
+    // partition 0 is the DEDICATED null band: a file of key-less rows
+    // carries all-null stats and prunes away from any finite range
+    // (sharing the lowest value band would poison that band's min/max
+    // with nothing and its file with unprunable rows). Empty when the
+    // key has no nulls — parquet writes no file for an empty partition.
+    val valuePid = boundaries.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(sur > lit(b), 1).otherwise(0)
+    }
+    val pid = when(sur.isNull, 0).otherwise(valuePid)
+    val tokens = partitionTokens(df.sparkSession, boundaries.size + 2)
+    df.withColumn("_pt", element_at(typedLit(tokens.toSeq), pid + 1))
+      .repartition(boundaries.size + 2, col("_pt"))
+      .sortWithinPartitions(col(keyCol).asc_nulls_first)
+      .drop("_pt")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** ONE column-pruned pass planning a z-order write: a per-partition
+    * weighted reservoir sample (weight = partition rows / sample rows)
+    * from which the driver derives BOTH the per-column quantile-bucket
+    * bounds and the z-value range boundaries. Mirrors [[bucketExpr]] /
+    * [[zExpr]] bit-for-bit on the driver so planned boundaries and
+    * executed z values can never disagree. */
+  private[sinks] def planZ(df: DataFrame, cols: Seq[String], nFiles: Int)
+      : (Map[String, Seq[Double]], Seq[Long]) = {
+    val weighted = weightedSample(df, cols)
     if (weighted.isEmpty) // empty input: degenerate single-cell layout
       return (cols.map(_ -> Seq.empty[Double]).toMap, Seq.empty)
     val colQs = (1 until Buckets).map(_.toDouble / Buckets)

@@ -71,8 +71,79 @@ object Snapshots {
   def latestVersion(spark: SparkSession, manifestRoot: String): Int = {
     val vs = versions(spark, manifestRoot)
     require(vs.nonEmpty, s"no committed versions under $manifestRoot")
-    vs.last
+    // CROSS-TABLE TXN visibility: a version staged by [[graft.sql.LakeTxn]]
+    // carries a pending marker and is INVISIBLE until its transaction's
+    // single commit file exists — that file creation is the one atomic
+    // instant at which every table's staged version appears together.
+    // Pending stages can only occupy the log TAIL (commitStaged refuses
+    // to build past an unresolved one), so this walk is O(1) amortized:
+    // resolved states memoize, an unresolved head re-checks one file.
+    vs.reverseIterator.find(v => txnVisible(spark, manifestRoot, v))
+      .getOrElse(throw new IllegalStateException(
+        s"every version under $manifestRoot is an unresolved or aborted " +
+          "transaction stage — nothing visible to read"))
   }
+
+  /** Content-marker filename a cross-table txn stage travels in (body =
+    * txn dir + txn id, newline-separated). */
+  private[graft] val TxnPendingMarker = "_txn_pending.txt"
+
+  /** The (txnDir, txnId) of a pending-staged version, if any. */
+  private[graft] def pendingInfo(spark: SparkSession, manifestRoot: String,
+                                 v: Int): Option[(String, String)] = {
+    val fs = hfs(spark, manifestRoot)
+    val p = new org.apache.hadoop.fs.Path(
+      s"$manifestRoot/v=$v", TxnPendingMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      val Array(dir, id) = body.split("\n", 2)
+      Some((dir, id))
+    }
+  }
+
+  // (root, v) → resolved visibility. Only RESOLVED states memoize
+  // (plain version → true; txn committed → true; txn aborted → false);
+  // an unresolved pending stage re-checks its txn file every call
+  // because the commit file can appear at any moment.
+  private val txnVisMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+
+  private[graft] def clearTxnVisMemo(manifestRoot: String): Unit =
+    txnVisMemo.keys.filter(_._1 == manifestRoot).foreach(txnVisMemo.remove)
+
+  private[graft] def txnVisible(spark: SparkSession, manifestRoot: String,
+                                v: Int): Boolean =
+    txnVisMemo.getOrElse((manifestRoot, v), {
+      pendingInfo(spark, manifestRoot, v) match {
+        case None =>
+          txnVisMemo.put((manifestRoot, v), true); true
+        case Some((dir, id)) =>
+          val fs = hfs(spark, dir)
+          if (fs.exists(new org.apache.hadoop.fs.Path(dir, s"commit_$id"))) {
+            txnVisMemo.put((manifestRoot, v), true); true
+          } else if (fs.exists(
+              new org.apache.hadoop.fs.Path(dir, s"abort_$id"))) {
+            txnVisMemo.put((manifestRoot, v), false); false
+          } else false // unresolved: re-check next call, never memoize
+      }
+    })
+
+  /** True when the log's RAW tail is an unresolved txn stage — the
+    * write-write conflict a new commit must refuse (building past the
+    * stage would silently discard it when its txn commits). */
+  private def tailUnresolved(spark: SparkSession,
+                             manifestRoot: String): Boolean =
+    versions(spark, manifestRoot).lastOption.exists { last =>
+      !txnVisible(spark, manifestRoot, last) &&
+        pendingInfo(spark, manifestRoot, last).exists { case (dir, id) =>
+          !hfs(spark, dir).exists(
+            new org.apache.hadoop.fs.Path(dir, s"abort_$id"))
+        }
+    }
 
   /** Commit `manifest` as the next version; returns the number it actually
     * landed at. The write stages once into a hidden uniquely-named temp dir
@@ -135,6 +206,13 @@ object Snapshots {
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
       out.write(body.getBytes("UTF-8")); out.close()
     }
+    // write-write conflict with an in-flight cross-table transaction:
+    // committing past an unresolved stage would silently bury it when
+    // its txn commits — refuse loudly; the txn owner resolves first.
+    require(!tailUnresolved(spark, manifestRoot),
+      s"$manifestRoot head is an unresolved cross-table transaction " +
+        "stage — concurrent write refused (commit or abort the " +
+        "transaction first)")
     var next = versions(spark, manifestRoot).lastOption.getOrElse(0) + 1
     var attempts = 0
     while (attempts < 100) {
@@ -360,7 +438,8 @@ object Snapshots {
   def tableAt(spark: SparkSession, manifestRoot: String,
               version: Int): DataFrame = {
     val entries = Dv.entries(manifestAt(spark, manifestRoot, version))
-    if (entries.nonEmpty) Dv.readLive(spark, entries)
+    if (entries.nonEmpty)
+      Dv.readLive(spark, entries, declaredAt(spark, manifestRoot, version))
     else {
       // EMPTY version — reachable once a covering DELETE can drop every
       // file, or from birth via CREATE TABLE ([[createEmptyTable]]). The
@@ -375,7 +454,9 @@ object Snapshots {
         .sorted.reverse.view
         .map(v => Dv.entries(manifestAt(spark, manifestRoot, v)))
         .find(_.nonEmpty) match {
-        case Some(prior) => Dv.readLive(spark, prior).limit(0)
+        case Some(prior) =>
+          Dv.readLive(spark, prior,
+            declaredAt(spark, manifestRoot, version)).limit(0)
         case None =>
           val declared = declaredSchemaAt(spark, manifestRoot, version)
             .getOrElse(throw new IllegalStateException(
@@ -397,7 +478,8 @@ object Snapshots {
     val hit = Dv.entries(m.filter(Layout.intersectsExpr(ranges)))
     val df =
       if (hit.isEmpty) tableAt(spark, manifestRoot, version).filter(lit(false))
-      else Dv.readLive(spark, hit).filter(Layout.inBoxExpr(ranges))
+      else Dv.readLive(spark, hit,
+        declaredAt(spark, manifestRoot, version)).filter(Layout.inBoxExpr(ranges))
     Layout.PrunedScan(df, hit.size.toLong, total)
   }
 
@@ -458,7 +540,8 @@ object Snapshots {
     val deleted =
       if (rewrite.isEmpty) 0L
       else {
-        val live = Dv.readLive(spark, rewrite)
+        val live = Dv.readLive(spark, rewrite,
+          declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
         val n = live.filter(pred).count()
         val staging = path + ".delete_staging"
         // survivors = NOT(pred), with null-match rows kept: a WHERE that
@@ -615,7 +698,8 @@ object Snapshots {
     val total = manifest.count()
     val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return UpdateResult(0, total, 0)
-    val live = Dv.readLive(spark, hit)
+    val live = Dv.readLive(spark, hit,
+      declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
     val lower = assignments.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
     val unknown = lower.keySet.diff(
@@ -671,7 +755,8 @@ object Snapshots {
     val total = manifest.count()
     val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return MoRUpdateResult(v, 0, total, 0, 0)
-    val live = Dv.readLiveWithPos(spark, hit)
+    val live = Dv.readLiveWithPos(spark, hit,
+      declaredAt(spark, manifestRoot, v))
     val dataCols = live.columns.toIndexedSeq
       .filterNot(c => c == "_dv_f" || c == "_dv_p")
     val lower = assignments.map { case (k, a) =>
@@ -734,7 +819,9 @@ object Snapshots {
   def appendCommit(spark: SparkSession, batch: DataFrame, cols: Seq[String],
                    path: String, manifestRoot: String, nFiles: Int,
                    tag: Option[String] = None,
-                   markers: Seq[String] = Seq.empty): (Int, Int) = {
+                   markers: Seq[String] = Seq.empty,
+                   contentFiles: Seq[(String, String)] = Seq.empty)
+      : (Int, Int) = {
     val prev =
       manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
         .localCheckpoint()
@@ -744,7 +831,8 @@ object Snapshots {
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols),
       allowMissingColumns = true)
-    (commit(spark, next, manifestRoot, tag, markers), moved.size)
+    (commit(spark, next, manifestRoot, tag, markers, contentFiles),
+      moved.size)
   }
 
   /** [[appendCommit]] in LOG-STRUCTURED form: the batch is staged and moved
@@ -785,12 +873,12 @@ object Snapshots {
     * Returns (version, files written). */
   def replaceCommit(spark: SparkSession, df: DataFrame, cols: Seq[String],
                     path: String, manifestRoot: String,
-                    nFiles: Int): (Int, Int) = {
+                    nFiles: Int, tag: Option[String] = None): (Int, Int) = {
     val staging = path + ".replace_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(df, cols, staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
     (commit(spark, Layout.buildManifestFor(spark, moved, cols),
-      manifestRoot), moved.size)
+      manifestRoot, tag = tag), moved.size)
   }
 
   /** COMPACTION as a version commit: the latest snapshot's files are
@@ -820,7 +908,8 @@ object Snapshots {
     // compaction reads LIVE rows: it is also the fold point for deletion
     // vectors — the rewritten files carry no mask, and the superseded
     // sidecars expire with the versions that referenced them
-    Layout.zorderWrite(Dv.readLive(spark, entries),
+    Layout.zorderWrite(
+      Dv.readLive(spark, entries, declaredAt(spark, manifestRoot, v)),
       zorderCols.getOrElse(cols), staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val next = Layout.buildManifestFor(spark, moved, cols)
@@ -854,7 +943,9 @@ object Snapshots {
     if (small.size < 2)
       return CompactSmallResult(v, 0, entries.size.toLong, 0)
     val staging = path + ".compact_small_" + java.util.UUID.randomUUID()
-    Layout.zorderWrite(Dv.readLive(spark, small), cols, staging, nFiles)
+    Layout.zorderWrite(
+      Dv.readLive(spark, small, declaredAt(spark, manifestRoot, v)),
+      cols, staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keep = manifestAt(spark, manifestRoot, v)
       .filter(col("file").isInCollection(big.map(_.file)))
@@ -893,7 +984,8 @@ object Snapshots {
     if (selected.size < 2 && !selected.exists(_.dv.isDefined))
       return CompactScopedResult(v, 0, total, 0)
     val staging = path + ".compact_scoped_" + java.util.UUID.randomUUID()
-    Layout.zorderWrite(Dv.readLive(spark, selected),
+    Layout.zorderWrite(
+      Dv.readLive(spark, selected, declaredAt(spark, manifestRoot, v)),
       zorderCols.getOrElse(cols), staging, nFiles)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keep =
@@ -958,8 +1050,10 @@ object Snapshots {
     val nOut = math.max(1, math.ceil(
       nFiles.toDouble * rewrite.size / flagged.size).toInt)
     val staging = path + ".cluster_staging_" + java.util.UUID.randomUUID()
-    Layout.zorderWrite(Dv.readLive(spark, rewrite.map(_._1)), clusterCols,
-      staging, nOut)
+    Layout.zorderWrite(
+      Dv.readLive(spark, rewrite.map(_._1),
+        declaredAt(spark, manifestRoot, v)),
+      clusterCols, staging, nOut)
     val moved = Layout.moveStagedIn(spark, staging, path)
     val keepM =
       if (keep.isEmpty) manifest.filter(lit(false))
@@ -1020,7 +1114,8 @@ object Snapshots {
         // live rows only: a merge rewriting a DV-masked file must not
         // resurrect its masked rows (the rewrite folds the mask away)
         val hitRows = Dv.readLive(spark,
-          Dv.entries(manifest.filter(col("file").isInCollection(hit))))
+          Dv.entries(manifest.filter(col("file").isInCollection(hit))),
+          declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
         // ONE aggregate job yields all three metric scalars (rows
         // updated = touched-target rows sharing a key with the source;
         // matched source rows; source total): per-key counts on each
@@ -1189,7 +1284,8 @@ object Snapshots {
     val rawHitRows =
       if (hit.isEmpty) None
       else Some(Dv.readLive(spark,
-          Dv.entries(manifest.filter(col("file").isInCollection(hit)))))
+          Dv.entries(manifest.filter(col("file").isInCollection(hit))),
+          declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot))))
     val targetSchema = targetSchemaHint.getOrElse(
       rawHitRows.map(_.schema).getOrElse(
         tableAt(spark, manifestRoot,
@@ -1362,7 +1458,8 @@ object Snapshots {
       if (hit.isEmpty) (None, 0L, 0L, 0L)
       else {
         val hitRows = Dv.readLive(spark,
-          Dv.entries(manifest.filter(col("file").isInCollection(hit))))
+          Dv.entries(manifest.filter(col("file").isInCollection(hit))),
+          declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
           .localCheckpoint()
         val hitKeys = hitRows.select(col(key)).distinct().localCheckpoint()
         val unmatched = hitRows.join(srcKeys, Seq(key), "left_anti")
@@ -1539,7 +1636,7 @@ object Snapshots {
     // arrives by append, whose feed has no removed side to clash with
     def rows(es: Seq[Dv.Entry]): Option[DataFrame] =
       if (es.isEmpty) None
-      else Some(Dv.readLive(spark, es))
+      else Some(Dv.readLive(spark, es, declaredAt(spark, manifestRoot, vTo)))
     val df = (rows(removed), rows(added)) match {
       case (None, None) =>
         // no file-level change at all: an empty feed with the table schema
@@ -1576,7 +1673,7 @@ object Snapshots {
     if (removed.isEmpty && added.isEmpty) return true
     if (removed.isEmpty || added.isEmpty) return false
     def fp(es: Seq[Dv.Entry]): Seq[Any] = {
-      val df = Dv.readLive(spark, es)
+      val df = Dv.readLive(spark, es, declaredAt(spark, manifestRoot, vTo))
       val cs = df.columns.sorted.map(col)
       df.agg(count(lit(1)),
           sum(xxhash64(cs: _*).cast("decimal(38,0)")),
@@ -1631,7 +1728,7 @@ object Snapshots {
   // merge every chunk of the newest version that carries any (keys are
   // disjoint across chunks, so merge order is irrelevant, and the atomic
   // dir rename publishes all chunks together or none).
-  private def propsMarkers(m: Map[String, String]): Seq[String] = {
+  private[graft] def propsMarkers(m: Map[String, String]): Seq[String] = {
     val parts = m.toSeq.sorted
       .map { case (k, v) => s"${b64e(k)}~${b64e(v)}" }
     parts.foreach(p => require(p.length <= 230,
@@ -1679,12 +1776,16 @@ object Snapshots {
           : Boolean = size() > 8192
     }
 
-  /** Drop a root's memoized property maps (re-created roots). */
-  def invalidateProperties(manifestRoot: String): Unit =
+  /** Drop a root's memoized property maps AND declared schemas
+    * (re-created roots). */
+  def invalidateProperties(manifestRoot: String): Unit = {
     propsCache.synchronized {
       val it = propsCache.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == manifestRoot) it.remove()
     }
+    clearSchemaMemo(manifestRoot)
+    clearTxnVisMemo(manifestRoot)
+  }
 
   def tableProperties(spark: SparkSession, manifestRoot: String,
                       version: Int): Map[String, String] = {
@@ -1742,6 +1843,38 @@ object Snapshots {
     * is too long for the name-encoded props marker). */
   private val SchemaMarker = "_schema.json"
 
+  // (root, version) → declared schema memo: a committed version's
+  // `_schema.json` is immutable (schema changes are NEW commits), so the
+  // memo is sound under the same discipline as the property memo — LRU
+  // bounded, invalidated with [[invalidateProperties]] when a root is
+  // re-created. Without it every declared-schema read walks the version
+  // dirs.
+  private val schemaMemo =
+    new java.util.LinkedHashMap[(String, Int), Option[StructType]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Option[StructType]])
+          : Boolean = size() > 8192
+    }
+
+  private[graft] def clearSchemaMemo(manifestRoot: String): Unit =
+    schemaMemo.synchronized {
+      val it = schemaMemo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == manifestRoot) it.remove()
+    }
+
+  /** Memoizing front of [[declaredSchemaAt]] — what the hot read paths
+    * call. */
+  def declaredAt(spark: SparkSession, manifestRoot: String,
+                 version: Int): Option[StructType] = {
+    val key = (manifestRoot, version)
+    schemaMemo.synchronized(Option(schemaMemo.get(key))).getOrElse {
+      val s = declaredSchemaAt(spark, manifestRoot, version)
+      schemaMemo.synchronized(schemaMemo.put(key, s))
+      s
+    }
+  }
+
   /** The DECLARED schema in force at `version`: the content of the
     * largest `_schema.json` marker at or below it (a CREATE TABLE writes
     * one into v1). None for tables born from data (CTAS, CONVERT,
@@ -1783,6 +1916,76 @@ object Snapshots {
           "(CTAS/CONVERT/register), not CREATE TABLE"))
     commit(spark, manifestAt(spark, manifestRoot, head), manifestRoot,
       contentFiles = Seq(SchemaMarker -> update(cur).json))
+  }
+
+  /** Is `from → to` a lossless TYPE WIDENING — the Delta type-widening
+    * whitelist (public contract): integral up-casts, int→double,
+    * float→double, and decimal precision growth at the same scale. Every
+    * member is value-preserving AND served natively by Spark's parquet
+    * readers when handed the wide schema, which is what keeps the widen
+    * commit METADATA-ONLY (old narrow files are read as the wide type,
+    * never rewritten). */
+  def widenOk(from: org.apache.spark.sql.types.DataType,
+              to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` as ONE metadata-only commit:
+    * the next version carries (a) the declared schema with the column
+    * widened (synthesized from the live read schema for tables born from
+    * data — widening works on CTAS tables too) and (b) the SAME manifest
+    * content with the column's min/max stats cast to the wide type — a
+    * FULL manifest commit, so later delta folds never mix narrow and
+    * wide stat columns (a full commit is a fold base). Nothing is
+    * scanned, no data file is touched: reads serve old narrow files AS
+    * the wide type through the declared-schema read path
+    * ([[graft.sinks.Dv.readLive]]), pinned pre-widen reads keep the
+    * narrow type (their version's declaration is unchanged), and the
+    * typed DML stats compiler sees wide native stat types from the new
+    * manifest on. Refused on column-mapped tables (the declared schema
+    * records logical names; the physical read pin would miss). */
+  def widenColumn(spark: SparkSession, manifestRoot: String,
+                  column: String,
+                  newType: org.apache.spark.sql.types.DataType): Int = {
+    val head = latestVersion(spark, manifestRoot)
+    require(columnMapping(spark, manifestRoot, head).isEmpty,
+      "ALTER COLUMN TYPE under a column mapping is not supported")
+    val lower = column.toLowerCase(java.util.Locale.ROOT)
+    val current = declaredAt(spark, manifestRoot, head)
+      .getOrElse(tableAt(spark, manifestRoot, head).schema)
+    val field = current.fields.find(
+      _.name.toLowerCase(java.util.Locale.ROOT) == lower).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN TYPE: no column '$column' " +
+          s"(have ${current.fieldNames.mkString(", ")})"))
+    require(widenOk(field.dataType, newType),
+      s"ALTER COLUMN TYPE: ${field.dataType.sql} → ${newType.sql} is not " +
+        "a lossless widening (supported: integral up-casts, int→double, " +
+        "float→double, decimal precision growth at the same scale)")
+    val widened = StructType(current.fields.map(f =>
+      if (f.name.toLowerCase(java.util.Locale.ROOT) == lower)
+        f.copy(dataType = newType)
+      else f))
+    val m = Dv.ensureDv(manifestAt(spark, manifestRoot, head))
+    val statMin = m.columns.find(_.equalsIgnoreCase(s"min_$lower"))
+    val statMax = m.columns.find(_.equalsIgnoreCase(s"max_$lower"))
+    val m2 = (statMin, statMax) match {
+      case (Some(mn), Some(mx)) =>
+        m.withColumn(mn, col(mn).cast(newType))
+          .withColumn(mx, col(mx).cast(newType))
+      case _ => m
+    }
+    commit(spark, m2, manifestRoot,
+      contentFiles = Seq(SchemaMarker -> widened.json))
   }
 
   /** `CREATE TABLE` — a table that exists BEFORE any data does: v1 is an
@@ -2423,7 +2626,7 @@ object Snapshots {
     val entries = Dv.entries(Dv.ensureDv(manifestAt(spark, manifestRoot, v)))
     val bad =
       if (entries.isEmpty) 0L
-      else Dv.readLive(spark, entries)
+      else Dv.readLive(spark, entries, declaredAt(spark, manifestRoot, v))
         .filter(!coalesce(expr(condition), lit(true))).count()
     if (bad > 0)
       throw new ConstraintViolationException(
@@ -2464,7 +2667,8 @@ object Snapshots {
     val entries = Dv.entries(Dv.ensureDv(manifestAt(spark, manifestRoot, v)))
     if (entries.nonEmpty) {
       val orphans = orphanCount(spark,
-        Dv.readLive(spark, entries), column, parentManifestRoot, parentKey)
+        Dv.readLive(spark, entries, declaredAt(spark, manifestRoot, v)),
+        column, parentManifestRoot, parentKey)
       if (orphans > 0)
         throw new ConstraintViolationException(
           s"cannot ADD FOREIGN KEY '$name' ($column → $parentKey): " +
@@ -2484,7 +2688,9 @@ object Snapshots {
                           parentKey: String): Long = {
     val parent = Dv.readLive(spark, Dv.entries(Dv.ensureDv(
         manifestAt(spark, parentManifestRoot,
-          latestVersion(spark, parentManifestRoot)))))
+          latestVersion(spark, parentManifestRoot)))),
+      declaredAt(spark, parentManifestRoot,
+        latestVersion(spark, parentManifestRoot)))
       .select(col(parentKey).as("_fk_p")).distinct()
     df.filter(col(column).isNotNull)
       .select(col(column).as("_fk_c")).distinct()
@@ -2632,7 +2838,8 @@ object Snapshots {
     val (survivorFiles, deleted) =
       if (rewrite.isEmpty) (Seq.empty[String], 0L)
       else {
-        val live = Dv.readLive(spark, rewrite)
+        val live = Dv.readLive(spark, rewrite,
+          declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
         val del = live.filter(pred).count()
         val sStaging = path + ".replace_surv_" + java.util.UUID.randomUUID()
         live.filter(!coalesce(pred, lit(false)))

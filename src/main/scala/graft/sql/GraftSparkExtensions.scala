@@ -51,6 +51,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // whose projection reads only fact columns drops the dim scan and the
     // join from the plan (graft.plans.RelyConstraints)
     ext.injectOptimizerRule(graft.plans.EliminateRelyJoins)
+    // transparent materialized-view serving: a coarser-or-equal
+    // aggregation over a base whose scanned version equals a registered
+    // MV's cursor is answered from the MV (graft.sql.MatViews)
+    ext.injectOptimizerRule(ServeFromMatViews)
     // EXTENSION GRAMMAR through plain spark.sql — the DeltaSqlParser
     // shape: a delegating parser intercepts the statements Spark's ANTLR
     // grammar has no productions for (OPTIMIZE, VACUUM, RESTORE, SHALLOW

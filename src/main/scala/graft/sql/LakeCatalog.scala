@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.sinks.{Dv, Snapshots}
-import graft.sources.v2.{CommitsTable, VersionOffset}
+import graft.sources.v2.CommitsTable
 import graft.sql.LakeSql.LakeTableSpec
 
 /** DataSource V2 [[TableCatalog]] for lake tables — the integration that
@@ -381,34 +381,61 @@ final case class LakeRowTable(tableName: String, spec: LakeTableSpec,
   * types: boolean/int/long/float/double/string/binary/date/timestamp —
   * a file carrying anything else fails loudly at read, never a silent
   * null. */
+/** Sub-version offset for ADMISSION CONTROL: `(v, files)` means every
+  * commit below `v` is fully consumed and the first `files` of `v`'s
+  * added-file list (sorted — the list is immutable once committed) are
+  * too. `files = Int.MaxValue` marks a fully-consumed version; a legacy
+  * plain-int checkpoint deserializes to exactly that, so pre-admission
+  * checkpoints restart cleanly. */
+final case class LakeRowsOffset(v: Int, files: Int) extends Offset {
+  override def json: String =
+    if (files == Int.MaxValue) v.toString else s"$v/$files"
+}
+
+object LakeRowsOffset {
+  def parse(json: String): LakeRowsOffset = json.trim.split("/") match {
+    case Array(v) => LakeRowsOffset(v.toInt, Int.MaxValue)
+    case Array(v, f) => LakeRowsOffset(v.toInt, f.toInt)
+    case _ => throw new IllegalArgumentException(
+      s"unreadable lake stream offset: '$json'")
+  }
+}
+
 final class LakeRowsMicroBatchStream(root: String, schema: StructType,
                                      opts: Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private val starting = opts.getOrElse("startingversion",
     opts.getOrElse("startingVersion", "0")).toInt
   private val ignoreDeletes =
     opts.getOrElse("ignoredeletes",
       opts.getOrElse("ignoreDeletes", "false")).toBoolean
+  // ADMISSION CONTROL (the Delta maxFilesPerTrigger knob): cap how many
+  // added files one micro-batch covers — a huge backfill commit streams
+  // as several bounded batches with (version, fileIndex) offsets instead
+  // of one trigger-sized spike. Unset ⇒ whole-commit batches (previous
+  // behavior).
+  private val maxFiles = opts.get("maxfilespertrigger")
+    .orElse(opts.get("maxFilesPerTrigger")).map(_.toInt)
+  maxFiles.foreach(n => require(n > 0,
+    s"maxFilesPerTrigger must be positive, got $n"))
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = VersionOffset(starting)
+  // per-stream memo of each version's validated added-file list: commits
+  // are immutable once renamed in, and the validation (append-only, no
+  // masks, no column mapping) is version-local — so one manifest diff per
+  // version per stream lifetime, shared by admission planning and batch
+  // planning.
+  private val addedMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, IndexedSeq[String]]
 
-  override def latestOffset(): Offset =
-    VersionOffset(Snapshots.versions(spark, root).lastOption
-      .getOrElse(starting))
-
-  override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.trim.toInt)
-
-  override def planInputPartitions(start: Offset,
-                                   end: Offset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[VersionOffset].v
-    val s1 = end.asInstanceOf[VersionOffset].v
-    val all = Snapshots.versions(spark, root)
-    val vs = all.filter(v => v > s0 && v <= s1)
-    vs.flatMap { v =>
+  private def addedFiles(v: Int, all: Seq[Int]): IndexedSeq[String] =
+    addedMemo.getOrElseUpdate(v, {
       require(Snapshots.columnMapping(spark, root, v).isEmpty,
         s"streamed table $root has column mapping in force at v=$v — " +
           "row-native streaming serves physical file bytes; stream the " +
@@ -431,8 +458,87 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
         s"commit v=$v of $root adds deletion-vector-masked files " +
           s"(${masked.map(_.file).mkString(", ")}) — appended ROWS " +
           "cannot express a mask; REORG … APPLY (PURGE) first")
-      added.map(_.file).toSeq.sorted
-        .map(f => LakeRowsPartition(f): InputPartition)
+      added.map(_.file).toIndexedSeq.sorted
+    })
+
+  override def initialOffset(): Offset =
+    LakeRowsOffset(starting, Int.MaxValue)
+
+  override def latestOffset(): Offset =
+    LakeRowsOffset(Snapshots.versions(spark, root).lastOption
+      .getOrElse(starting), Int.MaxValue)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  // Trigger.AvailableNow: pin the drain target at start; each bounded
+  // batch then advances toward it and the query stops when it's reached
+  // (without this interface Spark falls back to ONE unbounded batch,
+  // defeating admission control under the drain-and-stop trigger).
+  @volatile private var availableTarget: Option[LakeRowsOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(latestOffset().asInstanceOf[LakeRowsOffset])
+
+  private def offsetLeq(a: LakeRowsOffset, b: LakeRowsOffset): Boolean =
+    a.v < b.v || (a.v == b.v && a.files <= b.files)
+
+  /** Walk versions from `start`, spending the file budget; the returned
+    * offset cuts INSIDE a version when the budget runs out mid-commit —
+    * that cut is what splits one huge commit across triggers. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LakeRowsOffset]
+    val budget0 = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => return latestOffset()
+    }
+    val all = Snapshots.versions(spark, root)
+    var endV = s.v
+    var endF = s.files
+    var budget = budget0
+    val it = all.iterator.filter(_ >= s.v)
+    var cut = false
+    while (it.hasNext && !cut) {
+      val v = it.next()
+      val fs = addedFiles(v, all)
+      val from = if (v == s.v) math.min(s.files, fs.size) else 0
+      val avail = fs.size - from
+      if (avail <= budget) {
+        endV = v
+        endF = if (fs.size == from + avail) Int.MaxValue else from + avail
+        budget -= avail
+      } else {
+        endV = v; endF = from + budget; budget = 0; cut = true
+      }
+    }
+    val end0 = LakeRowsOffset(endV, endF)
+    // AvailableNow drain target: never advance past the offset pinned at
+    // query start (commits landing mid-drain belong to the next run)
+    val end = availableTarget match {
+      case Some(t) if !offsetLeq(end0, t) => t
+      case _ => end0
+    }
+    if (end.v == s.v && (end.files == s.files ||
+        (s.files != Int.MaxValue && end.files == Int.MaxValue &&
+          s.files >= addedFiles(s.v, all).size)))
+      s // no progress: hand back the start so the engine idles
+    else end
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LakeRowsOffset.parse(json)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeRowsOffset]
+    val e = end.asInstanceOf[LakeRowsOffset]
+    val all = Snapshots.versions(spark, root)
+    all.filter(v => v >= s.v && v <= e.v).flatMap { v =>
+      val fs = addedFiles(v, all)
+      val from = if (v == s.v) math.min(s.files, fs.size) else 0
+      val to = if (v == e.v) math.min(e.files, fs.size) else fs.size
+      if (from >= to) Seq.empty
+      else fs.slice(from, to).map(f => LakeRowsPartition(f): InputPartition)
     }.toArray
   }
 

@@ -249,6 +249,14 @@ object LakeSql {
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+SET\s+MASK\s*\((.*)\)\s*""".r
   private val DropMaskRe =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+DROP\s+MASK\s*""".r
+  //   ALTER TABLE <t> ALTER COLUMN <c> TYPE <widerType> → the Delta
+  //     TYPE-WIDENING contract as ONE metadata-only commit: declared
+  //     schema widens, manifest stats re-type, zero data files touched;
+  //     old narrow files read AS the wide type from then on, pinned
+  //     pre-widen reads keep the narrow type. Valid Spark SQL, so
+  //     claimed only for registered lake names (TRUNCATE discipline).
+  private val AlterColTypeRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+TYPE\s+([A-Za-z0-9_(),\s]+?)\s*""".r
 
   /** Table-property keys the governance policies ride. */
   private[sql] val RowFilterProp = "graft.policy.rowfilter"
@@ -272,6 +280,17 @@ object LakeSql {
   //     or an explicit ZORDER BY reset the per-file tags.
   private val OptimizeFullRe =
     """(?is)\s*OPTIMIZE\s+([A-Za-z0-9_.]+)\s+FULL\s*""".r
+  //   CREATE MATERIALIZED VIEW <n> [LOCATION '<dir>'] AS <agg query>
+  //   REFRESH MATERIALIZED VIEW <n>   → incremental change-feed fold
+  //   DROP MATERIALIZED VIEW <n>      → unregister (files stay, like
+  //                                     every other unregister)
+  //   (the Databricks MV surface; semantics in [[MatViews]])
+  private val CreateMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_.]+)\s+(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.+)""".r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_.]+)\s*""".r
+  private val DropMvRe =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_.]+)\s*""".r
 
   /** Table property carrying the clustering keys (comma-joined). Set by
     * `CREATE TABLE … CLUSTER BY` / `ALTER TABLE … CLUSTER BY`; read by
@@ -369,10 +388,19 @@ object LakeSql {
       case SetRowFilterRe(_, _) | DropRowFilterRe(_) | SetMaskRe(_, _, _) |
            DropMaskRe(_, _) =>
         Some(longSchema(Seq("version")))
+      case AlterColTypeRe(name, _, _) if isRegisteredName(name) =>
+        Some(longSchema(Seq("version")))
       case AlterClusterNoneRe(name) if isRegisteredName(name) =>
         Some(longSchema(Seq("version")))
       case AlterClusterRe(name, _) if isRegisteredName(name) =>
         Some(longSchema(Seq("version")))
+      case CreateMvRe(_, _, _) =>
+        Some(longSchema(Seq("version", "base_version")))
+      case RefreshMvRe(_) =>
+        Some(longSchema(Seq("version", "from_version", "to_version",
+          "feed_rows")))
+      case DropMvRe(_) =>
+        Some(longSchema(Seq("dropped")))
       case _ => None
     }
 
@@ -722,6 +750,12 @@ object LakeSql {
       metricsRow(spark, Seq("version" -> v.toLong))
     // GOVERNANCE POLICIES: row filter + column masks as property commits;
     // applied to every read by [[aliasedTableAt]] → [[applyPolicies]].
+    case AlterColTypeRe(name, colName, typeStr) if isRegisteredName(name) =>
+      val spec = specByName(name)
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(typeStr.trim)
+      metricsRow(spark, Seq("version" -> Snapshots.widenColumn(spark,
+        spec.manifestRoot, colName, dt).toLong))
     case SetRowFilterRe(name, cond) =>
       val spec = specByName(name)
       validatePolicyExpr(spark, spec, cond.trim, None)
@@ -748,6 +782,22 @@ object LakeSql {
     // re-clusters only the unclustered increment. Keys must carry
     // manifest stats (same rule as ZORDER BY — clustering a column no
     // stats can prune buys nothing).
+    // MATERIALIZED VIEWS (the Databricks MV surface; [[MatViews]]):
+    // CREATE materializes the algebraic aggregate as a lake table with
+    // the definition in its properties and an mvref_<baseVersion> cursor
+    // tag; REFRESH folds the base change feed since the cursor; DROP
+    // unregisters. Serving is the injected [[ServeFromMatViews]] rule.
+    case CreateMvRe(name, loc, query) =>
+      MatViews.create(spark, name, Option(loc), query)
+    case RefreshMvRe(name) =>
+      val r = MatViews.refresh(spark, name)
+      metricsRow(spark, Seq("version" -> r.version.toLong,
+        "from_version" -> r.fromVersion.toLong,
+        "to_version" -> r.toVersion.toLong,
+        "feed_rows" -> r.feedRows))
+    case DropMvRe(name) =>
+      metricsRow(spark,
+        Seq("dropped" -> (if (MatViews.drop(spark, name)) 1L else 0L)))
     case AlterClusterNoneRe(name) if isRegisteredName(name) =>
       val spec = specByName(name)
       metricsRow(spark, Seq("version" -> Snapshots.unsetProperties(spark,
@@ -1327,7 +1377,7 @@ object LakeSql {
     * cannot see — the Databricks contract is that policies govern DML
     * too, and this engine enforces it by refusal rather than silent
     * raw-row DML. (Plain INSERT stays open — it reads nothing.) */
-  private def requireDmlClearance(spark: SparkSession, spec: LakeTableSpec,
+  private[sql] def requireDmlClearance(spark: SparkSession, spec: LakeTableSpec,
                                   stmt: String): Unit = {
     if (spark.conf.get("graft.policy.bypass", "false").toBoolean) return
     val (filter, masks) = headPolicies(spark, spec)
@@ -1972,6 +2022,8 @@ object LakeSql {
   /** Root dir under which CTAS-created tables live (`<warehouse>/<name>`)
     * unless the statement carries an explicit `LOCATION`. */
   def setWarehouse(dir: String): Unit = warehouse.set(Some(dir))
+
+  private[sql] def warehouseDir: Option[String] = warehouse.get()
 
   /** `CREATE TABLE name [TBLPROPERTIES(...)] [LOCATION path] AS query` →
     * a NEW versioned lake table: the query result is z-ordered on the

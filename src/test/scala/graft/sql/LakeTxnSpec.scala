@@ -1,0 +1,98 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.sinks.Snapshots
+
+/** Round-17 item 4: cross-table atomic publish — readers see all staged
+  * tables or none; the crash window never shows a torn pair; concurrent
+  * writers are refused until the txn resolves. */
+class LakeTxnSpec extends SparkSpec {
+
+  private def fd(sql: String) = LakeSql.sql(spark, sql)
+
+  private def fixture(tag: String): String = {
+    import spark.implicits._
+    val root = tmpDir(tag)
+    LakeSql.unregister("tx_orders"); LakeSql.unregister("tx_cust")
+    LakeSql.setWarehouse(root)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .createOrReplaceTempView("txo_src")
+    Seq((10L, "a"), (20L, "b")).toDF("c", "n")
+      .createOrReplaceTempView("txc_src")
+    fd("CREATE TABLE tx_orders TBLPROPERTIES('stats_cols'='k','files'='1')" +
+      " AS SELECT * FROM txo_src")
+    fd("CREATE TABLE tx_cust TBLPROPERTIES('stats_cols'='c','files'='1')" +
+      " AS SELECT * FROM txc_src")
+    root
+  }
+
+  private def counts(): (Long, Long) = (
+    fd("SELECT count(*) AS n FROM tx_orders").head().getLong(0),
+    fd("SELECT count(*) AS n FROM tx_cust").head().getLong(0))
+
+  test("publishAppends lands both tables atomically; versions advance; " +
+      "rows visible together") {
+    import spark.implicits._
+    val root = fixture("txn1")
+    val r = LakeTxn.publishAppends(spark, s"$root/txnlog", Seq(
+      "tx_orders" -> Seq((3L, 30.0)).toDF("k", "v"),
+      "tx_cust" -> Seq((30L, "c")).toDF("c", "n")))
+    assert(r.versions == Map("tx_orders" -> 2, "tx_cust" -> 2))
+    assert(counts() == (3L, 3L))
+    LakeSql.unregister("tx_orders"); LakeSql.unregister("tx_cust")
+  }
+
+  test("crash window: both staged, no commit file — EVERY read serves " +
+      "the pre-txn snapshot (never a torn pair); the marker flips both " +
+      "at one instant; a replayed publish half is refused after abort") {
+    import spark.implicits._
+    val root = fixture("txn2")
+    val dir = s"$root/txnlog"
+    val id = "crashed-txn-1"
+    LakeTxn.stagePending(spark, dir, id, "tx_orders",
+      Seq((3L, 30.0)).toDF("k", "v"))
+    // window A: one table staged, the other not — both read OLD
+    assert(counts() == (2L, 2L), "torn: first stage leaked before commit")
+    LakeTxn.stagePending(spark, dir, id, "tx_cust",
+      Seq((30L, "c")).toDF("c", "n"))
+    // window B: both staged, still no commit file — both read OLD
+    assert(counts() == (2L, 2L), "torn: stages visible without the marker")
+    // a concurrent writer is refused while the txn is unresolved
+    val e = intercept[Exception](
+      fd("INSERT INTO tx_orders SELECT 9L AS k, 9.0 AS v"))
+    assert(e.getMessage.contains("transaction"), e.getMessage)
+    // the atomic instant: ONE create flips both tables together
+    LakeTxn.commitMarker(spark, dir, id)
+    assert(counts() == (3L, 3L), "commit marker did not flip both")
+    // committed txns cannot be aborted
+    assert(intercept[IllegalArgumentException](
+      LakeTxn.abort(spark, dir, id)).getMessage.contains("committed"))
+    LakeSql.unregister("tx_orders"); LakeSql.unregister("tx_cust")
+  }
+
+  test("abort: stages become permanently invisible, writers unblock, and " +
+      "the aborted slot never resurfaces") {
+    import spark.implicits._
+    val root = fixture("txn3")
+    val dir = s"$root/txnlog"
+    val id = "doomed-txn"
+    LakeTxn.stagePending(spark, dir, id, "tx_orders",
+      Seq((3L, 30.0)).toDF("k", "v"))
+    LakeTxn.abort(spark, dir, id)
+    assert(counts()._1 == 2L, "aborted stage leaked")
+    // writers unblock and land PAST the aborted slot
+    fd("INSERT INTO tx_orders SELECT 9L AS k, 9.0 AS v")
+    assert(counts()._1 == 3L)
+    assert(fd("SELECT sum(k) AS s FROM tx_orders").head().getLong(0) == 12L,
+      "aborted stage's rows resurfaced")
+    // an aborted txn cannot be committed
+    assert(intercept[IllegalArgumentException](
+      LakeTxn.commitMarker(spark, dir, id)).getMessage.contains("aborted"))
+    // snapshotAll returns a consistent pin set
+    val pins = LakeTxn.snapshotAll(spark, Seq("tx_orders", "tx_cust"))
+    assert(pins("tx_orders") ==
+      Snapshots.latestVersion(spark,
+        LakeSql.specOf("tx_orders").get.manifestRoot))
+    LakeSql.unregister("tx_orders"); LakeSql.unregister("tx_cust")
+  }
+}
