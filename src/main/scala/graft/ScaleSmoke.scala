@@ -276,8 +276,11 @@ object ScaleSmoke {
       val rc = Process(cmd, new java.io.File(tree), env: _*)
         .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
       require(rc == 0, s"bench in $tree exited $rc")
+      // Bench prints TWO JSON lines: the full one (with "queries") and
+      // a trailing compact one (without) — take the full one
       val line = out.toString.linesIterator
-        .filter(_.startsWith("{\"metric\"")).toSeq.lastOption.getOrElse(
+        .filter(l => l.startsWith("{\"metric\"") && l.contains("\"queries\":"))
+        .toSeq.lastOption.getOrElse(
         sys.error(s"no bench JSON line from $tree"))
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(line).get("queries")
@@ -291,6 +294,13 @@ object ScaleSmoke {
     }
     val aRuns = collection.mutable.Buffer.empty[Map[String, Double]]
     val bRuns = collection.mutable.Buffer.empty[Map[String, Double]]
+    // one DISCARDED warm-up per side: the ref-worktree compile that just
+    // ran (and anything else the host was digesting) otherwise lands on
+    // the first counted HEAD rep — the round-17 trial measured a phantom
+    // 1.25× that two clean re-runs dissolved to 0.96-1.07
+    println(s"[abench] warm-up (discarded) …")
+    bench(repo) : Unit
+    bench(wt) : Unit
     for (i <- 1 to reps) {
       println(s"[abench] rep $i/$reps HEAD …"); aRuns += bench(repo)
       println(s"[abench] rep $i/$reps $ref …"); bRuns += bench(wt)

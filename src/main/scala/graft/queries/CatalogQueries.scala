@@ -220,6 +220,68 @@ object CatalogQueries {
         .withColumn("exactly_once_ok", lit(exactlyOnce))
     }),
 
+    // DELTA _delta_log INTEROP (q282, the round-16 "missing" list's last
+    // ring): read an ACTUAL Delta table — JSON log actions, the format
+    // the reference's production Databricks side writes — with no delta
+    // jars, from the public protocol alone; then adopt it as a lake
+    // table ZERO-COPY (footer-stats manifest over the live files) so the
+    // whole engine surface applies. The fixture is written through the
+    // interop's own minimal Delta WRITER (protocol 1/2 JSON commits), so
+    // both directions of the interop are exercised. Gates in-query:
+    // replay counts per version (adds accumulate, removes drop, time
+    // travel pins), lake-vs-delta read parity after conversion, and the
+    // adopted manifest PRUNES a key band. Oracle replays the slices.
+    "q282_delta_interop" -> ((s, dir) => {
+      import graft.sources.DeltaInterop
+      val root = tmp("q282")
+      val dt = s"$root/dt"
+      LakeSql.unregister("dlake282")
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      def slice(lo: Int, hi: Int) =
+        orders.filter(col("o_custkey").between(lo, hi))
+      DeltaInterop.landFile(slice(1, 60), dt, "part-a.parquet")
+      DeltaInterop.landFile(slice(61, 120), dt, "part-b.parquet")
+      DeltaInterop.writeCommit(s, dt, 0, Some(orders.schema),
+        adds = Seq("part-a.parquet" -> Nil, "part-b.parquet" -> Nil))
+      DeltaInterop.landFile(slice(121, 180), dt, "part-c.parquet")
+      DeltaInterop.writeCommit(s, dt, 1, None,
+        adds = Seq("part-c.parquet" -> Nil))
+      DeltaInterop.writeCommit(s, dt, 2, None,
+        removes = Seq("part-b.parquet"))
+      val nA = slice(1, 60).count(); val nB = slice(61, 120).count()
+      val nC = slice(121, 180).count()
+      val replayOk =
+        DeltaInterop.read(s, dt, Some(0L)).count() == nA + nB &&
+        DeltaInterop.read(s, dt, Some(1L)).count() == nA + nB + nC &&
+        DeltaInterop.read(s, dt).count() == nA + nC
+      require(replayOk, "q282 log replay / time travel miscounted")
+      // zero-copy adoption: manifest over the live files, lake surface on
+      val v = DeltaInterop.convertToLake(s, dt, "dlake282",
+        s"$root/m", Seq("o_custkey"))
+      LakeSql.register("dlake282",
+        graft.sql.LakeSql.LakeTableSpec(dt, s"$root/m", Seq("o_custkey"), 8))
+      val lake = LakeSql.sql(s,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM dlake282")
+      val delta = DeltaInterop.read(s, dt)
+      val parityOk = v == 1 && lake.exceptAll(delta).isEmpty &&
+        delta.exceptAll(lake).isEmpty
+      require(parityOk, "q282 adopted lake read diverged from delta read")
+      // the adopted manifest prunes: a band over one slice's custkeys
+      // must not plan every file
+      val m = graft.sinks.Snapshots.manifestAt(s, s"$root/m", 1)
+      val total = m.count()
+      val hit = m.filter(col("min_o_custkey") <= 60L &&
+        col("max_o_custkey") >= 1L).count()
+      val prunedOk = hit < total
+      require(prunedOk, s"q282 adopted manifest pruned nothing: $hit/$total")
+      LakeSql.sql(s, "SELECT o_orderkey, o_custkey, o_totalprice " +
+          "FROM dlake282 WHERE o_custkey BETWEEN 1 AND 60")
+        .withColumn("replay_ok", lit(replayOk))
+        .withColumn("parity_ok", lit(parityOk))
+        .withColumn("pruned_ok", lit(prunedOk))
+    }),
+
     // IDENTITY + NOT NULL (round-15 verdict item 3): the gold star
     // schema's surrogate-key dim (reference `run_load.py:113-124`) built
     // PURELY by INSERTs into a `GENERATED ALWAYS AS IDENTITY` column.
@@ -542,6 +604,14 @@ object CatalogQueries {
         |  TRUE AS exactly_once_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 20 AND 130""".stripMargin,
+    // q282: the head snapshot = slice A (custkey 1..60) + slice C
+    // (121..180) — B was removed at v2; the emitted band is A; replay/
+    // parity/prune gates are literal true (require'd in-query).
+    "q282_delta_interop" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS replay_ok, TRUE AS parity_ok, TRUE AS pruned_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 1 AND 60""".stripMargin,
     // q279: the drained stream carries exactly the two committed slices;
     // batching gates are literal true (require'd in-query).
     "q279_stream_admission" ->
