@@ -19,9 +19,10 @@ import graft.sinks.Layout
   * paths that matter:
   *
   *  - [[shredWrite]] clusters the table on one extracted path
-  *    (`repartitionByRange` + in-file sort) and materializes each shred
-  *    path as a physical `_shred_<alias>` BIGINT/DOUBLE column next to
-  *    the variant binary — exactly the parquet variant-shredding layout.
+  *    ([[Layout.rangeWrite]]: sampled boundaries + in-file sort) and
+  *    materializes each shred path as a physical `_shred_<alias>`
+  *    BIGINT/DOUBLE column next to the variant binary — exactly the
+  *    parquet variant-shredding layout.
   *  - [[manifest]] builds the per-file min/max stats for the shredded
   *    columns from PARQUET FOOTERS ([[Layout.buildManifestFor]] fast
   *    path): zero data scan, driver work bounded by file count.
@@ -67,12 +68,13 @@ object VariantShred {
     val withShreds = shreds.foldLeft(df)((d, sp) =>
       d.withColumn(shredCol(sp.alias),
         variant_get(col(variantCol), sp.path, sp.typ)))
-    // Layout's two-pass range writer (round-17 verdict item 6): ONE
-    // planning sample fixes the boundaries, then the shuffle — the old
-    // `repartitionByRange` paid RangePartitioner's OWN full-input
-    // sampling scan on top, one avoidable pass over the corpus per shred
-    // write at 100 TB. Null extractions still route to partition 0 and
-    // sort first.
+    // Layout's two-pass range writer (round-17 verdict item 6): the
+    // planning pass samples a SINGLE-KEY projection (one variant_get on
+    // the clustering path), where `repartitionByRange`'s RangePartitioner
+    // sampled through the full staged projection — every shred's
+    // variant_get plus the variant binary, per sampled row. Nulls now
+    // land in a dedicated partition whose all-null stats prune away from
+    // any finite range.
     Layout.rangeWrite(withShreds, shredCol(shreds.head.alias), path, nFiles)
   }
 

@@ -2453,8 +2453,11 @@ object SqlQueries {
       LakeSql.sql(s, "DROP MATERIALIZED VIEW mv277")
       LakeSql.unregister("base277")
       val view = s"q277_src_${java.util.UUID.randomUUID.toString.take(8)}"
+      // capped base: the gates are about COMMITS and plan shapes, not
+      // fixture volume — a custkey slice keeps the bench bill honest
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .filter(col("o_custkey").between(1, 800))
         .createOrReplaceTempView(view)
       LakeSql.sql(s, s"CREATE TABLE base277 TBLPROPERTIES(" +
         s"'stats_cols'='o_custkey','files'='8') LOCATION '$root/base' " +
@@ -2664,20 +2667,24 @@ object SqlQueries {
       // odd modulus: residues mix even and odd custkeys, so the
       // differently-cased sides actually meet (an even modulus would
       // make the parity split keep residue classes apart — empty join)
-      val base = t(s, dir, "customer").select(
-        concat(lit("c"), (col("c_custkey") % 37).cast("string"),
-          lit("@Example.COM")).as("e"),
-        col("c_custkey"))
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey").between(1, 2000))
+        .select(
+          concat(lit("c"), (col("c_custkey") % 37).cast("string"),
+            lit("@Example.COM")).as("e"),
+          col("c_custkey"))
       base.filter(col("c_custkey") % 2 === 0)
         .select(upper(col("e")).as("email"), col("c_custkey").as("ka"))
         .createOrReplaceTempView("q281_a")
       base.filter(col("c_custkey") % 2 === 1)
         .select(lower(col("e")).as("email"), col("c_custkey").as("kb"))
         .createOrReplaceTempView("q281_b")
+      // collated PARTITION BY + ORDER BY: per-group rank, never a
+      // GLOBAL window (a single-partition sort is the 100 TB anti-shape)
       val joined = s.sql(
         """SELECT a.email AS email_a, a.ka, b.kb,
-          |  row_number() OVER (ORDER BY a.email COLLATE UTF8_LCASE,
-          |                     a.ka, b.kb) AS rn
+          |  row_number() OVER (PARTITION BY a.email COLLATE UTF8_LCASE
+          |                     ORDER BY a.ka, b.kb) AS rn
           |FROM q281_a a JOIN q281_b b
           |  ON a.email COLLATE UTF8_LCASE = b.email COLLATE UTF8_LCASE
           |""".stripMargin).localCheckpoint()
@@ -2688,7 +2695,8 @@ object SqlQueries {
         plan.take(2000))
       val rewrite = s.sql(
         """SELECT a.email AS email_a, a.ka, b.kb,
-          |  row_number() OVER (ORDER BY lower(a.email), a.ka, b.kb) AS rn
+          |  row_number() OVER (PARTITION BY lower(a.email)
+          |                     ORDER BY a.ka, b.kb) AS rn
           |FROM q281_a a JOIN q281_b b ON lower(a.email) = lower(b.email)
           |""".stripMargin)
       val parityOk = joined.exceptAll(rewrite).isEmpty &&
@@ -3192,11 +3200,14 @@ object SqlQueries {
     // over raw orders and recompute the rollup the refreshed view serves;
     // gates are literal true (each `require`d in-query).
     "q277_matview_sql" ->
-      """WITH ins AS (
+      """WITH src AS (
         |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  WHERE o_custkey BETWEEN 1 AND 800),
+        |ins AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM src
         |  UNION ALL
         |  SELECT o_orderkey + 10000000, o_custkey + 3, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |  FROM src WHERE o_orderkey % 7 = 0),
         |d AS (SELECT * FROM ins WHERE NOT (o_custkey BETWEEN 10 AND 40)),
         |u AS (SELECT o_orderkey,
         |        CASE WHEN o_custkey BETWEEN 41 AND 60
@@ -3242,14 +3253,14 @@ object SqlQueries {
       """WITH base AS (
         |  SELECT 'c' || CAST(c_custkey % 37 AS VARCHAR) || '@Example.COM'
         |    AS e, c_custkey
-        |  FROM customer),
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 2000),
         |a AS (SELECT upper(e) AS email, c_custkey AS ka FROM base
         |      WHERE c_custkey % 2 = 0),
         |b AS (SELECT lower(e) AS email, c_custkey AS kb FROM base
         |      WHERE c_custkey % 2 = 1)
         |SELECT a.email AS email_a, a.ka, b.kb,
-        |  (row_number() OVER (ORDER BY lower(a.email), a.ka, b.kb))::INTEGER
-        |    AS rn,
+        |  (row_number() OVER (PARTITION BY lower(a.email)
+        |                      ORDER BY a.ka, b.kb))::INTEGER AS rn,
         |  true AS equi_plan_ok, true AS parity_ok
         |FROM a JOIN b ON lower(a.email) = lower(b.email)""".stripMargin,
   )
