@@ -24,7 +24,19 @@ object Ivm {
     * through the full-outer merge; groups whose maintained count reaches
     * zero leave the view (their residual sum is definitionally zero too —
     * dropping the row, not testing the float, is what keeps accumulated
-    * ulp drift from leaking tombstone groups). */
+    * ulp drift from leaking tombstone groups).
+    *
+    * NULL discipline: `sum(col)` over a group whose values are ALL NULL
+    * is NULL, not 0 — a stored NULL sum with no delta (or a NULL delta)
+    * must stay NULL, and a NULL-sum group first receiving non-null rows
+    * becomes exactly the delta. Both-sides-NULL therefore folds to NULL;
+    * any non-null side folds through the 0-coalesce. The one case the
+    * fold CANNOT express is a DELETE that removes the last non-null value
+    * from a group that keeps NULL rows (sum must return to NULL, but
+    * sum+count carry no non-null count) — [[graft.sql.MatViews.refresh]]
+    * routes delete-bearing feeds to a per-group recompute for exactly
+    * this reason (plus MIN/MAX); direct callers feeding deletes accept
+    * the 0-for-NULL residue documented here. */
   def applyFeed(view: DataFrame, feed: DataFrame, keys: Seq[String],
                 sums: Seq[(String, String)], cnt: String): DataFrame = {
     val sgn = when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
@@ -34,7 +46,9 @@ object Ivm {
     val names = cnt +: sums.map(_._1)
     view.join(delta, keys, "full_outer")
       .select(keys.map(col) ++ names.map(n =>
-        (coalesce(col(n), lit(0)) + coalesce(col(s"_d_$n"), lit(0))).as(n)): _*)
+        when(col(n).isNull && col(s"_d_$n").isNull, lit(null))
+          .otherwise(coalesce(col(n), lit(0)) +
+            coalesce(col(s"_d_$n"), lit(0))).as(n)): _*)
       .filter(col(cnt) > 0)
   }
 }

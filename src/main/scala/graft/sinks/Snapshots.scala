@@ -132,6 +132,28 @@ object Snapshots {
       }
     })
 
+  /** True when version `v` is a txn stage whose transaction is neither
+    * committed nor aborted — the one state a concurrent committer must
+    * never build past (landing a manifest above it silently buries the
+    * staged content when its txn later commits). */
+  private def unresolvedStage(spark: SparkSession, manifestRoot: String,
+                              v: Int): Boolean =
+    pendingInfo(spark, manifestRoot, v).exists { case (dir, id) =>
+      val f = hfs(spark, dir)
+      !f.exists(new org.apache.hadoop.fs.Path(dir, s"commit_$id")) &&
+        !f.exists(new org.apache.hadoop.fs.Path(dir, s"abort_$id"))
+    }
+
+  /** Committed AND txn-visible versions, ascending — the version set
+    * every READER (batch pin, stream discovery, delta fold) must walk:
+    * pending/aborted txn stages occupy version slots in the raw log but
+    * are not part of table history (an unresolved stage becomes history
+    * only at its txn's commit instant; an aborted one never does). */
+  private[graft] def visibleVersions(spark: SparkSession,
+                                     manifestRoot: String): Seq[Int] =
+    versions(spark, manifestRoot)
+      .filter(v => txnVisible(spark, manifestRoot, v))
+
   /** True when the log's RAW tail is an unresolved txn stage — the
     * write-write conflict a new commit must refuse (building past the
     * stage would silently discard it when its txn commits). */
@@ -139,10 +161,7 @@ object Snapshots {
                              manifestRoot: String): Boolean =
     versions(spark, manifestRoot).lastOption.exists { last =>
       !txnVisible(spark, manifestRoot, last) &&
-        pendingInfo(spark, manifestRoot, last).exists { case (dir, id) =>
-          !hfs(spark, dir).exists(
-            new org.apache.hadoop.fs.Path(dir, s"abort_$id"))
-        }
+        unresolvedStage(spark, manifestRoot, last)
     }
 
   /** Commit `manifest` as the next version; returns the number it actually
@@ -217,6 +236,18 @@ object Snapshots {
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
+      // tailUnresolved was checked once BEFORE the loop — a concurrent
+      // txn stage can take a version slot between that check and any
+      // rename attempt here (lost CAS or stale versions() read), and
+      // landing our manifest past it would silently bury the staged
+      // content when its txn commits. Pending stages are tail-only, so
+      // re-checking the slot directly below the one we are about to take
+      // closes every such path.
+      require(next <= 1 ||
+        !unresolvedStage(spark, manifestRoot, next - 1),
+        s"$manifestRoot v=${next - 1} is an unresolved cross-table " +
+          "transaction stage that landed mid-commit — concurrent write " +
+          "refused (commit or abort the transaction first)")
       val dest = new org.apache.hadoop.fs.Path(s"$manifestRoot/v=$next")
       if (fs.exists(dest)) next += 1 // lost before trying: take the next slot
       else if (fs.rename(tmp, dest)) {
@@ -384,7 +415,11 @@ object Snapshots {
 
   def foldInfo(spark: SparkSession, manifestRoot: String,
                version: Int): FoldInfo = {
-    val vs = versions(spark, manifestRoot).filter(_ <= version)
+    // visible versions only: an ABORTED txn stage occupies a version slot
+    // with a full manifest that was never table history — choosing it as
+    // the fold base (or counting it in the delta tail) would serve the
+    // aborted content to every read of a later delta commit
+    val vs = visibleVersions(spark, manifestRoot).filter(_ <= version)
     require(vs.contains(version), s"version $version not committed")
     val fulls = vs.filterNot(isDelta(spark, manifestRoot, _))
     val ckpts = checkpoints(spark, manifestRoot).filter(_ <= version)
@@ -406,6 +441,14 @@ object Snapshots {
     * their union. */
   def manifestAt(spark: SparkSession, manifestRoot: String,
                  version: Int): DataFrame = {
+    // TXN VISIBILITY for pinned reads: a version staged by an unresolved
+    // or aborted cross-table txn is not table history — an explicit
+    // `VERSION AS OF` of it must refuse loudly, not leak pre-publish (or
+    // never-published) content
+    require(txnVisible(spark, manifestRoot, version),
+      s"version $version of $manifestRoot is a cross-table transaction " +
+        "stage that is not (or never became) visible — reads serve only " +
+        "committed history")
     if (!isDelta(spark, manifestRoot, version))
       return spark.read.parquet(s"$manifestRoot/v=$version")
     val info = foldInfo(spark, manifestRoot, version)
@@ -413,7 +456,7 @@ object Snapshots {
         spark.read.parquet(s"$manifestRoot/ckpt=${info.base}")
       else spark.read.parquet(s"$manifestRoot/v=${info.base}"))
       .withColumn(ActionCol, lit("add")).withColumn("_v", lit(info.base))
-    val deltas = versions(spark, manifestRoot)
+    val deltas = visibleVersions(spark, manifestRoot)
       .filter(v => v > info.base && v <= version)
       .map(v => spark.read.parquet(s"$manifestRoot/v=$v")
         .withColumn("_v", lit(v)))
@@ -450,7 +493,7 @@ object Snapshots {
       // table that has never held data serves its DECLARED schema (the
       // `graft.schema` table property CREATE TABLE commits); a table with
       // neither has no schema to serve and fails loudly.
-      versions(spark, manifestRoot).filter(_ < version)
+      visibleVersions(spark, manifestRoot).filter(_ < version)
         .sorted.reverse.view
         .map(v => Dv.entries(manifestAt(spark, manifestRoot, v)))
         .find(_.nonEmpty) match {

@@ -111,8 +111,13 @@ object DeltaInterop {
           val path = java.net.URLDecoder.decode(
             add.get("path").asText(), "UTF-8")
           val pv = Option(add.get("partitionValues"))
+          // Delta encodes a null partition value as JSON null; Jackson
+          // hands that back as a NON-null NullNode whose asText() is the
+          // string "null" — filter explicit nulls so string-typed
+          // partition columns get SQL NULL, not the literal text "null"
           live.put(path, partCols.map(c =>
-            pv.flatMap(m => Option(m.get(c))).map(_.asText()).orNull))
+            pv.flatMap(m => Option(m.get(c))).filterNot(_.isNull)
+              .map(_.asText()).orNull))
         }
         if (node.has("remove")) {
           val path = java.net.URLDecoder.decode(

@@ -434,17 +434,30 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
   private val addedMemo =
     scala.collection.concurrent.TrieMap.empty[Int, IndexedSeq[String]]
 
+  /** TXN-VISIBLE versions only (ADVICE r18, high): version discovery
+    * through raw Snapshots.versions streamed an UNRESOLVED cross-table
+    * txn stage to sinks before its commit marker existed — and kept the
+    * rows even if the txn later aborted. All stream planning walks this
+    * list instead; an invisible stage enters it only at (and if) its
+    * txn's atomic commit instant, exactly like batch readers. */
+  private def visible: Seq[Int] = Snapshots.visibleVersions(spark, root)
+
   private def addedFiles(v: Int, all: Seq[Int]): IndexedSeq[String] =
     addedMemo.getOrElseUpdate(v, {
       require(Snapshots.columnMapping(spark, root, v).isEmpty,
         s"streamed table $root has column mapping in force at v=$v — " +
           "row-native streaming serves physical file bytes; stream the " +
           "$commits bridge instead")
-      def pairs(x: Int): Set[Dv.Entry] =
-        if (x < 1 || !all.contains(x)) Set.empty
-        else Dv.entries(Snapshots.manifestAt(spark, root, x)).toSet
-      val prev = pairs(v - 1)
-      val cur = pairs(v)
+      def pairs(x: Option[Int]): Set[Dv.Entry] = x match {
+        case None => Set.empty
+        case Some(y) => Dv.entries(Snapshots.manifestAt(spark, root, y)).toSet
+      }
+      // diff against the nearest VISIBLE predecessor: v-1 may be an
+      // aborted txn stage whose manifest was never table history — the
+      // memo is stable because pending stages are tail-only, so once v is
+      // visible every version below it is permanently resolved
+      val prev = pairs(all.filter(_ < v).lastOption)
+      val cur = pairs(Some(v))
       val removed = prev -- cur
       if (removed.nonEmpty && !ignoreDeletes)
         throw new IllegalStateException(
@@ -465,8 +478,7 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
     LakeRowsOffset(starting, Int.MaxValue)
 
   override def latestOffset(): Offset =
-    LakeRowsOffset(Snapshots.versions(spark, root).lastOption
-      .getOrElse(starting), Int.MaxValue)
+    LakeRowsOffset(visible.lastOption.getOrElse(starting), Int.MaxValue)
 
   override def getDefaultReadLimit: ReadLimit =
     maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -492,7 +504,7 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
       case mf: ReadMaxFiles => mf.maxFiles()
       case _ => return latestOffset()
     }
-    val all = Snapshots.versions(spark, root)
+    val all = visible
     var endV = s.v
     var endF = s.files
     var budget = budget0
@@ -532,7 +544,7 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
                                    end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeRowsOffset]
     val e = end.asInstanceOf[LakeRowsOffset]
-    val all = Snapshots.versions(spark, root)
+    val all = visible
     all.filter(v => v >= s.v && v <= e.v).flatMap { v =>
       val fs = addedFiles(v, all)
       val from = if (v == s.v) math.min(s.files, fs.size) else 0

@@ -29,6 +29,22 @@ class IvmSpec extends SparkSpec {
     assert(out == Set((9, 2L, 7.0)))
   }
 
+  test("NULL sums are preserved: a stored NULL sum with no (or NULL) " +
+      "delta stays NULL instead of folding to 0; non-null deltas enter " +
+      "through the 0-coalesce") {
+    // group 1: stored sum NULL (all base values NULL), untouched by feed
+    // group 2: stored sum NULL, receives a non-null insert → becomes 3.0
+    // group 3: new group arriving with only NULL values → NULL sum
+    val v = Seq((1, 2L, Option.empty[Double]), (2, 1L, Option.empty[Double]))
+      .toDF("k", "cnt", "total")
+    val f = Seq((2, Option(3.0), "insert"), (3, Option.empty[Double], "insert"))
+      .toDF("k", "v", "change_type")
+    val out = Ivm.applyFeed(v, f, Seq("k"), Seq("total" -> "v"), "cnt")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set((1, 2L, None), (2, 2L, Some(3.0)), (3, 1L, None)))
+  }
+
   test("an empty feed is the identity") {
     val out = Ivm.applyFeed(view((1, 2L, 10.0)), feed(),
       Seq("k"), Seq("total" -> "v"), "cnt")

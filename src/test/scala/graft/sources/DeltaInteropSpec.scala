@@ -62,6 +62,27 @@ class DeltaInteropSpec extends SparkSpec {
     assert(byP == Map(1 -> 10L, 2 -> 20L))
   }
 
+  test("a JSON-null partition value reads as SQL NULL, not the literal " +
+      "string \"null\" (Jackson NullNode.asText() trap)") {
+    val dir = tmpDir("delta_nullpv")
+    DeltaInterop.landFile(spark.range(0, 5).select($"id".as("k")),
+      dir, "p=a/part-a.parquet")
+    DeltaInterop.landFile(spark.range(5, 8).select($"id".as("k")),
+      dir, "p=null/part-n.parquet")
+    val full = StructType(Seq(StructField("k", LongType),
+      StructField("p", StringType)))
+    DeltaInterop.writeCommit(spark, dir, 0, Some(full),
+      partitionCols = Seq("p"),
+      adds = Seq("p=a/part-a.parquet" -> Seq("a"),
+        "p=null/part-n.parquet" -> Seq(null)))
+    val df = DeltaInterop.read(spark, dir)
+    assert(df.filter($"p".isNull).count() == 3L,
+      "null partition value did not surface as SQL NULL")
+    assert(df.filter($"p" === "null").count() == 0L,
+      "null partition value surfaced as the literal string \"null\"")
+    assert(df.filter($"p" === "a").count() == 5L)
+  }
+
   test("refusals are loud: checkpoint-truncated log, column mapping") {
     val dir = tmpDir("delta3")
     mk(dir, "part-a.parquet", 0, 10)

@@ -95,4 +95,57 @@ class LakeTxnSpec extends SparkSpec {
         LakeSql.specOf("tx_orders").get.manifestRoot))
     LakeSql.unregister("tx_orders"); LakeSql.unregister("tx_cust")
   }
+
+  test("STREAMING txn visibility: an unresolved stage is never emitted, " +
+      "an aborted stage's rows never stream, a committed stage streams " +
+      "after its marker, and VERSION AS OF a staged version refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.txv")
+    spark.sql("DROP TABLE IF EXISTS lake.txv.t")
+    spark.sql("CREATE TABLE lake.txv.t (k BIGINT) USING lake " +
+      "TBLPROPERTIES ('stats_cols' = 'k', 'files' = '1')")
+    spark.sql("INSERT INTO lake.txv.t SELECT id AS k FROM range(0, 10)")
+    val ckpt = tmpDir("txv_ckpt")
+    val out = tmpDir("txv_out")
+    var seen = Set.empty[Long]
+    def drain(): Set[Long] = { // only NEW rows since the last drain
+      val q = spark.readStream.table("lake.txv.t")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val all = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+      val fresh = all -- seen
+      seen = all
+      fresh
+    }
+    assert(drain() == (0L until 10L).toSet)
+    val dir = tmpDir("txv_log")
+    // UNRESOLVED stage: the streamed head must stay below it
+    val vStaged = LakeTxn.stagePending(spark, dir, "txv-doomed", "txv.t",
+      Seq(100L).toDF("k"))
+    assert(drain() == Set.empty[Long],
+      "unresolved txn stage leaked into the stream before its marker")
+    // explicit pinned read of the staged version refuses loudly
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM lake.txv.t VERSION AS OF $vStaged")
+        .collect())
+    assert(e.getMessage.contains("transaction stage"), e.getMessage)
+    // ABORT: the stage is permanently invisible; a later plain commit
+    // streams — diffed against the last VISIBLE version, so the aborted
+    // content neither streams nor pollutes the next batch's diff
+    LakeTxn.abort(spark, dir, "txv-doomed")
+    spark.sql("INSERT INTO lake.txv.t SELECT id AS k FROM range(20, 23)")
+    assert(drain() == Set(20L, 21L, 22L),
+      "aborted stage's rows streamed, or the post-abort commit mis-diffed")
+    // COMMITTED txn: the stage streams only after the atomic marker
+    val id2 = "txv-lands"
+    LakeTxn.stagePending(spark, dir, id2, "txv.t", Seq(200L).toDF("k"))
+    assert(drain() == Set.empty[Long], "stage streamed before its marker")
+    LakeTxn.commitMarker(spark, dir, id2)
+    assert(drain() == Set(200L),
+      "committed txn stage did not stream after its marker")
+    spark.sql("DROP TABLE IF EXISTS lake.txv.t")
+  }
 }
