@@ -33,10 +33,11 @@ object Ivm {
     * any non-null side folds through the 0-coalesce. The one case the
     * fold CANNOT express is a DELETE that removes the last non-null value
     * from a group that keeps NULL rows (sum must return to NULL, but
-    * sum+count carry no non-null count) — [[graft.sql.MatViews.refresh]]
-    * routes delete-bearing feeds to a per-group recompute for exactly
-    * this reason (plus MIN/MAX); direct callers feeding deletes accept
-    * the 0-for-NULL residue documented here. */
+    * sum+count carry no non-null count) — `REFRESH MATERIALIZED VIEW …
+    * FULL` is the repair for that corner; callers feeding deletes accept
+    * the 0-for-NULL residue documented here (MIN/MAX-bearing views never
+    * reach this fold on deletes — [[graft.sql.MatViews.refresh]] routes
+    * them to a per-group recompute). */
   def applyFeed(view: DataFrame, feed: DataFrame, keys: Seq[String],
                 sums: Seq[(String, String)], cnt: String): DataFrame = {
     val sgn = when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
@@ -49,6 +50,38 @@ object Ivm {
         when(col(n).isNull && col(s"_d_$n").isNull, lit(null))
           .otherwise(coalesce(col(n), lit(0)) +
             coalesce(col(s"_d_$n"), lit(0))).as(n)): _*)
+      .filter(col(cnt) > 0)
+  }
+
+  /** [[applyFeed]] extended with MIN/MAX measures for an INSERT-ONLY
+    * feed (caller's contract — deletes cannot shrink an extremum
+    * incrementally, so [[graft.sql.MatViews.refresh]] routes
+    * delete-bearing feeds to a per-group recompute instead): new rows
+    * can only keep or improve an extremum, so the fold is
+    * `least(stored, delta_min)` / `greatest(stored, delta_max)` — both
+    * skip NULLs, so an all-NULL group's extremum stays NULL and a NULL
+    * stored extremum adopts the first non-null delta, matching a full
+    * recompute exactly. Sums/count follow [[applyFeed]]'s NULL
+    * discipline. */
+  def applyFeedInsertOnly(view: DataFrame, feed: DataFrame,
+                          keys: Seq[String], sums: Seq[(String, String)],
+                          mins: Seq[(String, String)],
+                          maxs: Seq[(String, String)],
+                          cnt: String): DataFrame = {
+    val aggs = count(lit(1)).as(s"_d_$cnt") +:
+      (sums.map { case (name, src) => sum(col(src)).as(s"_d_$name") } ++
+        mins.map { case (name, src) => min(col(src)).as(s"_d_$name") } ++
+        maxs.map { case (name, src) => max(col(src)).as(s"_d_$name") })
+    val delta = feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val sumCols = (cnt +: sums.map(_._1)).map(n =>
+      when(col(n).isNull && col(s"_d_$n").isNull, lit(null))
+        .otherwise(coalesce(col(n), lit(0)) +
+          coalesce(col(s"_d_$n"), lit(0))).as(n))
+    val minCols = mins.map(_._1).map(n => least(col(n), col(s"_d_$n")).as(n))
+    val maxCols = maxs.map(_._1).map(n =>
+      greatest(col(n), col(s"_d_$n")).as(n))
+    view.join(delta, keys, "full_outer")
+      .select(keys.map(col) ++ sumCols ++ minCols ++ maxCols: _*)
       .filter(col(cnt) > 0)
   }
 }

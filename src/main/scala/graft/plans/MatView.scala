@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -46,7 +46,9 @@ object MatView {
     * row-count partial. */
   final case class SummaryDef(basePath: String, summary: DataFrame,
                               dims: Seq[String],
-                              sums: Map[String, String], cnt: String)
+                              sums: Map[String, String], cnt: String,
+                              mins: Map[String, String] = Map.empty,
+                              maxs: Map[String, String] = Map.empty)
 
   /** `matchRelation` overrides the default path-substring base match —
     * the SQL materialized-view layer passes an exact (manifestRoot,
@@ -111,6 +113,14 @@ object MatView {
             case ae @ AggregateExpression(Count(Seq(Literal(_, _))),
                 Complete, false, None, _) =>
               ae.copy(aggregateFunction = Sum(sumAttr(d.cnt)))
+            // min/max are decomposable over partials of themselves:
+            // min(x) over any coarser grain = min of the per-group mins
+            case ae @ AggregateExpression(Min(ar: AttributeReference),
+                Complete, false, None, _) if d.mins.contains(ar.name) =>
+              ae.copy(aggregateFunction = Min(sumAttr(d.mins(ar.name))))
+            case ae @ AggregateExpression(Max(ar: AttributeReference),
+                Complete, false, None, _) if d.maxs.contains(ar.name) =>
+              ae.copy(aggregateFunction = Max(sumAttr(d.maxs(ar.name))))
             case ar: AttributeReference if d.dims.contains(ar.name) =>
               sumAttr(ar.name)
           }
@@ -121,6 +131,10 @@ object MatView {
           t.foreach {
             case ae: AggregateExpression => ae.aggregateFunction match {
               case Sum(a: AttributeReference, _)
+                  if sumPlan.outputSet.contains(a) => ()
+              case Min(a: AttributeReference)
+                  if sumPlan.outputSet.contains(a) => ()
+              case Max(a: AttributeReference)
                   if sumPlan.outputSet.contains(a) => ()
               case _ => return None
             }

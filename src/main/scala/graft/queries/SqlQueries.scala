@@ -2455,12 +2455,14 @@ object SqlQueries {
       val view = s"q277_src_${java.util.UUID.randomUUID.toString.take(8)}"
       // capped base: the gates are about COMMITS and plan shapes, not
       // fixture volume — a custkey slice keeps the bench bill honest
+      // (trimmed 800→300 and 8→4 files in round 18: the gates need the
+      // commit CHAIN, not the volume — q274's c538c36 precedent)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-        .filter(col("o_custkey").between(1, 800))
+        .filter(col("o_custkey").between(1, 300))
         .createOrReplaceTempView(view)
       LakeSql.sql(s, s"CREATE TABLE base277 TBLPROPERTIES(" +
-        s"'stats_cols'='o_custkey','files'='8') LOCATION '$root/base' " +
+        s"'stats_cols'='o_custkey','files'='4') LOCATION '$root/base' " +
         s"AS SELECT * FROM $view")
       LakeSql.sql(s, s"CREATE MATERIALIZED VIEW mv277 LOCATION '$root/mv' " +
         "AS SELECT o_orderpriority, sum(o_custkey) AS sck, " +
@@ -2528,6 +2530,99 @@ object SqlQueries {
       // leave no ambient MV behind: a registered view makes EVERY later
       // aggregate query in this session walk the serving rule
       LakeSql.sql(s, "DROP MATERIALIZED VIEW mv277")
+      out
+    }),
+
+    // GENERALIZED MATERIALIZED VIEW (q283, round-18 verdict item 1):
+    // MIN/MAX measures + a WHERE-filtered definition + REFRESH FULL.
+    // An insert-only feed folds purely (extrema can only improve under
+    // inserts — least/greatest fold, no base read); a DELETE feed on a
+    // MIN/MAX view recomputes ONLY the feed-touched groups, stats-pruned
+    // to their dim bounding box (an extremum cannot shrink
+    // incrementally, but the recompute is scoped by the touch set —
+    // the 100 TB shape). Gates, all in-query: (a) the insert refresh
+    // folds (zero groups recomputed, zero base files read),
+    // (b) the delete refresh recomputes exactly the one touched group
+    // AND reads fewer base files than the manifest total, (c) the
+    // incremental view equals a from-scratch recompute, (d) REFRESH
+    // FULL at head still commits and changes nothing, (e) the
+    // WHERE-filtered view never serves an unfiltered aggregation (its
+    // summary is a row subset). Measures: BIGINT sum (exact), DOUBLE
+    // min/max (exact — extrema pick stored values, no arithmetic).
+    "q283_matview_minmax" -> ((s, dir) => {
+      val root = tmp("q283")
+      LakeSql.sql(s, "DROP MATERIALIZED VIEW mv283")
+      LakeSql.unregister("base283")
+      val view = s"q283_src_${java.util.UUID.randomUUID.toString.take(8)}"
+      t(s, dir, "orders")
+        .filter(col("o_custkey").between(1, 800))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_custkey") % 8).as("grp"),
+          col("o_totalprice").as("price"))
+        .createOrReplaceTempView(view)
+      // stats on grp → the z-order segregates groups across the 8 files,
+      // so a touched-group bounding box genuinely prunes the recompute
+      LakeSql.sql(s, s"CREATE TABLE base283 TBLPROPERTIES(" +
+        s"'stats_cols'='grp','files'='8') LOCATION '$root/base' " +
+        s"AS SELECT * FROM $view")
+      LakeSql.sql(s, s"CREATE MATERIALIZED VIEW mv283 " +
+        s"LOCATION '$root/mv' AS SELECT grp, sum(o_custkey) AS sck, " +
+        "min(price) AS mn, max(price) AS mx, count(*) AS cnt " +
+        "FROM base283 WHERE o_orderkey % 3 != 1 GROUP BY grp")
+      // (a) INSERT-ONLY commit → pure fold: halved prices improve minima
+      LakeSql.sql(s, "INSERT INTO base283 SELECT " +
+        "o_orderkey + 90000000 AS o_orderkey, o_custkey, grp, " +
+        s"price * 0.5 AS price FROM $view WHERE o_orderkey % 5 = 0")
+      val r1 = LakeSql.sql(s, "REFRESH MATERIALIZED VIEW mv283").head()
+      val foldOk = r1.getAs[Long]("feed_rows") > 0L &&
+        r1.getAs[Long]("groups_recomputed") == 0L &&
+        r1.getAs[Long]("base_files_read") == 0L
+      require(foldOk, s"q283 insert-only refresh did not fold: ${r1.toSeq}")
+      // (b) DELETE in ONE group → scoped recompute with a pruned base read
+      LakeSql.sql(s,
+        "DELETE FROM base283 WHERE grp = 3 AND price < 50000")
+      val r2 = LakeSql.sql(s, "REFRESH MATERIALIZED VIEW mv283").head()
+      val recomputeOk = r2.getAs[Long]("groups_recomputed") == 1L &&
+        r2.getAs[Long]("base_files_read") >= 1L &&
+        r2.getAs[Long]("base_files_read") <
+          r2.getAs[Long]("base_files_total")
+      require(recomputeOk,
+        s"q283 delete refresh was not group-scoped/pruned: ${r2.toSeq}")
+      // (c) incremental view == from-scratch recompute
+      def mv(): DataFrame =
+        LakeSql.sql(s, "SELECT grp, sck, mn, mx, cnt FROM mv283")
+      def direct(): DataFrame = LakeSql.sql(s,
+        "SELECT grp, sum(o_custkey) AS sck, min(price) AS mn, " +
+          "max(price) AS mx, count(*) AS cnt FROM base283 " +
+          "WHERE o_orderkey % 3 != 1 GROUP BY grp")
+      val drift = mv().exceptAll(direct()).count() +
+        direct().exceptAll(mv()).count()
+      require(drift == 0, s"q283 incremental view drifted on $drift rows")
+      // (d) REFRESH FULL at head: commits a recompute, changes nothing
+      // (MV roots follow the LOCATION convention: data z/, manifests m/)
+      val vPre = Snapshots.latestVersion(s, s"$root/mv/m")
+      val before = mv().localCheckpoint()
+      LakeSql.sql(s, "REFRESH MATERIALIZED VIEW mv283 FULL")
+      val fullOk =
+        Snapshots.latestVersion(s, s"$root/mv/m") > vPre &&
+          mv().exceptAll(before).count() +
+            before.exceptAll(mv()).count() == 0
+      require(fullOk, "q283 FULL refresh drifted or did not commit")
+      // (e) a WHERE-filtered view must NOT serve an unfiltered aggregate
+      val plan = LakeSql.sql(s,
+        "SELECT grp, sum(o_custkey) AS sck FROM base283 GROUP BY grp")
+        .queryExecution.executedPlan.toString
+      val noServeOk = plan.contains(s"$root/base/z") &&
+        !plan.contains(s"$root/mv/z")
+      require(noServeOk,
+        s"q283 filtered view served an unfiltered aggregate:\n$plan")
+      val out = mv()
+        .withColumn("fold_ok", lit(foldOk))
+        .withColumn("recompute_ok", lit(recomputeOk))
+        .withColumn("full_ok", lit(fullOk))
+        .withColumn("noserve_ok", lit(noServeOk))
+        .localCheckpoint()
+      LakeSql.sql(s, "DROP MATERIALIZED VIEW mv283")
       out
     }),
 
@@ -3202,7 +3297,7 @@ object SqlQueries {
     "q277_matview_sql" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
-        |  WHERE o_custkey BETWEEN 1 AND 800),
+        |  WHERE o_custkey BETWEEN 1 AND 300),
         |ins AS (
         |  SELECT o_orderkey, o_custkey, o_orderpriority FROM src
         |  UNION ALL
@@ -3218,6 +3313,28 @@ object SqlQueries {
         |  true AS stale_fellback_ok, true AS feed_bounded_ok,
         |  true AS served_ok, true AS pinned_ok
         |FROM u GROUP BY 1""".stripMargin,
+    // q283: replay the DML (price-halved insert slice, one-group banded
+    // delete) over raw orders, apply the view's WHERE, recompute the
+    // min/max rollup; gates are literal true (each `require`d in-query).
+    // min/max pick stored doubles — no arithmetic, no float tolerance;
+    // the only computed value (price * 0.5) is exact in binary.
+    "q283_matview_minmax" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_custkey % 8 AS grp,
+        |         o_totalprice AS price
+        |  FROM orders WHERE o_custkey BETWEEN 1 AND 800),
+        |ins AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey + 90000000, o_custkey, grp, price * 0.5
+        |  FROM src WHERE o_orderkey % 5 = 0),
+        |d AS (SELECT * FROM ins WHERE NOT (grp = 3 AND price < 50000)),
+        |f AS (SELECT * FROM d WHERE o_orderkey % 3 != 1)
+        |SELECT grp::BIGINT AS grp, sum(o_custkey)::BIGINT AS sck,
+        |  min(price) AS mn, max(price) AS mx, count(*)::BIGINT AS cnt,
+        |  true AS fold_ok, true AS recompute_ok,
+        |  true AS full_ok, true AS noserve_ok
+        |FROM f GROUP BY 1""".stripMargin,
     // q278: replay insert + banded delete over raw orders; the widen
     // itself changes no values (INT→BIGINT is lossless), so the final
     // band read recomputes exactly; gates are literal true.

@@ -288,7 +288,7 @@ object LakeSql {
   private val CreateMvRe =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_.]+)\s+(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.+)""".r
   private val RefreshMvRe =
-    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_.]+)\s*""".r
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_.]+)\s*(FULL)?\s*""".r
   private val DropMvRe =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z0-9_.]+)\s*""".r
 
@@ -396,9 +396,10 @@ object LakeSql {
         Some(longSchema(Seq("version")))
       case CreateMvRe(_, _, _) =>
         Some(longSchema(Seq("version", "base_version")))
-      case RefreshMvRe(_) =>
+      case RefreshMvRe(_, _) =>
         Some(longSchema(Seq("version", "from_version", "to_version",
-          "feed_rows")))
+          "feed_rows", "groups_recomputed", "base_files_read",
+          "base_files_total")))
       case DropMvRe(_) =>
         Some(longSchema(Seq("dropped")))
       case _ => None
@@ -789,12 +790,15 @@ object LakeSql {
     // unregisters. Serving is the injected [[ServeFromMatViews]] rule.
     case CreateMvRe(name, loc, query) =>
       MatViews.create(spark, name, Option(loc), query)
-    case RefreshMvRe(name) =>
-      val r = MatViews.refresh(spark, name)
+    case RefreshMvRe(name, full) =>
+      val r = MatViews.refresh(spark, name, full = full != null)
       metricsRow(spark, Seq("version" -> r.version.toLong,
         "from_version" -> r.fromVersion.toLong,
         "to_version" -> r.toVersion.toLong,
-        "feed_rows" -> r.feedRows))
+        "feed_rows" -> r.feedRows,
+        "groups_recomputed" -> r.groupsRecomputed,
+        "base_files_read" -> r.baseFilesRead,
+        "base_files_total" -> r.baseFilesTotal))
     case DropMvRe(name) =>
       metricsRow(spark,
         Seq("dropped" -> (if (MatViews.drop(spark, name)) 1L else 0L)))

@@ -131,8 +131,8 @@ class MatViewsSpec extends SparkSpec {
         s"CREATE MATERIALIZED VIEW mv_bad AS $q"))
       assert(e.getMessage.contains("CREATE MATERIALIZED VIEW"), s"$why: $e")
     }
-    rejects("SELECT g, min(v) AS m, count(*) AS c FROM mv_base GROUP BY g",
-      "min is not maintainable")
+    rejects("SELECT g, min(v + 1.0) AS m, count(*) AS c FROM mv_base " +
+      "GROUP BY g", "computed aggregate args refuse")
     rejects("SELECT g, sum(v) AS sv FROM mv_base GROUP BY g",
       "count(*) is required")
     rejects("SELECT g, avg(v) AS a, count(*) AS c FROM mv_base GROUP BY g",
@@ -151,5 +151,100 @@ class MatViewsSpec extends SparkSpec {
       .getLong(0) == 3L)
     spark.sql("DROP MATERIALIZED VIEW mv_gold")
     LakeSql.unregister("mv_base")
+  }
+
+  test("MIN/MAX + WHERE + FULL: insert-only feeds fold extrema purely; " +
+      "a delete feed recomputes ONLY the touched groups off a " +
+      "stats-pruned base read; the WHERE predicate scopes create and " +
+      "every feed; REFRESH FULL recomputes at head; min/max serve " +
+      "transparently from an unfiltered view") {
+    import spark.implicits._
+    val root = tmpDir("mvspec4")
+    fd("DROP MATERIALIZED VIEW mv_mm"); fd("DROP MATERIALIZED VIEW mv_mm2")
+    LakeSql.unregister("mm_base")
+    LakeSql.setWarehouse(root)
+    // 4 bands × 25 rows, z-ordered/stats on band → each file one band,
+    // so a touched-band bounding box genuinely prunes files. All v are
+    // small integers-as-doubles: fold vs recompute is bit-exact.
+    spark.range(0, 100)
+      .select($"id".as("k"), ($"id" / 25).cast("long").as("band"),
+        ($"id" % 50).cast("double").as("v"))
+      .createOrReplaceTempView("mm_src")
+    fd("CREATE TABLE mm_base TBLPROPERTIES('stats_cols'='band'," +
+      "'files'='4') AS SELECT * FROM mm_src")
+    fd("CREATE MATERIALIZED VIEW mv_mm AS SELECT band, sum(v) AS sv, " +
+      "min(v) AS mn, max(v) AS mx, count(*) AS cnt FROM mm_base " +
+      "WHERE k % 10 != 3 GROUP BY band")
+    def driftOk(tag: String): Unit = {
+      val view = fd("SELECT band, sv, mn, mx, cnt FROM mv_mm")
+      val direct = fd("SELECT band, sum(v) AS sv, min(v) AS mn, " +
+        "max(v) AS mx, count(*) AS cnt FROM mm_base WHERE k % 10 != 3 " +
+        "GROUP BY band")
+      val drift = view.exceptAll(direct).count() +
+        direct.exceptAll(view).count()
+      assert(drift == 0, s"$tag: view drifted from recompute on $drift rows")
+    }
+    driftOk("create")
+    // INSERT-ONLY feed: an improving extremum + a brand-new band fold
+    // purely (no recompute, no base read)
+    fd("INSERT INTO mm_base SELECT 200L AS k, 0L AS band, -5.0 AS v")
+    fd("INSERT INTO mm_base SELECT 201L AS k, 4L AS band, 7.0 AS v")
+    val r1 = fd("REFRESH MATERIALIZED VIEW mv_mm").head()
+    assert(r1.getAs[Long]("groups_recomputed") == 0L &&
+      r1.getAs[Long]("base_files_read") == 0L,
+      s"insert-only feed must fold, not recompute: ${r1.toSeq}")
+    driftOk("insert fold")
+    assert(fd("SELECT mn FROM mv_mm WHERE band = 0").head().getDouble(0)
+      == -5.0, "insert-only fold missed the improving minimum")
+    // DELETE feed: band 1 loses its minimum — only that group recomputes,
+    // and the base read is pruned to band-1 files
+    fd("DELETE FROM mm_base WHERE band = 1 AND v < 30")
+    val r2 = fd("REFRESH MATERIALIZED VIEW mv_mm").head()
+    assert(r2.getAs[Long]("groups_recomputed") == 1L,
+      s"delete touched exactly band 1, got ${r2.toSeq}")
+    assert(r2.getAs[Long]("base_files_read") >= 1L &&
+      r2.getAs[Long]("base_files_read") < r2.getAs[Long]("base_files_total"),
+      s"touched-group recompute read the whole base: ${r2.toSeq}")
+    driftOk("delete recompute")
+    assert(fd("SELECT mn FROM mv_mm WHERE band = 1").head().getDouble(0)
+      == 30.0, "deleted minimum did not grow back to 30")
+    // WHERE scopes the feed: an excluded row (k % 10 == 3) is invisible
+    fd("INSERT INTO mm_base SELECT 303L AS k, 0L AS band, -100.0 AS v")
+    val r3 = fd("REFRESH MATERIALIZED VIEW mv_mm").head()
+    assert(r3.getAs[Long]("feed_rows") == 0L,
+      s"WHERE-excluded insert leaked into the feed: ${r3.toSeq}")
+    assert(fd("SELECT mn FROM mv_mm WHERE band = 0").head().getDouble(0)
+      == -5.0, "WHERE-excluded row moved the view's minimum")
+    driftOk("where-scoped feed")
+    // REFRESH FULL recomputes even at head (the repair path commits)
+    val spec = LakeSql.specOf("mv_mm").get
+    val vPre = Snapshots.latestVersion(spark, spec.manifestRoot)
+    fd("REFRESH MATERIALIZED VIEW mv_mm FULL")
+    assert(Snapshots.latestVersion(spark, spec.manifestRoot) > vPre,
+      "FULL refresh at head must still commit a recompute")
+    driftOk("full refresh")
+    // min/max SERVING from an unfiltered view: the plan must scan the
+    // view path, values must match the base
+    fd("CREATE MATERIALIZED VIEW mv_mm2 AS SELECT band, sum(v) AS sv, " +
+      "min(v) AS mn, max(v) AS mx, count(*) AS cnt FROM mm_base " +
+      "GROUP BY band")
+    val served = fd("SELECT band, min(v) AS mn, max(v) AS mx " +
+      "FROM mm_base GROUP BY band")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains(s"$root/mv_mm2/z") &&
+      !plan.contains(LakeSql.specOf("mm_base").get.path),
+      s"min/max aggregation was not served from the view:\n$plan")
+    val direct2 = Snapshots.tableAt(spark,
+      LakeSql.specOf("mm_base").get.manifestRoot,
+      Snapshots.latestVersion(spark,
+        LakeSql.specOf("mm_base").get.manifestRoot))
+      .groupBy(col("band"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(col("band"), col("mn"), col("mx"))
+    val drift2 = served.exceptAll(direct2).count() +
+      direct2.exceptAll(served).count()
+    assert(drift2 == 0, s"served min/max drifted on $drift2 rows")
+    fd("DROP MATERIALIZED VIEW mv_mm"); fd("DROP MATERIALIZED VIEW mv_mm2")
+    LakeSql.unregister("mm_base")
   }
 }
