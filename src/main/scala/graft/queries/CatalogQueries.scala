@@ -282,6 +282,89 @@ object CatalogQueries {
         .withColumn("pruned_ok", lit(prunedOk))
     }),
 
+    // DELTA CHECKPOINT REPLAY + LOG EXPORT (q284, round-18 verdict
+    // item 2 — the two halves q282 documented as out of scope): (1) a
+    // PRODUCTION-shaped log whose early JSON commits were vacuumed away
+    // reads through the parquet checkpoint (`_last_checkpoint` +
+    // one-action-per-row state) plus the JSON tail — 10k+-commit Delta
+    // tables are exactly this shape; (2) the REVERSE publish: a lake
+    // snapshot's live files become a fresh `_delta_log` (zero data
+    // copied) that the same reader — and any stock Delta reader —
+    // serves. Gates in-query: (a) checkpoint+tail replay counts per
+    // version and a pinned read below the reconstructable state refuses,
+    // (b) the exported log re-reads exactly equal to the lake head after
+    // real DML (delete + insert), with zero data files written by the
+    // export. Oracle replays the lake DML over raw orders.
+    "q284_delta_ckpt_export" -> ((s, dir) => {
+      import graft.sources.DeltaInterop
+      import graft.sinks.Snapshots
+      val root = tmp("q284")
+      val dt = s"$root/dt"
+      LakeSql.unregister("exp284")
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      def slice(lo: Int, hi: Int) =
+        orders.filter(col("o_custkey").between(lo, hi))
+      // checkpoint half: v0 adds a+b, v1 adds c / removes a, CHECKPOINT
+      // at 1, v2 adds d, then JSON 0 and 1 are vacuumed (truncated log)
+      DeltaInterop.landFile(slice(1, 60), dt, "part-a.parquet")
+      DeltaInterop.landFile(slice(61, 120), dt, "part-b.parquet")
+      DeltaInterop.writeCommit(s, dt, 0, Some(orders.schema),
+        adds = Seq("part-a.parquet" -> Nil, "part-b.parquet" -> Nil))
+      DeltaInterop.landFile(slice(121, 180), dt, "part-c.parquet")
+      DeltaInterop.writeCommit(s, dt, 1, None,
+        adds = Seq("part-c.parquet" -> Nil),
+        removes = Seq("part-a.parquet"))
+      DeltaInterop.writeCheckpoint(s, dt, 1)
+      DeltaInterop.landFile(slice(181, 200), dt, "part-d.parquet")
+      DeltaInterop.writeCommit(s, dt, 2, None,
+        adds = Seq("part-d.parquet" -> Nil))
+      val hfs = new org.apache.hadoop.fs.Path(dt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(0L, 1L).foreach(v => require(hfs.delete(
+        new org.apache.hadoop.fs.Path(dt, f"_delta_log/$v%020d.json"),
+        false), s"q284 could not truncate JSON $v"))
+      val nB = slice(61, 120).count(); val nC = slice(121, 180).count()
+      val nD = slice(181, 200).count()
+      val belowRefused = scala.util.Try(
+        DeltaInterop.read(s, dt, Some(0L)).count()).isFailure
+      val ckptOk =
+        DeltaInterop.read(s, dt).count() == nB + nC + nD &&
+        DeltaInterop.read(s, dt, Some(1L)).count() == nB + nC &&
+        belowRefused
+      require(ckptOk, "q284 checkpoint+tail replay miscounted or a " +
+        "below-checkpoint pin did not refuse")
+      // export half: lake table with real DML, then publish its head as
+      // a _delta_log over its own data dir — zero copy
+      val vexp = s"q284_src_${java.util.UUID.randomUUID.toString.take(8)}"
+      slice(1, 120).createOrReplaceTempView(vexp)
+      LakeSql.sql(s, s"CREATE TABLE exp284 TBLPROPERTIES(" +
+        s"'stats_cols'='o_custkey','files'='4') LOCATION '$root/lake' " +
+        s"AS SELECT * FROM $vexp")
+      LakeSql.sql(s,
+        "DELETE FROM exp284 WHERE o_custkey BETWEEN 30 AND 50")
+      val vins = s"q284_ins_${java.util.UUID.randomUUID.toString.take(8)}"
+      slice(121, 140).createOrReplaceTempView(vins)
+      LakeSql.sql(s, s"INSERT INTO exp284 SELECT * FROM $vins")
+      val dataDir = s"$root/lake/z"
+      def dataFiles(): Set[String] =
+        hfs.listStatus(new org.apache.hadoop.fs.Path(dataDir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+      val before = dataFiles()
+      DeltaInterop.exportDeltaLog(s, s"$root/lake/m", dataDir)
+      val zeroCopy = dataFiles() == before
+      val lake = Snapshots.tableAt(s, s"$root/lake/m",
+        Snapshots.latestVersion(s, s"$root/lake/m"))
+      val exported = DeltaInterop.read(s, dataDir)
+      val exportOk = zeroCopy &&
+        exported.exceptAll(lake).isEmpty && lake.exceptAll(exported).isEmpty
+      require(exportOk, s"q284 exported log diverged (zeroCopy=$zeroCopy)")
+      exported
+        .withColumn("ckpt_ok", lit(ckptOk))
+        .withColumn("export_ok", lit(exportOk))
+    }),
+
     // IDENTITY + NOT NULL (round-15 verdict item 3): the gold star
     // schema's surrogate-key dim (reference `run_load.py:113-124`) built
     // PURELY by INSERTs into a `GENERATED ALWAYS AS IDENTITY` column.
@@ -612,6 +695,16 @@ object CatalogQueries {
         |  TRUE AS replay_ok, TRUE AS parity_ok, TRUE AS pruned_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 1 AND 60""".stripMargin,
+    // q284: the exported log serves the lake head = the 1..120 slice
+    // minus the 30..50 delete band plus the 121..140 insert; checkpoint
+    // and export gates are literal true (require'd in-query).
+    "q284_delta_ckpt_export" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS ckpt_ok, TRUE AS export_ok
+        |FROM orders
+        |WHERE (o_custkey BETWEEN 1 AND 120
+        |       AND o_custkey NOT BETWEEN 30 AND 50)
+        |   OR o_custkey BETWEEN 121 AND 140""".stripMargin,
     // q279: the drained stream carries exactly the two committed slices;
     // batching gates are literal true (require'd in-query).
     "q279_stream_admission" ->

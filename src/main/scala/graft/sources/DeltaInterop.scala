@@ -19,21 +19,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     commits ≤ V — exactly our own manifest-log discipline, different
   *     serialization.
   *
-  * Scope (documented, loud otherwise): JSON commits only — a log whose
-  * tail requires a parquet `checkpoint` to reconstruct (10k+ commit
-  * production logs) is refused with the checkpoint named; column-mapping
-  * and deletion-vector tables are refused (their reads need physical-name
-  * / DV semantics this reader does not re-implement).
+  * CHECKPOINT replay (PROTOCOL.md "Checkpoints"): a production log
+  * truncates its early JSON commits once a parquet checkpoint exists —
+  * `_last_checkpoint` names the version, the checkpoint parquet holds
+  * one action per row (protocol / metaData / add structs; remove rows
+  * are vacuum tombstones, not live state). [[snapshotAt]] loads the
+  * newest checkpoint at-or-below the target and replays only the JSON
+  * tail after it — the shape every stock Delta reader uses, and the
+  * only way to read a log whose head JSONs are gone. Multi-part
+  * checkpoints (`.checkpoint.<i>.<n>.parquet`) are unioned.
+  *
+  * Scope (documented, loud otherwise): column-mapping and
+  * deletion-vector tables are refused (their reads need physical-name /
+  * DV semantics this reader does not re-implement); a pinned version
+  * BELOW the oldest reconstructable state (no checkpoint ≤ it, JSON 0
+  * gone) is refused with the gap named.
   *
   * [[read]] serves the snapshot as a DataFrame (time travel via
   * `version`); [[convertToLake]] adopts the CURRENT snapshot as a lake
   * table IN PLACE — a footer-stats manifest over the live files, zero
   * data copied — after which the whole engine surface (typed DML,
-  * OPTIMIZE, MVs, streaming) applies. Scale shape: log replay is
-  * commit-count-bounded driver JSON parsing; the read itself plans one
-  * scan per partition-value group (bounded by distinct partition tuples,
-  * the same shape Hive-style listing produces); conversion is the
-  * file-count-bounded manifest build.
+  * OPTIMIZE, MVs, streaming) applies; [[exportDeltaLog]] is the reverse
+  * publish: a lake snapshot's live files become a fresh `_delta_log`
+  * (protocol + metaData + adds, zero data copied) that stock Delta
+  * readers — and [[read]] — serve. Scale shape: log replay is
+  * commit-count-bounded driver JSON parsing plus one file-count-bounded
+  * checkpoint scan; the read itself plans one scan per partition-value
+  * group (bounded by distinct partition tuples, the same shape
+  * Hive-style listing produces); conversion/export are file-count-
+  * bounded manifest/log builds.
   */
 object DeltaInterop {
 
@@ -60,26 +74,96 @@ object DeltaInterop {
       .map(_.dropRight(5).toLong).sorted
   }
 
-  /** Replay the log to `version` (default: head). */
+  /** Checkpoint parquet(s) present in the log, version → absolute file
+    * paths (multi-part checkpoints grouped; readers union them). */
+  def checkpoints(spark: SparkSession, dir: String): Map[Long, Seq[String]] = {
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val f = fs(spark, dir)
+    if (!f.exists(logDir)) Map.empty
+    else {
+      val single = """(\d{20})\.checkpoint\.parquet""".r
+      val multi = """(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
+      f.listStatus(logDir).toSeq.map(_.getPath.getName).collect {
+        case n @ single(v) => (v.toLong, n)
+        case n @ multi(v) => (v.toLong, n)
+      }.groupBy(_._1).map { case (v, ns) =>
+        v -> ns.map(p => s"$dir/_delta_log/${p._2}").sorted
+      }
+    }
+  }
+
+  /** Replay the log to `version` (default: head). A log whose early JSON
+    * commits were checkpoint-truncated loads the newest checkpoint
+    * at-or-below the target and replays only the JSON tail after it. */
   def snapshotAt(spark: SparkSession, dir: String,
                  version: Option[Long] = None): Snapshot = {
     val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no _delta_log JSON commits under $dir")
-    val target = version.getOrElse(vs.last)
-    require(vs.contains(target),
-      s"version $target is not in the log (have ${vs.mkString(", ")})")
-    // a checkpointed log may have dropped its early JSON commits — replay
-    // is only sound when the chain starts at 0
-    require(vs.head == 0L,
-      s"log starts at ${vs.head}, not 0 — reconstructing this snapshot " +
-        "needs the parquet checkpoint, which this JSON-only reader does " +
-        "not consume")
+    val ckpts = checkpoints(spark, dir)
+    require(vs.nonEmpty || ckpts.nonEmpty,
+      s"no _delta_log JSON commits or checkpoints under $dir")
+    val target = version.getOrElse((vs ++ ckpts.keys).max)
+    require(vs.contains(target) || ckpts.contains(target),
+      s"version $target is not in the log (have ${vs.mkString(", ")}; " +
+        s"checkpoints ${ckpts.keys.toSeq.sorted.mkString(", ")})")
+    val base = ckpts.keys.filter(_ <= target).maxOption
+    base match {
+      case None =>
+        // no checkpoint below the target: replay is only sound when the
+        // JSON chain starts at 0
+        require(vs.nonEmpty && vs.head == 0L,
+          s"log starts at ${vs.headOption.getOrElse("?")}, not 0, and no " +
+            s"checkpoint exists at or below $target — the snapshot is " +
+            "not reconstructable")
+      case Some(cv) =>
+        val missing = ((cv + 1) to target).filterNot(vs.contains)
+        require(missing.isEmpty,
+          s"JSON commits ${missing.mkString(", ")} are missing between " +
+            s"checkpoint $cv and $target — the log is torn")
+    }
     val f = fs(spark, dir)
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, Seq[String]]
-    for (v <- vs.filter(_ <= target)) {
+    // checkpoint state first: one action per parquet row — metaData
+    // carries the schema, add rows ARE the live set (remove rows are
+    // vacuum tombstones, never live state)
+    base.foreach { cv =>
+      val df = spark.read.parquet(ckpts(cv): _*)
+      df.filter(col("metaData").isNotNull)
+        .select(col("metaData.schemaString"),
+          col("metaData.partitionColumns"),
+          col("metaData.configuration")).collect().foreach { r =>
+          val conf: Map[String, String] =
+            if (r.isNullAt(2)) Map.empty
+            else r.getMap[String, String](2).toMap
+          require(!conf.get("delta.columnMapping.mode").exists(_ != "none"),
+            s"delta table $dir uses column mapping — physical-name reads " +
+              "are out of this reader's scope")
+          schema = Some(DataType.fromJson(r.getString(0))
+            .asInstanceOf[StructType])
+          partCols = if (r.isNullAt(1)) Seq.empty else r.getSeq[String](1)
+        }
+      require(schema.isDefined,
+        s"checkpoint $cv of $dir carries no metaData action")
+      val addFields = df.schema("add").dataType.asInstanceOf[StructType]
+        .fieldNames.toSet
+      if (addFields.contains("deletionVector"))
+        require(df.filter(col("add.deletionVector").isNotNull)
+          .limit(1).count() == 0,
+          s"delta table $dir carries deletion vectors — MoR reads are " +
+            "out of this reader's scope (PURGE it from Delta first)")
+      df.filter(col("add.path").isNotNull)
+        .select(col("add.path"), col("add.partitionValues"))
+        .collect().foreach { r =>
+          val path = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+          val pv: Map[String, String] =
+            if (r.isNullAt(1)) Map.empty
+            else r.getMap[String, String](1).toMap
+          live.put(path, partCols.map(c => pv.getOrElse(c, null)))
+        }
+    }
+    for (v <- vs.filter(v => v <= target && base.forall(_ < v))) {
       val p = new org.apache.hadoop.fs.Path(dir,
         f"_delta_log/$v%020d.json")
       val in = f.open(p)
@@ -232,6 +316,107 @@ object DeltaInterop {
     f.mkdirs(dest.getParent)
     require(f.rename(part, dest), s"rename $part -> $dest failed")
     f.delete(staging, true) : Unit
+  }
+
+  /** Write a parquet CHECKPOINT of the snapshot at `version` plus the
+    * `_last_checkpoint` pointer — the protocol artifact that lets a log
+    * drop its early JSON commits (production logs checkpoint every ~10
+    * commits and vacuum the JSON head). One action per row: a protocol
+    * row, a metaData row, one add row per live file. */
+  def writeCheckpoint(spark: SparkSession, dir: String,
+                      version: Long): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val snap = snapshotAt(spark, dir, Some(version))
+    val f = fs(spark, dir)
+    val pvType = MapType(StringType, StringType, valueContainsNull = true)
+    val ckSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", pvType),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pvType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null))
+    rows.add(Row(null, Row(java.util.UUID.randomUUID().toString,
+      Row("parquet"), snap.schema.json, snap.partitionCols,
+      Map.empty[String, String], 0L), null))
+    snap.files.toSeq.sortBy(_._1).foreach { case (rel, pvals) =>
+      val st = f.getFileStatus(new org.apache.hadoop.fs.Path(dir, rel))
+      rows.add(Row(null, null, Row(rel,
+        snap.partitionCols.zip(pvals).toMap, st.getLen,
+        st.getModificationTime, true)))
+    }
+    // land as the single-part canonical name via staging rename
+    val staging = new org.apache.hadoop.fs.Path(dir,
+      s".ckpt_stage_${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(rows, ckSchema).coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = f.listStatus(staging).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no checkpoint part staged under $staging"))
+    val dest = new org.apache.hadoop.fs.Path(dir,
+      f"_delta_log/$version%020d.checkpoint.parquet")
+    require(f.rename(part, dest), s"rename $part -> $dest failed")
+    f.delete(staging, true)
+    val lc = f.create(new org.apache.hadoop.fs.Path(dir,
+      "_delta_log/_last_checkpoint"), true)
+    try lc.write(
+      s"""{"version":$version,"size":${rows.size()}}""".getBytes("UTF-8"))
+    finally lc.close()
+  }
+
+  /** PUBLISH a lake snapshot as a fresh `_delta_log` over its own data
+    * directory — the reverse of [[convertToLake]], zero data copied: an
+    * external Delta reader (or [[read]]) pointed at `spec.path` serves
+    * exactly the lake version's live rows. Loud refusals: a DV-masked
+    * snapshot (appended JSON cannot express a mask), column mapping in
+    * force, a file outside the data dir (Delta paths are
+    * table-relative), or a dir that already carries a `_delta_log`. */
+  def exportDeltaLog(spark: SparkSession, manifestRoot: String,
+                     dataDir: String, version: Option[Int] = None): Long = {
+    import graft.sinks.{Dv, Snapshots}
+    val v = version.getOrElse(Snapshots.latestVersion(spark, manifestRoot))
+    require(Snapshots.columnMapping(spark, manifestRoot, v).isEmpty,
+      "exportDeltaLog under column mapping is not supported — data files " +
+        "store physical names the exported schema would not match")
+    val entries = Dv.entries(Snapshots.manifestAt(spark, manifestRoot, v))
+    val masked = entries.filter(_.dv.isDefined)
+    require(masked.isEmpty,
+      s"lake version $v carries deletion-vector-masked files " +
+        s"(${masked.map(_.file).mkString(", ")}) — REORG … APPLY (PURGE) " +
+        "before exporting a Delta log")
+    val f = fs(spark, dataDir)
+    require(!f.exists(new org.apache.hadoop.fs.Path(dataDir, "_delta_log")),
+      s"$dataDir already carries a _delta_log — refusing to overwrite " +
+        "another table's history")
+    val qualified = f.makeQualified(
+      new org.apache.hadoop.fs.Path(dataDir)).toString
+    val rels = entries.map(_.file).sorted.map { file =>
+      val q = f.makeQualified(new org.apache.hadoop.fs.Path(file)).toString
+      require(q.startsWith(qualified + "/"),
+        s"live file $file is outside $dataDir — Delta paths are " +
+          "table-relative; compact/relocate first")
+      q.stripPrefix(qualified + "/")
+    }
+    val schema = Snapshots.tableAt(spark, manifestRoot, v).schema
+    writeCommit(spark, dataDir, 0L, Some(schema),
+      adds = rels.map(_ -> Seq.empty[String]))
+    0L
   }
 
   /** Adopt the head snapshot as a registered lake table IN PLACE: one

@@ -83,6 +83,81 @@ class DeltaInteropSpec extends SparkSpec {
     assert(df.filter($"p" === "a").count() == 5L)
   }
 
+  test("checkpoint replay: a log whose early JSON commits are gone reads " +
+      "through the parquet checkpoint + JSON tail; pinned reads below " +
+      "the checkpoint refuse with the gap named") {
+    val dir = tmpDir("delta_ckpt")
+    mk(dir, "part-a.parquet", 0, 40)
+    mk(dir, "part-b.parquet", 40, 80)
+    DeltaInterop.writeCommit(spark, dir, 0, Some(schema),
+      adds = Seq("part-a.parquet" -> Nil, "part-b.parquet" -> Nil))
+    mk(dir, "part-c.parquet", 80, 100)
+    DeltaInterop.writeCommit(spark, dir, 1, None,
+      adds = Seq("part-c.parquet" -> Nil),
+      removes = Seq("part-a.parquet"))
+    DeltaInterop.writeCheckpoint(spark, dir, 1)
+    mk(dir, "part-d.parquet", 100, 110)
+    DeltaInterop.writeCommit(spark, dir, 2, None,
+      adds = Seq("part-d.parquet" -> Nil))
+    // production truncation: JSON 0 and 1 vacuumed away
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0L, 1L).foreach(v => assert(f.delete(
+      new org.apache.hadoop.fs.Path(dir, f"_delta_log/$v%020d.json"),
+      false)))
+    // head = checkpoint state (b, c) + JSON tail v2 (d)
+    def agg(v: Option[Long]) = DeltaInterop.read(spark, dir, v)
+      .agg(count(lit(1)), sum("k")).head()
+    val head = agg(None)
+    assert(head.getLong(0) == 70L &&
+      head.getLong(1) == (40L until 110).sum,
+      s"checkpoint+tail replay wrong: ${head.toSeq}")
+    // pinned AT the checkpoint serves its state exactly
+    assert(agg(Some(1L)).getLong(0) == 60L)
+    assert(DeltaInterop.read(spark, dir).schema == schema,
+      "schema must come from the checkpoint's metaData row")
+    // pinned BELOW the reconstructable state refuses loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.read(spark, dir, Some(0L)))
+    assert(e.getMessage.contains("not in the log") ||
+      e.getMessage.contains("not reconstructable"), e.getMessage)
+  }
+
+  test("exportDeltaLog publishes a lake snapshot as a _delta_log that " +
+      "re-reads exactly; zero data files written; refusals loud on an " +
+      "existing log") {
+    import graft.sinks.Snapshots
+    val dir = tmpDir("delta_export")
+    val data = s"$dir/z"; val mroot = s"$dir/m"
+    val df0 = spark.range(0, 500)
+      .select($"id".as("k"), ($"id" * 2.0).as("v"))
+    Snapshots.replaceCommit(spark, df0, Seq("k"), data, mroot, 3)
+    Snapshots.appendCommit(spark,
+      spark.range(500, 650).select($"id".as("k"), ($"id" * 2.0).as("v")),
+      Seq("k"), data, mroot, 2)
+    val fsys = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(data)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    val before = dataFiles()
+    DeltaInterop.exportDeltaLog(spark, mroot, data)
+    assert(dataFiles() == before, "export must copy zero data files")
+    val lake = Snapshots.tableAt(spark, mroot,
+      Snapshots.latestVersion(spark, mroot))
+    val delta = DeltaInterop.read(spark, data)
+    assert(delta.exceptAll(lake).count() == 0 &&
+      lake.exceptAll(delta).count() == 0,
+      "exported log does not serve the lake snapshot")
+    // and a stock-shaped reader sees a complete protocol/metaData log
+    assert(DeltaInterop.versions(spark, data) == Seq(0L))
+    // refuse clobbering an existing log
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.exportDeltaLog(spark, mroot, data))
+    assert(e.getMessage.contains("_delta_log"), e.getMessage)
+  }
+
   test("refusals are loud: checkpoint-truncated log, column mapping") {
     val dir = tmpDir("delta3")
     mk(dir, "part-a.parquet", 0, 10)
