@@ -220,6 +220,85 @@ object CatalogQueries {
         .withColumn("exactly_once_ok", lit(exactlyOnce))
     }),
 
+    // BYTE-BASED STREAM ADMISSION (q285, round-18 verdict item 3):
+    // `maxBytesPerTrigger` — the knob that actually bounds executor
+    // memory when compaction changes file sizes; file counts are a proxy
+    // that breaks exactly then. The fixture lands one FAT 4-file commit
+    // and one THIN 4-file commit; the byte budget is derived from the
+    // measured fattest file (1.5×), so at EVERY scale factor each fat
+    // file streams alone while the thin commit rides a residual budget.
+    // Gates in-query: (a) the drain takes one batch per fat file (+
+    // at most one for the thin tail) and NO batch ever carries two fat
+    // files — the byte bound, where a 2-file count bound would pack
+    // fats in pairs; (b) a restart after one more commit resumes
+    // exactly-once from the checkpointed (version, fileIndex) offset.
+    "q285_bytes_admission" -> ((s, dir) => {
+      val cat = catalog(s)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+      s.sql(s"DROP TABLE IF EXISTS $cat.gold.adm285")
+      s.sql(s"""CREATE TABLE $cat.gold.adm285
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        USING lake
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey', 'files' = '4')""")
+      t(s, dir, "orders").createOrReplaceTempView("orders_src285")
+      s.sql(s"""INSERT INTO $cat.gold.adm285
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_src285 WHERE o_custkey BETWEEN 1 AND 100""")
+      // catalog convention: <warehouse>/<db>/<t> with data under z/
+      val dataDir = s"${s.conf.get(
+        s"spark.sql.catalog.$cat.warehouse")}/gold/adm285/z"
+      val hfs = new org.apache.hadoop.fs.Path(dataDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fatStats = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(dataDir))
+        .filter(f => !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      val fatMaxBytes = fatStats.map(_.getLen).max
+      val fatRows = s.sql(s"SELECT count(*) AS n FROM $cat.gold.adm285")
+        .head().getLong(0)
+      s.sql(s"""INSERT INTO $cat.gold.adm285
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_src285 WHERE o_custkey BETWEEN 101 AND 104""")
+      val ckpt = tmp("q285ckpt")
+      val out = tmp("q285out")
+      def runOnce(): Seq[Long] = {
+        val q = s.readStream
+          .option("maxBytesPerTrigger", (fatMaxBytes * 3 / 2).toString)
+          .table(s"$cat.gold.adm285")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.numInputRows).toSeq
+      }
+      val batches = runOnce()
+      val boundedOk = batches.size >= 4 && batches.size <= 5 &&
+        batches.max < fatRows / 2
+      require(boundedOk, s"q285 byte budget did not bound the drain: " +
+        s"batches ${batches.mkString(",")} (fat commit $fatRows rows)")
+      val firstRows = s.read.parquet(out).count()
+      val want = s.sql(s"SELECT count(*) AS n FROM $cat.gold.adm285")
+        .head().getLong(0)
+      require(firstRows == want,
+        s"q285 bounded drain emitted $firstRows of $want rows")
+      s.sql(s"""INSERT INTO $cat.gold.adm285
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_src285 WHERE o_custkey BETWEEN 105 AND 110""")
+      runOnce() : Unit
+      val allRows = s.read.parquet(out).count()
+      val want2 = s.sql(s"SELECT count(*) AS n FROM $cat.gold.adm285")
+        .head().getLong(0)
+      val exactlyOnce = allRows == want2 && allRows > firstRows
+      require(exactlyOnce,
+        s"q285 restart emitted $allRows (want $want2, had $firstRows)")
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("byte_bounded_ok", lit(boundedOk))
+        .withColumn("exactly_once_ok", lit(exactlyOnce))
+    }),
+
     // DELTA _delta_log INTEROP (q282, the round-16 "missing" list's last
     // ring): read an ACTUAL Delta table — JSON log actions, the format
     // the reference's production Databricks side writes — with no delta
@@ -695,6 +774,13 @@ object CatalogQueries {
         |  TRUE AS replay_ok, TRUE AS parity_ok, TRUE AS pruned_ok
         |FROM orders
         |WHERE o_custkey BETWEEN 1 AND 60""".stripMargin,
+    // q285: the drained stream carries the three committed slices;
+    // byte-batching gates are literal true (require'd in-query).
+    "q285_bytes_admission" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  TRUE AS byte_bounded_ok, TRUE AS exactly_once_ok
+        |FROM orders
+        |WHERE o_custkey BETWEEN 1 AND 110""".stripMargin,
     // q284: the exported log serves the lake head = the 1..120 slice
     // minus the 30..50 delete band plus the 121..140 insert; checkpoint
     // and export gates are literal true (require'd in-query).

@@ -407,7 +407,7 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private val starting = opts.getOrElse("startingversion",
     opts.getOrElse("startingVersion", "0")).toInt
@@ -423,6 +423,17 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
     .orElse(opts.get("maxFilesPerTrigger")).map(_.toInt)
   maxFiles.foreach(n => require(n > 0,
     s"maxFilesPerTrigger must be positive, got $n"))
+  // BYTE-based admission (the Delta maxBytesPerTrigger knob): file
+  // counts are a memory proxy that breaks exactly when compaction
+  // changes file sizes — a byte budget bounds the trigger no matter how
+  // fat the files are. Files admit until the budget is crossed, always
+  // at least one per trigger (a file larger than the whole budget still
+  // streams, alone). Composes with maxFilesPerTrigger: both set ⇒ the
+  // stricter budget cuts first.
+  private val maxBytes = opts.get("maxbytespertrigger")
+    .orElse(opts.get("maxBytesPerTrigger")).map(_.toLong)
+  maxBytes.foreach(n => require(n > 0,
+    s"maxBytesPerTrigger must be positive, got $n"))
 
   private def spark = SparkSession.active
 
@@ -433,6 +444,19 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
   // planning.
   private val addedMemo =
     scala.collection.concurrent.TrieMap.empty[Int, IndexedSeq[String]]
+
+  // per-file byte sizes for the byte-budget walk: one driver status
+  // probe per file per stream lifetime (data files are immutable once
+  // committed), touched only when maxBytesPerTrigger is in force
+  private val sizeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def sizeOf(file: String): Long =
+    sizeMemo.getOrElseUpdate(file, {
+      val p = new Path(file)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    })
 
   /** TXN-VISIBLE versions only (ADVICE r18, high): version discovery
     * through raw Snapshots.versions streamed an UNRESOLVED cross-table
@@ -481,7 +505,13 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
     LakeRowsOffset(visible.lastOption.getOrElse(starting), Int.MaxValue)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    (maxFiles.map(ReadLimit.maxFiles),
+      maxBytes.map(ReadLimit.maxBytes)) match {
+      case (Some(f), Some(b)) => ReadLimit.compositeLimit(Array(f, b))
+      case (Some(f), None) => f
+      case (None, Some(b)) => b
+      case (None, None) => ReadLimit.allAvailable()
+    }
 
   // Trigger.AvailableNow: pin the drain target at start; each bounded
   // batch then advances toward it and the query stops when it's reached
@@ -495,33 +525,48 @@ final class LakeRowsMicroBatchStream(root: String, schema: StructType,
   private def offsetLeq(a: LakeRowsOffset, b: LakeRowsOffset): Boolean =
     a.v < b.v || (a.v == b.v && a.files <= b.files)
 
-  /** Walk versions from `start`, spending the file budget; the returned
-    * offset cuts INSIDE a version when the budget runs out mid-commit —
-    * that cut is what splits one huge commit across triggers. */
+  /** Walk versions from `start`, spending the file AND byte budgets; the
+    * returned offset cuts INSIDE a version when a budget runs out
+    * mid-commit — that cut is what splits one huge commit across
+    * triggers. Byte budgets admit at least one file per trigger (a file
+    * fatter than the whole budget streams alone, never starves). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LakeRowsOffset]
-    val budget0 = limit match {
-      case mf: ReadMaxFiles => mf.maxFiles()
-      case _ => return latestOffset()
+    def budgets(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case mf: ReadMaxFiles => (Some(mf.maxFiles()), None)
+      case mb: ReadMaxBytes => (None, Some(mb.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(budgets).foldLeft(
+          (Option.empty[Int], Option.empty[Long])) {
+          case ((f1, b1), (f2, b2)) =>
+            ((f1 ++ f2).minOption, (b1 ++ b2).minOption)
+        }
+      case _ => (None, None)
     }
+    val (fb, bb) = budgets(limit)
+    if (fb.isEmpty && bb.isEmpty) return latestOffset()
     val all = visible
     var endV = s.v
     var endF = s.files
-    var budget = budget0
+    var fileBudget = fb.map(_.toLong).getOrElse(Long.MaxValue)
+    var byteBudget = bb.getOrElse(Long.MaxValue)
+    var admitted = 0L
     val it = all.iterator.filter(_ >= s.v)
     var cut = false
     while (it.hasNext && !cut) {
       val v = it.next()
       val fs = addedFiles(v, all)
       val from = if (v == s.v) math.min(s.files, fs.size) else 0
-      val avail = fs.size - from
-      if (avail <= budget) {
-        endV = v
-        endF = if (fs.size == from + avail) Int.MaxValue else from + avail
-        budget -= avail
-      } else {
-        endV = v; endF = from + budget; budget = 0; cut = true
+      var i = from
+      while (i < fs.size && !cut) {
+        val sz = if (bb.isDefined) sizeOf(fs(i)) else 0L
+        if (admitted > 0 && (fileBudget <= 0 || byteBudget < sz)) cut = true
+        else {
+          admitted += 1; fileBudget -= 1; byteBudget -= sz; i += 1
+        }
       }
+      endV = v
+      endF = if (!cut && i == fs.size) Int.MaxValue else i
     }
     val end0 = LakeRowsOffset(endV, endF)
     // AvailableNow drain target: never advance past the offset pinned at

@@ -1,5 +1,6 @@
 package graft.sql
 
+import org.apache.spark.sql.functions.{concat, lit}
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 
@@ -34,6 +35,56 @@ class AdmissionControlSpec extends SparkSpec {
     val n = spark.sql("SELECT count(*) AS n, sum(k) AS s FROM ac_sink")
       .head()
     assert(n.getLong(0) == 600L && n.getLong(1) == (0L until 600).sum)
+  }
+
+  test("maxBytesPerTrigger: fat files batch alone, thin files batch " +
+      "together — bytes bound the trigger, not file counts; rows exact") {
+    sql("CREATE NAMESPACE IF NOT EXISTS lake.ac")
+    sql("DROP TABLE IF EXISTS lake.ac.bytes")
+    sql("""CREATE TABLE lake.ac.bytes (k BIGINT, s STRING) USING lake
+           TBLPROPERTIES ('stats_cols' = 'k', 'files' = '4')""")
+    import spark.implicits._
+    // commit 1: four FAT files (~50k rows each); commit 2: four thin ones
+    spark.range(0, 200000)
+      .select($"id".as("k"), concat(lit("pad-pad-pad-"),
+        $"id".cast("string")).as("s"))
+      .createOrReplaceTempView("acb_fat")
+    sql("INSERT INTO lake.ac.bytes SELECT * FROM acb_fat")
+    val fatDir = LakeSql.specOf("ac.bytes").get.path
+    val hfs = new org.apache.hadoop.fs.Path(fatDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fatMax = hfs.listStatus(new org.apache.hadoop.fs.Path(fatDir))
+      .filter(f => !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")).map(_.getLen).max
+    spark.range(200000, 200100)
+      .select($"id".as("k"), $"id".cast("string").as("s"))
+      .createOrReplaceTempView("acb_thin")
+    sql("INSERT INTO lake.ac.bytes SELECT * FROM acb_thin")
+    // budget = 1.5 fat files: each fat streams alone (a second never
+    // fits); the whole thin commit is far below half a fat file
+    val q = spark.readStream
+      .option("maxBytesPerTrigger", (fatMax * 3 / 2).toString)
+      .table("lake.ac.bytes")
+      .writeStream.format("memory").queryName("acb_sink")
+      .option("checkpointLocation", tmpDir("acb_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    // four byte-bounded batches: fat1 | fat2 | fat3 | fat4+thin — the
+    // residual half-budget after the 4th fat file admits the whole thin
+    // commit, but NO batch ever carries two fat files (that is the
+    // byte bound; a 2-file count bound would have packed fats in pairs)
+    assert(batches.length == 4,
+      s"expected 4 byte-bounded batches from $fatDir, got " +
+        s"${batches.length}: ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.map(_.numInputRows).max < 100000L,
+      "a batch carried two fat files — bytes did not bound the trigger: " +
+        batches.map(_.numInputRows).mkString(","))
+    val n = spark.sql("SELECT count(*) AS n, sum(k) AS s FROM acb_sink")
+      .head()
+    assert(n.getLong(0) == 200100L &&
+      n.getLong(1) == (0L until 200100).sum)
   }
 
   test("restart resumes from a MID-COMMIT (version, fileIndex) offset " +
