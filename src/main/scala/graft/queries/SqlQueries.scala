@@ -2750,6 +2750,96 @@ object SqlQueries {
         .withColumn("atomic_ok", lit(atomicOk))
     }),
 
+    // OPTIMISTIC CROSS-TABLE TXN (q286, round-18 verdict item 5): q280's
+    // pessimistic publish refuses ALL concurrent writers for the whole
+    // staging window; [[LakeTxn.publishOptimistic]] instead lets
+    // disjoint single-table commits LAND during composition and rebases
+    // the txn over them at publish (the [[Snapshots.commitTxn]]
+    // discipline per table), while a commit that invalidated the txn's
+    // READ SET raises CommitConflictException — and the abort marker
+    // keeps the failure atomic across BOTH tables. Gates, all in-query:
+    // (a) an interleaved writer lands mid-composition un-refused,
+    // (b) the publish composes the interleaved commit AND the txn rows,
+    // (c) a read-set-invalidating delete makes the next publish RAISE,
+    // (d) the conflicted txn leaks nothing onto either table. The
+    // oracle replays interleaved + txn appends + the delete over raw
+    // orders.
+    "q286_optimistic_txn" -> ((s, dir) => {
+      val root = tmp("q286")
+      LakeSql.unregister("ord286"); LakeSql.unregister("cust286")
+      val vo = s"q286o_${java.util.UUID.randomUUID.toString.take(8)}"
+      val vc = s"q286c_${java.util.UUID.randomUUID.toString.take(8)}"
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView(vo)
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView(vc)
+      LakeSql.sql(s, s"CREATE TABLE ord286 TBLPROPERTIES(" +
+        s"'stats_cols'='o_custkey','files'='4') LOCATION '$root/o' " +
+        s"AS SELECT * FROM $vo")
+      LakeSql.sql(s, s"CREATE TABLE cust286 TBLPROPERTIES(" +
+        s"'stats_cols'='c_custkey','files'='4') LOCATION '$root/c' " +
+        s"AS SELECT * FROM $vc")
+      def counts(): (Long, Long) = (
+        LakeSql.sql(s, "SELECT count(*) AS n FROM ord286").head().getLong(0),
+        LakeSql.sql(s, "SELECT count(*) AS n FROM cust286").head().getLong(0))
+      val txnDir = s"$root/txnlog"
+      val pins = graft.sql.LakeTxn.snapshotAll(s,
+        Seq("ord286", "cust286"))
+      // (a) a disjoint writer lands DURING composition — never refused
+      val landOk = scala.util.Try(LakeSql.sql(s,
+        s"INSERT INTO ord286 SELECT o_orderkey + 40000000 AS o_orderkey, " +
+          s"o_custkey FROM $vo WHERE o_orderkey % 11 = 0")).isSuccess
+      require(landOk, "q286 interleaved writer was refused mid-composition")
+      val preTxn = counts()
+      val batchO = s.table(vo)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_custkey"))
+        .filter(col("o_orderkey") % 10 === 0)
+      val batchC = s.table(vc)
+        .select((col("c_custkey") + 20000000L).as("c_custkey"),
+          col("c_name"))
+        .filter(col("c_custkey") % 10 === 0)
+      graft.sql.LakeTxn.publishOptimistic(s, txnDir, Seq(
+        graft.sql.LakeTxn.OptimisticStage("ord286", batchO,
+          pins("ord286")),
+        graft.sql.LakeTxn.OptimisticStage("cust286", batchC,
+          pins("cust286"))))
+      val post = counts()
+      val composeOk = post._1 > preTxn._1 && post._2 > preTxn._2
+      require(composeOk,
+        s"q286 rebase publish lost a side: $preTxn -> $post")
+      // (c)/(d): a delete invalidates the read set → the publish RAISES
+      // and leaks nothing on either table
+      val pins2 = graft.sql.LakeTxn.snapshotAll(s,
+        Seq("ord286", "cust286"))
+      val readSet = graft.sinks.Dv.entries(Snapshots.manifestAt(s,
+        s"$root/o/m", pins2("ord286"))).map(_.file).toSet
+      LakeSql.sql(s, "DELETE FROM ord286 WHERE o_custkey BETWEEN 1 AND 5")
+      val preConflict = counts()
+      val conflictRaised = (scala.util.Try(
+        graft.sql.LakeTxn.publishOptimistic(s, txnDir, Seq(
+          graft.sql.LakeTxn.OptimisticStage("ord286",
+            batchO.withColumn("o_orderkey", col("o_orderkey") + 1L),
+            pins2("ord286"), readSet),
+          graft.sql.LakeTxn.OptimisticStage("cust286",
+            batchC.withColumn("c_custkey", col("c_custkey") + 1L),
+            pins2("cust286"))))) match {
+        case scala.util.Failure(_: Snapshots.CommitConflictException) =>
+          true
+        case _ => false
+      })
+      require(conflictRaised,
+        "q286 read-set-invalidating publish did not raise")
+      val atomicOk = counts() == preConflict
+      require(atomicOk, "q286 conflicted txn leaked rows")
+      LakeSql.sql(s, "SELECT o_orderkey, o_custkey FROM ord286 " +
+          "WHERE o_custkey BETWEEN 1 AND 60")
+        .withColumn("land_ok", lit(landOk))
+        .withColumn("compose_ok", lit(composeOk))
+        .withColumn("conflict_raised", lit(conflictRaised))
+        .withColumn("atomic_ok", lit(atomicOk))
+    }),
+
     // COLLATED JOIN KEYS + ORDER BY (q281, round-17 verdict item 9 —
     // collation breadth past q271's dedup): a UTF8_LCASE equi-join
     // between two DIFFERENTLY-CASED sources (one side upper, one lower)
@@ -3364,6 +3454,24 @@ object SqlQueries {
         |  true AS window1_ok, true AS window2_ok,
         |  true AS conflict_ok, true AS atomic_ok
         |FROM ins WHERE o_custkey BETWEEN 1 AND 60""".stripMargin,
+    // q286: replay interleaved + txn appends + the read-set-invalidating
+    // delete over raw orders; the conflicted txn contributes NOTHING;
+    // gates are literal true (require'd in-query).
+    "q286_optimistic_txn" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 40000000, o_custkey
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |d AS (SELECT * FROM ins WHERE o_custkey NOT BETWEEN 1 AND 5)
+        |SELECT o_orderkey::BIGINT AS o_orderkey,
+        |  o_custkey::BIGINT AS o_custkey,
+        |  true AS land_ok, true AS compose_ok,
+        |  true AS conflict_raised, true AS atomic_ok
+        |FROM d WHERE o_custkey BETWEEN 1 AND 60""".stripMargin,
     // q281: the lower() rewrite IS the oracle — collation semantics for
     // ASCII case-folding are exactly lower()-equality/order.
     "q281_collated_join" ->

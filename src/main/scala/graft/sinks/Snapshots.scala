@@ -868,14 +868,27 @@ object Snapshots {
     val prev =
       manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
         .localCheckpoint()
-    val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
-    Layout.zorderWrite(batch, cols, staging, nFiles)
-    enforceStagedConstraints(spark, manifestRoot, staging)
-    val moved = Layout.moveStagedIn(spark, staging, path)
+    val moved = stageDataFiles(spark, batch, cols, path, manifestRoot, nFiles)
     val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols),
       allowMissingColumns = true)
     (commit(spark, next, manifestRoot, tag, markers, contentFiles),
       moved.size)
+  }
+
+  /** Land `batch` into the table's DATA dir without committing any
+    * manifest: z-ordered staging write, constraint enforcement, atomic
+    * move-in. Returns the landed file paths. A crash after this leaves
+    * only unreferenced files (invisible to every read, reclaimed by
+    * [[vacuum]]) — the half every committing append shares, exposed for
+    * optimistic transactions that defer the manifest commit. */
+  private[graft] def stageDataFiles(spark: SparkSession, batch: DataFrame,
+                                    cols: Seq[String], path: String,
+                                    manifestRoot: String,
+                                    nFiles: Int): Seq[String] = {
+    val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
+    Layout.zorderWrite(batch, cols, staging, nFiles)
+    enforceStagedConstraints(spark, manifestRoot, staging)
+    Layout.moveStagedIn(spark, staging, path)
   }
 
   /** [[appendCommit]] in LOG-STRUCTURED form: the batch is staged and moved
@@ -1567,8 +1580,9 @@ object Snapshots {
     *
     * Scale: conflict checking is manifest-pair set algebra — file-count-
     * bounded driver work per intermediate commit, no data reads. */
-  def commitTxn(spark: SparkSession, manifestRoot: String,
-                txn: Txn): TxnResult = {
+  def commitTxn(spark: SparkSession, manifestRoot: String, txn: Txn,
+                contentFiles: Seq[(String, String)] = Seq.empty)
+      : TxnResult = {
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
@@ -1618,7 +1632,27 @@ object Snapshots {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
       next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // content markers (e.g. a cross-table txn's pending marker) become
+      // visible in the same atomic rename as the manifest
+      contentFiles.foreach { case (name, body) =>
+        require(name.startsWith("_"),
+          s"content marker must be underscore-prefixed: $name")
+        val out = fs.create(new org.apache.hadoop.fs.Path(tmp, name), true)
+        out.write(body.getBytes("UTF-8")); out.close()
+      }
       val dest = new org.apache.hadoop.fs.Path(s"$manifestRoot/v=${latest + 1}")
+      // the slot above the visible head may be held by ANOTHER txn's
+      // unresolved stage — that is a held write lock, not a lost race:
+      // spinning would never free it, so refuse loudly like every other
+      // writer does
+      if (fs.exists(dest) &&
+          unresolvedStage(spark, manifestRoot, latest + 1)) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"$manifestRoot v=${latest + 1} is an unresolved cross-table " +
+            "transaction stage — concurrent write refused (commit or " +
+            "abort the transaction first)")
+      }
       val won =
         if (fs.exists(dest)) false
         else if (fs.rename(tmp, dest)) {

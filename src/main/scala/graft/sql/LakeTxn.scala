@@ -96,6 +96,63 @@ object LakeTxn {
     PublishResult(id, staged.toMap)
   }
 
+  /** One table's intent inside an OPTIMISTIC cross-table transaction:
+    * append `batch`, computed against snapshot `readVersion`, depending
+    * on the content of `readSet` files (empty for a blind append — the
+    * Delta/Iceberg disjoint-files rule: appends conflict with nothing
+    * that did not remove what they read). */
+  final case class OptimisticStage(name: String, batch: DataFrame,
+                                   readVersion: Int,
+                                   readSet: Set[String] = Set.empty)
+
+  /** OPTIMISTIC cross-table publish — [[publishAppends]] without the
+    * long write-refusal window: tables are NOT staged while the txn
+    * composes, so concurrent single-table commits land freely the whole
+    * time. At publish, each table runs the [[Snapshots.commitTxn]]
+    * discipline — walk the commits since `readVersion`, raise
+    * [[Snapshots.CommitConflictException]] if any removed a `readSet`
+    * file (the snapshot the txn planned against is gone), otherwise
+    * REBASE the append atop the current head — and takes its version
+    * slot WITH the pending marker; after every table staged, one marker
+    * create flips them all, exactly like the pessimistic path. The
+    * refusal window shrinks from the whole composition to the
+    * seconds-long publish instant.
+    *
+    * Failure atomicity: a conflict on table k aborts the txn (earlier
+    * stages become permanently invisible via the abort marker) and
+    * re-raises — NOTHING of the transaction is ever visible on any
+    * table. Data files landed before the failure are unreferenced
+    * orphans, vacuum's problem, never a torn read. */
+  def publishOptimistic(spark: SparkSession, txnDir: String,
+                        stages: Seq[OptimisticStage]): PublishResult = {
+    require(stages.nonEmpty, "publishOptimistic with no tables")
+    require(stages.map(_.name.toLowerCase(java.util.Locale.ROOT))
+      .distinct.size == stages.size,
+      "publishOptimistic stages each table at most once")
+    fs(spark, txnDir).mkdirs(new org.apache.hadoop.fs.Path(txnDir))
+    val id = java.util.UUID.randomUUID().toString
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    try {
+      stages.foreach { st =>
+        val spec = specOf(st.name)
+        val moved = Snapshots.stageDataFiles(spark, st.batch, spec.cols,
+          spec.path, spec.manifestRoot, spec.nFiles)
+        val adds = graft.sinks.Layout.buildManifestFor(spark, moved,
+          spec.cols)
+        val r = Snapshots.commitTxn(spark, spec.manifestRoot,
+          Snapshots.Txn(st.readVersion, Set.empty, Some(adds), st.readSet),
+          contentFiles = Seq(Snapshots.TxnPendingMarker -> s"$txnDir\n$id"))
+        staged += st.name -> r.version
+      }
+      commitMarker(spark, txnDir, id)
+      PublishResult(id, staged.toMap)
+    } catch {
+      case e: Throwable =>
+        if (staged.nonEmpty) abort(spark, txnDir, id)
+        throw e
+    }
+  }
+
   /** A CONSISTENT version pin across tables: resolve every head, then
     * re-validate the first table still resolves the same — on success
     * the returned pins all coexisted at one instant (any txn commit

@@ -96,6 +96,59 @@ class LakeTxnSpec extends SparkSpec {
     LakeSql.unregister("tx_orders"); LakeSql.unregister("tx_cust")
   }
 
+  test("OPTIMISTIC publish: a concurrent disjoint writer lands DURING " +
+      "txn composition and the publish rebases over it; a conflicting " +
+      "delete raises CommitConflictException and aborts atomically; the " +
+      "publish-instant stage window still refuses plain writers") {
+    import spark.implicits._
+    val root = fixture("txn4")
+    val dir = s"$root/txnlog_opt"
+    val pins = LakeTxn.snapshotAll(spark, Seq("tx_orders", "tx_cust"))
+    // interleaved writer: lands freely while the txn composes — the
+    // pessimistic path would have refused this for the whole window
+    fd("INSERT INTO tx_orders SELECT 7L AS k, 70.0 AS v")
+    val r = LakeTxn.publishOptimistic(spark, dir, Seq(
+      LakeTxn.OptimisticStage("tx_orders",
+        Seq((3L, 30.0)).toDF("k", "v"), pins("tx_orders")),
+      LakeTxn.OptimisticStage("tx_cust",
+        Seq((30L, "c")).toDF("c", "n"), pins("tx_cust"))))
+    assert(r.versions.size == 2)
+    assert(counts() == (4L, 3L),
+      "rebase lost the interleaved insert or the txn rows")
+    assert(fd("SELECT sum(k) AS s FROM tx_orders").head().getLong(0)
+      == 1L + 2L + 7L + 3L, "composed outcome wrong")
+    // CONFLICT: a txn that READ the orders files publishes after a
+    // delete invalidated one of them — raises, and NOTHING lands on
+    // either table (cust stage aborted with it)
+    val pins2 = LakeTxn.snapshotAll(spark, Seq("tx_orders", "tx_cust"))
+    val ordRoot = LakeSql.specOf("tx_orders").get.manifestRoot
+    val readSet = graft.sinks.Dv.entries(
+      Snapshots.manifestAt(spark, ordRoot, pins2("tx_orders")))
+      .map(_.file).toSet
+    fd("DELETE FROM tx_orders WHERE k = 7")
+    val before = counts()
+    intercept[Snapshots.CommitConflictException](
+      LakeTxn.publishOptimistic(spark, dir, Seq(
+        LakeTxn.OptimisticStage("tx_orders",
+          Seq((8L, 80.0)).toDF("k", "v"), pins2("tx_orders"), readSet),
+        LakeTxn.OptimisticStage("tx_cust",
+          Seq((40L, "d")).toDF("c", "n"), pins2("tx_cust")))))
+    assert(counts() == before,
+      "conflicted txn leaked rows onto a table")
+    // the brief publish-instant window: a stage holding a tail slot
+    // still refuses plain writers until resolved (then unblocks)
+    val id = "opt-window"
+    LakeTxn.stagePending(spark, dir, id, "tx_orders",
+      Seq((9L, 90.0)).toDF("k", "v"))
+    assert(intercept[Exception](
+      fd("INSERT INTO tx_orders SELECT 10L AS k, 1.0 AS v"))
+      .getMessage.contains("transaction"))
+    LakeTxn.abort(spark, dir, id)
+    fd("INSERT INTO tx_orders SELECT 10L AS k, 1.0 AS v")
+    assert(counts()._1 == before._1 + 1)
+    LakeSql.unregister("tx_orders"); LakeSql.unregister("tx_cust")
+  }
+
   test("STREAMING txn visibility: an unresolved stage is never emitted, " +
       "an aborted stage's rows never stream, a committed stage streams " +
       "after its marker, and VERSION AS OF a staged version refuses") {
