@@ -2533,6 +2533,80 @@ object SqlQueries {
       out
     }),
 
+    // COLLATION AS TABLE STATE (q287, round-18 verdict item 9): the
+    // column's collation lives in the DECLARED SCHEMA — `CREATE TABLE …
+    // email STRING COLLATE UTF8_LCASE` — so every comparison on it
+    // (GROUP BY, DISTINCT, join keys, window partitions, ORDER BY) is
+    // collation-aware BY DEFAULT: zero COLLATE tokens anywhere in the
+    // queries below. The declared-schema read path serves the collated
+    // type over plain parquet files (collation is a logical property;
+    // the bytes are unchanged), so this is a metadata-only feature —
+    // exactly Databricks' column-collation shape. Gates, all in-query:
+    // (a) the served schema carries UTF8_LCASE, (b) a bare
+    // count(DISTINCT email) equals the lower()-normalized count,
+    // (c) a bare self equi-join on email plans as a REAL equi join (no
+    // BroadcastNestedLoop/cartesian — the 100 TB difference) and matches
+    // the lower() join's cardinality, (d) a first-wins dedup window
+    // partitioned on the bare column groups case-insensitively. The
+    // oracle IS the lower() rewrite in DuckDB.
+    "q287_collated_table" -> ((s, dir) => {
+      val root = tmp("q287")
+      LakeSql.unregister("emails287")
+      s.sql(s"""CREATE TABLE emails287
+        (ck BIGINT, email STRING COLLATE UTF8_LCASE)
+        USING lake LOCATION '$root'
+        TBLPROPERTIES ('stats_cols' = 'ck', 'files' = '4')""")
+      val v = s"q287_src_${java.util.UUID.randomUUID.toString.take(8)}"
+      t(s, dir, "customer")
+        .filter(col("c_custkey").between(1, 300))
+        .select(col("c_custkey").as("ck"),
+          concat(lit("c"), (col("c_custkey") % 37).cast("string"),
+            lit("@Example.COM")).as("e"))
+        .createOrReplaceTempView(v)
+      // two differently-cased waves — and NOT ONE COLLATE token below
+      s.sql(s"INSERT INTO emails287 SELECT ck AS ck, " +
+        s"upper(e) AS email FROM $v WHERE ck % 2 = 0")
+      s.sql(s"INSERT INTO emails287 SELECT ck AS ck, " +
+        s"lower(e) AS email FROM $v WHERE ck % 2 = 1")
+      val schemaOk = LakeSql.sql(s, "SELECT email FROM emails287")
+        .schema("email").dataType ==
+        org.apache.spark.sql.types.StringType("UTF8_LCASE")
+      require(schemaOk, "q287 served schema lost the declared collation")
+      // (b) bare DISTINCT is case-insensitive
+      val nBare = LakeSql.sql(s,
+        "SELECT count(DISTINCT email) AS n FROM emails287")
+        .head().getLong(0)
+      val nLower = LakeSql.sql(s,
+        "SELECT count(DISTINCT lower(email)) AS n FROM emails287")
+        .head().getLong(0)
+      val distinctOk = nBare == nLower && nBare <= 37L
+      require(distinctOk, s"q287 bare DISTINCT not collation-aware: " +
+        s"$nBare vs $nLower")
+      // (c) bare equi-join: equi PLAN + lower()-join cardinality
+      val pairs = LakeSql.sql(s,
+        "SELECT a.ck AS ka, b.ck AS kb FROM emails287 a " +
+          "JOIN emails287 b ON a.email = b.email AND a.ck < b.ck")
+      val plan = pairs.queryExecution.executedPlan.toString
+      val equiPlanOk = !plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct")
+      require(equiPlanOk, s"q287 collated join fell back to n²:\n$plan")
+      val joinOk = pairs.count() == LakeSql.sql(s,
+        "SELECT a.ck AS ka, b.ck AS kb FROM emails287 a " +
+          "JOIN emails287 b ON lower(a.email) = lower(b.email) " +
+          "AND a.ck < b.ck").count()
+      require(joinOk, "q287 bare join cardinality != lower() join")
+      // (d) first-wins dedup partitioned on the BARE column
+      LakeSql.sql(s,
+        """SELECT ck, lower(email) AS email_norm FROM (
+          |  SELECT ck, email, row_number() OVER (
+          |    PARTITION BY email ORDER BY ck) AS rn FROM emails287)
+          |WHERE rn = 1""".stripMargin)
+        .withColumn("schema_ok", lit(schemaOk))
+        .withColumn("distinct_ok", lit(distinctOk))
+        .withColumn("equi_plan_ok", lit(equiPlanOk))
+        .withColumn("join_ok", lit(joinOk))
+    }),
+
     // GENERALIZED MATERIALIZED VIEW (q283, round-18 verdict item 1):
     // MIN/MAX measures + a WHERE-filtered definition + REFRESH FULL.
     // An insert-only feed folds purely (extrema can only improve under
@@ -3403,6 +3477,24 @@ object SqlQueries {
         |  true AS stale_fellback_ok, true AS feed_bounded_ok,
         |  true AS served_ok, true AS pinned_ok
         |FROM u GROUP BY 1""".stripMargin,
+    // q287: collation state replays as the lower() rewrite — first-wins
+    // winner per case-folded email; gates are literal true.
+    "q287_collated_table" ->
+      """WITH src AS (
+        |  SELECT c_custkey AS ck,
+        |    'c' || CAST(c_custkey % 37 AS VARCHAR) || '@Example.COM' AS e
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 300),
+        |rows_in AS (
+        |  SELECT ck, upper(e) AS email FROM src WHERE ck % 2 = 0
+        |  UNION ALL
+        |  SELECT ck, lower(e) AS email FROM src WHERE ck % 2 = 1)
+        |SELECT ck::BIGINT AS ck, lower(email) AS email_norm,
+        |  true AS schema_ok, true AS distinct_ok,
+        |  true AS equi_plan_ok, true AS join_ok
+        |FROM (SELECT ck, email, row_number() OVER (
+        |        PARTITION BY lower(email) ORDER BY ck) AS rn
+        |      FROM rows_in)
+        |WHERE rn = 1""".stripMargin,
     // q283: replay the DML (price-halved insert slice, one-group banded
     // delete) over raw orders, apply the view's WHERE, recompute the
     // min/max rollup; gates are literal true (each `require`d in-query).
