@@ -424,7 +424,103 @@ object LakeSql {
     * condition must reference select-list ALIASES (`row_number() … AS
     * rn … QUALIFY rn = 1`) — a bare window expression in the condition
     * fails analysis loudly rather than silently misbinding. */
+  /** QUALIFY anywhere in the statement: rewrite parenthesized subquery
+    * blocks (FROM-subselects, CTE bodies, scalar subqueries) INNERMOST
+    * FIRST — each paren whose body gates as a query statement recurses
+    * through the same rewrite — then apply the single-block rewrite to
+    * the outermost level. Non-query parens (expression lists, IN lists)
+    * fail the SELECT/WITH gate immediately and are copied verbatim. */
   private[sql] def rewriteQualify(text: String): Option[String] = {
+    val deep = rewriteQualifySubqueries(text)
+    val base = deep.getOrElse(text)
+    rewriteQualifyBlock(base).orElse(deep)
+  }
+
+  /** Rewrite QUALIFY inside every top-level parenthesized region whose
+    * body is itself a query; literal/comment-aware, innermost-first via
+    * recursion. Some(text') iff any block changed. */
+  private def rewriteQualifySubqueries(text: String): Option[String] = {
+    def skipQuoted(start: Int, quote: Char): Int = {
+      var j = start
+      while (j < text.length && text(j) != quote) {
+        if (text(j) == '\\' && j + 1 < text.length) j += 1
+        j += 1
+      }
+      j
+    }
+    // index just past the ')' matching the '(' at `open` — the same
+    // literal/comment skip rules as the block scanner, so a paren inside
+    // a string or comment never closes a block
+    def matchParen(open: Int): Int = {
+      var j = open + 1; var depth = 1
+      while (j < text.length && depth > 0) {
+        text(j) match {
+          case '\'' => j = skipQuoted(j + 1, '\'')
+          case '"' => j = skipQuoted(j + 1, '"')
+          case '`' =>
+            j += 1; while (j < text.length && text(j) != '`') j += 1
+          case '-' if j + 1 < text.length && text(j + 1) == '-' =>
+            while (j < text.length && text(j) != '\n') j += 1
+          case '/' if j + 1 < text.length && text(j + 1) == '*' =>
+            val e = text.indexOf("*/", j + 2)
+            j = if (e < 0) text.length else e + 1
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        j += 1
+      }
+      if (depth == 0) j else -1
+    }
+    val sb = new StringBuilder
+    var changed = false
+    var i = 0
+    while (i < text.length) {
+      text(i) match {
+        case '\'' =>
+          val e = skipQuoted(i + 1, '\'')
+          sb.append(text.substring(i, math.min(e + 1, text.length)))
+          i = e + 1
+        case '"' =>
+          val e = skipQuoted(i + 1, '"')
+          sb.append(text.substring(i, math.min(e + 1, text.length)))
+          i = e + 1
+        case '`' =>
+          var e = i + 1
+          while (e < text.length && text(e) != '`') e += 1
+          sb.append(text.substring(i, math.min(e + 1, text.length)))
+          i = e + 1
+        case '-' if i + 1 < text.length && text(i + 1) == '-' =>
+          var e = i
+          while (e < text.length && text(e) != '\n') e += 1
+          sb.append(text.substring(i, e)); i = e
+        case '/' if i + 1 < text.length && text(i + 1) == '*' =>
+          val e = text.indexOf("*/", i + 2)
+          val stop = if (e < 0) text.length else e + 2
+          sb.append(text.substring(i, stop)); i = stop
+        case '(' =>
+          val close = matchParen(i)
+          if (close < 0) { sb.append(text.substring(i)); i = text.length }
+          else {
+            val inner = text.substring(i + 1, close - 1)
+            rewriteQualify(inner) match {
+              case Some(r) =>
+                sb.append('(').append(r).append(')'); changed = true
+              case None => sb.append(text.substring(i, close))
+            }
+            i = close
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    if (changed) Some(sb.toString) else None
+  }
+
+  /** The single-block rewrite: a depth-0 QUALIFY in `text` becomes a
+    * wrapping `SELECT * FROM (…) WHERE (cond)`, preserving a trailing
+    * ORDER/LIMIT/OFFSET. Parenthesized sub-blocks are handled by
+    * [[rewriteQualifySubqueries]], never here. */
+  private def rewriteQualifyBlock(text: String): Option[String] = {
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
     def kwAt(i: Int, kw: String): Boolean =
       i + kw.length <= text.length &&

@@ -2,20 +2,25 @@ package graft.sql
 
 import graft.SparkSpec
 
-/** QUALIFY text rewrite: top-level clause rewrites into the nested
-  * window-filter form; string literals, subquery-nested QUALIFYs and
-  * plain statements are untouched; ORDER BY/LIMIT tails survive. */
+/** QUALIFY text rewrite: the clause rewrites into the nested
+  * window-filter form in the outermost block AND (round 18) inside
+  * parenthesized subselects / CTE bodies, innermost first; string
+  * literals and plain statements are untouched; ORDER BY/LIMIT tails
+  * survive. */
 class QualifySpec extends SparkSpec {
   import spark.implicits._
 
-  test("rewrite mechanics: top-level only, quote- and paren-aware") {
+  test("rewrite mechanics: quote- and paren-aware; nested blocks " +
+      "rewrite too (round-18 item 8)") {
     assert(LakeSql.rewriteQualify("SELECT a FROM t").isEmpty)
     assert(LakeSql.rewriteQualify("SELECT 'QUALIFY' AS s FROM t").isEmpty)
-    // QUALIFY inside a subquery is at depth > 0: the outer text is
-    // untouched (the clause is OUTERMOST-BLOCK-ONLY — a nested one is a
-    // loud parse error, never a silent misrewrite)
-    assert(LakeSql.rewriteQualify(
-      "SELECT * FROM (SELECT a, rn FROM x QUALIFY rn = 1) y").isEmpty)
+    // QUALIFY inside a subquery rewrites IN PLACE: the inner block gets
+    // the window-filter form, the outer text around it is untouched
+    val nested = LakeSql.rewriteQualify(
+      "SELECT * FROM (SELECT a, rn FROM x QUALIFY rn = 1) y").get
+    assert(nested.startsWith("SELECT * FROM (") &&
+      nested.endsWith(") y") && nested.contains("WHERE ( rn = 1"),
+      nested)
     assert(LakeSql.rewriteQualify(
       "SELECT * FROM (SELECT a FROM x) y WHERE a > 1").isEmpty)
     val r = LakeSql.rewriteQualify(
@@ -81,10 +86,31 @@ class QualifySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(front.toSeq == Seq(("a", 2L), ("b", 5L)))
     assert(plain.toSeq == front.toSeq)
-    // outermost-block-only: a QUALIFY inside a subquery fails LOUDLY at
-    // Spark's parser (no silent misrewrite of nested blocks)
-    assert(scala.util.Try(spark.sql(
-      "SELECT count(*) AS n FROM (" + text.replace("ORDER BY g", "") + ")")
-      .collect()).isFailure)
+    // round-18 item 8: QUALIFY inside a FROM-subselect rewrites in place
+    // and runs through both front doors
+    val sub = "SELECT count(*) AS n FROM (" +
+      text.replace("ORDER BY g", "") + ")"
+    assert(spark.sql(sub).head().getLong(0) == 2L)
+    assert(LakeSql.sql(spark, sub).head().getLong(0) == 2L)
+    // …and inside a CTE body, with an outer QUALIFY in the same
+    // statement (both levels rewrite, innermost first)
+    val cte =
+      """WITH w AS (
+        |  SELECT g, id, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |  FROM qy_t
+        |  QUALIFY rn <= 2)
+        |SELECT g, id, row_number() OVER (ORDER BY v DESC) AS gr
+        |FROM w
+        |QUALIFY gr = 1""".stripMargin
+    val top = spark.sql(cte).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("b", 5L)), top)
+    // scalar subquery with QUALIFY
+    val scalar = spark.sql(
+      "SELECT (SELECT id FROM (SELECT id, row_number() OVER " +
+        "(ORDER BY v DESC) AS rn FROM qy_t QUALIFY rn = 1)) AS top_id")
+      .head().getLong(0)
+    assert(scalar == 5L)
   }
 }
