@@ -219,6 +219,7 @@ object ScaleSmoke {
     else if (args.headOption.contains("applychanges"))
       applyChangesMain(args.drop(1))
     else if (args.headOption.contains("sqlwave")) sqlWaveMain(args.drop(1))
+    else if (args.headOption.contains("mvminmax")) mvMinMaxMain(args.drop(1))
     else if (args.headOption.contains("abench")) abenchMain(args.drop(1))
     else growthMain(args)
 
@@ -768,6 +769,66 @@ object ScaleSmoke {
           Map("o_totalprice" -> (col("o_totalprice") * 1.01))))
       })
       println(f"""{"query":"lake_growth","scale":"$label","append_sec":$tAppend%.2f,"ivm_maintain_sec":$tIvm%.2f,"recompute_sec":$tRecompute%.2f,"merge_sec":$tMerge%.2f,"update_sec":$tUpdate%.2f,"reps":$reps}""")
+    }
+    measure("1x", orders(src), nFiles = 32)
+    measure(s"${copies}x", orders(target),
+      nFiles = math.min(32 * copies, 2048))
+    spark.stop()
+  }
+
+  /** MIN/MAX materialized-view growth smoke (round 18): the claim under
+    * test is that a DELETE refresh's touched-group recompute tracks the
+    * commit's TOUCH SET — per-rep wall ≈ flat as the base grows, with
+    * the stats-pruned base read a small fraction of the manifest — while
+    * `REFRESH FULL` (the recompute fallback) tracks table size. Each rep
+    * deletes one band of one dim group and times the incremental
+    * refresh; FULL is timed once per scale. */
+  private def mvMinMaxMain(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val target = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val reps = args.lift(3).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)).getOrElse(3)
+    val spark = session()
+    ensureBuilt(spark, src, target, copies, skewed = false)
+    import graft.sinks.{Layout, Snapshots}
+    import graft.sql.{LakeSql, MatViews}
+    def orders(dir: String) = graft.model.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        pmod(col("o_custkey"), lit(8)).as("grp"), col("o_totalprice"))
+    def measure(label: String, df: DataFrame, nFiles: Int): Unit = {
+      val root = java.nio.file.Files.createTempDirectory("mvgrowth").toString
+      LakeSql.unregister("mvsmoke_base"); MatViews.drop(spark, "mvsmoke_mv")
+      // two clustering columns: a single 8-valued dim collapses the
+      // z-space to 8 files no matter what nFiles asks — pairing it with
+      // the high-cardinality custkey keeps file count scaling with data
+      // while per-file grp stats stay narrow enough to prune
+      val zc = Seq("grp", "o_custkey")
+      Layout.zorderWrite(df, zc, s"$root/z", nFiles)
+      Snapshots.commit(spark,
+        Layout.buildManifest(spark, s"$root/z", zc), s"$root/m")
+      LakeSql.register("mvsmoke_base", graft.sql.LakeSql.LakeTableSpec(
+        s"$root/z", s"$root/m", zc, nFiles))
+      MatViews.create(spark, "mvsmoke_mv", Some(s"$root/mv"),
+        "SELECT grp, sum(o_custkey) AS sck, min(o_totalprice) AS mn, " +
+          "max(o_totalprice) AS mx, count(*) AS cnt FROM mvsmoke_base " +
+          "GROUP BY grp")
+      var lastRead = 0L; var lastTotal = 0L
+      val tRefresh = median((1 to reps).map { r =>
+        // one band of one group per rep — the commit-bounded touch set
+        LakeSql.sql(spark,
+          s"DELETE FROM mvsmoke_base WHERE grp = $r AND " +
+            s"o_totalprice < ${20000 * r}")
+        timed {
+          val res = MatViews.refresh(spark, "mvsmoke_mv")
+          lastRead = res.baseFilesRead; lastTotal = res.baseFilesTotal
+        }
+      })
+      val tFull = median((1 to reps).map { _ =>
+        timed(MatViews.refresh(spark, "mvsmoke_mv", full = true))
+      })
+      println(f"""{"query":"mv_minmax_growth","scale":"$label","refresh_sec":$tRefresh%.2f,"full_sec":$tFull%.2f,"base_files_read":$lastRead,"base_files_total":$lastTotal,"reps":$reps}""")
+      LakeSql.unregister("mvsmoke_base"); MatViews.drop(spark, "mvsmoke_mv")
     }
     measure("1x", orders(src), nFiles = 32)
     measure(s"${copies}x", orders(target),

@@ -69,6 +69,16 @@ object Layout {
       acc + when(c > lit(b), 1).otherwise(0)
     }
 
+  /** Sum `terms` as a BALANCED expression tree (depth log₂ n) instead of
+    * a left-deep fold (depth n): the file-router expressions below carry
+    * one term per output file, and a left-deep Column tree overflows the
+    * Column→Expression converter's stack past a few hundred files — a
+    * 10k-file write at real scale would be 10k frames deep. Same adds,
+    * same codegen, logarithmic depth. */
+  private def balancedSum(terms: IndexedSeq[Column]): Column =
+    if (terms.length == 1) terms(0)
+    else balancedSum(terms.grouped(2).map(_.reduce(_ + _)).toIndexedSeq)
+
   /** Interleave the low [[Bits]] bits of the per-column bucket ids into a
     * Morton z-code (column 0 takes the higher bit of each pair). */
   private def zExpr(buckets: Seq[Column]): Column = {
@@ -129,9 +139,10 @@ object Layout {
   private[sinks] def stageZordered(df: DataFrame, cols: Seq[String],
                                    nFiles: Int): DataFrame = {
     val (bounds, zBoundaries) = planZ(df, cols, nFiles)
-    val pid = zBoundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("_z") > lit(b), 1).otherwise(0)
-    }
+    val pid =
+      if (zBoundaries.isEmpty) lit(0)
+      else balancedSum(zBoundaries.toIndexedSeq.map(b =>
+        when(col("_z") > lit(b), 1).otherwise(0)))
     val tokens = partitionTokens(df.sparkSession, nFiles)
     df.withColumn("_z", zValue(df, cols, bounds))
       .withColumn("_pt", element_at(typedLit(tokens.toSeq), pid + 1))
@@ -207,9 +218,10 @@ object Layout {
     // (sharing the lowest value band would poison that band's min/max
     // with nothing and its file with unprunable rows). Empty when the
     // key has no nulls — parquet writes no file for an empty partition.
-    val valuePid = boundaries.foldLeft(lit(1)) { (acc, b) =>
-      acc + when(sur > lit(b), 1).otherwise(0)
-    }
+    val valuePid =
+      if (boundaries.isEmpty) lit(1)
+      else lit(1) + balancedSum(boundaries.toIndexedSeq.map(b =>
+        when(sur > lit(b), 1).otherwise(0)))
     val pid = when(sur.isNull, 0).otherwise(valuePid)
     val tokens = partitionTokens(df.sparkSession, boundaries.size + 2)
     df.withColumn("_pt", element_at(typedLit(tokens.toSeq), pid + 1))
