@@ -68,6 +68,60 @@ object Dv {
       : DataFrame =
     readLiveWithPos(spark, entries, declared).drop("_dv_f", "_dv_p")
 
+  // Memo of assembled read plans, keyed on the EXACT (entries, declared)
+  // pair. Data files and DV sidecars are immutable once a manifest
+  // references them, and a DataFrame is an immutable lazy plan — so the
+  // same entry set re-reads through the same plan instead of paying plan
+  // assembly again per call (each assembly runs a mergeSchema footer job
+  // + a file-index listing; DML queries re-read the same snapshot's
+  // entries many times for gates/diffs/feeds). LRU-bounded; cleared by
+  // [[Snapshots]] on root re-creation and vacuum (the only paths that
+  // delete referenced files).
+  private val readLiveCache =
+    new java.util.LinkedHashMap[(Seq[Entry], Option[org.apache.spark.sql.types.StructType]), DataFrame](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Seq[Entry], Option[org.apache.spark.sql.types.StructType]), DataFrame])
+          : Boolean = size() > 512
+    }
+
+  private[graft] def clearReadLiveCache(): Unit = {
+    readLiveCache.synchronized(readLiveCache.clear())
+    fileSchemaCache.synchronized(fileSchemaCache.clear())
+  }
+
+  // per-file parquet schema memo (files are immutable; LRU-bounded)
+  private val fileSchemaCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType])
+          : Boolean = size() > 8192
+    }
+
+  /** The single schema shared by ALL of `files`, if they agree — each new
+    * file costs one driver-side footer read (memoized thereafter); any
+    * disagreement or read failure returns None so the caller falls back
+    * to Spark's distributed mergeSchema. */
+  private def fileSchemas(spark: SparkSession, files: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] = try {
+    var agreed: Option[org.apache.spark.sql.types.StructType] = None
+    files.foreach { f =>
+      val s = fileSchemaCache.synchronized(Option(fileSchemaCache.get(f)))
+        .getOrElse {
+          val read = spark.read.parquet(f).schema
+          fileSchemaCache.synchronized(fileSchemaCache.put(f, read)): Unit
+          read
+        }
+      agreed match {
+        case None => agreed = Some(s)
+        case Some(a) if a == s => ()
+        case _ => return None
+      }
+    }
+    agreed
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** [[readLive]] with the row's provenance retained as `_dv_f` (canonical
     * file path) and `_dv_p` (parquet row ordinal) — what a delete needs to
     * turn matched rows into sidecar entries. The columns must be captured
@@ -76,6 +130,19 @@ object Dv {
   def readLiveWithPos(spark: SparkSession, entries: Seq[Entry],
                       declared: Option[org.apache.spark.sql.types.StructType]
                         = None): DataFrame = {
+    val key = (entries, declared)
+    readLiveCache.synchronized(Option(readLiveCache.get(key))) match {
+      case Some(df) => df
+      case None =>
+        val df = assembleReadLive(spark, entries, declared)
+        readLiveCache.synchronized(readLiveCache.put(key, df)): Unit
+        df
+    }
+  }
+
+  private def assembleReadLive(spark: SparkSession, entries: Seq[Entry],
+                               declared: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
     require(entries.nonEmpty, "readLive needs at least one manifest entry")
     val plain = entries.collect { case Entry(f, None) => f }
     val masked = entries.collect { case Entry(f, Some(d)) => (f, d) }
@@ -93,7 +160,18 @@ object Dv {
             sch.fields.map(_.copy(nullable = true)))
           spark.read.schema(relaxed).parquet(files: _*)
         case None =>
-          spark.read.option("mergeSchema", "true").parquet(files: _*)
+          // mergeSchema launches a distributed footer-merge job per plan
+          // assembly. Data files are immutable, so per-file schemas memoize;
+          // when every file agrees (the overwhelmingly common case — only a
+          // snapshot SPANNING a schema evolution mixes schemas) the agreed
+          // schema is pinned explicitly, which reads one footer driver-side
+          // at most per NEW file and no job. Disagreeing schemas keep the
+          // distributed merge — identical semantics, it just costs the job.
+          fileSchemas(spark, files) match {
+            case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+            case None =>
+              spark.read.option("mergeSchema", "true").parquet(files: _*)
+          }
       }
       base
         .withColumn("_dv_f", col("_metadata.file_path"))

@@ -164,9 +164,16 @@ object Layout {
     val d = cols.size
     val proj = df.select(cols.map(c =>
       zNum(col(c), df.schema(c).dataType)): _*)
-    val nParts = proj.rdd.getNumPartitions.max(1)
+    // queryExecution.toRdd, NOT .rdd: the planning pass only extracts
+    // doubles, and .rdd would convert every InternalRow to an external Row
+    // object first — a per-row allocation+copy tax over the whole input
+    // (guide §1.4's df.rdd caveat). Values and partition order are
+    // identical; the reservoir (seeded per partition) draws the same
+    // sample either way, so planned boundaries are byte-identical.
+    val rdd = proj.queryExecution.toRdd
+    val nParts = rdd.getNumPartitions.max(1)
     val perPart = math.max(16, SampleCap / nParts)
-    val collected = proj.rdd.mapPartitionsWithIndex { (pi, it) =>
+    val collected = rdd.mapPartitionsWithIndex { (pi, it) =>
       val rng = new java.util.Random(0x5eed + pi.toLong * 7919L)
       val buf = new Array[Array[Double]](perPart)
       var n = 0L

@@ -193,7 +193,17 @@ object Snapshots {
     val fs = hfs(spark, manifestRoot)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
-    content.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // DRIVER-SIDE manifest write when the content is cache-bounded and
+    // simply-typed: a manifest is file-count-bounded planner metadata
+    // (the Delta commit-log shape — Delta writes its JSON commit from the
+    // driver too), and paying a full Spark write job per commit was the
+    // single largest fixed cost of every DML version commit. The collected
+    // rows double as the new version's manifest-cache entry, so the first
+    // post-commit read costs no job either. Oversized or exotically-typed
+    // manifests keep the distributed write.
+    val localRows = stageManifestLocal(spark, content, tmp)
+    if (localRows.isEmpty)
+      content.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // the txn tag travels INSIDE the staged dir: tag and manifest become
     // visible in the same atomic rename — no window where the version
     // exists untagged (underscore-prefixed, so parquet readers skip it)
@@ -266,6 +276,14 @@ object Snapshots {
           // every initialization path converges, not only in the SQL
           // registry
           if (next == 1) invalidateProperties(manifestRoot)
+          // the rows staged driver-side ARE the committed version's raw
+          // parquet content — warm the manifest cache so the first
+          // post-commit planner read is job-free (after the v=1
+          // invalidation above, never before it)
+          localRows.foreach { case (schema, rows) =>
+            manifestCache.synchronized(
+              manifestCache.put((manifestRoot, next), (schema, rows))): Unit
+          }
           return next
         }
       } else next += 1 // rename refused: another writer took v=N
@@ -397,8 +415,9 @@ object Snapshots {
     if (fs.exists(dest)) return
     val tmp = new org.apache.hadoop.fs.Path(
       s"$manifestRoot/.tmp_${java.util.UUID.randomUUID()}")
-    manifestAt(spark, manifestRoot, version)
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val folded = manifestAt(spark, manifestRoot, version)
+    if (stageManifestLocal(spark, folded, tmp).isEmpty)
+      folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost a benign race
     else {
       val nested = new org.apache.hadoop.fs.Path(dest, tmp.getName)
@@ -410,6 +429,160 @@ object Snapshots {
     * (a full version or a checkpoint) and how many delta commits sit on
     * top. The gate-visible evidence that checkpoints actually re-base the
     * log (`deltasFolded` drops back to the post-checkpoint tail). */
+  // ------------------------------------------------------------------
+  // MANIFEST CACHE — a committed version dir is IMMUTABLE (the CAS rename
+  // is the last write a v-dir ever sees), so the collected manifest rows
+  // of a (root, version) — and the delta FOLD over an explicit visible
+  // version set — can be served from driver memory instead of re-running
+  // a parquet scan job per planner read. This is the Delta/Iceberg
+  // snapshot-state cache re-expressed on the version log: every DML
+  // query reads its table's manifest dozens of times (touch-set
+  // planning, gates, change feeds, stream admission), and each read was
+  // a full Spark job (schema inference + scan + collect + a broadcast
+  // hadoop-conf per job). Bounded two ways: an entry larger than
+  // [[manifestCacheMaxRows]] rows is never cached (a 100 TB table's
+  // manifest stays a distributed read; the cap is env-tunable), and the
+  // map is LRU past 1024 entries. Invalidation: root re-creation
+  // ([[invalidateProperties]], already hooked at every v=1 commit and
+  // SQL re-registration), [[vacuum]] (drops version dirs), plus a
+  // per-serve existence probe so a DROPped-but-not-recreated root fails
+  // exactly like the uncached read did.
+  // ------------------------------------------------------------------
+
+  private[graft] val manifestCacheMaxRows: Int =
+    sys.env.get("SPARK_GRAFT_MANIFEST_CACHE_ROWS").map(_.toInt)
+      .getOrElse(65536)
+
+  private val manifestCache =
+    new java.util.LinkedHashMap[Product, (StructType, Array[Row])](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Product, (StructType, Array[Row])])
+          : Boolean = size() > 1024
+    }
+
+  private[graft] def clearManifestCache(manifestRoot: String): Unit =
+    manifestCache.synchronized {
+      val it = manifestCache.keySet().iterator()
+      while (it.hasNext)
+        if (it.next().productElement(0) == manifestRoot) it.remove()
+    }
+
+  /** Stage `content` into `tmpDir` as ONE parquet part file written from
+    * the DRIVER (parquet-mr Group writer — no Spark job), when every
+    * column is a simple primitive and the row count is cache-bounded.
+    * Returns the (schema, rows) staged so the committer can warm the
+    * manifest cache, or None when the caller must fall back to the
+    * distributed write. Types written match Spark's own parquet writer
+    * for these primitives (BINARY+STRING / INT64 / INT32 / DOUBLE /
+    * FLOAT / BOOLEAN, all optional), so a reader cannot tell the two
+    * staging paths apart. */
+  private def stageManifestLocal(spark: SparkSession, content: DataFrame,
+                                 tmpDir: org.apache.hadoop.fs.Path)
+      : Option[(StructType, Array[Row])] = {
+    import org.apache.spark.sql.types._
+    val schema = content.schema
+    val simple = schema.fields.forall(_.dataType match {
+      case StringType | LongType | IntegerType | DoubleType | FloatType |
+           BooleanType => true
+      case _ => false
+    })
+    if (!simple || schema.isEmpty) return None
+    // only when the OPTIMIZED plan is local-composed (LocalRelation leaves
+    // under Union/Project/Filter — the shape cached manifests and footer
+    // manifest builds produce): collecting it is a driver-side or
+    // trivially-small job. A distributed content plan (scan-fallback stats
+    // build, un-cached fold) keeps the parallel write — collecting it
+    // first would serialize the computation through one partition.
+    def localOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        u.children.forall(localOnly)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        localOnly(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        localOnly(f.child)
+      case _ => false
+    }
+    if (!localOnly(content.queryExecution.optimizedPlan)) return None
+    val rows =
+      try content.limit(manifestCacheMaxRows + 1).collect()
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (rows.length > manifestCacheMaxRows) return None
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val builder = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      val leaf = f.dataType match {
+        case StringType =>
+          PTypes.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case LongType => PTypes.optional(INT64)
+        case IntegerType => PTypes.optional(INT32)
+        case DoubleType => PTypes.optional(DOUBLE)
+        case FloatType => PTypes.optional(FLOAT)
+        case BooleanType => PTypes.optional(BOOLEAN)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      builder.addField(leaf.named(f.name))
+    }
+    val msg = builder.named("spark_schema")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new org.apache.hadoop.fs.Path(tmpDir,
+      s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+    hfs(spark, tmpDir.toString).mkdirs(tmpDir)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withType(msg)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { r =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(msg)
+      var i = 0
+      while (i < schema.length) {
+        if (!r.isNullAt(i)) schema(i).dataType match {
+          case StringType => g.add(i, r.getString(i))
+          case LongType => g.add(i, r.getLong(i))
+          case IntegerType => g.add(i, r.getInt(i))
+          case DoubleType => g.add(i, r.getDouble(i))
+          case FloatType => g.add(i, r.getFloat(i))
+          case BooleanType => g.add(i, r.getBoolean(i))
+          case _ => ()
+        }
+        i += 1
+      }
+      writer.write(g)
+    } finally writer.close()
+    Some((schema, rows))
+  }
+
+  /** Serve `build`'s rows from the cache under `key`, populating it on
+    * miss (one bounded collect) — or pass `build` through untouched when
+    * the manifest exceeds the row cap or `probeDir` no longer exists. */
+  private def cachedManifestDf(spark: SparkSession, key: Product,
+                               probeDir: String)
+                              (build: => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val exists = hfs(spark, probeDir)
+      .exists(new org.apache.hadoop.fs.Path(probeDir))
+    if (exists)
+      manifestCache.synchronized(Option(manifestCache.get(key))).foreach {
+        case (schema, rows) =>
+          return spark.createDataFrame(rows.toSeq.asJava, schema)
+      }
+    val df = build
+    if (!exists) return df // let build's own missing-dir semantics apply
+    val rows = df.limit(manifestCacheMaxRows + 1).collect()
+    if (rows.length > manifestCacheMaxRows) df
+    else {
+      manifestCache.synchronized(
+        manifestCache.put(key, (df.schema, rows))): Unit
+      spark.createDataFrame(rows.toSeq.asJava, df.schema)
+    }
+  }
+
   final case class FoldInfo(base: Int, baseIsCheckpoint: Boolean,
                             deltasFolded: Int)
 
@@ -450,23 +623,39 @@ object Snapshots {
         "stage that is not (or never became) visible — reads serve only " +
         "committed history")
     if (!isDelta(spark, manifestRoot, version))
-      return spark.read.parquet(s"$manifestRoot/v=$version")
+      return cachedManifestDf(spark, (manifestRoot, version),
+        s"$manifestRoot/v=$version")(
+        spark.read.parquet(s"$manifestRoot/v=$version"))
     val info = foldInfo(spark, manifestRoot, version)
-    val baseDf = (if (info.baseIsCheckpoint)
-        spark.read.parquet(s"$manifestRoot/ckpt=${info.base}")
-      else spark.read.parquet(s"$manifestRoot/v=${info.base}"))
-      .withColumn(ActionCol, lit("add")).withColumn("_v", lit(info.base))
-    val deltas = visibleVersions(spark, manifestRoot)
+    val deltaVs = visibleVersions(spark, manifestRoot)
       .filter(v => v > info.base && v <= version)
-      .map(v => spark.read.parquet(s"$manifestRoot/v=$v")
-        .withColumn("_v", lit(v)))
-    val all = (baseDf +: deltas)
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("file").orderBy(col("_v").desc)
-    all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col(ActionCol) === "add")
-      .drop(ActionCol, "_v", "_rn")
+    // the fold is keyed on its COMPLETE input set (base + visible delta
+    // versions): visibility changes (a txn stage resolving) change the
+    // set and therefore the key, so a cached fold can never serve a
+    // different-visibility answer
+    cachedManifestDf(spark,
+      (manifestRoot, version, info.base, info.baseIsCheckpoint,
+        deltaVs.toList),
+      s"$manifestRoot/v=$version") {
+      val baseDf = (if (info.baseIsCheckpoint)
+          spark.read.parquet(s"$manifestRoot/ckpt=${info.base}")
+        else cachedManifestDf(spark, (manifestRoot, info.base),
+          s"$manifestRoot/v=${info.base}")(
+          spark.read.parquet(s"$manifestRoot/v=${info.base}")))
+        .withColumn(ActionCol, lit("add")).withColumn("_v", lit(info.base))
+      val deltas = deltaVs
+        .map(v => cachedManifestDf(spark, (manifestRoot, v),
+          s"$manifestRoot/v=$v")(
+          spark.read.parquet(s"$manifestRoot/v=$v"))
+          .withColumn("_v", lit(v)))
+      val all = (baseDf +: deltas)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("file").orderBy(col("_v").desc)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col(ActionCol) === "add")
+        .drop(ActionCol, "_v", "_rn")
+    }
   }
 
   /** The complete table as of `version`: exactly the files that version's
@@ -1862,6 +2051,8 @@ object Snapshots {
     }
     clearSchemaMemo(manifestRoot)
     clearTxnVisMemo(manifestRoot)
+    clearManifestCache(manifestRoot)
+    Dv.clearReadLiveCache()
   }
 
   def tableProperties(spark: SparkSession, manifestRoot: String,
@@ -2453,6 +2644,12 @@ object Snapshots {
     checkpoints(spark, manifestRoot).filter(_ < cut).foreach { c =>
       mfs.delete(new org.apache.hadoop.fs.Path(s"$manifestRoot/ckpt=$c"), true)
     }
+    // vacuum is the one operation that DELETES version dirs and data/DV
+    // files a cached manifest or read plan may reference — drop both
+    // caches for this root (and the file-keyed read-plan memo wholesale;
+    // vacuum cadence is rare, the memo re-warms in one read)
+    clearManifestCache(manifestRoot)
+    Dv.clearReadLiveCache()
     VacuumResult(plan.deadFiles.size.toLong + plan.deadDvDirs.size.toLong,
       drop.size.toLong)
   }
