@@ -68,20 +68,23 @@ object Dv {
       : DataFrame =
     readLiveWithPos(spark, entries, declared).drop("_dv_f", "_dv_p")
 
-  // Memo of assembled read plans, keyed on the EXACT (entries, declared)
-  // pair. Data files and DV sidecars are immutable once a manifest
-  // references them, and a DataFrame is an immutable lazy plan — so the
-  // same entry set re-reads through the same plan instead of paying plan
-  // assembly again per call (each assembly runs a mergeSchema footer job
-  // + a file-index listing; DML queries re-read the same snapshot's
-  // entries many times for gates/diffs/feeds). LRU-bounded; cleared by
-  // [[Snapshots]] on root re-creation and vacuum (the only paths that
-  // delete referenced files).
+  // Memo of assembled read plans, keyed on the EXACT (session, entries,
+  // declared) triple. Data files and DV sidecars are immutable once a
+  // manifest references them, and a DataFrame is an immutable lazy plan —
+  // so the same entry set re-reads through the same plan instead of paying
+  // plan assembly again per call (each assembly runs a mergeSchema footer
+  // job + a file-index listing; DML queries re-read the same snapshot's
+  // entries many times for gates/diffs/feeds). The session is part of the
+  // key because the memoized plan is analyzed against (and pins scan conf
+  // of) the session that assembled it — a second/restarted session must
+  // assemble its own. LRU-bounded; cleared by [[Snapshots]] on root
+  // re-creation and vacuum (the only paths that delete referenced files).
+  private type ReadLiveKey =
+    (SparkSession, Seq[Entry], Option[org.apache.spark.sql.types.StructType])
   private val readLiveCache =
-    new java.util.LinkedHashMap[(Seq[Entry], Option[org.apache.spark.sql.types.StructType]), DataFrame](
-        16, 0.75f, true) {
+    new java.util.LinkedHashMap[ReadLiveKey, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Seq[Entry], Option[org.apache.spark.sql.types.StructType]), DataFrame])
+          e: java.util.Map.Entry[ReadLiveKey, DataFrame])
           : Boolean = size() > 512
     }
 
@@ -130,7 +133,7 @@ object Dv {
   def readLiveWithPos(spark: SparkSession, entries: Seq[Entry],
                       declared: Option[org.apache.spark.sql.types.StructType]
                         = None): DataFrame = {
-    val key = (entries, declared)
+    val key = (spark, entries, declared)
     readLiveCache.synchronized(Option(readLiveCache.get(key))) match {
       case Some(df) => df
       case None =>
@@ -230,9 +233,9 @@ object Dv {
   def deleteWhereMoR(spark: SparkSession, path: String, manifestRoot: String,
                      box: Seq[(String, Double, Double)]): MoRDeleteResult = {
     val v = Snapshots.latestVersion(spark, manifestRoot)
-    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
-      .localCheckpoint()
-    val total = manifest.count()
+    val manifest = Snapshots.pinLocal(
+      ensureDv(Snapshots.manifestAt(spark, manifestRoot, v)))
+    val total = Snapshots.localCount(manifest)
     val hit = entries(manifest.filter(Layout.intersectsExpr(box)))
     if (hit.isEmpty) return MoRDeleteResult(v, 0, total, 0, 0)
     val hitFiles = hit.map(_.file)
@@ -276,9 +279,9 @@ object Dv {
                          cover: Option[(org.apache.spark.sql.Column, Seq[String])] = None)
       : MoRDeleteResult = {
     val v = Snapshots.latestVersion(spark, manifestRoot)
-    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
-      .localCheckpoint()
-    val total = manifest.count()
+    val manifest = Snapshots.pinLocal(
+      ensureDv(Snapshots.manifestAt(spark, manifestRoot, v)))
+    val total = Snapshots.localCount(manifest)
     val hit = entries(manifest.filter(prune))
     if (hit.isEmpty) return MoRDeleteResult(v, 0, total, 0, 0)
     val dropped = Snapshots.wholeFileDrops(spark, manifest, prune, cover)
@@ -337,8 +340,8 @@ object Dv {
                     box: Seq[(String, Double, Double)])
       : Option[(Snapshots.Txn, Long)] = {
     val v = Snapshots.latestVersion(spark, manifestRoot)
-    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
-      .localCheckpoint()
+    val manifest = Snapshots.pinLocal(
+      ensureDv(Snapshots.manifestAt(spark, manifestRoot, v)))
     val hit = entries(manifest.filter(Layout.intersectsExpr(box)))
     if (hit.isEmpty) return None
     val hitFiles = hit.map(_.file).toSet
@@ -377,9 +380,9 @@ object Dv {
                     key: String, keys: DataFrame,
                     deltaCommit: Boolean = false): MoRDeleteResult = {
     val v = Snapshots.latestVersion(spark, manifestRoot)
-    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
-      .localCheckpoint()
-    val total = manifest.count()
+    val manifest = Snapshots.pinLocal(
+      ensureDv(Snapshots.manifestAt(spark, manifestRoot, v)))
+    val total = Snapshots.localCount(manifest)
     // Stats-prune the touch set ONLY when the manifest actually carries
     // [min,max] stats for the delete key — a manifest built with stats for
     // other columns (or none) degrades to the full file set. Correctness
@@ -448,9 +451,9 @@ object Dv {
   def purgeDv(spark: SparkSession, path: String, manifestRoot: String,
               cols: Seq[String]): PurgeResult = {
     val v = Snapshots.latestVersion(spark, manifestRoot)
-    val manifest = ensureDv(Snapshots.manifestAt(spark, manifestRoot, v))
-      .localCheckpoint()
-    val total = manifest.count()
+    val manifest = Snapshots.pinLocal(
+      ensureDv(Snapshots.manifestAt(spark, manifestRoot, v)))
+    val total = Snapshots.localCount(manifest)
     val masked = entries(manifest.filter(col("dv").isNotNull))
     if (masked.isEmpty) return PurgeResult(v, 0, total, 0)
     val staging = path + ".purge_staging"

@@ -57,7 +57,8 @@ object RowTracking {
                     path: String, manifestRoot: String,
                     nFiles: Int): (Int, Int) = {
     val prev = Snapshots.versions(spark, manifestRoot).lastOption
-      .map(v => Snapshots.manifestAt(spark, manifestRoot, v).localCheckpoint())
+      .map(v => Snapshots.pinLocal(
+        Snapshots.manifestAt(spark, manifestRoot, v)))
     val hw = prev.map(highWater).getOrElse(0L)
     val staging = path + ".append_staging_" + java.util.UUID.randomUUID()
     Layout.zorderWrite(batch, cols, staging, nFiles)
@@ -88,8 +89,8 @@ object RowTracking {
     * plus later appends) read as one frame. */
   def readTracked(spark: SparkSession, manifestRoot: String,
                   version: Int): DataFrame = {
-    val m = Snapshots.manifestAt(spark, manifestRoot, version)
-      .localCheckpoint()
+    val m = Snapshots.pinLocal(
+      Snapshots.manifestAt(spark, manifestRoot, version))
     // deletion vectors are out of this path's scope: refuse loudly rather
     // than resurrect masked rows (a DV-aware read would thread
     // Dv.readLive's anti-join before the id derivation — positions are

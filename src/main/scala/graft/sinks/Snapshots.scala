@@ -281,8 +281,13 @@ object Snapshots {
           // post-commit planner read is job-free (after the v=1
           // invalidation above, never before it)
           localRows.foreach { case (schema, rows) =>
+            // asNullable: lit()-built staging columns are non-nullable but
+            // a fresh parquet read of the committed version serves an
+            // all-nullable schema — cached and uncached readers of one
+            // version must observe the identical schema
+            val relaxed = StructType(schema.fields.map(_.copy(nullable = true)))
             manifestCache.synchronized(
-              manifestCache.put((manifestRoot, next), (schema, rows))): Unit
+              manifestCachePut((manifestRoot, next), (relaxed, rows)))
           }
           return next
         }
@@ -450,22 +455,74 @@ object Snapshots {
   // ------------------------------------------------------------------
 
   private[graft] val manifestCacheMaxRows: Int =
-    sys.env.get("SPARK_GRAFT_MANIFEST_CACHE_ROWS").map(_.toInt)
-      .getOrElse(65536)
+    sys.env.get("SPARK_GRAFT_MANIFEST_CACHE_ROWS").map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_MANIFEST_CACHE_ROWS must be an integer, got '$v'")
+      }
+    }.getOrElse(65536)
 
+  // SINGLE-WRITER-JVM TRUST MODEL (shared with propsCache/schemaMemo/
+  // txnVisMemo): invalidation is in-process. The per-serve dir-existence
+  // probe catches a DROP/vacuum from any process, but a SECOND process
+  // that re-creates the same root (version numbers restart) could be
+  // served the old life's rows once its new log reaches a cached version
+  // number. Delta's DeltaLog snapshot cache makes the same assumption;
+  // coordinating writers across JVMs is the catalog's job, not this
+  // cache's.
   private val manifestCache =
     new java.util.LinkedHashMap[Product, (StructType, Array[Row])](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Product, (StructType, Array[Row])])
-          : Boolean = size() > 1024
+        16, 0.75f, true)
+
+  // Aggregate row budget across all cached entries: per-entry row caps
+  // alone let 1024 × 65536-row wide-stats manifests pin multi-GB of
+  // driver memory. Eviction is LRU until both bounds hold.
+  private val manifestCacheMaxTotalRows: Long =
+    sys.env.get("SPARK_GRAFT_MANIFEST_CACHE_TOTAL_ROWS").map(_.trim.toLong)
+      .getOrElse(1L << 22)
+  private var manifestCacheTotalRows: Long = 0L
+
+  // callers hold manifestCache's monitor
+  private def manifestCachePut(key: Product,
+                               value: (StructType, Array[Row])): Unit = {
+    Option(manifestCache.put(key, value))
+      .foreach(old => manifestCacheTotalRows -= old._2.length)
+    manifestCacheTotalRows += value._2.length
+    val it = manifestCache.entrySet().iterator()
+    while ((manifestCache.size() > 1024 ||
+        manifestCacheTotalRows > manifestCacheMaxTotalRows) && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != key) { // never evict the entry just added
+        manifestCacheTotalRows -= e.getValue._2.length
+        it.remove()
+      }
     }
+  }
+
+  // Pre-collect byte gate: the fill must be ONE straight collect() job.
+  // r18 filled with limit(cap+1).collect(), and CollectLimitExec runs
+  // executeTake's incremental partition waves (1 partition, then 4×
+  // more …) — SEVERAL jobs per miss, which is what the read-once version
+  // walks (q111_time_travel ×0.60, q114_version_changes ×0.67 in the r18
+  // driver bench) paid for nothing. Instead the on-disk size of the
+  // manifest's input dirs decides cacheability up front (file-count-
+  // bounded listing, same cost class as the per-serve existence probe);
+  // a 100 TB table's manifest stays a distributed read.
+  private[graft] val manifestCacheMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_MANIFEST_CACHE_BYTES").map(_.trim.toLong)
+      .getOrElse(16L << 20)
 
   private[graft] def clearManifestCache(manifestRoot: String): Unit =
     manifestCache.synchronized {
-      val it = manifestCache.keySet().iterator()
-      while (it.hasNext)
-        if (it.next().productElement(0) == manifestRoot) it.remove()
+      val it = manifestCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.productElement(0) == manifestRoot) {
+          manifestCacheTotalRows -= e.getValue._2.length
+          it.remove()
+        }
+      }
     }
 
   /** Stage `content` into `tmpDir` as ONE parquet part file written from
@@ -559,14 +616,17 @@ object Snapshots {
   }
 
   /** Serve `build`'s rows from the cache under `key`, populating it on
-    * miss (one bounded collect) — or pass `build` through untouched when
-    * the manifest exceeds the row cap or `probeDir` no longer exists. */
+    * miss with ONE straight collect job (pre-gated by the on-disk bytes
+    * of `probeDir` + `inputDirs`) — or pass `build` through untouched
+    * when the inputs are too large to cache or `probeDir` no longer
+    * exists. */
   private def cachedManifestDf(spark: SparkSession, key: Product,
-                               probeDir: String)
+                               probeDir: String,
+                               inputDirs: Seq[String] = Seq.empty)
                               (build: => DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val exists = hfs(spark, probeDir)
-      .exists(new org.apache.hadoop.fs.Path(probeDir))
+    val fs = hfs(spark, probeDir)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(probeDir))
     if (exists)
       manifestCache.synchronized(Option(manifestCache.get(key))).foreach {
         case (schema, rows) =>
@@ -574,12 +634,56 @@ object Snapshots {
       }
     val df = build
     if (!exists) return df // let build's own missing-dir semantics apply
-    val rows = df.limit(manifestCacheMaxRows + 1).collect()
+    val bytes =
+      try (probeDir +: inputDirs).distinct.map { d =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+          .filter(_.isFile).map(_.getLen).sum
+      }.sum
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (bytes > manifestCacheMaxBytes) return df
+    val rows = df.collect()
     if (rows.length > manifestCacheMaxRows) df
     else {
       manifestCache.synchronized(
-        manifestCache.put(key, (df.schema, rows))): Unit
+        manifestCachePut(key, (df.schema, rows)))
       spark.createDataFrame(rows.toSeq.asJava, df.schema)
+    }
+  }
+
+  /** `localCheckpoint()` unless the frame is already driver-local (a
+    * cached manifest serve folds to a LocalRelation): checkpointing local
+    * rows pays a Spark job + a partition copy for rows that already sit
+    * in driver memory, and both forms are equally immutable pins. The
+    * DML planners pin every manifest before the commit starts moving the
+    * table under it — this keeps that pin while making it job-free on
+    * the cache-hit path. */
+  private[graft] def pinLocal(df: DataFrame): DataFrame =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+      case _ => df.localCheckpoint()
+    }
+
+  /** Row count without a Spark job when the frame is driver-local (the
+    * manifest `count()`s every DML planner opens with). */
+  private[graft] def localCount(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.length.toLong
+      case _ => df.count()
+    }
+
+  /** Σ of a non-null long column without a Spark job when the frame is
+    * driver-local (footer-built manifests are LocalRelations). */
+  private[graft] def localLongSum(df: DataFrame, c: String): Long = {
+    val proj = df.select(col(c))
+    proj.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        var s = 0L
+        l.data.foreach(r => if (!r.isNullAt(0)) s += r.getLong(0))
+        s
+      case _ =>
+        val r = proj.agg(sum(col(c))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
     }
   }
 
@@ -636,7 +740,10 @@ object Snapshots {
     cachedManifestDf(spark,
       (manifestRoot, version, info.base, info.baseIsCheckpoint,
         deltaVs.toList),
-      s"$manifestRoot/v=$version") {
+      s"$manifestRoot/v=$version",
+      inputDirs = (if (info.baseIsCheckpoint) s"$manifestRoot/ckpt=${info.base}"
+        else s"$manifestRoot/v=${info.base}") +:
+        deltaVs.map(v => s"$manifestRoot/v=$v")) {
       val baseDf = (if (info.baseIsCheckpoint)
           spark.read.parquet(s"$manifestRoot/ckpt=${info.base}")
         else cachedManifestDf(spark, (manifestRoot, info.base),
@@ -706,7 +813,7 @@ object Snapshots {
   def readAt(spark: SparkSession, manifestRoot: String, version: Int,
              ranges: Seq[(String, Double, Double)]): Layout.PrunedScan = {
     val m = manifestAt(spark, manifestRoot, version)
-    val total = m.count()
+    val total = localCount(m)
     val hit = Dv.entries(m.filter(Layout.intersectsExpr(ranges)))
     val df =
       if (hit.isEmpty) tableAt(spark, manifestRoot, version).filter(lit(false))
@@ -757,10 +864,9 @@ object Snapshots {
                       cover: Option[(org.apache.spark.sql.Column, Seq[String])] = None)
       : Layout.DeleteResult = {
     val manifest =
-      Dv.ensureDv(manifestAt(spark, manifestRoot,
-          latestVersion(spark, manifestRoot)))
-        .localCheckpoint()
-    val total = manifest.count()
+      pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot))))
+    val total = localCount(manifest)
     val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return Layout.DeleteResult(0, total, 0)
     val dropped = wholeFileDrops(spark, manifest, prune, cover)
@@ -769,28 +875,49 @@ object Snapshots {
     // applied — a copy-on-write rewrite of a masked file must not
     // resurrect its masked rows); the rewrite also FOLDS the DV away: the
     // new files carry no mask
-    val deleted =
-      if (rewrite.isEmpty) 0L
-      else {
-        val live = Dv.readLive(spark, rewrite,
-          declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
-        val n = live.filter(pred).count()
-        val staging = path + ".delete_staging"
-        // survivors = NOT(pred), with null-match rows kept: a WHERE that
-        // evaluates to null on a row must not delete it (SQL three-valued
-        // logic — DELETE removes rows where the predicate is TRUE)
-        live.filter(!coalesce(pred, lit(false)))
-          .write.mode("overwrite").parquet(staging)
-        n
-      }
+    if (rewrite.nonEmpty) {
+      val live = Dv.readLive(spark, rewrite,
+        declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
+      val staging = path + ".delete_staging"
+      // survivors = NOT(pred), with null-match rows kept: a WHERE that
+      // evaluates to null on a row must not delete it (SQL three-valued
+      // logic — DELETE removes rows where the predicate is TRUE)
+      live.filter(!coalesce(pred, lit(false)))
+        .write.mode("overwrite").parquet(staging)
+    }
     val moved =
       if (rewrite.isEmpty) Seq.empty[String]
       else Layout.moveStagedIn(spark, path + ".delete_staging", path)
     val keep = manifest.filter(!col("file").isInCollection(hit.map(_.file)))
-    val next =
-      if (moved.isEmpty) keep
-      else keep.unionByName(Layout.buildManifestFor(spark, moved, cols),
-        allowMissingColumns = true)
+    val survivorStats =
+      if (moved.isEmpty) None
+      else Some(Layout.buildManifestFor(spark, moved, cols))
+    val next = survivorStats match {
+      case None => keep
+      case Some(s) => keep.unionByName(s, allowMissingColumns = true)
+    }
+    // deleted = live(rewrite set) − survivors, by ARITHMETIC, not a second
+    // data scan: every live row is either pred-TRUE (deleted) or not
+    // (written out), so the counts close the books. Live rows of an
+    // UNMASKED file are its manifest `rows`; a DV-masked file's live count
+    // needs its mask size, so that (rare post-purge) shape keeps the
+    // counting scan. Survivor rows come from the new files' manifest stats
+    // (footer reads — no job). This halves the data read of every
+    // copy-on-write DELETE: one pass instead of count-then-rewrite.
+    val deleted =
+      if (rewrite.isEmpty) 0L
+      else if (rewrite.forall(_.dv.isEmpty)) {
+        val rewriteFiles = rewrite.map(_.file).toSet
+        val liveRows = localLongSum(manifest
+          .filter(col("file").isInCollection(rewriteFiles.toSeq)), "rows")
+        val survivorRows =
+          survivorStats.map(localLongSum(_, "rows")).getOrElse(0L)
+        liveRows - survivorRows
+      } else {
+        val live = Dv.readLive(spark, rewrite,
+          declaredAt(spark, manifestRoot, latestVersion(spark, manifestRoot)))
+        live.filter(pred).count()
+      }
     commit(spark, next, manifestRoot)
     Layout.DeleteResult(rewrite.size.toLong, total,
       deleted + dropped.values.sum, dropped.size.toLong)
@@ -809,10 +936,9 @@ object Snapshots {
     * version's schema ([[tableAt]]), and later INSERTs refill normally. */
   def truncateCommit(spark: SparkSession, manifestRoot: String)
       : TruncateResult = {
-    val m = Dv.ensureDv(manifestAt(spark, manifestRoot,
-        latestVersion(spark, manifestRoot)))
-      .localCheckpoint()
-    val files = m.count()
+    val m = pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot,
+      latestVersion(spark, manifestRoot))))
+    val files = localCount(m)
     if (files == 0)
       return TruncateResult(latestVersion(spark, manifestRoot), 0, 0)
     val phys = m.agg(sum(col("rows"))).head().getLong(0)
@@ -847,8 +973,8 @@ object Snapshots {
   def fsckCommit(spark: SparkSession, manifestRoot: String,
                  dryRun: Boolean = false): (FsckResult, Seq[String]) = {
     val v = latestVersion(spark, manifestRoot)
-    val m = Dv.ensureDv(manifestAt(spark, manifestRoot, v)).localCheckpoint()
-    val total = m.count()
+    val m = pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot, v)))
+    val total = localCount(m)
     val conf = spark.sparkContext.hadoopConfiguration
     val missing = m.select(col("file"), col("rows"), col("dv")).collect()
       .filterNot { r =>
@@ -924,10 +1050,9 @@ object Snapshots {
                       assignments: Map[String, org.apache.spark.sql.Column]): UpdateResult = {
     require(assignments.nonEmpty, "UPDATE with no assignments")
     val manifest =
-      Dv.ensureDv(manifestAt(spark, manifestRoot,
-          latestVersion(spark, manifestRoot)))
-        .localCheckpoint()
-    val total = manifest.count()
+      pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot))))
+    val total = localCount(manifest)
     val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return UpdateResult(0, total, 0)
     val live = Dv.readLive(spark, hit,
@@ -982,9 +1107,8 @@ object Snapshots {
                          nFiles: Int): MoRUpdateResult = {
     require(assignments.nonEmpty, "UPDATE with no assignments")
     val v = latestVersion(spark, manifestRoot)
-    val manifest = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
-      .localCheckpoint()
-    val total = manifest.count()
+    val manifest = pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot, v)))
+    val total = localCount(manifest)
     val hit = Dv.entries(manifest.filter(prune))
     if (hit.isEmpty) return MoRUpdateResult(v, 0, total, 0, 0)
     val live = Dv.readLiveWithPos(spark, hit,
@@ -1055,8 +1179,8 @@ object Snapshots {
                    contentFiles: Seq[(String, String)] = Seq.empty)
       : (Int, Int) = {
     val prev =
-      manifestAt(spark, manifestRoot, latestVersion(spark, manifestRoot))
-        .localCheckpoint()
+      pinLocal(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot)))
     val moved = stageDataFiles(spark, batch, cols, path, manifestRoot, nFiles)
     val next = prev.unionByName(Layout.buildManifestFor(spark, moved, cols),
       allowMissingColumns = true)
@@ -1222,9 +1346,8 @@ object Snapshots {
                           scope: Column, nFiles: Int,
                           zorderCols: Option[Seq[String]] = None): CompactScopedResult = {
     val v = latestVersion(spark, manifestRoot)
-    val manifest = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
-      .localCheckpoint()
-    val total = manifest.count()
+    val manifest = pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot, v)))
+    val total = localCount(manifest)
     val selected = Dv.entries(manifest.filter(scope))
     if (selected.size < 2 && !selected.exists(_.dv.isDefined))
       return CompactScopedResult(v, 0, total, 0)
@@ -1276,9 +1399,9 @@ object Snapshots {
     require(clusterCols.nonEmpty, "incremental clustering needs keys")
     val v = latestVersion(spark, manifestRoot)
     val manifest0 = Dv.ensureDv(manifestAt(spark, manifestRoot, v))
-    val manifest = (if (manifest0.columns.contains(ClusteredCol)) manifest0
+    val manifest = pinLocal(
+      if (manifest0.columns.contains(ClusteredCol)) manifest0
       else manifest0.withColumn(ClusteredCol, lit(null).cast("boolean")))
-      .localCheckpoint()
     val flagged = manifest
       .select(col("file"), col("dv"), col(ClusteredCol)).collect().toSeq
       .map(r => (Dv.Entry(r.getString(0), Option(r.getString(1))),
@@ -1341,10 +1464,9 @@ object Snapshots {
     require(cols.contains(key),
       s"merge key $key needs manifest stats — not in ${cols.mkString(",")}")
     val manifest =
-      Dv.ensureDv(manifestAt(spark, manifestRoot,
-          latestVersion(spark, manifestRoot)))
-        .localCheckpoint()
-    val total = manifest.count()
+      pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot))))
+    val total = localCount(manifest)
     val hit = source.select(col(key).cast("double").as("k")).distinct()
       .join(broadcast(manifest.select(col("file"),
           col(s"min_$key").cast("double").as("lo"),
@@ -1497,10 +1619,9 @@ object Snapshots {
       s"MERGE source has duplicate key tuples (e.g. ${dup.headOption}) — " +
         "a target row matched twice has no deterministic outcome")
     val manifest =
-      Dv.ensureDv(manifestAt(spark, manifestRoot,
-          latestVersion(spark, manifestRoot)))
-        .localCheckpoint()
-    val total = manifest.count()
+      pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot))))
+    val total = localCount(manifest)
     // touch set: distinct source key tuples × broadcast manifest, file
     // hit iff the tuple sits inside the file's stats box on EVERY key
     val keyTuples = source.select(keys.map(k => col(k).as(s"_k_$k")): _*)
@@ -1684,10 +1805,9 @@ object Snapshots {
     require(cols.contains(key),
       s"merge key $key needs manifest stats — not in ${cols.mkString(",")}")
     val manifest =
-      Dv.ensureDv(manifestAt(spark, manifestRoot,
-          latestVersion(spark, manifestRoot)))
-        .localCheckpoint()
-    val total = manifest.count()
+      pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot))))
+    val total = localCount(manifest)
     val keyHit = source.select(col(key).cast("double").as("k")).distinct()
       .join(broadcast(manifest.select(col("file"),
           col(s"min_$key").cast("double").as("lo"),
@@ -1804,8 +1924,7 @@ object Snapshots {
           prev = cur
         }
       }
-      val base = Dv.ensureDv(manifestAt(spark, manifestRoot, latest))
-        .localCheckpoint()
+      val base = pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot, latest)))
       val keep =
         if (txn.removes.isEmpty) base
         else base.filter(!col("file").isInCollection(txn.removes.toSeq))
@@ -3092,10 +3211,9 @@ object Snapshots {
         "predicate — a scoped overwrite cannot smuggle rows past its " +
         "scope; nothing committed")
     val manifest =
-      Dv.ensureDv(manifestAt(spark, manifestRoot,
-          latestVersion(spark, manifestRoot)))
-        .localCheckpoint()
-    val total = manifest.count()
+      pinLocal(Dv.ensureDv(manifestAt(spark, manifestRoot,
+        latestVersion(spark, manifestRoot))))
+    val total = localCount(manifest)
     val hit = Dv.entries(manifest.filter(prune))
     // whole-file drops (same proof as [[deleteWherePred]]): the daily
     // `REPLACE WHERE run_date = X` re-land is THE partition-overwrite
@@ -3328,7 +3446,7 @@ object Snapshots {
                       dstRoot: String, version: Int): DeepCloneResult = {
     require(versions(spark, dstRoot).isEmpty,
       s"clone destination $dstRoot already has commits")
-    val m = Dv.ensureDv(manifestAt(spark, srcRoot, version)).localCheckpoint()
+    val m = pinLocal(Dv.ensureDv(manifestAt(spark, srcRoot, version)))
     val entries = Dv.entries(m)
     require(entries.nonEmpty, "DEEP CLONE of an empty version")
     val conf = spark.sparkContext.hadoopConfiguration

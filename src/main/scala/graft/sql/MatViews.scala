@@ -291,9 +291,9 @@ object MatViews {
     val touched = feed.select(m.dims.map(col): _*).distinct()
       .localCheckpoint()
     val nTouched = touched.count()
-    val mf = Snapshots.manifestAt(spark, baseSpec.manifestRoot, head)
-      .localCheckpoint()
-    val total = mf.count()
+    val mf = Snapshots.pinLocal(
+      Snapshots.manifestAt(spark, baseSpec.manifestRoot, head))
+    val total = Snapshots.localCount(mf)
     val statCols = mf.schema.fieldNames.toSet
     val feedHasNullDim = m.dims.nonEmpty &&
       touched.filter(m.dims.map(col(_).isNull).reduce(_ || _))
