@@ -102,6 +102,56 @@ object Dv {
           : Boolean = size() > 8192
     }
 
+  /** Relation-level nullable normalization (what `DataType.asNullable`
+    * does; it is `private[sql]`): file-based relations serve every field
+    * nullable regardless of the writer's declared nullability. */
+  private def relaxNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = relaxNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = relaxNullable(m.keyType),
+        valueType = relaxNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** The Spark schema of ONE parquet file, read from its footer on the
+    * DRIVER — semantically `spark.read.parquet(file).schema` (the embedded
+    * `org.apache.spark.sql.parquet.row.metadata` Spark schema is honored
+    * first, exactly as `ParquetFileFormat.readSchemaFromFooter` does, then
+    * relation-level nullable normalization) WITHOUT the Spark job that
+    * schema inference launches per call: `ParquetFileFormat.inferSchema`
+    * runs `mergeSchemasInParallel`, one job + a gzip'd Hadoop-conf
+    * broadcast each — the r19 profiler measured 48–64 such jobs per DML
+    * query, the single largest job source after r18's manifest work.
+    * Fidelity is pinned by DvFooterSchemaSpec (footer path == inference
+    * path across every column type the engine writes). */
+  private[sinks] def footerSchema(spark: SparkSession, file: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(file)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val (msg, kv) =
+      try {
+        val md = reader.getFooter.getFileMetaData
+        (md.getSchema, md.getKeyValueMetaData)
+      } finally reader.close()
+    val fromMeta =
+      Option(kv.get("org.apache.spark.sql.parquet.row.metadata")).flatMap(j =>
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+    val sch = fromMeta.getOrElse(
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg))
+    relaxNullable(sch).asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** The single schema shared by ALL of `files`, if they agree — each new
     * file costs one driver-side footer read (memoized thereafter); any
     * disagreement or read failure returns None so the caller falls back
@@ -112,7 +162,7 @@ object Dv {
     files.foreach { f =>
       val s = fileSchemaCache.synchronized(Option(fileSchemaCache.get(f)))
         .getOrElse {
-          val read = spark.read.parquet(f).schema
+          val read = footerSchema(spark, f)
           fileSchemaCache.synchronized(fileSchemaCache.put(f, read)): Unit
           read
         }

@@ -158,9 +158,13 @@ object Layout {
 
   /** The shared planning sample: ONE column-pruned pass collecting a
     * per-partition weighted reservoir (weight = partition rows / sample
-    * rows) of the surrogate-projected clustering columns. */
+    * rows) of the surrogate-projected clustering columns. Returned
+    * GROUPED by source partition (all samples of one partition share one
+    * weight) so quantile planning can sort each group's PRIMITIVE values
+    * and merge — the flat boxed-tuple sort this replaces was 100–240 ms
+    * of driver CPU per heavy write query in the r19 profile. */
   private def weightedSample(df: DataFrame, cols: Seq[String])
-      : Array[(Array[Double], Double)] = {
+      : Array[(Array[Array[Double]], Double)] = {
     val d = cols.size
     val proj = df.select(cols.map(c =>
       zNum(col(c), df.schema(c).dataType)): _*)
@@ -190,9 +194,8 @@ object Layout {
       }
       Iterator.single((buf.take(math.min(n, perPart.toLong).toInt), n))
     }.collect()
-    collected.filter(_._2 > 0).flatMap { case (rows, n) =>
-      val w = n.toDouble / rows.length
-      rows.map(v => (v, w))
+    collected.filter(_._2 > 0).map { case (rows, n) =>
+      (rows, n.toDouble / rows.length)
     }
   }
 
@@ -213,13 +216,15 @@ object Layout {
     val sur = zNum(col(keyCol), df.schema(keyCol).dataType)
     val boundaries =
       if (sample.isEmpty) Seq.empty[Double]
-      else weightedQuantiles(
-        sample.iterator.filterNot(_._1(0).isNaN)
-          .map(x => (x._1(0), x._2)).toIndexedSeq match {
-          case v if v.isEmpty => IndexedSeq((0.0, 1.0))
-          case v => v
-        },
-        (1 until nFiles).map(_.toDouble / nFiles)).distinct
+      else {
+        val vals = sample.iterator.map { case (rows, w) =>
+          (rows.iterator.map(_(0)).filterNot(_.isNaN).toArray, w)
+        }.toIndexedSeq
+        weightedQuantiles(
+          if (vals.forall(_._1.isEmpty)) IndexedSeq((Array(0.0), 1.0))
+          else vals,
+          (1 until nFiles).map(_.toDouble / nFiles)).distinct
+      }
     // partition 0 is the DEDICATED null band: a file of key-less rows
     // carries all-null stats and prunes away from any finite range
     // (sharing the lowest value band would poison that band's min/max
@@ -246,18 +251,21 @@ object Layout {
     * executed z values can never disagree. */
   private[sinks] def planZ(df: DataFrame, cols: Seq[String], nFiles: Int)
       : (Map[String, Seq[Double]], Seq[Long]) = {
-    val weighted = weightedSample(df, cols)
-    if (weighted.isEmpty) // empty input: degenerate single-cell layout
+    val groups = weightedSample(df, cols)
+    if (groups.isEmpty) // empty input: degenerate single-cell layout
       return (cols.map(_ -> Seq.empty[Double]).toMap, Seq.empty)
     val colQs = (1 until Buckets).map(_.toDouble / Buckets)
     val bounds = cols.zipWithIndex.map { case (c, i) =>
-      val vals = weighted.iterator
-        .filterNot(_._1(i).isNaN).map(x => (x._1(i), x._2)).toIndexedSeq
-      c -> (if (vals.isEmpty) Seq.empty[Double]
+      val vals = groups.iterator.map { case (rows, w) =>
+        (rows.iterator.map(_(i)).filterNot(_.isNaN).toArray, w)
+      }.toIndexedSeq
+      c -> (if (vals.forall(_._1.isEmpty)) Seq.empty[Double]
             else weightedQuantiles(vals, colQs).distinct)
     }.toMap
-    val zs = weighted.map { case (v, w) =>
-      (zOf(cols.indices.map(i => bucketOf(v(i), bounds(cols(i))))).toDouble, w)
+    val zs = groups.iterator.map { case (rows, w) =>
+      (rows.map(v =>
+        zOf(cols.indices.map(i => bucketOf(v(i), bounds(cols(i))))).toDouble),
+        w)
     }.toIndexedSeq
     val zB = weightedQuantiles(zs, (1 until nFiles).map(_.toDouble / nFiles))
       .map(_.toLong)
@@ -278,26 +286,58 @@ object Layout {
     z
   }
 
-  /** Weighted quantiles of `(value, weight)` pairs: sort, walk the
-    * cumulative weight, emit the first value reaching each target. */
-  private def weightedQuantiles(vals: IndexedSeq[(Double, Double)],
+  /** Weighted quantiles over per-GROUP samples (each group = one source
+    * partition's values + its constant weight): sort each group's
+    * primitive values (dual-pivot, no boxing), merge value-ascending with
+    * group-stable ties, then walk the cumulative weight emitting the
+    * first value reaching each target. Numerically identical to sorting
+    * the flat (value, weight) pairs and walking them — same value order,
+    * same FP accumulation order — so planned boundaries are bit-identical
+    * to the boxed `sortBy` this replaces (which cost 100–240 ms of driver
+    * CPU per heavy write in the r19 profile). */
+  private def weightedQuantiles(groups: IndexedSeq[(Array[Double], Double)],
                                 qs: Seq[Double]): Seq[Double] = {
-    val sorted = vals.sortBy(_._1)
-    val total = sorted.iterator.map(_._2).sum
+    val gs = groups.filter(_._1.nonEmpty).map { case (vs, w) =>
+      val s = vs.clone(); java.util.Arrays.sort(s); (s, w)
+    }
+    val n = gs.iterator.map(_._1.length).sum
+    val values = new Array[Double](n)
+    val weights = new Array[Double](n)
+    val pos = new Array[Int](gs.length)
+    var out = 0
+    while (out < n) {
+      var best = -1
+      var bestV = Double.NaN
+      var gi = 0
+      while (gi < gs.length) {
+        if (pos(gi) < gs(gi)._1.length) {
+          val v = gs(gi)._1(pos(gi))
+          if (best < 0 || v < bestV) { best = gi; bestV = v }
+        }
+        gi += 1
+      }
+      values(out) = bestV
+      weights(out) = gs(best)._2
+      pos(best) += 1
+      out += 1
+    }
+    var total = 0.0 // left-to-right in value order, like the flat sum
+    var i = 0
+    while (i < n) { total += weights(i); i += 1 }
     val targets = qs.map(_ * total)
-    val out = Array.fill(targets.size)(Double.NaN)
+    val outQ = Array.fill(targets.size)(Double.NaN)
     var cum = 0.0
     var ti = 0
-    var i = 0
-    while (i < sorted.length && ti < targets.size) {
-      cum += sorted(i)._2
+    i = 0
+    while (i < n && ti < targets.size) {
+      cum += weights(i)
       while (ti < targets.size && cum >= targets(ti)) {
-        out(ti) = sorted(i)._1; ti += 1
+        outQ(ti) = values(i); ti += 1
       }
       i += 1
     }
-    while (ti < targets.size) { out(ti) = sorted.last._1; ti += 1 }
-    out.toSeq
+    while (ti < targets.size) { outQ(ti) = values(n - 1); ti += 1 }
+    outQ.toSeq
   }
 
   /** For each target partition `p` of an `n`-way hash repartition, a small
