@@ -47,20 +47,30 @@ object GraphOps {
     // — a per-iteration broadcast subplan would re-run its little job every
     // round.
     val n = nodes.count().toDouble
-    val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
+    // out-degrees are joined ONTO THE EDGE LIST once up front — the
+    // degree of an edge's source is iteration-invariant, and joining it
+    // inside the loop paid one extra shuffle join per round (the agg
+    // input multiset is identical either way)
+    val eDeg = e.join(
+        e.groupBy(col("src"))
+          .agg(count(lit(1)).cast("double").as("outdeg")), "src")
       .localCheckpoint()
     var rank = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = rank
-        .join(outdeg, rank("node") === outdeg("src"))
-        .join(e, "src")
+      // the rank vector is O(vertices) — broadcast it onto the (much
+      // wider) edge list so the join never shuffles edges; only the
+      // per-destination aggregate shuffles, and it shuffles partial
+      // aggregates, not edges (guide §2.4/§3.1). At depths where the
+      // vertex set outgrows a broadcast, drop the hint and both sides
+      // shuffle-join on the vertex key as before — verdicts identical.
+      val contrib = broadcast(rank)
+        .join(eDeg, rank("node") === eDeg("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("mass"))
       // Checkpoint the rank vector each round: iteration cost stays flat
       // (one vertex-keyed join + one agg), the GraphX/Pregel discipline.
       rank = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) / lit(n) +
             lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))

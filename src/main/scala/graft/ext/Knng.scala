@@ -107,7 +107,11 @@ object Knng {
       .join(v.select(col("_id").as("dst"), col("_v").as("_dv")), Seq("dst"))
       .select(col("src"), col("dst"),
         round(Similarity.cosine(col("_sv"), col("_dv")), 6).as("cos"))
-    g.union(longScored).distinct()
+    // materialize the finished index ONCE: every search hop joins the
+    // graph, and an unpinned plan re-derives this union+distinct (and the
+    // long-link scoring joins) per hop — k-bounded rows, same contract as
+    // the per-round checkpoints above
+    g.union(longScored).distinct().localCheckpoint()
   }
 
   /** Beam search over a [[buildGraph]] graph: per-probe top-k by cosine
